@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for training-data pipelines
+  * (SURVEY.md §2.3 #42-45). All pure `functions._` compositions —
+  * whole-stage-codegen'd, no UDFs, usable inside any plan.
+  *
+  * Regex subset is restricted to constructs with identical semantics in
+  * Spark (Java regex) and DuckDB (RE2): character classes, `+`, `|`,
+  * `\b`, `\s` (SURVEY.md §5).
+  */
+object TextFunctions {
+
+  /** Word tokens: maximal [A-Za-z0-9]+ runs (group 0 explicitly, to
+    * match engines whose default group differs). */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("[A-Za-z0-9]+"), lit(0))
+
+  /** §2.3#44 — token count (word-level). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  /** §2.3#44 — BPE-ish subword estimate: ~4 chars per subword token. */
+  def bpeEstimate(c: Column): Column = ceil(length(c) / 4.0).cast(LongType)
+
+  /** Whitespace-normalized, casefolded form (dedup normalization). */
+  def normalize(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Words of the normalized text. */
+  def words(c: Column): Column = split(normalize(c), " ")
+
+  /** Word n-gram shingles of the normalized text; empty if fewer than n
+    * words (guards Spark's descending `sequence`). */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val w = words(c)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Character-class ratio helpers (quality scoring building blocks). */
+  def charClassRatio(c: Column, keepClass: String): Column =
+    length(regexp_replace(c, keepClass, "")).cast(DoubleType) / length(c)
+
+  def alphaRatio(c: Column): Column = charClassRatio(c, "[^A-Za-z]")
+  def digitRatio(c: Column): Column = charClassRatio(c, "[^0-9]")
+  def spaceRatio(c: Column): Column = charClassRatio(c, "[^ ]")
+
+  /** §2.3#43 — scalar quality score: mostly-alphabetic text in a sane
+    * token-count band scores high. Pure double arithmetic in a fixed
+    * evaluation order (oracle-parity). */
+  def qualityScore(c: Column): Column =
+    lit(0.6) * alphaRatio(c) +
+    lit(0.4) * when(tokenCount(c).between(20, 1000), 1.0).otherwise(0.0)
+
+  /** Stopword marker patterns per language (language-ID heuristic). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|a|in)\\b",
+    "es" -> "\\b(el|la|de|que|y|en)\\b",
+    "de" -> "\\b(der|die|und|ist|das)\\b",
+    "fr" -> "\\b(le|les|des|et|dans)\\b")
+
+  private def markerCount(c: Column, pat: String): Column =
+    size(regexp_extract_all(lower(c), lit(pat), lit(0)))
+
+  /** §2.3#42 — language ID: argmax of marker counts with a fixed
+    * tie-break order (en > es > de > fr). */
+  def langId(c: Column): Column = {
+    val counts = langMarkers.map { case (l, p) => l -> markerCount(c, p) }
+    val Seq(en, es, de, fr) = counts.map(_._2)
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+}

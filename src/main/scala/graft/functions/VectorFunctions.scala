@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector column functions (SURVEY.md §2.3 #39-41) over
+  * `array<float>` columns, built from codegen'd higher-order functions
+  * (`zip_with`/`aggregate`) — no UDFs.
+  *
+  * Oracle-parity design (SURVEY.md §5): elements are quantized to
+  * integers (floor(x * 1e6)) and dot products accumulate in LONG —
+  * exact, order-independent, overflow-free (|q| <= 1e9 ⇒ products
+  * <= 1e18/64 headroom for typical embedding dims), and `floor` has
+  * identical semantics in Spark and DuckDB (no round-half ambiguity).
+  * Only the final cosine division/sqrt run in double, on bit-identical
+  * inputs in both engines.
+  */
+object VectorFunctions {
+
+  /** Element quantization: float → double → floor(x*1e6) as long. */
+  def qlong(x: Column): Column =
+    floor(x.cast(DoubleType) * 1000000d).cast(LongType)
+
+  /** Exact quantized dot product of two float-array columns. */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => qlong(x) * qlong(y)),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** Exact quantized squared norm. */
+  def normSqDec(a: Column): Column = dotDec(a, a)
+
+  /** Cosine from a precomputed dot and squared norms (all double). */
+  def cosineFrom(dot: Column, nsqA: Column, nsqB: Column): Column =
+    dot / (sqrt(nsqA) * sqrt(nsqB))
+
+  /** Direct cosine of two vectors (prefer precomputing norms per row
+    * before a join — see VectorOps). */
+  def cosine(a: Column, b: Column): Column =
+    cosineFrom(dotDec(a, b).cast(DoubleType),
+      normSqDec(a).cast(DoubleType), normSqDec(b).cast(DoubleType))
+}

@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Relational core of the engine (SURVEY.md §2.2).
+  *
+  * Every query here is a declarative DataFrame plan — Catalyst handles
+  * predicate/projection pushdown into the parquet scans, AQE handles
+  * runtime re-planning. Dim tables (region/nation/supplier) are hinted
+  * `broadcast`; fact⋈fact joins shuffle on their keys once.
+  *
+  * Oracle-parity rules (SURVEY.md §5): money-ish doubles are summed
+  * through exact DECIMAL casts and only converted to DOUBLE at the end,
+  * so aggregation order (which differs between Spark partitions and
+  * DuckDB) cannot change the result bit pattern. Row order is pinned
+  * with explicit total orderings.
+  */
+object Relational {
+
+  /** Exact-money cast: decimal(12,2) survives sums to precision 22. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Rate cast (discount/tax in [0,1]). */
+  def dec4(c: Column): Column = c.cast(DecimalType(9, 4))
+  /** Exact revenue term: price * (1 - discount), all decimal. */
+  def revenueTerm(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1) - dec4(discount))
+
+  /** §2.2#16 — projection + selective predicate; both must reach the scan. */
+  def readProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast(TimestampType) &&
+              col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** §2.2#17 — grouped aggregation over the fact table (TPC-H Q1 shape).
+    * One shuffle (partial agg map-side, final agg on group keys). */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec4(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** §2.2#20 — top-N revenue orders for a segment (TPC-H Q3 shape).
+    * customer is filtered then joined (AQE may broadcast it at small SF;
+    * at 100 TB it shuffles on the join key, which is correct for a
+    * fact-sized dim). */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val li   = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1996-03-15").cast(TimestampType))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** §2.2#18 — five-way join, revenue by nation (TPC-H Q5 shape).
+    * region/nation/supplier are true dims → explicit broadcast. */
+  def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+    val sup = Tables.supplier(s, d)
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") <  lit("1998-01-01").cast(TimestampType))
+    val li = Tables.lineitem(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** §2.2#19 — selective filter + single aggregate (TPC-H Q6 shape). */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") <  lit("1997-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((dec2(col("l_extendedprice")) * dec4(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** §2.2#21 — rank within group: top 3 orders per customer. */
+  def topNPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("c_custkey"), col("rn"))
+  }
+
+  /** §2.2#22 — per-user daily totals + running cumulative sum.
+    * Daily partial agg first (shrinks the window input), then one
+    * window sort per user — the scalable order for 100 TB of events. */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("dsum"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    daily
+      .withColumn("running_value", sum(col("dsum")).over(w).cast(DoubleType))
+      .withColumn("day_value", col("dsum").cast(DoubleType))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("day_value"), col("running_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** §2.2#23 — lag/delta per user ordered by event time. */
+  def lagDelta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"), col("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** §2.2#24 — semi join: customers having at least one URGENT order. */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** §2.2#25 — anti join: customers with no orders at all. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** §2.2#26 — rollup over flag/status with subtotals + grand total. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** §2.2#27 — exact distinct counts over the fact table. */
+  def distinctCount(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** §2.2#28 — approximate distinct (HLL sketch); rows-only oracle
+    * (approximation is engine-specific by design). */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** §2.2#29 — per-day wide pivot on event_type (explicit value list, so
+    * no extra distinct-values job; one shuffle). */
+  def pivotEvents(s: SparkSession, d: String): DataFrame = {
+    val pivoted = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("v"))
+    val outCols = col("day") +: eventTypes.flatMap(t => Seq(
+      coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+      col(s"${t}_v").cast(DoubleType).as(s"${t}_v")))
+    pivoted.select(outCols: _*).orderBy(col("day"))
+  }
+
+  /** §2.2#30 — tumbling 1-hour aggregation (batch twin of the streaming
+    * path in graft.streaming.EventStream). */
+  def hourlyEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** §2.2#31 — sessionization: a session break is a >30-minute gap.
+    * Two window passes over one user-partitioned sort (Spark reuses the
+    * partitioning; single shuffle). */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = 30L * 60 * 1000000
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapMicros, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec2(col("value"))).cast(DoubleType).as("sess_value"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  /** §2.2#32 — as-of join: each event picks the latest order of the same
+    * customer with o_orderdate <= ts.
+    *
+    * Spark-first plan: tag + union + one window over (user, time) — a
+    * single sort-shuffle, no per-row point lookups and no non-equi join
+    * fan-out. This is the 100 TB-safe formulation: cost is one shuffle
+    * of |events|+|orders| regardless of how many orders precede each
+    * event, where a naive range join is quadratic in the worst case. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("u"), col("ts").as("t"),
+        lit(1).as("tag"), col("event_id"),
+        lit(null).cast(LongType).as("o_orderkey"),
+        lit(null).cast(TimestampType).as("o_orderdate"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey").as("u"), col("o_orderdate").as("t"),
+        lit(0).as("tag"), lit(null).cast(LongType).as("event_id"),
+        col("o_orderkey"), col("o_orderdate"))
+    // At equal t, orders sort before events (tag 0 < 1) so the order is
+    // visible to an event at the same instant; among equal-t orders the
+    // highest orderkey wins (last in sort order).
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("tag"), coalesce(col("o_orderkey"), lit(Long.MinValue)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate", last(col("o_orderdate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("u").as("user_id"),
+        col("asof_orderkey"), col("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** §2.2#33 — conformed UNION ALL of two entity types + aggregate. */
+  def unionTypes(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("amount"),
+        lit("order").as("kind"))
+    val ev = Tables.events(s, d)
+      .select(col("event_id").as("id"), col("value").as("amount"),
+        lit("event").as("kind"))
+    ord.unionByName(ev)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("amount"))).cast(DoubleType).as("total"))
+      .orderBy(col("kind"))
+  }
+}

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** SURVEY.md §2.3 — text analysis, dedup and multimodal queries over the
+  * `documents` corpus.
+  */
+object TextOps {
+
+  /** §2.3#44 — token statistics per language. */
+  def tokenCountQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), tokenCount(col("text")).as("tokens"),
+        bpeEstimate(col("text")).as("bpe_est"))
+      .groupBy(col("lang"))
+      .agg(sum(col("tokens")).as("total_tokens"),
+           (sum(col("tokens")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+           sum(col("bpe_est")).as("total_bpe"),
+           count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  /** §2.3#43 — per-document quality components + score. */
+  def qualityScoreQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        digitRatio(col("text")).as("digit_ratio"),
+        spaceRatio(col("text")).as("space_ratio"),
+        tokenCount(col("text")).as("tokens"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** §2.3#42 — language-ID confusion counts vs the labeled lang. */
+  def langIdQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), langId(col("text")).as("predicted_lang"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted_lang"))
+
+  /** §2.3#45 — shingle fingerprint: min md5 over distinct 3-gram
+    * shingles (a 1-permutation MinHash — collision-stable doc identity). */
+  def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("sh"))).as("fingerprint"), count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  /** §2.3#37 — exact n-gram Jaccard over length-banded candidate pairs.
+    *
+    * Blocking: |n_chars delta| <= 8 implies the pair shares a width-32
+    * length band or sits in adjacent bands, so each doc is exploded
+    * into (band, band+1) and pairs come from a band equi-join — linear
+    * in collisions, never quadratic. The final abs-delta filter makes
+    * the band mechanics invisible in the result (oracle uses the plain
+    * quadratic formulation). */
+  def ngramJaccardQ(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = sh.withColumn("band",
+      explode(array(floor(col("n_chars") / 32), floor(col("n_chars") / 32) + 1)))
+    val a = banded.select(col("band"), col("doc_id").as("doc_a"),
+      col("n_chars").as("nc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band").as("band_b"), col("doc_id").as("doc_b"),
+      col("n_chars").as("nc_b"), col("sh").as("sh_b"))
+    a.join(b, col("band") === col("band_b") && col("doc_a") < col("doc_b"))
+      .filter(abs(col("nc_a") - col("nc_b")) <= 8)
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** §2.3#34 — exact dedup groups (md5 hash-groupBy). */
+  def dedupExactQ(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))
+      .orderBy(col("h"))
+
+  /** §2.3#35 — normalized exact dedup groups. */
+  def dedupNormQ(s: SparkSession, d: String): DataFrame =
+    Dedup.exactNormalizedGroups(Tables.documents(s, d), col("text"), col("doc_id"))
+      .orderBy(col("h"))
+
+  /** §2.3#36 — MinHash-LSH near-dups (rows-only; spec checks it finds
+    * the exact-Jaccard pairs of q_ngram_jaccard). */
+  def dedupMinhashQ(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** §2.3#38 — SimHash near-dups (rows-only). */
+  def dedupSimhashQ(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** §2.3#46 — multimodal metadata plumbing (stubbed decode). */
+  def multimodalMetaQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.withMetadata(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count"     -> (tokenCountQ _),
+    "q_quality_score"   -> (qualityScoreQ _),
+    "q_lang_id"         -> (langIdQ _),
+    "q_fingerprint"     -> (fingerprintQ _),
+    "q_ngram_jaccard"   -> (ngramJaccardQ _),
+    "q_dedup_exact"     -> (dedupExactQ _),
+    "q_dedup_norm"      -> (dedupNormQ _),
+    "q_dedup_minhash"   -> (dedupMinhashQ _),
+    "q_dedup_simhash"   -> (dedupSimhashQ _),
+    "q_multimodal_meta" -> (multimodalMetaQ _),
+  )
+
+  private val shingleSql =
+    """SELECT doc_id, n_chars,
+      |    list_distinct(list_transform(range(1, len(ws)-1),
+      |      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+      |  FROM (SELECT doc_id, n_chars,
+      |          regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+      |        FROM documents) w
+      |  WHERE len(ws) >= 3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT lang,
+        |  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(bpe_est) AS BIGINT) AS total_bpe,
+        |  COUNT(*) AS n_docs
+        |FROM (SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS tokens,
+        |    CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_est
+        |  FROM documents) t
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+        |  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / length(text) AS space_ratio,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS tokens,
+        |  0.6 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+        |    + 0.4 * (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH c AS (SELECT lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in)\b', 0)) AS c_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b', 0)) AS c_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das)\b', 0)) AS c_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|dans)\b', 0)) AS c_fr
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |       WHEN c_de >= c_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted_lang,
+        |  COUNT(*) AS n
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY lang, predicted_lang""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, MIN(md5(sh)) AS fingerprint, COUNT(*) AS n_shingles
+         |FROM (
+         |  SELECT doc_id, UNNEST(sh) AS sh FROM ($shingleSql) s) u
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH s AS ($shingleSql)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM s a JOIN s b
+         |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8) p
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY h""".stripMargin,
+
+    "q_dedup_norm" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY h""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+
+/** Embedding similarity operators (SURVEY.md §2.3 #39-41).
+  *
+  * Brute-force top-k broadcasts the (small) query set against the
+  * candidate corpus — a map-side-only scored scan plus one window for
+  * the per-query top-k; this is the exact baseline. The scale path is
+  * random-hyperplane LSH: bucket ids are per-row expressions, the
+  * bucket join is an equi-join, so candidate count tracks bucket
+  * collisions instead of |Q|×|C|.
+  */
+object VectorOps {
+
+  /** Add an exact squared-norm column (compute once, before any join). */
+  def withNormSq(df: DataFrame, vecCol: String, out: String = "nsq"): DataFrame =
+    df.withColumn(out, normSqDec(col(vecCol)).cast(DoubleType))
+
+  /** §2.3#40 — exact cosine top-k of each query vector against the
+    * candidates. `queries` must be broadcast-small. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = withNormSq(candidates.select(col(idCol).as("cid"), col(vecCol).as("ce")), "ce", "c_nsq")
+    val q = withNormSq(queries.select(col(idCol).as("qid"), col(vecCol).as("qe")), "qe", "q_nsq")
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosineFrom(
+        dotDec(col("qe"), col("ce")).cast(DoubleType), col("q_nsq"), col("c_nsq")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+
+  /** §2.3#39 — near-duplicate pairs by cosine within equi-join blocks
+    * (blocking column keeps the pair space linear-ish at scale). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val v = withNormSq(df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("e")), "e")
+    val a = v.select(col("blk"), col("id").as("id_a"), col("e").as("e_a"), col("nsq").as("nsq_a"))
+    val b = v.select(col("blk").as("blk_b"), col("id").as("id_b"), col("e").as("e_b"), col("nsq").as("nsq_b"))
+    a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosineFrom(
+        dotDec(col("e_a"), col("e_b")).cast(DoubleType), col("nsq_a"), col("nsq_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("blk").as("block"), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  // ---- LSH (random hyperplanes) ----------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64-derived,
+    * reproducible across runs — required for resumable pipelines). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d4ecda9226d4e9L
+      z ^ (z >>> 31)
+    }
+    (0 until numPlanes).map(p => (0 until dim).map { i =>
+      val h = mix(seed + p.toLong * 131071L + i)
+      (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    })
+  }
+
+  /** Sign-bit bucket id of a vector under the hyperplanes (per-row
+    * expression, no shuffle). */
+  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeArr = array(p.map(lit): _*)
+      val dot = aggregate(
+        zip_with(vecCol, planeArr, (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** Multi-table LSH buckets: `tables` independent hash tables of
+    * `planesPerTable` hyperplanes each. One row per (vector, table) —
+    * union-by-explode keeps the join equi-shaped. Multi-table is the
+    * standard recall lever: a true neighbor only needs to collide in
+    * ONE table. */
+  def lshBuckets(vecCol: Column, tables: Int, planesPerTable: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      val planes = hyperplanes(planesPerTable, dim, seed = 42L + t * 7919L)
+      struct(lit(t).as("tbl"), lshBucket(vecCol, planes).as("h"))
+    }: _*)
+
+  /** §2.3#41 — approximate top-k: candidates colliding with the query in
+    * any of the LSH tables, ranked by exact cosine, deduped per pair. */
+  def lshTopK(candidates: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val c = withNormSq(candidates.select(col(idCol).as("cid"), col(vecCol).as("ce")), "ce", "c_nsq")
+      .withColumn("bucket", explode(lshBuckets(col("ce"), tables, planesPerTable, dim)))
+    val q = withNormSq(queries.select(col(idCol).as("qid"), col(vecCol).as("qe")), "qe", "q_nsq")
+      .withColumn("bucket", explode(lshBuckets(col("qe"), tables, planesPerTable, dim)))
+    val cands = c.join(broadcast(q), "bucket")
+      .select(col("qid"), col("cid"), col("qe"), col("ce"), col("q_nsq"), col("c_nsq"))
+      .dropDuplicates("qid", "cid")
+    val scored = cands.withColumn("cos", cosineFrom(
+      dotDec(col("qe"), col("ce")).cast(DoubleType), col("q_nsq"), col("c_nsq")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** SURVEY.md §2.3 #39-41 — similarity search queries over `embeddings`. */
+object VectorQueries {
+
+  /** §2.3#40 — exact cosine top-5: query set = vec_id < 10 (broadcast),
+    * candidates = the rest. */
+  def knnBruteforceQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    VectorOps.bruteForceTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** §2.3#39 — near-dup pairs by cosine >= 0.3, blocked on label. */
+  def embedNearDupQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.nearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", threshold = 0.3)
+      .orderBy(col("block"), col("id_a"), col("id_b"))
+
+  /** §2.3#41 — LSH-bucketed approximate top-5 (rows-only; recall vs the
+    * brute-force baseline is spec-checked). */
+  def knnLshQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    VectorOps.lshTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_bruteforce" -> (knnBruteforceQ _),
+    "q_embed_neardup"  -> (embedNearDupQ _),
+    "q_knn_lsh"        -> (knnLshQ _),
+  )
+
+  /** Integer-quantized dot products (SURVEY.md §5): exact, order-free,
+    * floor() has no round-half ambiguity across engines. */
+  private def dotSql(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1),
+       |    i -> CAST(floor(CAST($a[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST($b[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_bruteforce" ->
+      s"""WITH v AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nsq AS q_nsq FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS ce, nsq AS c_nsq FROM v WHERE vec_id >= 10),
+         |s AS (SELECT qid, cid, ${dotSql("qe", "ce")} / (sqrt(q_nsq) * sqrt(c_nsq)) AS cos FROM q, c)
+         |SELECT qid, cid, cos, rn FROM (
+         |  SELECT qid, cid, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |  FROM s) t
+         |WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH v AS (SELECT label, vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings)
+         |SELECT block, id_a, id_b, cos FROM (
+         |  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) p
+         |WHERE cos >= 0.3
+         |ORDER BY block, id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Relational.dec2
+
+/** Structured Streaming ingest (SURVEY.md §2.3 #47).
+  *
+  * The reference runs its ETL as a daily Airflow batch; here the same
+  * hourly aggregation is expressed once and fed either from a batch
+  * DataFrame (`q_hourly_events`) or from `readStream` with a watermark —
+  * parity by construction, spec-verified against the batch result.
+  */
+object EventStream {
+
+  /** `ts` lands as nanos-since-epoch (see Tables.events — Spark cannot
+    * read TIMESTAMP(NANOS) parquet natively). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 1-hour aggregation; identical logic for batch and stream.
+    * Groups on the `window()` column itself (not `window.start`) so
+    * event-time watermark tracking survives into the aggregation. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming variant: watermarked so state is bounded (late events
+    * beyond 2 hours are dropped — required for append-mode sinks and
+    * for weeks-long runs at scale). */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    hourlyAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Read a parquet directory as a stream (file source discovers new
+    * files as they land — the streaming twin of the reference's
+    * raw-zone polling). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run the hourly aggregation into an in-memory table (test/dev sink). */
+  def startMemorySink(spark: SparkSession, dir: String, name: String): StreamingQuery =
+    hourlyAggStream(readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+}

@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** Streaming/batch parity: the same hourly aggregation through
+  * Structured Streaming (memory sink) equals the batch result. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming hourly agg equals batch hourly agg") {
+    // File-stream sources want a directory; stage the single parquet file.
+    val dir = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get(s"${TestSpark.sf}/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventStream.startMemorySink(spark, dir.toString, "hourly_out")
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly_out")
+    val batch = EventStream.hourlyAgg(
+      graft.sources.Tables.events(spark, TestSpark.sf))
+
+    // Append mode only emits windows the watermark has closed; every
+    // emitted row must match its batch twin, and most windows close.
+    val joined = streamed.join(batch, Seq("hour", "event_type", "n", "total_value"))
+    assert(streamed.count() > 0)
+    assert(joined.count() == streamed.count())
+    assert(streamed.count() >= batch.count() / 2)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.VectorOps
+import graft.sources.Tables
+
+/** Similarity search: exactness of the baseline, recall of the LSH path. */
+class VectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine matches a driver-side computation") {
+    val rows = Tables.embeddings(spark, TestSpark.sf)
+      .filter($"vec_id" < 2).orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].collect()
+    def q(x: Double) = math.floor(x * 1e6)
+    val qa = rows(0).map(x => q(x.toDouble))
+    val qb = rows(1).map(x => q(x.toDouble))
+    val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+    val expected = dot / (math.sqrt(qa.map(x => x * x).sum) * math.sqrt(qb.map(x => x * x).sum))
+
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val a = e.filter($"vec_id" === 0).select($"embedding".as("ea"))
+    val b = e.filter($"vec_id" === 1).select($"embedding".as("eb"))
+    val got = a.crossJoin(b)
+      .select(VectorFunctions.cosine($"ea", $"eb").as("cos")).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("brute-force top-k is ordered and complete") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val res = VectorOps.bruteForceTopK(
+      e.filter($"vec_id" >= 10), e.filter($"vec_id" < 10), "vec_id", "embedding", 5)
+    val byQ = res.groupBy($"qid").agg(count(lit(1)).as("n"), max($"rn").as("maxrn"))
+      .as[(Long, Long, Long)].collect()
+    assert(byQ.length == 10 && byQ.forall { case (_, n, m) => n == 5 && m == 5 })
+  }
+
+  test("LSH top-k achieves useful recall vs brute force") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val cands = e.filter($"vec_id" >= 10)
+    val qs = e.filter($"vec_id" < 10)
+    val exact = VectorOps.bruteForceTopK(cands, qs, "vec_id", "embedding", 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.lshTopK(cands, qs, "vec_id", "embedding", 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // Random-hyperplane LSH over *random* vectors is the adversarial
+    // case; 8 tables x 4 planes should still clear a conservative floor.
+    assert(approx.nonEmpty && recall >= 0.3, s"recall=$recall")
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val pairs = VectorOps.nearDupPairs(Tables.embeddings(spark, TestSpark.sf),
+      "vec_id", "embedding", "label", 0.3)
+    assert(pairs.filter($"id_a" >= $"id_b").count() == 0)
+    assert(pairs.filter($"cos" < 0.3).count() == 0)
+  }
+}
