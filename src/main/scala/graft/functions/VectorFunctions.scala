@@ -22,12 +22,17 @@ object VectorFunctions {
   def qlong(x: Column): Column =
     floor(x.cast(DoubleType) * 1000000d).cast(LongType)
 
+  /** Whole-vector quantization — do this ONCE per row before any join,
+    * so the per-pair dot is pure long multiply-adds. */
+  def quantize(a: Column): Column = transform(a, x => qlong(x))
+
+  /** Dot product of two pre-quantized (array<long>) vectors. */
+  def dotQuantized(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Exact quantized dot product of two float-array columns. */
   def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => qlong(x) * qlong(y)),
-      lit(0L),
-      (acc, x) => acc + x)
+    dotQuantized(quantize(a), quantize(b))
 
   /** Exact quantized squared norm. */
   def normSqDec(a: Column): Column = dotDec(a, a)

@@ -31,14 +31,16 @@ object Dedup {
 
   // ---- MinHash ----------------------------------------------------------
 
-  /** MinHash signature column: for each "permutation" i, min over
-    * shingles of xxhash64(shingle, i) — seeded rehash instead of the
-    * classic (a*h+b) linear scheme, because ANSI mode (Spark 4 default)
-    * rejects the intentional wraparound multiply. Pure expression —
-    * computed rowwise during the scan, no shuffle. */
-  def minhashSignature(shinglesCol: Column, numPerm: Int = 32): Column =
+  /** MinHash signature from PRE-HASHED shingles (array<long>): for each
+    * "permutation" i, min over murmur3(h, i) — seeded rehash instead of
+    * the classic (a*h+b) linear scheme, because ANSI mode (Spark 4
+    * default) rejects the intentional wraparound multiply, and hashing
+    * each string shingle once then remixing longs is ~32x cheaper than
+    * re-hashing strings per permutation. Pure expression — computed
+    * rowwise during the scan, no shuffle. */
+  def minhashSignature(hashedShingles: Column, numPerm: Int = 32): Column =
     array((0 until numPerm).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(s, lit(i))))
+      array_min(transform(hashedShingles, h => hash(h, lit(i))))
     }: _*)
 
   /** LSH band hashes: signature split into `bands` rows of
@@ -61,23 +63,30 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numPerm))
+    // Hash each shingle to a long ONCE (exploded codegen'd shingles, one
+    // grouped agg computing the signature mins AND the distinct-hash set
+    // together); both the signature and the Jaccard verify run on the
+    // long sets (collision probability ~2^-64 — immaterial). The banded
+    // rows carry the hashed set as payload so the verify needs no second
+    // join back to the corpus, and pair-dedup keys on ids only (never
+    // shuffles arrays as keys).
+    val renamed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val hashed = TextFunctions.shingleRows(renamed, Seq(col("id")), col("__text"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val minAggs = (0 until numPerm).map(i => min(hash(col("h"), lit(i))).as(s"__m$i"))
+    val sh = hashed.groupBy(col("id"))
+      .agg(collect_set(col("h")).as("hs"), minAggs: _*)
+      .withColumn("sig", array((0 until numPerm).map(i => col(s"__m$i")): _*))
+    val banded = sh
       .withColumn("band", explode(bandHashes(col("sig"), numPerm, bands)))
-    val a = sig.select(col("band"), col("id").as("id_a"))
-    val b = sig.select(col("band").as("band_b"), col("id").as("id_b"))
-    val cands = a.join(b, col("band") === col("band_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val withSets = cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val a = banded.select(col("band"), col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = banded.select(col("band").as("band_b"), col("id").as("id_b"), col("hs").as("hs_b"))
+    a.join(b, col("band") === col("band_b") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -85,25 +94,33 @@ object Dedup {
   // ---- SimHash ----------------------------------------------------------
 
   /** §2.3#38 — 64-bit SimHash of the token multiset: per bit position,
-    * sign of the sum of ±1 votes from each token's xxhash64. Pure
-    * per-row expression over the token array. */
-  def simhash(tokensCol: Column): Column = {
-    val hashes = transform(tokensCol, t => xxhash64(t))
-    val bitSums = (0 until 64).map { bit =>
-      aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+    * sign of the sum of ±1 votes from each token's xxhash64.
+    *
+    * Computed by explode + 64 codegen'd SUM columns (with map-side
+    * partial aggregation) rather than 64 per-row `aggregate()` lambdas —
+    * higher-order-function lambdas evaluate interpreted, which measured
+    * ~10x slower at 5k docs. One shuffle on the doc id, partial-agg'd,
+    * so it scales with corpus size not token count. */
+  def simhashDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$bit")
     }
-    bitSums.zipWithIndex.map { case (s, bit) =>
-      when(s > 0, lit(1L << bit)).otherwise(0L)
+    val sim = (0 until 64).map { bit =>
+      when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
+    toks.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"), sim.as("sim"))
   }
 
   /** SimHash near-dup pairs: bucket by 16-bit bands (4 bands → finds all
     * pairs with hamming distance <= 3), verify with bit_count(xor). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        simhash(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("sim"))
+    val sh = simhashDF(df, idCol, textCol)
     val banded = sh.withColumn("band",
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("j"),

@@ -47,10 +47,13 @@ object TextOps {
   /** §2.3#45 — shingle fingerprint: min md5 over distinct 3-gram
     * shingles (a 1-permutation MinHash — collision-stable doc identity). */
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+    // Exploded codegen'd shingles + one grouped agg. MIN over the
+    // multiset equals MIN over the distinct set, so the oracle
+    // (explode + MIN over distinct shingles) agrees.
+    shingleRows(Tables.documents(s, d), Seq(col("doc_id")), col("text"))
       .groupBy(col("doc_id"))
-      .agg(min(md5(col("sh"))).as("fingerprint"), count(lit(1)).as("n_shingles"))
+      .agg(min(md5(col("sh"))).as("fingerprint"),
+           countDistinct(col("sh")).as("n_shingles"))
       .orderBy(col("doc_id"))
 
   /** §2.3#37 — exact n-gram Jaccard over length-banded candidate pairs.
@@ -62,22 +65,27 @@ object TextOps {
     * the band mechanics invisible in the result (oracle uses the plain
     * quadratic formulation). */
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"),
-        array_distinct(shingles(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Shingles are hashed to longs once (set semantics preserved;
+    // 2^-64 collision odds), bands use the minimal width 9 that still
+    // guarantees |delta n_chars|<=8 => same-or-adjacent band, and pair
+    // dedup keys on ids only -- arrays ride along as payload, never as
+    // shuffle keys.
+    val sh = shingleRows(Tables.documents(s, d),
+        Seq(col("doc_id"), col("n_chars")), col("text"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(collect_set(xxhash64(col("sh"))).as("hs"))
     val banded = sh.withColumn("band",
-      explode(array(floor(col("n_chars") / 32), floor(col("n_chars") / 32) + 1)))
+      explode(array(floor(col("n_chars") / 9), floor(col("n_chars") / 9) + 1)))
     val a = banded.select(col("band"), col("doc_id").as("doc_a"),
-      col("n_chars").as("nc_a"), col("sh").as("sh_a"))
+      col("n_chars").as("nc_a"), col("hs").as("hs_a"))
     val b = banded.select(col("band").as("band_b"), col("doc_id").as("doc_b"),
-      col("n_chars").as("nc_b"), col("sh").as("sh_b"))
+      col("n_chars").as("nc_b"), col("hs").as("hs_b"))
     a.join(b, col("band") === col("band_b") && col("doc_a") < col("doc_b"))
       .filter(abs(col("nc_a") - col("nc_b")) <= 8)
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -22,15 +22,22 @@ object VectorOps {
   def withNormSq(df: DataFrame, vecCol: String, out: String = "nsq"): DataFrame =
     df.withColumn(out, normSqDec(col(vecCol)).cast(DoubleType))
 
+  /** Quantized vector + squared norm, computed once per row. Joins then
+    * pay only long multiply-adds per pair. */
+  private def prepared(df: DataFrame, idCol: String, vecCol: String,
+                       idOut: String, qvOut: String, nsqOut: String): DataFrame =
+    df.select(col(idCol).as(idOut), quantize(col(vecCol)).as(qvOut))
+      .withColumn(nsqOut, dotQuantized(col(qvOut), col(qvOut)).cast(DoubleType))
+
   /** §2.3#40 — exact cosine top-k of each query vector against the
     * candidates. `queries` must be broadcast-small. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = withNormSq(candidates.select(col(idCol).as("cid"), col(vecCol).as("ce")), "ce", "c_nsq")
-    val q = withNormSq(queries.select(col(idCol).as("qid"), col(vecCol).as("qe")), "qe", "q_nsq")
+    val c = prepared(candidates, idCol, vecCol, "cid", "c_qv", "c_nsq")
+    val q = prepared(queries, idCol, vecCol, "qid", "q_qv", "q_nsq")
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos", cosineFrom(
-        dotDec(col("qe"), col("ce")).cast(DoubleType), col("q_nsq"), col("c_nsq")))
+        dotQuantized(col("q_qv"), col("c_qv")).cast(DoubleType), col("q_nsq"), col("c_nsq")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))
@@ -42,12 +49,14 @@ object VectorOps {
     * (blocking column keeps the pair space linear-ish at scale). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
-    val v = withNormSq(df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("e")), "e")
-    val a = v.select(col("blk"), col("id").as("id_a"), col("e").as("e_a"), col("nsq").as("nsq_a"))
-    val b = v.select(col("blk").as("blk_b"), col("id").as("id_b"), col("e").as("e_b"), col("nsq").as("nsq_b"))
+    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("nsq", dotQuantized(col("qv"), col("qv")).cast(DoubleType))
+    val a = v.select(col("blk"), col("id").as("id_a"), col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+    val b = v.select(col("blk").as("blk_b"), col("id").as("id_b"), col("qv").as("qv_b"), col("nsq").as("nsq_b"))
     a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
       .withColumn("cos", cosineFrom(
-        dotDec(col("e_a"), col("e_b")).cast(DoubleType), col("nsq_a"), col("nsq_b")))
+        dotQuantized(col("qv_a"), col("qv_b")).cast(DoubleType), col("nsq_a"), col("nsq_b")))
       .filter(col("cos") >= threshold)
       .select(col("blk").as("block"), col("id_a"), col("id_b"), col("cos"))
   }
@@ -96,15 +105,15 @@ object VectorOps {
   def lshTopK(candidates: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
-    val c = withNormSq(candidates.select(col(idCol).as("cid"), col(vecCol).as("ce")), "ce", "c_nsq")
-      .withColumn("bucket", explode(lshBuckets(col("ce"), tables, planesPerTable, dim)))
-    val q = withNormSq(queries.select(col(idCol).as("qid"), col(vecCol).as("qe")), "qe", "q_nsq")
-      .withColumn("bucket", explode(lshBuckets(col("qe"), tables, planesPerTable, dim)))
+    val c = prepared(candidates, idCol, vecCol, "cid", "c_qv", "c_nsq")
+      .withColumn("bucket", explode(lshBuckets(col("c_qv"), tables, planesPerTable, dim)))
+    val q = prepared(queries, idCol, vecCol, "qid", "q_qv", "q_nsq")
+      .withColumn("bucket", explode(lshBuckets(col("q_qv"), tables, planesPerTable, dim)))
     val cands = c.join(broadcast(q), "bucket")
-      .select(col("qid"), col("cid"), col("qe"), col("ce"), col("q_nsq"), col("c_nsq"))
+      .select(col("qid"), col("cid"), col("q_qv"), col("c_qv"), col("q_nsq"), col("c_nsq"))
       .dropDuplicates("qid", "cid")
     val scored = cands.withColumn("cos", cosineFrom(
-      dotDec(col("qe"), col("ce")).cast(DoubleType), col("q_nsq"), col("c_nsq")))
+      dotQuantized(col("q_qv"), col("c_qv")).cast(DoubleType), col("q_nsq"), col("c_nsq")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))
