@@ -35,7 +35,8 @@ object SparkEntry {
     "q_sessionize"        -> (Relational.sessionize _),
     "q_asof_join"         -> (Relational.asofJoin _),
     "q_union_types"       -> (Relational.unionTypes _),
-  ) ++ Etl.queries ++ TextOps.queries ++ VectorQueries.queries
+  ) ++ Relational2.queries ++ Etl.queries ++ TextOps.queries ++
+    VectorQueries.queries ++ CustomOps.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
     * bit-identical across engines; ORDER BY pins row order. */
@@ -205,5 +206,6 @@ object SparkEntry {
         |  SELECT event_id, value, 'event' FROM events) u
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
-  ) ++ Etl.oracles ++ TextOps.oracles ++ VectorQueries.oracles
+  ) ++ Relational2.oracles ++ Etl.oracles ++ TextOps.oracles ++
+    VectorQueries.oracles ++ CustomOps.oracles
 }

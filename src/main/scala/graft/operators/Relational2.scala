@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Second relational batch: the TPC-H-grade shapes that stress the
+  * optimizer — non-equi semi joins, conditional aggregation, having-on-
+  * aggregate with join-back, OR-of-ANDs pushdown, min-per-group,
+  * correlated aggregates, frame-bounded windows, cube, percentiles.
+  * Same oracle-parity rules as Relational (SURVEY.md §5).
+  */
+object Relational2 {
+
+  import Relational.{dec2, dec4, revenueTerm}
+
+  /** Q4 shape — orders with at least one late-shipping line, counted by
+    * priority. Semi join with a non-equi term: Spark plans the equi part
+    * as the join key and evaluates the residual on matches, so it still
+    * shuffles only on l_orderkey. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") <  lit("1997-01-01").cast(TimestampType))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q12 shape — conditional aggregation: high/low-priority line counts
+    * per return flag. */
+  def q12PriorityLines(s: SparkSession, d: String): DataFrame = {
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q14 shape — promo revenue share: ratio of two exact decimal sums,
+    * divided once in double. */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+              col("l_shipdate") <  lit("1997-07-01").cast(TimestampType))
+      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType)
+          / sum(rev).cast(DoubleType)).as("promo_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q18 shape — large orders: HAVING on an exact decimal aggregate,
+    * then top-N. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("__qty"))
+      .filter(col("__qty") > 150)
+      .select(col("o_custkey"), col("o_orderkey"), col("__qty").cast(DoubleType).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Q19 shape — OR-of-ANDs across a join: Catalyst extracts the common
+    * p_partkey equi-key and pushes the disjunction below the join where
+    * possible. */
+  def q19OrOfAnds(s: SparkSession, d: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#15" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .filter(cond)
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+             .cast(DoubleType).as("revenue"),
+           count(lit(1)).as("n"))
+  }
+
+  /** Q2 shape — min-per-group with join-back: each nation's
+    * lowest-account-balance supplier(s). */
+  def q2MinPerGroup(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val mins = sup.groupBy(col("s_nationkey").as("nk"))
+      .agg(min(col("s_acctbal")).as("mb"))
+    sup.join(mins, col("s_nationkey") === col("nk") && col("s_acctbal") === col("mb"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("n_name"), col("s_suppkey"))
+  }
+
+  /** Correlated-aggregate shape — orders above their customer's average
+    * order value (decorrelated by hand into a grouped join: the plan
+    * Catalyst itself produces for the correlated subquery). */
+  def corrAboveAvg(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val avgs = ord.groupBy(col("o_custkey").as("ck"))
+      .agg((sum(dec2(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"))
+    ord.join(avgs, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("avg_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Frame-bounded window — 3-day moving average of global daily value. */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(dec2(col("value"))).as("dsum"))
+    val w = Window.orderBy(col("day")).rowsBetween(-2, Window.currentRow)
+    daily
+      .withColumn("moving_avg",
+        sum(col("dsum")).over(w).cast(DoubleType) / count(lit(1)).over(w))
+      .select(col("day"), col("dsum").cast(DoubleType).as("day_value"), col("moving_avg"))
+      .orderBy(col("day"))
+  }
+
+  /** CUBE over flag x status (all grouping sets). */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact median (interpolated percentile) per group — verified
+    * bit-exact vs DuckDB quantile_cont (both interpolate
+    * lower + (upper-lower)*frac on the same doubles). */
+  def medianPrice(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate quantile sketch (KLL-style percentile_approx) —
+    * engine-specific by design, rows-only. */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+             array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_quartiles"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q12_priority_lines" -> (q12PriorityLines _),
+    "q14_promo_share"   -> (q14PromoShare _),
+    "q18_large_orders"  -> (q18LargeOrders _),
+    "q19_or_of_ands"    -> (q19OrOfAnds _),
+    "q2_min_per_group"  -> (q2MinPerGroup _),
+    "q_corr_above_avg"  -> (corrAboveAvg _),
+    "q_moving_avg"      -> (movingAvg _),
+    "q_cube"            -> (cubeAgg _),
+    "q_median"          -> (medianPrice _),
+    "q_approx_quantiles" -> (approxQuantiles _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS promo_share,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q19_or_of_ands" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    "q2_min_per_group" ->
+      """SELECT n_name, s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN (SELECT s_nationkey AS nk, MIN(s_acctbal) AS mb FROM supplier GROUP BY 1) m
+        |  ON s_nationkey = m.nk AND s_acctbal = m.mb
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name, s_suppkey""".stripMargin,
+
+    "q_corr_above_avg" ->
+      """WITH ca AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+        |FROM orders JOIN ca ON o_custkey = ck
+        |WHERE o_totalprice > avg_price
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, SUM(CAST(value AS DECIMAL(12,2))) AS dsum
+        |  FROM events GROUP BY 1)
+        |SELECT day, CAST(dsum AS DOUBLE) AS day_value,
+        |  CAST(SUM(dsum) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
+  )
+}
