@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state: gap-based sessionization with
+  * `flatMapGroupsWithState` (SURVEY.md §2.3#47 — the stateful-stream
+  * member of the streaming surface; the batch twin is
+  * Relational.sessionize).
+  *
+  * State per user = the one open session; a closed session is emitted
+  * as soon as a later event proves the gap. State size is O(users),
+  * independent of stream length — the property that matters on an
+  * unbounded stream.
+  */
+object StatefulSessions {
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                              n_events: Long, total_value: Double)
+
+  def gapMicros(gapMinutes: Int): Long = gapMinutes.toLong * 60 * 1000000
+
+  /** Fold a user's in-batch events (sorted by time) into the open
+    * session, emitting every session a gap closes. Shared by the
+    * streaming operator and direct unit tests. */
+  def step(openOpt: Option[OpenSession], events: Seq[SessionEvent], gapUs: Long)
+      : (Seq[(OpenSession, Long)], Option[OpenSession]) = {
+    var open = openOpt
+    val closed = Seq.newBuilder[(OpenSession, Long)]
+    events.sortBy(_.ts_us).foreach { e =>
+      open = open match {
+        case None => Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+        case Some(o) if e.ts_us - o.last_us > gapUs =>
+          closed += ((o, o.last_us))
+          Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+        case Some(o) =>
+          Some(o.copy(last_us = e.ts_us, n = o.n + 1, sum = o.sum + e.value))
+      }
+    }
+    (closed.result(), open)
+  }
+
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMicros(gapMinutes)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val (closed, open) = step(state.getOption, it.toSeq, gapUs)
+          open match {
+            case Some(o) => state.update(o)
+            case None => ()
+          }
+          closed.iterator.map { case (o, end) =>
+            SessionOut(user, o.start_us, end, o.n, o.sum)
+          }
+      }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{RawZone, Writer}
+
+/** Landing-zone + warehouse-write mechanics (SURVEY.md §2.1 #1,#13). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val schema = StructType(Seq(
+    StructField("id", LongType), StructField("day", StringType)))
+
+  def d(s: String): LocalDate = LocalDate.parse(s)
+
+  test("RawZone round-trip with range pruning and overlap validation") {
+    val root = Files.createTempDirectory("graft_zone").toString
+    RawZone.write(Seq((1L, "2024-01-01"), (2L, "2024-01-03")).toDF("id", "day"),
+      root, "hr", d("2024-01-01"), d("2024-01-07"))
+    RawZone.write(Seq((3L, "2024-01-09")).toDF("id", "day"),
+      root, "hr", d("2024-01-08"), d("2024-01-14"))
+
+    val ranges = RawZone.listRanges(spark, root, "hr")
+    assert(ranges.map(r => (r.start.toString, r.end.toString)) ==
+      Seq(("2024-01-01", "2024-01-07"), ("2024-01-08", "2024-01-14")))
+
+    // only the first window intersects the request
+    val read = RawZone.readRange(spark, root, "hr", d("2024-01-02"), d("2024-01-05"), schema)
+    assert(read.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // empty intersection -> empty frame, correct schema
+    val none = RawZone.readRange(spark, root, "hr", d("2025-01-01"), d("2025-01-02"), schema)
+    assert(none.count() == 0 && none.schema == schema)
+
+    // landed inventory covers both windows
+    assert(RawZone.landedDates(spark, root, "hr").size == 14)
+
+    // overlapping window -> hard error on listing
+    RawZone.write(Seq((4L, "2024-01-14")).toDF("id", "day"),
+      root, "hr", d("2024-01-14"), d("2024-01-20"))
+    assertThrows[RawZone.OverlappingRangesException] {
+      RawZone.listRanges(spark, root, "hr")
+    }
+  }
+
+  test("nextExtractionWindow: incremental and first-run backfill") {
+    val root = Files.createTempDirectory("graft_zone2").toString
+    // first run: 365-day backfill ending yesterday
+    val Some((s0, e0)) = RawZone.nextExtractionWindow(spark, root, "hr", d("2024-02-01"))
+    assert(e0 == d("2024-01-31") && s0 == e0.minusDays(RawZone.HistoricalDays))
+
+    RawZone.write(Seq((1L, "2024-01-01")).toDF("id", "day"),
+      root, "hr", d("2024-01-01"), d("2024-01-28"))
+    val Some((s1, e1)) = RawZone.nextExtractionWindow(spark, root, "hr", d("2024-02-01"))
+    assert(s1 == d("2024-01-29") && e1 == d("2024-01-31"))
+
+    // up to date -> None
+    assert(RawZone.nextExtractionWindow(spark, root, "hr", d("2024-01-29")).isEmpty)
+  }
+
+  test("chunkWindow splits like the reference's 7-day heartrate chunks") {
+    val chunks = RawZone.chunkWindow(d("2024-01-01"), d("2024-01-17"), 7)
+    assert(chunks == Seq(
+      (d("2024-01-01"), d("2024-01-07")),
+      (d("2024-01-08"), d("2024-01-14")),
+      (d("2024-01-15"), d("2024-01-17"))))
+  }
+
+  test("Writer.appendByDay partitions by day and appends") {
+    val path = Files.createTempDirectory("graft_wh").toString + "/t"
+    Writer.appendByDay(Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "day"), path)
+    Writer.appendByDay(Seq((3L, "2024-01-02")).toDF("id", "day"), path)
+    val back = Writer.readTable(spark, path)
+    assert(back.count() == 3)
+    assert(Writer.existingDays(spark, path).as[String].collect().sorted.toSeq ==
+      Seq("2024-01-01", "2024-01-02"))
+    // day filter prunes partitions (physical plan lists only one dir)
+    val pruned = back.filter(col("day") === "2024-01-02")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("2024-01-01"))
+  }
+}
