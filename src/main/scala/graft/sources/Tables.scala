@@ -43,6 +43,23 @@ object Tables {
     else df
   }
 
+  /** Time-bounded events scan WITH pushdown: the µs conversion above is
+    * an expression over the raw column, so a filter on converted `ts`
+    * cannot reach the parquet reader — at 100 TB that is a full scan.
+    * This applies the bound to the raw nanos column first (statistics /
+    * row-group pruning applies), then converts. */
+  def eventsRange(s: SparkSession, d: String,
+                  startMicros: Long, endMicros: Long): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.filter(col("ts") >= startMicros * 1000 && col("ts") < endMicros * 1000)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      df.filter(col("ts") >= expr(s"timestamp_micros(${startMicros}L)") &&
+                col("ts") < expr(s"timestamp_micros(${endMicros}L)"))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Relational2}
+
+/** Explain-plan audit: the physical plans must show the scale
+  * properties SURVEY.md §4 promises — pushdown reaching the scan,
+  * broadcast on dims, whole-stage codegen on hot paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_read_project pushes filter and projection into the parquet scan") {
+    val p = plan(Relational.readProject(spark, TestSpark.sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p)
+    // projection pruning: the read schema must not include untouched cols
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.split("ReadSchema").last.split("\n").head.contains("l_tax"), p)
+  }
+
+  test("q6 pushes all three predicates") {
+    val p = plan(Relational.q6ForecastRevenue(spark, TestSpark.sf))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"), p)
+  }
+
+  test("q5 broadcasts the dim tables") {
+    val p = plan(Relational.q5NationRevenue(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q1 aggregates with whole-stage codegen and partial aggregation") {
+    val df = Relational.q1PricingSummary(spark, TestSpark.sf)
+    df.collect() // AQE only materializes the final (codegen'd) plan on execution
+    val p = plan(df)
+    // "*(n)" prefixes mark WholeStageCodegen stages in simpleString
+    assert(p.contains("*(1)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("as-of join plans a single sort-shuffle (no nested-loop join)") {
+    val p = plan(Relational.asofJoin(spark, TestSpark.sf))
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q18 keeps the having filter after partial aggregation, no cartesian") {
+    val p = plan(Relational2.q18LargeOrders(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("eventsRange pushes the time bound to the raw nanos scan") {
+    val df = graft.sources.Tables.eventsRange(spark, TestSpark.sf,
+      1704067200000000L, 1704672000000000L) // 2024-01-01 .. 2024-01-08 UTC
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,") ||
+           p.contains("GreaterThanOrEqual(ts,"), p)
+    assert(df.count() > 0)
+  }
+}
