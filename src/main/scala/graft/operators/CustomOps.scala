@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.SmallestK
+import graft.functions.{SmallestK, TextFunctions}
 import graft.plans.RollingMinHash.rolling_min_hash
+import graft.plans.SpaceSavingTopK.topk_freq
 import graft.sources.Tables
 
 /** Queries backed by graft's custom Catalyst pieces (SURVEY.md §4:
@@ -40,9 +41,25 @@ object CustomOps {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Top-10 tokens per language via the SpaceSaving sketch. Capacity
+    * (100k) far exceeds the corpus vocabulary, so the sketch is exact
+    * here and the oracle can pin it with the window formulation; at
+    * 100 TB the same plan runs with bounded memory where the exact
+    * formulation shuffles every distinct token. */
+  def topTokensQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(topk_freq(col("tok"), 10, 100000).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "tc")))
+      .select(col("lang"), (col("pos") + 1).cast(LongType).as("rn"),
+        col("tc.item").as("token"), col("tc.cnt").as("cnt"))
+      .orderBy(col("lang"), col("rn"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rolling_fingerprint" -> (rollingFingerprintQ _),
     "q_sample_per_group"    -> (samplePerGroupQ _),
+    "q_top_tokens"          -> (topTokensQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,6 +69,16 @@ object CustomOps {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS BIGINT) AS rn
         |  FROM documents) t
         |WHERE rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
+
+    "q_top_tokens" ->
+      """SELECT lang, rn, token, cnt FROM (
+        |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS BIGINT) AS rn
+        |  FROM (SELECT lang, UNNEST(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS token
+        |        FROM documents) t
+        |  GROUP BY lang, token) g
+        |WHERE rn <= 10
         |ORDER BY lang, rn""".stripMargin,
   )
 }

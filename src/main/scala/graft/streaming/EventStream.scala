@@ -56,4 +56,20 @@ object EventStream {
   def startMemorySink(spark: SparkSession, dir: String, name: String): StreamingQuery =
     hourlyAggStream(readEvents(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
+
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding 10 minutes. Watermarks on both
+    * sides bound the join state (required for unbounded streams). */
+  def purchasesAfterClicks(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES"))
+  }
 }
