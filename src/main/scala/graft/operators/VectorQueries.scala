@@ -34,10 +34,23 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** §2.3#41/§8 — IVF ANN: deterministic k-means buckets, nprobe=4 of
+    * k=16 probed per query (rows-only; recall spec vs brute force). */
+  def knnIvfQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cands = e.filter(col("vec_id") >= 10)
+    val centroids = IvfIndex.trainCentroids(cands, "vec_id", "embedding",
+      k = 16, iters = 2, dim = 64)
+    IvfIndex.ivfTopK(cands, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, centroids, nprobe = 4)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_bruteforce" -> (knnBruteforceQ _),
     "q_embed_neardup"  -> (embedNearDupQ _),
     "q_knn_lsh"        -> (knnLshQ _),
+    "q_knn_ivf"        -> (knnIvfQ _),
   )
 
   /** Integer-quantized dot products (SURVEY.md §5): exact, order-free,
