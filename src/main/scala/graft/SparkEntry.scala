@@ -36,7 +36,8 @@ object SparkEntry {
     "q_asof_join"         -> (Relational.asofJoin _),
     "q_union_types"       -> (Relational.unionTypes _),
   ) ++ Relational2.queries ++ Etl.queries ++ TextOps.queries ++
-    VectorQueries.queries ++ CustomOps.queries ++ Curation.queries
+    VectorQueries.queries ++ CustomOps.queries ++ Curation.queries ++
+    Chunking.queries ++ SketchOps.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
     * bit-identical across engines; ORDER BY pins row order. */
@@ -207,5 +208,6 @@ object SparkEntry {
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
   ) ++ Relational2.oracles ++ Etl.oracles ++ TextOps.oracles ++
-    VectorQueries.oracles ++ CustomOps.oracles ++ Curation.oracles
+    VectorQueries.oracles ++ CustomOps.oracles ++ Curation.oracles ++
+    Chunking.oracles
 }

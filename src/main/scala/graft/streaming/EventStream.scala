@@ -57,6 +57,14 @@ object EventStream {
     hourlyAggStream(readEvents(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
 
+  /** Streaming dedup (SURVEY.md §9): drop re-deliveries of the same
+    * event id within the watermark horizon — state is bounded by the
+    * watermark, so an at-least-once source becomes effectively-once
+    * without unbounded memory. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks in the preceding 10 minutes. Watermarks on both
     * sides bound the join state (required for unbounded streams). */

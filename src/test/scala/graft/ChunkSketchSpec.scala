@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Chunking, SketchOps}
+import graft.sources.Tables
+import graft.streaming.EventStream
+
+/** Chunking reconstruction, HLL accuracy, streaming dedup. */
+class ChunkSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunks cover every token with the configured overlap") {
+    val df = Seq((1L, (1 to 80).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Chunking.chunk(df, "text", chunkSize = 32, overlap = 8)
+      .orderBy("chunk_id")
+      .select($"chunk_id", $"n_tokens", $"chunk_text").as[(Long, Long, String)].collect()
+    // 80 tokens, stride 24 -> starts 1,25,49,73 -> 4 chunks
+    assert(chunks.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_._2).toSeq == Seq(32L, 32L, 32L, 8L))
+    assert(chunks(0)._3.startsWith("t1 ") && chunks(3)._3 == (73 to 80).map(i => s"t$i").mkString(" "))
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = chunks(0)._3.split(" ").toSeq
+    val c1 = chunks(1)._3.split(" ").toSeq
+    assert(c0.takeRight(8) == c1.take(8))
+  }
+
+  test("HLL union estimate lands within 5% of exact") {
+    val r = SketchOps.hllUsersQ(spark, TestSpark.sf)
+      .select($"approx_users", $"exact_users").as[(Long, Long)].head()
+    val (approx, exact) = r
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05, r)
+  }
+
+  test("streaming dedup drops re-delivered event ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = ms.toDS().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.dedupEvents(df)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    // base well above epoch 0 — the initial watermark is 0, and an event
+    // at exactly the watermark is dropped as late
+    val base = 86400000L * 365
+    def ev(id: Long, tMin: Long) = (id, new java.sql.Timestamp(base + tMin * 60000), 1L, "click", 1.0)
+    try {
+      ms.addData(ev(1, 0), ev(2, 1), ev(1, 0)) // dup within batch
+      q.processAllAvailable()
+      ms.addData(ev(2, 1), ev(3, 2)) // re-delivery across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
