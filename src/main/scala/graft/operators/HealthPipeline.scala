@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{RawZone, SchemaAlign, Writer}
+
+/** The reference's daily DAG (oura_dag.py: extract → transform → load),
+  * end-to-end as one graft program.
+  *
+  * Per run: for each source, plan the incremental extraction window
+  * (extract.py:170-177), land raw JSON in the range-encoded zone
+  * (load.py:46-63), read back the landed range (load.py:226-323),
+  * flatten + day-parse (transform.py:17-111), full-outer-combine the
+  * per-source daily frames (transform.py:130-153), align to the
+  * warehouse schema and append day-partitioned (load.py:91-207).
+  *
+  * `extractSource` stands in for the Oura HTTP API: any function
+  * producing the source's rows for a date window — in production a
+  * connector, in tests a slice of the events table.
+  */
+object HealthPipeline {
+
+  final case class SourceDef(
+      name: String,
+      extractSource: (LocalDate, LocalDate) => DataFrame,
+      chunkDays: Option[Int] = None)
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("day", StringType),
+    StructField("metric", StructType(Seq(
+      StructField("n", LongType), StructField("total", DoubleType))))))
+
+  /** One scheduled run. Returns the days appended (empty = up to date). */
+  def runOnce(spark: SparkSession, zoneRoot: String, warehousePath: String,
+              sources: Seq[SourceDef], today: LocalDate): Seq[String] = {
+    // 1. extract+land every source that has new days (chunked if asked)
+    sources.foreach { src =>
+      RawZone.nextExtractionWindow(spark, zoneRoot, src.name, today).foreach {
+        case (start, end) =>
+          val windows = src.chunkDays match {
+            case Some(cd) => RawZone.chunkWindow(start, end, cd)
+            case None => Seq((start, end))
+          }
+          windows.foreach { case (s, e) =>
+            RawZone.write(src.extractSource(s, e), zoneRoot, src.name, s, e)
+          }
+      }
+    }
+
+    // 2. transform: read each source's full landed range, flatten the
+    //    nested metric struct, keep valid days
+    val daily = sources.map { src =>
+      val ranges = RawZone.listRanges(spark, zoneRoot, src.name)
+      if (ranges.isEmpty) None
+      else {
+        val raw = RawZone.readRange(spark, zoneRoot, src.name,
+          ranges.head.start, ranges.last.end, rawSchema)
+        val flat = Flatten.flatten(raw) // day, metric__n, metric__total
+        val valid = Flatten.withDay(flat, "day").drop("day_str")
+        Some(valid.select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("metric__n").as(s"${src.name}__n"),
+          col("metric__total").as(s"${src.name}__total")))
+      }
+    }.flatten
+    if (daily.isEmpty) return Seq.empty
+
+    // 3. combine on day; 4. incremental vs warehouse; 5. align + append
+    val combined = CombineDaily.combine(daily)
+    val target = StructType(
+      StructField("day", StringType) +: sources.flatMap(s => Seq(
+        StructField(s"${s.name}__n", LongType),
+        StructField(s"${s.name}__total", DoubleType))))
+    val aligned = SchemaAlign.align(combined, target, failOnExtra = false)
+
+    val existing =
+      try Writer.readTable(spark, warehousePath).select(col("day")) // may not exist yet
+      catch { case _: Exception => null }
+    val fresh =
+      if (existing == null) aligned
+      else Incremental.newerThanWatermark(aligned, existing, "day")
+
+    val newDays = fresh.select(col("day")).distinct()
+      .orderBy(col("day")).collect().map(_.getString(0)).toSeq
+    if (newDays.nonEmpty) Writer.appendByDay(fresh, warehousePath)
+    newDays
+  }
+}
