@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+import graft.sources.Tables
+
+/** DataFrame API over the native as-of join operator (graft.plans).
+  * Key/time/tiebreak columns must be LONG (encode timestamps with
+  * unix_micros beforehand).
+  */
+object AsOfJoinOp {
+
+  private def attr(p: LogicalPlan, name: String) =
+    p.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not found in ${p.output.map(_.name).mkString(",")}"))
+
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, leftTime: String,
+           rightKey: String, rightTime: String, rightTie: String): DataFrame = {
+    val spark = left.sparkSession
+    ColumnBridge.addStrategy(spark, AsOfJoinStrategy)
+    val lp = ColumnBridge.logicalPlan(left)
+    val rp = ColumnBridge.logicalPlan(right)
+    ColumnBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
+      attr(lp, leftKey), attr(lp, leftTime),
+      attr(rp, rightKey), attr(rp, rightTime), attr(rp, rightTie)))
+  }
+
+  /** Same semantics (and same oracle) as Relational.asofJoin, executed
+    * by the native AsOfJoinExec instead of the union-tag window. */
+  def asofNativeQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    // o_orderdate infers as TIMESTAMP_NTZ from parquet; session TZ is
+    // UTC so the cast is value-preserving
+    val ord = Tables.orders(s, d).select(
+      col("o_custkey").as("ord_user"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+      col("o_orderkey"), col("o_orderdate"))
+    asof(ev, ord, "user_id", "t_us", "ord_user", "o_us", "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_native" -> (asofNativeQ _),
+  )
+
+  /** The native operator answers the same question as q_asof_join. */
+  val oracles: Map[String, String] = Map(
+    "q_asof_native" ->
+      """SELECT event_id, user_id, asof_orderkey, asof_orderdate FROM (
+        |  SELECT e.event_id, e.user_id,
+        |    o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoinOp, Relational}
+
+/** Native AsOfJoinExec vs the composed union-tag formulation. */
+class AsOfNativeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native as-of join equals the composed operator row-for-row") {
+    val native = AsOfJoinOp.asofNativeQ(spark, TestSpark.sf)
+      .select($"event_id", $"asof_orderkey")
+      .as[(Long, Option[Long])].collect().toSeq
+    val composed = Relational.asofJoin(spark, TestSpark.sf)
+      .select($"event_id", $"asof_orderkey")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+
+  test("no-match left rows carry null right side") {
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 100L), (1L, 7L, 101L), (9L, 1L, 102L)).toDF("rk", "rt", "payload")
+    val out = AsOfJoinOp.asof(l, r, "k", "t", "rk", "rt", "payload")
+      .select($"k", $"t", $"payload").as[(Long, Long, Option[Long])]
+      .collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 10L, Some(101L)), (2L, 20L, None)))
+  }
+
+  test("tiebreak picks the greatest among equal (key, time)") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L)).toDF("rk", "rt", "tie")
+    val out = AsOfJoinOp.asof(l, r, "k", "t", "rk", "rt", "tie")
+      .select($"tie").as[Long].collect().toSeq
+    assert(out == Seq(9L))
+  }
+}
