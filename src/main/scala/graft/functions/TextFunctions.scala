@@ -62,9 +62,12 @@ object TextFunctions {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** Character-class ratio helpers (quality scoring building blocks). */
+  /** Character-class ratio helpers (quality scoring building blocks).
+    * greatest(len, 1): an empty document must yield ratio 0, not a
+    * divide-by-zero (ANSI) — the oracles guard identically. */
   def charClassRatio(c: Column, keepClass: String): Column =
-    length(regexp_replace(c, keepClass, "")).cast(DoubleType) / length(c)
+    length(regexp_replace(c, keepClass, "")).cast(DoubleType) /
+      greatest(length(c), lit(1))
 
   def alphaRatio(c: Column): Column = charClassRatio(c, "[^A-Za-z]")
   def digitRatio(c: Column): Column = charClassRatio(c, "[^0-9]")

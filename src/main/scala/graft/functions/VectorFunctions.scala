@@ -37,9 +37,12 @@ object VectorFunctions {
   /** Exact quantized squared norm. */
   def normSqDec(a: Column): Column = dotDec(a, a)
 
-  /** Cosine from a precomputed dot and squared norms (all double). */
+  /** Cosine from a precomputed dot and squared norms (all double).
+    * greatest(denom, 1e-9): a zero vector (or one that quantizes to
+    * zero) must yield cosine 0, not a divide-by-zero — the oracles
+    * guard identically. */
   def cosineFrom(dot: Column, nsqA: Column, nsqB: Column): Column =
-    dot / (sqrt(nsqA) * sqrt(nsqB))
+    dot / greatest(sqrt(nsqA) * sqrt(nsqB), lit(1e-9))
 
   /** Direct cosine of two vectors (prefer precomputing norms per row
     * before a join — see VectorOps). */

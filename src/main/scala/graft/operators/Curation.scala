@@ -60,7 +60,7 @@ object Curation {
     "q_curation" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, text,
-        |    0.6 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+        |    0.6 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
         |      + 0.4 * (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) AS quality
         |  FROM documents),
         |kept AS (SELECT * FROM scored WHERE quality >= 0.55),

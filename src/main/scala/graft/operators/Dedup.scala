@@ -30,18 +30,10 @@ object Dedup {
       col("__norm"), idCol)
 
   // ---- MinHash ----------------------------------------------------------
-
-  /** MinHash signature from PRE-HASHED shingles (array<long>): for each
-    * "permutation" i, min over murmur3(h, i) — seeded rehash instead of
-    * the classic (a*h+b) linear scheme, because ANSI mode (Spark 4
-    * default) rejects the intentional wraparound multiply, and hashing
-    * each string shingle once then remixing longs is ~32x cheaper than
-    * re-hashing strings per permutation. Pure expression — computed
-    * rowwise during the scan, no shuffle. */
-  def minhashSignature(hashedShingles: Column, numPerm: Int = 32): Column =
-    array((0 until numPerm).map { i =>
-      array_min(transform(hashedShingles, h => hash(h, lit(i))))
-    }: _*)
+  // (The signature itself is computed inside minhashNearDups as grouped
+  // min-aggregates over exploded shingle hashes — a per-row HOF-lambda
+  // variant existed and measured ~10x slower, interpreted; it was
+  // removed so no caller lands on the slow path.)
 
   /** LSH band hashes: signature split into `bands` rows of
     * `numPerm/bands`, each hashed with its band index. */

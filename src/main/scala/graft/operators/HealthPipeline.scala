@@ -77,16 +77,25 @@ object HealthPipeline {
         StructField(s"${s.name}__total", DoubleType))))
     val aligned = SchemaAlign.align(combined, target, failOnExtra = false)
 
-    val existing =
-      try Writer.readTable(spark, warehousePath).select(col("day")) // may not exist yet
-      catch { case _: Exception => null }
+    // Explicit existence check: a transient read error must FAIL the run,
+    // not be mistaken for "first run" (which would disable the watermark
+    // and append every landed day again — permanent duplicates).
+    val whPath = new org.apache.hadoop.fs.Path(warehousePath)
+    val whExists = whPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(whPath)
     val fresh =
-      if (existing == null) aligned
-      else Incremental.newerThanWatermark(aligned, existing, "day")
+      if (!whExists) aligned
+      else Incremental.newerThanWatermark(aligned,
+        Writer.readTable(spark, warehousePath).select(col("day")), "day")
 
-    val newDays = fresh.select(col("day")).distinct()
-      .orderBy(col("day")).collect().map(_.getString(0)).toSeq
-    if (newDays.nonEmpty) Writer.appendByDay(fresh, warehousePath)
-    newDays
+    // persist: newDays-collect and the append would otherwise evaluate
+    // the whole extract→combine plan twice
+    fresh.persist()
+    try {
+      val newDays = fresh.select(col("day")).distinct()
+        .orderBy(col("day")).collect().map(_.getString(0)).toSeq
+      if (newDays.nonEmpty) Writer.appendByDay(fresh, warehousePath)
+      newDays
+    } finally fresh.unpersist()
   }
 }

@@ -64,7 +64,7 @@ object VectorQueries {
       s"""WITH v AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe, nsq AS q_nsq FROM v WHERE vec_id < 10),
          |c AS (SELECT vec_id AS cid, embedding AS ce, nsq AS c_nsq FROM v WHERE vec_id >= 10),
-         |s AS (SELECT qid, cid, ${dotSql("qe", "ce")} / (sqrt(q_nsq) * sqrt(c_nsq)) AS cos FROM q, c)
+         |s AS (SELECT qid, cid, ${dotSql("qe", "ce")} / greatest(sqrt(q_nsq) * sqrt(c_nsq), 1e-9) AS cos FROM q, c)
          |SELECT qid, cid, cos, rn FROM (
          |  SELECT qid, cid, cos,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
@@ -76,7 +76,7 @@ object VectorQueries {
       s"""WITH v AS (SELECT label, vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings)
          |SELECT block, id_a, id_b, cos FROM (
          |  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+         |    ${dotSql("a.embedding", "b.embedding")} / greatest(sqrt(a.nsq) * sqrt(b.nsq), 1e-9) AS cos
          |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) p
          |WHERE cos >= 0.3
          |ORDER BY block, id_a, id_b""".stripMargin,

@@ -64,15 +64,14 @@ case class SpaceSavingTopK(
     buf
   }
 
+  /** Merge keeps the UNION of the partial buffers (bounded by
+    * capacity × number of partial buffers, still independent of input
+    * cardinality). Truncating here would discard dropped counters'
+    * mass and break the never-undercount guarantee update() maintains —
+    * a heavy hitter spread across map tasks could vanish. */
   override def merge(b1: mutable.HashMap[String, Long], b2: mutable.HashMap[String, Long])
       : mutable.HashMap[String, Long] = {
     b2.foreach { case (i, c) => b1.update(i, b1.getOrElse(i, 0L) + c) }
-    if (b1.size > capacity) {
-      // keep the `capacity` largest (count desc, item asc — deterministic)
-      val keep = b1.toSeq.sortBy { case (i, c) => (-c, i) }.take(capacity)
-      b1.clear()
-      keep.foreach { case (i, c) => b1.update(i, c) }
-    }
     b1
   }
 

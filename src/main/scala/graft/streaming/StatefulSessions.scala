@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom streaming state: gap-based sessionization with
@@ -42,6 +43,9 @@ object StatefulSessions {
     (closed.result(), open)
   }
 
+  /** Gap-proof-driven variant: a session is emitted when a LATER event
+    * of the same user proves the gap. A user's final session stays open
+    * in state forever — use [[sessionizeWithFlush]] on real streams. */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMicros(gapMinutes)
@@ -56,6 +60,46 @@ object StatefulSessions {
           }
           closed.iterator.map { case (o, end) =>
             SessionOut(user, o.start_us, end, o.n, o.sum)
+          }
+      }
+  }
+
+  /** Timestamped event for the watermarked variant. */
+  final case class TsEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Production variant: event-time timeout flushes a user's open
+    * session once the watermark passes last_event + gap, so the FINAL
+    * session of a churned user is emitted too (the NoTimeout variant
+    * holds it forever). Input needs (user_id, ts timestamp, value). */
+  def sessionizeWithFlush(events: DataFrame, gapMinutes: Int,
+                          watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMicros(gapMinutes)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[TsEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, o.start_us, o.last_us, o.n, o.sum))
+          } else {
+            val evs = it.map(e => SessionEvent(e.user_id, e.ts.getTime * 1000, e.value)).toSeq
+            val (closed, open) = step(state.getOption, evs, gapUs)
+            open.foreach { o =>
+              state.update(o)
+              // fire once the watermark passes the gap horizon (must be
+              // strictly beyond the current watermark)
+              val fireAtMs = o.last_us / 1000 + gapMinutes.toLong * 60000
+              state.setTimeoutTimestamp(math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator.map { case (o, end) =>
+              SessionOut(user, o.start_us, end, o.n, o.sum)
+            }
           }
       }
   }

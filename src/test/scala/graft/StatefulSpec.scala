@@ -40,4 +40,31 @@ class StatefulSpec extends AnyFunSuite {
       assert(out == Seq(StatefulSessions.SessionOut(7, 0, 10 * M, 2, 3.0)))
     } finally q.stop()
   }
+
+  test("event-time timeout flushes a churned user's final session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 86400000L * 365
+    def ts(tMin: Long) = new java.sql.Timestamp(base + tMin * 60000)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = ms.toDS().toDF("user_id", "ts", "value")
+    val q = StatefulSessions.sessionizeWithFlush(df, gapMinutes = 30, watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("flush_out").start()
+    try {
+      ms.addData((7L, ts(0), 1.0), (7L, ts(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("flush_out").count() == 0) // open, watermark at ~4min
+
+      // another user far in the future advances the watermark past
+      // user 7's gap horizon (5 + 30 min) -> timeout fires
+      ms.addData((8L, ts(120), 1.0))
+      q.processAllAvailable()
+      ms.addData((8L, ts(121), 1.0)) // one more batch so the timeout executes
+      q.processAllAvailable()
+      val flushed = spark.table("flush_out")
+        .as[StatefulSessions.SessionOut].collect().filter(_.user_id == 7L).toSeq
+      assert(flushed == Seq(StatefulSessions.SessionOut(7,
+        (base + 0) * 1000, (base + 5 * 60000) * 1000, 2, 3.0)))
+    } finally q.stop()
+  }
 }
