@@ -64,4 +64,37 @@ object Multimodal {
     df.select(col(idCol).cast(LongType).as("doc_id"),
       col(textCol).cast(BinaryType).as("payload")).as[MediaRow]
   }
+
+  /** A sampled video frame (stub: content hash stands in for pixels). */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame_hash: Long)
+
+  /** STUB frame extraction: a real decoder would seek+decode; the fake
+    * derives a deterministic per-frame hash. One "frame" per KB of
+    * payload; emit every `stride`-th. The plumbing — per-partition
+    * batched iteration, bounded output explode — is the real shape. */
+  def frameSample(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val nFrames = math.max(m.payload.length / 1024, 1)
+        (0 until nFrames by stride).iterator.map { i =>
+          // splitmix-style deterministic fake "frame content"
+          var z = m.doc_id * 0x9e3779b97f4a7c15L + i
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          FrameRow(m.doc_id, i.toLong, z ^ (z >>> 31))
+        }
+      }
+    }
+  }
+
+  /** Resize metadata: fit the (stubbed) decoded dims into a square box,
+    * aspect preserved — pure double arithmetic, identical across
+    * engines (oracle-checked). */
+  def withResize(df: DataFrame, box: Int): DataFrame = {
+    val w0 = greatest(col("width"), lit(1L))
+    val h0 = greatest(col("height"), lit(1L))
+    val scale = least(lit(box.toDouble) / w0, lit(box.toDouble) / h0)
+    df.withColumn("out_w", floor(w0 * scale).cast(LongType))
+      .withColumn("out_h", floor(h0 * scale).cast(LongType))
+  }
 }

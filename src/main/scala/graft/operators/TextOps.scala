@@ -117,6 +117,14 @@ object TextOps {
     Multimodal.withMetadata(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** §2.3#46 — resize metadata: aspect-preserving fit into 224x224 over
+    * the stubbed decode dims (pure arithmetic — oracle-checked). */
+  def multimodalResizeQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.withResize(
+        Multimodal.withMetadata(Tables.documents(s, d), "doc_id", "text"), 224)
+      .select(col("doc_id"), col("width"), col("height"), col("out_w"), col("out_h"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count"     -> (tokenCountQ _),
     "q_quality_score"   -> (qualityScoreQ _),
@@ -128,6 +136,7 @@ object TextOps {
     "q_dedup_minhash"   -> (dedupMinhashQ _),
     "q_dedup_simhash"   -> (dedupSimhashQ _),
     "q_multimodal_meta" -> (multimodalMetaQ _),
+    "q_multimodal_resize" -> (multimodalResizeQ _),
   )
 
   private val shingleSql =
@@ -219,6 +228,22 @@ object TextOps {
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |    CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, width, height,
+        |    greatest(width, 1) AS w0, greatest(height, 1) AS h0
+        |  FROM m)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(w0 * least(224.0 / w0, 224.0 / h0)) AS BIGINT) AS out_w,
+        |  CAST(floor(h0 * least(224.0 / w0, 224.0 / h0)) AS BIGINT) AS out_h
+        |FROM g
         |ORDER BY doc_id""".stripMargin,
   )
 }
