@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Z-order (Morton) clustering for multi-column pruning (SURVEY.md §9).
+  *
+  * Sorting a table by (a, b) gives perfect pruning on `a` and none on
+  * `b`; interleaving the bits of both rank spaces gives useful min/max
+  * file statistics on BOTH columns. Ranks come from `ntile` over each
+  * column (value-distribution-robust), the z-value is a pure bit
+  * expression, and the write path is repartitionByRange(z) +
+  * sortWithinPartitions(z) — each output file then covers a small
+  * hyper-rectangle of the (a, b) space, so parquet row-group stats
+  * prune scans filtered on either column.
+  */
+object ZOrder {
+
+  val Bits = 8 // 256 buckets per column → 65k z-cells, ample per-file stats
+
+  /** Interleave the low `Bits` bits of two rank columns. */
+  def interleave(a: Column, b: Column): Column =
+    (0 until Bits).map { i =>
+      (shiftright(a, i).bitwiseAND(1) * lit(1L << (2 * i + 1))) +
+      (shiftright(b, i).bitwiseAND(1) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+
+  /** Add a z-value over uniform bucket ranks of the two columns.
+    * width_bucket against broadcast min/max scalars — no global window
+    * sort (a `ntile` formulation would single-partition the whole
+    * table), fully distributed; one tiny agg for the bounds. */
+  def withZValue(df: DataFrame, colA: String, colB: String,
+                 out: String = "__z"): DataFrame = {
+    val n = 1 << Bits
+    val bounds = df.agg(
+      min(col(colA)).cast(DoubleType).as("__mina"),
+      max(col(colA)).cast(DoubleType).as("__maxa"),
+      min(col(colB)).cast(DoubleType).as("__minb"),
+      max(col(colB)).cast(DoubleType).as("__maxb"))
+    def rank(c: String, lo: Column, hi: Column): Column =
+      least(lit(n.toLong - 1),
+        width_bucket(col(c).cast(DoubleType), lo, hi + 1d, lit(n)) - 1)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(out, interleave(
+        rank(colA, col("__mina"), col("__maxa")),
+        rank(colB, col("__minb"), col("__maxb"))))
+      .drop("__mina", "__maxa", "__minb", "__maxb")
+  }
+
+  /** Cluster and write: range-partition then sort by the z-value. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    path: String, numFiles: Int): Unit =
+    withZValue(df, colA, colB)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

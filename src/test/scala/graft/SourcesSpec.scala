@@ -72,6 +72,17 @@ class SourcesSpec extends AnyFunSuite {
       (d("2024-01-15"), d("2024-01-17"))))
   }
 
+  test("CSV round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/t"
+    val df = Seq((1L, "a,b", 1.5), (2L, "plain", -0.25)).toDF("id", "s", "v")
+    df.write.option("header", "true").csv(dir)
+    val back = spark.read.schema(
+        StructType(Seq(StructField("id", LongType), StructField("s", StringType),
+          StructField("v", DoubleType))))
+      .option("header", "true").csv(dir)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("Writer.appendByDay partitions by day and appends") {
     val path = Files.createTempDirectory("graft_wh").toString + "/t"
     Writer.appendByDay(Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "day"), path)

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ZOrder
+import graft.sources.Tables
+
+/** Z-order clustering: both columns must get usable per-file ranges. */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Mean fraction of each column's global range covered per file —
+    * lower = better pruning on a filter over that column. */
+  private def meanRangeFraction(path: String, c: String): Double = {
+    val withFile = spark.read.parquet(path)
+      .select(col(c), input_file_name().as("f"))
+    val global = withFile.agg(max(col(c)) - min(col(c))).head().getLong(0).toDouble
+    val per = withFile.groupBy($"f")
+      .agg((max(col(c)) - min(col(c))).as("w"))
+      .agg(avg($"w")).head().getDouble(0)
+    per / global
+  }
+
+  test("z-ordered files bound BOTH columns; single-sort bounds only one") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select($"l_partkey", $"l_suppkey", $"l_orderkey", $"l_quantity")
+    val zdir = Files.createTempDirectory("graft_z").toString + "/z"
+    val sdir = Files.createTempDirectory("graft_z").toString + "/s"
+    ZOrder.writeZOrdered(li, "l_partkey", "l_suppkey", zdir, numFiles = 16)
+    li.repartitionByRange(16, $"l_partkey").sortWithinPartitions($"l_partkey")
+      .write.mode("overwrite").parquet(sdir)
+
+    assert(spark.read.parquet(zdir).count() == li.count())
+
+    val zA = meanRangeFraction(zdir, "l_partkey")
+    val zB = meanRangeFraction(zdir, "l_suppkey")
+    val sB = meanRangeFraction(sdir, "l_suppkey")
+    // z-order: both columns materially bounded per file
+    assert(zA < 0.5 && zB < 0.5, s"zA=$zA zB=$zB")
+    // the single-column sort leaves the second column unbounded (~full range)
+    assert(zB < sB * 0.75, s"zB=$zB vs single-sort sB=$sB")
+  }
+}
