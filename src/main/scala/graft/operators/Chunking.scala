@@ -8,10 +8,11 @@ import graft.functions.TextFunctions
 import graft.sources.Tables
 
 /** Document chunking for embedding pipelines (SURVEY.md §9): fixed
-  * token windows with overlap — each document yields
-  * ceil((tokens - overlap) / stride) chunks of `size` tokens, stride =
-  * size - overlap. Pure sequence/slice expressions; one explode, no
-  * shuffle before the write.
+  * token windows with overlap (stride = size - overlap). Trailing
+  * windows fully contained in the previous chunk are dropped, so every
+  * emitted chunk contributes at least one new token. Pure
+  * sequence/slice expressions; one explode, no shuffle before the
+  * write.
   */
 object Chunking {
 
@@ -25,7 +26,11 @@ object Chunking {
     val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(stride))
     df.withColumn("__toks", toks)
       .withColumn("start", explode(starts))
-      .filter(col("start") <= size(col("__toks")))
+      // a trailing start within `overlap` of the end would yield a chunk
+      // fully contained in the previous one — drop it (the first chunk
+      // always survives so short docs still chunk)
+      .filter((col("start") === 1 && size(col("__toks")) > 0) ||
+              col("start") <= size(col("__toks")) - overlap)
       .withColumn("chunk_id", ((col("start") - 1) / stride).cast(LongType))
       .withColumn("chunk_text",
         concat_ws(" ", slice(col("__toks"), col("start"), lit(chunkSize))))
@@ -60,7 +65,7 @@ object Chunking {
         |  CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[start : start + 31], ' ') AS chunk_text
         |FROM st
-        |WHERE start <= len(toks)
+        |WHERE (start = 1 AND len(toks) > 0) OR start <= len(toks) - 8
         |ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

@@ -34,9 +34,16 @@ object HealthPipeline {
     StructField("metric", StructType(Seq(
       StructField("n", LongType), StructField("total", DoubleType))))))
 
-  /** One scheduled run. Returns the days appended (empty = up to date). */
+  /** One scheduled run. Returns the days appended (empty = up to date).
+    *
+    * Append-only contract (same as the reference's WRITE_APPEND model):
+    * the warehouse watermark is the global max landed day, so a source
+    * ADDED after other sources have landed days will not back-fill its
+    * history into already-written rows — rebuild the warehouse (or
+    * backfill offline) when adding a source. */
   def runOnce(spark: SparkSession, zoneRoot: String, warehousePath: String,
               sources: Seq[SourceDef], today: LocalDate): Seq[String] = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     // 1. extract+land every source that has new days (chunked if asked)
     sources.foreach { src =>
       RawZone.nextExtractionWindow(spark, zoneRoot, src.name, today).foreach {
@@ -51,20 +58,44 @@ object HealthPipeline {
       }
     }
 
-    // 2. transform: read each source's full landed range, flatten the
-    //    nested metric struct, keep valid days
+    // Warehouse watermark first (metadata-only on the day-partitioned
+    // table) so the raw read below is windowed — otherwise every run
+    // re-parses the entire landed history to append one day.
+    val whPath = new org.apache.hadoop.fs.Path(warehousePath)
+    val whFs = whPath.getFileSystem(hadoopConf)
+    // "exists but empty" (failed first append, pre-created dir) must
+    // count as first run, not wedge every retry on an unreadable read
+    val whExists = whFs.exists(whPath) && whFs.listStatus(whPath)
+      .exists(st => !st.getPath.getName.startsWith("_temporary"))
+    // cast: the day PARTITION column reads back type-inferred as DATE
+    val watermark: Option[LocalDate] =
+      if (!whExists) None
+      else Writer.existingDays(spark, warehousePath)
+        .agg(max(col("day").cast(StringType))).collect().headOption
+        .flatMap(r => Option(r.getString(0))).map(LocalDate.parse)
+
+    // 2. transform: read each source's landed range FROM THE WATERMARK
+    //    (inclusive margin of 1 day), flatten the nested metric struct,
+    //    keep valid days
     val daily = sources.map { src =>
       val ranges = RawZone.listRanges(spark, zoneRoot, src.name)
       if (ranges.isEmpty) None
       else {
-        val raw = RawZone.readRange(spark, zoneRoot, src.name,
-          ranges.head.start, ranges.last.end, rawSchema)
-        val flat = Flatten.flatten(raw) // day, metric__n, metric__total
-        val valid = Flatten.withDay(flat, "day").drop("day_str")
-        Some(valid.select(
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("metric__n").as(s"${src.name}__n"),
-          col("metric__total").as(s"${src.name}__total")))
+        val readFrom = watermark.map(_.plusDays(1)) match {
+          case Some(w) if w.isAfter(ranges.head.start) => w
+          case _ => ranges.head.start
+        }
+        if (readFrom.isAfter(ranges.last.end)) None
+        else {
+          val raw = RawZone.readRange(spark, zoneRoot, src.name,
+            readFrom, ranges.last.end, rawSchema)
+          val flat = Flatten.flatten(raw) // day, metric__n, metric__total
+          val valid = Flatten.withDay(flat, "day")
+          Some(valid.select(
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("metric__n").as(s"${src.name}__n"),
+            col("metric__total").as(s"${src.name}__total")))
+        }
       }
     }.flatten
     if (daily.isEmpty) return Seq.empty
@@ -77,16 +108,14 @@ object HealthPipeline {
         StructField(s"${s.name}__total", DoubleType))))
     val aligned = SchemaAlign.align(combined, target, failOnExtra = false)
 
-    // Explicit existence check: a transient read error must FAIL the run,
-    // not be mistaken for "first run" (which would disable the watermark
-    // and append every landed day again — permanent duplicates).
-    val whPath = new org.apache.hadoop.fs.Path(warehousePath)
-    val whExists = whPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(whPath)
-    val fresh =
-      if (!whExists) aligned
-      else Incremental.newerThanWatermark(aligned,
-        Writer.readTable(spark, warehousePath).select(col("day")), "day")
+    // Watermark filter (the raw read above already windowed, but the
+    // margin day could re-enter — filter exactly). A transient warehouse
+    // read error fails the run rather than masquerading as first-run
+    // (which would re-append every landed day — permanent duplicates).
+    val fresh = watermark match {
+      case None => aligned
+      case Some(w) => aligned.filter(col("day") > w.toString)
+    }
 
     // persist: newDays-collect and the append would otherwise evaluate
     // the whole extract→combine plan twice

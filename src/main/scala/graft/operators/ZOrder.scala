@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   *
   * Sorting a table by (a, b) gives perfect pruning on `a` and none on
   * `b`; interleaving the bits of both rank spaces gives useful min/max
-  * file statistics on BOTH columns. Ranks come from `ntile` over each
-  * column (value-distribution-robust), the z-value is a pure bit
-  * expression, and the write path is repartitionByRange(z) +
-  * sortWithinPartitions(z) — each output file then covers a small
-  * hyper-rectangle of the (a, b) space, so parquet row-group stats
-  * prune scans filtered on either column.
+  * file statistics on BOTH columns. Ranks are uniform-width buckets
+  * over each column's [min, max] (fully distributed — no global sort);
+  * under heavy value skew uniform buckets degrade on the skewed column
+  * (quantile boundaries would be the skew-robust upgrade, SURVEY §9).
+  * The z-value is a pure bit expression, and the write path is
+  * repartitionByRange(z) + sortWithinPartitions(z) — each output file
+  * covers a small hyper-rectangle of the (a, b) space, so parquet
+  * row-group stats prune scans filtered on either column.
   */
 object ZOrder {
 

@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RollingMinHash(child: Expression, k: Int)
     extends UnaryExpression {
+  require(k >= 1, s"k-gram size must be >= 1, got $k")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rolling_minhash"

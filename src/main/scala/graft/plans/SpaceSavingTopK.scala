@@ -57,7 +57,19 @@ case class SpaceSavingTopK(
       case Some(c) => buf.update(item, c + 1)
       case None if buf.size < capacity => buf.update(item, 1L)
       case None =>
-        val (minItem, minCnt) = buf.minBy { case (i, c) => (c, i) }
+        // Allocation-free min scan (still O(capacity) per eviction —
+        // fine when capacity >> distinct count, the intended regime; a
+        // stream-summary structure is the upgrade for truly adversarial
+        // cardinality). Deterministic tie-break on the item.
+        var minItem: String = null
+        var minCnt = Long.MaxValue
+        val it = buf.iterator
+        while (it.hasNext) {
+          val (i, c) = it.next()
+          if (c < minCnt || (c == minCnt && (minItem == null || i < minItem))) {
+            minItem = i; minCnt = c
+          }
+        }
         buf.remove(minItem)
         buf.update(item, minCnt + 1)
     }

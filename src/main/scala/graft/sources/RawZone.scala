@@ -43,14 +43,19 @@ object RawZone {
     dir
   }
 
-  /** Landed windows for a data type, overlap-validated. */
+  /** Landed windows for a data type, overlap-validated. Only COMMITTED
+    * directories count (the committer's _SUCCESS marker): a landing job
+    * that died mid-write leaves the range dir without the marker, and
+    * counting it as landed would silently skip those days forever —
+    * this way the next run re-extracts and `write`'s overwrite mode
+    * replaces the partial output. */
   def listRanges(spark: SparkSession, root: String, dataType: String): Seq[RangeDir] = {
     val base = new Path(s"$root/$dataType")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
     val dirs = fs.listStatus(base).filter(_.isDirectory).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case RangeRe(s, e) =>
+        case RangeRe(s, e) if fs.exists(new Path(st.getPath, "_SUCCESS")) =>
           Some(RangeDir(dataType, LocalDate.parse(s), LocalDate.parse(e),
             st.getPath.toString))
         case _ => None

@@ -37,7 +37,11 @@ object StatefulSessions {
           closed += ((o, o.last_us))
           Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
         case Some(o) =>
-          Some(o.copy(last_us = e.ts_us, n = o.n + 1, sum = o.sum + e.value))
+          // max: a late (out-of-order) event from a later micro-batch
+          // must not rewind last_us — that would arm the flush timeout
+          // early and emit an inverted session interval
+          Some(o.copy(last_us = math.max(o.last_us, e.ts_us),
+            n = o.n + 1, sum = o.sum + e.value))
       }
     }
     (closed.result(), open)

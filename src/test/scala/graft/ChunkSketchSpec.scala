@@ -18,10 +18,11 @@ class ChunkSketchSpec extends AnyFunSuite {
     val chunks = Chunking.chunk(df, "text", chunkSize = 32, overlap = 8)
       .orderBy("chunk_id")
       .select($"chunk_id", $"n_tokens", $"chunk_text").as[(Long, Long, String)].collect()
-    // 80 tokens, stride 24 -> starts 1,25,49,73 -> 4 chunks
-    assert(chunks.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
-    assert(chunks.map(_._2).toSeq == Seq(32L, 32L, 32L, 8L))
-    assert(chunks(0)._3.startsWith("t1 ") && chunks(3)._3 == (73 to 80).map(i => s"t$i").mkString(" "))
+    // 80 tokens, stride 24 -> candidate starts 1,25,49,73; 73 is within
+    // `overlap` of the end (its tokens all sit inside chunk 2) -> dropped
+    assert(chunks.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(chunks.map(_._2).toSeq == Seq(32L, 32L, 32L))
+    assert(chunks(0)._3.startsWith("t1 ") && chunks(2)._3 == (49 to 80).map(i => s"t$i").mkString(" "))
     // consecutive chunks share exactly `overlap` tokens
     val c0 = chunks(0)._3.split(" ").toSeq
     val c1 = chunks(1)._3.split(" ").toSeq
