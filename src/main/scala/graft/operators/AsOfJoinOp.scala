@@ -14,10 +14,16 @@ import graft.sources.Tables
   */
 object AsOfJoinOp {
 
-  private def attr(p: LogicalPlan, name: String) =
-    p.output.find(_.name == name).getOrElse(
+  private def attr(p: LogicalPlan, name: String) = {
+    val a = p.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"column $name not found in ${p.output.map(_.name).mkString(",")}"))
+    // The exec compares via getLong — any other type would be read as
+    // raw bits and merge on garbage ordering. Fail fast instead.
+    require(a.dataType == org.apache.spark.sql.types.LongType,
+      s"as-of join key/time/tie column $name must be LONG, got ${a.dataType}")
+    a
+  }
 
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, leftTime: String,

@@ -38,6 +38,11 @@ object Dedup {
   /** LSH band hashes: signature split into `bands` rows of
     * `numPerm/bands`, each hashed with its band index. */
   def bandHashes(sigCol: Column, numPerm: Int, bands: Int): Column = {
+    // bands must tile the signature exactly: a remainder silently drops
+    // permutations, and bands > numPerm gives rowsPerBand = 0 — every
+    // band hash constant — turning the band join into a full n² cross.
+    require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
     val rowsPerBand = numPerm / bands
     array((0 until bands).map { j =>
       val slice = (0 until rowsPerBand).map(r => element_at(sigCol, j * rowsPerBand + r + 1))

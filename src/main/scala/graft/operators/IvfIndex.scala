@@ -47,7 +47,7 @@ object IvfIndex {
     * Each step: one assignment scan + one per-dimension mean agg; the
     * k×dim model round-trips through the driver. */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int, dim: Int): Seq[Seq[Double]] = {
+                     k: Int, iters: Int): Seq[Seq[Double]] = {
     val seeds = df
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h"), col(idCol))
@@ -79,6 +79,7 @@ object IvfIndex {
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    VectorOps.requireDim(candidates, vecCol, centroids.head.size)
     val c = candidates
       .select(col(idCol).as("cid"), quantize(col(vecCol)).as("c_qv"),
         nearestCentroid(col(vecCol), centroids).as("bucket"))
@@ -91,10 +92,6 @@ object IvfIndex {
       .withColumn("cos", cosineFrom(
         dotQuantized(col("q_qv"), col("c_qv")).cast(DoubleType),
         col("q_nsq"), col("c_nsq")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+    VectorOps.topKByCosine(scored, k)
   }
 }

@@ -58,7 +58,7 @@ object TextOps {
 
   /** §2.3#37 — exact n-gram Jaccard over length-banded candidate pairs.
     *
-    * Blocking: |n_chars delta| <= 8 implies the pair shares a width-32
+    * Blocking: |n_chars delta| <= 8 implies the pair shares a width-9
     * length band or sits in adjacent bands, so each doc is exploded
     * into (band, band+1) and pairs come from a band equi-join — linear
     * in collisions, never quadratic. The final abs-delta filter makes

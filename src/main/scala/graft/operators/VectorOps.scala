@@ -29,6 +29,24 @@ object VectorOps {
     df.select(col(idCol).as(idOut), quantize(col(vecCol)).as(qvOut))
       .withColumn(nsqOut, dotQuantized(col(qvOut), col(qvOut)).cast(DoubleType))
 
+  /** Shared ranking tail: per-query top-k by cosine desc, cid
+    * tiebreak. One place so the exact/LSH/IVF paths cannot drift. */
+  def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+
+  /** Fails fast when the declared dim does not match the data: a
+    * mismatch would null the hyperplane dots and collapse every row
+    * into one bucket (full cross product) — silently. */
+  def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit = {
+    val actual = df.select(size(col(vecCol))).head().getInt(0)
+    require(actual == dim, s"vector dim $actual != declared dim $dim")
+  }
+
   /** §2.3#40 — exact cosine top-k of each query vector against the
     * candidates. `queries` must be broadcast-small. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
@@ -38,11 +56,7 @@ object VectorOps {
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos", cosineFrom(
         dotQuantized(col("q_qv"), col("c_qv")).cast(DoubleType), col("q_nsq"), col("c_nsq")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+    topKByCosine(scored, k)
   }
 
   /** §2.3#39 — near-duplicate pairs by cosine within equi-join blocks
@@ -79,7 +93,10 @@ object VectorOps {
   }
 
   /** Sign-bit bucket id of a vector under the hyperplanes (per-row
-    * expression, no shuffle). */
+    * expression, no shuffle). Known tradeoff: the plane dots are HOF
+    * lambdas (interpreted) — acceptable because bucketing runs once per
+    * row, not per pair; an explode+sum codegen shape is the upgrade if
+    * this scan ever dominates (see SURVEY §6 on HOF costs). */
   def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val planeArr = array(p.map(lit): _*)
@@ -105,6 +122,7 @@ object VectorOps {
   def lshTopK(candidates: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    requireDim(candidates, vecCol, dim)
     val c = prepared(candidates, idCol, vecCol, "cid", "c_qv", "c_nsq")
       .withColumn("bucket", explode(lshBuckets(col("c_qv"), tables, planesPerTable, dim)))
     val q = prepared(queries, idCol, vecCol, "qid", "q_qv", "q_nsq")
@@ -114,10 +132,6 @@ object VectorOps {
       .dropDuplicates("qid", "cid")
     val scored = cands.withColumn("cos", cosineFrom(
       dotQuantized(col("q_qv"), col("c_qv")).cast(DoubleType), col("q_nsq"), col("c_nsq")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+    topKByCosine(scored, k)
   }
 }

@@ -39,8 +39,7 @@ object VectorQueries {
   def knnIvfQ(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cands = e.filter(col("vec_id") >= 10)
-    val centroids = IvfIndex.trainCentroids(cands, "vec_id", "embedding",
-      k = 16, iters = 2, dim = 64)
+    val centroids = IvfIndex.trainCentroids(cands, "vec_id", "embedding", k = 16, iters = 2)
     IvfIndex.ivfTopK(cands, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, centroids, nprobe = 4)
       .orderBy(col("qid"), col("rn"))

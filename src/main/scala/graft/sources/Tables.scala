@@ -35,12 +35,17 @@ object Tables {
     * microseconds — the same truncation DuckDB applies on read, so the
     * two engines see identical timestamps. `ts div 1000` is integer
     * division (a double division would lose precision at 2^63 ns). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
+  /** Shared ns→µs conversion — the batch (events) and streaming
+    * (EventStream.readEvents) paths must truncate identically or their
+    * parity breaks. */
+  def nanosTsToMicros(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanosTsToMicros(load(s, d, "events"))
   }
 
   /** Time-bounded events scan WITH pushdown: the µs conversion above is

@@ -48,8 +48,8 @@ object EventStream {
     * raw-zone polling). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.nanosTsToMicros(
+      spark.readStream.schema(eventsSchema).parquet(dir))
   }
 
   /** Run the hourly aggregation into an in-memory table (test/dev sink). */

@@ -36,7 +36,7 @@ object AnnSweep {
       }
     }
     for (k <- Seq(8, 16, 32); nprobe <- Seq(2, 4, 8) if nprobe < k) {
-      val centroids = IvfIndex.trainCentroids(cands, "vec_id", "embedding", k, 2, 64)
+      val centroids = IvfIndex.trainCentroids(cands, "vec_id", "embedding", k, 2)
       timeRecall(s"ivf k=$k nprobe=$nprobe") {
         IvfIndex.ivfTopK(cands, qs, "vec_id", "embedding", 5, centroids, nprobe)
           .select($"qid", $"cid").as[(Long, Long)].collect().toSet

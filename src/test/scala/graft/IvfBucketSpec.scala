@@ -15,7 +15,7 @@ class IvfBucketSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val cands = e.filter($"vec_id" >= 10)
     val qs = e.filter($"vec_id" < 10)
-    val centroids = IvfIndex.trainCentroids(cands, "vec_id", "embedding", 16, 2, 64)
+    val centroids = IvfIndex.trainCentroids(cands, "vec_id", "embedding", 16, 2)
     assert(centroids.size == 16 && centroids.forall(_.size == 64))
 
     val ivf = IvfIndex.ivfTopK(cands, qs, "vec_id", "embedding", 5, centroids, 4)
@@ -29,7 +29,7 @@ class IvfBucketSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall=$recall")
 
     // determinism: retraining gives identical centroids
-    val again = IvfIndex.trainCentroids(cands, "vec_id", "embedding", 16, 2, 64)
+    val again = IvfIndex.trainCentroids(cands, "vec_id", "embedding", 16, 2)
     assert(again == centroids)
   }
 
