@@ -10,13 +10,23 @@ import org.apache.spark.sql.types._
   *
   * Oracle-parity design (SURVEY.md §5): elements are quantized to
   * integers (floor(x * 1e6)) and dot products accumulate in LONG —
-  * exact, order-independent, overflow-free (|q| <= 1e9 ⇒ products
-  * <= 1e18/64 headroom for typical embedding dims), and `floor` has
-  * identical semantics in Spark and DuckDB (no round-half ambiguity).
-  * Only the final cosine division/sqrt run in double, on bit-identical
-  * inputs in both engines.
+  * exact, order-independent, and `floor` has identical semantics in
+  * Spark and DuckDB (no round-half ambiguity). Only the final cosine
+  * division/sqrt run in double, on bit-identical inputs in both engines.
+  *
+  * OVERFLOW BOUND: a dot of dim-d quantized vectors is exact only when
+  * d * (maxAbs * 1e6)^2 <= Long.MaxValue, i.e. maxAbs <= ~379 for d=64
+  * (`maxSafeAbs`). Long arithmetic wraps silently under non-ANSI mode,
+  * so callers with untrusted magnitudes must gate the dataset through
+  * `VectorOps.requireMagnitude` first. Unit-scale embeddings (the
+  * normal case) sit ~5 orders of magnitude inside the bound.
   */
 object VectorFunctions {
+
+  /** Largest element magnitude for which a dim-d quantized dot product
+    * cannot overflow Long: sqrt(Long.Max / d) / 1e6. */
+  def maxSafeAbs(dim: Int): Double =
+    math.sqrt(Long.MaxValue.toDouble / dim) / 1000000d
 
   /** Element quantization: float → double → floor(x*1e6) as long. */
   def qlong(x: Column): Column =

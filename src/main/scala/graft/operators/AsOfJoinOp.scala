@@ -31,7 +31,16 @@ object AsOfJoinOp {
     val spark = left.sparkSession
     ColumnBridge.addStrategy(spark, AsOfJoinStrategy)
     val lp = ColumnBridge.logicalPlan(left)
-    val rp = ColumnBridge.logicalPlan(right)
+    // Self-as-of-join: Spark's analyzer only de-duplicates conflicting
+    // expression IDs for built-in Join nodes, so a shared-lineage right
+    // side would carry the SAME exprIds as the left and bindings could
+    // silently resolve to the wrong side. Re-aliasing every column
+    // mints fresh exprIds for the right output.
+    val rp0 = ColumnBridge.logicalPlan(right)
+    val rp =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else ColumnBridge.logicalPlan(
+        right.select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*))
     ColumnBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(lp, leftTime),
       attr(rp, rightKey), attr(rp, rightTime), attr(rp, rightTie)))

@@ -56,6 +56,8 @@ object IvfIndex {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
       .toSeq
+    require(seeds.size == k,
+      s"training set has only ${seeds.size} rows — need at least k=$k for k-means seeds")
 
     (1 to iters).foldLeft(seeds) { (centroids, _) =>
       val assigned = df.select(col(idCol), col(vecCol).as("v"))
@@ -79,6 +81,7 @@ object IvfIndex {
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopK needs a non-empty centroid list")
     VectorOps.requireDim(candidates, vecCol, centroids.head.size)
     val c = candidates
       .select(col(idCol).as("cid"), quantize(col(vecCol)).as("c_qv"),

@@ -146,13 +146,20 @@ object Relational2 {
       .orderBy(col("l_returnflag"))
 
   /** Approximate quantile sketch (KLL-style percentile_approx) —
-    * engine-specific by design, rows-only. */
+    * engine-specific by design, rows-only. Quartiles are emitted as
+    * scalar columns (not one array column) so the driver's row-hash
+    * check can sort/hash the result. */
   def approxQuantiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("l_extendedprice"),
-             array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_quartiles"),
+             array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("__q"),
            count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+              col("__q").getItem(0).as("p25"),
+              col("__q").getItem(1).as("p50"),
+              col("__q").getItem(2).as("p75"),
+              col("n"))
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -43,8 +43,25 @@ object VectorOps {
     * mismatch would null the hyperplane dots and collapse every row
     * into one bucket (full cross product) — silently. */
   def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit = {
-    val actual = df.select(size(col(vecCol))).head().getInt(0)
-    require(actual == dim, s"vector dim $actual != declared dim $dim")
+    val first = df.select(size(col(vecCol))).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"vector dataset is empty — cannot validate dim of column '$vecCol'"))
+    require(first.getInt(0) == dim,
+      s"vector dim ${first.getInt(0)} != declared dim $dim")
+  }
+
+  /** Full-scan guard for untrusted vector magnitudes: quantized dots
+    * overflow Long silently past `VectorFunctions.maxSafeAbs(dim)` (see
+    * the bound derivation there). One agg over the dataset — call once
+    * per corpus before indexing, not per query. */
+  def requireMagnitude(df: DataFrame, vecCol: String, dim: Int): Unit = {
+    val bound = graft.functions.VectorFunctions.maxSafeAbs(dim)
+    val worst = df.agg(
+      max(array_max(transform(col(vecCol), x => abs(x.cast(DoubleType))))))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+      .getOrElse(0d)
+    require(worst <= bound,
+      f"vector magnitude $worst%.3g exceeds quantized-dot overflow bound $bound%.3g for dim $dim")
   }
 
   /** §2.3#40 — exact cosine top-k of each query vector against the

@@ -40,9 +40,17 @@ object ZOrder {
       max(col(colA)).cast(DoubleType).as("__maxa"),
       min(col(colB)).cast(DoubleType).as("__minb"),
       max(col(colB)).cast(DoubleType).as("__maxb"))
+    // Nulls rank to bucket 0 explicitly: width_bucket(null) is null and
+    // least() SKIPS nulls (least(n-1, null) = n-1), so without an inner
+    // coalesce a null value would silently land in the MAX bucket and
+    // wreck min/max pruning for the top of the range. Bucket 0 =
+    // "nulls first", matching Spark's default null ordering. The
+    // coalesce must wrap the width_bucket term BEFORE least sees it.
     def rank(c: String, lo: Column, hi: Column): Column =
       least(lit(n.toLong - 1),
-        width_bucket(col(c).cast(DoubleType), lo, hi + 1d, lit(n)) - 1)
+        coalesce(
+          width_bucket(col(c).cast(DoubleType), lo, hi + 1d, lit(n)) - 1,
+          lit(0L)))
     df.crossJoin(broadcast(bounds))
       .withColumn(out, interleave(
         rank(colA, col("__mina"), col("__maxa")),

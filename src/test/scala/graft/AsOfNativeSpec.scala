@@ -30,6 +30,19 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(out == Seq((1L, 10L, Some(101L)), (2L, 20L, None)))
   }
 
+  test("self-as-of-join (shared lineage) resolves sides correctly") {
+    // Both sides derive from the SAME DataFrame → identical exprIds
+    // before the dedup pass; without re-aliasing, bindings could
+    // silently read the wrong side.
+    val d = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 300L)).toDF("k", "t", "tie")
+    // output = left cols then right cols (same names) — rename by position
+    val out = AsOfJoinOp.asof(d, d, "k", "t", "k", "t", "tie")
+      .toDF("k", "t", "tie", "rk", "rt", "rtie")
+    // every left row's latest right match at time <= t is itself
+    val rows = out.select($"k", $"t", $"rtie").as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 300L)))
+  }
+
   test("tiebreak picks the greatest among equal (key, time)") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L)).toDF("rk", "rt", "tie")

@@ -59,4 +59,31 @@ class VectorSpec extends AnyFunSuite {
     assert(pairs.filter($"id_a" >= $"id_b").count() == 0)
     assert(pairs.filter($"cos" < 0.3).count() == 0)
   }
+
+  test("requireDim fails with a clear message on an empty dataset") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.requireDim(empty, "embedding", 64)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("requireMagnitude admits unit-scale vectors, rejects overflow-scale") {
+    val ok = Seq((1L, Array(0.5f, -0.9f)), (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    VectorOps.requireMagnitude(ok, "embedding", 2) // must not throw
+    // maxSafeAbs(2) ≈ 2.1e3; 1e5 is far past the wrap point
+    val bad = Seq((1L, Array(1e5f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.requireMagnitude(bad, "embedding", 2)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("trainCentroids fails fast when the corpus is smaller than k") {
+    val tiny = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.3f, 0.4f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.IvfIndex.trainCentroids(tiny, "vec_id", "embedding", k = 8, iters = 1)
+    }
+    assert(e.getMessage.contains("k=8"))
+  }
 }

@@ -25,6 +25,16 @@ class ZOrderSpec extends AnyFunSuite {
     per / global
   }
 
+  test("null cluster-column values rank to bucket 0, not the max bucket") {
+    val df = Seq((1L, Option(5L)), (1L, None), (1L, Option(100L)))
+      .toDF("a", "b")
+    val z = ZOrder.withZValue(df, "a", "b").select($"b", $"__z")
+      .as[(Option[Long], Long)].collect().toMap
+    // null b must share the z-value of the MIN b (rank 0), not the max
+    assert(z(None) == z(Some(5L)), s"null ranked to ${z(None)}, min to ${z(Some(5L))}")
+    assert(z(None) != z(Some(100L)))
+  }
+
   test("z-ordered files bound BOTH columns; single-sort bounds only one") {
     val li = Tables.lineitem(spark, TestSpark.sf)
       .select($"l_partkey", $"l_suppkey", $"l_orderkey", $"l_quantity")
