@@ -36,9 +36,13 @@ object VectorFunctions {
     * so the per-pair dot is pure long multiply-adds. */
   def quantize(a: Column): Column = transform(a, x => qlong(x))
 
-  /** Dot product of two pre-quantized (array<long>) vectors. */
+  /** Dot product of two pre-quantized (array<long>) vectors — a
+    * codegen'd kernel (graft.plans.ArrayDotLong): the equivalent
+    * `aggregate(zip_with(...))` formulation evaluates its lambdas
+    * interpreted and dominated every vector query's profile. Identical
+    * semantics incl. null/length-mismatch → null (spec-pinned). */
   def dotQuantized(qa: Column, qb: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.VectorKernels.dot_long(qa, qb)
 
   /** Exact quantized dot product of two float-array columns. */
   def dotDec(a: Column, b: Column): Column =

@@ -23,56 +23,84 @@ import graft.functions.VectorFunctions._
   */
 object IvfIndex {
 
-  /** Squared L2 distance between a vector column and a centroid literal. */
-  private def distSq(vec: Column, centroid: Seq[Double]): Column =
-    aggregate(
-      zip_with(vec, array(centroid.map(lit): _*),
-        (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-      lit(0d), (acc, x) => acc + x)
+  /** Squared L2 distance between an array<double> column and a centroid
+    * literal (codegen'd ArrayL2Sq kernel — the HOF zip_with formulation
+    * ran interpreted, k times per row). Callers cast the vector to
+    * array<double> ONCE, not per centroid. */
+  private def distSq(vecD: Column, centroid: Seq[Double]): Column =
+    graft.plans.VectorKernels.l2_sq(vecD, array(centroid.map(lit): _*))
+
+  private def asDouble(vec: Column): Column = vec.cast(ArrayType(DoubleType))
 
   /** Nearest-centroid id: array_min over (dist, idx) structs — struct
     * ordering gives the deterministic argmin. */
-  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val v = asDouble(vec)
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(distSq(vec, c).as("d"), lit(i).as("i"))
+      struct(distSq(v, c).as("d"), lit(i).as("i"))
     }: _*)).getField("i")
+  }
 
   /** `nprobe` nearest centroid ids, closest first. */
-  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
+    val v = asDouble(vec)
     slice(transform(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(distSq(vec, c).as("d"), lit(i).as("i"))
+      struct(distSq(v, c).as("d"), lit(i).as("i"))
     }: _*)), s => s.getField("i")), 1, nprobe)
+  }
 
-  /** Deterministic k-means: hash-selected seeds, `iters` Lloyd steps.
-    * Each step: one assignment scan + one per-dimension mean agg; the
-    * k×dim model round-trips through the driver. */
+  /** Deterministic k-means over a bounded hash-sample.
+    *
+    * The quantizer model is k×dim doubles (KBs) — training it needs a
+    * REPRESENTATIVE sample, not the corpus: one distributed top-N by
+    * xxhash64(id) pulls `trainSample` rows to the driver (bounded,
+    * scale-independent — this is the one deliberate driver round-trip,
+    * the same shape faiss/ScaNN use), then Lloyd steps run in-memory.
+    * The previous formulation re-scanned the FULL corpus per iteration
+    * (2 distributed jobs each) and dominated q_knn_ivf's bench time.
+    *
+    * Deterministic: seeds are the k smallest-hash rows (identical to
+    * the old seed rule), assignment ties break on lowest centroid id,
+    * empty clusters keep their previous centroid. */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int): Seq[Seq[Double]] = {
-    val seeds = df
+                     k: Int, iters: Int, trainSample: Int = 4096): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = df
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h"), col(idCol))
-      .limit(k)
+      .limit(math.max(k, trainSample))
       .select(col(vecCol))
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
-      .toSeq
-    require(seeds.size == k,
-      s"training set has only ${seeds.size} rows — need at least k=$k for k-means seeds")
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k,
+      s"training set has only ${sample.length} rows — need at least k=$k for k-means seeds")
 
-    (1 to iters).foldLeft(seeds) { (centroids, _) =>
-      val assigned = df.select(col(idCol), col(vecCol).as("v"))
-        .withColumn("b", nearestCentroid(col("v"), centroids))
-      val means = assigned
-        .select(col("b"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("b"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (b, rows) =>
-          b -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    val dim = sample.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seeds = sample.take(k).map(_.clone()).toSeq
+
+    (1 to iters).foldLeft(seeds.map(_.toSeq)) { (centroids, _) =>
+      val cs = centroids.map(_.toArray).toArray
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = dist2(v, cs(0)); var j = 1
+        while (j < k) {
+          val dj = dist2(v, cs(j))
+          if (dj < bestD) { bestD = dj; best = j } // strict < = lowest-id tie-break
+          j += 1
         }
-      // empty buckets keep their previous centroid
-      centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids.indices.map { j =>
+        if (counts(j) == 0) centroids(j) // empty cluster keeps its centroid
+        else sums(j).map(_ / counts(j)).toSeq
+      }
     }
   }
 

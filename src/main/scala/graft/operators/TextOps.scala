@@ -56,37 +56,44 @@ object TextOps {
            countDistinct(col("sh")).as("n_shingles"))
       .orderBy(col("doc_id"))
 
-  /** §2.3#37 — exact n-gram Jaccard over length-banded candidate pairs.
+  /** §2.3#37 — exact n-gram Jaccard via prefix-filtered candidates
+    * (All-Pairs/PPJoin prefix scheme, Bayardo et al. WWW'07).
     *
-    * Blocking: |n_chars delta| <= 8 implies the pair shares a width-9
-    * length band or sits in adjacent bands, so each doc is exploded
-    * into (band, band+1) and pairs come from a band equi-join — linear
-    * in collisions, never quadratic. The final abs-delta filter makes
-    * the band mechanics invisible in the result (oracle uses the plain
-    * quadratic formulation). */
+    * Shingle sets are hashed to longs (set semantics preserved, 2^-64
+    * collision odds) and sorted; if J(A,B) >= t then A and B must share
+    * an element inside their first (n - ceil(t*n) + 1) sorted elements
+    * — proof: the smallest common hash c has all >= t*max(|A|,|B|)
+    * common elements above it, which cannot fit in either suffix. So a
+    * candidate pair must collide on an exploded PREFIX hash: candidates
+    * are pairs that actually share a rare shingle, not pairs that merely
+    * have similar length (the previous length-band blocking degenerated
+    * toward quadratic when doc lengths cluster). The equi-join carries
+    * ids only; hash arrays are attached to the deduped candidate ids
+    * afterwards, so no array ever rides through a shuffle twice. */
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame = {
-    // Shingles are hashed to longs once (set semantics preserved;
-    // 2^-64 collision odds), bands use the minimal width 9 that still
-    // guarantees |delta n_chars|<=8 => same-or-adjacent band, and pair
-    // dedup keys on ids only -- arrays ride along as payload, never as
-    // shuffle keys.
+    val t = 0.5
     val sh = shingleRows(Tables.documents(s, d),
         Seq(col("doc_id"), col("n_chars")), col("text"))
       .groupBy(col("doc_id"), col("n_chars"))
-      .agg(collect_set(xxhash64(col("sh"))).as("hs"))
-    val banded = sh.withColumn("band",
-      explode(array(floor(col("n_chars") / 9), floor(col("n_chars") / 9) + 1)))
-    val a = banded.select(col("band"), col("doc_id").as("doc_a"),
-      col("n_chars").as("nc_a"), col("hs").as("hs_a"))
-    val b = banded.select(col("band").as("band_b"), col("doc_id").as("doc_b"),
-      col("n_chars").as("nc_b"), col("hs").as("hs_b"))
-    a.join(b, col("band") === col("band_b") && col("doc_a") < col("doc_b"))
-      .filter(abs(col("nc_a") - col("nc_b")) <= 8)
+      .agg(sort_array(collect_set(xxhash64(col("sh")))).as("hs"))
+    // prefix length n - ceil(t*n) + 1
+    val prefLen = (size(col("hs")) - ceil(size(col("hs")) * t) + 1).cast(IntegerType)
+    val pref = sh.select(col("doc_id"), col("n_chars"),
+      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+    val a = pref.select(col("h"), col("doc_id").as("doc_a"), col("n_chars").as("nc_a"))
+    val b = pref.select(col("h").as("h_b"), col("doc_id").as("doc_b"), col("n_chars").as("nc_b"))
+    val candIds = a.join(b,
+        col("h") === col("h_b") && col("doc_a") < col("doc_b") &&
+        abs(col("nc_a") - col("nc_b")) <= 8)
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    candIds
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -110,18 +110,16 @@ object VectorOps {
   }
 
   /** Sign-bit bucket id of a vector under the hyperplanes (per-row
-    * expression, no shuffle). Known tradeoff: the plane dots are HOF
-    * lambdas (interpreted) — acceptable because bucketing runs once per
-    * row, not per pair; an explode+sum codegen shape is the upgrade if
-    * this scan ever dominates (see SURVEY §6 on HOF costs). */
-  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+    * expression, no shuffle). Plane dots run through the codegen'd
+    * ArrayDotDouble kernel — one cast of the vector to array<double>
+    * shared across all planes. */
+  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
+    val v = vecCol.cast(ArrayType(DoubleType))
     planes.zipWithIndex.map { case (p, j) =>
-      val planeArr = array(p.map(lit): _*)
-      val dot = aggregate(
-        zip_with(vecCol, planeArr, (x, y) => x.cast(DoubleType) * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.plans.VectorKernels.dot_double(v, array(p.map(lit): _*))
       when(dot >= 0, lit(1L << j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** Multi-table LSH buckets: `tables` independent hash tables of
     * `planesPerTable` hyperplanes each. One row per (vector, table) —
