@@ -37,7 +37,8 @@ object SparkEntry {
     "q_union_types"       -> (Relational.unionTypes _),
   ) ++ Relational2.queries ++ Etl.queries ++ TextOps.queries ++
     VectorQueries.queries ++ CustomOps.queries ++ Curation.queries ++
-    Chunking.queries ++ SketchOps.queries ++ AsOfJoinOp.queries
+    Chunking.queries ++ SketchOps.queries ++ AsOfJoinOp.queries ++
+    Cdc.queries ++ Analytics.queries ++ Sampling.queries ++ TextOps2.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
     * bit-identical across engines; ORDER BY pins row order. */
@@ -209,5 +210,6 @@ object SparkEntry {
         |ORDER BY kind""".stripMargin,
   ) ++ Relational2.oracles ++ Etl.oracles ++ TextOps.oracles ++
     VectorQueries.oracles ++ CustomOps.oracles ++ Curation.oracles ++
-    Chunking.oracles ++ AsOfJoinOp.oracles
+    Chunking.oracles ++ AsOfJoinOp.oracles ++
+    Cdc.oracles ++ Analytics.oracles ++ Sampling.oracles ++ TextOps2.oracles
 }

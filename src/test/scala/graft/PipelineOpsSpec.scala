@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Cdc, Sampling, TextOps2}
+
+/** CDC, analytics, sampling, and text-batch-2 operators (the DuckDB
+  * oracle pins full results; these pin the semantic invariants). */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsert: updates win on conflicting keys, base-only keys survive") {
+    val base = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "v", "payload")
+    val upd  = Seq((2L, 20L, "B"), (3L, 5L, "C")).toDF("k", "v", "payload")
+    val out = Cdc.upsert(base, upd, Seq("k"), "v", Seq("payload"))
+      .select($"k", $"payload").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
+  test("upsert: on version tie the tiebreak column decides deterministically") {
+    val base = Seq((1L, 10L, "a")).toDF("k", "v", "payload")
+    val upd  = Seq((1L, 10L, "z")).toDF("k", "v", "payload")
+    val out = Cdc.upsert(base, upd, Seq("k"), "v", Seq("payload"))
+      .select($"payload").as[String].collect().toSeq
+    assert(out == Seq("z")) // desc tiebreak: "z" > "a"
+  }
+
+  test("scd2 intervals chain: valid_to equals the next valid_from, last is open") {
+    val log = Seq((1L, 100L, 1L, "new"), (1L, 200L, 2L, "paid"), (1L, 300L, 3L, "shipped"))
+      .toDF("k", "t", "seq", "status")
+    val out = Cdc.scd2(log, Seq("k"), "t", "seq")
+      .orderBy($"valid_from")
+      .select($"status", $"valid_from", $"valid_to")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(("new", 100L, Some(200L)), ("paid", 200L, Some(300L)),
+      ("shipped", 300L, None)))
+  }
+
+  test("funnel counts are monotone non-increasing across stages") {
+    val (v, c, p) = Analytics.funnelQ(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].head()
+    assert(v >= c && c >= p && v > 0)
+  }
+
+  test("retention: offset-0 cell equals the cohort size") {
+    val ret = Analytics.retentionQ(spark, TestSpark.sf)
+    // every user is active on their own first day
+    val cohorts = ret.filter($"day_offset" === 0)
+      .agg(sum($"n_users")).as[Long].head()
+    val users = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select($"user_id").distinct().count()
+    assert(cohorts == users)
+    assert(ret.filter($"day_offset" < 0).count() == 0)
+  }
+
+  test("hash sampling is deterministic and roughly at the target rate") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val once = Sampling.hashSample(docs, $"doc_id", "3").select($"doc_id")
+      .as[Long].collect().toSet
+    val again = Sampling.hashSample(docs, $"doc_id", "3").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(once == again)
+    val rate = once.size.toDouble / docs.count()
+    assert(rate > 0.10 && rate < 0.28, s"rate=$rate") // target 3/16 = 0.1875
+  }
+
+  test("redact scrubs emails and phone numbers, leaves clean text alone") {
+    val df = Seq(
+      "contact bob.smith+x@example.co.uk today",
+      "call 555-123-4567 now",
+      "nothing sensitive here").toDF("text")
+    val out = df.select(TextOps2.redact($"text")).as[String].collect().toSeq
+    assert(out == Seq("contact <EMAIL> today", "call <PHONE> now",
+      "nothing sensitive here"))
+  }
+
+  test("tfidf ranks a rare term above ubiquitous terms") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "the zebra galloped across the plain")).toDF("doc_id", "text")
+    import graft.sources.Tables
+    // run the same shape as tfidfQ but over an inline corpus
+    val tokens = docs.select($"doc_id",
+      explode(regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("token"))
+    val tf = tokens.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    def score(token: String) = tf.join(dfreq, "token").filter($"token" === token)
+      .select(($"tf".cast("double") * 4 / ($"df" + 1))).as[Double].head()
+    // "zebra": tf=1, df=1 → 2.0; "on": tf=1, df=2 → 4/3 — rarity wins
+    assert(score("zebra") > score("on"))
+  }
+}
