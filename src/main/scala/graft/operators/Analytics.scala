@@ -51,23 +51,23 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
-  /** q_interval_join — events landing inside a per-order window
-    * [o_orderdate, o_orderdate + 7d). Planned as an equi join on the
-    * user key with the range term as residual — shuffles once on
-    * user_id, never builds a time cross product. */
+  /** q_interval_join — events landing inside a per-purchase window
+    * [purchase_ts, purchase_ts + 2h) of the same user. Planned as an
+    * equi join on the user key with the range term as residual —
+    * shuffles once on user_id, never builds a time cross product. */
   def intervalJoinQ(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
-    val ord = Tables.orders(s, d).select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_orderdate").cast(TimestampType).as("w_start"),
-      (col("o_orderdate").cast(TimestampType) + expr("INTERVAL 7 DAYS")).as("w_end"))
-    ev.join(ord,
-        col("user_id") === col("o_custkey") &&
+    val win = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    ev.join(win,
+        col("user_id") === col("w_user") &&
         col("ts") >= col("w_start") && col("ts") < col("w_end"))
-      .groupBy(col("o_orderkey"))
+      .groupBy(col("win_id"))
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("window_value"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("win_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -109,13 +109,16 @@ object Analytics {
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q_interval_join" ->
-      """SELECT o_orderkey, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS window_value
-        |FROM events e JOIN orders o
-        |  ON e.user_id = o.o_custkey
-        | AND e.ts >= o.o_orderdate
-        | AND e.ts < o.o_orderdate + INTERVAL 7 DAY
-        |GROUP BY o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT win_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS window_value
+        |FROM events e JOIN (
+        |  SELECT event_id AS win_id, user_id AS w_user, ts AS w_start,
+        |    ts + INTERVAL 2 HOUR AS w_end
+        |  FROM events WHERE event_type = 'purchase') w
+        |  ON e.user_id = w.w_user
+        | AND e.ts >= w.w_start
+        | AND e.ts < w.w_end
+        |GROUP BY win_id
+        |ORDER BY win_id""".stripMargin,
   )
 }
