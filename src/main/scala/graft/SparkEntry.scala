@@ -38,7 +38,8 @@ object SparkEntry {
   ) ++ Relational2.queries ++ Etl.queries ++ TextOps.queries ++
     VectorQueries.queries ++ CustomOps.queries ++ Curation.queries ++
     Chunking.queries ++ SketchOps.queries ++ AsOfJoinOp.queries ++
-    Cdc.queries ++ Analytics.queries ++ Sampling.queries ++ TextOps2.queries
+    Cdc.queries ++ Analytics.queries ++ Sampling.queries ++ TextOps2.queries ++
+    Fuzzy.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
     * bit-identical across engines; ORDER BY pins row order. */
@@ -211,5 +212,6 @@ object SparkEntry {
   ) ++ Relational2.oracles ++ Etl.oracles ++ TextOps.oracles ++
     VectorQueries.oracles ++ CustomOps.oracles ++ Curation.oracles ++
     Chunking.oracles ++ AsOfJoinOp.oracles ++
-    Cdc.oracles ++ Analytics.oracles ++ Sampling.oracles ++ TextOps2.oracles
+    Cdc.oracles ++ Analytics.oracles ++ Sampling.oracles ++ TextOps2.oracles ++
+    Fuzzy.oracles
 }

@@ -66,4 +66,47 @@ object ZOrder {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Skew-robust variant (SURVEY §9 upgrade): ranks come from
+    * approx-quantile boundaries instead of uniform value widths.
+    *
+    * Under heavy value skew, uniform buckets collapse — nearly every
+    * row lands in bucket 0 and the z-order degenerates to a single-
+    * column sort. Quantile boundaries equalize ROW COUNT per bucket by
+    * construction. The boundary model is <= (2^Bits - 1) doubles per
+    * column collected once on the driver (bounded, scale-independent —
+    * same posture as the IVF centroid model); the rank itself is a
+    * codegen'd comparison chain over boundary literals, null → bucket 0
+    * like the uniform variant. */
+  def withZValueQuantile(df: DataFrame, colA: String, colB: String,
+                         out: String = "__z"): DataFrame = {
+    val n = 1 << Bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val Array(rawA, rawB) =
+      df.stat.approxQuantile(Array(colA, colB), probs, 0.001)
+    def rank(c: String, raw: Array[Double]): Column = {
+      val bounds = raw.distinct.sorted // skew repeats boundaries; dedupe
+      coalesce(
+        bounds.map(b => when(col(c).cast(DoubleType) > b, 1L).otherwise(0L))
+          .reduce(_ + _),
+        lit(0L))
+    }
+    // Materialize ranks before interleave: the bit-interleave references
+    // its rank input 8 times, and inlining a 255-term comparison chain
+    // 8x would explode the codegen'd project (CollapseProject keeps
+    // multiply-referenced non-trivial aliases in their own stage).
+    df.withColumn("__ra", rank(colA, rawA))
+      .withColumn("__rb", rank(colB, rawB))
+      .withColumn(out, interleave(col("__ra"), col("__rb")))
+      .drop("__ra", "__rb")
+  }
+
+  /** Cluster and write with quantile ranks. */
+  def writeZOrderedQuantile(df: DataFrame, colA: String, colB: String,
+                            path: String, numFiles: Int): Unit =
+    withZValueQuantile(df, colA, colB)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -76,6 +76,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       "nothing sensitive here"))
   }
 
+  test("fuzzy match finds exactly the quadratic reference pairs") {
+    val names = Seq("alpha", "alphq", "alpha1", "beta", "betaxx", "gamma")
+      .toDF("p_name")
+    val got = graft.operators.Fuzzy.matchPairs(names, "p_name", maxDist = 2)
+      .select($"name_a", $"name_b", $"dist")
+      .as[(String, String, Long)].collect().toSet
+    // driver-side quadratic reference
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val all = names.as[String].collect()
+    val expected = (for {
+      x <- all; y <- all if x < y
+      dd = lev(x, y) if dd <= 2
+    } yield (x, y, dd.toLong)).toSet
+    assert(got == expected)
+    assert(expected.contains(("alpha", "alphq", 1L)))
+  }
+
   test("tfidf ranks a rare term above ubiquitous terms") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

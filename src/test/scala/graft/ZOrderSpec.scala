@@ -35,6 +35,28 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z(None) != z(Some(100L)))
   }
 
+  test("quantile ranks survive value skew where uniform buckets collapse") {
+    // colB is heavy-tailed: 90% of rows in [0, 4096), 10% outliers near
+    // 1e12. Uniform [min,max] buckets put the whole dense mass in
+    // bucket 0 and all outliers in the top bucket (the tail dominates
+    // the width); quantile boundaries equalize row count per bucket.
+    val df = spark.range(4096).select(
+      $"id".as("a"),
+      when($"id" % 10 < 9, $"id").otherwise(lit(1000000000000L) + $"id").as("b"))
+    val uniform = ZOrder.withZValue(df, "a", "b")
+    val quantile = ZOrder.withZValueQuantile(df, "a", "b")
+    // count distinct b-rank values (even bits of z encode b's rank)
+    def bRanks(z: org.apache.spark.sql.DataFrame): Long = {
+      val evenBits = (0 until ZOrder.Bits).map(i =>
+        shiftright($"__z", 2 * i).bitwiseAND(1) * (1L << i)).reduce(_ + _)
+      z.select(evenBits.as("rb")).distinct().count()
+    }
+    val u = bRanks(uniform)
+    val q = bRanks(quantile)
+    assert(u <= 4, s"uniform buckets should collapse under this tail, got $u ranks")
+    assert(q >= 64, s"expected >= 64 distinct quantile ranks, got $q")
+  }
+
   test("z-ordered files bound BOTH columns; single-sort bounds only one") {
     val li = Tables.lineitem(spark, TestSpark.sf)
       .select($"l_partkey", $"l_suppkey", $"l_orderkey", $"l_quantity")
