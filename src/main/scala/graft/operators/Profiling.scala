@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Data-profiling and time-series statistics: the validation/QA stages
+  * of an ETL pipeline (the reference hard-errors on schema drift and
+  * duplicate days — these operators quantify a dataset before load).
+  *
+  * Scale posture: q_profile is ONE aggregation pass over the table
+  * (all per-column stats as parallel agg expressions + an unpivot of
+  * the single result row); histogram/time-weighted/forward-fill are
+  * single-shuffle grouped or windowed shapes on their natural keys.
+  */
+object Profiling {
+
+  /** q_profile — long-format per-column profile of `events`: row/null/
+    * distinct counts, numeric min/max for numeric columns, lexicographic
+    * min/max for strings. One scan, exact distincts. */
+  def profileQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val agged = ev.agg(
+      count(lit(1)).as("n"),
+      count(col("event_id")).as("nn1"), countDistinct(col("event_id")).as("nd1"),
+      min(col("event_id")).cast(DoubleType).as("mn1"), max(col("event_id")).cast(DoubleType).as("mx1"),
+      count(col("user_id")).as("nn2"), countDistinct(col("user_id")).as("nd2"),
+      min(col("user_id")).cast(DoubleType).as("mn2"), max(col("user_id")).cast(DoubleType).as("mx2"),
+      count(col("value")).as("nn3"), countDistinct(col("value")).as("nd3"),
+      min(col("value")).as("mn3"), max(col("value")).as("mx3"),
+      count(col("event_type")).as("nn4"), countDistinct(col("event_type")).as("nd4"),
+      min(col("event_type")).as("mns4"), max(col("event_type")).as("mxs4"))
+    agged.selectExpr(
+      """stack(4,
+        |  'event_id',  n, n - nn1, nd1, mn1, mx1, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'user_id',   n, n - nn2, nd2, mn2, mx2, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'value',     n, n - nn3, nd3, mn3, mx3, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'event_type', n, n - nn4, nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns4, mxs4
+        |) AS (column_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+      .orderBy(col("column_name"))
+  }
+
+  /** q_histogram — fixed-width value histogram (width 25). */
+  def histogramQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 25).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("bin_sum"))
+      .withColumn("bin_lo", (col("bin") * 25).cast(DoubleType))
+      .select(col("bin"), col("bin_lo"), col("n"), col("bin_sum"))
+      .orderBy(col("bin"))
+
+  /** q_time_weighted — per-user time-weighted mean value over an
+    * irregular event series: each value holds until the next event
+    * (right-open step function; the last event carries no weight).
+    * Weights are integer MILLISECONDS: with ms weights the per-user
+    * decimal sums stay under 2^53, so the decimal→double conversion is
+    * exact in both engines (µs weights pushed sums past 2^53, where the
+    * two engines' decimal→double roundings disagree in the last ulp). */
+  def timeWeightedQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("dt_ms", expr("(lead(t_us, 1) over (partition by user_id order by ts, event_id) - t_us) div 1000"))
+      .filter(col("dt_ms").isNotNull && col("dt_ms") > 0)
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("value").cast(DecimalType(12, 2)) * col("dt_ms")).cast(DoubleType) /
+          sum(col("dt_ms")).cast(DoubleType)).as("tw_avg"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q_forward_fill — daily per-user series on the full day grid with
+    * gaps carried forward from the last observed day (null before the
+    * first observation). The reference's combined_daily leaves gaps as
+    * NULL; this is the imputation stage on top. */
+  def forwardFillQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(sum(col("value").cast(DecimalType(12, 2))).as("dsum"))
+    val days = ev.select(col("day")).distinct()
+    val users = ev.select(col("user_id")).distinct()
+    val grid = users.crossJoin(broadcast(days))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value", last(col("dsum"), ignoreNulls = true).over(w).cast(DoubleType))
+      .withColumn("observed", col("dsum").isNotNull)
+      .select(col("user_id"), col("day"), col("filled_value"), col("observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile"       -> (profileQ _),
+    "q_histogram"     -> (histogramQ _),
+    "q_time_weighted" -> (timeWeightedQ _),
+    "q_forward_fill"  -> (forwardFillQ _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_profile" ->
+      """WITH s AS (SELECT COUNT(*) AS n,
+        |  COUNT(event_id) AS nn1, COUNT(DISTINCT event_id) AS nd1,
+        |  CAST(MIN(event_id) AS DOUBLE) AS mn1, CAST(MAX(event_id) AS DOUBLE) AS mx1,
+        |  COUNT(user_id) AS nn2, COUNT(DISTINCT user_id) AS nd2,
+        |  CAST(MIN(user_id) AS DOUBLE) AS mn2, CAST(MAX(user_id) AS DOUBLE) AS mx2,
+        |  COUNT(value) AS nn3, COUNT(DISTINCT value) AS nd3,
+        |  MIN(value) AS mn3, MAX(value) AS mx3,
+        |  COUNT(event_type) AS nn4, COUNT(DISTINCT event_type) AS nd4,
+        |  MIN(event_type) AS mns4, MAX(event_type) AS mxs4
+        |  FROM events)
+        |SELECT column_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str FROM (
+        |  SELECT 'event_id' AS column_name, n AS n_rows, n - nn1 AS n_null, nd1 AS n_distinct,
+        |    mn1 AS min_num, mx1 AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM s
+        |  UNION ALL
+        |  SELECT 'user_id', n, n - nn2, nd2, mn2, mx2, NULL, NULL FROM s
+        |  UNION ALL
+        |  SELECT 'value', n, n - nn3, nd3, mn3, mx3, NULL, NULL FROM s
+        |  UNION ALL
+        |  SELECT 'event_type', n, n - nn4, nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns4, mxs4 FROM s) t
+        |ORDER BY column_name""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT bin, CAST(bin * 25 AS DOUBLE) AS bin_lo, n, bin_sum FROM (
+        |  SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS bin_sum
+        |  FROM events GROUP BY 1) t
+        |ORDER BY bin""".stripMargin,
+
+    "q_time_weighted" ->
+      """WITH t AS (
+        |  SELECT user_id, value,
+        |    (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - epoch_us(ts)) // 1000 AS dt_ms
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2)) * dt_ms) AS DOUBLE)
+        |    / CAST(SUM(dt_ms) AS DOUBLE) AS tw_avg,
+        |  COUNT(*) AS n_intervals
+        |FROM t WHERE dt_ms IS NOT NULL AND dt_ms > 0
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_forward_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS dsum
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT user_id, day FROM users CROSS JOIN days)
+        |SELECT g.user_id, g.day,
+        |  CAST(last_value(d.dsum IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS filled_value,
+        |  d.dsum IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+  )
+}

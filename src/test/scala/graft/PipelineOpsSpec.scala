@@ -100,6 +100,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expected.contains(("alpha", "alphq", 1L)))
   }
 
+  test("forward fill: unobserved days carry the last observed value") {
+    val out = graft.operators.Profiling.forwardFillQ(spark, TestSpark.sf)
+    // every unobserved day with a prior observation must equal the
+    // previous day's filled value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"day")
+    val bad = out
+      .withColumn("prev", lag($"filled_value", 1).over(w))
+      .filter(!$"observed" && $"filled_value".isNotNull && !($"filled_value" <=> $"prev"))
+    assert(bad.count() == 0)
+    // grid is complete: users x days
+    val users = out.select($"user_id").distinct().count()
+    val days = out.select($"day").distinct().count()
+    assert(out.count() == users * days)
+  }
+
+  test("histogram bins partition the rows exactly") {
+    val h = graft.operators.Profiling.histogramQ(spark, TestSpark.sf)
+    val total = h.agg(sum($"n")).as[Long].head()
+    val rows = graft.sources.Tables.events(spark, TestSpark.sf).count()
+    assert(total == rows)
+  }
+
   test("tfidf ranks a rare term above ubiquitous terms") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
