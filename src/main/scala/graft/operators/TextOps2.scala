@@ -19,22 +19,25 @@ object TextOps2 {
 
   /** q_tfidf — top-3 terms per document by smoothed TF-IDF.
     *
-    * Two shuffles: (doc, token) count, then token document-frequency
-    * joined back (df table is |vocab| rows — broadcast at any corpus
-    * size with a bounded vocab). The idf uses the rational form
-    * tf * (N+1)/(df+1): monotone in the usual log form but exactly
-    * representable, so the oracle compares bit-identically (ln() is
-    * NOT guaranteed identical across libm implementations). */
+    * Document frequency is aggregated from the TF rows and BROADCAST
+    * back: the df table is |vocab| rows (bounded), the broadcast join
+    * adds no shuffle of the TF rows, and partial aggregation shrinks
+    * the df shuffle map-side — measured faster than a count-over-token
+    * window, which re-shuffles every TF row without partial agg.
+    * The idf uses the rational form tf * (N+1)/(df+1): monotone in the
+    * usual log form but exactly representable, so the oracle compares
+    * bit-identically (ln() is NOT guaranteed identical across libm
+    * implementations). */
   def tfidfQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val tokens = docs.select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0))).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df), "token")
+    tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf").cast(DoubleType) * (col("n_docs") + 1) / (col("df") + 1))
