@@ -54,6 +54,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("interval join plans as an equi hash/merge join, never nested-loop") {
+    val p = plan(graft.operators.Analytics.intervalJoinQ(spark, TestSpark.sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("fuzzy match blocks by band: equi join, no cartesian") {
+    val p = plan(graft.operators.Fuzzy.fuzzyMatchQ(spark, TestSpark.sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("stratified sample pushes the lang filter side into the scan") {
+    val p = plan(graft.operators.Sampling.stratifiedSampleQ(spark, TestSpark.sf))
+    // the md5 threshold can't push down, but the plan must stay a single
+    // scan + filter (no join/shuffle)
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"), p)
+    assert(p.contains("Filter"), p)
+  }
+
+  test("upsert is a single shuffle on the merge key (one window, no join)") {
+    val p = plan(graft.operators.Cdc.mergeUpsertQ(spark, TestSpark.sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("tfidf broadcasts document frequency (no shuffle of TF rows for the join)") {
+    val p = plan(graft.operators.TextOps2.tfidfQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("profile is one aggregate pass (no join, single scan of events)") {
+    val p = plan(graft.operators.Profiling.profileQ(spark, TestSpark.sf))
+    assert(!p.contains("Join"), p)
+    // one FileScan of events only
+    assert(p.split("FileScan").length == 2, p)
+  }
+
   test("eventsRange pushes the time bound to the raw nanos scan") {
     val df = graft.sources.Tables.eventsRange(spark, TestSpark.sf,
       1704067200000000L, 1704672000000000L) // 2024-01-01 .. 2024-01-08 UTC
