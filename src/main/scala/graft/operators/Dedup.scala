@@ -88,6 +88,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---- Pair resolution --------------------------------------------------
+
+  /** Resolve near-dup PAIRS into canonical GROUPS: connected components
+    * by iterative min-label propagation (each doc's group id = the
+    * smallest doc id reachable through the pair graph). This is the
+    * step that turns pairwise candidates into "keep one per group" —
+    * without it a dup chain A~B~C dedups inconsistently.
+    *
+    * Scale: one join + one grouped min per iteration, all equi-shaped
+    * on the node id; iterations = graph diameter, which for dedup
+    * graphs is tiny (dup clusters are near-cliques). Convergence is
+    * checked with a bounded LIMIT-1 probe, and labels are
+    * local-checkpointed to keep lineage flat across iterations.
+    * (GraphFrames' alternating large-star/small-star is the upgrade
+    * path for adversarial long-chain graphs.) */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val p = pairs.select(col(idACol).cast(LongType).as("a"),
+      col(idBCol).cast(LongType).as("b"))
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("a") === labels("id"))
+        .select(edges("b").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old"))
+        .limit(1).count() == 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** §2.3#38 — 64-bit SimHash of the token multiset: per bit position,

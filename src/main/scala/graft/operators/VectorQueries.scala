@@ -45,11 +45,18 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** §2.4 — near-dup pairs resolved into canonical dedup groups
+    * (connected components, group id = min reachable vec_id). */
+  def dedupGroupsQ(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(embedNearDupQ(s, d), "id_a", "id_b")
+      .orderBy(col("id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_bruteforce" -> (knnBruteforceQ _),
     "q_embed_neardup"  -> (embedNearDupQ _),
     "q_knn_lsh"        -> (knnLshQ _),
     "q_knn_ivf"        -> (knnIvfQ _),
+    "q_dedup_groups"   -> (dedupGroupsQ _),
   )
 
   /** Integer-quantized dot products (SURVEY.md §5): exact, order-free,
@@ -79,5 +86,28 @@ object VectorQueries {
          |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) p
          |WHERE cos >= 0.3
          |ORDER BY block, id_a, id_b""".stripMargin,
+
+    // Connected components over the near-dup pair graph: DuckDB's
+    // recursive CTE enumerates every (node, reachable-node) pair and the
+    // outer MIN collapses it to the smallest reachable id — the same
+    // fixpoint the iterative min-label propagation converges to.
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE
+         |v0 AS (SELECT label, vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |pr AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      ${dotSql("a.embedding", "b.embedding")} / greatest(sqrt(a.nsq) * sqrt(b.nsq), 1e-9) AS cos
+         |    FROM v0 a JOIN v0 b ON a.label = b.label AND a.vec_id < b.vec_id) p
+         |  WHERE cos >= 0.3),
+         |nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |cc(id, comp) AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a)
+         |SELECT id, MIN(comp) AS comp FROM cc
+         |GROUP BY id
+         |ORDER BY id""".stripMargin,
   )
 }

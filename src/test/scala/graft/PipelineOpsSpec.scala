@@ -76,6 +76,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       "nothing sensitive here"))
   }
 
+  test("connected components resolves chains and keeps islands apart") {
+    // 1-2-3-4-5 is a 4-hop chain (needs >1 propagation round); 10-11 is
+    // a separate island; 20 pairs with itself never appears (no pairs).
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp.size == 7)
+  }
+
   test("fuzzy match finds exactly the quadratic reference pairs") {
     val names = Seq("alpha", "alphq", "alpha1", "beta", "betaxx", "gamma")
       .toDF("p_name")
