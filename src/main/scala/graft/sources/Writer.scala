@@ -28,4 +28,33 @@ object Writer {
     * reads footer metadata only. */
   def existingDays(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     readTable(spark, path).select(col("day")).distinct()
+
+  /** Small-file compaction: rewrite a table into ~`targetBytes` files.
+    *
+    * Incremental appends (one file per micro-batch per partition) decay
+    * scan performance at scale — a 100 TB table appended hourly reads
+    * millions of tiny files, and file-open cost dominates. Compaction
+    * sizes the output from the ACTUAL on-disk bytes (`inputFiles` +
+    * filesystem stat, no data scan), then rewrites with one shuffle.
+    * Returns the output file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(inPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  /** ORC round-trip — same day-partitioned layout as the parquet path
+    * (format breadth: parquet, CSV, JSON raw zone, ORC). */
+  def appendByDayOrc(df: DataFrame, path: String, dayCol: String = "day"): Unit =
+    df.write.mode("append").partitionBy(dayCol).orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -97,4 +97,28 @@ class SourcesSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(!plan.contains("2024-01-01"))
   }
+
+  test("ORC round-trip keeps rows and day partitioning") {
+    val path = Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = Seq((1L, 1.5, "2024-01-01"), (2L, 2.5, "2024-01-02"))
+      .toDF("id", "v", "day")
+    Writer.appendByDayOrc(df, path)
+    val back = Writer.readOrc(spark, path)
+    assert(back.count() == 2)
+    assert(back.filter(col("day") === "2024-01-01").select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+  }
+
+  test("compact rewrites many small files into the computed target count") {
+    val src = Files.createTempDirectory("graft_cmp").toString + "/src"
+    val dst = Files.createTempDirectory("graft_cmp").toString + "/dst"
+    // 64 tiny files
+    spark.range(10000).repartition(64).write.parquet(src)
+    val nIn = spark.read.parquet(src).inputFiles.length
+    assert(nIn == 64)
+    val planned = Writer.compact(spark, src, dst, targetBytes = 512L * 1024)
+    val nOut = spark.read.parquet(dst).inputFiles.length
+    assert(nOut == planned && nOut < nIn, s"in=$nIn out=$nOut planned=$planned")
+    assert(spark.read.parquet(dst).count() == 10000)
+  }
 }
