@@ -25,9 +25,14 @@ object AsOfJoinOp {
     a
   }
 
+  /** Backward as-of join: each left row gets the LAST right row with
+    * the same key and right.time <= left.time, but no older than
+    * `toleranceMicros` (pandas merge_asof semantics; default =
+    * unbounded). */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, leftTime: String,
-           rightKey: String, rightTime: String, rightTie: String): DataFrame = {
+           rightKey: String, rightTime: String, rightTie: String,
+           toleranceMicros: Long = Long.MaxValue): DataFrame = {
     val spark = left.sparkSession
     ColumnBridge.addStrategy(spark, AsOfJoinStrategy)
     val lp = ColumnBridge.logicalPlan(left)
@@ -43,7 +48,24 @@ object AsOfJoinOp {
         right.select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*))
     ColumnBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(lp, leftTime),
-      attr(rp, rightKey), attr(rp, rightTime), attr(rp, rightTie)))
+      attr(rp, rightKey), attr(rp, rightTime), attr(rp, rightTie),
+      toleranceMicros))
+  }
+
+  /** Forward as-of join: the FIRST right row with right.time >=
+    * left.time (within tolerance). Implemented by time negation over
+    * the backward exec — t >= lt ⟺ -t <= -lt, and "first ascending"
+    * becomes "last descending" — so one exec serves both directions. */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, leftTime: String,
+                  rightKey: String, rightTime: String, rightTie: String,
+                  toleranceMicros: Long = Long.MaxValue): DataFrame = {
+    val negL = left.withColumn("__negt", -col(leftTime))
+    val negR = right.withColumn("__negrt", -col(rightTime))
+      .withColumn("__negtie", -col(rightTie))
+    asof(negL, negR, leftKey, "__negt", rightKey, "__negrt", "__negtie",
+        toleranceMicros)
+      .drop("__negt", "__negrt", "__negtie")
   }
 
   /** Same semantics (and same oracle) as Relational.asofJoin, executed
@@ -63,8 +85,25 @@ object AsOfJoinOp {
       .orderBy(col("event_id"))
   }
 
+  /** q_asof_tolerance — each click's most recent purchase by the same
+    * user within 1 day (native exec, bounded-staleness semantics). */
+  def asofToleranceQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("p_id"))
+    asof(clicks, purchases, "user_id", "t_us", "p_user", "p_us", "p_id",
+        toleranceMicros = 86400L * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        col("p_id").as("purchase_id"), col("p_us").as("purchase_t_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_native" -> (asofNativeQ _),
+    "q_asof_native"    -> (asofNativeQ _),
+    "q_asof_tolerance" -> (asofToleranceQ _),
   )
 
   /** The native operator answers the same question as q_asof_join. */
@@ -78,6 +117,19 @@ object AsOfJoinOp {
         |  FROM events e
         |  LEFT JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """SELECT event_id, user_id, purchase_id, purchase_t_us FROM (
+        |  SELECT c.event_id, c.user_id,
+        |    p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_t_us,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON p.user_id = c.user_id AND p.ts <= c.ts
+        |   AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000) t
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
   )

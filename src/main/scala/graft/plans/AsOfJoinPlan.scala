@@ -31,7 +31,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryNode {
+    rightTieBreak: Expression,
+    toleranceMicros: Long = Long.MaxValue) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -42,7 +43,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryExecNode {
+    rightTieBreak: Expression,
+    toleranceMicros: Long = Long.MaxValue) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -77,8 +79,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
       val rBuf = rIt.buffered
       // O(1) state: the current key's best-so-far right row (a copy —
-      // Spark iterators reuse row objects).
+      // Spark iterators reuse row objects) and its time, for the
+      // tolerance check.
       var matchKey = 0L
+      var matchTime = 0L
       var hasMatch = false
       var matchRow: InternalRow = null
 
@@ -99,11 +103,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               val rt = rk.getLong(1)
               if (rkey < k || (rkey == k && rt <= t)) {
                 val r = rBuf.next()
-                if (rkey == k) { matchKey = k; hasMatch = true; matchRow = r.copy() }
+                if (rkey == k) {
+                  matchKey = k; matchTime = rt; hasMatch = true; matchRow = r.copy()
+                }
               } else continue = false
             }
           }
-          val m = if (hasMatch && matchKey == k) matchRow else nullRight
+          // tolerance: a stale match (older than t - tolerance) is no match
+          val m = if (hasMatch && matchKey == k && t - matchTime <= toleranceMicros)
+            matchRow else nullRight
           Iterator.single(resultProj(joined(lRow, m)))
         }
       }
@@ -118,8 +126,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** Planner strategy: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tie, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, tol) :: Nil
     case _ => Nil
   }
 }

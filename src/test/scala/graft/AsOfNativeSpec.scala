@@ -43,6 +43,26 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(rows == Set((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 300L)))
   }
 
+  test("tolerance drops matches older than the bound") {
+    val l = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
+    val r = Seq((1L, 95L, 7L), (1L, 50L, 8L)).toDF("rk", "rt", "payload")
+    val out = AsOfJoinOp.asof(l, r, "k", "t", "rk", "rt", "payload",
+        toleranceMicros = 10L)
+      .select($"t", $"payload").as[(Long, Option[Long])]
+      .collect().toMap
+    // t=100: match rt=95 (age 5 <= 10); t=200: last rt=95 is age 105 -> null
+    assert(out == Map(100L -> Some(7L), 200L -> None))
+  }
+
+  test("forward direction picks the first right row at or after t") {
+    val l = Seq((1L, 100L), (1L, 300L)).toDF("k", "t")
+    val r = Seq((1L, 90L, 1L), (1L, 150L, 2L), (1L, 200L, 3L)).toDF("rk", "rt", "tie")
+    val out = AsOfJoinOp.asofForward(l, r, "k", "t", "rk", "rt", "tie")
+      .select($"t", $"tie").as[(Long, Option[Long])].collect().toMap
+    // t=100 -> first rt >= 100 is 150 (tie 2); t=300 -> none
+    assert(out == Map(100L -> Some(2L), 300L -> None))
+  }
+
   test("tiebreak picks the greatest among equal (key, time)") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L)).toDF("rk", "rt", "tie")
