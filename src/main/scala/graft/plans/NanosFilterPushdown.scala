@@ -38,34 +38,43 @@ object NanosFilterPushdown extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Largest |µs| literal whose ±999ns-slackened nanos bound still fits a
+    * Long. Literals beyond this (e.g. a `ts <= '9999-12-31'` sentinel,
+    * ≈2.53e17 µs) would wrap on *1000 and silently filter everything out,
+    * so derivation is skipped — the original filter alone still applies,
+    * preserving the bit-identical contract. */
+  private val SafeUs = (Long.MaxValue - 999L) / 1000L
+
   private def usLit(e: Expression): Option[Long] = e match {
-    case Literal(v: Long, TimestampType) => Some(v)
+    case Literal(v: Long, TimestampType) if math.abs(v) <= SafeUs => Some(v)
     case _ => None
   }
 
-  /** Derived raw-nanos bound implied by `cmp` (None if not derivable). */
+  /** (raw attr, µs literal) if `a` is the conversion and `b` the literal. */
+  private def pairOf(a: Expression, b: Expression): Option[(Attribute, Long)] =
+    for (attr <- rawOf(a); v <- usLit(b)) yield (attr, v)
+
+  // Bound constructors with ±999ns slack for integer-division rounding.
+  private def rawGeq(a: Attribute, v: Long) = GreaterThanOrEqual(a, Literal(v * 1000 - 999, LongType))
+  private def rawGt(a: Attribute, v: Long)  = GreaterThan(a, Literal(v * 1000 - 999, LongType))
+  private def rawLeq(a: Attribute, v: Long) = LessThanOrEqual(a, Literal(v * 1000 + 999, LongType))
+  private def rawLt(a: Attribute, v: Long)  = LessThan(a, Literal(v * 1000 + 999, LongType))
+
+  /** Derived raw-nanos bound implied by `cmp` (None if not derivable).
+    * Each case tries both operand orders: `converted OP lit` and the
+    * mirrored `lit OP converted` (which flips the bound direction). */
   private def derive(cmp: Expression): Option[Expression] = cmp match {
     // converted >= L  ⟹ raw >= L*1000 - 999 (slack for div rounding)
-    case GreaterThanOrEqual(l, r) => for (a <- rawOf(l); v <- usLit(r))
-      yield GreaterThanOrEqual(a, Literal(v * 1000 - 999, LongType))
-    case GreaterThan(l, r) => for (a <- rawOf(l); v <- usLit(r))
-      yield GreaterThan(a, Literal(v * 1000 - 999, LongType))
-    case LessThanOrEqual(l, r) => for (a <- rawOf(l); v <- usLit(r))
-      yield LessThanOrEqual(a, Literal(v * 1000 + 999, LongType))
-    case LessThan(l, r) => for (a <- rawOf(l); v <- usLit(r))
-      yield LessThan(a, Literal(v * 1000 + 999, LongType))
-    case EqualTo(l, r) => for (a <- rawOf(l); v <- usLit(r))
-      yield And(GreaterThanOrEqual(a, Literal(v * 1000 - 999, LongType)),
-                LessThanOrEqual(a, Literal(v * 1000 + 999, LongType)))
-    // literal-on-the-left mirrors
-    case GreaterThanOrEqual(l, r) if usLit(l).isDefined && rawOf(r).isDefined =>
-      derive(LessThanOrEqual(r, l))
-    case GreaterThan(l, r) if usLit(l).isDefined && rawOf(r).isDefined =>
-      derive(LessThan(r, l))
-    case LessThanOrEqual(l, r) if usLit(l).isDefined && rawOf(r).isDefined =>
-      derive(GreaterThanOrEqual(r, l))
-    case LessThan(l, r) if usLit(l).isDefined && rawOf(r).isDefined =>
-      derive(GreaterThan(r, l))
+    case GreaterThanOrEqual(l, r) =>
+      pairOf(l, r).map((rawGeq _).tupled).orElse(pairOf(r, l).map((rawLeq _).tupled))
+    case GreaterThan(l, r) =>
+      pairOf(l, r).map((rawGt _).tupled).orElse(pairOf(r, l).map((rawLt _).tupled))
+    case LessThanOrEqual(l, r) =>
+      pairOf(l, r).map((rawLeq _).tupled).orElse(pairOf(r, l).map((rawGeq _).tupled))
+    case LessThan(l, r) =>
+      pairOf(l, r).map((rawLt _).tupled).orElse(pairOf(r, l).map((rawGt _).tupled))
+    case EqualTo(l, r) =>
+      pairOf(l, r).orElse(pairOf(r, l)).map { case (a, v) => And(rawGeq(a, v), rawLeq(a, v)) }
     case _ => None
   }
 

@@ -37,6 +37,34 @@ class NanosPushdownSpec extends AnyFunSuite {
     assert(withRule == without && without.nonEmpty)
   }
 
+  test("sentinel literal beyond nanos range derives no bound, results intact") {
+    // ts <= '9999-12-31' is ≈2.53e17 µs; *1000 would wrap negative. The
+    // rule must skip derivation (original filter alone) — not filter out
+    // everything via an overflowed bound.
+    def sentinel() = Tables.events(spark, TestSpark.sf)
+      .filter(col("ts") <= lit("9999-12-31 00:00:00").cast("timestamp"))
+    val without = sentinel().count()
+    NanosFilterPushdown.install(spark)
+    val withRule = try sentinel().count() finally uninstall()
+    assert(withRule == without && without > 0)
+  }
+
+  test("literal-on-the-left mirror derives the flipped bound") {
+    // lit(lo) <= ts  ≡  ts >= lit(lo): the mirrored case must inject a
+    // raw-nanos lower bound into PushedFilters.
+    NanosFilterPushdown.install(spark)
+    try {
+      val df = Tables.events(spark, TestSpark.sf)
+        .filter(lit(lo).cast("timestamp") <= col("ts"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts,"), p)
+      // and values match the unmirrored form
+      val direct = Tables.events(spark, TestSpark.sf)
+        .filter(col("ts") >= lit(lo).cast("timestamp")).count()
+      assert(df.count() == direct && direct > 0)
+    } finally uninstall()
+  }
+
   test("rule is a no-op when no converted-timestamp filter is present") {
     NanosFilterPushdown.install(spark)
     try {
