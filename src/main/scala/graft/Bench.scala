@@ -40,7 +40,14 @@ object Bench {
         .join(broadcast(spark.range(10).toDF("k2")), col("k") === col("k2"))
         .groupBy("k").agg(sum("v")).collect()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated subset for quick iteration; the driver
+    // never sets this, so the official bench always runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failed query must be visibly -1, not its time-to-crash — a
       // "faster" bench that is actually a crashing query is worse than

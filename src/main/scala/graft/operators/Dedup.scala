@@ -134,24 +134,21 @@ object Dedup {
   /** §2.3#38 — 64-bit SimHash of the token multiset: per bit position,
     * sign of the sum of ±1 votes from each token's xxhash64.
     *
-    * Computed by explode + 64 codegen'd SUM columns (with map-side
-    * partial aggregation) rather than 64 per-row `aggregate()` lambdas —
-    * higher-order-function lambdas evaluate interpreted, which measured
-    * ~10x slower at 5k docs. One shuffle on the doc id, partial-agg'd,
-    * so it scales with corpus size not token count. */
+    * Computed by explode + ONE native vote-vector aggregate
+    * (`SimHashAgg`, a TypedImperativeAggregate over a long[64] buffer)
+    * with map-side partial aggregation. Earlier formulations — 64
+    * per-row `aggregate()` lambdas (interpreted, ~10x slower) and 64
+    * separate SUM(CASE) columns (generated update method so large it
+    * fell off the JIT cliff nondeterministically: 2.3s vs 9.8s across
+    * rounds with unchanged code) — are both retired. One shuffle on
+    * the doc id, 512-byte partial buffers, so it scales with corpus
+    * size not token count. */
   def simhashDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitAggs = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$bit")
-    }
-    val sim = (0 until 64).map { bit =>
-      when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    toks.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("id"), sim.as("sim"))
+    toks.groupBy(col("id"))
+      .agg(graft.plans.SimHashAgg.simhash(col("h")).as("sim"))
   }
 
   /** SimHash near-dup pairs: bucket by 16-bit bands (4 bands → finds all
