@@ -91,42 +91,105 @@ object Dedup {
   // ---- Pair resolution --------------------------------------------------
 
   /** Resolve near-dup PAIRS into canonical GROUPS: connected components
-    * by iterative min-label propagation (each doc's group id = the
-    * smallest doc id reachable through the pair graph). This is the
-    * step that turns pairwise candidates into "keep one per group" —
-    * without it a dup chain A~B~C dedups inconsistently.
+    * (each doc's group id = the smallest doc id reachable through the
+    * pair graph). This is the step that turns pairwise candidates into
+    * "keep one per group" — without it a dup chain A~B~C dedups
+    * inconsistently.
     *
-    * Scale: one join + one grouped min per iteration, all equi-shaped
-    * on the node id; iterations = graph diameter, which for dedup
-    * graphs is tiny (dup clusters are near-cliques). Convergence is
-    * checked with a bounded LIMIT-1 probe, and labels are
-    * local-checkpointed to keep lineage flat across iterations.
-    * (GraphFrames' alternating large-star/small-star is the upgrade
-    * path for adversarial long-chain graphs.) */
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log²n)-round scheme that handles long chains, where plain
+    * min-label propagation needs diameter rounds. Edges are kept
+    * canonical (hi → lo); each pass is one window-min shuffle plus a
+    * distinct, no arrays and no joins, so a high-degree node never
+    * materializes its neighborhood in memory.
+    *
+    * Exactly ONE action per iteration: the new edge set is lazily
+    * checkpointed (plan truncation is mandatory here — each pass embeds
+    * its input plan ~4x, so without it the logical plan grows 4^i and
+    * the driver OOMs optimizing it around iteration 10) and a
+    * (count, xxhash64-xor) fingerprint is aggregated by the same action
+    * that materializes it. A star graph is a fixpoint of both passes,
+    * so an unchanged fingerprint across one iteration means convergence
+    * (false convergence would need a 64-bit hash-xor collision between
+    * different edge multisets, ~2^-64 per check). Superseded iteration
+    * blocks are reclaimed by the ContextCleaner once unreferenced.
+    *
+    * Fault tolerance at cluster scale: `localCheckpoint` blocks die
+    * with their executor, so by default a lost executor mid-run fails
+    * the job (locally: never happens). With `durable = true` each
+    * iteration writes a reliable checkpoint instead (requires
+    * `sparkContext.setCheckpointDir` to a cluster-visible path) — the
+    * 100 TB / 1000-executor setting where a lost block must not
+    * restart a 20-iteration job from zero. */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val p = pairs.select(col(idACol).cast(LongType).as("a"),
-      col(idBCol).cast(LongType).as("b"))
-    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+                          maxIter: Int = 20, durable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    def truncate(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+
+    val p0 = pairs.select(col(idACol).cast(LongType).as("x"),
+        col(idBCol).cast(LongType).as("y"))
+      .filter(col("x") =!= col("y"))
+    val edges0 = truncate(p0.select(greatest(col("x"), col("y")).as("hi"),
+        least(col("x"), col("y")).as("lo"))
+      .distinct())
+    // every node of the input graph, for the final label join — derived
+    // from the materialized edge set, NOT from `pairs`, so an expensive
+    // upstream pair query (e.g. embedding near-dup) runs once
+    val nodes = edges0.select(col("hi").as("id"))
+      .union(edges0.select(col("lo").as("id"))).distinct()
+    var edges = edges0
+
+    /** Large-star: each node u connects its LARGER neighbors to
+      * m = min(Γ(u) ∪ {u}). Small-star: each hi-end connects its
+      * (all smaller) neighbors and itself to m = min(Γ(hi)). Both emit
+      * canonical hi > lo edges by construction. */
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = least(min(col("v")).over(Window.partitionBy(col("u"))), col("u"))
+      sym.select(col("u"), col("v"), m.as("m"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = min(col("lo")).over(Window.partitionBy(col("hi")))
+      val withM = e.select(col("hi"), col("lo"), m.as("m"))
+      withM.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(withM.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
     var i = 0
     var converged = false
+    var prevStats: (Long, Long) = null
     while (!converged && i < maxIter) {
-      val prop = edges.join(labels, edges("a") === labels("id"))
-        .select(edges("b").as("id"), col("comp"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old"))
-        .limit(1).count() == 0
-      labels = next
+      val next = truncate(smallStar(largeStar(edges)))
+      // the ONE action: materializes the checkpoint and yields the
+      // convergence fingerprint from the same job.
+      // bit_xor, not sum: order-independent, and cannot overflow under
+      // ANSI arithmetic (edge sets are distinct so nothing cancels)
+      val row = next.agg(count(lit(1)), bit_xor(xxhash64(col("hi"), col("lo")))).first()
+      val stats = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      edges = next
+      converged = stats == prevStats
+      prevStats = stats
       i += 1
     }
-    labels
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations")
+    // fixpoint is a star graph: every non-root points straight at its
+    // component min; roots and isolated nodes label themselves.
+    // (The final edge set stays checkpointed — the returned plan reads
+    // it lazily, so dropping it here would recompute the whole chain.)
+    nodes.join(edges.select(col("hi").as("id"), col("lo").as("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   // ---- SimHash ----------------------------------------------------------
