@@ -24,10 +24,13 @@ object TextOps2 {
     * adds no shuffle of the TF rows, and partial aggregation shrinks
     * the df shuffle map-side — measured faster than a count-over-token
     * window, which re-shuffles every TF row without partial agg.
-    * The idf uses the rational form tf * (N+1)/(df+1): monotone in the
-    * usual log form but exactly representable, so the oracle compares
-    * bit-identically (ln() is NOT guaranteed identical across libm
-    * implementations). */
+    * The score uses the rational form tf * (N+1)/(df+1) — a deliberate
+    * variant of log TF-IDF chosen for exact cross-engine
+    * representability (ln() is NOT guaranteed identical across libm
+    * implementations). It is NOT order-equivalent to tf * log-idf:
+    * e.g. (tf=1, ratio=100) vs (tf=10, ratio=2) rank differently under
+    * the two forms. Parity holds because the oracle computes the
+    * identical rational score. */
   def tfidfQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.select(count(lit(1)).as("n_docs"))

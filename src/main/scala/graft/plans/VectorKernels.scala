@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -23,6 +24,23 @@ import org.apache.spark.sql.types._
   */
 abstract class ArrayKernelExpression extends BinaryExpression {
   override def nullable: Boolean = true // element nulls / length mismatch
+
+  /** Required element type of both input arrays. */
+  def elementType: DataType
+
+  /** Analysis-time type check: without it, binding e.g. an array<int>
+    * column to a long kernel passes analysis and reads garbage through
+    * ArrayData.getLong at runtime. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(et, _) => et == elementType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<${elementType.simpleString}> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   /** Fully-qualified static kernel, returning a boxed value or null. */
   def kernel: String
@@ -49,6 +67,7 @@ abstract class ArrayKernelExpression extends BinaryExpression {
 case class ArrayDotLong(left: Expression, right: Expression)
     extends ArrayKernelExpression {
   override def dataType: DataType = LongType
+  override def elementType: DataType = LongType
   override def prettyName: String = "graft_dot_long"
   override def kernel: String = "graft.plans.VectorKernels.dotLong"
   override def boxedType: String = "java.lang.Long"
@@ -66,6 +85,7 @@ case class ArrayDotLong(left: Expression, right: Expression)
 case class ArrayDotDouble(left: Expression, right: Expression)
     extends ArrayKernelExpression {
   override def dataType: DataType = DoubleType
+  override def elementType: DataType = DoubleType
   override def prettyName: String = "graft_dot_double"
   override def kernel: String = "graft.plans.VectorKernels.dotDouble"
   override def boxedType: String = "java.lang.Double"
@@ -83,6 +103,7 @@ case class ArrayDotDouble(left: Expression, right: Expression)
 case class ArrayL2Sq(left: Expression, right: Expression)
     extends ArrayKernelExpression {
   override def dataType: DataType = DoubleType
+  override def elementType: DataType = DoubleType
   override def prettyName: String = "graft_l2sq"
   override def kernel: String = "graft.plans.VectorKernels.l2Sq"
   override def boxedType: String = "java.lang.Double"

@@ -37,6 +37,17 @@ class VectorKernelSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some(11L), 2L -> None, 3L -> None, 4L -> None))
   }
 
+  test("mis-typed input fails analysis instead of reading garbage") {
+    val ints = Seq((1, Seq(1, 2), Seq(3, 4))).toDF("id", "a", "b")
+    val e = intercept[Exception] {
+      ints.select(dot_long($"a", $"b")).collect() // array<int> into a long kernel
+    }
+    assert(e.getMessage.contains("graft_dot_long"), e.getMessage)
+    // and the documented usage — an explicit cast — still analyzes
+    ints.select(dot_long($"a".cast("array<long>"), $"b".cast("array<long>")))
+      .collect()
+  }
+
   test("dot_double and l2_sq match driver-side arithmetic bit-for-bit") {
     val a = Array(1.5, -2.25, 3.0)
     val b = Array(0.5, 4.0, -1.25)
