@@ -49,6 +49,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("native as-of join runs inside a whole-stage codegen span") {
+    val df = graft.operators.AsOfJoinOp.asofNativeQ(spark, TestSpark.sf)
+    df.collect() // AQE finalizes (and codegens) stages only on execution
+    val p = plan(df)
+    // the exec itself must carry a *(n) stage marker — not just its inputs
+    assert(p.linesIterator.exists(l => l.contains("AsOfJoin") && l.contains("*(")), p)
+  }
+
   test("q18 keeps the having filter after partial aggregation, no cartesian") {
     val p = plan(Relational2.q18LargeOrders(spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct"), p)
