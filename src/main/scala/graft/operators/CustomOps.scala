@@ -13,9 +13,10 @@ import graft.sources.Tables
   * preference (b) — native Expression; typed Aggregator). */
 object CustomOps {
 
-  /** Native rolling-minhash fingerprint per document (rows-only oracle —
-    * the hash is graft-specific; the spec pins it against a driver-side
-    * reference implementation and the interpreted eval path). */
+  /** Native rolling-minhash fingerprint per document. Oracle-backed:
+    * the DuckDB side replays the same Karp-Rabin + splitmix64 kernel
+    * with 64-bit wraparound emulated in HUGEINT (see oracles below);
+    * the spec additionally pins interpreted == codegen. */
   def rollingFingerprintQ(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -63,6 +64,49 @@ object CustomOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Karp-Rabin rolling min-hash replayed in DuckDB: the corpus is
+    // pure ASCII (verified: octet_length == length for every doc), so
+    // ascii(substr) reads the same bytes the Scala kernel sees, and
+    // 64-bit wraparound arithmetic is emulated in HUGEINT — products
+    // of two 64-bit operands split at 2^32 so nothing exceeds int128.
+    // Constants: 1000003^(7-j) mod 2^64, and the splitmix64 finalizer.
+    // Docs shorter than k=8 take the kernel's Long.MaxValue sentinel.
+    "q_rolling_fingerprint" -> {
+      val M = "18446744073709551616"
+      val C = Seq("12924618581234127435", "10923514805226455897",
+        "14453212906556403763", "14003818205314896721",
+        "1000009000027000027", "1000006000009", "1000003", "1")
+      val gram = C.zipWithIndex.map { case (c, j) =>
+        s"CAST(ascii(substr(text, p+$j, 1)) AS HUGEINT) * $c"
+      }.mkString(" + ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, lang, text, unnest(range(1, length(text) - 6)) AS p
+         |  FROM documents WHERE length(text) >= 8),
+         |g AS (
+         |  SELECT doc_id, lang, ($gram) % $M AS h FROM pos),
+         |mx AS (
+         |  SELECT doc_id, lang,
+         |    (h + 11400714819323198485) % $M AS z0,
+         |    xor(z0, z0 >> 30) AS t1,
+         |    ((t1 % 4294967296) * 13787848793156543929
+         |      + (((t1 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % $M AS z1,
+         |    xor(z1, z1 >> 27) AS t2,
+         |    ((t2 % 4294967296) * 10724457036175037673
+         |      + (((t2 // 4294967296) * 10724457036175037673) % 4294967296) * 4294967296) % $M AS z2,
+         |    xor(z2, z2 >> 31) AS z3,
+         |    -- to SIGNED before min: the Scala kernel minimizes over
+         |    -- Long comparisons, where the high bit means negative
+         |    CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - $M
+         |              ELSE z3 END AS BIGINT) AS z3s
+         |  FROM g),
+         |agg AS (
+         |  SELECT doc_id, min(z3s) AS mn FROM mx GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  COALESCE(a.mn, 9223372036854775807) AS fp
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "q_sample_per_group" ->
       """SELECT lang, rn, doc_id FROM (
         |  SELECT lang, doc_id,

