@@ -59,7 +59,8 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, salt: Int = 1): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     // Hash each shingle to a long ONCE (exploded codegen'd shingles, one
     // grouped agg computing the signature mins AND the distinct-hash set
     // together); both the signature and the Jaccard verify run on the
@@ -76,9 +77,20 @@ object Dedup {
       .withColumn("sig", array((0 until numPerm).map(i => col(s"__m$i")): _*))
     val banded = sh
       .withColumn("band", explode(bandHashes(col("sig"), numPerm, bands)))
+    // Band hashes are content-derived, so a heavily-duplicated shard of
+    // the corpus piles one bucket onto one shuffle partition. salt > 1
+    // spreads the hot bucket: the probe side takes a per-row salt, the
+    // build side replicates each row across all salts — every colliding
+    // pair still meets exactly once (at the probe row's salt), so the
+    // result is row-identical to the unsalted join at |build| x salt
+    // replication cost. AQE's skew split covers moderate skew; this is
+    // the explicit control for adversarial corpora (see DedupSpec).
     val a = banded.select(col("band"), col("id").as("id_a"), col("hs").as("hs_a"))
+      .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salt.toLong)))
     val b = banded.select(col("band").as("band_b"), col("id").as("id_b"), col("hs").as("hs_b"))
-    a.join(b, col("band") === col("band_b") && col("id_a") < col("id_b"))
+      .withColumn("__salt_b", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    a.join(b, col("band") === col("band_b") && col("__salt") === col("__salt_b") &&
+        col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",

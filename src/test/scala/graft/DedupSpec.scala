@@ -40,6 +40,28 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.agg(sum($"n_copies")).as[Long].head == docs.count())
   }
 
+
+  test("salted band join is pair-identical on a skewed corpus and spreads the hot bucket") {
+    // Adversarial shard: 120 copies of one document (all band hashes
+    // collide -> one hot bucket) plus distinct filler docs.
+    val hot = (0L until 120L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val cold = (200L until 260L).map(i =>
+      (i, s"unique filler document number $i with its own words ${i * 7} and ${i * 13}"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val plain  = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val salted = Dedup.minhashNearDups(docs, "doc_id", "text", salt = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(salted == plain && plain.size >= 120 * 119 / 2)
+    // the scale property: the per-row salt splits one join key into ~8,
+    // so the largest (band, salt) shuffle bucket shrinks accordingly
+    val salts = docs.select(pmod(xxhash64($"doc_id"), lit(8L)).as("s"))
+      .groupBy($"s").count().as[(Long, Long)].collect().toMap
+    assert(salts.size == 8 && salts.values.max <= 2L * 180 / 8,
+      s"hot bucket not spread: $salts")
+  }
+
   test("SimHash flags the planted near-dups as candidates") {
     val found = Dedup.simhashNearDups(Tables.documents(spark, TestSpark.sf),
         "doc_id", "text", maxHamming = 10)
