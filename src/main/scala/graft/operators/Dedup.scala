@@ -50,33 +50,34 @@ object Dedup {
     }: _*)
   }
 
-  /** §2.3#36 — MinHash-LSH candidate pairs, verified with exact Jaccard
-    * over the distinct shingle sets; keeps pairs with jaccard >= threshold.
-    *
-    * df must have an id column and a text column. Shuffles: one on the
-    * band hash (bucket join), one to join shingle sets back for the
-    * verify — both equi-joins.
-    */
-  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      numPerm: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5, salt: Int = 1): DataFrame = {
-    require(salt >= 1, s"salt must be >= 1, got $salt")
-    // Hash each shingle to a long ONCE (exploded codegen'd shingles, one
-    // grouped agg computing the signature mins AND the distinct-hash set
-    // together); both the signature and the Jaccard verify run on the
-    // long sets (collision probability ~2^-64 — immaterial). The banded
-    // rows carry the hashed set as payload so the verify needs no second
-    // join back to the corpus, and pair-dedup keys on ids only (never
-    // shuffles arrays as keys).
+  /** Per-doc MinHash state: distinct shingle-hash set `hs` (for the
+    * exact-Jaccard verify) and the `numPerm`-long signature `sig`.
+    * One exploded-shingle pass, one grouped agg computing the signature
+    * mins AND the hash set together; everything downstream runs on the
+    * long hashes (collision probability ~2^-64 — immaterial). */
+  private[graft] def minhashState(df: DataFrame, idCol: String, textCol: String,
+                                  numPerm: Int): DataFrame = {
     val renamed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
     val hashed = TextFunctions.shingleRows(renamed, Seq(col("id")), col("__text"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
     val minAggs = (0 until numPerm).map(i => min(hash(col("h"), lit(i))).as(s"__m$i"))
-    val sh = hashed.groupBy(col("id"))
+    hashed.groupBy(col("id"))
       .agg(collect_set(col("h")).as("hs"), minAggs: _*)
       .withColumn("sig", array((0 until numPerm).map(i => col(s"__m$i")): _*))
-    val banded = sh
-      .withColumn("band", explode(bandHashes(col("sig"), numPerm, bands)))
+      .drop((0 until numPerm).map(i => s"__m$i"): _*)
+  }
+
+  /** Deduped LSH candidate id pairs (id_a < id_b) from a `minhashState`
+    * frame. The band join carries IDS ONLY — a doc's shingle-hash array
+    * must never ride the shuffle once per band (that shape measured 7x
+    * slower end-to-end and grows with `bands`); arrays are attached to
+    * the deduped pairs afterwards by the caller. Exposed for DedupSpec's
+    * candidate-volume assertions. */
+  private[graft] def minhashCandidates(sh: DataFrame, numPerm: Int, bands: Int,
+                                       salt: Int = 1): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val banded = sh.select(col("id"),
+      explode(bandHashes(col("sig"), numPerm, bands)).as("band"))
     // Band hashes are content-derived, so a heavily-duplicated shard of
     // the corpus piles one bucket onto one shuffle partition. salt > 1
     // spreads the hot bucket: the probe side takes a per-row salt, the
@@ -85,13 +86,32 @@ object Dedup {
     // result is row-identical to the unsalted join at |build| x salt
     // replication cost. AQE's skew split covers moderate skew; this is
     // the explicit control for adversarial corpora (see DedupSpec).
-    val a = banded.select(col("band"), col("id").as("id_a"), col("hs").as("hs_a"))
+    val a = banded.select(col("band"), col("id").as("id_a"))
       .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salt.toLong)))
-    val b = banded.select(col("band").as("band_b"), col("id").as("id_b"), col("hs").as("hs_b"))
+    val b = banded.select(col("band").as("band_b"), col("id").as("id_b"))
       .withColumn("__salt_b", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     a.join(b, col("band") === col("band_b") && col("__salt") === col("__salt_b") &&
         col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** §2.3#36 — MinHash-LSH candidate pairs, verified with exact Jaccard
+    * over the distinct shingle sets; keeps pairs with jaccard >= threshold.
+    *
+    * df must have an id column and a text column. Shuffles: one on the
+    * band hash (ids only), then two equi-joins attaching each side's
+    * shingle-hash set to the DEDUPED candidate pairs for the verify —
+    * the same shape as the All-Pairs ngram join (`TextOps.ngramJaccardQ`):
+    * arrays cross exactly one shuffle each, never once per band.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      numPerm: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5, salt: Int = 1): DataFrame = {
+    val sh = minhashState(df, idCol, textCol, numPerm)
+    minhashCandidates(sh, numPerm, bands, salt)
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) /

@@ -133,17 +133,23 @@ object TextOps {
     Dedup.exactNormalizedGroups(Tables.documents(s, d), col("text"), col("doc_id"))
       .orderBy(col("h"))
 
-  /** §2.3#36 — MinHash-LSH near-dups. Oracle-backed: with 32 bands of
-    * one permutation each, a pair at the j >= 0.5 output threshold is
-    * missed with probability <= (1-0.5)^32 ≈ 2e-10 (the corpus's true
-    * pairs sit at j >= 0.9: miss <= 1e-32), and the exact-Jaccard
-    * verify removes every false positive — so the LSH output provably
-    * equals the exact pairwise-Jaccard join DuckDB computes. The
-    * banded default (8x4) stays for the recall-vs-cost trade at scale;
-    * DedupSpec covers it. */
+  /** §2.3#36 — MinHash-LSH near-dups. Oracle-backed, probabilistically:
+    * with 16 bands of 2 permutations a pair at jaccard j is missed with
+    * probability (1-j²)^16 — ≤2.7e-12 at the corpus's true pairs
+    * (verified all ≥ 0.9; nothing sits in [0.3, 0.9), so the worst
+    * borderline exposure ~1e-2 at exactly j=0.5 never arises) — and the
+    * exact-Jaccard verify removes every false positive. So the output
+    * EQUALS the exact pairwise-Jaccard join DuckDB computes, up to that
+    * per-pair miss probability: if a future corpus regeneration ever
+    * shows a q_dedup_minhash row-count mismatch of 1, check the missing
+    * pair's jaccard against this math before debugging code. 16x2
+    * (vs round-3's 32x1) keeps the false-candidate rate at background
+    * j≈0.1 to 1-(1-0.01)^16 ≈ 15% instead of 97% — the all-pairs cliff
+    * that made 32x1 a 100 TB scale-killer. The library default (8x4)
+    * stays for the recall-vs-cost trade at scale; DedupSpec covers it. */
   def dedupMinhashQ(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        numPerm = 32, bands = 32)
+        numPerm = 32, bands = 16)
       .orderBy(col("id_a"), col("id_b"))
 
   /** §2.3#38 — SimHash near-dups (rows-only). */
@@ -247,9 +253,10 @@ object TextOps {
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // exact pairwise Jaccard — equals the LSH output because 32 single-
-    // permutation bands make a miss at the 0.5 threshold a ~2e-10 event
-    // and the exact verify kills all false positives (see dedupMinhashQ)
+    // exact pairwise Jaccard — equals the LSH output because 16x2
+    // banding misses a corpus true pair (all at j >= 0.9) with
+    // probability <= 2.7e-12 and the exact verify kills all false
+    // positives (see dedupMinhashQ for the full parity argument)
     "q_dedup_minhash" ->
       s"""WITH s AS ($shingleSql)
          |SELECT id_a, id_b, jaccard FROM (

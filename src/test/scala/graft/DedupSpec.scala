@@ -62,6 +62,38 @@ class DedupSpec extends AnyFunSuite {
       s"hot bucket not spread: $salts")
   }
 
+  test("16x2 banding keeps candidate volume off the all-pairs cliff at background j≈0.1") {
+    // Adversarial corpus for single-row bands: EVERY pair overlaps a
+    // little. 120 docs sharing a 20-word backbone + 80 unique words
+    // each -> every pair sits at j = 18/178 ≈ 0.10, plus one planted
+    // true pair at j ≈ 0.94. Round 3 registered 32 bands x 1 row,
+    // where P(candidate) = 1-(1-j)^32 ≈ 97% at j=0.1 — candidate
+    // generation degenerates to all-pairs and the band join can never
+    // survive a 100x corpus. 16 bands x 2 rows puts a j² inside each
+    // band: P = 1-(1-j²)^16 ≈ 15%, while a true pair at j ≥ 0.9 is
+    // still missed only with probability (1-0.81)^16 ≈ 2.7e-12.
+    val backbone = (0 until 20).map(i => s"shared$i").mkString(" ")
+    val base = (0L until 120L).map(i =>
+      (i, backbone + " " + (0 until 80).map(k => s"u${i}w$k").mkString(" ")))
+    val nearDup = Seq(
+      (900L, (0 until 100).map(k => s"pair$k").mkString(" ")),
+      (901L, (0 until 100).map(k => if (k == 50) "changed" else s"pair$k").mkString(" ")))
+    val docs = (base ++ nearDup).toDF("doc_id", "text")
+    val allPairs = 122L * 121L / 2L
+
+    val sh = Dedup.minhashState(docs, "doc_id", "text", numPerm = 32)
+    val cand16x2 = Dedup.minhashCandidates(sh, 32, bands = 16).count()
+    val cand32x1 = Dedup.minhashCandidates(sh, 32, bands = 32).count()
+    assert(cand16x2 < allPairs * 3 / 10,
+      s"16x2 candidates $cand16x2 vs all pairs $allPairs — off the cliff")
+    assert(cand32x1 > allPairs * 8 / 10,
+      s"expected 32x1 to demonstrate the all-pairs cliff, got $cand32x1/$allPairs")
+    // and the recall side: the planted true pair still comes through
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text", bands = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((900L, 901L)))
+  }
+
   test("SimHash flags the planted near-dups as candidates") {
     val found = Dedup.simhashNearDups(Tables.documents(spark, TestSpark.sf),
         "doc_id", "text", maxHamming = 10)
