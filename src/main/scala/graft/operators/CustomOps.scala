@@ -65,8 +65,11 @@ object CustomOps {
 
   val oracles: Map[String, String] = Map(
     // Karp-Rabin rolling min-hash replayed in DuckDB: the corpus is
-    // pure ASCII (verified: octet_length == length for every doc), so
-    // ascii(substr) reads the same bytes the Scala kernel sees, and
+    // pure ASCII — ENFORCED by the guard CTE, which hard-errors the
+    // oracle run if a regenerated corpus ever contains a multi-byte
+    // character (ascii(substr) reads code points; the Scala kernel
+    // reads UTF-8 bytes, so the replay is byte-faithful only on
+    // ASCII) — so ascii(substr) reads the same bytes the kernel sees, and
     // 64-bit wraparound arithmetic is emulated in HUGEINT — products
     // of two 64-bit operands split at 2^32 so nothing exceeds int128.
     // Constants: 1000003^(7-j) mod 2^64, and the splitmix64 finalizer.
@@ -79,7 +82,12 @@ object CustomOps {
       val gram = C.zipWithIndex.map { case (c, j) =>
         s"CAST(ascii(substr(text, p+$j, 1)) AS HUGEINT) * $c"
       }.mkString(" + ")
-      s"""WITH pos AS (
+      s"""WITH guard AS (
+         |  SELECT CASE WHEN count(*) > 0 THEN error(
+         |      'q_rolling_fingerprint oracle requires a pure-ASCII corpus')
+         |    ELSE 0 END AS ok
+         |  FROM documents WHERE octet_length(encode(text)) <> length(text)),
+         |pos AS (
          |  SELECT doc_id, lang, text, unnest(range(1, length(text) - 6)) AS p
          |  FROM documents WHERE length(text) >= 8),
          |g AS (
@@ -104,6 +112,8 @@ object CustomOps {
          |SELECT d.doc_id, d.lang,
          |  COALESCE(a.mn, 9223372036854775807) AS fp
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |CROSS JOIN guard
+         |WHERE guard.ok = 0
          |ORDER BY d.doc_id""".stripMargin
     },
 

@@ -227,7 +227,13 @@ object Dedup {
   // ---- SimHash ----------------------------------------------------------
 
   /** §2.3#38 — 64-bit SimHash of the token multiset: per bit position,
-    * sign of the sum of ±1 votes from each token's xxhash64.
+    * sign of the sum of ±1 votes from each token's 64-bit hash.
+    *
+    * The token hash is [[graft.plans.PolyHash64]] (byte polynomial +
+    * splitmix64) rather than xxhash64 — bit-quality is equivalent for
+    * voting, and the kernel is replayable in the DuckDB oracle's
+    * HUGEINT arithmetic, which is what turns this query from rows-only
+    * into hash-exact oracle-backed.
     *
     * Computed by explode + ONE native vote-vector aggregate
     * (`SimHashAgg`, a TypedImperativeAggregate over a long[64] buffer)
@@ -241,7 +247,7 @@ object Dedup {
   def simhashDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", graft.plans.PolyHash64.poly_hash64(col("tok")))
     toks.groupBy(col("id"))
       .agg(graft.plans.SimHashAgg.simhash(col("h")).as("sim"))
   }

@@ -135,9 +135,10 @@ object TextOps {
 
   /** §2.3#36 — MinHash-LSH near-dups. Oracle-backed, probabilistically:
     * with 16 bands of 2 permutations a pair at jaccard j is missed with
-    * probability (1-j²)^16 — ≤2.7e-12 at the corpus's true pairs
-    * (verified all ≥ 0.9; nothing sits in [0.3, 0.9), so the worst
-    * borderline exposure ~1e-2 at exactly j=0.5 never arises) — and the
+    * probability (1-j²)^16 — measured across the corpus: every true
+    * pair is ≥ 0.9 at sf0.01 (miss ≤ 2.7e-12) and ≥ 0.8 at sf0.1
+    * (miss ≤ 8.5e-8), with nothing in [0.3, 0.8), so the worst
+    * borderline exposure ~1e-2 at exactly j=0.5 never arises — and the
     * exact-Jaccard verify removes every false positive. So the output
     * EQUALS the exact pairwise-Jaccard join DuckDB computes, up to that
     * per-pair miss probability: if a future corpus regeneration ever
@@ -152,7 +153,12 @@ object TextOps {
         numPerm = 32, bands = 16)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** §2.3#38 — SimHash near-dups (rows-only). */
+  /** §2.3#38 — SimHash near-dups. Oracle-backed and EXACT (not
+    * probabilistic): 4 bands of 16 bits find every pair at hamming <= 3
+    * by pigeonhole (3 differing bits cannot touch all 4 bands), and the
+    * verify keeps only hamming <= 3 — so the banded output equals the
+    * all-pairs hamming join the oracle computes, which replays the
+    * PolyHash64 → ±1 votes → sign-bit pipeline in HUGEINT. */
   def dedupSimhashQ(s: SparkSession, d: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
@@ -266,6 +272,64 @@ object TextOps {
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id) p
          |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // SimHash replayed end-to-end in HUGEINT: token byte-polynomial +
+    // splitmix64 (the q_rolling_fingerprint recipe: 64x64-bit products
+    // split at 2^32 so nothing exceeds int128), ±1 votes per bit over
+    // the token MULTISET, sign fold (strictly-positive = bit set, ties
+    // -> 0 matching SimHashAgg.eval), then the exact all-pairs
+    // hamming <= 3 join — equal to Spark's banded join by pigeonhole
+    // (see dedupSimhashQ). The guard CTE hard-errors if the corpus ever
+    // stops being pure ASCII, because ascii(substr) reads code points
+    // while the Scala kernel reads UTF-8 bytes.
+    "q_dedup_simhash" -> {
+      val M = "18446744073709551616"
+      s"""WITH guard AS (
+         |  SELECT CASE WHEN count(*) > 0 THEN error(
+         |      'q_dedup_simhash oracle requires a pure-ASCII corpus')
+         |    ELSE 0 END AS ok
+         |  FROM documents WHERE octet_length(encode(text)) <> length(text)),
+         |tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS t
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS HUGEINT),
+         |        list_transform(range(1, length(t)+1), i -> CAST(ascii(substr(t,i,1)) AS HUGEINT))),
+         |      (a, b) -> (a * 1000003 + b) % $M) AS p
+         |  FROM tok),
+         |mx AS (
+         |  SELECT doc_id,
+         |    (p + 11400714819323198485) % $M AS z0,
+         |    xor(z0, z0 >> 30) AS t1,
+         |    ((t1 % 4294967296) * 13787848793156543929
+         |      + (((t1 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % $M AS z1,
+         |    xor(z1, z1 >> 27) AS t2,
+         |    ((t2 % 4294967296) * 10724457036175037673
+         |      + (((t2 // 4294967296) * 10724457036175037673) % 4294967296) * 4294967296) % $M AS z2,
+         |    xor(z2, z2 >> 31) AS z3
+         |  FROM th),
+         |bits AS (SELECT unnest(range(0, 64)) AS b),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (z3 >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM mx CROSS JOIN bits GROUP BY doc_id, b),
+         |sig AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS su
+         |  FROM votes GROUP BY doc_id),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN su >= 9223372036854775808 THEN su - $M
+         |              ELSE su END AS BIGINT) AS sim
+         |  FROM sig)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id CROSS JOIN guard
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3 AND guard.ok = 0
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -38,8 +38,10 @@ case class RollingMinHash(child: Expression, k: Int)
 object RollingMinHash {
   final val Base = 1000003L
 
-  /** splitmix64 finalizer — spreads the polynomial hash. */
-  private def mix(x0: Long): Long = {
+  /** splitmix64 finalizer — spreads the polynomial hash. Shared with
+    * [[PolyHash64]] so both kernels stay oracle-replayable with one
+    * HUGEINT recipe. */
+  private[plans] def mix(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d4ecda9226d4e9L

@@ -64,6 +64,40 @@ class CustomSpec extends AnyFunSuite {
     assert(r == referenceFingerprint("hello world, hello graft", 8))
   }
 
+  test("PolyHash64 interpreted eval agrees with the codegen path, and with the byte fold") {
+    def reference(s: String): Long = {
+      val bytes = s.getBytes("UTF-8")
+      var h = 0L
+      bytes.foreach(b => h = h * RollingMinHash.Base + (b & 0xff))
+      // same splitmix64 as referenceFingerprint
+      var z = h + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d4ecda9226d4e9L
+      z ^ (z >>> 31)
+    }
+    val rows = Tables.documents(spark, TestSpark.sf)
+      .select(explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("tok"))
+      .distinct()
+      .select($"tok", graft.plans.PolyHash64.poly_hash64($"tok").as("h"))
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, h) =>
+      assert(h == reference(t), s"token '$t'")
+      val interp = graft.plans.PolyHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(t)).eval(null)
+      assert(interp == h, s"interpreted != codegen for '$t'")
+    }
+  }
+
+  test("PolyHash64 rejects non-string input at analysis time") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3)
+        .select(graft.plans.PolyHash64.poly_hash64($"id"))
+        .collect()
+    }
+    assert(err.getMessage.contains("graft_poly_hash64"))
+  }
+
   test("SmallestK sample matches the window formulation") {
     val viaAgg = CustomOps.samplePerGroupQ(spark, TestSpark.sf)
       .as[(String, Long, Long)].collect().toSeq

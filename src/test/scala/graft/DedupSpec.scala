@@ -99,8 +99,28 @@ class DedupSpec extends AnyFunSuite {
         "doc_id", "text", maxHamming = 10)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     // SimHash is token-multiset-based; expect it to recover most of the
-    // ~0.99-Jaccard pairs (it is allowed to add candidates of its own).
+    // high-Jaccard pairs (it is allowed to add candidates of its own).
+    // Band recall above hamming 3 is probabilistic (a pair at hamming
+    // 4..10 needs one untouched 16-bit band), so the bound is loose —
+    // the deterministic guarantee is the next test.
     val recall = truePairs.count(found.contains).toDouble / truePairs.size
-    assert(recall >= 0.8, s"simhash recall $recall, found=${found.size}")
+    assert(recall >= 0.7, s"simhash recall $recall, found=${found.size}")
+  }
+
+  test("SimHash banding is EXACT at hamming <= 3 (the oracle-backed config)") {
+    // Pigeonhole: 3 differing bits cannot touch all 4 16-bit bands, so
+    // the banded candidate join finds EVERY pair at hamming <= 3 — the
+    // property that lets q_dedup_simhash be equal to the all-pairs
+    // hamming join its DuckDB oracle computes.
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val sims = Dedup.simhashDF(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val exact = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = Dedup.simhashNearDups(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == exact, s"banded=${banded.size} exact=${exact.size}")
   }
 }
