@@ -60,7 +60,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A subset run must be self-identifying: if the env var ever leaks
+    // into the driver environment, the output says so instead of
+    // silently posing as a full bench.
+    val filtered = only.fold("")(names =>
+      s""","filtered":[${names.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filtered}""")
     spark.stop()
   }
 }

@@ -153,7 +153,18 @@ object Dedup {
     * iteration writes a reliable checkpoint instead (requires
     * `sparkContext.setCheckpointDir` to a cluster-visible path) — the
     * 100 TB / 1000-executor setting where a lost block must not
-    * restart a 20-iteration job from zero. */
+    * restart a 20-iteration job from zero.
+    *
+    * Throws `IllegalArgumentException` if `maxIter` rounds pass without
+    * the fingerprint stabilizing — fail-fast is deliberate (best-effort
+    * labels would be silently WRONG group ids downstream); O(log² n)
+    * rounds makes the default 20 ample, and the error names the
+    * iteration budget so callers know which knob to raise. Convergence
+    * is declared on an unchanged fingerprint of the COMPOSED
+    * smallStar∘largeStar pass; the Kiveris proof is stated per-pass, so
+    * a star-graph post-condition is re-checked explicitly before
+    * returning (no node may appear on both sides of the final edge
+    * set) rather than trusting composition-fixpoint = star. */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
                           maxIter: Int = 20, durable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -214,7 +225,18 @@ object Dedup {
       i += 1
     }
     require(converged,
-      s"connectedComponents did not converge in $maxIter iterations")
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"(edge-set fingerprint still changing after iteration $i; " +
+        "expected O(log^2 n) rounds — raise maxIter)")
+    // The convergence check above detects a fixpoint of the COMPOSED
+    // pass; the correctness claim needs that fixpoint to be a STAR
+    // (every non-root pointing directly at its component min). Verify
+    // it cheaply on the final O(components)-sized edge set instead of
+    // assuming composition fixpoints are stars: in a star no node is
+    // both a child (hi) and a root (lo).
+    require(edges.select(col("hi")).intersect(edges.select(col("lo"))).isEmpty,
+      "connectedComponents fingerprint converged on a non-star edge set " +
+        "— labels would be wrong; this indicates a bug, please report")
     // fixpoint is a star graph: every non-root points straight at its
     // component min; roots and isolated nodes label themselves.
     // (The final edge set stays checkpointed — the returned plan reads
