@@ -75,7 +75,13 @@ object TextOps {
     * hash for determinism. The equi-join carries ids only; hash arrays
     * are attached to the deduped candidate ids afterwards, so no array
     * ever rides through a shuffle twice. */
-  def ngramJaccardQ(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccardQ(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(Tables.documents(s, d))
+
+  /** Operator form over any frame with (doc_id, n_chars, text) —
+    * exposed so the scaling probe (`graft.ScaleProbe`) can drive it on
+    * replicated corpora. */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
     val t = 0.5
     // distinct (doc, shingle-hash) pairs — the exploded set form. The
     // expensive regex shingling runs exactly ONCE: df is attached with
@@ -84,7 +90,7 @@ object TextOps {
     // exploded table from scratch on the second branch (Spark does not
     // dedupe common subplans) and measured ~2x slower.
     import org.apache.spark.sql.expressions.Window
-    val uniq = shingleRows(Tables.documents(s, d),
+    val uniq = shingleRows(docs,
         Seq(col("doc_id"), col("n_chars")), col("text"))
       .select(col("doc_id"), col("n_chars"), xxhash64(col("sh")).as("h"))
       .distinct()

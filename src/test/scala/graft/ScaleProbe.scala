@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Dedup-family scaling probe (SURVEY.md §6): measures how the three
+  * heavy dedup plans grow when the corpus is replicated in place —
+  * the "would this survive 100×" argument as a curve instead of a
+  * plan-reading.
+  *
+  * Replication that preserves workload shape: copy c of the corpus gets
+  * a copy-specific token interleaved after every 2 words. Within one
+  * copy, a true near-dup pair keeps (approximately) its original
+  * jaccard — both sides got the same interleaving — while cross-copy
+  * pairs share essentially no shingles (every 3-gram of copy c contains
+  * a cp<c> token). So a k× corpus carries ~k× the true pairs and ~k×
+  * the candidate volume: measured time growing ~linearly in k means the
+  * plan scales with input size, super-linear growth means a pairwise
+  * blow-up is hiding somewhere.
+  *
+  * Run: `sbt "Test/runMain graft.ScaleProbe"` (optionally
+  * SPARK_GRAFT_SF_DIR to pick the base corpus, default sf0.1).
+  */
+object ScaleProbe {
+
+  def replicate(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+        // $1 = the two consumed words; regex matches are non-overlapping
+        regexp_replace(col("text"), "(\\S+ \\S+)", "$1 cp" + c).as("text"))
+    }.reduce(_ union _).withColumn("n_chars", length(col("text")))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = TestSpark.spark
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+    def time(label: String, k: Int)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"PROBE $label%-16s k=$k%-3d rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // warmup: touch every plan once so codegen/scan setup is not billed to k=1
+    locally {
+      val w = replicate(base, 1)
+      Dedup.minhashNearDups(w, "doc_id", "text", bands = 16).count()
+      TextOps.ngramJaccard(w).count()
+    }
+
+    Seq(1, 2, 4, 8).foreach { k =>
+      val docs = replicate(base, k)
+      time("minhash_16x2", k) {
+        Dedup.minhashNearDups(docs, "doc_id", "text", bands = 16).count()
+      }
+      time("ngram_jaccard", k) {
+        TextOps.ngramJaccard(docs).count()
+      }
+      time("cc_groups", k) {
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", bands = 16)
+        Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      }
+    }
+    spark.stop()
+  }
+}
