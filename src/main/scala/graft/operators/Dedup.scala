@@ -108,7 +108,16 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5, salt: Int = 1): DataFrame = {
+    // The state subplan feeds FOUR consumers (both band-join sides plus
+    // the two hs-attach joins); Spark dedups common subplans only via
+    // best-effort exchange reuse, and the executed plan showed the
+    // shingle+min-agg pipeline running 3x. persist() pins it to exactly
+    // one computation while keeping lineage (so a lost block recomputes
+    // instead of failing the job — the right trade on preemptible
+    // executors); the ContextCleaner reclaims the blocks once the
+    // returned frame is unreferenced.
     val sh = minhashState(df, idCol, textCol, numPerm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashCandidates(sh, numPerm, bands, salt)
       .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -231,7 +240,8 @@ object Dedup {
     // The convergence check above detects a fixpoint of the COMPOSED
     // pass; the correctness claim needs that fixpoint to be a STAR
     // (every non-root pointing directly at its component min). Verify
-    // it cheaply on the final O(components)-sized edge set instead of
+    // it cheaply on the final edge set (one edge per non-root node, so
+    // O(nodes) worst case, not O(components)) instead of
     // assuming composition fixpoints are stars: in a star no node is
     // both a child (hi) and a root (lo).
     require(edges.select(col("hi")).intersect(edges.select(col("lo"))).isEmpty,

@@ -104,10 +104,15 @@ object TextOps {
     // and the exact verify — and array_intersect keeps its primitive
     // fast path (on struct elements it degrades to a quadratic scan,
     // which measured 6x slower end-to-end).
+    // Three consumers (prefix explode + both attach joins): persist the
+    // per-doc sets so the shingling/df/sort pipeline runs exactly once
+    // instead of relying on best-effort exchange reuse (same fix as
+    // minhashNearDups; lineage kept so lost blocks recompute).
     val sh = withDf
       .groupBy(col("doc_id"), col("n_chars"))
       .agg(sort_array(collect_set(struct(col("df"), col("h"))))
         .getField("h").as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = (size(col("hs")) - ceil(size(col("hs")) * t) + 1).cast(IntegerType)
     val pref = sh.select(col("doc_id"), col("n_chars"),
       explode(slice(col("hs"), lit(1), prefLen)).as("h"))
@@ -142,7 +147,7 @@ object TextOps {
   /** §2.3#36 — MinHash-LSH near-dups. Oracle-backed, probabilistically:
     * with 16 bands of 2 permutations a pair at jaccard j is missed with
     * probability (1-j²)^16 — measured across the corpus: every true
-    * pair is ≥ 0.9 at sf0.01 (miss ≤ 2.7e-12) and ≥ 0.8 at sf0.1
+    * pair is ≥ 0.9 at sf0.01 (miss = 0.19^16 ≈ 2.9e-12) and ≥ 0.8 at sf0.1
     * (miss ≤ 8.5e-8), with nothing in [0.3, 0.8), so the worst
     * borderline exposure ~1e-2 at exactly j=0.5 never arises — and the
     * exact-Jaccard verify removes every false positive. So the output
@@ -267,7 +272,7 @@ object TextOps {
 
     // exact pairwise Jaccard — equals the LSH output because 16x2
     // banding misses a corpus true pair (all at j >= 0.9) with
-    // probability <= 2.7e-12 and the exact verify kills all false
+    // probability 0.19^16 ≈ 2.9e-12 and the exact verify kills all false
     // positives (see dedupMinhashQ for the full parity argument)
     "q_dedup_minhash" ->
       s"""WITH s AS ($shingleSql)

@@ -34,6 +34,18 @@ class DedupSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("MinHash state is computed once: every consumer reads the cache") {
+    // Four consumers (band-join a/b, hs-attach a/b) share the expensive
+    // shingle+min-agg subplan; exchange reuse is best-effort, so the
+    // operator persists the state and this pin proves the wiring: all
+    // scans of it in the final plan must be InMemoryTableScan.
+    val df = Dedup.minhashNearDups(Tables.documents(spark, TestSpark.sf), "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val cached = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cached >= 4, s"expected >=4 InMemoryTableScan consumers, saw $cached:\n$plan")
+  }
+
   test("exact dedup groups cover the corpus") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val groups = Dedup.exactGroups(docs, $"text", $"doc_id")

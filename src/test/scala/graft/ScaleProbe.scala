@@ -26,13 +26,18 @@ import graft.sources.Tables
   */
 object ScaleProbe {
 
-  def replicate(docs: DataFrame, k: Int): DataFrame =
+  def replicate(docs: DataFrame, k: Int): DataFrame = {
+    // id stride from the data, not a constant: a base corpus with ids
+    // >= a fixed stride would silently collide across copies, merging
+    // docs and corrupting the very scaling curve this probe measures.
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     (0 until k).map { c =>
       docs.select(
-        (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(c.toLong * stride)).as("doc_id"),
         // $1 = the two consumed words; regex matches are non-overlapping
         regexp_replace(col("text"), "(\\S+ \\S+)", "$1 cp" + c).as("text"))
     }.reduce(_ union _).withColumn("n_chars", length(col("text")))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
