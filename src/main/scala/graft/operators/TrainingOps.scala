@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.plans.PolyHash64
+import graft.sources.Tables
+
+/** SURVEY.md §2.5 — training-data pipeline operators: deterministic
+  * split assignment, test-set decontamination, and token-budget
+  * sequence packing. These are the steps between "curated corpus" and
+  * "training shards" that the curation/dedup family doesn't cover.
+  *
+  * All three are pure plan transformations (no UDFs, no driver loops):
+  * the split is a replayable hash expression, decontamination is an
+  * ids-only equi-join on rare long-shingle hashes, and packing is a
+  * per-group window cumsum — each shape survives a 100x scale-up
+  * because nothing ever materializes per-pair or per-corpus state.
+  */
+object TrainingOps {
+
+  // ---- Deterministic split ----------------------------------------------
+
+  /** Assign every row a stable train/val/test split from a replayable
+    * hash of its id — the standard "hash mod 100" scheme, so membership
+    * is a pure function of the id: re-runs, backfills and late-arriving
+    * shards all agree without coordination or stored state.
+    *
+    * [[graft.plans.PolyHash64]] rather than xxhash64 so the DuckDB
+    * oracle replays the exact assignment in HUGEINT (the
+    * q_dedup_simhash proof pattern). The "split|" domain prefix keeps
+    * this hash stream independent of any other use of the same ids. */
+  def splitBucket(idCol: Column): Column =
+    pmod(PolyHash64.poly_hash64(concat(lit("split|"), idCol.cast(StringType))), lit(100L))
+
+  def assignSplit(df: DataFrame, idCol: Column,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"split percentages must leave room for test: train=$trainPct val=$valPct")
+    df.withColumn("bucket", splitBucket(idCol))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** §2.5 — per-doc split assignment over `documents`. */
+  def splitAssignQ(s: SparkSession, d: String): DataFrame =
+    assignSplit(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  // ---- Decontamination ---------------------------------------------------
+
+  /** Train/test leakage check: every (train doc, test doc) pair sharing
+    * at least `minShared` distinct word `n`-gram shingles. Long
+    * shingles (default 8) are the point — at n=8 a shared shingle is
+    * near-certain verbatim overlap and its document frequency is ~1, so
+    * the shingle-hash equi-join stays linear in corpus size instead of
+    * fanning out on common phrases (the df lesson from ngramJaccard).
+    * IDS ONLY through the join; counts aggregate before anything wide
+    * is touched. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minShared: Long = 3,
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val withSplit = assignSplit(docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+      col("id"), trainPct, valPct)
+    val sh = TextFunctions.shingleRows(withSplit, Seq(col("id"), col("split")), col("__text"), n = n)
+      .select(col("id"), col("split"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val train = sh.filter(col("split") === "train")
+      .select(col("id").as("train_id"), col("h"))
+    val test = sh.filter(col("split") === "test")
+      .select(col("id").as("test_id"), col("h"))
+    train.join(test, "h")
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** §2.5 — contaminated train/test pairs over `documents`. minShared=1
+    * with 8-gram shingles: a single shared 8-gram is already a strong
+    * verbatim-leak signal, and the corpus's planted near-dup pairs only
+    * straddle the train/test cut occasionally, so the stricter default
+    * would often emit zero rows at small SF. */
+  def decontaminateQ(s: SparkSession, d: String): DataFrame =
+    decontaminate(Tables.documents(s, d), "doc_id", "text", minShared = 1)
+      .orderBy(col("train_id"), col("test_id"))
+
+  // ---- Sequence packing ----------------------------------------------------
+
+  /** Token-budget packing: assign each document (in deterministic
+    * id order within a pack group) to a fixed-capacity bin by the
+    * exclusive running token count — bin = floor(cumsum_before /
+    * capacity). One window per group, fully codegen'd, replayable in
+    * ANSI SQL; a bin overflows `capacity` by at most one document, the
+    * price of staying a pure window expression. Groups pack
+    * independently, so the shape is one sort-shuffle on the group key
+    * regardless of corpus size. For strict never-overflow bins see
+    * [[packGreedy]]. */
+  def packBinned(df: DataFrame, grpCol: Column, idCol: Column,
+                 tokensCol: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = Window.partitionBy(grpCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(tokensCol).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__cum") / capacity.toDouble).cast(LongType))
+      .drop("__cum")
+  }
+
+  /** Strict first-fit-in-order packing: scan each group in id order,
+    * open a new bin whenever adding the document would exceed
+    * `capacity` (a document larger than `capacity` gets a bin of its
+    * own). The running remainder is genuine sequential state, so this
+    * is the library's one deliberate imperative path: repartition by
+    * group, sort within partitions, one O(1)-state pass per partition —
+    * the mapPartitions analog of a session window. Bins never overflow
+    * (single oversized docs excepted), at the cost of leaving the
+    * declarative plan world; prefer [[packBinned]] when a one-doc
+    * overflow is acceptable. */
+  def packGreedy(df: DataFrame, grpCol: String, idCol: String,
+                 tokensCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val in = df.select(col(grpCol).cast(StringType).as("grp"),
+      col(idCol).cast(LongType).as("id"), col(tokensCol).cast(LongType).as("n_tokens"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = in.as[(String, Long, Long)]
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("id"))
+      .mapPartitions { rows =>
+        var grp: String = null
+        var bin = -1L
+        var used = 0L
+        rows.map { case (g, id, toks) =>
+          if (g != grp) { grp = g; bin = -1L; used = 0L }
+          if (bin < 0 || used + toks > capacity) { bin += 1; used = 0L }
+          used += toks
+          (g, id, toks, bin)
+        }
+      }
+    packed.toDF("grp", "id", "n_tokens", "bin")
+      .select(col("grp").as(grpCol), col("id").as(idCol),
+        col("n_tokens").as(tokensCol), col("bin"))
+  }
+
+  /** §2.5 — packed-bin manifest over `documents`: language-grouped,
+    * 2048-token bins, one row per bin with its document and token
+    * payload. */
+  def packSequencesQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    packBinned(docs, col("lang"), col("doc_id"), col("n_tokens"), capacity = 2048L)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_in_bin"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_assign"   -> (splitAssignQ _),
+    "q_decontaminate"  -> (decontaminateQ _),
+    "q_pack_sequences" -> (packSequencesQ _),
+  )
+
+  // ---- Oracles -------------------------------------------------------------
+
+  private val M = "18446744073709551616" // 2^64
+
+  /** Split-assignment CTE: doc_id -> (bucket, split), replaying
+    * pmod(poly_hash64('split|' || id), 100) in HUGEINT — byte
+    * polynomial then splitmix64, 64x64-bit products split at 2^32 (the
+    * q_dedup_simhash recipe), with Java floor-mod semantics (the hash
+    * is interpreted as SIGNED 64-bit before pmod). */
+  private val splitSql =
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(((CASE WHEN z3 >= 9223372036854775808 THEN z3 - $M ELSE z3 END) % 100 + 100) % 100
+       |      AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT doc_id,
+       |      xor(z2, z2 >> 31) AS z3
+       |    FROM (
+       |      SELECT doc_id,
+       |        ((t2 % 4294967296) * 10724457036175037673
+       |          + (((t2 // 4294967296) * 10724457036175037673) % 4294967296) * 4294967296) % $M AS z2
+       |      FROM (
+       |        SELECT doc_id, xor(z1, z1 >> 27) AS t2
+       |        FROM (
+       |          SELECT doc_id,
+       |            ((t1 % 4294967296) * 13787848793156543929
+       |              + (((t1 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % $M AS z1
+       |          FROM (
+       |            SELECT doc_id, xor(z0, z0 >> 30) AS t1
+       |            FROM (
+       |              SELECT doc_id, (p + 11400714819323198485) % $M AS z0
+       |              FROM (
+       |                SELECT doc_id,
+       |                  list_reduce(
+       |                    list_prepend(CAST(0 AS HUGEINT),
+       |                      list_transform(range(1, length(t)+1),
+       |                        i -> CAST(ascii(substr(t,i,1)) AS HUGEINT))),
+       |                    (a, b) -> (a * 1000003 + b) % $M) AS p
+       |                FROM (SELECT doc_id, 'split|' || CAST(doc_id AS VARCHAR) AS t
+       |                      FROM documents) _t0) _t1) _t2) _t3) _t4) _t5) _t6) _t7) _t8""".stripMargin
+
+  /** Distinct 8-gram shingles per doc (mirrors shingleRows(n=8) over
+    * the normalized text). */
+  private val shingle8Sql =
+    """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-6),
+      |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS sh
+      |FROM (SELECT doc_id,
+      |        regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+      |      FROM documents) w
+      |WHERE len(ws) >= 8""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_split_assign" ->
+      s"""SELECT doc_id, bucket, split FROM ($splitSql) s ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH split AS ($splitSql),
+         |sh AS ($shingle8Sql),
+         |tr AS (SELECT sh.doc_id AS train_id, sh.sh FROM sh JOIN split USING (doc_id)
+         |       WHERE split.split = 'train'),
+         |te AS (SELECT sh.doc_id AS test_id, sh.sh FROM sh JOIN split USING (doc_id)
+         |       WHERE split.split = 'test')
+         |SELECT tr.train_id, te.test_id, COUNT(*) AS n_shared
+         |FROM tr JOIN te ON tr.sh = te.sh
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 1
+         |ORDER BY train_id, test_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |binned AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST(floor(COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+        |  FROM toks)
+        |SELECT lang, bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_bin
+        |FROM binned
+        |GROUP BY lang, bin
+        |ORDER BY lang, bin""".stripMargin,
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingOps
+import graft.sources.Tables
+
+/** Training-data pipeline operators (§2.5): deterministic splits,
+  * decontamination, token-budget packing. */
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, TestSpark.sf)
+
+  test("split assignment is deterministic and proportioned ~80/10/10") {
+    val a = TrainingOps.splitAssignQ(spark, TestSpark.sf).collect()
+    val b = TrainingOps.splitAssignQ(spark, TestSpark.sf).collect()
+    assert(a.sameElements(b), "same ids must always get the same split")
+
+    val counts = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    // hash-mod-100 at n=500: expect the pct within a loose binomial band
+    assert(math.abs(counts("train") / n - 0.80) < 0.08, s"train=${counts("train")}/$n")
+    assert(math.abs(counts.getOrElse("val", 0) / n - 0.10) < 0.06)
+    assert(math.abs(counts.getOrElse("test", 0) / n - 0.10) < 0.06)
+  }
+
+  test("split membership is a pure function of the id, not of the frame") {
+    // the same ids arriving via a different projection/order assign identically
+    val viaDocs = TrainingOps.assignSplit(docs.select($"doc_id"), $"doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val viaRange = TrainingOps.assignSplit(
+        spark.range(0, 500).toDF("doc_id").orderBy($"doc_id".desc), $"doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    viaRange.keys.filter(viaDocs.contains).foreach { id =>
+      assert(viaDocs(id) == viaRange(id), s"id $id split differs across frames")
+    }
+  }
+
+  test("decontamination flags a planted verbatim train→test leak") {
+    // pick one train id and one test id from the real assignment, then
+    // plant a shared 8-gram between synthetic docs under those ids
+    val splits = TrainingOps.assignSplit(spark.range(0, 1000).toDF("id"), $"id")
+      .select($"id", $"split").as[(Long, String)].collect()
+    val trainId = splits.collectFirst { case (id, "train") => id }.get
+    val testId  = splits.collectFirst { case (id, "test") => id }.get
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val corpus = Seq(
+      (trainId, s"$leak plus unrelated trailing words here"),
+      (testId,  s"prefix words then $leak"),
+      (splits.collectFirst { case (id, "train") if id != trainId => id }.get,
+        "completely different content with no overlap at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val pairs = TrainingOps.decontaminate(corpus, "doc_id", "text", minShared = 1)
+      .select($"train_id", $"test_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((trainId, testId)), s"got $pairs")
+  }
+
+  test("greedy packing never overflows capacity (oversized docs excepted)") {
+    val toks = docs.select($"lang", $"doc_id",
+      graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
+    val cap = 2048L
+    val packed = TrainingOps.packGreedy(toks.toDF, "lang", "doc_id", "n_tokens", cap)
+    val over = packed.groupBy($"lang", $"bin")
+      .agg(sum($"n_tokens").as("t"), count(lit(1)).as("n"))
+      .filter($"t" > cap && $"n" > 1)   // a single oversized doc is allowed
+      .count()
+    assert(over == 0, "a multi-doc bin exceeded capacity")
+    // every doc assigned exactly once
+    assert(packed.count() == toks.count())
+  }
+
+  test("binned packing overflows by at most one document per bin") {
+    val toks = docs.select($"lang", $"doc_id",
+      graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
+    val cap = 2048L
+    val packed = TrainingOps.packBinned(toks.toDF, $"lang", $"doc_id", $"n_tokens", cap)
+    // dropping each bin's last (max-id) doc must bring it under capacity
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"bin").orderBy($"doc_id".desc)
+    val bad = packed.withColumn("rn", row_number().over(w))
+      .filter($"rn" > 1)
+      .groupBy($"lang", $"bin").agg(sum($"n_tokens").as("t"))
+      .filter($"t" > cap)
+      .count()
+    assert(bad == 0, "a bin exceeds capacity even without its final doc")
+  }
+
+  test("greedy packing bins are contiguous and start at 0 per group") {
+    val toks = Seq(("en", 1L, 100L), ("en", 2L, 100L), ("en", 3L, 150L),
+      ("de", 4L, 300L), ("de", 5L, 10L)).toDF("grp", "id", "n_tokens")
+    val packed = TrainingOps.packGreedy(toks, "grp", "id", "n_tokens", 200L)
+      .select($"grp", $"id", $"bin").as[(String, Long, Long)].collect().toSet
+    // de: doc 4 (300 > cap) takes bin 0 alone; doc 5 must open bin 1
+    assert(packed == Set(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L),
+      ("de", 4L, 0L), ("de", 5L, 1L)))
+  }
+}
