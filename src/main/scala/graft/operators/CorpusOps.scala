@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.plans.PolyHash64
+import graft.sources.Tables
+
+/** SURVEY.md §2.5 (continued) — corpus-curation operators for the
+  * training-data pipeline: repetition-based quality filtering (the
+  * Gopher/C4 rules family), per-language token-budget sampling,
+  * incremental cross-corpus dedup, and per-label embedding centroids.
+  *
+  * Scale posture: every operator is a constant number of hash-partition
+  * shuffles over per-doc or per-(group,token) keys — no per-pair state,
+  * no driver materialization. The one deliberate exception is the
+  * bit-exact centroid path, see [[labelCentroids]].
+  */
+object CorpusOps {
+
+  // ---- Repetition / quality rules (Gopher-style) --------------------------
+
+  /** Per-document repetition metrics over the casefolded word stream:
+    * `top_frac` (share of the single most frequent word) and
+    * `dup2_frac` (share of word-bigram occurrences that are repeats of
+    * an earlier bigram in the same doc). High values of either mark
+    * boilerplate / degenerate text — the standard "repetition" family
+    * of quality rules for pre-training corpora.
+    *
+    * Shape: two grouped aggregations keyed by (doc, token) — map-side
+    * partials do most of the work because repeated tokens collapse
+    * early; nothing is ever wider than a (doc_id, token, count) row. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val words = docs.select(id.as("__id"),
+        explode(TextFunctions.words(col(textCol))).as("__w"))
+      .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_words"), max(col("__c")).as("__top"))
+      .select(col("__id"), col("n_words"),
+        (col("__top").cast(DoubleType) / col("n_words").cast(DoubleType)).as("top_frac"))
+
+    val bigrams = TextFunctions.shingleRows(
+        docs.select(id.as("__id"), col(textCol).as("__t")),
+        Seq(col("__id")), col("__t"), n = 2)
+      .groupBy(col("__id"), col("sh")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__tot"), count(lit(1)).as("__dst"))
+      .select(col("__id"),
+        (lit(1.0) - col("__dst").cast(DoubleType) / col("__tot").cast(DoubleType))
+          .as("dup2_frac"))
+
+    words.join(bigrams, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_words"), col("top_frac"),
+        coalesce(col("dup2_frac"), lit(0.0)).as("dup2_frac"))
+  }
+
+  /** §2.5 — repetition metrics + keep/drop verdict over `documents`.
+    * Thresholds are the query's contract: a doc survives when no
+    * single word exceeds 12% of it and under 55% of its bigrams are
+    * repeats (the synthetic word-soup corpus is repetitive by
+    * construction, so the cuts sit where they separate its tail). */
+  def repetitionFilterQ(s: SparkSession, d: String): DataFrame =
+    repetitionStats(Tables.documents(s, d), "doc_id", "text")
+      .withColumn("keep", (col("top_frac") <= 0.12 && col("dup2_frac") <= 0.55))
+      .orderBy(col("doc_id"))
+
+  // ---- Token-budget sampling ----------------------------------------------
+
+  /** Deterministic per-group corpus sample to a token budget: order
+    * each group by a replayable id hash (so membership is a pure
+    * function of the id set, independent of partitioning or arrival
+    * order) and keep documents while the exclusive running token sum
+    * is under `budget`. The standard "give me ~N tokens per language"
+    * downsampling step; one window per group, fully codegen'd. */
+  def tokenBudgetSample(docs: DataFrame, grpCol: Column, idCol: Column,
+                        tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val h = PolyHash64.poly_hash64(concat(lit("sample|"), idCol.cast(StringType)))
+    val w = Window.partitionBy(grpCol).orderBy(h, idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("__cum", coalesce(sum(tokensCol).over(w), lit(0L)))
+      .filter(col("__cum") < budget)
+      .drop("__cum")
+  }
+
+  /** §2.5 — ~5k tokens per language from `documents`. */
+  def tokenBudgetSampleQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    tokenBudgetSample(docs, col("lang"), col("doc_id"), col("n_tokens"), budget = 5000L)
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  // ---- Incremental cross-corpus dedup -------------------------------------
+
+  /** Incremental-ingest dedup: flag each new-batch document whose
+    * normalized text already exists in the reference corpus. The
+    * corpus side is reduced to DISTINCT 128-bit content hashes before
+    * the join — ids-and-hashes only through the shuffle, never text —
+    * and the equi-join lets Catalyst/AQE broadcast whichever side is
+    * small (a daily batch against a 100 TB corpus broadcasts the
+    * batch's hash set). This is the shape that makes dedup *restart-
+    * free*: the corpus is never re-paired against itself. */
+  def crossDedup(corpus: DataFrame, batch: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val h = md5(TextFunctions.normalize(col(textCol)))
+    val corpusH = corpus.select(h.as("__h")).distinct()
+    batch.select(col(idCol), h.as("__h"))
+      .join(corpusH.withColumn("__dup", lit(true)), Seq("__h"), "left")
+      .select(col(idCol), coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
+  /** §2.5 — treat sources src15..src19 as the incoming batch and the
+    * rest as the standing corpus. */
+  def crossDedupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("__src_n", substring(col("source"), 4, 10).cast(IntegerType))
+    val corpus = docs.filter(col("__src_n") < 15)
+    val batch = docs.filter(col("__src_n") >= 15)
+    crossDedup(corpus, batch, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  // ---- Label centroids -----------------------------------------------------
+
+  /** Per-label embedding centroid in long format (label, pos, centroid,
+    * n). `exact = false` (the scale default) is a plain posexplode +
+    * AVG — one shuffle on (label, pos), map-side partials, linear at
+    * any corpus size, but its float summation order is
+    * partitioning-dependent. `exact = true` sorts each (label, pos)
+    * group's values and folds them sequentially, which makes the sum a
+    * pure function of the value multiset — reproducible across runs,
+    * partitionings, and engines (the DuckDB oracle replays the same
+    * sorted fold). The exact path holds one group's values in an array
+    * (O(docs-per-label) memory), so it is the verification/small-group
+    * shape, not the 100 TB default. */
+  def labelCentroids(embeddings: DataFrame, labelCol: String, vecCol: String,
+                     exact: Boolean = false): DataFrame = {
+    val dims = embeddings.select(col(labelCol).as("label"),
+      posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .select(col("label"), col("pos"), col("__v").cast(DoubleType).as("__v"))
+    if (exact)
+      dims.groupBy(col("label"), col("pos"))
+        .agg(sort_array(collect_list(col("__v"))).as("__vs"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (aggregate(col("__vs"), lit(0.0), (acc, x) => acc + x) /
+            col("n").cast(DoubleType)).as("centroid"), col("n"))
+    else
+      dims.groupBy(col("label"), col("pos"))
+        .agg(avg(col("__v")).as("centroid"), count(lit(1)).as("n"))
+  }
+
+  /** §2.5 — bit-exact centroids over `embeddings` (64 dims x ~10
+    * labels: the sorted-fold arrays are tiny here; the `exact=false`
+    * AVG plan is what a real corpus would run). */
+  def labelCentroidsQ(s: SparkSession, d: String): DataFrame =
+    labelCentroids(Tables.embeddings(s, d), "label", "embedding", exact = true)
+      .orderBy(col("label"), col("pos"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition_filter"   -> (repetitionFilterQ _),
+    "q_token_budget_sample" -> (tokenBudgetSampleQ _),
+    "q_cross_dedup"         -> (crossDedupQ _),
+    "q_label_centroids"     -> (labelCentroidsQ _),
+  )
+
+  // ---- Oracles -------------------------------------------------------------
+
+  /** Casefolded word array (mirrors TextFunctions.words). */
+  private val wordsSql =
+    """SELECT doc_id,
+      |  regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+      |FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_repetition_filter" ->
+      s"""WITH w AS ($wordsSql),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |wq AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         |         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+         |       FROM tc GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || ' ' || ws[i+1])) AS sh
+         |       FROM w WHERE len(ws) >= 2),
+         |bc AS (SELECT doc_id, sh, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |bq AS (SELECT doc_id,
+         |         1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup2_frac
+         |       FROM bc GROUP BY 1)
+         |SELECT wq.doc_id, wq.n_words, wq.top_frac,
+         |  COALESCE(bq.dup2_frac, 0.0) AS dup2_frac,
+         |  (wq.top_frac <= 0.12 AND COALESCE(bq.dup2_frac, 0.0) <= 0.55) AS keep
+         |FROM wq LEFT JOIN bq USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget_sample" ->
+      s"""WITH h AS (${TrainingOps.polyHashSql("sample|")}),
+         |toks AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY lang ORDER BY h.h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         |  FROM toks JOIN h USING (doc_id))
+         |SELECT lang, doc_id, n_tokens FROM cum
+         |WHERE c < 5000
+         |ORDER BY lang, doc_id""".stripMargin,
+
+    "q_cross_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) AS src_n,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT h FROM n WHERE src_n < 15)
+        |SELECT b.doc_id, (corpus.h IS NOT NULL) AS is_dup
+        |FROM (SELECT * FROM n WHERE src_n >= 15) b
+        |LEFT JOIN corpus ON b.h = corpus.h
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_label_centroids" ->
+      """WITH dims AS (
+        |  SELECT label, CAST(i - 1 AS INTEGER) AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) _i),
+        |g AS (
+        |  SELECT label, pos,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY v)),
+        |      (a, b) -> a + b) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM dims GROUP BY 1, 2)
+        |SELECT label, pos, s / CAST(n AS DOUBLE) AS centroid, n
+        |FROM g
+        |ORDER BY label, pos""".stripMargin,
+  )
+}

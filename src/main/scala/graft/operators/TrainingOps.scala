@@ -170,46 +170,54 @@ object TrainingOps {
 
   private val M = "18446744073709551616" // 2^64
 
-  /** Split-assignment CTE: doc_id -> (bucket, split), replaying
-    * pmod(poly_hash64('split|' || id), 100) in HUGEINT — byte
-    * polynomial then splitmix64, 64x64-bit products split at 2^32 (the
-    * q_dedup_simhash recipe), with Java floor-mod semantics (the hash
-    * is interpreted as SIGNED 64-bit before pmod). */
+  /** HUGEINT replay of `poly_hash64(prefix || CAST(id AS VARCHAR))`:
+    * byte polynomial then splitmix64, 64x64-bit products split at 2^32
+    * (the q_dedup_simhash recipe). Emits `SELECT <id>, h` where `h` is
+    * the SIGNED 64-bit result (matches Spark's Long), so callers can
+    * pmod it or order by it directly. Shared by every oracle that
+    * replays a domain-prefixed id hash. */
+  private[operators] def polyHashSql(prefix: String, table: String = "documents",
+                                     id: String = "doc_id"): String =
+    s"""SELECT $id,
+       |  CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - $M ELSE z3 END AS BIGINT) AS h
+       |FROM (
+       |  SELECT $id,
+       |    xor(z2, z2 >> 31) AS z3
+       |  FROM (
+       |    SELECT $id,
+       |      ((t2 % 4294967296) * 10724457036175037673
+       |        + (((t2 // 4294967296) * 10724457036175037673) % 4294967296) * 4294967296) % $M AS z2
+       |    FROM (
+       |      SELECT $id, xor(z1, z1 >> 27) AS t2
+       |      FROM (
+       |        SELECT $id,
+       |          ((t1 % 4294967296) * 13787848793156543929
+       |            + (((t1 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % $M AS z1
+       |        FROM (
+       |          SELECT $id, xor(z0, z0 >> 30) AS t1
+       |          FROM (
+       |            SELECT $id, (p + 11400714819323198485) % $M AS z0
+       |            FROM (
+       |              SELECT $id,
+       |                list_reduce(
+       |                  list_prepend(CAST(0 AS HUGEINT),
+       |                    list_transform(range(1, length(t)+1),
+       |                      i -> CAST(ascii(substr(t,i,1)) AS HUGEINT))),
+       |                  (a, b) -> (a * 1000003 + b) % $M) AS p
+       |              FROM (SELECT $id, '$prefix' || CAST($id AS VARCHAR) AS t
+       |                    FROM $table) _t0) _t1) _t2) _t3) _t4) _t5) _t6) _t7""".stripMargin
+
+  /** Split-assignment CTE: doc_id -> (bucket, split), i.e.
+    * pmod(poly_hash64('split|' || id), 100) with Java floor-mod
+    * semantics over the signed hash. */
   private val splitSql =
     s"""SELECT doc_id, bucket,
        |  CASE WHEN bucket < 80 THEN 'train'
        |       WHEN bucket < 90 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM (
-       |  SELECT doc_id,
-       |    CAST(((CASE WHEN z3 >= 9223372036854775808 THEN z3 - $M ELSE z3 END) % 100 + 100) % 100
-       |      AS BIGINT) AS bucket
-       |  FROM (
-       |    SELECT doc_id,
-       |      xor(z2, z2 >> 31) AS z3
-       |    FROM (
-       |      SELECT doc_id,
-       |        ((t2 % 4294967296) * 10724457036175037673
-       |          + (((t2 // 4294967296) * 10724457036175037673) % 4294967296) * 4294967296) % $M AS z2
-       |      FROM (
-       |        SELECT doc_id, xor(z1, z1 >> 27) AS t2
-       |        FROM (
-       |          SELECT doc_id,
-       |            ((t1 % 4294967296) * 13787848793156543929
-       |              + (((t1 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % $M AS z1
-       |          FROM (
-       |            SELECT doc_id, xor(z0, z0 >> 30) AS t1
-       |            FROM (
-       |              SELECT doc_id, (p + 11400714819323198485) % $M AS z0
-       |              FROM (
-       |                SELECT doc_id,
-       |                  list_reduce(
-       |                    list_prepend(CAST(0 AS HUGEINT),
-       |                      list_transform(range(1, length(t)+1),
-       |                        i -> CAST(ascii(substr(t,i,1)) AS HUGEINT))),
-       |                    (a, b) -> (a * 1000003 + b) % $M) AS p
-       |                FROM (SELECT doc_id, 'split|' || CAST(doc_id AS VARCHAR) AS t
-       |                      FROM documents) _t0) _t1) _t2) _t3) _t4) _t5) _t6) _t7) _t8""".stripMargin
+       |  SELECT doc_id, (h % 100 + 100) % 100 AS bucket
+       |  FROM (${polyHashSql("split|")}) _h) _b""".stripMargin
 
   /** Distinct 8-gram shingles per doc (mirrors shingleRows(n=8) over
     * the normalized text). */

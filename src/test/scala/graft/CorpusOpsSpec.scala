@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusOps
+import graft.sources.Tables
+
+/** Corpus-curation operators (§2.5 continued): repetition rules,
+  * token-budget sampling, cross-corpus dedup, label centroids. */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetition rules drop a degenerate doc and keep a diverse one") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence where every single word differs completely")
+    ).toDF("doc_id", "text")
+    val byId = CorpusOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(byId(1L)._1 == 1.0, "all-same-word doc: top_frac must be 1")
+    assert(byId(1L)._2 > 0.85, "all-same-word doc: bigrams nearly all repeats")
+    assert(byId(2L)._1 < 0.12 && byId(2L)._2 == 0.0)
+  }
+
+  test("token-budget sample never exceeds budget by more than one doc") {
+    val budget = 5000L
+    val picked = CorpusOps.tokenBudgetSampleQ(spark, TestSpark.sf)
+    val totals = picked.groupBy($"lang")
+      .agg(sum($"n_tokens").as("t"), max($"n_tokens").as("m"))
+      .select($"lang", $"t", $"m").as[(String, Long, Long)].collect()
+    totals.foreach { case (lang, t, m) =>
+      assert(t < budget + m, s"$lang: $t tokens exceeds budget+1 doc")
+    }
+    assert(totals.nonEmpty)
+  }
+
+  test("token-budget sample membership survives repartition/reorder") {
+    val docs = Tables.documents(spark, TestSpark.sf).select($"lang", $"doc_id",
+      graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      CorpusOps.tokenBudgetSample(df, $"lang", $"doc_id", $"n_tokens", 5000L)
+        .select($"doc_id").as[Long].collect().toSet
+    assert(ids(docs) == ids(docs.repartition(7).orderBy($"doc_id".desc)))
+  }
+
+  test("cross dedup flags exactly the batch docs whose text exists in the corpus") {
+    val corpus = Seq((1L, "shared   Content here"), (2L, "corpus only text")).toDF("doc_id", "text")
+    val batch = Seq((10L, "shared content HERE"),   // normalized-equal to corpus doc 1
+                    (11L, "brand new material")).toDF("doc_id", "text")
+    val got = CorpusOps.crossDedup(corpus, batch, "doc_id", "text")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(10L -> true, 11L -> false))
+  }
+
+  test("exact centroids are invariant under repartitioning and match AVG closely") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    def exact(df: org.apache.spark.sql.DataFrame): Array[(Int, Int, Double)] =
+      CorpusOps.labelCentroids(df, "label", "embedding", exact = true)
+        .orderBy($"label", $"pos")
+        .select($"label", $"pos", $"centroid").as[(Int, Int, Double)].collect()
+    val a = exact(emb.repartition(3))
+    val b = exact(emb.repartition(11).orderBy($"vec_id".desc))
+    assert(a.sameElements(b), "sorted-fold sum must be partitioning-invariant bit-for-bit")
+
+    val approx = CorpusOps.labelCentroids(emb, "label", "embedding")
+      .orderBy($"label", $"pos")
+      .select($"label", $"pos", $"centroid").as[(Int, Int, Double)].collect()
+    a.zip(approx).foreach { case ((_, _, x), (_, _, y)) =>
+      assert(math.abs(x - y) < 1e-9, s"exact $x vs avg $y")
+    }
+  }
+}
