@@ -39,7 +39,8 @@ object SparkEntry {
     VectorQueries.queries ++ CustomOps.queries ++ Curation.queries ++
     Chunking.queries ++ SketchOps.queries ++ AsOfJoinOp.queries ++
     Cdc.queries ++ Analytics.queries ++ Sampling.queries ++ TextOps2.queries ++
-    Fuzzy.queries ++ Profiling.queries ++ TrainingOps.queries ++ CorpusOps.queries
+    Fuzzy.queries ++ Profiling.queries ++ TrainingOps.queries ++ CorpusOps.queries ++
+    graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
     * bit-identical across engines; ORDER BY pins row order. */
@@ -213,5 +214,6 @@ object SparkEntry {
     VectorQueries.oracles ++ CustomOps.oracles ++ Curation.oracles ++
     Chunking.oracles ++ AsOfJoinOp.oracles ++
     Cdc.oracles ++ Analytics.oracles ++ Sampling.oracles ++ TextOps2.oracles ++
-    Fuzzy.oracles ++ Profiling.oracles ++ TrainingOps.oracles ++ CorpusOps.oracles
+    Fuzzy.oracles ++ Profiling.oracles ++ TrainingOps.oracles ++ CorpusOps.oracles ++
+    graft.sources.ExtractClient.oracles
 }
