@@ -4,25 +4,31 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.plans.SpaceSavingAgg
+import graft.plans.SpaceSavingTopK.topk_freq
 import graft.sources.Tables
 
 /** SURVEY.md §2.5 — exact frequent items at sketch cost: the
   * candidate-then-verify pattern (same architecture as MinHash-LSH →
-  * exact-Jaccard). Pass 1 runs the [[SpaceSavingAgg]] sketch — O(capacity)
-  * state per partition, a few KB through the shuffle where a plain
-  * groupBy would shuffle every distinct item in the tail. Pass 2
-  * recounts ONLY the candidates exactly (broadcast semi-join, then a
-  * groupBy whose key set is at most `capacity` items) and applies the
-  * threshold to exact counts.
+  * exact-Jaccard), built on the existing [[graft.plans.SpaceSavingTopK]]
+  * aggregate. Pass 1 runs the sketch — O(capacity) state per partition,
+  * a few KB through the shuffle where a plain groupBy would shuffle
+  * every distinct item in the tail. Pass 2 recounts ONLY the candidates
+  * exactly (broadcast semi-join, then a groupBy whose key set is at
+  * most `capacity` items) and applies the threshold to exact counts.
   *
-  * The result is therefore EXACT — the sketch only prunes. Correctness
-  * needs candidate completeness: Space-Saving estimates overestimate,
-  * so every item with true count >= total/k passes the `est * k >=
-  * total` candidate filter; `capacity >= 4k` keeps that bound safe
-  * after merging (see SpaceSavingAgg's scaladoc). At 100 TB the win is
-  * the unshuffled tail: a web-scale token column has billions of
-  * distinct rare tokens that never leave their map task.
+  * The result is therefore EXACT — the sketch only prunes. Candidate
+  * completeness is provable, not probabilistic:
+  * - Space-Saving estimates never undercount, and the merge unions
+  *   partials without truncation (SpaceSavingTopK.merge), so any item
+  *   with true count >= total/k has est >= total/k;
+  * - stored estimates sum to exactly the processed row count (each
+  *   update adds net +1 whether it hits, inserts, or evicts), so at
+  *   most k items can have est >= total/k — with `capacity >= k` the
+  *   top-`capacity` cut of eval() cannot drop a true heavy hitter.
+  *
+  * At 100 TB the win is the unshuffled tail: a web-scale token column
+  * has billions of distinct rare tokens that never leave their map
+  * task.
   */
 object HeavyHitters {
 
@@ -32,12 +38,13 @@ object HeavyHitters {
                    capacity: Int = 0): DataFrame = {
     require(k > 1, s"k must exceed 1, got $k")
     val cap = if (capacity > 0) capacity else 4 * k
-    require(cap >= 2 * k, s"capacity $cap too small for k=$k: completeness needs >= 2k")
-    val sketch = rows.agg(SpaceSavingAgg.spaceSaving(tokenCol, cap).as("sk"))
-      .select(col("sk.total").as("total"), explode(col("sk.items")).as("it"))
-      .select(col("total"), col("it.token").as("token"), col("it.est").as("est"))
-    val cands = sketch.filter(col("est") * k >= col("total"))
-      .select(col("token"), col("total"))
+    require(cap >= k, s"capacity $cap too small for k=$k: completeness needs >= k")
+    // one pass: the sketch and the exact non-null row count it processed
+    val sketch = rows
+      .agg(topk_freq(tokenCol, cap, cap).as("items"), count(tokenCol).as("total"))
+      .select(col("total"), explode(col("items")).as("it"))
+    val cands = sketch.filter(col("it.cnt") * k >= col("total"))
+      .select(col("it.item").as("token"), col("total"))
     rows.select(tokenCol.as("token"))
       .join(broadcast(cands), Seq("token"))
       .groupBy(col("token"), col("total"))

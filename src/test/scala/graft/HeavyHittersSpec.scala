@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.HeavyHitters
-import graft.plans.SpaceSavingAgg
+import graft.plans.SpaceSavingTopK.topk_freq
 
 /** Space-Saving sketch + exact-recount frequent items (§2.5). */
 class HeavyHittersSpec extends AnyFunSuite {
@@ -21,18 +21,16 @@ class HeavyHittersSpec extends AnyFunSuite {
   }
 
   test("sketch estimates overestimate true counts (the completeness invariant)") {
-    val sk = skewed.repartition(8)
-      .agg(SpaceSavingAgg.spaceSaving($"token", 64).as("sk"))
-      .select($"sk.total", explode($"sk.items").as("it"))
-      .select($"total", $"it.token", $"it.est")
-      .as[(Long, String, Long)].collect()
-    assert(sk.head._1 == 10000)
-    val est = sk.map(r => r._2 -> r._3).toMap
+    val est = skewed.repartition(8)
+      .agg(topk_freq($"token", 64, 64).as("items"))
+      .select(explode($"items").as("it"))
+      .select($"it.item", $"it.cnt")
+      .as[(String, Long)].collect().toMap
     assert(est("hh") >= 3000, s"hh estimate ${est.get("hh")} must overestimate 3000")
     assert(est.getOrElse("mid", 0L) >= 500)
   }
 
-  test("exact heavy hitters survive aggressive eviction (capacity 10x under cardinality)") {
+  test("exact heavy hitters survive aggressive eviction (capacity 100x under cardinality)") {
     // k=20 -> threshold 10000/20 = 500: exactly {hh, mid}
     val got = HeavyHitters.heavyHitters(skewed.repartition(8), $"token", k = 20, capacity = 64)
       .as[(String, Long)].collect().toMap
@@ -48,13 +46,13 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(a.toMap.apply("hh") == 3000L)
   }
 
-  test("sketch buffer round-trips through serialization") {
-    val agg = SpaceSavingAgg(null, capacity = 4)
-    val buf = agg.createAggregationBuffer()
-    buf.total = 42L
-    buf.counts.update("alpha", 7L)
-    buf.counts.update("beta", 3L)
-    val back = agg.deserialize(agg.serialize(buf))
-    assert(back.total == 42L && back.counts == buf.counts)
+  test("nulls are excluded from both the sketch and the total") {
+    val withNulls = skewed.union(Seq.fill(5000)(null: String).toDF("token"))
+    // if nulls counted toward total (15000), hh at 3000 would still pass k=5
+    // (3000*5 >= 15000) but mid at 500 would not; with the correct total
+    // (10000) k=20 keeps both — pin the correct behavior
+    val got = HeavyHitters.heavyHitters(withNulls, $"token", k = 20, capacity = 64)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("hh" -> 3000L, "mid" -> 500L))
   }
 }
