@@ -115,14 +115,31 @@ object CorpusOps {
       .select(col(idCol), coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
-  /** §2.5 — treat sources src15..src19 as the incoming batch and the
-    * rest as the standing corpus. */
-  def crossDedupQ(s: SparkSession, d: String): DataFrame = {
+  /** The corpus/batch cut shared by the incremental-ingest queries:
+    * sources src15..src19 are the incoming batch, the rest the
+    * standing corpus. */
+  private def corpusBatchSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .withColumn("__src_n", substring(col("source"), 4, 10).cast(IntegerType))
-    val corpus = docs.filter(col("__src_n") < 15)
-    val batch = docs.filter(col("__src_n") >= 15)
+    (docs.filter(col("__src_n") < 15), docs.filter(col("__src_n") >= 15))
+  }
+
+  /** §2.5 — exact incremental dedup over the corpus/batch cut. */
+  def crossDedupQ(s: SparkSession, d: String): DataFrame = {
+    val (corpus, batch) = corpusBatchSplit(s, d)
     crossDedup(corpus, batch, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  /** §2.5 — NEAR-dup incremental ingest over the same cut: MinHash-LSH
+    * candidates restricted to batch x corpus, exact-Jaccard verified
+    * (rows-only: the scale-shaped 8x4 LSH config is not SQL-replayable
+    * without the degenerate banding that regressed q_dedup_minhash in
+    * round 3 — the CorpusOpsSpec cross-checks against the exact
+    * All-Pairs ground truth instead). */
+  def crossNearDupQ(s: SparkSession, d: String): DataFrame = {
+    val (corpus, batch) = corpusBatchSplit(s, d)
+    Dedup.minhashCrossNearDups(corpus, batch, "doc_id", "text")
+      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
   // ---- Label centroids -----------------------------------------------------
@@ -166,6 +183,7 @@ object CorpusOps {
     "q_repetition_filter"   -> (repetitionFilterQ _),
     "q_token_budget_sample" -> (tokenBudgetSampleQ _),
     "q_cross_dedup"         -> (crossDedupQ _),
+    "q_cross_neardup"       -> (crossNearDupQ _),
     "q_label_centroids"     -> (labelCentroidsQ _),
   )
 

@@ -129,6 +129,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental-ingest near-dup: batch docs vs the standing corpus,
+    * same LSH + exact-Jaccard verify as [[minhashNearDups]] but the
+    * band join pairs ONLY batch x corpus — the corpus is never
+    * re-paired against itself, which is what makes near-dedup
+    * restart-free at ingest time: a daily shard's candidate volume is
+    * O(|batch| x collisions) no matter how large the corpus grows. At
+    * deployment scale the corpus half of `minhashState` (signatures +
+    * shingle-hash sets) is a precomputed table maintained across
+    * ingests; here it is recomputed, which only shifts where the
+    * linear pass runs. Output: (batch_id, corpus_id, jaccard). */
+  def minhashCrossNearDups(corpus: DataFrame, batch: DataFrame,
+                           idCol: String, textCol: String,
+                           numPerm: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.5): DataFrame = {
+    val cs = minhashState(corpus, idCol, textCol, numPerm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = minhashState(batch, idCol, textCol, numPerm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sh: DataFrame, as: String) = sh.select(col("id").as(as),
+      explode(bandHashes(col("sig"), numPerm, bands)).as(s"__band_$as"))
+    val cands = banded(bs, "batch_id")
+      .join(banded(cs, "corpus_id"),
+        col("__band_batch_id") === col("__band_corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    cands
+      .join(bs.select(col("id").as("batch_id"), col("hs").as("hs_b")), "batch_id")
+      .join(cs.select(col("id").as("corpus_id"), col("hs").as("hs_c")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("hs_b"), col("hs_c"))))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (size(col("hs_b")) + size(col("hs_c")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   // ---- Pair resolution --------------------------------------------------
 
   /** Resolve near-dup PAIRS into canonical GROUPS: connected components

@@ -12,6 +12,8 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  lazy val docs = Tables.documents(spark, TestSpark.sf)
+
   test("repetition rules drop a degenerate doc and keep a diverse one") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
@@ -52,6 +54,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     val got = CorpusOps.crossDedup(corpus, batch, "doc_id", "text")
       .as[(Long, Boolean)].collect().toMap
     assert(got == Map(10L -> true, 11L -> false))
+  }
+
+  test("cross near-dup finds exactly the true cross-boundary pairs, and only those") {
+    import graft.operators.TextOps
+    val src = docs.select($"doc_id",
+      substring($"source", 4, 10).cast("int").as("sn"))
+      .as[(Long, Int)].collect().toMap
+    // ground truth: exact 3-gram Jaccard >= 0.5 pairs straddling the cut
+    val trueCross = TextOps.ngramJaccardQ(spark, TestSpark.sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (src(a) >= 15) != (src(b) >= 15) }
+      .map { case (a, b) => if (src(a) >= 15) (a, b) else (b, a) }.toSet
+    assert(trueCross.nonEmpty, "corpus must plant cross-boundary near-dups")
+
+    val got = CorpusOps.crossNearDupQ(spark, TestSpark.sf)
+      .select($"batch_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    got.foreach { case (b, c, j) =>
+      assert(src(b) >= 15 && src(c) < 15, s"pair ($b,$c) does not straddle the cut")
+      assert(j >= 0.5)
+    }
+    assert(got.map(p => (p._1, p._2)).toSet == trueCross,
+      "LSH+verify must find the exact cross ground truth at j~0.99")
   }
 
   test("exact centroids are invariant under repartitioning and match AVG closely") {
