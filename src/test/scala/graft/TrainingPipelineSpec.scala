@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{CorpusOps, Curation, Dedup, TrainingOps, TrainingPipeline}
+import graft.sources.Tables
+
+/** End-to-end corpus→shards pipeline invariants (§2.5 capstone). */
+class TrainingPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, TestSpark.sf)
+  lazy val cfg = TrainingPipeline.Config()
+  lazy val manifest = TrainingPipeline.run(docs, cfg).cache()
+  lazy val survivors = manifest.select($"doc_id")
+
+  test("pipeline is deterministic end-to-end") {
+    val a = TrainingPipeline.trainingPipelineQ(spark, TestSpark.sf).collect()
+    val b = TrainingPipeline.trainingPipelineQ(spark, TestSpark.sf).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("every survivor passes the quality and repetition gates") {
+    val gated = Curation.score(docs, $"text").filter($"quality" < cfg.minQuality)
+      .select($"doc_id")
+    assert(survivors.join(gated, Seq("doc_id")).count() == 0)
+    val rep = CorpusOps.repetitionStats(docs, "doc_id", "text")
+      .filter($"top_frac" > cfg.maxTopFrac || $"dup2_frac" > cfg.maxDup2Frac)
+      .select($"doc_id")
+    assert(survivors.join(rep, Seq("doc_id")).count() == 0)
+  }
+
+  test("no two survivors are exact or near duplicates") {
+    val surv = docs.join(survivors, Seq("doc_id"))
+    val exactDups = surv
+      .groupBy(md5(TextFunctions.normalize($"text"))).count()
+      .filter($"count" > 1).count()
+    assert(exactDups == 0)
+    val nearPairs = Dedup.minhashNearDups(surv, "doc_id", "text",
+      threshold = cfg.nearDupThreshold).count()
+    assert(nearPairs == 0, "near-dup pairs must have been collapsed to canonicals")
+  }
+
+  test("no surviving train doc leaks into the test split") {
+    val surv = docs.join(survivors, Seq("doc_id"))
+    assert(TrainingOps.decontaminate(surv, "doc_id", "text", minShared = 1).count() == 0)
+  }
+
+  test("splits partition the survivors and bins respect the budget") {
+    val n = manifest.count()
+    assert(manifest.select($"doc_id").distinct().count() == n, "one manifest row per doc")
+    val bySplit = manifest.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")) && bySplit("train") > 0)
+    val overflow = manifest.groupBy($"split", $"lang", $"bin")
+      .agg(sum($"n_tokens").as("t"), max($"n_tokens").as("m"))
+      .filter($"t" >= lit(cfg.packCapacity) + $"m").count()
+    assert(overflow == 0, "a bin exceeds capacity by more than its largest doc")
+  }
+}
