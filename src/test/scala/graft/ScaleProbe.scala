@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, HeavyHitters, TextOps, TrainingOps}
 import graft.sources.Tables
 
 /** Dedup-family scaling probe (SURVEY.md §6): measures how the three
@@ -81,6 +81,23 @@ object ScaleProbe {
       time("cc_groups", k) {
         val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", bands = 16)
         Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      }
+      // round-5 additions
+      time("decontaminate", k) {
+        TrainingOps.decontaminate(docs, "doc_id", "text", minShared = 1).count()
+      }
+      time("cross_neardup", k) {
+        // even/odd id halves: corpus and batch both grow with k, and
+        // every planted near-dup pair straddles the cut half the time
+        Dedup.minhashCrossNearDups(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text").count()
+      }
+      time("heavy_hitters", k) {
+        HeavyHitters.heavyHitters(
+          docs.select(explode(graft.functions.TextFunctions.words(col("text"))).as("token")),
+          col("token"), k = 100).count()
       }
     }
     spark.stop()

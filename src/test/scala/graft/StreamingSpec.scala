@@ -31,4 +31,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == streamed.count())
     assert(streamed.count() >= batch.count() / 2)
   }
+
+  test("streaming top tokens equals the batch sketch (bounded state, complete mode)") {
+    val dir = Files.createTempDirectory("graft_tok_stream")
+    Files.copy(Paths.get(s"${TestSpark.sf}/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = graft.streaming.TokenStream.startMemorySink(spark, dir.toString, "top_tokens_out")
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("top_tokens_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.streaming.TokenStream.topTokens(
+        graft.sources.Tables.documents(spark, TestSpark.sf), k = 10, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // capacity (64) exceeds the corpus vocabulary, so both are exact
+    // counts with the same deterministic (cnt desc, token) order
+    assert(streamed == batch && streamed.size == 10)
+  }
 }
