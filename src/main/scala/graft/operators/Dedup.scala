@@ -145,18 +145,39 @@ object Dedup {
                            threshold: Double = 0.5): DataFrame = {
     val cs = minhashState(corpus, idCol, textCol, numPerm)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashCrossFromState(cs, batch, idCol, textCol, numPerm, bands, threshold)
+  }
+
+  /** Public builder for the maintained signature table: one row per
+    * doc — (id, hs: distinct shingle hashes, sig: minhash signature).
+    * Write this once per accepted batch (append) and feed it back via
+    * [[minhashCrossFromState]]; numPerm must match at read time. */
+  def signatureTable(df: DataFrame, idCol: String, textCol: String,
+                     numPerm: Int = 32): DataFrame =
+    minhashState(df, idCol, textCol, numPerm)
+
+  /** The signature-table variant of [[minhashCrossNearDups]]:
+    * `corpusState` is a previously computed [[minhashState]] frame
+    * (id, hs, sig) — in deployment a parquet table maintained across
+    * ingests (append each accepted batch's state rows; the linear
+    * corpus pass then happens exactly once per document ever, and a
+    * daily ingest touches corpus text zero times). */
+  def minhashCrossFromState(corpusState: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            numPerm: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.5): DataFrame = {
     val bs = minhashState(batch, idCol, textCol, numPerm)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def banded(sh: DataFrame, as: String) = sh.select(col("id").as(as),
       explode(bandHashes(col("sig"), numPerm, bands)).as(s"__band_$as"))
     val cands = banded(bs, "batch_id")
-      .join(banded(cs, "corpus_id"),
+      .join(banded(corpusState, "corpus_id"),
         col("__band_batch_id") === col("__band_corpus_id"))
       .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
     cands
       .join(bs.select(col("id").as("batch_id"), col("hs").as("hs_b")), "batch_id")
-      .join(cs.select(col("id").as("corpus_id"), col("hs").as("hs_c")), "corpus_id")
+      .join(corpusState.select(col("id").as("corpus_id"), col("hs").as("hs_c")), "corpus_id")
       .withColumn("inter", size(array_intersect(col("hs_b"), col("hs_c"))))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) /

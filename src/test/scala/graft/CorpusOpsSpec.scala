@@ -79,6 +79,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       "LSH+verify must find the exact cross ground truth at j~0.99")
   }
 
+  test("a persisted signature table yields identical cross near-dups to the direct path") {
+    import graft.operators.Dedup
+    val src = docs.withColumn("sn", substring($"source", 4, 10).cast("int"))
+    val corpus = src.filter($"sn" < 15).select($"doc_id", $"text")
+    val batch = src.filter($"sn" >= 15).select($"doc_id", $"text")
+
+    // "maintained table": state written to parquet once, read back cold
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigtable").toString
+    Dedup.signatureTable(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val fromTable = Dedup.minhashCrossFromState(spark.read.parquet(dir), batch, "doc_id", "text")
+      .select($"batch_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.minhashCrossNearDups(corpus, batch, "doc_id", "text")
+      .select($"batch_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromTable == direct && fromTable.nonEmpty)
+  }
+
   test("exact centroids are invariant under repartitioning and match AVG closely") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     def exact(df: org.apache.spark.sql.DataFrame): Array[(Int, Int, Double)] =
