@@ -96,11 +96,43 @@ object Profiling {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Robust (median/MAD) outlier flagging per group: a point is an
+    * outlier when |x - median| > k * MAD (k = 4.4478 ≈ 3σ for normal
+    * data via the 1.4826 consistency constant). Median/MAD, not
+    * mean/stddev, so the flags don't move when the outliers themselves
+    * get more extreme — the property that matters for data QA.
+    *
+    * Shape: two grouped exact percentiles + two broadcast joins of the
+    * tiny per-group stats. Exact `percentile` holds one group's values
+    * in its buffer (the q_median trade, accepted for oracle parity);
+    * swap in `percentile_approx` at 100 TB where groups are huge. */
+  def madOutliers(df: DataFrame, grpCol: String, valCol: String,
+                  k: Double = 4.4478): DataFrame = {
+    val med = df.groupBy(col(grpCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), Seq(grpCol))
+      .withColumn("__dev", abs(col(valCol) - col("__med")))
+    val mad = dev.groupBy(col(grpCol))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), Seq(grpCol))
+      .filter(col("__dev") > lit(k) * col("__mad"))
+      .drop("__med", "__dev", "__mad")
+  }
+
+  /** §2.4+ — per-event-type robust outliers over the events values. */
+  def outliersMadQ(s: SparkSession, d: String): DataFrame =
+    madOutliers(
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+      "event_type", "value")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile"       -> (profileQ _),
     "q_histogram"     -> (histogramQ _),
     "q_time_weighted" -> (timeWeightedQ _),
     "q_forward_fill"  -> (forwardFillQ _),
+    "q_outliers_mad"  -> (outliersMadQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,5 +194,18 @@ object Profiling {
         |  d.dsum IS NOT NULL AS observed
         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "q_outliers_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, abs(e.value - med.m) AS d
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(d, 0.5) AS md FROM dev GROUP BY 1)
+        |SELECT dev.event_id, dev.event_type, dev.value
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.d > 4.4478 * mad.md
+        |ORDER BY dev.event_id""".stripMargin,
   )
 }

@@ -131,20 +131,27 @@ object TrainingOps {
     val packed = in.as[(String, Long, Long)]
       .repartition(col("grp"))
       .sortWithinPartitions(col("grp"), col("id"))
-      .mapPartitions { rows =>
-        var grp: String = null
-        var bin = -1L
-        var used = 0L
-        rows.map { case (g, id, toks) =>
-          if (g != grp) { grp = g; bin = -1L; used = 0L }
-          if (bin < 0 || used + toks > capacity) { bin += 1; used = 0L }
-          used += toks
-          (g, id, toks, bin)
-        }
-      }
+      .mapPartitions(TrainingOps.packScan(_, capacity))
     packed.toDF("grp", "id", "n_tokens", "bin")
       .select(col("grp").as(grpCol), col("id").as(idCol),
         col("n_tokens").as(tokensCol), col("bin"))
+  }
+
+  /** The pure first-fit-in-order kernel behind [[packGreedy]]: rows
+    * MUST arrive sorted by (grp, id); O(1) state. Exposed for the
+    * property tests (PropertySpec) — the invariants must hold for any
+    * input, not just the corpus. */
+  private[graft] def packScan(rows: Iterator[(String, Long, Long)],
+                              capacity: Long): Iterator[(String, Long, Long, Long)] = {
+    var grp: String = null
+    var bin = -1L
+    var used = 0L
+    rows.map { case (g, id, toks) =>
+      if (g != grp) { grp = g; bin = -1L; used = 0L }
+      if (bin < 0 || used + toks > capacity) { bin += 1; used = 0L }
+      used += toks
+      (g, id, toks, bin)
+    }
   }
 
   /** §2.5 — packed-bin manifest over `documents`: language-grouped,

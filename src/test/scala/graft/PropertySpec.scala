@@ -131,4 +131,36 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  // ---- Greedy packing kernel (TrainingOps.packScan) ---------------------
+
+  test("packScan: every doc binned once, no multi-doc bin overflows, bins contiguous") {
+    val genRows = Gen.listOf(Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.choose(1L, 400L)))
+    val genCap = Gen.choose(1L, 600L)
+    forAll(genRows, genCap) { (rows, cap) =>
+      // the kernel's contract: input sorted by (grp, id), ids unique
+      val sorted = rows.zipWithIndex
+        .map { case ((g, t), i) => (g, i.toLong, t) }
+        .sortBy { case (g, id, _) => (g, id) }
+      val out = graft.operators.TrainingOps.packScan(sorted.iterator, cap).toList
+
+      assert(out.map(r => (r._1, r._2, r._3)) == sorted, "rows pass through unchanged")
+      out.groupBy(r => (r._1, r._4)).foreach { case ((g, bin), docs) =>
+        assert(bin >= 0)
+        if (docs.size > 1)
+          assert(docs.map(_._3).sum <= cap,
+            s"multi-doc bin ($g,$bin) holds ${docs.map(_._3).sum} > $cap")
+      }
+      out.groupBy(_._1).foreach { case (g, docs) =>
+        val bins = docs.map(_._4)
+        assert(bins.head == 0L, s"group $g must start at bin 0")
+        bins.sliding(2).foreach {
+          case Seq(x, y) => assert(y == x || y == x + 1,
+            s"group $g bins must be contiguous and non-decreasing, saw $x -> $y")
+          case _ => ()
+        }
+      }
+    }
+  }
 }
