@@ -96,6 +96,46 @@ object CorpusOps {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  // ---- Weighted (PPS) systematic sampling ---------------------------------
+
+  /** Deterministic probability-proportional-to-size sampling: ~`k` docs
+    * per group, each included with probability ∝ its weight (token
+    * count). Systematic PPS over a replayable hash order — lay the
+    * docs out on a line of total weight W in hash order, cut it into k
+    * equal strata, keep each doc that contains a stratum boundary:
+    * `floor(cumBefore*k/W) < floor(cumAfter*k/W)`. All-integer math
+    * (BIGINT multiply then floor-div), so the selection is exact,
+    * partitioning-independent, and replayable in ANSI SQL — the
+    * weighted-sampling story that `-ln(u)/w` priority sampling can't
+    * deliver cross-engine. A doc heavier than W/k spans >= 1 boundary
+    * and is always kept (the PPS certainty case). One window per
+    * group; no driver state. */
+  def ppsSystematicSample(docs: DataFrame, grpCol: Column, idCol: Column,
+                          weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = PolyHash64.poly_hash64(concat(lit("pps|"), idCol.cast(StringType)))
+    val w = Window.partitionBy(grpCol).orderBy(h, idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(grpCol)
+    docs
+      .withColumn("__wt", weightCol.cast(LongType))
+      .withColumn("__cb", coalesce(sum(col("__wt")).over(w), lit(0L)))
+      .withColumn("__W", sum(col("__wt")).over(wTot))
+      // `div` = integer floor division (weights are non-negative); all
+      // BIGINT, so the stratum index is exact — no double rounding
+      .filter(expr(s"(__cb * $k) div __W < ((__cb + __wt) * $k) div __W"))
+      .drop("__wt", "__cb", "__W")
+  }
+
+  /** §2.5 — ~8 docs per language, inclusion ∝ token count. */
+  def ppsSampleQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    ppsSystematicSample(docs, col("lang"), col("doc_id"), col("n_tokens"), k = 8)
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   // ---- Incremental cross-corpus dedup -------------------------------------
 
   /** Incremental-ingest dedup: flag each new-batch document whose
@@ -185,6 +225,7 @@ object CorpusOps {
     "q_cross_dedup"         -> (crossDedupQ _),
     "q_cross_neardup"       -> (crossNearDupQ _),
     "q_label_centroids"     -> (labelCentroidsQ _),
+    "q_pps_sample"          -> (ppsSampleQ _),
   )
 
   // ---- Oracles -------------------------------------------------------------
@@ -242,6 +283,23 @@ object CorpusOps {
         |FROM (SELECT * FROM n WHERE src_n >= 15) b
         |LEFT JOIN corpus ON b.h = corpus.h
         |ORDER BY b.doc_id""".stripMargin,
+
+    "q_pps_sample" ->
+      s"""WITH h AS (${TrainingOps.polyHashSql("pps|")}),
+         |toks AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY lang ORDER BY h.h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         |    SUM(n_tokens) OVER (PARTITION BY lang) AS W
+         |  FROM toks JOIN h USING (doc_id))
+         |SELECT lang, doc_id, n_tokens FROM c
+         |WHERE (cb * 8) // W < ((cb + n_tokens) * 8) // W
+         |ORDER BY lang, doc_id""".stripMargin,
 
     "q_label_centroids" ->
       """WITH dims AS (

@@ -47,6 +47,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ids(docs) == ids(docs.repartition(7).orderBy($"doc_id".desc)))
   }
 
+  test("PPS sample: ~k per group, certainty for oversized docs, partitioning-invariant") {
+    val toks = docs.select($"lang", $"doc_id",
+      graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
+    def pick(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      CorpusOps.ppsSystematicSample(df, $"lang", $"doc_id", $"n_tokens", k = 8)
+        .select($"doc_id").as[Long].collect().toSet
+    val a = pick(toks)
+    assert(pick(toks.repartition(13).orderBy($"doc_id".desc)) == a)
+    val perGroup = CorpusOps.ppsSystematicSample(toks, $"lang", $"doc_id", $"n_tokens", 8)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    perGroup.foreach { case (lang, n) => assert(n >= 1 && n <= 8, s"$lang picked $n") }
+
+    // certainty case: one doc holding > W/k weight must always be kept
+    val skew = Seq(("g", 1L, 1000L)) ++ (2L to 50L).map(i => ("g", i, 3L))
+    val got = CorpusOps.ppsSystematicSample(
+      skew.toDF("lang", "doc_id", "n_tokens"), $"lang", $"doc_id", $"n_tokens", 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got.contains(1L), "a doc heavier than W/k spans a stratum boundary by construction")
+  }
+
   test("cross dedup flags exactly the batch docs whose text exists in the corpus") {
     val corpus = Seq((1L, "shared   Content here"), (2L, "corpus only text")).toDF("doc_id", "text")
     val batch = Seq((10L, "shared content HERE"),   // normalized-equal to corpus doc 1
