@@ -16,15 +16,25 @@ import graft.sources.Tables
   * exactly (broadcast semi-join, then a groupBy whose key set is at
   * most `capacity` items) and applies the threshold to exact counts.
   *
-  * The result is therefore EXACT — the sketch only prunes. Candidate
-  * completeness is provable, not probabilistic:
-  * - Space-Saving estimates never undercount, and the merge unions
-  *   partials without truncation (SpaceSavingTopK.merge), so any item
-  *   with true count >= total/k has est >= total/k;
-  * - stored estimates sum to exactly the processed row count (each
-  *   update adds net +1 whether it hits, inserts, or evicts), so at
-  *   most k items can have est >= total/k — with `capacity >= k` the
-  *   top-`capacity` cut of eval() cannot drop a true heavy hitter.
+  * The result is therefore EXACT — the sketch only prunes. The
+  * candidate set is every item the merged sketch still holds (NO
+  * filtering on merged estimates: per-partial estimates never
+  * undercount, but an item evicted from one partition's partial
+  * contributes zero to the merged sum, so merged estimates can
+  * undercount by up to total/capacity and a threshold filter on them
+  * could drop a true heavy hitter). Completeness of the unfiltered
+  * candidate set is provable:
+  * - an item ABSENT from the merged union was evicted from every
+  *   partial, so its count per partition is <= n_i/capacity and its
+  *   global count is <= total/capacity < total/k whenever
+  *   capacity > k — a true heavy hitter cannot be absent;
+  * - eval()'s top-`capacity` cut cannot drop one either: a true heavy
+  *   hitter's merged est is >= total/k - total/capacity, estimates sum
+  *   to <= total, so fewer than capacity items can outrank it for
+  *   capacity >= 2k.
+  * The default capacity 4k satisfies both with margin. Recounting
+  * <= capacity candidates exactly is one broadcast of a few hundred
+  * strings — completeness costs nothing measurable.
   *
   * At 100 TB the win is the unshuffled tail: a web-scale token column
   * has billions of distinct rare tokens that never leave their map
@@ -38,12 +48,13 @@ object HeavyHitters {
                    capacity: Int = 0): DataFrame = {
     require(k > 1, s"k must exceed 1, got $k")
     val cap = if (capacity > 0) capacity else 4 * k
-    require(cap >= k, s"capacity $cap too small for k=$k: completeness needs >= k")
-    // one pass: the sketch and the exact non-null row count it processed
-    val sketch = rows
+    require(cap >= 2 * k, s"capacity $cap too small for k=$k: completeness needs >= 2k")
+    // one pass: the sketch and the exact non-null row count it processed.
+    // Every surviving sketch entry is a candidate — see the scaladoc for
+    // why filtering on merged estimates here would be unsound.
+    val cands = rows
       .agg(topk_freq(tokenCol, cap, cap).as("items"), count(tokenCol).as("total"))
       .select(col("total"), explode(col("items")).as("it"))
-    val cands = sketch.filter(col("it.cnt") * k >= col("total"))
       .select(col("it.item").as("token"), col("total"))
     rows.select(tokenCol.as("token"))
       .join(broadcast(cands), Seq("token"))

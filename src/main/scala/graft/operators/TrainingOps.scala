@@ -107,7 +107,9 @@ object TrainingOps {
     val w = Window.partitionBy(grpCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__cum", coalesce(sum(tokensCol).over(w), lit(0L)))
-      .withColumn("bin", floor(col("__cum") / capacity.toDouble).cast(LongType))
+      // integer floor division, not floor(double): a group's cumsum
+      // past 2^53 would round in double space and shift bins
+      .withColumn("bin", expr(s"__cum div ${capacity}L"))
       .drop("__cum")
   }
 
@@ -260,9 +262,9 @@ object TrainingOps {
         |  FROM documents),
         |binned AS (
         |  SELECT lang, doc_id, n_tokens,
-        |    CAST(floor(COALESCE(SUM(n_tokens) OVER (
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
         |      PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
         |  FROM toks)
         |SELECT lang, bin,
         |  COUNT(*) AS n_docs,

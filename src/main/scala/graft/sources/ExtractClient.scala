@@ -48,19 +48,10 @@ object ExtractClient {
                                pStart: String, pEnd: String)
 
   /** The reference's chunk loop: inclusive windows, `chunkDays`-day
-    * stride then one day gap (so a 7-day chunk spans 8 days). */
-  def chunkWindows(start: LocalDate, end: LocalDate, chunkDays: Int): Seq[(LocalDate, LocalDate)] = {
-    require(chunkDays > 0, s"chunkDays must be positive, got $chunkDays")
-    val out = Seq.newBuilder[(LocalDate, LocalDate)]
-    var cur = start
-    while (!cur.isAfter(end)) {
-      val stretched = cur.plusDays(chunkDays.toLong)
-      val chunkEnd = if (stretched.isBefore(end)) stretched else end
-      out += ((cur, chunkEnd))
-      cur = chunkEnd.plusDays(1)
-    }
-    out.result()
-  }
+    * stride then one day gap (so a 7-day chunk spans 8 days). One
+    * implementation, shared with the batch DAG: [[RawZone.chunkWindow]]. */
+  def chunkWindows(start: LocalDate, end: LocalDate, chunkDays: Int): Seq[(LocalDate, LocalDate)] =
+    RawZone.chunkWindow(start, end, chunkDays)
 
   /** Query parameters for one window, per endpoint kind. */
   def requestParams(kind: ParamKind, start: LocalDate, end: LocalDate): (String, String) =
@@ -70,22 +61,20 @@ object ExtractClient {
     }
 
   /** Plan every request for one endpoint: resume after the watermark
-    * (or backfill `historicalDays`), end at yesterday, chunk if
-    * configured. Empty when already up to date. */
+    * ([[RawZone.resumeWindow]] — the shared contract), chunk if
+    * configured, format parameters. Empty when already up to date. */
   def planRequests(spec: EndpointSpec, landedMax: Option[LocalDate],
-                   today: LocalDate, historicalDays: Int = RawZone.HistoricalDays): Seq[PageRequest] = {
-    val end = today.minusDays(1)
-    val start = landedMax.map(_.plusDays(1)).getOrElse(end.minusDays(historicalDays.toLong))
-    if (start.isAfter(end)) return Seq.empty
-    val windows = spec.chunkDays match {
-      case Some(c) => chunkWindows(start, end, c)
-      case None => Seq((start, end))
+                   today: LocalDate, historicalDays: Int = RawZone.HistoricalDays): Seq[PageRequest] =
+    RawZone.resumeWindow(landedMax, today, historicalDays).toSeq.flatMap { case (start, end) =>
+      val windows = spec.chunkDays match {
+        case Some(c) => chunkWindows(start, end, c)
+        case None => Seq((start, end))
+      }
+      windows.zipWithIndex.map { case ((s, e), i) =>
+        val (ps, pe) = requestParams(spec.kind, s, e)
+        PageRequest(spec.dataType, spec.endpoint, i, s.toString, e.toString, ps, pe)
+      }
     }
-    windows.zipWithIndex.map { case ((s, e), i) =>
-      val (ps, pe) = requestParams(spec.kind, s, e)
-      PageRequest(spec.dataType, spec.endpoint, i, s.toString, e.toString, ps, pe)
-    }
-  }
 
   /** Page schema: `{"data": [{...}]}` (every reference endpoint wraps
     * its records in a `data` array). */
@@ -95,32 +84,49 @@ object ExtractClient {
       StructField("metric", StringType),
       StructField("value", DoubleType)))))))
 
-  /** Fetch every planned request on the executors and land each window
-    * in the raw zone — always, even when the page is empty, so the
-    * watermark advances (extract.py:188-193). Returns the landed dirs.
+  /** Fetch every planned request and land each window in the raw zone
+    * — always, even when the page is empty, so the watermark advances
+    * (extract.py:188-193). Returns the landed dirs.
     *
-    * The fetch itself is `Dataset[PageRequest] -> mapPartitions`: at
-    * one request per chunk window, a 1000-executor backfill runs 1000
-    * HTTP calls in parallel with no driver involvement beyond the
-    * plan. */
+    * Two phases so the slow part parallelizes: phase 1 is ONE
+    * distributed job fetching ALL windows across ALL endpoints
+    * (`Dataset[PageRequest]`, one fetch per task — a 1000-window
+    * backfill runs 1000 HTTP calls concurrently; wall clock ~= the
+    * slowest fetch, not the sum). Phase 2 parses and writes each
+    * window's page from the cached fetch results — per-window jobs,
+    * but over in-memory single rows, no network. The resume window
+    * itself comes from [[RawZone.nextExtractionWindow]] — one
+    * implementation of the watermark contract. */
   def extractToRaw(spark: SparkSession, specs: Seq[EndpointSpec], fetcher: PageFetcher,
                    root: String, today: LocalDate,
                    historicalDays: Int = RawZone.HistoricalDays): Seq[String] = {
     import spark.implicits._
-    specs.flatMap { spec =>
-      val landedMax = RawZone.listRanges(spark, root, spec.dataType)
-        .map(_.end).maxOption
-      planRequests(spec, landedMax, today, historicalDays).map { req =>
-        val pages = spark.createDataset(Seq(req))
-          .mapPartitions(_.map(fetcher.fetch))
-        val rows = spark.read.schema(pageSchema).json(pages)
-          .select(explode_outer(col("data")).as("r"))
+    val plans = specs.flatMap { spec =>
+      planRequests(spec,
+        RawZone.listRanges(spark, root, spec.dataType).lastOption.map(_.end),
+        today, historicalDays)
+    }
+    if (plans.isEmpty) return Seq.empty
+    // phase 1: one job, all fetches in parallel
+    val fetched = spark.createDataset(plans)
+      .repartition(plans.size)
+      .map(req => (req.dataType, req.start, req.end, fetcher.fetch(req)))
+      .toDF("data_type", "start", "end", "page")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fetched.count() // materialize: run every fetch exactly once, now
+      // phase 2: parse + land each window from the cached page
+      plans.map { req =>
+        val page = fetched.filter(col("data_type") === req.dataType &&
+          col("start") === req.start && col("end") === req.end)
+        val rows = page.select(from_json(col("page"), pageSchema).as("p"))
+          .select(explode_outer(col("p.data")).as("r"))
           .select(col("r.day"), col("r.metric"), col("r.value"))
           .filter(col("day").isNotNull)
-        RawZone.write(rows, root, spec.dataType,
+        RawZone.write(rows, root, req.dataType,
           LocalDate.parse(req.start), LocalDate.parse(req.end))
       }
-    }
+    } finally fetched.unpersist()
   }
 
   /** §2.1 periphery — the deterministic request plan as a QUERY: three

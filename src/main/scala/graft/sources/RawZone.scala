@@ -84,23 +84,40 @@ object RawZone {
     else spark.read.schema(schema).json(hit: _*)
   }
 
-  /** Next extraction window: (max landed + 1) .. today-1; first run
-    * backfills HISTORICAL_DAYS. None when already up to date. */
-  def nextExtractionWindow(spark: SparkSession, root: String, dataType: String,
-                           today: LocalDate): Option[(LocalDate, LocalDate)] = {
+  /** The resume contract as pure arithmetic — the ONE place the
+    * watermark window is computed: (max landed + 1) .. today-1; first
+    * run backfills `historicalDays`; None when already up to date.
+    * Every extraction path (HealthPipeline via nextExtractionWindow,
+    * ExtractClient.planRequests) plans through here. */
+  def resumeWindow(landedMax: Option[LocalDate], today: LocalDate,
+                   historicalDays: Int = HistoricalDays): Option[(LocalDate, LocalDate)] = {
     val endDate = today.minusDays(1)
-    val landed = listRanges(spark, root, dataType)
-    val start = landed.lastOption match {
-      case Some(r) => r.end.plusDays(1)
-      case None => endDate.minusDays(HistoricalDays)
-    }
+    val start = landedMax.map(_.plusDays(1))
+      .getOrElse(endDate.minusDays(historicalDays.toLong))
     if (start.isAfter(endDate)) None else Some((start, endDate))
   }
 
-  /** Split a window into fixed-size chunks (extract.py:133-149). */
-  def chunkWindow(start: LocalDate, end: LocalDate, chunkDays: Int): Seq[(LocalDate, LocalDate)] =
-    Iterator.iterate(start)(_.plusDays(chunkDays))
-      .takeWhile(!_.isAfter(end))
-      .map(s => (s, Seq(s.plusDays(chunkDays - 1), end).min(Ordering.by((d: LocalDate) => d.toEpochDay))))
-      .toSeq
+  /** [[resumeWindow]] against the landed raw zone. */
+  def nextExtractionWindow(spark: SparkSession, root: String, dataType: String,
+                           today: LocalDate,
+                           historicalDays: Int = HistoricalDays): Option[(LocalDate, LocalDate)] =
+    resumeWindow(listRanges(spark, root, dataType).lastOption.map(_.end),
+      today, historicalDays)
+
+  /** Split a window into chunks with the reference's exact stepping
+    * (extract.py:137-149): `chunk_end = min(start + chunkDays, end)` —
+    * a "7-day" chunk spans 8 inclusive days — then the next window
+    * starts at `chunk_end + 1`. */
+  def chunkWindow(start: LocalDate, end: LocalDate, chunkDays: Int): Seq[(LocalDate, LocalDate)] = {
+    require(chunkDays > 0, s"chunkDays must be positive, got $chunkDays")
+    val out = Seq.newBuilder[(LocalDate, LocalDate)]
+    var cur = start
+    while (!cur.isAfter(end)) {
+      val stretched = cur.plusDays(chunkDays.toLong)
+      val chunkEnd = if (stretched.isBefore(end)) stretched else end
+      out += ((cur, chunkEnd))
+      cur = chunkEnd.plusDays(1)
+    }
+    out.result()
+  }
 }

@@ -20,7 +20,12 @@ class HeavyHittersSpec extends AnyFunSuite {
     rows.toDF("token")
   }
 
-  test("sketch estimates overestimate true counts (the completeness invariant)") {
+  test("merged estimates overestimate items that survive every partial sketch") {
+    // NOTE this holds only for everywhere-surviving items: an item
+    // evicted from some partition's partial contributes zero there, so
+    // merged estimates CAN undercount in general — which is why
+    // heavyHitters recounts every sketched item instead of filtering
+    // on these estimates (see the operator's scaladoc).
     val est = skewed.repartition(8)
       .agg(topk_freq($"token", 64, 64).as("items"))
       .select(explode($"items").as("it"))

@@ -51,7 +51,12 @@ object ScaleProbe {
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val n = body
-        (n, (System.nanoTime() - t0) / 1e9)
+        val t = (System.nanoTime() - t0) / 1e9
+        // the dedup operators persist() internal state and rely on GC
+        // for cleanup; dropping it NOW keeps earlier runs' blocks from
+        // squeezing later runs' memory and skewing the curve
+        spark.sharedState.cacheManager.clearCache()
+        (n, t)
       }
       val n = runs.head._1
       println(f"PROBE $label%-16s k=$k%-3d rows=$n%-8d ${runs.map(_._2).min}%.2f s")

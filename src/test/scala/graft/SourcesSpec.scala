@@ -64,12 +64,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(RawZone.nextExtractionWindow(spark, root, "hr", d("2024-01-29")).isEmpty)
   }
 
-  test("chunkWindow splits like the reference's 7-day heartrate chunks") {
+  test("chunkWindow steps exactly like the reference loop (8-day inclusive windows)") {
+    // extract.py:137-149: chunk_end = min(start + 7 DAYS, end) — the
+    // "7-day" chunk spans 8 inclusive days — then next = chunk_end + 1
     val chunks = RawZone.chunkWindow(d("2024-01-01"), d("2024-01-17"), 7)
     assert(chunks == Seq(
-      (d("2024-01-01"), d("2024-01-07")),
-      (d("2024-01-08"), d("2024-01-14")),
-      (d("2024-01-15"), d("2024-01-17"))))
+      (d("2024-01-01"), d("2024-01-08")),
+      (d("2024-01-09"), d("2024-01-16")),
+      (d("2024-01-17"), d("2024-01-17"))))
   }
 
   test("CSV round-trip with explicit schema") {
