@@ -107,4 +107,39 @@ class PlanSpec extends AnyFunSuite {
            p.contains("GreaterThanOrEqual(ts,"), p)
     assert(df.count() > 0)
   }
+
+  // ---- round-5 operators -------------------------------------------------
+
+  test("heavy hitters: sketch partials object-agg'd, candidates broadcast into the recount") {
+    val df = graft.operators.HeavyHitters.heavyHittersQ(spark, TestSpark.sf)
+    df.collect() // AQE finalizes join strategies on execution
+    val p = plan(df)
+    // the sketch runs as a (partial) ObjectHashAggregate, not a full groupBy of the tail
+    assert(p.contains("ObjectHashAggregate"), p)
+    // the <= capacity candidate set must reach the recount as a broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("cross dedup: distinct corpus hashes broadcast to the batch side, text never joined") {
+    val df = graft.operators.CorpusOps.crossDedupQ(spark, TestSpark.sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // only the 128-bit content hash crosses the shuffle and the broadcast:
+    // the corpus side exchanges on __h alone (text stays below, feeding md5)
+    assert(p.contains("Exchange hashpartitioning(__h"), p)
+    assert(p.contains("HashedRelationBroadcastMode(List(input[0, string"), p)
+  }
+
+  test("split assignment is a pure projection: no join, no aggregate") {
+    val p = plan(graft.operators.TrainingOps.splitAssignQ(spark, TestSpark.sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("packing runs one window exchange per group key, no join") {
+    val p = plan(graft.operators.TrainingOps.packSequencesQ(spark, TestSpark.sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
 }
