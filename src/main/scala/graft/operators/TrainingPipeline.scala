@@ -88,6 +88,21 @@ object TrainingPipeline {
       .select(col("split"), col("lang"), col("bin"), col("doc_id"), col("n_tokens"))
   }
 
+  /** Land the shards: one parquet table partitioned by (split, lang) —
+    * the read patterns that matter prune at directory level ("the
+    * train/en shard" opens only train/en files) — with rows of a
+    * (split, lang) partition clustered by (bin, doc_id) via a
+    * repartition on the partition keys + in-partition sort, so a bin is
+    * a contiguous run inside its files and a sequential shard reader
+    * streams bins in order. Returns the landed root. */
+  def writeShards(docs: DataFrame, manifest: DataFrame, path: String): String = {
+    manifest.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .repartition(col("split"), col("lang"))
+      .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("split", "lang").parquet(path)
+    path
+  }
+
   /** §2.5 capstone — the manifest over `documents` (rows-only: every
     * stage is individually oracle- or spec-verified; the composition is
     * pinned by TrainingPipelineSpec's invariants instead). */

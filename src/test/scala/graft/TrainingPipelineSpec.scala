@@ -49,6 +49,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(TrainingOps.decontaminate(surv, "doc_id", "text", minShared = 1).count() == 0)
   }
 
+  test("written shards prune by split/lang and preserve the manifest exactly") {
+    val path = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    TrainingPipeline.writeShards(docs, manifest, path)
+    val back = spark.read.parquet(path)
+    // partition pruning: the split/lang filters must land in the scan's
+    // PartitionFilters (directory-level pruning, no data read elsewhere)
+    val trainEn = back.filter($"split" === "train" && $"lang" === "en")
+    val p = trainEn.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("(split") && p.contains("(lang"), p)
+    assert(trainEn.count() > 0)
+    // round-trip: (doc_id, split, lang, bin, n_tokens) survives unchanged, text attached
+    val a = back.select($"doc_id", $"split", $"lang", $"bin", $"n_tokens")
+      .orderBy($"doc_id").collect()
+    val b = manifest.select($"doc_id", $"split", $"lang", $"bin", $"n_tokens")
+      .orderBy($"doc_id").collect()
+    assert(a.sameElements(b))
+    assert(back.filter($"text".isNull).count() == 0)
+  }
+
   test("splits partition the survivors and bins respect the budget") {
     val n = manifest.count()
     assert(manifest.select($"doc_id").distinct().count() == n, "one manifest row per doc")
