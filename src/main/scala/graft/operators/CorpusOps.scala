@@ -119,10 +119,20 @@ object CorpusOps {
     val wTot = Window.partitionBy(grpCol)
     docs
       .withColumn("__wt", weightCol.cast(LongType))
+      // weight <= 0 carries no mass: such a doc can never contain a
+      // stratum boundary, so excluding it up front is semantics-neutral
+      // for zeros and the enforcement point for the non-negative-weight
+      // contract (negative weights would break cumsum monotonicity AND
+      // Spark `div` truncates while DuckDB `//` floors — parity only
+      // holds on non-negatives)
+      .filter(col("__wt") > 0)
       .withColumn("__cb", coalesce(sum(col("__wt")).over(w), lit(0L)))
       .withColumn("__W", sum(col("__wt")).over(wTot))
-      // `div` = integer floor division (weights are non-negative); all
-      // BIGINT, so the stratum index is exact — no double rounding
+      // `div` = integer floor division on BIGINT — exact, no double
+      // rounding. __W > 0 is guaranteed by the filter above (every
+      // surviving row contributes), so the division cannot hit ANSI
+      // divide-by-zero even for a group whose docs were all zero-weight
+      // (the group is simply gone).
       .filter(expr(s"(__cb * $k) div __W < ((__cb + __wt) * $k) div __W"))
       .drop("__wt", "__cb", "__W")
   }
@@ -287,9 +297,11 @@ object CorpusOps {
     "q_pps_sample" ->
       s"""WITH h AS (${TrainingOps.polyHashSql("pps|")}),
          |toks AS (
-         |  SELECT lang, doc_id,
-         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
-         |  FROM documents),
+         |  SELECT * FROM (
+         |    SELECT lang, doc_id,
+         |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
+         |    FROM documents) _t
+         |  WHERE n_tokens > 0),
          |c AS (
          |  SELECT lang, doc_id, n_tokens,
          |    COALESCE(SUM(n_tokens) OVER (

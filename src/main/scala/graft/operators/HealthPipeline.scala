@@ -24,6 +24,12 @@ import graft.sources.{RawZone, SchemaAlign, Writer}
   */
 object HealthPipeline {
 
+  /** `chunkDays` follows the reference's stepping (RawZone.chunkWindow):
+    * `chunk_end = min(start + chunkDays, end)` then `chunk_end + 1` — a
+    * "7-day" chunk lands 8-day-inclusive `{start}_{end}` dirs. Raw
+    * zones landed before round 5 used 7-day dirs; day coverage is
+    * identical and resume handles the transition, but external tooling
+    * keyed on dir names should expect the new stride. */
   final case class SourceDef(
       name: String,
       extractSource: (LocalDate, LocalDate) => DataFrame,

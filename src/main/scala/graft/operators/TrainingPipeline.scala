@@ -96,6 +96,11 @@ object TrainingPipeline {
     * a contiguous run inside its files and a sequential shard reader
     * streams bins in order. Returns the landed root. */
   def writeShards(docs: DataFrame, manifest: DataFrame, path: String): String = {
+    // an inner join would silently drop manifest rows whose text is
+    // missing from `docs` (stale/filtered re-read) — fail loudly instead
+    val missing = manifest.join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    require(missing == 0,
+      s"$missing manifest rows have no document in `docs` — stale or filtered input?")
     manifest.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .repartition(col("split"), col("lang"))
       .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))

@@ -101,32 +101,36 @@ object ExtractClient {
                    root: String, today: LocalDate,
                    historicalDays: Int = RawZone.HistoricalDays): Seq[String] = {
     import spark.implicits._
+    // each dataType owns root/<dataType>/<start>_<end> exclusively — two
+    // specs sharing a dataType would race on the same landing dirs
+    require(specs.map(_.dataType).distinct.size == specs.size,
+      s"duplicate dataType in specs: ${specs.map(_.dataType).mkString(", ")}")
     val plans = specs.flatMap { spec =>
       planRequests(spec,
         RawZone.listRanges(spark, root, spec.dataType).lastOption.map(_.end),
         today, historicalDays)
     }
     if (plans.isEmpty) return Seq.empty
-    // phase 1: one job, all fetches in parallel
-    val fetched = spark.createDataset(plans)
+    // phase 1: ONE job, all fetches in parallel; results come back to
+    // the driver keyed by the full request. Pages are API responses —
+    // driver-memory-scale by the REST contract (the reference holds
+    // them all in Python lists) — so collect() is the cheap, correct
+    // move: phase 2 then schedules O(windows) single-task jobs instead
+    // of O(windows^2) filter-scan tasks over a cached dataset.
+    val pageByReq: Map[PageRequest, String] = spark.createDataset(plans)
       .repartition(plans.size)
-      .map(req => (req.dataType, req.start, req.end, fetcher.fetch(req)))
-      .toDF("data_type", "start", "end", "page")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      fetched.count() // materialize: run every fetch exactly once, now
-      // phase 2: parse + land each window from the cached page
-      plans.map { req =>
-        val page = fetched.filter(col("data_type") === req.dataType &&
-          col("start") === req.start && col("end") === req.end)
-        val rows = page.select(from_json(col("page"), pageSchema).as("p"))
-          .select(explode_outer(col("p.data")).as("r"))
-          .select(col("r.day"), col("r.metric"), col("r.value"))
-          .filter(col("day").isNotNull)
-        RawZone.write(rows, root, req.dataType,
-          LocalDate.parse(req.start), LocalDate.parse(req.end))
-      }
-    } finally fetched.unpersist()
+      .map(req => (req, fetcher.fetch(req)))
+      .collect().toMap
+    // phase 2: parse + land each window from its own page
+    plans.map { req =>
+      val rows = spark.createDataset(Seq(pageByReq(req)))
+        .select(from_json(col("value"), pageSchema).as("p"))
+        .select(explode_outer(col("p.data")).as("r"))
+        .select(col("r.day"), col("r.metric"), col("r.value"))
+        .filter(col("day").isNotNull)
+      RawZone.write(rows, root, req.dataType,
+        LocalDate.parse(req.start), LocalDate.parse(req.end))
+    }
   }
 
   /** §2.1 periphery — the deterministic request plan as a QUERY: three

@@ -67,6 +67,10 @@ object ScaleProbe {
       val w = replicate(base, 1)
       Dedup.minhashNearDups(w, "doc_id", "text", bands = 16).count()
       TextOps.ngramJaccard(w).count()
+      // drop the warmup's persisted dedup state: the first timed cell is
+      // the same logical plan and would silently ride these blocks,
+      // making exactly one cell of the scaling table warm
+      spark.sharedState.cacheManager.clearCache()
     }
 
     Seq(1, 2, 4, 8).foreach { k =>
