@@ -127,12 +127,57 @@ object Profiling {
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
 
+  /** Pairwise Pearson correlation of `cols` in ONE scan: every
+    * Σx, Σx², Σxy accumulates as an exact DECIMAL (the inputs carry 2
+    * decimal places, so sums are integers under the hood — map-side
+    * partials, order-independent, bit-identical on any engine), and
+    * only the final closed-form formula runs in double. Every double
+    * op in it (+,-,*,/,sqrt) is IEEE-correctly-rounded, so with the
+    * same evaluation order the result is reproducible cross-engine —
+    * which is what makes a *correlation matrix* oracle-provable at all
+    * (a streaming `corr` aggregate is summation-order-dependent).
+    * O(k²) accumulators for k columns; one aggregate row total. */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    def d(c: String) = col(c).cast(DecimalType(12, 2))
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(d(c)).cast(DecimalType(38, 4)).as(s"s_$c")) ++
+      (for (i <- cols.indices; j <- i until cols.size) yield {
+        val (a, b) = (cols(i), cols(j))
+        sum((d(a) * d(b)).cast(DecimalType(38, 4))).as(s"p_${a}__$b")
+      })
+    val agg = df.agg(sums.head, sums.tail: _*)
+    val pairRows = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      // identical formula text on the oracle side — same op order,
+      // IEEE-rounded ops => bit-identical doubles
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        expr(s"""(cast(n as double) * cast(p_${a}__$b as double)
+                 | - cast(s_$a as double) * cast(s_$b as double))
+                 | / sqrt((cast(n as double) * cast(p_${a}__$a as double)
+                 |          - cast(s_$a as double) * cast(s_$a as double))
+                 |        * (cast(n as double) * cast(p_${b}__$b as double)
+                 |           - cast(s_$b as double) * cast(s_$b as double)))""".stripMargin)
+          .as("corr"))
+    }
+    agg.select(explode(array(pairRows: _*)).as("r"))
+      .select(col("r.col_x"), col("r.col_y"), col("r.corr"))
+  }
+
+  /** §2.4+ — lineitem numeric correlation matrix. */
+  def corrMatrixQ(s: SparkSession, d: String): DataFrame =
+    corrPairs(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_x"), col("col_y"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile"       -> (profileQ _),
     "q_histogram"     -> (histogramQ _),
     "q_time_weighted" -> (timeWeightedQ _),
     "q_forward_fill"  -> (forwardFillQ _),
     "q_outliers_mad"  -> (outliersMadQ _),
+    "q_corr_matrix"   -> (corrMatrixQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,6 +239,32 @@ object Profiling {
         |  d.dsum IS NOT NULL AS observed
         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "q_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def dd(c: String) = s"CAST($c AS DECIMAL(12,2))"
+      val aggs =
+        Seq("COUNT(*) AS n") ++
+        cols.map(c => s"CAST(SUM(${dd(c)}) AS DECIMAL(38,4)) AS s_$c") ++
+        (for (i <- cols.indices; j <- i until cols.size) yield {
+          val (a, b) = (cols(i), cols(j))
+          s"SUM(CAST(${dd(a)} * ${dd(b)} AS DECIMAL(38,4))) AS p_${a}__$b"
+        })
+      val pairSelects = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+        val (a, b) = (cols(i), cols(j))
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           |  (CAST(n AS DOUBLE) * CAST(p_${a}__$b AS DOUBLE)
+           |   - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+           |  / sqrt((CAST(n AS DOUBLE) * CAST(p_${a}__$a AS DOUBLE)
+           |           - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+           |         * (CAST(n AS DOUBLE) * CAST(p_${b}__$b AS DOUBLE)
+           |            - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) AS corr
+           |FROM a""".stripMargin
+      }
+      s"""WITH a AS (SELECT ${aggs.mkString(", ")} FROM lineitem)
+         |${pairSelects.mkString("\nUNION ALL\n")}
+         |ORDER BY col_x, col_y""".stripMargin
+    },
 
     "q_outliers_mad" ->
       """WITH med AS (

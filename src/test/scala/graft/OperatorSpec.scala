@@ -106,4 +106,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq == Seq("d1", "d2"))
     assert(out(0).getAs[Int]("a_n") == 1 && out(0).isNullAt(2) && out(0).getAs[Int]("c_n") == 3)
   }
+
+  test("decimal-sum corr matches Spark's streaming corr and is partitioning-invariant") {
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profiling.corrPairs(df, Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy($"col_x", $"col_y")
+        .select($"col_x", $"col_y", $"corr").as[(String, String, Double)].collect().toSeq
+    val a = run(li.repartition(3))
+    val b = run(li.repartition(17).orderBy($"l_orderkey".desc))
+    assert(a == b, "exact decimal sums must make corr bit-identical across partitionings")
+    // sanity vs the (order-dependent) built-in estimator
+    val builtin = li.agg(corr($"l_quantity", $"l_extendedprice")).head().getDouble(0)
+    val ours = a.find(r => r._1 == "l_quantity" && r._2 == "l_extendedprice").get._3
+    assert(math.abs(ours - builtin) < 1e-9, s"$ours vs builtin $builtin")
+  }
 }
