@@ -130,13 +130,17 @@ object Profiling {
   /** Pairwise Pearson correlation of `cols` in ONE scan: every
     * Σx, Σx², Σxy accumulates as an exact DECIMAL (the inputs carry 2
     * decimal places, so sums are integers under the hood — map-side
-    * partials, order-independent, bit-identical on any engine), and
-    * only the final closed-form formula runs in double. Every double
-    * op in it (+,-,*,/,sqrt) is IEEE-correctly-rounded, so with the
-    * same evaluation order the result is reproducible cross-engine —
-    * which is what makes a *correlation matrix* oracle-provable at all
-    * (a streaming `corr` aggregate is summation-order-dependent).
-    * O(k²) accumulators for k columns; one aggregate row total. */
+    * partials, order-independent), and only the final closed-form
+    * formula runs in double — so the result is bit-identical across
+    * partitionings and runs, which a streaming `corr` aggregate can
+    * never be. Cross-ENGINE portability has one genuine limit: once an
+    * exact sum exceeds 2^53, decimal→double conversion itself is
+    * engine-specific (Java rounds the exact decimal once; DuckDB's
+    * int128→double then scale division rounds twice), so the last
+    * couple of ulps differ — the emitted corr is therefore rounded to
+    * 12 decimal places, which both engines agree on and which is far
+    * below any statistical meaning. O(k²) accumulators; one aggregate
+    * row total. */
   def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got $cols")
     def d(c: String) = col(c).cast(DecimalType(12, 2))
@@ -153,12 +157,12 @@ object Profiling {
       // identical formula text on the oracle side — same op order,
       // IEEE-rounded ops => bit-identical doubles
       struct(lit(a).as("col_x"), lit(b).as("col_y"),
-        expr(s"""(cast(n as double) * cast(p_${a}__$b as double)
+        expr(s"""round((cast(n as double) * cast(p_${a}__$b as double)
                  | - cast(s_$a as double) * cast(s_$b as double))
                  | / sqrt((cast(n as double) * cast(p_${a}__$a as double)
                  |          - cast(s_$a as double) * cast(s_$a as double))
                  |        * (cast(n as double) * cast(p_${b}__$b as double)
-                 |           - cast(s_$b as double) * cast(s_$b as double)))""".stripMargin)
+                 |           - cast(s_$b as double) * cast(s_$b as double))), 12)""".stripMargin)
           .as("corr"))
     }
     agg.select(explode(array(pairRows: _*)).as("r"))
@@ -253,12 +257,12 @@ object Profiling {
       val pairSelects = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
         val (a, b) = (cols(i), cols(j))
         s"""SELECT '$a' AS col_x, '$b' AS col_y,
-           |  (CAST(n AS DOUBLE) * CAST(p_${a}__$b AS DOUBLE)
+           |  ROUND((CAST(n AS DOUBLE) * CAST(p_${a}__$b AS DOUBLE)
            |   - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
            |  / sqrt((CAST(n AS DOUBLE) * CAST(p_${a}__$a AS DOUBLE)
            |           - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
            |         * (CAST(n AS DOUBLE) * CAST(p_${b}__$b AS DOUBLE)
-           |            - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) AS corr
+           |            - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 12) AS corr
            |FROM a""".stripMargin
       }
       s"""WITH a AS (SELECT ${aggs.mkString(", ")} FROM lineitem)
