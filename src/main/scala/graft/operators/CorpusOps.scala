@@ -34,18 +34,28 @@ object CorpusOps {
     * partials do most of the work because repeated tokens collapse
     * early; nothing is ever wider than a (doc_id, token, count) row. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val id = col(idCol)
-    val words = docs.select(id.as("__id"),
-        explode(TextFunctions.words(col(textCol))).as("__w"))
+    val toks = docs.select(col(idCol).as("__id"),
+      posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    repetitionStatsFromTokens(
+      toks.select(col("__id"), col("__w"), lead(col("__w"), 1).over(w).as("__l1")),
+      idCol)
+  }
+
+  /** The aggregation half of [[repetitionStats]], over a pre-computed
+    * token frame (__id, __w, __l1 = next word or NULL) — for callers
+    * that already materialized a shared token pass (TrainingPipeline).
+    * Extra columns are ignored. */
+  private[operators] def repetitionStatsFromTokens(t: DataFrame, idCol: String): DataFrame = {
+    val words = t
       .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__c"))
       .groupBy(col("__id"))
       .agg(sum(col("__c")).as("n_words"), max(col("__c")).as("__top"))
       .select(col("__id"), col("n_words"),
         (col("__top").cast(DoubleType) / col("n_words").cast(DoubleType)).as("top_frac"))
 
-    val bigrams = TextFunctions.shingleRows(
-        docs.select(id.as("__id"), col(textCol).as("__t")),
-        Seq(col("__id")), col("__t"), n = 2)
+    val bigrams = t.filter(col("__l1").isNotNull)
+      .select(col("__id"), concat_ws(" ", col("__w"), col("__l1")).as("sh"))
       .groupBy(col("__id"), col("sh")).agg(count(lit(1)).as("__c"))
       .groupBy(col("__id"))
       .agg(sum(col("__c")).as("__tot"), count(lit(1)).as("__dst"))
@@ -168,7 +178,7 @@ object CorpusOps {
   /** The corpus/batch cut shared by the incremental-ingest queries:
     * sources src15..src19 are the incoming batch, the rest the
     * standing corpus. */
-  private def corpusBatchSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[operators] def corpusBatchSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .withColumn("__src_n", substring(col("source"), 4, 10).cast(IntegerType))
     (docs.filter(col("__src_n") < 15), docs.filter(col("__src_n") >= 15))

@@ -60,6 +60,15 @@ object Dedup {
     val renamed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
     val hashed = TextFunctions.shingleRows(renamed, Seq(col("id")), col("__text"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
+    minhashStateFromHashes(hashed, numPerm)
+  }
+
+  /** The aggregation half of [[minhashState]], over pre-computed
+    * shingle-hash rows (id, h) — for callers that already materialized
+    * a shared shingle pass (TrainingPipeline's token frame). Duplicate
+    * h rows per id are fine: collect_set dedups and min is idempotent. */
+  private[operators] def minhashStateFromHashes(hashed: DataFrame,
+                                                numPerm: Int): DataFrame = {
     val minAggs = (0 until numPerm).map(i => min(hash(col("h"), lit(i))).as(s"__m$i"))
     hashed.groupBy(col("id"))
       .agg(collect_set(col("h")).as("hs"), minAggs: _*)
@@ -118,6 +127,16 @@ object Dedup {
     // returned frame is unreferenced.
     val sh = minhashState(df, idCol, textCol, numPerm)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashNearDupsFromState(sh, numPerm, bands, threshold, salt)
+  }
+
+  /** [[minhashNearDups]] over a precomputed state frame (id, hs, sig) —
+    * a [[signatureTable]] read back, or an in-flight [[minhashState]].
+    * The state feeds four consumers; persist or materialize it first
+    * (the table-read case is already materialized). */
+  def minhashNearDupsFromState(sh: DataFrame,
+                               numPerm: Int = 32, bands: Int = 8,
+                               threshold: Double = 0.5, salt: Int = 1): DataFrame = {
     minhashCandidates(sh, numPerm, bands, salt)
       .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -168,6 +187,16 @@ object Dedup {
                             threshold: Double = 0.5): DataFrame = {
     val bs = minhashState(batch, idCol, textCol, numPerm)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashCrossStates(corpusState, bs, numPerm, bands, threshold)
+  }
+
+  /** Both sides as precomputed state frames — the shape an incremental
+    * pipeline uses when the batch's [[minhashState]] also feeds its
+    * within-batch dedup (compute once, persist, pass here). */
+  def minhashCrossStates(corpusState: DataFrame, batchState: DataFrame,
+                         numPerm: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.5): DataFrame = {
+    val bs = batchState
     def banded(sh: DataFrame, as: String) = sh.select(col("id").as(as),
       explode(bandHashes(col("sig"), numPerm, bands)).as(s"__band_$as"))
     val cands = banded(bs, "batch_id")

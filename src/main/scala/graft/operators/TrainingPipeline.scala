@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -46,23 +47,77 @@ object TrainingPipeline {
       decontShingle: Int = 8,
       packCapacity: Long = 2048L)
 
-  /** Returns the shard manifest: one row per surviving document —
-    * (split, lang, bin, doc_id, n_tokens), where `bin` is the
-    * token-budget pack within (split, lang). */
-  def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** The stage intermediates [[run]] flows through — exposed so
+    * [[bootstrapState]] can capture incremental-ingest state without
+    * re-running any stage. */
+  private[operators] final case class Stages(
+      gated: DataFrame,           // quality+repetition survivors, with __h = md5(normalized text)
+      sigs: DataFrame,            // minhashState of the near-dup entrants: (id, hs, sig)
+      labels: DataFrame,          // CC labels over near-dup pairs (non-singleton nodes only)
+      shippedShingles: DataFrame, // (doc_id, split, h): decon n-gram hashes of shipped docs
+      manifest: DataFrame)        // packed (split, lang, bin, doc_id, n_tokens)
+
+  /** Stage frames each feed 2-4 downstream consumers (within one run
+    * AND across [[bootstrapState]]'s witness captures); Spark dedups
+    * common subplans only via best-effort exchange reuse, so without
+    * pinning, the gate chain replays once per consumer (measured: the
+    * bootstrap phase alone at 15s vs 5s). Persist keeps lineage —
+    * lost blocks recompute — and the ContextCleaner reclaims them. */
+  private val Lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** The shared token pass: ONE explode + ONE window sort yields every
+    * text-derived view the stages need — Catalyst folds all the `lead`
+    * frames into a single Window node, so word stats and bigrams (the
+    * repetition gate), 3-gram shingle hashes (MinHash) and
+    * `decontShingle`-gram hashes (decon) all ride one sort-shuffle of
+    * the token stream instead of one full text re-parse per stage.
+    * Returns (repetition tokens, 3-gram hashes (doc_id, h),
+    * decon-gram hashes (doc_id, h)); each view is byte-identical to
+    * what its standalone operator computes, so results cannot drift. */
+  private def tokenPass(docs: DataFrame, cfg: Config): (DataFrame, DataFrame, DataFrame) = {
+    require(cfg.decontShingle >= 3,
+      s"decontShingle must be >= 3, got ${cfg.decontShingle}")
+    val L = cfg.decontShingle - 1
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
+    val leads = docs.select(col("doc_id"),
+        posexplode(TextFunctions.words(col("text"))).as(Seq("__pos", "__w")))
+      .select((col("doc_id") +: col("__w") +:
+        (1 to L).map(i => lead(col("__w"), i).over(w).as(s"__l$i"))): _*)
+      .persist(Lvl)
+    val tri = leads.filter(col("__l2").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("__w"), col("__l1"), col("__l2"))).as("h"))
+    val dec = leads.filter(col(s"__l$L").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ",
+          (col("__w") +: (1 to L).map(i => col(s"__l$i"))): _*)).as("h"))
+    (leads.select(col("doc_id").as("__id"), col("__w"), col("__l1")), tri, dec)
+  }
+
+  private[operators] def runStages(docs: DataFrame, cfg: Config): Stages = {
+    val (repToks, tri, dec) = tokenPass(docs, cfg)
+
     // 1. quality gate
     val scored = Curation.filterQuality(Curation.score(docs, col("text")), cfg.minQuality)
-    val rep = CorpusOps.repetitionStats(docs, "doc_id", "text")
+    val rep = CorpusOps.repetitionStatsFromTokens(repToks, "doc_id")
       .filter(col("top_frac") <= cfg.maxTopFrac && col("dup2_frac") <= cfg.maxDup2Frac)
       .select(col("doc_id"))
     val gated = scored.join(rep, Seq("doc_id"))
+      .withColumn("__h", md5(TextFunctions.normalize(col("text"))))
+      .persist(Lvl)
 
     // 2. exact dedup
     val exactDeduped = Curation.dedupKeepFirst(gated, col("text"), col("doc_id"))
+      .persist(Lvl)
 
-    // 3. near-dup groups -> canonical doc per group
-    val pairs = Dedup.minhashNearDups(exactDeduped, "doc_id", "text",
-      threshold = cfg.nearDupThreshold)
+    // 3. near-dup groups -> canonical doc per group (signature state is
+    // computed once, persisted, and handed back for incremental reuse)
+    val sigs = Dedup.minhashStateFromHashes(
+        tri.join(exactDeduped.select(col("doc_id")), Seq("doc_id"))
+          .select(col("doc_id").as("id"), col("h")),
+        numPerm = 32)
+      .persist(Lvl)
+    val pairs = Dedup.minhashNearDupsFromState(sigs, threshold = cfg.nearDupThreshold)
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val canonical = exactDeduped
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -71,22 +126,33 @@ object TrainingPipeline {
 
     // 4. split
     val split = TrainingOps.assignSplit(canonical, col("doc_id"),
-      cfg.trainPct, cfg.valPct)
+      cfg.trainPct, cfg.valPct).persist(Lvl)
 
-    // 5. decontamination: drop leaking train docs
-    val leaks = TrainingOps.decontaminate(split, "doc_id", "text",
-        n = cfg.decontShingle, minShared = 1,
-        trainPct = cfg.trainPct, valPct = cfg.valPct)
-      .select(col("train_id").as("doc_id")).distinct()
-    val clean = split.join(leaks, Seq("doc_id"), "left_anti")
+    // 5. decontamination: drop leaking train docs (train×test on shared
+    // decon-gram hashes — same join [[TrainingOps.decontaminate]] runs,
+    // fed from the shared pass)
+    val sh = dec.join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("h")).distinct().persist(Lvl)
+    val leaks = sh.filter(col("split") === "train")
+      .join(sh.filter(col("split") === "test").select(col("h")).distinct(), Seq("h"))
+      .select(col("doc_id")).distinct()
+    val clean = split.join(leaks, Seq("doc_id"), "left_anti").persist(Lvl)
 
     // 6. pack per (split, lang)
     val toks = clean.select(col("split"), col("lang"), col("doc_id"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
-    TrainingOps.packBinned(toks, struct(col("split"), col("lang")),
+    val manifest = TrainingOps.packBinned(toks, struct(col("split"), col("lang")),
         col("doc_id"), col("n_tokens"), cfg.packCapacity)
       .select(col("split"), col("lang"), col("bin"), col("doc_id"), col("n_tokens"))
+    Stages(gated, sigs, labels,
+      sh.join(clean.select(col("doc_id")), Seq("doc_id")), manifest)
   }
+
+  /** Returns the shard manifest: one row per surviving document —
+    * (split, lang, bin, doc_id, n_tokens), where `bin` is the
+    * token-budget pack within (split, lang). */
+  def run(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    runStages(docs, cfg).manifest
 
   /** Land the shards: one parquet table partitioned by (split, lang) —
     * the read patterns that matter prune at directory level ("the
@@ -96,16 +162,193 @@ object TrainingPipeline {
     * a contiguous run inside its files and a sequential shard reader
     * streams bins in order. Returns the landed root. */
   def writeShards(docs: DataFrame, manifest: DataFrame, path: String): String = {
-    // an inner join would silently drop manifest rows whose text is
-    // missing from `docs` (stale/filtered re-read) — fail loudly instead
-    val missing = manifest.join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
-    require(missing == 0,
-      s"$missing manifest rows have no document in `docs` — stale or filtered input?")
-    manifest.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .repartition(col("split"), col("lang"))
-      .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("split", "lang").parquet(path)
+    graft.sources.ShardStore.init(docs, manifest, path)
     path
+  }
+
+  // ---- Incremental ingest -------------------------------------------------
+
+  /** Everything a future ingest needs to extend the corpus without
+    * re-reading it — five frames, each a parquet table in deployment:
+    *
+    *  - `hashes`    (h): normalized-content hashes of every
+    *    quality-passed doc ever seen (exact-dup witness set)
+    *  - `sigs`      (id, hs, sig): MinHash state of every doc that
+    *    entered the near-dup stage — including docs later dropped as
+    *    non-canonical, because they still witness component membership
+    *    (a batch doc near-dup of a dropped doc belongs to that doc's
+    *    component)
+    *  - `labels`    (id, comp): connected-component labels, non-singleton
+    *    nodes only (absence = singleton); fed back as star edges so new
+    *    batch edges merge components EXACTLY, not approximately
+    *  - `shingles`  (doc_id, split, h): 8-gram shingle hashes of shipped
+    *    docs (decontamination in both directions)
+    *  - `manifest`  (split, lang, bin, doc_id, n_tokens): shipped rows
+    */
+  final case class CorpusState(
+      hashes: DataFrame,
+      sigs: DataFrame,
+      labels: DataFrame,
+      shingles: DataFrame,
+      manifest: DataFrame)
+
+  /** One ingest's outcome: `accepted` — new manifest rows (bins open
+    * AFTER the group's historical max, shipped bins are immutable);
+    * `tombstones` — (doc_id, reason) for previously shipped docs this
+    * batch invalidated (`superseded`: a batch doc bridged its near-dup
+    * component to one with a smaller canonical; `decontaminated`: a new
+    * test doc revealed verbatim overlap with a shipped train doc);
+    * `state` — the extended [[CorpusState]] for the next ingest. */
+  final case class IngestDelta(
+      accepted: DataFrame,
+      tombstones: DataFrame,
+      state: CorpusState)
+
+  /** Pin every state frame to one computation. In deployment the state
+    * lives as parquet tables (materialized by definition); in-session,
+    * each frame feeds several consumers across the NEXT ingest, and an
+    * unpersisted manifest would replay the entire bootstrap pipeline —
+    * connected components included — once per consumer (measured 26s
+    * vs 6s on the registered query before this was added). `sigs` is
+    * already persisted by [[runStages]] and `labels` is checkpointed
+    * inside connectedComponents. */
+  private def pinned(state: CorpusState): CorpusState =
+    CorpusState(
+      hashes = state.hashes.persist(Lvl),
+      sigs = state.sigs,
+      labels = state.labels,
+      shingles = state.shingles.persist(Lvl),
+      manifest = state.manifest.persist(Lvl))
+
+  /** Capture incremental state from a full [[run]] over the initial
+    * corpus — same manifest as `run`, plus the witness tables. */
+  def bootstrapState(docs: DataFrame, cfg: Config = Config()): CorpusState = {
+    val st = runStages(docs, cfg)
+    pinned(CorpusState(
+      hashes = st.gated.select(col("__h").as("h")).distinct(),
+      sigs = st.sigs,
+      labels = st.labels,
+      shingles = st.shippedShingles,
+      manifest = st.manifest))
+  }
+
+  /** Ingest a NEW batch against maintained state — the corpus is never
+    * re-read and never re-paired against itself, so one ingest costs
+    * O(batch) plus the batch×corpus LSH candidates, regardless of how
+    * large the corpus has grown.
+    *
+    * Semantics are forward-only: shipped docs are immutable except by
+    * tombstone, and a doc once excluded is never re-admitted (the
+    * pathological reverse — a new batch merging away the only test doc
+    * a train doc leaked against — would need a replay from raw, which
+    * the deterministic stages make possible offline). Under a
+    * monotone-id ingest order (corpus ids < batch ids, the normal
+    * append case) the live manifest after this call equals the full
+    * [[run]] over corpus∪batch on (doc_id, split, lang, n_tokens) —
+    * IncrementalPipelineSpec pins exactly that. Bin numbers differ by
+    * design: incremental bins append after the group's historical max
+    * (from the PRE-tombstone manifest, so a tombstoned doc's bin is
+    * never reused while shard files may still contain it). */
+  def runIncremental(state: CorpusState, batch: DataFrame,
+                     cfg: Config = Config()): IngestDelta = {
+    val (repToks, tri, dec) = tokenPass(batch, cfg)
+
+    // 1. quality gate (per-doc, identical to the full run)
+    val scored = Curation.filterQuality(Curation.score(batch, col("text")), cfg.minQuality)
+    val rep = CorpusOps.repetitionStatsFromTokens(repToks, "doc_id")
+      .filter(col("top_frac") <= cfg.maxTopFrac && col("dup2_frac") <= cfg.maxDup2Frac)
+      .select(col("doc_id"))
+    val gated = scored.join(rep, Seq("doc_id"))
+      .withColumn("__h", md5(TextFunctions.normalize(col("text"))))
+      .persist(Lvl)
+
+    // 2. exact dedup: within batch, then against every hash ever seen
+    val batchDeduped = Curation.dedupKeepFirst(gated, col("text"), col("doc_id"))
+    val entrants = batchDeduped
+      .join(state.hashes, col("__h") === col("h"), "left_anti").drop("__h")
+      .persist(Lvl)
+
+    // 3. near-dup: batch×batch pairs + batch×corpus pairs + the prior
+    // components replayed as star edges (id -> comp). CC over the union
+    // merges components exactly: mins only ever decrease, so a shipped
+    // canonical whose component gained a smaller min is now superseded.
+    val entrantSigs = Dedup.minhashStateFromHashes(
+        tri.join(entrants.select(col("doc_id")), Seq("doc_id"))
+          .select(col("doc_id").as("id"), col("h")),
+        numPerm = 32)
+      .persist(Lvl)
+    val bbPairs = Dedup.minhashNearDupsFromState(entrantSigs,
+        threshold = cfg.nearDupThreshold)
+      .select(col("id_a"), col("id_b"))
+    val bcPairs = Dedup.minhashCrossStates(state.sigs, entrantSigs,
+        threshold = cfg.nearDupThreshold)
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    val stars = state.labels.filter(col("id") =!= col("comp"))
+      .select(col("id").as("id_a"), col("comp").as("id_b"))
+    val labels = Dedup.connectedComponents(
+      bbPairs.union(bcPairs).union(stars), "id_a", "id_b")
+    val canonical = entrants
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .drop("comp")
+    val superseded = state.manifest.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .filter(col("comp") =!= col("doc_id"))
+      .select(col("doc_id"))
+
+    // 4. split (a pure function of the id — re-runs agree by construction)
+    val split = TrainingOps.assignSplit(canonical, col("doc_id"),
+      cfg.trainPct, cfg.valPct).persist(Lvl)
+
+    // 5. decontamination, both directions. Shingles of docs tombstoned
+    // in step 3 are dead and must not witness leaks.
+    val batchShingles = dec
+      .join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("h")).distinct()
+      .persist(Lvl)
+    val liveOld = state.shingles
+      .join(superseded, Seq("doc_id"), "left_anti")
+    val newTestH = batchShingles.filter(col("split") === "test")
+      .select(col("h")).distinct()
+    val allTestH = liveOld.filter(col("split") === "test").select(col("h"))
+      .union(batchShingles.filter(col("split") === "test").select(col("h")))
+      .distinct()
+    // new train docs leaking against any live test doc: dropped pre-ship
+    val newTrainLeaks = batchShingles.filter(col("split") === "train")
+      .join(allTestH, Seq("h"))
+      .select(col("doc_id")).distinct()
+    // shipped train docs a NEW test doc now contaminates: tombstoned
+    val decontaminated = liveOld.filter(col("split") === "train")
+      .join(newTestH, Seq("h"))
+      .select(col("doc_id")).distinct()
+
+    // 6. pack accepted docs into bins opening after each group's max
+    val accepted = split.join(newTrainLeaks, Seq("doc_id"), "left_anti")
+    val toks = accepted.select(col("split"), col("lang"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val offsets = state.manifest.groupBy(col("split"), col("lang"))
+      .agg((max(col("bin")) + lit(1L)).as("__off"))
+    val newRows = TrainingOps.packBinned(toks, struct(col("split"), col("lang")),
+        col("doc_id"), col("n_tokens"), cfg.packCapacity)
+      .join(broadcast(offsets), Seq("split", "lang"), "left")
+      .withColumn("bin", col("bin") + coalesce(col("__off"), lit(0L)))
+      .select(col("split"), col("lang"), col("bin"), col("doc_id"), col("n_tokens"))
+
+    val pinnedRows = newRows.persist(Lvl)
+    val pinnedTombs = superseded.withColumn("reason", lit("superseded"))
+      .unionByName(decontaminated.withColumn("reason", lit("decontaminated")))
+      .persist(Lvl)
+
+    val newState = pinned(CorpusState(
+      hashes = state.hashes.union(gated.select(col("__h").as("h"))).distinct(),
+      sigs = state.sigs.unionByName(entrantSigs),
+      labels = labels,
+      shingles = liveOld.unionByName(
+        batchShingles.join(pinnedRows.select(col("doc_id")), Seq("doc_id"))),
+      manifest = state.manifest
+        .join(pinnedTombs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(pinnedRows)))
+    IngestDelta(pinnedRows, pinnedTombs, newState)
   }
 
   /** §2.5 capstone — the manifest over `documents` (rows-only: every
@@ -115,7 +358,25 @@ object TrainingPipeline {
     run(Tables.documents(s, d))
       .orderBy(col("split"), col("lang"), col("bin"), col("doc_id"))
 
+  /** §2.5 — the incremental ingest over the standard corpus/batch cut
+    * (sources src15+ arrive as the new batch): every accepted row plus
+    * every tombstone, one frame (rows-only; IncrementalPipelineSpec
+    * proves full-run equivalence and the tombstone paths). */
+  def incrementalPipelineQ(s: SparkSession, d: String): DataFrame = {
+    val (corpus, batch) = CorpusOps.corpusBatchSplit(s, d)
+    val delta = runIncremental(bootstrapState(corpus), batch)
+    delta.accepted
+      .select(lit("add").as("action"), col("doc_id"), col("split"),
+        col("lang"), col("bin"), col("n_tokens"))
+      .unionByName(delta.tombstones
+        .select(col("reason").as("action"), col("doc_id"),
+          lit(null).cast("string").as("split"), lit(null).cast("string").as("lang"),
+          lit(null).cast("long").as("bin"), lit(null).cast("long").as("n_tokens")))
+      .orderBy(col("action"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_training_pipeline" -> (trainingPipelineQ _),
+    "q_training_pipeline"    -> (trainingPipelineQ _),
+    "q_incremental_pipeline" -> (incrementalPipelineQ _),
   )
 }

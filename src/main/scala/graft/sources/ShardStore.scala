@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta-style maintenance for the landed shard table
+  * ([[graft.operators.TrainingPipeline.writeShards]] layout: parquet
+  * partitioned by (split, lang), rows clustered by (bin, doc_id)).
+  *
+  * Incremental ingests APPEND — shipped files are immutable — and
+  * retractions land as a `_tombstones` side table (underscore-prefixed,
+  * so Spark's parquet reader never sees it as data). [[read]] applies
+  * tombstones logically (one anti-join, AQE broadcasts the small side);
+  * [[compact]] applies them physically and merges the small files
+  * appends accumulate — the read path's anti-join cost and the
+  * file-open cost both reset to zero.
+  *
+  * The compaction swap is delete-then-rename, NOT atomic: a reader
+  * racing the swap can glimpse a missing root. That is the honest
+  * limit of bare parquet — at deployment scale this table graduates to
+  * a format with a transactional pointer (Delta/Iceberg) and this
+  * object's surface maps 1:1 onto it (append = append, tombstone =
+  * delete, compact = OPTIMIZE).
+  */
+object ShardStore {
+
+  private def tombDir(root: String) = root + "/_tombstones"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Manifest rows + their text, clustered and landed. Fails loudly if
+    * a manifest row has no document (stale or filtered input). */
+  private def land(docs: DataFrame, manifest: DataFrame, root: String,
+                   mode: String): Unit = {
+    val missing = manifest
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    require(missing == 0,
+      s"$missing manifest rows have no document in `docs` — stale or filtered input?")
+    manifest.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .repartition(col("split"), col("lang"))
+      .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
+      .write.mode(mode).partitionBy("split", "lang").parquet(root)
+  }
+
+  /** Land the bootstrap manifest (overwrites the root). */
+  def init(docs: DataFrame, manifest: DataFrame, root: String): Unit =
+    land(docs, manifest, root, "overwrite")
+
+  /** Land one ingest's accepted rows (appends; bins were opened past
+    * each group's historical max, so clustering stays monotone across
+    * the appended files). */
+  def append(batchDocs: DataFrame, accepted: DataFrame, root: String): Unit =
+    land(batchDocs, accepted, root, "append")
+
+  /** Record retractions: (doc_id, reason) appended to the side table. */
+  def addTombstones(tombstones: DataFrame, root: String): Unit =
+    tombstones.select(col("doc_id"), col("reason"))
+      .write.mode("append").parquet(tombDir(root))
+
+  /** The live table: every landed row minus tombstoned docs. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val all = spark.read.parquet(root)
+    if (!fs(spark, root).exists(new Path(tombDir(root)))) all
+    else all.join(
+      spark.read.parquet(tombDir(root)).select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Physically apply tombstones and merge accumulated small files:
+    * rewrite the live rows fully re-clustered, swap the rewrite in,
+    * drop the tombstone table. Returns the data file count after the
+    * swap. */
+  def compact(spark: SparkSession, root: String): Int = {
+    val tmp = root + "__compact_tmp"
+    // read() is lazy — the rewrite job below is the only materialization,
+    // and it finishes before the swap touches the original files
+    read(spark, root)
+      .repartition(col("split"), col("lang"))
+      .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("split", "lang").parquet(tmp)
+    val f = fs(spark, root)
+    require(f.delete(new Path(root), true), s"could not drop $root for the swap")
+    require(f.rename(new Path(tmp), new Path(root)), s"could not swap $tmp into $root")
+    spark.read.parquet(root).inputFiles.length
+  }
+}

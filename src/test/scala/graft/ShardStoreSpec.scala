@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingPipeline
+import graft.sources.ShardStore
+
+/** Shard-table maintenance: append-only ingest, logical tombstones,
+  * physical compaction. */
+class ShardStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val core = (1 to 30).map(i => s"core$i").mkString(" ")
+  private def suffixed(tag: String) =
+    core + " " + (1 to 15).map(i => s"$tag$i").mkString(" ")
+  private def filler(tag: String) =
+    (1 to 45).map(i => s"$tag$i").mkString(" ")
+
+  test("append + tombstones + compact keep read() identical and purge physically") {
+    val corpus = Seq(
+      (1L, "en", suffixed("alpha")),
+      (2L, "en", suffixed("beta")),
+      (3L, "en", filler("pad"))
+    ).toDF("doc_id", "lang", "text")
+    val batch = Seq(
+      (10L, "en", core),          // bridge: supersedes shipped doc 2
+      (11L, "en", filler("new"))  // genuinely new
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString + "/shards"
+
+    val st0 = TrainingPipeline.bootstrapState(corpus)
+    ShardStore.init(corpus, st0.manifest, root)
+    val delta = TrainingPipeline.runIncremental(st0, batch)
+    ShardStore.append(batch, delta.accepted, root)
+    ShardStore.addTombstones(delta.tombstones, root)
+
+    // the delta carried a tombstone (doc 2 superseded) and an add (doc 11)
+    assert(delta.tombstones.count() == 1 && delta.accepted.count() == 1)
+
+    // read() == the post-ingest live manifest, text attached
+    val live = ShardStore.read(spark, root)
+    val a = live.select($"doc_id", $"split", $"lang", $"bin", $"n_tokens")
+      .orderBy($"doc_id").collect()
+    val b = delta.state.manifest.select($"doc_id", $"split", $"lang", $"bin", $"n_tokens")
+      .orderBy($"doc_id").collect()
+    assert(a.sameElements(b))
+    assert(live.filter($"text".isNull).count() == 0)
+
+    // before compaction the tombstoned row is still physically present
+    assert(spark.read.parquet(root).filter($"doc_id" === 2L).count() == 1)
+    val filesBefore = spark.read.parquet(root).inputFiles.length
+
+    val filesAfter = ShardStore.compact(spark, root)
+    assert(filesAfter <= filesBefore, s"$filesBefore -> $filesAfter files")
+    // physical purge: the raw table no longer contains the tombstoned doc
+    assert(spark.read.parquet(root).filter($"doc_id" === 2L).count() == 0)
+    // and read() is unchanged by compaction (tombstone table gone too)
+    val after = ShardStore.read(spark, root)
+      .select($"doc_id", $"split", $"lang", $"bin", $"n_tokens")
+      .orderBy($"doc_id").collect()
+    assert(after.sameElements(b))
+  }
+}
