@@ -31,9 +31,16 @@ object ShardStore {
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Manifest rows + their text, clustered and landed. Fails loudly if
-    * a manifest row has no document (stale or filtered input). */
+    * a manifest row has no document (stale or filtered input).
+    *
+    * `maxRecordsPerFile` (0 = unbounded) bounds shard-file size — the
+    * knob a training-data reader wants ("one shard file ≈ one worker's
+    * chunk") — and, because rows are clustered by (bin, doc_id), it
+    * makes each file a contiguous bin range: a bin-range read then
+    * skips whole files' row groups on parquet min/max stats
+    * (ShardPruningSpec measures exactly that). */
   private def land(docs: DataFrame, manifest: DataFrame, root: String,
-                   mode: String): Unit = {
+                   mode: String, maxRecordsPerFile: Long): Unit = {
     val missing = manifest
       .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
     require(missing == 0,
@@ -41,18 +48,22 @@ object ShardStore {
     manifest.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .repartition(col("split"), col("lang"))
       .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
-      .write.mode(mode).partitionBy("split", "lang").parquet(root)
+      .write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("split", "lang").parquet(root)
   }
 
   /** Land the bootstrap manifest (overwrites the root). */
-  def init(docs: DataFrame, manifest: DataFrame, root: String): Unit =
-    land(docs, manifest, root, "overwrite")
+  def init(docs: DataFrame, manifest: DataFrame, root: String,
+           maxRecordsPerFile: Long = 0L): Unit =
+    land(docs, manifest, root, "overwrite", maxRecordsPerFile)
 
   /** Land one ingest's accepted rows (appends; bins were opened past
     * each group's historical max, so clustering stays monotone across
     * the appended files). */
-  def append(batchDocs: DataFrame, accepted: DataFrame, root: String): Unit =
-    land(batchDocs, accepted, root, "append")
+  def append(batchDocs: DataFrame, accepted: DataFrame, root: String,
+             maxRecordsPerFile: Long = 0L): Unit =
+    land(batchDocs, accepted, root, "append", maxRecordsPerFile)
 
   /** Record retractions: (doc_id, reason) appended to the side table. */
   def addTombstones(tombstones: DataFrame, root: String): Unit =
@@ -72,14 +83,17 @@ object ShardStore {
     * rewrite the live rows fully re-clustered, swap the rewrite in,
     * drop the tombstone table. Returns the data file count after the
     * swap. */
-  def compact(spark: SparkSession, root: String): Int = {
+  def compact(spark: SparkSession, root: String,
+              maxRecordsPerFile: Long = 0L): Int = {
     val tmp = root + "__compact_tmp"
     // read() is lazy — the rewrite job below is the only materialization,
     // and it finishes before the swap touches the original files
     read(spark, root)
       .repartition(col("split"), col("lang"))
       .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("split", "lang").parquet(tmp)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("split", "lang").parquet(tmp)
     val f = fs(spark, root)
     require(f.delete(new Path(root), true), s"could not drop $root for the swap")
     require(f.rename(new Path(tmp), new Path(root)), s"could not swap $tmp into $root")
