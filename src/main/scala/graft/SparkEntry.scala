@@ -40,7 +40,8 @@ object SparkEntry {
     Chunking.queries ++ SketchOps.queries ++ AsOfJoinOp.queries ++
     Cdc.queries ++ Analytics.queries ++ Sampling.queries ++ TextOps2.queries ++
     Fuzzy.queries ++ Profiling.queries ++ TrainingOps.queries ++ CorpusOps.queries ++
-    HeavyHitters.queries ++ TrainingPipeline.queries ++ graft.sources.ExtractClient.queries
+    HeavyHitters.queries ++ TrainingPipeline.queries ++ LmScore.queries ++
+    graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
     * bit-identical across engines; ORDER BY pins row order. */

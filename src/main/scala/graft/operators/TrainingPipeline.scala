@@ -220,6 +220,27 @@ object TrainingPipeline {
       shingles = state.shingles.persist(Lvl),
       manifest = state.manifest.persist(Lvl))
 
+  /** Land the state as five parquet tables — the deployment form: an
+    * ingest job reads them back with [[loadState]], runs
+    * [[runIncremental]], and lands the delta's state for the next run.
+    * Writing sigs/shingles here is also what makes the "corpus text is
+    * read zero times per ingest" property literal. */
+  def saveState(state: CorpusState, dir: String): Unit = {
+    state.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    state.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    state.labels.write.mode("overwrite").parquet(s"$dir/labels")
+    state.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    state.manifest.write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  def loadState(spark: SparkSession, dir: String): CorpusState =
+    CorpusState(
+      hashes = spark.read.parquet(s"$dir/hashes"),
+      sigs = spark.read.parquet(s"$dir/sigs"),
+      labels = spark.read.parquet(s"$dir/labels"),
+      shingles = spark.read.parquet(s"$dir/shingles"),
+      manifest = spark.read.parquet(s"$dir/manifest"))
+
   /** Capture incremental state from a full [[run]] over the initial
     * corpus — same manifest as `run`, plus the witness tables. */
   def bootstrapState(docs: DataFrame, cfg: Config = Config()): CorpusState = {

@@ -149,6 +149,25 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     assert(collisions == 0)
   }
 
+  test("state survives a parquet round-trip (the deployment form)") {
+    val corpus = Seq(
+      (1L, "en", suffixed("alpha")),
+      (2L, "en", suffixed("beta")),
+      (3L, "en", filler("pad"))
+    ).toDF("doc_id", "lang", "text")
+    val batch = Seq((10L, "en", core)).toDF("doc_id", "lang", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    TrainingPipeline.saveState(TrainingPipeline.bootstrapState(corpus), dir)
+    val delta = TrainingPipeline.runIncremental(
+      TrainingPipeline.loadState(spark, dir), batch)
+
+    // identical outcome to the in-memory bridge scenario
+    val tombs = delta.tombstones.as[(Long, String)].collect().toMap
+    assert(tombs == Map(2L -> "superseded"), s"$tombs")
+    assert(delta.state.manifest.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("an empty batch is a no-op") {
     val corpus = Seq((1L, "en", filler("solo"))).toDF("doc_id", "lang", "text")
     val batch = corpus.filter($"doc_id" < 0)

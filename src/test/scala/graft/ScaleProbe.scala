@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HeavyHitters, TextOps, TrainingOps}
+import graft.operators.{Dedup, HeavyHitters, TextOps, TrainingOps, TrainingPipeline}
 import graft.sources.Tables
 
 /** Dedup-family scaling probe (SURVEY.md §6): measures how the three
@@ -11,33 +11,41 @@ import graft.sources.Tables
   * the "would this survive 100×" argument as a curve instead of a
   * plan-reading.
   *
-  * Replication that preserves workload shape: copy c of the corpus gets
-  * a copy-specific token interleaved after every 2 words. Within one
-  * copy, a true near-dup pair keeps (approximately) its original
-  * jaccard — both sides got the same interleaving — while cross-copy
-  * pairs share essentially no shingles (every 3-gram of copy c contains
-  * a cp<c> token). So a k× corpus carries ~k× the true pairs and ~k×
-  * the candidate volume: measured time growing ~linearly in k means the
-  * plan scales with input size, super-linear growth means a pairwise
-  * blow-up is hiding somewhere.
+  * Replication that preserves workload shape: every word of copy c
+  * gets a copy-specific suffix. Token counts, positions, per-doc
+  * repetition fractions and within-copy jaccards are IDENTICAL to the
+  * base corpus (each word maps 1:1 to a distinct word), so quality and
+  * repetition gates behave exactly as at k=1 — an earlier interleaved-
+  * token variant silently failed the pipeline's top-word gate on every
+  * doc — while cross-copy pairs share no shingles at all. A k× corpus
+  * thus carries exactly k× the true pairs and ~k× the candidate
+  * volume: measured time growing ~linearly in k means the plan scales
+  * with input size, super-linear growth means a pairwise blow-up is
+  * hiding somewhere.
   *
   * Run: `sbt "Test/runMain graft.ScaleProbe"` (optionally
   * SPARK_GRAFT_SF_DIR to pick the base corpus, default sf0.1).
   */
 object ScaleProbe {
 
+  // id stride from the data, not a constant: a base corpus with ids
+  // >= a fixed stride would silently collide across copies, merging
+  // docs and corrupting the very scaling curve this probe measures.
+  def stride(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+
   def replicate(docs: DataFrame, k: Int): DataFrame = {
-    // id stride from the data, not a constant: a base corpus with ids
-    // >= a fixed stride would silently collide across copies, merging
-    // docs and corrupting the very scaling curve this probe measures.
-    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
-    (0 until k).map { c =>
-      docs.select(
-        (col("doc_id") + lit(c.toLong * stride)).as("doc_id"),
-        // $1 = the two consumed words; regex matches are non-overlapping
-        regexp_replace(col("text"), "(\\S+ \\S+)", "$1 cp" + c).as("text"))
-    }.reduce(_ union _).withColumn("n_chars", length(col("text")))
+    val s = stride(docs)
+    (0 until k).map { c => suffixed(docs, c.toLong * s, "z" + ('a' + c).toChar) }
+      .reduce(_ union _).withColumn("n_chars", length(col("text")))
   }
+
+  /** One shifted copy with `tag` appended to every word (letters only:
+    * a digit would dent the alpha-ratio quality term). */
+  private def suffixed(docs: DataFrame, shift: Long, tag: String): DataFrame =
+    docs.select(
+      (col("doc_id") + lit(shift)).as("doc_id"),
+      regexp_replace(col("text"), "(\\S+)", "$1" + tag).as("text"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,6 +115,35 @@ object ScaleProbe {
         HeavyHitters.heavyHitters(
           docs.select(explode(graft.functions.TextFunctions.words(col("text"))).as("token")),
           col("token"), k = 100).count()
+      }
+
+      // Incremental ingest vs re-running the full pipeline: the batch is
+      // FIXED (one fresh base-sized copy, lang column required by the
+      // pipeline) while the corpus grows k×. The full run re-pays the
+      // whole corpus every time; the ingest pays O(batch) plus linear
+      // scans of the compact state tables — read back from parquet, as
+      // in deployment, so the timed cell includes no bootstrap lineage
+      // and cache clears between reps cannot leak bootstrap work in.
+      locally {
+        val lang = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+        def withLang(d: DataFrame) = d
+          .withColumn("__base", col("doc_id") % lit(stride(base)))
+          .join(lang.withColumnRenamed("doc_id", "__base"), Seq("__base"))
+          .select(col("doc_id"), col("lang"), col("text"))
+        val corpusK = withLang(docs)
+        val batch = withLang(suffixed(base, 999L * stride(base), "zz"))
+        val stateDir = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_state_k$k").toString
+        TrainingPipeline.saveState(TrainingPipeline.bootstrapState(corpusK), stateDir)
+        spark.sharedState.cacheManager.clearCache()
+        time("incr_ingest", k) {
+          val delta = TrainingPipeline.runIncremental(
+            TrainingPipeline.loadState(spark, stateDir), batch)
+          delta.accepted.count() + delta.tombstones.count()
+        }
+        time("full_pipeline", k) {
+          TrainingPipeline.run(corpusK.unionByName(batch)).count()
+        }
       }
     }
     spark.stop()
