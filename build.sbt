@@ -31,3 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The test fork runs every suite (incl. both full-pipeline compositions)
+// in one shared-session JVM in parallel; 8g thrashes and can abort a
+// suite under concurrent state caches. Last -Xmx wins.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}"

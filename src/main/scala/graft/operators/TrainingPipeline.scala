@@ -204,21 +204,28 @@ object TrainingPipeline {
       tombstones: DataFrame,
       state: CorpusState)
 
-  /** Pin every state frame to one computation. In deployment the state
-    * lives as parquet tables (materialized by definition); in-session,
-    * each frame feeds several consumers across the NEXT ingest, and an
-    * unpersisted manifest would replay the entire bootstrap pipeline —
-    * connected components included — once per consumer (measured 26s
-    * vs 6s on the registered query before this was added). `sigs` is
-    * already persisted by [[runStages]] and `labels` is checkpointed
-    * inside connectedComponents. */
+  /** Pin every state frame to one computation AND a SHALLOW plan. In
+    * deployment the state lives as parquet tables (materialized and
+    * shallow by definition); in-session, each frame feeds several
+    * consumers across the NEXT ingest — an unpinned manifest replayed
+    * the whole bootstrap once per consumer (measured 26s vs 6s on the
+    * registered query) — and worse, the state frames reference EACH
+    * OTHER: the delta-CC labels union embeds the prior labels plan
+    * three times, so chaining ingests in memory grows the plan tree
+    * ~3^n per generation (the driver OOM'd merely STRINGIFYING the
+    * plan after four chained ingests). `localCheckpoint(eager=false)`
+    * is the same truncation connectedComponents applies per iteration:
+    * blocks materialize lazily and are cached, and the plan below the
+    * state boundary is CUT, so per-ingest plan depth is constant.
+    * Local-checkpoint blocks die with their executor — the documented
+    * trade-off; cluster deployments persist state via [[saveState]]. */
   private def pinned(state: CorpusState): CorpusState =
     CorpusState(
-      hashes = state.hashes.persist(Lvl),
-      sigs = state.sigs,
-      labels = state.labels,
-      shingles = state.shingles.persist(Lvl),
-      manifest = state.manifest.persist(Lvl))
+      hashes = state.hashes.localCheckpoint(eager = false),
+      sigs = state.sigs.localCheckpoint(eager = false),
+      labels = state.labels.localCheckpoint(eager = false),
+      shingles = state.shingles.localCheckpoint(eager = false),
+      manifest = state.manifest.localCheckpoint(eager = false))
 
   /** Land the state as five parquet tables — the deployment form: an
     * ingest job reads them back with [[loadState]], runs
@@ -283,10 +290,17 @@ object TrainingPipeline {
       .withColumn("__h", md5(TextFunctions.normalize(col("text"))))
       .persist(Lvl)
 
-    // 2. exact dedup: within batch, then against every hash ever seen
+    // 2. exact dedup: within batch, then against every hash ever seen.
+    // The state table is the corpus-sized side — semi-reduce it with a
+    // broadcast of the batch's hash set (state is SCANNED, never
+    // shuffled; a plain left-anti would shuffle the whole table every
+    // ingest), then anti-join the tiny overlap back. The broadcasts
+    // encode the ingest contract: batch ≪ corpus.
     val batchDeduped = Curation.dedupKeepFirst(gated, col("text"), col("doc_id"))
+    val seenHashes = state.hashes
+      .join(broadcast(gated.select(col("__h").as("h")).distinct()), Seq("h"))
     val entrants = batchDeduped
-      .join(state.hashes, col("__h") === col("h"), "left_anti").drop("__h")
+      .join(broadcast(seenHashes), col("__h") === col("h"), "left_anti").drop("__h")
       .persist(Lvl)
 
     // 3. near-dup: batch×batch pairs + batch×corpus pairs + the prior
@@ -298,16 +312,56 @@ object TrainingPipeline {
           .select(col("doc_id").as("id"), col("h")),
         numPerm = 32)
       .persist(Lvl)
-    val bbPairs = Dedup.minhashNearDupsFromState(entrantSigs,
-        threshold = cfg.nearDupThreshold)
-      .select(col("id_a"), col("id_b"))
-    val bcPairs = Dedup.minhashCrossStates(state.sigs, entrantSigs,
-        threshold = cfg.nearDupThreshold)
-      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
-    val stars = state.labels.filter(col("id") =!= col("comp"))
+    // batch×batch AND batch×corpus pairs from ONE band join over a
+    // side-tagged union of signature states: the batch side probes,
+    // every row builds; a batch-batch collision dedups with id_a <
+    // id_b, a batch-corpus collision is kept as-is (the corpus never
+    // self-pairs). One exact-Jaccard verify covers both families —
+    // running the two pair generators separately measured ~2x the jobs
+    // for identical output.
+    val newEdges = {
+      val unionSigs = entrantSigs
+        .select(col("id"), col("hs"), col("sig"), lit(true).as("__batch"))
+        .unionByName(state.sigs
+          .select(col("id"), col("hs"), col("sig"), lit(false).as("__batch")))
+      val banded = unionSigs.select(col("id"), col("__batch"),
+        explode(Dedup.bandHashes(col("sig"), 32, 8)).as("band"))
+      val cands = banded.filter(col("__batch"))
+        .select(col("band"), col("id").as("id_a"))
+        .join(banded.select(col("band").as("band_b"), col("id").as("id_b"),
+            col("__batch").as("__batch_b")),
+          col("band") === col("band_b") &&
+            (!col("__batch_b") || col("id_a") < col("id_b")))
+        .select(col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      cands
+        .join(unionSigs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(unionSigs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .withColumn("__inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .filter(col("__inter").cast(DoubleType) /
+          (size(col("hs_a")) + size(col("hs_b")) - col("__inter")) >= cfg.nearDupThreshold)
+        .select(col("id_a"), col("id_b"))
+    }.persist(Lvl)
+    // Delta-only CC: a prior component can only change if a new edge
+    // touches one of its nodes (graphs merge through shared nodes and
+    // nothing else), so replay star edges ONLY for touched components —
+    // the CC input is O(batch edges + touched members), not O(all
+    // components ever). Untouched labels pass through verbatim.
+    val touched = newEdges.select(col("id_a").as("id"))
+      .union(newEdges.select(col("id_b").as("id"))).distinct()
+    val touchedComps = state.labels.join(broadcast(touched), Seq("id"))
+      .select(col("comp")).distinct()
+    val relevantStars = state.labels
+      .join(broadcast(touchedComps), Seq("comp"))
+      .filter(col("id") =!= col("comp"))
       .select(col("id").as("id_a"), col("comp").as("id_b"))
-    val labels = Dedup.connectedComponents(
-      bbPairs.union(bcPairs).union(stars), "id_a", "id_b")
+    val ccLabels = Dedup.connectedComponents(
+      newEdges.union(relevantStars), "id_a", "id_b")
+    val labels = state.labels
+      .join(broadcast(touchedComps), Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .unionByName(ccLabels)
+      .persist(Lvl)
     val canonical = entrants
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .filter(col("comp").isNull || col("comp") === col("doc_id"))
@@ -328,7 +382,7 @@ object TrainingPipeline {
       .select(col("doc_id"), col("split"), col("h")).distinct()
       .persist(Lvl)
     val liveOld = state.shingles
-      .join(superseded, Seq("doc_id"), "left_anti")
+      .join(broadcast(superseded), Seq("doc_id"), "left_anti")
     val newTestH = batchShingles.filter(col("split") === "test")
       .select(col("h")).distinct()
     val allTestH = liveOld.filter(col("split") === "test").select(col("h"))
@@ -339,8 +393,10 @@ object TrainingPipeline {
       .join(allTestH, Seq("h"))
       .select(col("doc_id")).distinct()
     // shipped train docs a NEW test doc now contaminates: tombstoned
+    // (the corpus-sized shingle table is scanned against a broadcast of
+    // the batch's test hashes — never shuffled)
     val decontaminated = liveOld.filter(col("split") === "train")
-      .join(newTestH, Seq("h"))
+      .join(broadcast(newTestH), Seq("h"))
       .select(col("doc_id")).distinct()
 
     // 6. pack accepted docs into bins opening after each group's max
