@@ -204,28 +204,42 @@ object TrainingPipeline {
       tombstones: DataFrame,
       state: CorpusState)
 
-  /** Pin every state frame to one computation AND a SHALLOW plan. In
-    * deployment the state lives as parquet tables (materialized and
-    * shallow by definition); in-session, each frame feeds several
-    * consumers across the NEXT ingest — an unpinned manifest replayed
-    * the whole bootstrap once per consumer (measured 26s vs 6s on the
-    * registered query) — and worse, the state frames reference EACH
-    * OTHER: the delta-CC labels union embeds the prior labels plan
-    * three times, so chaining ingests in memory grows the plan tree
-    * ~3^n per generation (the driver OOM'd merely STRINGIFYING the
-    * plan after four chained ingests). `localCheckpoint(eager=false)`
-    * is the same truncation connectedComponents applies per iteration:
-    * blocks materialize lazily and are cached, and the plan below the
-    * state boundary is CUT, so per-ingest plan depth is constant.
-    * Local-checkpoint blocks die with their executor — the documented
-    * trade-off; cluster deployments persist state via [[saveState]]. */
+  /** Pin every OUTPUT state frame to one computation. Persist (not
+    * checkpoint): planning stays lazy, lineage survives a lost block,
+    * and each frame's 2-4 downstream consumers reuse one computation —
+    * an unpinned manifest replayed the whole bootstrap once per
+    * consumer (measured 26s vs 6s on the registered query). Plan-DEPTH
+    * control across CHAINED in-memory ingests is [[truncated]]'s job. */
   private def pinned(state: CorpusState): CorpusState =
     CorpusState(
-      hashes = state.hashes.localCheckpoint(eager = false),
-      sigs = state.sigs.localCheckpoint(eager = false),
-      labels = state.labels.localCheckpoint(eager = false),
-      shingles = state.shingles.localCheckpoint(eager = false),
-      manifest = state.manifest.localCheckpoint(eager = false))
+      hashes = state.hashes.persist(Lvl),
+      sigs = state.sigs.persist(Lvl),
+      labels = state.labels.persist(Lvl),
+      shingles = state.shingles.persist(Lvl),
+      manifest = state.manifest.persist(Lvl))
+
+  /** Truncate the INPUT state's plans at the ingest boundary. The
+    * output state's frames reference each other (tombstones embed
+    * labels AND manifest; shingles embed tombstones; the next manifest
+    * embeds the prior one twice), so chaining ingests in memory grows
+    * the plan tree exponentially per generation — the driver OOM'd
+    * merely STRINGIFYING it after four chained ingests. Cutting the
+    * plan at ENTRY bounds every in-flight plan at one generation:
+    * parquet-backed state (the deployment form) plans in milliseconds,
+    * and an in-memory chained state pays one planning pass of
+    * one-generation depth. `localCheckpoint(eager = false)` is the
+    * same truncation connectedComponents applies per iteration; its
+    * blocks also CACHE the state scans the ingest reads 2-3 times
+    * each. Local-checkpoint blocks die with their executor — the
+    * documented trade-off; cluster deployments feed parquet state via
+    * [[loadState]] anyway. */
+  private def truncated(state: CorpusState): CorpusState =
+    CorpusState(
+      hashes = state.hashes.localCheckpoint(false),
+      sigs = state.sigs.localCheckpoint(false),
+      labels = state.labels.localCheckpoint(false),
+      shingles = state.shingles.localCheckpoint(false),
+      manifest = state.manifest.localCheckpoint(false))
 
   /** Land the state as five parquet tables — the deployment form: an
     * ingest job reads them back with [[loadState]], runs
@@ -277,8 +291,9 @@ object TrainingPipeline {
     * design: incremental bins append after the group's historical max
     * (from the PRE-tombstone manifest, so a tombstoned doc's bin is
     * never reused while shard files may still contain it). */
-  def runIncremental(state: CorpusState, batch: DataFrame,
+  def runIncremental(inputState: CorpusState, batch: DataFrame,
                      cfg: Config = Config()): IngestDelta = {
+    val state = truncated(inputState)
     val (repToks, tri, dec) = tokenPass(batch, cfg)
 
     // 1. quality gate (per-doc, identical to the full run)
@@ -341,7 +356,12 @@ object TrainingPipeline {
         .filter(col("__inter").cast(DoubleType) /
           (size(col("hs_a")) + size(col("hs_b")) - col("__inter")) >= cfg.nearDupThreshold)
         .select(col("id_a"), col("id_b"))
-    }.persist(Lvl)
+    // checkpoint, not persist: this plan gets embedded under the
+    // touched/touchedComps BROADCAST nodes and into every CC-loop and
+    // label consumer — persist dedups the EXECUTION but each action
+    // still re-PLANS the full LSH tree (measured ~21s of pure driver
+    // planning per ingest); the cut makes every downstream plan shallow
+    }.localCheckpoint(false)
     // Delta-only CC: a prior component can only change if a new edge
     // touches one of its nodes (graphs merge through shared nodes and
     // nothing else), so replay star edges ONLY for touched components —
@@ -361,7 +381,7 @@ object TrainingPipeline {
       .join(broadcast(touchedComps), Seq("comp"), "left_anti")
       .select(col("id"), col("comp"))
       .unionByName(ccLabels)
-      .persist(Lvl)
+      .localCheckpoint(false) // same planning-cost cut as newEdges
     val canonical = entrants
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .filter(col("comp").isNull || col("comp") === col("doc_id"))
@@ -385,12 +405,17 @@ object TrainingPipeline {
       .join(broadcast(superseded), Seq("doc_id"), "left_anti")
     val newTestH = batchShingles.filter(col("split") === "test")
       .select(col("h")).distinct()
+    // new train docs leaking against any live test doc: dropped
+    // pre-ship. Joined with the BATCH side broadcast so the
+    // corpus-sized test-shingle scan is never shuffled (a distinct over
+    // it would be a full-state shuffle per ingest); duplicate h matches
+    // fan out bounded by docs-per-shingle and collapse in the distinct
+    // over matched doc ids.
     val allTestH = liveOld.filter(col("split") === "test").select(col("h"))
       .union(batchShingles.filter(col("split") === "test").select(col("h")))
-      .distinct()
-    // new train docs leaking against any live test doc: dropped pre-ship
-    val newTrainLeaks = batchShingles.filter(col("split") === "train")
-      .join(allTestH, Seq("h"))
+    val newTrainLeaks = allTestH
+      .join(broadcast(batchShingles.filter(col("split") === "train")
+        .select(col("doc_id"), col("h"))), Seq("h"))
       .select(col("doc_id")).distinct()
     // shipped train docs a NEW test doc now contaminates: tombstoned
     // (the corpus-sized shingle table is scanned against a broadcast of
@@ -416,14 +441,20 @@ object TrainingPipeline {
       .unionByName(decontaminated.withColumn("reason", lit("decontaminated")))
       .persist(Lvl)
 
+    // Every state update is append- or scan-shaped: the hash delta is
+    // the batch's hashes minus the (already-broadcast-sized) overlap —
+    // a union+distinct over the full corpus hash set would re-shuffle
+    // the entire state every ingest for nothing.
     val newState = pinned(CorpusState(
-      hashes = state.hashes.union(gated.select(col("__h").as("h"))).distinct(),
+      hashes = state.hashes.unionByName(
+        gated.select(col("__h").as("h")).distinct()
+          .join(broadcast(seenHashes), Seq("h"), "left_anti")),
       sigs = state.sigs.unionByName(entrantSigs),
       labels = labels,
       shingles = liveOld.unionByName(
         batchShingles.join(pinnedRows.select(col("doc_id")), Seq("doc_id"))),
       manifest = state.manifest
-        .join(pinnedTombs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(broadcast(pinnedTombs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
         .unionByName(pinnedRows)))
     IngestDelta(pinnedRows, pinnedTombs, newState)
   }
