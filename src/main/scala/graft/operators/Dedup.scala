@@ -274,6 +274,14 @@ object Dedup {
     val edges0 = truncate(p0.select(greatest(col("x"), col("y")).as("hi"),
         least(col("x"), col("y")).as("lo"))
       .distinct())
+    // Empty-graph fast path: a pair-free input (the common case for a
+    // clean daily ingest) otherwise pays two confirmation iterations
+    // plus the star check — ~6 jobs for a foregone conclusion. The
+    // isEmpty materializes edges0's checkpoint, which the first
+    // iteration needed anyway, so the probe costs nothing extra.
+    if (edges0.isEmpty) {
+      return edges0.select(col("hi").as("id"), col("lo").as("comp"))
+    }
     // every node of the input graph, for the final label join — derived
     // from the materialized edge set, NOT from `pairs`, so an expensive
     // upstream pair query (e.g. embedding near-dup) runs once

@@ -79,6 +79,34 @@ object ShardStore {
       Seq("doc_id"), "left_anti")
   }
 
+  /** Compact when the table's maintenance debt crosses a threshold —
+    * the scheduling policy an ingest loop calls after every append:
+    * too many files per (split, lang) partition (file-open cost decays
+    * scans) or too large a tombstoned fraction (the read-path anti-join
+    * carries dead weight). Debt is measured from file listings and the
+    * tombstone table only — no data scan. Returns Some(fileCount) when
+    * compaction ran. */
+  def maybeCompact(spark: SparkSession, root: String,
+                   maxFilesPerPartition: Int = 16,
+                   maxTombstoneFrac: Double = 0.2,
+                   maxRecordsPerFile: Long = 0L): Option[Int] = {
+    val df = spark.read.parquet(root)
+    val files = df.inputFiles.length
+    val partitions = math.max(1,
+      df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length)
+    val tombFrac = if (!fs(spark, root).exists(new Path(tombDir(root)))) 0.0
+      else {
+        val dead = spark.read.parquet(tombDir(root))
+          .select(col("doc_id")).distinct().count()
+        // manifest rows == live + dead docs; parquet count() is
+        // footer-metadata-only, no column data is read
+        dead.toDouble / math.max(1L, df.count())
+      }
+    if (files > partitions.toLong * maxFilesPerPartition || tombFrac > maxTombstoneFrac)
+      Some(compact(spark, root, maxRecordsPerFile))
+    else None
+  }
+
   /** Physically apply tombstones and merge accumulated small files:
     * rewrite the live rows fully re-clustered, swap the rewrite in,
     * drop the tombstone table. Returns the data file count after the

@@ -62,4 +62,28 @@ class ShardStoreSpec extends AnyFunSuite {
       .orderBy($"doc_id").collect()
     assert(after.sameElements(b))
   }
+
+  test("maybeCompact fires on tombstone debt and on file debt, not before") {
+    val docs = Seq(
+      (1L, "en", filler("ca")), (2L, "en", filler("cb")),
+      (3L, "en", filler("cc")), (4L, "en", filler("cd"))
+    ).toDF("doc_id", "lang", "text")
+    val st = TrainingPipeline.bootstrapState(docs)
+    val root = java.nio.file.Files.createTempDirectory("graft_mc").toString + "/shards"
+    ShardStore.init(docs, st.manifest, root)
+
+    // healthy table: neither trigger fires
+    assert(ShardStore.maybeCompact(spark, root).isEmpty)
+
+    // tombstone half the docs: the fraction trigger fires and purges
+    ShardStore.addTombstones(
+      Seq((1L, "superseded"), (2L, "superseded")).toDF("doc_id", "reason"), root)
+    assert(ShardStore.maybeCompact(spark, root).isDefined)
+    assert(spark.read.parquet(root).filter($"doc_id" <= 2L).count() == 0)
+    assert(ShardStore.maybeCompact(spark, root).isEmpty, "debt reset after compaction")
+
+    // many tiny appended files: the file-count trigger fires
+    ShardStore.compact(spark, root, maxRecordsPerFile = 1L)
+    assert(ShardStore.maybeCompact(spark, root, maxFilesPerPartition = 1).isDefined)
+  }
 }
