@@ -169,7 +169,13 @@ object TrainingPipeline {
   // ---- Incremental ingest -------------------------------------------------
 
   /** Everything a future ingest needs to extend the corpus without
-    * re-reading it — five frames, each a parquet table in deployment:
+    * re-reading it — five frames, each a parquet table in deployment.
+    *
+    * CONTRACT: doc ids are globally unique across the corpus's entire
+    * lifetime — every table here is keyed by them, and the ingest's
+    * signature union resolves sides by id, so a batch doc reusing a
+    * corpus id would silently merge two identities (assign ingest id
+    * ranges, or derive ids from content hashes).
     *
     *  - `hashes`    (h): normalized-content hashes of every
     *    quality-passed doc ever seen (exact-dup witness set)
