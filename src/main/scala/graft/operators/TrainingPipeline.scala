@@ -198,17 +198,33 @@ object TrainingPipeline {
       shingles: DataFrame,
       manifest: DataFrame)
 
+  /** The append-shaped part of one ingest's state update — what a
+    * delta commit ([[graft.sources.StateStore.commitDelta]]) writes
+    * instead of rewriting the corpus-sized tables: the batch's new
+    * content hashes, new signature rows, and the accepted docs' decon
+    * shingles. Together with [[IngestDelta.accepted]] (the manifest
+    * delta) and [[IngestDelta.tombstones]] (the dead set), these
+    * reconstruct the next [[CorpusState]] exactly — `runIncremental`'s
+    * own state arithmetic is `old ∪ delta − dead` per table. */
+  final case class StateDelta(
+      newHashes: DataFrame,   // (h)
+      newSigs: DataFrame,     // (id, hs, sig)
+      newShingles: DataFrame) // (doc_id, split, h)
+
   /** One ingest's outcome: `accepted` — new manifest rows (bins open
     * AFTER the group's historical max, shipped bins are immutable);
     * `tombstones` — (doc_id, reason) for previously shipped docs this
     * batch invalidated (`superseded`: a batch doc bridged its near-dup
     * component to one with a smaller canonical; `decontaminated`: a new
     * test doc revealed verbatim overlap with a shipped train doc);
-    * `state` — the extended [[CorpusState]] for the next ingest. */
+    * `state` — the extended [[CorpusState]] for the next ingest;
+    * `stateDelta` — the same state update in delta form, for O(batch)
+    * commits. */
   final case class IngestDelta(
       accepted: DataFrame,
       tombstones: DataFrame,
-      state: CorpusState)
+      state: CorpusState,
+      stateDelta: StateDelta)
 
   /** Pin every OUTPUT state frame to one computation. Persist (not
     * checkpoint): planning stays lazy, lineage survives a lost block,
@@ -247,11 +263,13 @@ object TrainingPipeline {
       shingles = state.shingles.localCheckpoint(false),
       manifest = state.manifest.localCheckpoint(false))
 
-  /** Land the state as five parquet tables — the deployment form: an
-    * ingest job reads them back with [[loadState]], runs
-    * [[runIncremental]], and lands the delta's state for the next run.
-    * Writing sigs/shingles here is also what makes the "corpus text is
-    * read zero times per ingest" property literal. */
+  /** Land the state as five parquet tables IN FULL — the one-shot
+    * snapshot form (bootstrap exports, probes). A RECURRING commit
+    * must not use this: rewriting the corpus-sized witness tables per
+    * ingest is O(corpus) I/O — the ingest loop commits O(batch) deltas
+    * via [[graft.sources.StateStore.commitDelta]] instead. Writing
+    * sigs/shingles to parquet (either way) is what makes the "corpus
+    * text is read zero times per ingest" property literal. */
   def saveState(state: CorpusState, dir: String): Unit = {
     state.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
     state.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
@@ -446,23 +464,34 @@ object TrainingPipeline {
     val pinnedTombs = superseded.withColumn("reason", lit("superseded"))
       .unionByName(decontaminated.withColumn("reason", lit("decontaminated")))
       .persist(Lvl)
+    val deadIds = pinnedTombs.select(col("doc_id"))
 
     // Every state update is append- or scan-shaped: the hash delta is
     // the batch's hashes minus the (already-broadcast-sized) overlap —
     // a union+distinct over the full corpus hash set would re-shuffle
-    // the entire state every ingest for nothing.
+    // the entire state every ingest for nothing. The deltas are also
+    // returned as-is (StateDelta) so a commit can append THEM instead
+    // of rewriting the unions.
+    val newHashes = gated.select(col("__h").as("h")).distinct()
+      .join(broadcast(seenHashes), Seq("h"), "left_anti")
+    val newShingles = batchShingles
+      .join(pinnedRows.select(col("doc_id")), Seq("doc_id"))
     val newState = pinned(CorpusState(
-      hashes = state.hashes.unionByName(
-        gated.select(col("__h").as("h")).distinct()
-          .join(broadcast(seenHashes), Seq("h"), "left_anti")),
+      hashes = state.hashes.unionByName(newHashes),
       sigs = state.sigs.unionByName(entrantSigs),
       labels = labels,
-      shingles = liveOld.unionByName(
-        batchShingles.join(pinnedRows.select(col("doc_id")), Seq("doc_id"))),
+      // dead docs must not witness leaks, whichever way they died:
+      // BOTH tombstone reasons leave the shingle state (a retained
+      // decontaminated doc's shingles would re-emit tombstones for a
+      // doc no longer in the manifest on every later test overlap)
+      shingles = state.shingles
+        .join(broadcast(deadIds), Seq("doc_id"), "left_anti")
+        .unionByName(newShingles),
       manifest = state.manifest
-        .join(broadcast(pinnedTombs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .join(broadcast(deadIds), Seq("doc_id"), "left_anti")
         .unionByName(pinnedRows)))
-    IngestDelta(pinnedRows, pinnedTombs, newState)
+    IngestDelta(pinnedRows, pinnedTombs, newState,
+      StateDelta(newHashes, entrantSigs, newShingles))
   }
 
   /** §2.5 capstone — the manifest over `documents` (rows-only: every

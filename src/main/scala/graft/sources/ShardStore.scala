@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * appends accumulate — the read path's anti-join cost and the
   * file-open cost both reset to zero.
   *
-  * The compaction swap is delete-then-rename, NOT atomic: a reader
-  * racing the swap can glimpse a missing root. That is the honest
-  * limit of bare parquet — at deployment scale this table graduates to
-  * a format with a transactional pointer (Delta/Iceberg) and this
-  * object's surface maps 1:1 onto it (append = append, tombstone =
-  * delete, compact = OPTIMIZE).
+  * The compaction swap is crash-safe ([[DirSwap]]: the old root moves
+  * aside before the rewrite moves in, so no crash point loses data —
+  * [[read]] and [[compact]] self-heal an interrupted swap), but not
+  * atomic: a reader racing the swap can still glimpse a missing root
+  * for an instant. That residue is the honest limit of bare parquet —
+  * at deployment scale this table graduates to a format with a
+  * transactional pointer (Delta/Iceberg) and this object's surface
+  * maps 1:1 onto it (append = append, tombstone = delete, compact =
+  * OPTIMIZE).
   */
 object ShardStore {
 
@@ -70,8 +73,12 @@ object ShardStore {
     tombstones.select(col("doc_id"), col("reason"))
       .write.mode("append").parquet(tombDir(root))
 
-  /** The live table: every landed row minus tombstoned docs. */
+  /** The live table: every landed row minus tombstoned docs. Heals an
+    * interrupted compaction swap first (root missing but the rewrite
+    * or the moved-aside original present — see [[DirSwap.recover]]). */
   def read(spark: SparkSession, root: String): DataFrame = {
+    if (!fs(spark, root).exists(new Path(root)))
+      DirSwap.recover(fs(spark, root), root)
     val all = spark.read.parquet(root)
     if (!fs(spark, root).exists(new Path(tombDir(root)))) all
     else all.join(
@@ -83,37 +90,60 @@ object ShardStore {
     * the scheduling policy an ingest loop calls after every append:
     * too many files per (split, lang) partition (file-open cost decays
     * scans) or too large a tombstoned fraction (the read-path anti-join
-    * carries dead weight). Debt is measured from file listings and the
-    * tombstone table only — no data scan. Returns Some(fileCount) when
+    * carries dead weight).
+    *
+    * The caller passes the doc counts it already has — `liveDocs` is
+    * the state manifest's row count and `deadDocs` the tombstones it
+    * has landed (both maintained by the ingest loop's own state, e.g.
+    * [[graft.sources.StateStore]]) — so the debt check runs ZERO Spark
+    * jobs: file and partition counts come from two directory globs
+    * (no datasource resolution, no parquet footers — at very large
+    * file counts even listing belongs in a manifest, which is the
+    * Delta/Iceberg graduation). Returns Some(fileCount) when
     * compaction ran. */
   def maybeCompact(spark: SparkSession, root: String,
-                   maxFilesPerPartition: Int = 16,
-                   maxTombstoneFrac: Double = 0.2,
-                   maxRecordsPerFile: Long = 0L): Option[Int] = {
-    val df = spark.read.parquet(root)
-    val files = df.inputFiles.length
+                   liveDocs: Long, deadDocs: Long,
+                   maxFilesPerPartition: Int,
+                   maxTombstoneFrac: Double,
+                   maxRecordsPerFile: Long): Option[Int] = {
+    val f = fs(spark, root)
+    DirSwap.recover(f, root)
     val partitions = math.max(1,
-      df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length)
-    val tombFrac = if (!fs(spark, root).exists(new Path(tombDir(root)))) 0.0
-      else {
-        val dead = spark.read.parquet(tombDir(root))
-          .select(col("doc_id")).distinct().count()
-        // manifest rows == live + dead docs; parquet count() is
-        // footer-metadata-only, no column data is read
-        dead.toDouble / math.max(1L, df.count())
-      }
+      f.globStatus(new Path(s"$root/*/*")).count(_.isDirectory))
+    val files = f.globStatus(new Path(s"$root/*/*/*"))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val tombFrac = deadDocs.toDouble / math.max(1L, liveDocs + deadDocs)
     if (files > partitions.toLong * maxFilesPerPartition || tombFrac > maxTombstoneFrac)
       Some(compact(spark, root, maxRecordsPerFile))
     else None
   }
 
+  /** [[maybeCompact]] for standalone callers WITHOUT maintained doc
+    * counts: derives the dead count from the tombstone table and the
+    * total from the data table's footers — two metadata-only Spark
+    * jobs (documented driver cost; prefer the counted overload from an
+    * ingest loop). */
+  def maybeCompact(spark: SparkSession, root: String,
+                   maxFilesPerPartition: Int = 16,
+                   maxTombstoneFrac: Double = 0.2,
+                   maxRecordsPerFile: Long = 0L): Option[Int] = {
+    val dead = if (!fs(spark, root).exists(new Path(tombDir(root)))) 0L
+      else spark.read.parquet(tombDir(root)).select(col("doc_id")).distinct().count()
+    // total landed rows == live + dead docs (doc_id unique per row)
+    val total = spark.read.parquet(root).count()
+    maybeCompact(spark, root, liveDocs = total - dead, deadDocs = dead,
+      maxFilesPerPartition, maxTombstoneFrac, maxRecordsPerFile)
+  }
+
   /** Physically apply tombstones and merge accumulated small files:
-    * rewrite the live rows fully re-clustered, swap the rewrite in,
-    * drop the tombstone table. Returns the data file count after the
-    * swap. */
+    * rewrite the live rows fully re-clustered, swap the rewrite in
+    * crash-safely ([[DirSwap]]), drop the tombstone table (it lives
+    * inside the root, so the swap drops it with the old files).
+    * Returns the data file count after the swap. */
   def compact(spark: SparkSession, root: String,
               maxRecordsPerFile: Long = 0L): Int = {
-    val tmp = root + "__compact_tmp"
+    val f = fs(spark, root)
+    DirSwap.recover(f, root)
     // read() is lazy — the rewrite job below is the only materialization,
     // and it finishes before the swap touches the original files
     read(spark, root)
@@ -121,10 +151,8 @@ object ShardStore {
       .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("split", "lang").parquet(tmp)
-    val f = fs(spark, root)
-    require(f.delete(new Path(root), true), s"could not drop $root for the swap")
-    require(f.rename(new Path(tmp), new Path(root)), s"could not swap $tmp into $root")
+      .partitionBy("split", "lang").parquet(DirSwap.tmpDir(root))
+    DirSwap.swap(f, root)
     spark.read.parquet(root).inputFiles.length
   }
 }

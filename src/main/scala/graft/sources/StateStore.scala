@@ -1,0 +1,252 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TrainingPipeline.{CorpusState, IngestDelta}
+
+/** Versioned DELTA commits for the incremental-ingest corpus state
+  * ([[graft.operators.TrainingPipeline.CorpusState]]) — the layout that
+  * makes a daily ingest's state-commit I/O O(batch), not O(corpus).
+  *
+  * The witness tables (`hashes`, `sigs`, `shingles`, `manifest`) are
+  * append-only minus per-doc tombstones, and `runIncremental` already
+  * computes each ingest's exact delta — so a commit writes ONLY that
+  * delta, as one new `ingest=<v>` partition per table:
+  *
+  * {{{
+  * root/
+  *   hashes/ingest=<v>/     (h)                              append-only
+  *   sigs/ingest=<v>/       (id, hs, sig)                    append-only
+  *   shingles/ingest=<v>/   (doc_id, split, h)               append-only
+  *   manifest/ingest=<v>/   (split, lang, bin, doc_id, n_tokens)
+  *   dead/ingest=<v>/       (doc_id)   docs tombstoned AT v  append-only
+  *   labels/v=<v>/          (id, comp) full per version — CC labels
+  *                          MUTATE on merge, so they are not
+  *                          append-shaped; they are also the smallest
+  *                          table (non-singleton nodes only)
+  *   commits/v<v>           empty marker: version v fully written
+  *   LATEST                 pointer file, flipped last
+  * }}}
+  *
+  * [[loadVersion]] reconstructs state-at-v by partition-pruned reads
+  * (`ingest <= v`) plus ONE anti-join of the accumulated dead set onto
+  * shingles and manifest — exactly the logical state `runIncremental`
+  * maintains in memory, because doc ids are globally unique and a doc
+  * is never re-admitted after a tombstone (both are existing contract).
+  * Old versions stay readable (state time travel) until [[compact]]
+  * consolidates the accumulated delta partitions.
+  *
+  * Crash/replay semantics: every per-version artifact write is an
+  * OVERWRITE of a directory no committed version references yet, so a
+  * replayed commit is idempotent; the `commits/v<v>` marker lands only
+  * after every artifact, and LATEST flips last. A lost LATEST is
+  * RECOVERED from the markers (max committed v) instead of silently
+  * bootstrapping an empty corpus — the failure that would re-admit
+  * every previously shipped doc. State artifacts with NO markers fail
+  * loudly as corruption.
+  */
+object StateStore {
+
+  private val Tables = Seq("hashes", "sigs", "shingles", "manifest", "dead")
+
+  private val schemas: Map[String, StructType] = Map(
+    "hashes" -> StructType(Seq(StructField("h", StringType))),
+    "sigs" -> StructType(Seq(
+      StructField("id", LongType),
+      StructField("hs", ArrayType(LongType)),
+      StructField("sig", ArrayType(IntegerType)))),
+    "shingles" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("split", StringType),
+      StructField("h", LongType))),
+    "manifest" -> StructType(Seq(
+      StructField("split", StringType),
+      StructField("lang", StringType),
+      StructField("bin", LongType),
+      StructField("doc_id", LongType),
+      StructField("n_tokens", LongType))),
+    "dead" -> StructType(Seq(StructField("doc_id", LongType))),
+    "labels" -> StructType(Seq(
+      StructField("id", LongType),
+      StructField("comp", LongType))))
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def latestPath(root: String) = new Path(s"$root/LATEST")
+  private def markerPath(root: String, v: Long) = new Path(s"$root/commits/v$v")
+
+  /** Latest committed version. A missing LATEST with commit markers
+    * present is recovered (and the pointer healed); state tables with
+    * no markers at all fail loudly — silently treating a damaged root
+    * as an empty corpus would re-admit every shipped doc downstream. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    if (f.exists(latestPath(root))) {
+      val in = f.open(latestPath(root))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    } else {
+      val commitsDir = new Path(s"$root/commits")
+      val recovered =
+        if (!f.exists(commitsDir)) None
+        else f.listStatus(commitsDir).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("v"))
+          .map(_.drop(1).toLong).sorted.lastOption
+      recovered match {
+        case Some(v) => writeLatest(spark, root, v); Some(v) // heal the pointer
+        case None =>
+          require(Tables.forall(t => !f.exists(new Path(s"$root/$t"))),
+            s"state tables exist under $root but no commit marker does — " +
+              "refusing to treat a damaged state root as an empty corpus")
+          None
+      }
+    }
+  }
+
+  private def writeLatest(spark: SparkSession, root: String, v: Long): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/LATEST.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (f.exists(latestPath(root))) f.delete(latestPath(root), false)
+    require(f.rename(tmp, latestPath(root)), s"could not flip $root/LATEST")
+  }
+
+  private def writePartition(df: DataFrame, table: String, root: String,
+                             v: Long, cols: Seq[String]): Unit =
+    df.select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$root/$table/ingest=$v")
+
+  private def commitVersion(spark: SparkSession, root: String, v: Long,
+                            hashes: DataFrame, sigs: DataFrame,
+                            shingles: DataFrame, manifest: DataFrame,
+                            dead: DataFrame, labels: DataFrame): Long = {
+    writePartition(hashes, "hashes", root, v, Seq("h"))
+    writePartition(sigs, "sigs", root, v, Seq("id", "hs", "sig"))
+    writePartition(shingles, "shingles", root, v, Seq("doc_id", "split", "h"))
+    writePartition(manifest, "manifest", root, v,
+      Seq("split", "lang", "bin", "doc_id", "n_tokens"))
+    writePartition(dead, "dead", root, v, Seq("doc_id"))
+    labels.select(col("id"), col("comp"))
+      .write.mode("overwrite").parquet(s"$root/labels/v=$v")
+    fs(spark, root).create(markerPath(root, v), true).close() // commit point for recovery
+    writeLatest(spark, root, v)
+    v
+  }
+
+  /** Commit one ingest's DELTA as version latest+1: the three witness
+    * deltas and the accepted manifest rows append as new `ingest`
+    * partitions, this ingest's tombstoned doc ids land in `dead`, and
+    * only `labels` (small) is written in full. Commit bytes are
+    * O(batch), independent of corpus size — StateCommitSpec measures
+    * exactly that. */
+  def commitDelta(spark: SparkSession, delta: IngestDelta, root: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(-1L) + 1L
+    commitVersion(spark, root, v,
+      hashes = delta.stateDelta.newHashes,
+      sigs = delta.stateDelta.newSigs,
+      shingles = delta.stateDelta.newShingles,
+      manifest = delta.accepted,
+      dead = delta.tombstones.select(col("doc_id")),
+      labels = delta.state.labels)
+  }
+
+  /** Commit a freshly bootstrapped corpus as the first version: the
+    * full state IS the delta of an initial ingest. */
+  def commitBootstrap(spark: SparkSession, state: CorpusState, root: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(-1L) + 1L
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schemas("dead"))
+    commitVersion(spark, root, v,
+      hashes = state.hashes, sigs = state.sigs, shingles = state.shingles,
+      manifest = state.manifest, dead = empty, labels = state.labels)
+  }
+
+  private def readTable(spark: SparkSession, root: String, table: String,
+                        v: Long): DataFrame = {
+    val schema = schemas(table).add(StructField("ingest", LongType))
+    val p = s"$root/$table"
+    if (!fs(spark, root).exists(new Path(p)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(table))
+    else
+      spark.read.schema(schema).parquet(p)
+        .filter(col("ingest") <= v) // partition-pruned: old deltas only
+        .drop("ingest")
+  }
+
+  /** Reconstruct the state as of version `v` (time travel): pruned
+    * delta scans + one anti-join of the accumulated dead set onto
+    * shingles and manifest. */
+  def loadVersion(spark: SparkSession, root: String, v: Long): CorpusState = {
+    val dead = readTable(spark, root, "dead", v)
+    CorpusState(
+      hashes = readTable(spark, root, "hashes", v),
+      sigs = readTable(spark, root, "sigs", v),
+      labels = spark.read.schema(schemas("labels")).parquet(s"$root/labels/v=$v"),
+      shingles = readTable(spark, root, "shingles", v)
+        .join(dead, Seq("doc_id"), "left_anti"),
+      manifest = readTable(spark, root, "manifest", v)
+        .join(dead, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Latest committed state, or None for an untouched root. */
+  def load(spark: SparkSession, root: String): Option[CorpusState] =
+    latestVersion(spark, root).map(v => loadVersion(spark, root, v))
+
+  /** Consolidate the accumulated delta partitions: rewrite each witness
+    * table's live rows (as of LATEST) into a single `ingest=<latest>`
+    * partition, apply `dead` physically, and drop superseded label
+    * versions. Reads at LATEST are unchanged; time travel BEFORE the
+    * compaction point is given up — the same trade a Delta VACUUM
+    * makes. Swaps are crash-safe ([[DirSwap]]). Returns the compacted
+    * version. */
+  def compact(spark: SparkSession, root: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"nothing committed under $root"))
+    val st = loadVersion(spark, root, v)
+    val f = fs(spark, root)
+    val rewrite: Seq[(String, DataFrame, Seq[String])] = Seq(
+      ("hashes", st.hashes, Seq("h")),
+      ("sigs", st.sigs, Seq("id", "hs", "sig")),
+      ("shingles", st.shingles, Seq("doc_id", "split", "h")),
+      ("manifest", st.manifest, Seq("split", "lang", "bin", "doc_id", "n_tokens")))
+    rewrite.foreach { case (table, df, cols) =>
+      val tableRoot = s"$root/$table"
+      DirSwap.recover(f, tableRoot)
+      df.select(cols.map(col): _*)
+        .write.mode("overwrite").parquet(s"${DirSwap.tmpDir(tableRoot)}/ingest=$v")
+      DirSwap.swap(f, tableRoot)
+    }
+    // dead is now applied physically; empty the table the same way
+    val deadRoot = s"$root/dead"
+    DirSwap.recover(f, deadRoot)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas("dead"))
+      .write.mode("overwrite").parquet(s"${DirSwap.tmpDir(deadRoot)}/ingest=$v")
+    DirSwap.swap(f, deadRoot)
+    // labels: drop superseded versions (markers stay — numbering continues)
+    val labelsDir = new Path(s"$root/labels")
+    f.listStatus(labelsDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") && p.getName.drop(2).toLong < v)
+      .foreach(p => f.delete(p, true))
+    v
+  }
+
+  /** Compact when the accumulated delta-partition count crosses
+    * `maxDeltas` — the debt policy an ingest loop calls after each
+    * commit. Debt is measured from one directory listing; no Spark
+    * job. Returns Some(version) when compaction ran. */
+  def maybeCompact(spark: SparkSession, root: String,
+                   maxDeltas: Int = 16): Option[Long] = {
+    val f = fs(spark, root)
+    val hashesDir = new Path(s"$root/hashes")
+    if (!f.exists(hashesDir)) None
+    else {
+      val deltas = f.listStatus(hashesDir).count(_.getPath.getName.startsWith("ingest="))
+      if (deltas > maxDeltas) Some(compact(spark, root)) else None
+    }
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.operators.TrainingPipeline
-import graft.sources.ShardStore
+import graft.sources.{ShardStore, StateStore}
 
 /** Continuous corpus ingestion: a stream of documents drives the FULL
   * incremental training pipeline ([[TrainingPipeline.runIncremental]])
@@ -15,10 +15,14 @@ import graft.sources.ShardStore
   * decontamination, packing — landing accepted rows and tombstones in
   * the [[ShardStore]] and committing the next state version.
   *
-  * State is VERSIONED: each batch writes `root/v<N+1>` (never touching
-  * `v<N>`, which it is concurrently reading) and then flips the
-  * `LATEST` pointer — the manifest-pointer pattern, which also gives
-  * state time travel for free.
+  * State commits are VERSIONED DELTAS ([[StateStore]]): a batch appends
+  * its O(batch) witness deltas as new `ingest=<v>` partitions (never
+  * touching the partitions it is concurrently reading) and flips the
+  * `LATEST` pointer last — the manifest-pointer pattern, which also
+  * gives state time travel for free. Commit I/O is independent of how
+  * large the corpus has grown (StateCommitSpec measures it); a lost
+  * LATEST is recovered from the per-version commit markers instead of
+  * silently bootstrapping an empty corpus.
   *
   * Failure semantics (bare parquet, no transactional format):
   * foreachBatch is at-least-once, and a REPLAYED batch whose commit
@@ -28,7 +32,8 @@ import graft.sources.ShardStore
   * limit of bare parquet; with content addressing the STATE never
   * corrupts either way, because every replayed document is an exact
   * dup of itself and the pipeline drops it (`runIncremental` replays
-  * are structural no-ops). At deployment scale the store graduates to
+  * are structural no-ops, and a replayed state commit overwrites its
+  * own partition). At deployment scale the store graduates to
   * Delta/Iceberg and the window closes.
   */
 object CorpusIngest {
@@ -36,45 +41,26 @@ object CorpusIngest {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def latestPath(root: String) = new Path(s"$root/LATEST")
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    StateStore.latestVersion(spark, root)
 
-  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
-    val f = fs(spark, root)
-    if (!f.exists(latestPath(root))) None
-    else {
-      val in = f.open(latestPath(root))
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
-
-  /** Write state as `v<next>` and flip LATEST (tmp + rename). */
-  def commit(spark: SparkSession, state: TrainingPipeline.CorpusState,
-             root: String): Long = {
-    val v = latestVersion(spark, root).getOrElse(-1L) + 1L
-    TrainingPipeline.saveState(state, s"$root/v$v")
-    val f = fs(spark, root)
-    val tmp = new Path(s"$root/LATEST.tmp")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (f.exists(latestPath(root))) f.delete(latestPath(root), false)
-    require(f.rename(tmp, latestPath(root)), s"could not flip $root/LATEST")
-    v
-  }
+  /** Commit one ingest's delta as the next state version (O(batch)
+    * write volume — see [[StateStore.commitDelta]]). */
+  def commit(spark: SparkSession, delta: TrainingPipeline.IngestDelta,
+             root: String): Long =
+    StateStore.commitDelta(spark, delta, root)
 
   /** Latest committed state; an untouched root loads the empty-corpus
     * bootstrap (so the very first batch needs no special casing). */
   def load(spark: SparkSession, root: String): TrainingPipeline.CorpusState =
-    latestVersion(spark, root) match {
-      case Some(v) => TrainingPipeline.loadState(spark, s"$root/v$v")
-      case None =>
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row],
-          StructType(Seq(
-            StructField("doc_id", LongType),
-            StructField("lang", StringType),
-            StructField("text", StringType))))
-        TrainingPipeline.bootstrapState(empty)
+    StateStore.load(spark, root).getOrElse {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("text", StringType))))
+      TrainingPipeline.bootstrapState(empty)
     }
 
   /** One micro-batch: skip if already committed, else ingest + land +
@@ -90,7 +76,7 @@ object CorpusIngest {
     val delta = TrainingPipeline.runIncremental(load(spark, stateRoot), batch, cfg)
     ShardStore.append(batch, delta.accepted, shardRoot)
     ShardStore.addTombstones(delta.tombstones, shardRoot)
-    commit(spark, delta.state, stateRoot)
+    commit(spark, delta, stateRoot)
     f.create(marker, true).close()
   }
 

@@ -57,8 +57,20 @@ class CorpusIngestSpec extends AnyFunSuite {
 
     // two committed versions + time travel to v0
     assert(CorpusIngest.latestVersion(spark, s"$base/state").contains(1L))
-    val v0 = TrainingPipeline.loadState(spark, s"$base/state/v0").manifest
+    val v0 = graft.sources.StateStore.loadVersion(spark, s"$base/state", 0L).manifest
     assert(v0.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // a lost LATEST pointer is recovered from the commit markers, not
+    // silently re-bootstrapped as an empty corpus (which would re-admit
+    // every shipped doc on the next batch)
+    val f = new org.apache.hadoop.fs.Path(s"$base/state/LATEST")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$base/state/LATEST"), false)
+    assert(CorpusIngest.latestVersion(spark, s"$base/state").contains(1L),
+      "LATEST not recovered from commit markers")
+    val recovered = CorpusIngest.load(spark, s"$base/state").manifest
+      .select($"doc_id", $"split", $"lang", $"bin", $"n_tokens").orderBy($"doc_id").collect()
+    assert(recovered.sameElements(direct))
   }
 
   test("a replayed batch id is skipped outright") {

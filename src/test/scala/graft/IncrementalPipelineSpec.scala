@@ -126,6 +126,11 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     assert(delta.accepted.filter($"doc_id" === testId && $"split" === "test").count() == 1,
       "the new test doc itself ships (test docs are never decon-dropped)")
     assert(delta.state.manifest.filter($"doc_id" === trainId).count() == 0)
+    // dead docs must not witness leaks: the decontaminated doc's
+    // shingles leave the state too (kept, they would re-emit a
+    // tombstone for an already-dead doc on every later test overlap)
+    assert(delta.state.shingles.filter($"doc_id" === trainId).count() == 0,
+      "decontaminated doc's shingles must leave the witness state")
   }
 
   test("exact batch dups of shipped docs drop silently; bins never collide") {

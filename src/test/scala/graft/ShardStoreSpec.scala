@@ -86,4 +86,66 @@ class ShardStoreSpec extends AnyFunSuite {
     ShardStore.compact(spark, root, maxRecordsPerFile = 1L)
     assert(ShardStore.maybeCompact(spark, root, maxFilesPerPartition = 1).isDefined)
   }
+
+  test("an interrupted compaction swap is healed; no crash point loses the table") {
+    val docs = Seq((1L, "en", filler("ra")), (2L, "en", filler("rb")))
+      .toDF("doc_id", "lang", "text")
+    val st = TrainingPipeline.bootstrapState(docs)
+    val root = java.nio.file.Files.createTempDirectory("graft_rc").toString + "/shards"
+    ShardStore.init(docs, st.manifest, root)
+    val before = ShardStore.read(spark, root).select($"doc_id").as[Long].collect().sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // crash window 1: staged rewrite complete, old root moved aside,
+    // process died before the rewrite was promoted — read() must roll
+    // the complete rewrite forward, not see a missing table
+    org.apache.hadoop.fs.FileUtil.copy(f, p(root), f, p(root + "__swap_tmp"), false, conf)
+    assert(f.rename(p(root), p(root + "__swap_trash")))
+    assert(!f.exists(p(root)), "simulated crash: root is gone")
+    val healed = ShardStore.read(spark, root).select($"doc_id").as[Long].collect().sorted
+    assert(healed.sameElements(before), "rolled-forward table differs")
+    assert(!f.exists(p(root + "__swap_tmp")) && !f.exists(p(root + "__swap_trash")),
+      "heal must clean up the swap artifacts")
+
+    // crash window 2: died mid-rewrite (incomplete tmp, root intact) —
+    // the next compact drops the stale tmp and succeeds
+    f.mkdirs(p(root + "__swap_tmp/junk"))
+    ShardStore.compact(spark, root)
+    val after = ShardStore.read(spark, root).select($"doc_id").as[Long].collect().sorted
+    assert(after.sameElements(before))
+    assert(!f.exists(p(root + "__swap_tmp")))
+  }
+
+  test("counted maybeCompact runs zero Spark jobs below the debt threshold") {
+    val docs = Seq((1L, "en", filler("za")), (2L, "en", filler("zb")))
+      .toDF("doc_id", "lang", "text")
+    val st = TrainingPipeline.bootstrapState(docs)
+    val root = java.nio.file.Files.createTempDirectory("graft_mc0").toString + "/shards"
+    ShardStore.init(docs, st.manifest, root)
+    val liveDocs = st.manifest.count() // the ingest loop has this from its state
+
+    // count only THIS thread's jobs (suites run in parallel): job-group
+    // ids are thread-local and ride the job-start event's properties
+    val group = s"mc-probe-${System.nanoTime()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(js.properties).exists(_.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "maybeCompact debt probe")
+      val fired = ShardStore.maybeCompact(spark, root,
+        liveDocs = liveDocs, deadDocs = 0L,
+        maxFilesPerPartition = 64, maxTombstoneFrac = 0.2, maxRecordsPerFile = 0L)
+      spark.sparkContext.clearJobGroup()
+      assert(fired.isEmpty, "healthy table must not compact")
+      Thread.sleep(1000) // let the async listener bus drain
+      assert(jobs.get() == 0,
+        s"debt check ran ${jobs.get()} Spark job(s) — it must be listing-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

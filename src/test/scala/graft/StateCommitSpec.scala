@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingPipeline
+import graft.sources.StateStore
+
+/** Delta state commits ([[StateStore]]): commit I/O is O(batch) —
+  * independent of corpus size — the store round-trips the exact state
+  * `runIncremental` maintains in memory (including tombstone
+  * application), and compaction consolidates deltas without changing
+  * the live state.
+  */
+class StateCommitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def filler(tag: String) =
+    (1 to 45).map(i => s"$tag$i").mkString(" ")
+
+  private def corpusOf(n: Int) =
+    (1 to n).map(i => (i.toLong, "en", filler(s"c${i}w"))).toDF("doc_id", "lang", "text")
+
+  private val batch =
+    (1 to 8).map(i => (1000L + i, "en", filler(s"b${i}w"))).toDF("doc_id", "lang", "text")
+
+  /** Total bytes under `root`, recursively (the ShardPruningSpec
+    * measurement pattern: file listings, no data read). */
+  private def bytes(root: String): Long = {
+    val p = new Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) 0L
+    else {
+      val it = f.listFiles(p, true)
+      var sum = 0L
+      while (it.hasNext) sum += it.next().getLen
+      sum
+    }
+  }
+
+  private def bootThenIngest(nCorpus: Int): (Long, Long) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_sc_$nCorpus").toString
+    StateStore.commitBootstrap(spark, TrainingPipeline.bootstrapState(corpusOf(nCorpus)), root)
+    val bootBytes = bytes(root)
+    val delta = TrainingPipeline.runIncremental(
+      StateStore.load(spark, root).get, batch)
+    StateStore.commitDelta(spark, delta, root)
+    (bootBytes, bytes(root) - bootBytes)
+  }
+
+  test("second ingest's commit bytes are independent of corpus size") {
+    val (boot1, delta1) = bootThenIngest(24)
+    val (boot8, delta8) = bootThenIngest(192) // 8x the corpus
+    assert(boot8 > 4L * boot1,
+      s"sanity: bootstrap commits must scale with the corpus ($boot1 -> $boot8)")
+    assert(delta8 < (delta1 * 3) / 2,
+      s"delta-commit bytes grew with the corpus: $delta1 at 24 docs vs $delta8 at 192 " +
+        "— the commit is rewriting corpus-sized state")
+  }
+
+  test("store round-trip equals the in-memory state, tombstones applied") {
+    // the IncrementalPipelineSpec bridge scenario, through the store
+    val core = (1 to 30).map(i => s"core$i").mkString(" ")
+    def suffixed(tag: String) =
+      core + " " + (1 to 15).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "en", suffixed("alpha")),
+      (2L, "en", suffixed("beta")),
+      (3L, "en", filler("pad"))).toDF("doc_id", "lang", "text")
+    val bridge = Seq((10L, "en", core)).toDF("doc_id", "lang", "text")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_sc_rt").toString
+    StateStore.commitBootstrap(spark, TrainingPipeline.bootstrapState(corpus), root)
+    val delta = TrainingPipeline.runIncremental(StateStore.load(spark, root).get, bridge)
+    assert(delta.tombstones.as[(Long, String)].collect().toMap == Map(2L -> "superseded"))
+    val v = StateStore.commitDelta(spark, delta, root)
+
+    val loaded = StateStore.loadVersion(spark, root, v)
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    assert(rows(loaded.manifest, "doc_id", "split", "lang", "bin", "n_tokens") ==
+      rows(delta.state.manifest, "doc_id", "split", "lang", "bin", "n_tokens"))
+    assert(rows(loaded.hashes, "h") == rows(delta.state.hashes, "h"))
+    assert(rows(loaded.shingles, "doc_id", "split", "h") ==
+      rows(delta.state.shingles, "doc_id", "split", "h"))
+    assert(rows(loaded.labels, "id", "comp") == rows(delta.state.labels, "id", "comp"))
+    assert(loaded.sigs.count() == delta.state.sigs.count())
+    // the superseded doc is dead in the store-backed views too
+    assert(loaded.manifest.filter($"doc_id" === 2L).count() == 0)
+    assert(loaded.shingles.filter($"doc_id" === 2L).count() == 0)
+    // time travel: v0 still has it
+    assert(StateStore.loadVersion(spark, root, 0L).manifest
+      .filter($"doc_id" === 2L).count() == 1)
+  }
+
+  test("compact consolidates delta partitions and preserves the live state") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sc_cp").toString
+    StateStore.commitBootstrap(spark, TrainingPipeline.bootstrapState(corpusOf(6)), root)
+    var st = StateStore.load(spark, root).get
+    Seq(2000L, 3000L).foreach { base =>
+      val b = (1 to 3).map(i => (base + i, "en", filler(s"x${base}_$i")))
+        .toDF("doc_id", "lang", "text")
+      val d = TrainingPipeline.runIncremental(st, b)
+      StateStore.commitDelta(spark, d, root)
+      st = d.state
+    }
+    val before = st.manifest.select($"doc_id").as[Long].collect().sorted.toSeq
+
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltaParts = f.listStatus(new Path(s"$root/hashes"))
+      .count(_.getPath.getName.startsWith("ingest="))
+    assert(deltaParts == 3, s"expected 3 delta partitions, saw $deltaParts")
+
+    assert(StateStore.maybeCompact(spark, root, maxDeltas = 16).isEmpty,
+      "no compaction below the debt threshold")
+    assert(StateStore.maybeCompact(spark, root, maxDeltas = 2).isDefined)
+    assert(deltaParts == 1, "compaction must consolidate the delta partitions")
+    val after = StateStore.load(spark, root).get.manifest
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(after == before, "compaction changed the live manifest")
+    // versions keep counting past a compaction
+    val d = TrainingPipeline.runIncremental(StateStore.load(spark, root).get,
+      Seq((4001L, "en", filler("post"))).toDF("doc_id", "lang", "text"))
+    assert(StateStore.commitDelta(spark, d, root) == 3L)
+  }
+}
