@@ -293,9 +293,24 @@ object Dedup {
     * smallStar∘largeStar pass; the Kiveris proof is stated per-pass, so
     * a star-graph post-condition is re-checked explicitly before
     * returning (no node may appear on both sides of the final edge
-    * set) rather than trusting composition-fixpoint = star. */
+    * set) rather than trusting composition-fixpoint = star.
+    *
+    * Graphs at or below `smallGraphMax` DISTINCT edges skip the
+    * distributed iteration entirely: the edge list is collected and
+    * labeled by driver-side union-find — the bounded-driver-model
+    * posture of the IVF sample and z-order boundaries. The bound is
+    * checked on the materialized distinct edge count (one job the
+    * iteration would have paid anyway), ≤ 16 bytes/edge collected, and
+    * the common case it serves is the DAILY-INGEST graph: near-dup
+    * pairs are O(batch), so a typical delta graph is thousands of
+    * edges, where each distributed round instead costs a full
+    * plan+shuffle cycle. Labels are identical by construction (union
+    * by MIN root preserves the component-min invariant);
+    * PipelineOpsSpec pins both paths on the same graphs.
+    * `smallGraphMax = 0` forces the distributed path. */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
-                          maxIter: Int = 20, durable: Boolean = false): DataFrame = {
+                          maxIter: Int = 20, durable: Boolean = false,
+                          smallGraphMax: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     def truncate(df: DataFrame): DataFrame =
@@ -308,13 +323,40 @@ object Dedup {
     val edges0 = truncate(p0.select(greatest(col("x"), col("y")).as("hi"),
         least(col("x"), col("y")).as("lo"))
       .distinct())
-    // Empty-graph fast path: a pair-free input (the common case for a
-    // clean daily ingest) otherwise pays two confirmation iterations
-    // plus the star check — ~6 jobs for a foregone conclusion. The
-    // isEmpty materializes edges0's checkpoint, which the first
-    // iteration needed anyway, so the probe costs nothing extra.
-    if (edges0.isEmpty) {
+    // Empty/small-graph fast paths: the count materializes edges0's
+    // checkpoint, which the first iteration needed anyway, so the
+    // probe costs nothing extra. A pair-free input (the common case
+    // for a clean daily ingest) otherwise pays two confirmation
+    // iterations plus the star check — ~6 jobs for a foregone
+    // conclusion; a small graph pays plan+shuffle cycles per round for
+    // work a driver union-find does in microseconds.
+    val edgeCount = edges0.count()
+    if (edgeCount == 0L) {
       return edges0.select(col("hi").as("id"), col("lo").as("comp"))
+    }
+    if (edgeCount <= smallGraphMax) {
+      val es = edges0.select(col("hi"), col("lo")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // union-find, union by MIN root: the surviving root of every
+      // merge is the smaller id, so find(x) = component min — the same
+      // label the distributed star fixpoint yields.
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return es.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .toSeq.distinct.map(id => (id, find(id)))
+        .toDF("id", "comp")
     }
     // every node of the input graph, for the final label join — derived
     // from the materialized edge set, NOT from `pairs`, so an expensive

@@ -345,8 +345,13 @@ object TrainingPipeline {
     // ingest), then anti-join the tiny overlap back. The broadcasts
     // encode the ingest contract: batch ≪ corpus.
     val batchDeduped = Curation.dedupKeepFirst(gated, col("text"), col("doc_id"))
+    // localCheckpoint (lazy): seenHashes feeds TWO broadcast consumers
+    // (the entrant anti-join and the hash-delta anti-join); un-cut,
+    // each broadcast re-plans AND re-executes the corpus-hash scan —
+    // one scan of the largest-cardinality state table per consumer.
     val seenHashes = state.hashes
       .join(broadcast(gated.select(col("__h").as("h")).distinct()), Seq("h"))
+      .localCheckpoint(false)
     val entrants = batchDeduped
       .join(broadcast(seenHashes), col("__h") === col("h"), "left_anti").drop("__h")
       .persist(Lvl)

@@ -76,16 +76,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       "nothing sensitive here"))
   }
 
-  test("connected components resolves chains and keeps islands apart") {
+  test("connected components resolves chains and keeps islands apart (both paths)") {
     // 1-2-3-4-5 is a 4-hop chain (needs >1 propagation round); 10-11 is
     // a separate island; 20 pairs with itself never appears (no pairs).
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // smallGraphMax default → driver union-find; 0 → distributed stars
+    for (cap <- Seq(100000L, 0L)) {
+      val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b",
+          smallGraphMax = cap)
+        .as[(Long, Long)].collect().toMap
+      assert((1L to 5L).forall(comp(_) == 1L), s"cap=$cap")
+      assert(comp(10L) == 10L && comp(11L) == 10L, s"cap=$cap")
+      assert(comp.size == 7, s"cap=$cap")
+    }
+  }
+
+  test("connected components: driver fast path == distributed iteration on a dense mix") {
+    // deterministic pseudo-random graph: 400 edges over ~200 nodes —
+    // long chains, merged stars, and singleton-free islands
+    val edges = (0 until 400).map { i =>
+      val a = (i * 2654435761L) % 197
+      val b = (i * 40503L + 7) % 193
+      (a, if (a == b) b + 199 else b)
+    }.toDF("id_a", "id_b")
+    val fast = graft.operators.Dedup.connectedComponents(edges, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
-    assert((1L to 5L).forall(comp(_) == 1L))
-    assert(comp(10L) == 10L && comp(11L) == 10L)
-    assert(comp.size == 7)
+    val dist = graft.operators.Dedup.connectedComponents(edges, "id_a", "id_b",
+        smallGraphMax = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist,
+      s"paths diverge on ${fast.toSet.diff(dist.toSet)} / ${dist.toSet.diff(fast.toSet)}")
   }
 
   test("fuzzy match finds exactly the quadratic reference pairs") {
