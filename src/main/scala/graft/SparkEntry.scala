@@ -216,5 +216,6 @@ object SparkEntry {
     Chunking.oracles ++ AsOfJoinOp.oracles ++
     Cdc.oracles ++ Analytics.oracles ++ Sampling.oracles ++ TextOps2.oracles ++
     Fuzzy.oracles ++ Profiling.oracles ++ TrainingOps.oracles ++ CorpusOps.oracles ++
-    HeavyHitters.oracles ++ graft.sources.ExtractClient.oracles
+    HeavyHitters.oracles ++ TrainingPipeline.oracles ++
+    graft.sources.ExtractClient.oracles
 }

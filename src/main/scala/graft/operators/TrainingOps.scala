@@ -218,8 +218,9 @@ object TrainingOps {
 
   /** Split-assignment CTE: doc_id -> (bucket, split), i.e.
     * pmod(poly_hash64('split|' || id), 100) with Java floor-mod
-    * semantics over the signed hash. */
-  private val splitSql =
+    * semantics over the signed hash. Shared with the full-pipeline
+    * oracle (TrainingPipeline). */
+  private[operators] val splitSql =
     s"""SELECT doc_id, bucket,
        |  CASE WHEN bucket < 80 THEN 'train'
        |       WHEN bucket < 90 THEN 'val'

@@ -42,8 +42,12 @@ object TrainingPipeline {
     * default); `verifyK > 0` bounds it to a k-hash bottom-k sketch
     * (see [[Dedup.minhashState]]) — the 100 TB knob when the sigs
     * table's O(corpus tokens) footprint matters more than exactness at
-    * the threshold boundary. Must stay constant across a corpus's
-    * lifetime (ingests verify batch state against stored state). */
+    * the threshold boundary. `lshBands` (x 32/lshBands rows) trades
+    * recall against candidate volume: 8x4 is the scale default, 16x2
+    * the oracle-parity config (see [[graft.operators.TextOps
+    * .dedupMinhashQ]] for the math). Both must stay constant across a
+    * corpus's lifetime (ingests verify batch state against stored
+    * state). */
   final case class Config(
       minQuality: Double = 0.55,
       maxTopFrac: Double = 0.12,
@@ -53,7 +57,8 @@ object TrainingPipeline {
       valPct: Int = 10,
       decontShingle: Int = 8,
       packCapacity: Long = 2048L,
-      verifyK: Int = 0)
+      verifyK: Int = 0,
+      lshBands: Int = 8)
 
   /** The stage intermediates [[run]] flows through — exposed so
     * [[bootstrapState]] can capture incremental-ingest state without
@@ -125,8 +130,8 @@ object TrainingPipeline {
           .select(col("doc_id").as("id"), col("h")),
         numPerm = 32, verifyK = cfg.verifyK)
       .persist(Lvl)
-    val pairs = Dedup.minhashNearDupsFromState(sigs,
-      threshold = cfg.nearDupThreshold, verifyK = cfg.verifyK)
+    val pairs = Dedup.minhashNearDupsFromState(sigs, numPerm = 32,
+      bands = cfg.lshBands, threshold = cfg.nearDupThreshold, verifyK = cfg.verifyK)
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val canonical = exactDeduped
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -378,7 +383,7 @@ object TrainingPipeline {
         .unionByName(state.sigs
           .select(col("id"), col("hs"), col("sig"), lit(false).as("__batch")))
       val banded = unionSigs.select(col("id"), col("__batch"),
-        explode(Dedup.bandHashes(col("sig"), 32, 8)).as("band"))
+        explode(Dedup.bandHashes(col("sig"), 32, cfg.lshBands)).as("band"))
       val cands = banded.filter(col("__batch"))
         .select(col("band"), col("id").as("id_a"))
         .join(banded.select(col("band").as("band_b"), col("id").as("id_b"),
@@ -506,11 +511,18 @@ object TrainingPipeline {
       StateDelta(newHashes, entrantSigs, newShingles))
   }
 
-  /** §2.5 capstone — the manifest over `documents` (rows-only: every
-    * stage is individually oracle- or spec-verified; the composition is
-    * pinned by TrainingPipelineSpec's invariants instead). */
+  /** §2.5 capstone — the manifest over `documents`, ORACLE-BACKED
+    * end-to-end: every stage is deterministic and SQL-replayable
+    * (quality + repetition gates in plain arithmetic, normalized-md5
+    * dedup, exact all-pairs Jaccard standing in for the 16x2 LSH by
+    * the q_dedup_minhash parity argument, recursive-CTE connected
+    * components, the PolyHash64 HUGEINT split replay, 8-gram-string
+    * decontamination, and the integer-div packing window). The query
+    * runs the 16x2 oracle-parity banding; the 8x4 scale default stays
+    * for the library (TrainingPipelineSpec pins the composition's
+    * invariants there). */
   def trainingPipelineQ(s: SparkSession, d: String): DataFrame =
-    run(Tables.documents(s, d))
+    run(Tables.documents(s, d), Config(lshBands = 16))
       .orderBy(col("split"), col("lang"), col("bin"), col("doc_id"))
 
   /** §2.5 — the incremental ingest over the standard corpus/batch cut
@@ -533,5 +545,95 @@ object TrainingPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_training_pipeline"    -> (trainingPipelineQ _),
     "q_incremental_pipeline" -> (incrementalPipelineQ _),
+  )
+
+  /** The whole corpus→shards flow replayed in DuckDB, stage by stage —
+    * each CTE is the already-proven oracle fragment of its standalone
+    * query (q_curation's gate, q_repetition_filter's stats,
+    * q_dedup_minhash's all-pairs Jaccard, q_dedup_groups' recursive
+    * CC, q_split_assign's HUGEINT hash replay, q_decontaminate's
+    * 8-gram join, q_pack_sequences' packing window), composed in the
+    * pipeline's load-bearing stage order. */
+  val oracles: Map[String, String] = Map(
+    "q_training_pipeline" ->
+      s"""WITH RECURSIVE
+         |w AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id FROM w
+         |  WHERE 0.6 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+         |      + 0.4 * (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) >= 0.55),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |wq AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac FROM tc GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+         |       FROM w WHERE len(ws) >= 2),
+         |bc AS (SELECT doc_id, sh, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |bq AS (SELECT doc_id, 1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup2_frac FROM bc GROUP BY 1),
+         |gated AS (
+         |  SELECT w.doc_id, w.lang, w.text, w.ws
+         |  FROM w JOIN scored USING (doc_id) JOIN wq USING (doc_id) LEFT JOIN bq USING (doc_id)
+         |  WHERE wq.top_frac <= 0.12 AND COALESCE(bq.dup2_frac, 0.0) <= 0.55),
+         |dedup AS (
+         |  SELECT doc_id, lang, text, ws FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         |      ORDER BY doc_id) AS dr
+         |    FROM gated) x
+         |  WHERE dr = 1),
+         |s3 AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+         |  FROM dedup WHERE len(ws) >= 3),
+         |pr AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |    FROM s3 a JOIN s3 b ON a.doc_id < b.doc_id) p
+         |  WHERE j >= 0.5),
+         |nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |cc(id, comp) AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+         |lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |canon AS (
+         |  SELECT d.* FROM dedup d LEFT JOIN lab ON d.doc_id = lab.id
+         |  WHERE lab.id IS NULL OR lab.comp = d.doc_id),
+         |spl AS (${TrainingOps.splitSql}),
+         |cs AS (
+         |  SELECT c.doc_id, c.lang, c.text, c.ws, spl.split
+         |  FROM canon c JOIN spl USING (doc_id)),
+         |s8 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-6),
+         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS sh
+         |  FROM cs WHERE len(ws) >= 8),
+         |leaks AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM (SELECT s8.doc_id, s8.sh FROM s8 JOIN cs USING (doc_id)
+         |        WHERE cs.split = 'train') tr
+         |  JOIN (SELECT DISTINCT s8.sh FROM s8 JOIN cs USING (doc_id)
+         |        WHERE cs.split = 'test') te
+         |    ON tr.sh = te.sh),
+         |clean AS (
+         |  SELECT cs.* FROM cs
+         |  WHERE NOT EXISTS (SELECT 1 FROM leaks WHERE leaks.doc_id = cs.doc_id)),
+         |toks AS (
+         |  SELECT split, lang, doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
+         |  FROM clean),
+         |binned AS (
+         |  SELECT split, lang, doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY split, lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+         |  FROM toks)
+         |SELECT split, lang, bin, doc_id, n_tokens
+         |FROM binned
+         |ORDER BY split, lang, bin, doc_id""".stripMargin,
   )
 }

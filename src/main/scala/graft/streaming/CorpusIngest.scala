@@ -64,11 +64,24 @@ object CorpusIngest {
     }
 
   /** One micro-batch: skip if already committed, else ingest + land +
-    * commit. Exposed for tests and for batch-mode callers that want
-    * the same exactly-once-per-batch bookkeeping. */
+    * commit + scheduled state maintenance. Exposed for tests and for
+    * batch-mode callers that want the same exactly-once-per-batch
+    * bookkeeping.
+    *
+    * `maxStateDeltas` is the self-maintenance debt cap: once the state
+    * store accumulates that many delta partitions, the commit is
+    * followed by a consolidating [[StateStore.compact]] (the
+    * auto-OPTIMIZE pattern — one amortized pause instead of unbounded
+    * small-file accumulation; drops pre-compaction time travel, which
+    * replay does not need: replayed batch ids are marker-skipped).
+    * The debt CHECK is one directory listing, no Spark job. `0`
+    * disables maintenance. Shard-table compaction stays caller-paced
+    * ([[ShardStore.maybeCompact]]) — it rewrites shipped data files,
+    * a policy decision this loop should not take implicitly. */
   def ingestBatch(batch: DataFrame, batchId: Long,
                   stateRoot: String, shardRoot: String,
-                  cfg: TrainingPipeline.Config = TrainingPipeline.Config()): Unit = {
+                  cfg: TrainingPipeline.Config = TrainingPipeline.Config(),
+                  maxStateDeltas: Int = 64): Unit = {
     val spark = batch.sparkSession
     val f = fs(spark, stateRoot)
     val marker = new Path(s"$stateRoot/BATCH_$batchId")
@@ -78,16 +91,19 @@ object CorpusIngest {
     ShardStore.addTombstones(delta.tombstones, shardRoot)
     commit(spark, delta, stateRoot)
     f.create(marker, true).close()
+    if (maxStateDeltas > 0)
+      StateStore.maybeCompact(spark, stateRoot, maxDeltas = maxStateDeltas)
   }
 
   /** Wire a document stream (doc_id, lang, text) into the ingest loop. */
   def start(docs: DataFrame, stateRoot: String, shardRoot: String,
             checkpoint: String,
-            cfg: TrainingPipeline.Config = TrainingPipeline.Config()): StreamingQuery =
+            cfg: TrainingPipeline.Config = TrainingPipeline.Config(),
+            maxStateDeltas: Int = 64): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        ingestBatch(batch.toDF(), batchId, stateRoot, shardRoot, cfg)
+        ingestBatch(batch.toDF(), batchId, stateRoot, shardRoot, cfg, maxStateDeltas)
       }
       .start()
 }

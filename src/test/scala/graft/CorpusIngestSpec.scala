@@ -73,6 +73,31 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(recovered.sameElements(direct))
   }
 
+  test("state self-maintenance compacts delta debt without changing the state") {
+    val b3 = Seq((20L, "en", filler("twenty")))
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest3").toString
+    def run(root: String, maxDeltas: Int): Unit =
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        CorpusIngest.ingestBatch(b.toDF("doc_id", "lang", "text"), i.toLong,
+          s"$root/state", s"$root/shards", maxStateDeltas = maxDeltas)
+      }
+    run(s"$base/kept", 0)        // maintenance off: deltas accumulate
+    run(s"$base/compacted", 1)   // cap 1: every commit triggers compaction
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltaParts(root: String) =
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$root/state/hashes"))
+        .count(_.getPath.getName.startsWith("ingest="))
+    assert(deltaParts(s"$base/kept") == 3)
+    assert(deltaParts(s"$base/compacted") == 1, "debt cap must consolidate deltas")
+    def manifest(root: String) = CorpusIngest.load(spark, s"$root/state").manifest
+      .select($"doc_id", $"split", $"lang", $"bin", $"n_tokens")
+      .orderBy($"doc_id").collect()
+    assert(manifest(s"$base/kept").nonEmpty &&
+      manifest(s"$base/kept").sameElements(manifest(s"$base/compacted")),
+      "maintenance changed the live state")
+  }
+
   test("a replayed batch id is skipped outright") {
     val base = java.nio.file.Files.createTempDirectory("graft_ingest2").toString
     val df = b1.toDF("doc_id", "lang", "text")

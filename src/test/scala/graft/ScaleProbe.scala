@@ -81,7 +81,12 @@ object ScaleProbe {
       spark.sharedState.cacheManager.clearCache()
     }
 
-    Seq(1, 2, 4, 8).foreach { k =>
+    // default sweep 1..8; SPARK_GRAFT_PROBE_KS extends it (e.g.
+    // "1,2,4,8,16" — k=16 on the sf0.1 base is a ~sf1.6-equivalent
+    // corpus, one decade past the bench SF, still inside the sandbox)
+    val ks = sys.env.getOrElse("SPARK_GRAFT_PROBE_KS", "1,2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    ks.foreach { k =>
       val docs = replicate(base, k)
       time("minhash_16x2", k) {
         Dedup.minhashNearDups(docs, "doc_id", "text", bands = 16).count()
