@@ -41,6 +41,7 @@ object SparkEntry {
     Cdc.queries ++ Analytics.queries ++ Sampling.queries ++ TextOps2.queries ++
     Fuzzy.queries ++ Profiling.queries ++ TrainingOps.queries ++ CorpusOps.queries ++
     HeavyHitters.queries ++ TrainingPipeline.queries ++ LmScore.queries ++
+    SubstringDedup.queries ++ SemDedup.queries ++ MixtureOps.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -217,5 +218,6 @@ object SparkEntry {
     Cdc.oracles ++ Analytics.oracles ++ Sampling.oracles ++ TextOps2.oracles ++
     Fuzzy.oracles ++ Profiling.oracles ++ TrainingOps.oracles ++ CorpusOps.oracles ++
     HeavyHitters.oracles ++ TrainingPipeline.oracles ++
+    SubstringDedup.oracles ++ SemDedup.oracles ++ MixtureOps.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -29,8 +29,16 @@ class SmallestK(k: Int) extends Aggregator[(String, Long), List[(String, Long)],
 
   override def finish(r: List[(String, Long)]): Seq[Long] = r.sorted.map(_._2)
 
+  // Product ExpressionEncoders, NOT Encoders.kryo: the kryo-encoded
+  // buffer survives hash aggregation but breaks the moment
+  // ObjectHashAggregate falls back to sort-based aggregation (> 128
+  // distinct groups per task) and must serialize in-flight buffers —
+  // kryo then meets a HeapByteBuffer it has no serializer for. The
+  // fallback only triggers at realistic group counts, which is exactly
+  // the 100 TB path; the product encoder serializes List[(String,
+  // Long)] natively (and faster).
   override def bufferEncoder: Encoder[List[(String, Long)]] =
-    Encoders.kryo[List[(String, Long)]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Long)]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

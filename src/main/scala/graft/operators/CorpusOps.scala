@@ -330,8 +330,9 @@ object CorpusOps {
          |WHERE (cb * 8) // W < ((cb + n_tokens) * 8) // W
          |ORDER BY lang, doc_id""".stripMargin,
 
-    // exact cross-cut pairwise Jaccard — equals the 16x2-banded LSH
-    // output by the q_dedup_minhash parity argument (see crossNearDupQ;
+    // exact cross-cut pairwise Jaccard (sparse exploded-shingle form,
+    // see TextOps q_ngram_jaccard) — equals the 16x2-banded LSH output
+    // by the q_dedup_minhash parity argument (see crossNearDupQ;
     // misses bounded at 2.9e-12/pair, false positives verified away)
     "q_cross_neardup" ->
       """WITH s AS (
@@ -341,13 +342,18 @@ object CorpusOps {
         |  FROM (SELECT doc_id, source,
         |          regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
         |        FROM documents) w
-        |  WHERE len(ws) >= 3)
+        |  WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id, src_n, unnest(sh) AS t FROM s),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+        |ic AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS c
+        |       FROM (SELECT * FROM ex WHERE src_n >= 15) b
+        |       JOIN (SELECT * FROM ex WHERE src_n < 15) c ON b.t = c.t
+        |       GROUP BY 1, 2)
         |SELECT batch_id, corpus_id, jaccard FROM (
-        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-        |    CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
-        |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard
-        |  FROM (SELECT * FROM s WHERE src_n >= 15) b,
-        |       (SELECT * FROM s WHERE src_n < 15) c) p
+        |  SELECT ic.batch_id, ic.corpus_id,
+        |    CAST(ic.c AS DOUBLE) / (sb.n + sc.n - ic.c) AS jaccard
+        |  FROM ic JOIN sz sb ON sb.doc_id = ic.batch_id
+        |          JOIN sz sc ON sc.doc_id = ic.corpus_id) p
         |WHERE jaccard >= 0.5
         |ORDER BY batch_id, corpus_id""".stripMargin,
 

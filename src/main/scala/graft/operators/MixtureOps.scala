@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.plans.PolyHash64
+import graft.sources.Tables
+
+/** Domain-mixture resampling under a global token budget (SURVEY.md
+  * §2.7) — the "data mixing" step of a pre-training pipeline: given
+  * per-domain token masses t_d, allocate a global budget B across
+  * domains by temperature-flattened weights and then draw each
+  * domain's share deterministically.
+  *
+  * Temperature: sampling weight w_d = t_d^(1/T). T=1 is natural
+  * proportions; T→∞ is uniform; T=2 (the registered config) is the
+  * common "flatten moderately so small domains are not drowned" choice
+  * (cf. multilingual sampling in XLM-R / mT5). t_d^(1/2) = isqrt is
+  * IEEE-exact (sqrt is a correctly-rounded operation, and floor of it
+  * on BIGINT-ranged inputs is engine-independent), which makes the
+  * whole allocation replayable — the T knob accepts any value, but
+  * only T ∈ {1, 2} keeps the oracle-parity guarantee; other T run the
+  * same plan with a double pow().
+  *
+  * Allocation: B_d = B * w_d // Σw (integer floor), remainder tokens
+  * dropped (never over-budget). Within a domain the draw is the
+  * deterministic hash-order token-budget prefix of
+  * [[CorpusOps.tokenBudgetSample]] — membership is a pure function of
+  * the id set, independent of partitioning.
+  *
+  * Scale shape: one grouped aggregation for the domain masses (tiny
+  * result, broadcast back), one window per domain for the prefix draw.
+  * No driver state; domains are the natural partition key.
+  */
+object MixtureOps {
+
+  /** Per-domain budget allocation: (domain, t_tokens, weight, budget).
+    * `temperature` must be 1 or 2 for cross-engine exactness (see
+    * class doc); the general-T path is the same two-line plan with
+    * pow(). */
+  def domainBudgets(docs: DataFrame, domainCol: Column, tokensCol: Column,
+                    totalBudget: Long, temperature: Int = 2): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    require(temperature == 1 || temperature == 2,
+      s"oracle-exact temperatures are 1 and 2, got $temperature")
+    val mass = docs.groupBy(domainCol.as("domain"))
+      .agg(sum(tokensCol.cast(LongType)).as("t_tokens"))
+      .filter(col("t_tokens") > 0)
+    val weight =
+      if (temperature == 1) col("t_tokens")
+      else floor(sqrt(col("t_tokens").cast(DoubleType))).cast(LongType)
+    // weight * totalBudget must fit a long — weight <= isqrt(corpus
+    // tokens) (~3e6 at 100 TB), so budgets up to ~1e12 tokens are safe
+    mass.withColumn("weight", weight)
+      .withColumn("__wtot", sum(col("weight")).over(Window.partitionBy()))
+      .withColumn("budget", expr(s"(weight * ${totalBudget}L) div __wtot"))
+      .drop("__wtot")
+  }
+
+  /** The resampled corpus: every doc kept by the temperature mixture,
+    * with its domain's allocation alongside. */
+  def temperatureMixture(docs: DataFrame, domainCol: Column, idCol: Column,
+                         tokensCol: Column, totalBudget: Long,
+                         temperature: Int = 2): DataFrame = {
+    // the budget side's key is renamed so a caller whose domain column
+    // is itself named "domain" cannot collide with it
+    val budgets = domainBudgets(docs, domainCol, tokensCol, totalBudget, temperature)
+      .select(col("domain").as("__mix_dom"), col("budget"))
+    val h = PolyHash64.poly_hash64(concat(lit("mix|"), idCol.cast(StringType)))
+    val w = Window.partitionBy(domainCol).orderBy(h, idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(budgets), domainCol === col("__mix_dom"))
+      .withColumn("__cum", coalesce(sum(tokensCol.cast(LongType)).over(w), lit(0L)))
+      .filter(col("__cum") < col("budget"))
+      .drop("__cum", "__mix_dom")
+  }
+
+  /** §2.7 — ~8k tokens re-mixed across `source` domains at T=2. */
+  def domainMixtureQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    temperatureMixture(docs, col("source"), col("doc_id"), col("n_tokens"),
+        totalBudget = 8000L)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("budget"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_mixture" -> (domainMixtureQ _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_domain_mixture" ->
+      s"""WITH h AS (${TrainingOps.polyHashSql("mix|")}),
+         |toks AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |mass AS (
+         |  SELECT source, SUM(n_tokens) AS t_tokens FROM toks
+         |  GROUP BY source HAVING SUM(n_tokens) > 0),
+         |wt AS (
+         |  SELECT source, CAST(floor(sqrt(CAST(t_tokens AS DOUBLE))) AS BIGINT) AS weight
+         |  FROM mass),
+         |bud AS (
+         |  SELECT source, (weight * 8000) // (SELECT SUM(weight) FROM wt) AS budget
+         |  FROM wt),
+         |cum AS (
+         |  SELECT t.source, t.doc_id, t.n_tokens, b.budget,
+         |    COALESCE(SUM(t.n_tokens) OVER (
+         |      PARTITION BY t.source ORDER BY h.h, t.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         |  FROM toks t JOIN h USING (doc_id) JOIN bud b ON t.source = b.source)
+         |SELECT source, doc_id, n_tokens, CAST(budget AS BIGINT) AS budget
+         |FROM cum
+         |WHERE c < budget
+         |ORDER BY source, doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+import graft.plans.PolyHash64
+import graft.sources.Tables
+
+/** Semantic deduplication (SURVEY.md §2.7) — the SemDeDup recipe
+  * (Abbas et al. 2023): cluster the embedding space coarsely, then
+  * find near-duplicate GROUPS only within clusters (cosine >= t →
+  * connected components → canonical min-id per group). Cluster
+  * blocking turns the quadratic all-pairs search into per-cluster
+  * blocks, the same candidate-bounding role LSH bands play for text.
+  *
+  * Two cluster paths:
+  *  - `refine = true` (library scale path): Lloyd-refined k-means
+  *    centroids ([[IvfIndex.trainCentroids]], bounded driver sample) —
+  *    better-shaped blocks, deterministic, spec-verified.
+  *  - `refine = false` (oracle-parity path): the k data vectors with
+  *    the smallest `poly_hash64('semcl|' || id)` act directly as
+  *    centroids (zero Lloyd steps). Seed choice, quantized-L2
+  *    assignment, and quantized-cosine pairing are all integer math —
+  *    the whole operator replays exactly in DuckDB.
+  *
+  * Scale shape (100 TB): seeds/centroids are a k-row broadcast;
+  * assignment is one broadcast nested-loop scoring pass (O(n·k), no
+  * shuffle) plus a map-side-combined argmin; the pair join shuffles on
+  * cluster id only. CC is the shared [[Dedup.connectedComponents]]
+  * (delta-capable, checkpoint-truncated). No driver state beyond the
+  * k-row model — the IVF bounded-driver-model posture.
+  */
+object SemDedup {
+
+  /** The k rows with the smallest replayable id hash, as (sid, s_qv,
+    * s_nsq) — quantized once, broadcast-sized by construction. */
+  def hashSeeds(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = PolyHash64.poly_hash64(concat(lit("semcl|"), col(idCol).cast(StringType)))
+    df.select(col(idCol).as("sid"), quantize(col(vecCol)).as("s_qv"), h.as("__h"))
+      .orderBy(col("__h"), col("sid"))
+      .limit(k)
+      .withColumn("s_nsq", dotQuantized(col("s_qv"), col("s_qv")))
+      .drop("__h")
+  }
+
+  /** Nearest-seed assignment by quantized squared L2 (exact longs:
+    * ||a-s||² = nsq_a + nsq_s − 2·a·s), ties to the lowest seed id.
+    * Returns (id, cluster, qv, nsq) so the pair stage re-uses the
+    * quantization. */
+  def assignClusters(df: DataFrame, idCol: String, vecCol: String,
+                     seeds: DataFrame): DataFrame = {
+    val v = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("nsq", dotQuantized(col("qv"), col("qv")))
+    v.crossJoin(broadcast(seeds))
+      .withColumn("__d2",
+        col("nsq") + col("s_nsq") - lit(2L) * dotQuantized(col("qv"), col("s_qv")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d2"), col("sid"))).as("__m"),
+        first(col("qv")).as("qv"), first(col("nsq")).as("nsq"))
+      .select(col("id"), col("__m.sid").as("cluster"), col("qv"), col("nsq"))
+  }
+
+  /** Semantic near-dup groups: (id, cluster, group_id) for EVERY input
+    * row — group_id is the min reachable id in the within-cluster
+    * cosine graph at `threshold`; singletons keep their own id. Keep
+    * the canonical representative with `group_id == id`. */
+  def semanticGroups(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, threshold: Double,
+                     refine: Boolean = false): DataFrame = {
+    val assigned =
+      if (refine) {
+        val centroids = IvfIndex.trainCentroids(df, idCol, vecCol, k, iters = 2)
+        df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+            IvfIndex.nearestCentroid(col(vecCol), centroids).as("cluster"))
+          .withColumn("nsq", dotQuantized(col("qv"), col("qv")))
+      } else assignClusters(df, idCol, vecCol, hashSeeds(df, idCol, vecCol, k))
+
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+    val b = assigned.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
+      col("qv").as("qv_b"), col("nsq").as("nsq_b"))
+    val pairs = a.join(b,
+        col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosineFrom(
+        dotQuantized(col("qv_a"), col("qv_b")).cast(DoubleType),
+        col("nsq_a").cast(DoubleType), col("nsq_b").cast(DoubleType)))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assigned.select(col("id"), col("cluster"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("comp"), col("id")).as("group_id"))
+  }
+
+  /** §2.7 — semantic dedup groups over `embeddings`, 8 hash-seeded
+    * clusters, cosine >= 0.3 (the q_embed_neardup threshold). */
+  def semanticDedupQ(s: SparkSession, d: String): DataFrame =
+    semanticGroups(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, threshold = 0.3)
+      .orderBy(col("vec_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semantic_dedup" -> (semanticDedupQ _),
+  )
+
+  /** BIGINT quantized dot (no double cast — the L2 comparison must
+    * stay integer-exact). */
+  private def qdot(a: String, b: String) =
+    s"""list_sum(list_transform(range(1, len($a)+1),
+       |    i -> CAST(floor(CAST($a[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST($b[i] AS DOUBLE) * 1000000) AS BIGINT)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE
+         |ph AS (${graft.operators.TrainingOps.polyHashSql("semcl|", "embeddings", "vec_id")}),
+         |seeds AS (
+         |  SELECT e.vec_id AS sid, e.embedding AS se
+         |  FROM embeddings e JOIN ph ON e.vec_id = ph.vec_id
+         |  ORDER BY ph.h, e.vec_id LIMIT 8),
+         |v AS (SELECT vec_id, embedding, ${qdot("embedding", "embedding")} AS nsq FROM embeddings),
+         |sv AS (SELECT sid, se, ${qdot("se", "se")} AS snsq FROM seeds),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, sid AS cluster, embedding, nsq FROM (
+         |    SELECT v.vec_id, sv.sid, v.embedding, v.nsq,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.nsq + sv.snsq - 2 * ${qdot("v.embedding", "sv.se")}, sv.sid) AS rn
+         |    FROM v CROSS JOIN sv) t
+         |  WHERE rn = 1),
+         |pr AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      CAST(${qdot("a.embedding", "b.embedding")} AS DOUBLE)
+         |        / greatest(sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)), 1e-9) AS cos
+         |    FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id) p
+         |  WHERE cos >= 0.3),
+         |nodes AS MATERIALIZED (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |cc(id, comp) AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+         |lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+         |SELECT asg.vec_id, asg.cluster, COALESCE(lab.comp, asg.vec_id) AS group_id
+         |FROM asg LEFT JOIN lab ON asg.vec_id = lab.id
+         |ORDER BY asg.vec_id""".stripMargin,
+  )
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Exact duplicated-substring detection and removal (SURVEY.md §2.7):
+  * the word-level form of exact substring dedup from Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better" — find
+  * every span of `n` consecutive (normalized) words that occurs more
+  * than once ANYWHERE in the corpus (across documents or repeated
+  * within one), merge overlapping occurrences into maximal per-doc
+  * spans, and optionally scrub the covered words out of the text.
+  *
+  * Near-dup doc removal (MinHash) and exact doc dedup miss this class
+  * entirely: two long documents sharing one boilerplate paragraph are
+  * not near-dups, but the paragraph still memorizes. This operator is
+  * the standard third leg of a pre-training dedup stack.
+  *
+  * Scale shape (100 TB): the gram stream is O(total words) rows of
+  * (doc_id, pos, 8-byte hash) — one sort-shuffle per doc for the lead
+  * window, one hash-partition shuffle with map-side combine for the
+  * occurrence counts. Duplicated grams are a tiny fraction of the
+  * corpus, so the join back is broadcast-shaped under AQE, and the
+  * interval merge windows only over dup occurrences. Nothing is ever
+  * wider than a (doc_id, pos, hash) row; no driver state. Grams are
+  * compared by xxhash64 — a 64-bit collision could over-mark one span
+  * (never under-mark); the DuckDB oracle compares gram STRINGS, so a
+  * correctness run doubles as a collision check.
+  */
+object SubstringDedup {
+
+  /** Position-annotated word n-gram hashes: (doc_id, pos, h), pos
+    * 0-based over the normalized word stream. posexplode + lead (the
+    * codegen'd shingle shape, see [[TextFunctions.shingleRows]]) — one
+    * window sort per doc. */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 2, s"span gram length must be >= 2, got $n")
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    docs.select(col(idCol).as("__id"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
+      .select(Seq(col("__id"), col("__pos"), col("__w")) ++
+        (1 until n).map(i => lead(col("__w"), i).over(w).as(s"__l$i")): _*)
+      .filter(col(s"__l${n - 1}").isNotNull)
+      .select(col("__id"), col("__pos").cast(LongType).as("__pos"),
+        xxhash64(concat_ws(" ",
+          (col("__w") +: (1 until n).map(i => col(s"__l$i"))): _*)).as("__h"))
+  }
+
+  /** Maximal duplicated spans per document: (idCol, span_start,
+    * span_end, n_words), positions 0-based word indexes, end exclusive.
+    * A span is any union of overlapping/adjacent length-`n` gram
+    * occurrences whose gram appears >= `minCount` times corpus-wide. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 10, minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val grams = gramRows(docs, idCol, textCol, n)
+    // counts collapse map-side; the surviving dup-hash set is small, so
+    // AQE broadcasts it into the occurrence join
+    val dupH = grams.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("__h"))
+    val occ = grams.join(dupH, Seq("__h")).select(col("__id"), col("__pos"))
+    // classic interval merge as one window pass: a new span starts when
+    // this occurrence begins past the running max end of everything
+    // before it ([pos, pos+n) half-open, so adjacency pos == prevEnd
+    // merges)
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val prevEnd = max(col("__pos") + lit(n.toLong))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    occ
+      .withColumn("__brk",
+        when(col("__pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("__gid", sum(col("__brk")).over(w))
+      .groupBy(col("__id"), col("__gid"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + lit(n.toLong)).as("span_end"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_words"))
+  }
+
+  /** Scrub every duplicated span out of the (normalized) text: one row
+    * per input doc with `clean_text` = the surviving words joined by
+    * single spaces (the identity on docs without dup spans, since
+    * [[TextFunctions.normalize]] IS single-space word joining) and
+    * `n_removed` = covered word count. Covered positions are the
+    * merged spans exploded back out — O(covered words), bounded by the
+    * corpus word count. */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 10, minCount: Int = 2): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, n, minCount)
+    val covered = spans.select(col(idCol).as("__id"),
+      explode(sequence(col("span_start"), col("span_end") - 1)).as("__pos"))
+    val words = docs.select(col(idCol).as("__id"),
+      posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
+      .withColumn("__pos", col("__pos").cast(LongType))
+    val kept = words.join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__w")))).as("__ws"),
+        count(lit(1)).as("__n_kept"))
+      .select(col("__id"),
+        concat_ws(" ", transform(col("__ws"), s => s.getField("__w"))).as("clean_text"),
+        col("__n_kept"))
+    docs.select(col(idCol).as("__id"),
+        size(TextFunctions.words(col(textCol))).cast(LongType).as("__n_total"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_total") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** §2.7 — duplicated 10-gram spans over `documents`. */
+  def dupSpansQ(s: SparkSession, d: String): DataFrame =
+    dupSpans(Tables.documents(s, d), "doc_id", "text", n = 10)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** §2.7 — the scrubbed corpus (normalized text minus dup spans). */
+  def dupScrubQ(s: SparkSession, d: String): DataFrame =
+    scrubDupSpans(Tables.documents(s, d), "doc_id", "text", n = 10)
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_spans" -> (dupSpansQ _),
+    "q_dup_scrub" -> (dupScrubQ _),
+  )
+
+  /** 0-based gram positions to mirror posexplode; gram strings instead
+    * of hashes (the collision-check side of the parity argument). */
+  private def gramSql(n: Int): String = {
+    val terms = (1 to n).map(i => s"ws[i+$i]").mkString(", ")
+    s"""SELECT doc_id, CAST(i AS BIGINT) AS pos, concat_ws(' ', $terms) AS sh
+       |FROM (SELECT doc_id,
+       |        regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |      FROM documents) w,
+       |  LATERAL (SELECT unnest(range(0, greatest(len(ws) - ${n - 1}, 0))) AS i) _i""".stripMargin
+  }
+
+  private def spansSql(n: Int): String =
+    s"""WITH g AS (${gramSql(n)}),
+       |dup AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(*) >= 2),
+       |occ AS (SELECT doc_id, pos FROM g WHERE sh IN (SELECT sh FROM dup)),
+       |b AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > COALESCE(MAX(pos + $n) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM occ),
+       |gr AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM b),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + $n AS span_end
+       |  FROM gr GROUP BY doc_id, gid)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dup_spans" ->
+      s"""${spansSql(10)}
+         |SELECT doc_id, span_start, span_end, span_end - span_start AS n_words
+         |FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_dup_scrub" ->
+      s"""${spansSql(10)},
+         |covered AS (
+         |  SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS pos FROM spans),
+         |wp AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i+1] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |        FROM documents) t,
+         |    LATERAL (SELECT unnest(range(0, len(ws))) AS i) _i),
+         |kept AS (
+         |  SELECT wp.doc_id, wp.pos, wp.w FROM wp
+         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+         |                    WHERE c.doc_id = wp.doc_id AND c.pos = wp.pos))
+         |SELECT d.doc_id,
+         |  COALESCE(k.clean_text, '') AS clean_text,
+         |  CAST(len(d2.ws) AS BIGINT) - COALESCE(k.n_kept, 0) AS n_removed
+         |FROM documents d
+         |JOIN (SELECT doc_id,
+         |        regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |      FROM documents) d2 ON d.doc_id = d2.doc_id
+         |LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         |             COUNT(*) AS n_kept
+         |           FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+  )
+}

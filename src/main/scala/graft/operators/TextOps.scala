@@ -259,28 +259,46 @@ object TextOps {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // Sparse all-pairs (round 6): explode the shingle sets and count
+    // intersections through an equi-join — only pairs sharing >= 1
+    // shingle are ever scored, and a zero-overlap pair can't reach any
+    // positive threshold, so the output is IDENTICAL to the dense
+    // cross-product form while DuckDB runs it ~260x faster at sf0.1
+    // (the jaccard double is the same c/(na+nb-c) division on the same
+    // integers).
     "q_ngram_jaccard" ->
-      s"""WITH s AS ($shingleSql)
+      s"""WITH s AS ($shingleSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         |sz AS (SELECT doc_id, n_chars, len(sh) AS n FROM s),
+         |ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |       FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-         |  FROM s a JOIN s b
-         |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8) p
+         |  SELECT ic.id_a AS doc_a, ic.id_b AS doc_b,
+         |    CAST(ic.c AS DOUBLE) / (sa.n + sb.n - ic.c) AS jaccard
+         |  FROM ic JOIN sz sa ON sa.doc_id = ic.id_a
+         |          JOIN sz sb ON sb.doc_id = ic.id_b
+         |  WHERE abs(sa.n_chars - sb.n_chars) <= 8) p
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // exact pairwise Jaccard — equals the LSH output because 16x2
-    // banding misses a corpus true pair (all at j >= 0.9) with
-    // probability 0.19^16 ≈ 2.9e-12 and the exact verify kills all false
-    // positives (see dedupMinhashQ for the full parity argument)
+    // exact pairwise Jaccard (sparse form, see q_ngram_jaccard) —
+    // equals the LSH output because 16x2 banding misses a corpus true
+    // pair (all at j >= 0.9) with probability 0.19^16 ≈ 2.9e-12 and
+    // the exact verify kills all false positives (see dedupMinhashQ
+    // for the full parity argument)
     "q_dedup_minhash" ->
-      s"""WITH s AS ($shingleSql)
+      s"""WITH s AS ($shingleSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+         |ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |       FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
          |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+         |  SELECT ic.id_a, ic.id_b,
+         |    CAST(ic.c AS DOUBLE) / (sa.n + sb.n - ic.c) AS jaccard
+         |  FROM ic JOIN sz sa ON sa.doc_id = ic.id_a
+         |          JOIN sz sb ON sb.doc_id = ic.id_b) p
          |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -527,11 +527,25 @@ object TrainingPipeline {
 
   /** §2.5 — the incremental ingest over the standard corpus/batch cut
     * (sources src15+ arrive as the new batch): every accepted row plus
-    * every tombstone, one frame (rows-only; IncrementalPipelineSpec
-    * proves full-run equivalence and the tombstone paths). */
+    * every tombstone, one frame. ORACLE-BACKED since round 6: every
+    * stage of both the bootstrap AND the ingest arithmetic is
+    * deterministic and SQL-replayable, so DuckDB replays the corpus
+    * pipeline (the proven q_training_pipeline fragments restricted to
+    * src<15), then the ingest exactly as [[runIncremental]] defines it
+    * — batch gates, batch-vs-corpus hash anti-join, the one-sided
+    * near-dup candidate families (all-pairs Jaccard standing in for
+    * the 16x2 banding by the q_dedup_minhash parity argument), prior
+    * components replayed as star edges, supersession off the corpus
+    * manifest, two-directional decontamination against the live
+    * shingle state, and packing with per-(split,lang) bin offsets.
+    * The query runs the 16x2 parity config on both phases; the 8x4
+    * scale default stays for the library (IncrementalPipelineSpec
+    * additionally proves full-run equivalence and both tombstone
+    * paths there). */
   def incrementalPipelineQ(s: SparkSession, d: String): DataFrame = {
     val (corpus, batch) = CorpusOps.corpusBatchSplit(s, d)
-    val delta = runIncremental(bootstrapState(corpus), batch)
+    val cfg = Config(lshBands = 16)
+    val delta = runIncremental(bootstrapState(corpus, cfg), batch, cfg)
     delta.accepted
       .select(lit("add").as("action"), col("doc_id"), col("split"),
         col("lang"), col("bin"), col("n_tokens"))
@@ -557,7 +571,7 @@ object TrainingPipeline {
   val oracles: Map[String, String] = Map(
     "q_training_pipeline" ->
       s"""WITH RECURSIVE
-         |w AS (
+         |w AS MATERIALIZED (
          |  SELECT doc_id, lang, text,
          |    regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
          |  FROM documents),
@@ -572,54 +586,59 @@ object TrainingPipeline {
          |       FROM w WHERE len(ws) >= 2),
          |bc AS (SELECT doc_id, sh, COUNT(*) AS c FROM bg GROUP BY 1, 2),
          |bq AS (SELECT doc_id, 1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup2_frac FROM bc GROUP BY 1),
-         |gated AS (
+         |gated AS MATERIALIZED (
          |  SELECT w.doc_id, w.lang, w.text, w.ws
          |  FROM w JOIN scored USING (doc_id) JOIN wq USING (doc_id) LEFT JOIN bq USING (doc_id)
          |  WHERE wq.top_frac <= 0.12 AND COALESCE(bq.dup2_frac, 0.0) <= 0.55),
-         |dedup AS (
+         |dedup AS MATERIALIZED (
          |  SELECT doc_id, lang, text, ws FROM (
          |    SELECT *, ROW_NUMBER() OVER (
          |      PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
          |      ORDER BY doc_id) AS dr
          |    FROM gated) x
          |  WHERE dr = 1),
-         |s3 AS (
+         |s3 AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
          |  FROM dedup WHERE len(ws) >= 3),
+         |-- sparse all-pairs (identical output, ~260x faster in DuckDB;
+         |-- see TextOps q_ngram_jaccard)
+         |ex3 AS MATERIALIZED (SELECT doc_id, unnest(sh) AS t FROM s3),
+         |sz3 AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s3),
+         |ic3 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |        FROM ex3 a JOIN ex3 b ON a.t = b.t AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
          |pr AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-         |    FROM s3 a JOIN s3 b ON a.doc_id < b.doc_id) p
-         |  WHERE j >= 0.5),
+         |  SELECT id_a, id_b FROM ic3
+         |  JOIN sz3 sa ON sa.doc_id = ic3.id_a
+         |  JOIN sz3 sb ON sb.doc_id = ic3.id_b
+         |  WHERE CAST(ic3.c AS DOUBLE) / (sa.n + sb.n - ic3.c) >= 0.5),
          |nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
          |cc(id, comp) AS (
          |  SELECT id, id AS comp FROM nodes
          |  UNION
          |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
-         |lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |lab AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
          |canon AS (
          |  SELECT d.* FROM dedup d LEFT JOIN lab ON d.doc_id = lab.id
          |  WHERE lab.id IS NULL OR lab.comp = d.doc_id),
-         |spl AS (${TrainingOps.splitSql}),
-         |cs AS (
+         |spl AS MATERIALIZED (${TrainingOps.splitSql}),
+         |cs AS MATERIALIZED (
          |  SELECT c.doc_id, c.lang, c.text, c.ws, spl.split
          |  FROM canon c JOIN spl USING (doc_id)),
-         |s8 AS (
+         |s8 AS MATERIALIZED (
          |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-6),
          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS sh
          |  FROM cs WHERE len(ws) >= 8),
-         |leaks AS (
+         |leaks AS MATERIALIZED (
          |  SELECT DISTINCT tr.doc_id
          |  FROM (SELECT s8.doc_id, s8.sh FROM s8 JOIN cs USING (doc_id)
          |        WHERE cs.split = 'train') tr
          |  JOIN (SELECT DISTINCT s8.sh FROM s8 JOIN cs USING (doc_id)
          |        WHERE cs.split = 'test') te
          |    ON tr.sh = te.sh),
-         |clean AS (
+         |clean AS MATERIALIZED (
          |  SELECT cs.* FROM cs
          |  WHERE NOT EXISTS (SELECT 1 FROM leaks WHERE leaks.doc_id = cs.doc_id)),
          |toks AS (
@@ -635,5 +654,193 @@ object TrainingPipeline {
          |SELECT split, lang, bin, doc_id, n_tokens
          |FROM binned
          |ORDER BY split, lang, bin, doc_id""".stripMargin,
+
+    // The incremental ingest replayed end-to-end: the corpus bootstrap
+    // is the full-pipeline replay above restricted to src<15 (each CTE
+    // prefixed c*), then the ingest arithmetic EXACTLY as
+    // runIncremental composes it. All-pairs Jaccard stands in for the
+    // 16x2 banding on every candidate family (batch×batch AND
+    // batch×corpus) by the q_dedup_minhash parity argument; prior
+    // corpus components enter the new CC as star edges (id, comp) —
+    // replaying ALL stars is equivalent to the delta-only Spark path
+    // because an untouched component's min-label fixpoint IS its
+    // stored comp. Supersession, two-directional decon against the
+    // live (non-superseded) shingle state, and bin offsets off the
+    // PRE-tombstone corpus manifest all mirror the Scala stage by
+    // stage.
+    "q_incremental_pipeline" ->
+      s"""WITH RECURSIVE
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, lang, text, CAST(substr(source, 4) AS INTEGER) AS src_n,
+         |    regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id FROM w
+         |  WHERE 0.6 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+         |      + 0.4 * (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) >= 0.55),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |wq AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac FROM tc GROUP BY 1),
+         |bg2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+         |        FROM w WHERE len(ws) >= 2),
+         |bc2 AS (SELECT doc_id, sh, COUNT(*) AS c FROM bg2 GROUP BY 1, 2),
+         |bq2 AS (SELECT doc_id, 1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup2_frac FROM bc2 GROUP BY 1),
+         |gated AS MATERIALIZED (
+         |  SELECT w.doc_id, w.lang, w.text, w.ws, w.src_n,
+         |    md5(lower(regexp_replace(trim(w.text), '\\s+', ' ', 'g'))) AS h
+         |  FROM w JOIN scored USING (doc_id) JOIN wq USING (doc_id) LEFT JOIN bq2 USING (doc_id)
+         |  WHERE wq.top_frac <= 0.12 AND COALESCE(bq2.dup2_frac, 0.0) <= 0.55),
+         |spl AS MATERIALIZED (${TrainingOps.splitSql}),
+         |-- ======== corpus bootstrap (full pipeline over src < 15) ========
+         |cg AS MATERIALIZED (SELECT * FROM gated WHERE src_n < 15),
+         |chashes AS (SELECT DISTINCT h FROM cg),
+         |cdedup AS MATERIALIZED (
+         |  SELECT doc_id, lang, text, ws FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS dr FROM cg) x
+         |  WHERE dr = 1),
+         |cs3 AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+         |  FROM cdedup WHERE len(ws) >= 3),
+         |-- sparse all-pairs throughout (identical output, ~260x faster
+         |-- in DuckDB; see TextOps q_ngram_jaccard)
+         |cex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS t FROM cs3),
+         |csz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM cs3),
+         |cic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |        FROM cex a JOIN cex b ON a.t = b.t AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |cpr AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM cic
+         |  JOIN csz sa ON sa.doc_id = cic.id_a
+         |  JOIN csz sb ON sb.doc_id = cic.id_b
+         |  WHERE CAST(cic.c AS DOUBLE) / (sa.n + sb.n - cic.c) >= 0.5),
+         |cnodes AS (SELECT id_a AS id FROM cpr UNION SELECT id_b FROM cpr),
+         |cedges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM cpr UNION SELECT id_b, id_a FROM cpr),
+         |ccc(id, comp) AS (
+         |  SELECT id, id AS comp FROM cnodes
+         |  UNION
+         |  SELECT e.b AS id, ccc.comp FROM ccc JOIN cedges e ON ccc.id = e.a),
+         |clab AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM ccc GROUP BY id),
+         |ccanon AS (
+         |  SELECT d.* FROM cdedup d LEFT JOIN clab ON d.doc_id = clab.id
+         |  WHERE clab.id IS NULL OR clab.comp = d.doc_id),
+         |ccs AS MATERIALIZED (
+         |  SELECT c.doc_id, c.lang, c.text, c.ws, spl.split
+         |  FROM ccanon c JOIN spl USING (doc_id)),
+         |cs8 AS MATERIALIZED (
+         |  SELECT doc_id, split, unnest(list_distinct(list_transform(range(1, len(ws)-6),
+         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS sh
+         |  FROM ccs WHERE len(ws) >= 8),
+         |cleaks AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM (SELECT doc_id, sh FROM cs8 WHERE split = 'train') tr
+         |  JOIN (SELECT DISTINCT sh FROM cs8 WHERE split = 'test') te ON tr.sh = te.sh),
+         |cclean AS MATERIALIZED (
+         |  SELECT ccs.* FROM ccs
+         |  WHERE NOT EXISTS (SELECT 1 FROM cleaks WHERE cleaks.doc_id = ccs.doc_id)),
+         |cman AS MATERIALIZED (
+         |  SELECT split, lang, doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY split, lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+         |  FROM (SELECT split, lang, doc_id,
+         |          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
+         |        FROM cclean) t),
+         |cship AS MATERIALIZED (
+         |  SELECT s.doc_id, s.split, s.sh FROM cs8 s
+         |  WHERE EXISTS (SELECT 1 FROM cclean c WHERE c.doc_id = s.doc_id)),
+         |-- ======== the ingest (batch = src >= 15) ========
+         |bgat AS (SELECT * FROM gated WHERE src_n >= 15),
+         |bdedup AS (
+         |  SELECT doc_id, lang, text, ws, h FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS dr FROM bgat) x
+         |  WHERE dr = 1),
+         |entrants AS MATERIALIZED (
+         |  SELECT b.* FROM bdedup b
+         |  WHERE NOT EXISTS (SELECT 1 FROM chashes c WHERE c.h = b.h)),
+         |es3 AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+         |  FROM entrants WHERE len(ws) >= 3),
+         |eex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS t FROM es3),
+         |esz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM es3),
+         |bic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |        FROM eex a JOIN eex b ON a.t = b.t AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |xic AS (SELECT e.doc_id AS id_a, c.doc_id AS id_b, COUNT(*) AS c
+         |        FROM eex e JOIN cex c ON e.t = c.t
+         |        GROUP BY 1, 2),
+         |bpr AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM bic
+         |  JOIN esz sa ON sa.doc_id = bic.id_a
+         |  JOIN esz sb ON sb.doc_id = bic.id_b
+         |  WHERE CAST(bic.c AS DOUBLE) / (sa.n + sb.n - bic.c) >= 0.5
+         |  UNION
+         |  SELECT id_a, id_b FROM xic
+         |  JOIN esz se ON se.doc_id = xic.id_a
+         |  JOIN csz sc ON sc.doc_id = xic.id_b
+         |  WHERE CAST(xic.c AS DOUBLE) / (se.n + sc.n - xic.c) >= 0.5),
+         |stars AS MATERIALIZED (SELECT id AS a, comp AS b FROM clab WHERE id <> comp),
+         |inodes AS (SELECT id_a AS id FROM bpr UNION SELECT id_b FROM bpr
+         |           UNION SELECT a FROM stars UNION SELECT b FROM stars),
+         |iedges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM bpr UNION SELECT id_b, id_a FROM bpr
+         |           UNION SELECT a, b FROM stars UNION SELECT b, a FROM stars),
+         |icc(id, comp) AS (
+         |  SELECT id, id AS comp FROM inodes
+         |  UNION
+         |  SELECT e.b AS id, icc.comp FROM icc JOIN iedges e ON icc.id = e.a),
+         |ilab AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM icc GROUP BY id),
+         |bcanon AS (
+         |  SELECT e.* FROM entrants e LEFT JOIN ilab ON e.doc_id = ilab.id
+         |  WHERE ilab.id IS NULL OR ilab.comp = e.doc_id),
+         |superseded AS MATERIALIZED (
+         |  SELECT m.doc_id FROM cman m JOIN ilab ON m.doc_id = ilab.id
+         |  WHERE ilab.comp <> m.doc_id),
+         |bspl AS MATERIALIZED (
+         |  SELECT b.doc_id, b.lang, b.text, b.ws, spl.split
+         |  FROM bcanon b JOIN spl USING (doc_id)),
+         |bs8 AS MATERIALIZED (
+         |  SELECT doc_id, split, unnest(list_distinct(list_transform(range(1, len(ws)-6),
+         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS sh
+         |  FROM bspl WHERE len(ws) >= 8),
+         |liveold AS MATERIALIZED (
+         |  SELECT c.* FROM cship c
+         |  WHERE NOT EXISTS (SELECT 1 FROM superseded s WHERE s.doc_id = c.doc_id)),
+         |newtesth AS MATERIALIZED (SELECT DISTINCT sh FROM bs8 WHERE split = 'test'),
+         |alltesth AS (SELECT sh FROM liveold WHERE split = 'test'
+         |             UNION SELECT sh FROM newtesth),
+         |newtrainleaks AS (
+         |  SELECT DISTINCT b.doc_id FROM bs8 b
+         |  WHERE b.split = 'train'
+         |    AND EXISTS (SELECT 1 FROM alltesth t WHERE t.sh = b.sh)),
+         |decontaminated AS (
+         |  SELECT DISTINCT l.doc_id FROM liveold l
+         |  WHERE l.split = 'train'
+         |    AND EXISTS (SELECT 1 FROM newtesth t WHERE t.sh = l.sh)),
+         |accepted AS (
+         |  SELECT b.* FROM bspl b
+         |  WHERE NOT EXISTS (SELECT 1 FROM newtrainleaks n WHERE n.doc_id = b.doc_id)),
+         |offs AS (SELECT split, lang, MAX(bin) + 1 AS off FROM cman GROUP BY 1, 2),
+         |bman AS (
+         |  SELECT t.split, t.lang, t.doc_id, t.n_tokens,
+         |    CAST(t.rel + COALESCE(o.off, 0) AS BIGINT) AS bin
+         |  FROM (
+         |    SELECT split, lang, doc_id, n_tokens,
+         |      COALESCE(SUM(n_tokens) OVER (
+         |        PARTITION BY split, lang ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS rel
+         |    FROM (SELECT split, lang, doc_id,
+         |            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
+         |          FROM accepted) t0) t
+         |  LEFT JOIN offs o ON t.split = o.split AND t.lang = o.lang)
+         |SELECT action, doc_id, split, lang, bin, n_tokens FROM (
+         |  SELECT 'add' AS action, doc_id, split, lang, bin, n_tokens FROM bman
+         |  UNION ALL
+         |  SELECT 'superseded', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM superseded
+         |  UNION ALL
+         |  SELECT 'decontaminated', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM decontaminated) u
+         |ORDER BY action, doc_id""".stripMargin,
   )
 }

@@ -34,14 +34,21 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** §2.3#41/§8 — IVF ANN: deterministic k-means buckets, nprobe=4 of
-    * k=16 probed per query (rows-only; recall spec vs brute force). */
+  /** §2.3#41/§8 — IVF ANN: deterministic k-means buckets. ORACLE-BACKED
+    * since round 6 via the full-probe parity config: with nprobe = k
+    * every (query, candidate) pair is scored exactly once (each
+    * candidate lives in exactly one bucket and the query probes all of
+    * them), so the result EQUALS brute force deterministically — not
+    * probabilistically — and the quantized-dot brute-force oracle
+    * applies verbatim. The approximate nprobe=4 configuration remains
+    * the library scale path; VectorSpec measures its recall and pins
+    * full-probe == brute-force equality. */
   def knnIvfQ(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cands = e.filter(col("vec_id") >= 10)
     val centroids = IvfIndex.trainCentroids(cands, "vec_id", "embedding", k = 16, iters = 2)
     IvfIndex.ivfTopK(cands, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, centroids, nprobe = 4)
+        "vec_id", "embedding", k = 5, centroids, nprobe = 16)
       .orderBy(col("qid"), col("rn"))
   }
 
@@ -65,18 +72,24 @@ object VectorQueries {
     s"""CAST(list_sum(list_transform(range(1, len($a)+1),
        |    i -> CAST(floor(CAST($a[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST($b[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)""".stripMargin
 
+  private val knnExactSql =
+    s"""WITH v AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nsq AS q_nsq FROM v WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cid, embedding AS ce, nsq AS c_nsq FROM v WHERE vec_id >= 10),
+       |s AS (SELECT qid, cid, ${dotSql("qe", "ce")} / greatest(sqrt(q_nsq) * sqrt(c_nsq), 1e-9) AS cos FROM q, c)
+       |SELECT qid, cid, cos, rn FROM (
+       |  SELECT qid, cid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+       |  FROM s) t
+       |WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_knn_bruteforce" ->
-      s"""WITH v AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, nsq AS q_nsq FROM v WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS cid, embedding AS ce, nsq AS c_nsq FROM v WHERE vec_id >= 10),
-         |s AS (SELECT qid, cid, ${dotSql("qe", "ce")} / greatest(sqrt(q_nsq) * sqrt(c_nsq), 1e-9) AS cos FROM q, c)
-         |SELECT qid, cid, cos, rn FROM (
-         |  SELECT qid, cid, cos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
-         |  FROM s) t
-         |WHERE rn <= 5
-         |ORDER BY qid, rn""".stripMargin,
+    // full-probe IVF scores every pair exactly once — deterministically
+    // identical to brute force (see knnIvfQ), so both queries share the
+    // exact quantized-dot top-k replay
+    "q_knn_ivf" -> knnExactSql,
+    "q_knn_bruteforce" -> knnExactSql,
 
     "q_embed_neardup" ->
       s"""WITH v AS (SELECT label, vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings)

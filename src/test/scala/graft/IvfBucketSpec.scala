@@ -31,6 +31,15 @@ class IvfBucketSpec extends AnyFunSuite {
     // determinism: retraining gives identical centroids
     val again = IvfIndex.trainCentroids(cands, "vec_id", "embedding", 16, 2)
     assert(again == centroids)
+
+    // full-probe parity (the q_knn_ivf oracle argument): with
+    // nprobe = k every pair is scored exactly once, so IVF equals
+    // brute force row-for-row, not just set-wise
+    val full = IvfIndex.ivfTopK(cands, qs, "vec_id", "embedding", 5, centroids, 16)
+      .select($"qid", $"cid", $"rn").as[(Long, Long, Long)].collect().toSet
+    val exactRows = VectorOps.bruteForceTopK(cands, qs, "vec_id", "embedding", 5)
+      .select($"qid", $"cid", $"rn").as[(Long, Long, Long)].collect().toSet
+    assert(full == exactRows)
   }
 
   test("bucketed tables join without a shuffle") {

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MixtureOps
+
+/** Domain-mixture temperature resampling. */
+class MixtureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // heavily skewed domain masses: big=9000 tokens, small=100
+  private def docs = {
+    val rows =
+      (1 to 90).map(i => ("big", i.toLong, 100L)) ++
+      (1 to 10).map(i => ("small", 1000L + i, 10L))
+    rows.toDF("domain", "doc_id", "n_tokens")
+  }
+
+  test("T=2 flattens the allocation toward small domains") {
+    val b = MixtureOps.domainBudgets(docs, $"domain", $"n_tokens",
+        totalBudget = 1000L, temperature = 2)
+      .select($"domain", $"t_tokens", $"weight", $"budget")
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // isqrt weights: big -> 94, small -> 10
+    assert(b("big")._3 == 94L && b("small")._3 == 10L)
+    // total allocation never exceeds the budget
+    assert(b.values.map(_._4).sum <= 1000L)
+    // natural share of small = 100/9100 ~ 1.1%; T=2 share = 10/104 ~ 9.6%
+    val smallShare = b("small")._4.toDouble / 1000
+    assert(smallShare > 0.05, s"small domain share $smallShare not flattened")
+    // T=1 is natural proportions
+    val n = MixtureOps.domainBudgets(docs, $"domain", $"n_tokens",
+        totalBudget = 1000L, temperature = 1)
+      .select($"domain", $"budget").as[(String, Long)].collect().toMap
+    assert(n("big") == 1000L * 9000L / 9100L && n("small") == 1000L * 100L / 9100L)
+  }
+
+  test("draw is a budget-bounded hash prefix, partitioning-invariant") {
+    val kept = MixtureOps.temperatureMixture(docs, $"domain", $"doc_id",
+      $"n_tokens", totalBudget = 1000L)
+    val byDomain = kept.groupBy($"domain")
+      .agg(sum($"n_tokens").as("t"), max($"budget").as("bud"), max($"n_tokens").as("mx"))
+      .as[(String, Long, Long, Long)].collect()
+    // prefix property: the selected mass is under budget + one doc
+    byDomain.foreach { case (d, t, bud, mx) =>
+      assert(t < bud + mx, s"domain $d overdrawn: $t vs budget $bud")
+    }
+    val a = kept.select($"doc_id").orderBy($"doc_id").as[Long].collect().toSeq
+    val b = MixtureOps.temperatureMixture(docs.repartition(5), $"domain", $"doc_id",
+        $"n_tokens", totalBudget = 1000L)
+      .select($"doc_id").orderBy($"doc_id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SemDedup
+import graft.sources.Tables
+
+/** Semantic dedup (SemDeDup): cluster-blocked embedding groups. */
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withDups = {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    // clone three vectors under fresh ids: exact duplicates MUST end in
+    // the same cluster (identical distances, identical tie-break) and
+    // the same group, whichever cluster path runs
+    val clones = e.filter($"vec_id".isin(11L, 23L, 35L))
+      .withColumn("vec_id", $"vec_id" + 100000L)
+    e.unionByName(clones)
+  }
+
+  test("exact duplicates group together on both cluster paths") {
+    for (refine <- Seq(false, true)) {
+      val g = SemDedup.semanticGroups(withDups, "vec_id", "embedding",
+          k = 8, threshold = 0.3, refine = refine)
+        .select($"vec_id", $"group_id").as[(Long, Long)].collect().toMap
+      for (id <- Seq(11L, 23L, 35L))
+        assert(g(id) == g(id + 100000L),
+          s"refine=$refine: clone of $id not grouped with it")
+    }
+  }
+
+  test("output is a partition of the input with min-id canonicals") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val out = SemDedup.semanticGroups(e, "vec_id", "embedding", k = 8, threshold = 0.3)
+      .select($"vec_id", $"cluster", $"group_id")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == e.count())
+    assert(out.map(_._1).distinct.length == out.length)
+    // canonical is the group min, so group_id <= id and every group id
+    // is itself a row whose group_id is itself
+    assert(out.forall { case (id, _, gid) => gid <= id })
+    val byGroup = out.groupBy(_._3)
+    byGroup.foreach { case (gid, members) =>
+      assert(members.exists(_._1 == gid), s"group $gid has no canonical row")
+    }
+    // grouped rows share their canonical's cluster (pairs only form
+    // within a cluster)
+    byGroup.filter(_._2.length > 1).foreach { case (_, members) =>
+      assert(members.map(_._2).distinct.length == 1)
+    }
+  }
+
+  test("hash-seeded assignment is partitioning-invariant") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val a = SemDedup.semanticGroups(e, "vec_id", "embedding", k = 8, threshold = 0.3)
+      .orderBy($"vec_id").collect().toSeq
+    val b = SemDedup.semanticGroups(e.repartition(7), "vec_id", "embedding",
+        k = 8, threshold = 0.3)
+      .orderBy($"vec_id").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SubstringDedup
+
+/** Exact duplicated-substring spans (Lee et al. 2022 style). */
+class SubstringDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta SHARED ONE TWO THREE omega"),       // cross-doc dup [2,6)
+    (2L, "gamma SHARED ONE TWO THREE delta epsilon"),    // cross-doc dup [1,5)
+    (3L, "p q r s p q r s tail1 tail2"),                 // self-repeat, overlapping grams
+    (4L, "entirely unique words in this document here")  // no dups
+  ).toDF("doc_id", "text")
+
+  test("cross-doc and self-repeated spans are found and merged") {
+    val spans = SubstringDedup.dupSpans(docs, "doc_id", "text", n = 4)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect()
+
+    // doc 1: "shared one two three" occurs in docs 1 and 2 -> [2, 6)
+    // doc 3: "p q r s" at 0 and 4 plus the bridging 4-grams (q r s p,
+    //        r s p q, s p q r) each occurring once — the repeated gram
+    //        occurrences [0,4) and [4,8) are adjacent and merge
+    assert(spans.toSeq == Seq(
+      (1L, 2L, 6L, 4L),
+      (2L, 1L, 5L, 4L),
+      (3L, 0L, 8L, 8L)))
+  }
+
+  test("scrub removes exactly the covered words and is identity elsewhere") {
+    val out = SubstringDedup.scrubDupSpans(docs, "doc_id", "text", n = 4)
+      .orderBy($"doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "alpha beta omega", 4L),
+      (2L, "gamma delta epsilon", 4L),
+      (3L, "tail1 tail2", 8L),
+      (4L, "entirely unique words in this document here", 0L)))
+  }
+
+  test("spans are partitioning-invariant") {
+    val base = SubstringDedup.dupSpans(docs, "doc_id", "text", n = 4)
+      .orderBy($"doc_id", $"span_start").collect().toSeq
+    val shuffled = SubstringDedup.dupSpans(docs.repartition(7), "doc_id", "text", n = 4)
+      .orderBy($"doc_id", $"span_start").collect().toSeq
+    assert(base == shuffled)
+  }
+
+  test("corpus query finds real duplicated spans at sf0.001") {
+    val spans = SubstringDedup.dupSpansQ(spark, TestSpark.sf).collect()
+    // every span is at least the gram length and within its doc
+    assert(spans.forall(r => r.getLong(3) >= 10))
+    assert(spans.forall(r => r.getLong(1) >= 0 && r.getLong(2) > r.getLong(1)))
+  }
+}
