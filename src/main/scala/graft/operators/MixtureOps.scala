@@ -53,9 +53,11 @@ object MixtureOps {
       if (temperature == 1) col("t_tokens")
       else floor(sqrt(col("t_tokens").cast(DoubleType))).cast(LongType)
     // weight * totalBudget must fit a long — weight <= isqrt(corpus
-    // tokens) (~3e6 at 100 TB), so budgets up to ~1e12 tokens are safe
-    mass.withColumn("weight", weight)
-      .withColumn("__wtot", sum(col("weight")).over(Window.partitionBy()))
+    // tokens) (~3e6 at 100 TB), so budgets up to ~1e12 tokens are safe.
+    // The weight total rides a broadcast 1-row aggregate, not a global
+    // window (an unpartitioned window funnels the frame to one task).
+    val w = mass.withColumn("weight", weight)
+    w.crossJoin(broadcast(w.agg(sum(col("weight")).as("__wtot"))))
       .withColumn("budget", expr(s"(weight * ${totalBudget}L) div __wtot"))
       .drop("__wtot")
   }
