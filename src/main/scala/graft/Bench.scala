@@ -61,6 +61,18 @@ object Bench {
           concat(lit(s"b$i"), pmod(col("id") * i, lit(89)))): _*).as("text"))
       val delta = graft.operators.TrainingPipeline.runIncremental(st, batch)
       delta.accepted.count(); delta.tombstones.count()
+      // round-6 operator shapes: dup-span interval merge, mixture
+      // draw, and the semantic-dedup seed/assign/pair chain
+      graft.operators.SubstringDedup.dupSpans(mini, "doc_id", "text", n = 4).count()
+      graft.operators.MixtureOps.temperatureMixture(
+        mini.select(col("lang").as("domain"), col("doc_id"),
+          lit(10L).as("n_tokens")),
+        col("domain"), col("doc_id"), col("n_tokens"), totalBudget = 50L).count()
+      val minivec = spark.range(32).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => pmod(col("id") * i, lit(97)).cast("float") / 97f).as("embedding"))
+      graft.operators.SemDedup.semanticGroups(
+        minivec, "vec_id", "embedding", k = 4, threshold = 0.3).count()
       spark.sharedState.cacheManager.clearCache()
     }
     // Optional comma-separated subset for quick iteration; the driver

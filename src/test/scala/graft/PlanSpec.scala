@@ -142,4 +142,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("dup spans: equi-joined gram occurrences, never a cartesian") {
+    val p = plan(graft.operators.SubstringDedup.dupSpansQ(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // the gram-count aggregation combines map-side before the shuffle
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("semantic dedup: k-row seed broadcast, pair join blocked on cluster") {
+    val p = plan(graft.operators.SemDedup.semanticDedupQ(spark, TestSpark.sf))
+    // the seed scoring pass broadcasts the k-row side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the pair stage is an equi join on cluster (+ id range residual),
+    // never an unblocked cartesian over the vectors
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("domain mixture: broadcast budgets, draw windows partitioned by domain") {
+    val p = plan(graft.operators.MixtureOps.domainMixtureQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastExchange"), p)
+    // every window partitions on the domain key — the draw never
+    // funnels the corpus to one task (the weight TOTAL is a 1-row
+    // aggregate, which is allowed its single partition)
+    val unpartitioned = "windowspecdefinition\\((?!source)".r
+    assert(unpartitioned.findFirstIn(p).isEmpty, p)
+  }
 }

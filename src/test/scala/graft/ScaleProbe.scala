@@ -55,7 +55,13 @@ object ScaleProbe {
     // min of two reps: a single shared-JVM measurement mixes GC/JIT
     // noise into the curve (a first sweep showed k=1 slower than k=2);
     // the min is the reproducible cost of the plan itself.
+    // SPARK_GRAFT_PROBE_OPS="dup_spans,semantic_dedup" restricts the
+    // sweep to named probes (full sweep when unset)
+    val onlyOps = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     def time(label: String, k: Int)(body: => Long): Unit = {
+      if (!onlyOps.forall(_.contains(label))) return
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val n = body
@@ -121,6 +127,45 @@ object ScaleProbe {
           docs.select(explode(graft.functions.TextFunctions.words(col("text"))).as("token")),
           col("token"), k = 100).count()
       }
+      // round-6 additions. Replication preserves the workload exactly:
+      // per-copy word suffixes mean cross-copy grams never collide, so
+      // a k× corpus carries exactly k× the dup spans.
+      time("dup_spans", k) {
+        graft.operators.SubstringDedup.dupSpans(docs, "doc_id", "text", n = 10).count()
+      }
+      time("domain_mixture", k) {
+        // synthetic 20-way domain split; budget scales with k so the
+        // prefix draw stays selective rather than degenerating to
+        // keep-nothing
+        val d = docs.select((col("doc_id") % 20).as("domain"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        graft.operators.MixtureOps.temperatureMixture(
+          d, col("domain"), col("doc_id"), col("n_tokens"),
+          totalBudget = 8000L * k).count()
+      }
+      time("semantic_dedup", k) {
+        // embeddings replicated by id shift + per-copy cyclic dimension
+        // rotation: rotation preserves norms and within-copy cosines
+        // EXACTLY while cross-copy cosines decorrelate (random 64-dim
+        // cosine exceeds 0.3 with ~1% probability). The cluster count
+        // grows with the corpus — a FIXED cluster count over growing
+        // data is the quadratic trap (per-cluster density, not cluster
+        // count, is what must stay constant; SemDeDup's own recipe
+        // scales clusters with corpus size).
+        val e = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val vs = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val rep = (0 until k).map { c =>
+          val emb =
+            if (c == 0) col("embedding")
+            else concat(slice(col("embedding"), 8 * c + 1, 64 - 8 * c),
+              slice(col("embedding"), 1, 8 * c))
+          e.select((col("vec_id") + lit(c.toLong * vs)).as("vec_id"),
+            emb.as("embedding"))
+        }.reduce(_ unionByName _)
+        graft.operators.SemDedup.semanticGroups(
+          rep, "vec_id", "embedding", k = 8 * k, threshold = 0.3).count()
+      }
 
       // Incremental ingest vs re-running the full pipeline: the batch is
       // FIXED (one fresh base-sized copy, lang column required by the
@@ -129,7 +174,7 @@ object ScaleProbe {
       // scans of the compact state tables — read back from parquet, as
       // in deployment, so the timed cell includes no bootstrap lineage
       // and cache clears between reps cannot leak bootstrap work in.
-      locally {
+      if (onlyOps.forall(s => s.contains("incr_ingest") || s.contains("full_pipeline"))) {
         val lang = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
         def withLang(d: DataFrame) = d
           .withColumn("__base", col("doc_id") % lit(stride(base)))
