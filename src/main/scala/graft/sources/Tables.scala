@@ -67,4 +67,17 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every warehouse table as a temp view so the engine is
+    * drivable through `spark.sql(...)` as well as the DataFrame API
+    * (the views are the same lazy scans — pushdown, pruning and the
+    * events ns→µs handling all apply identically; SQL over a view
+    * plans the same physical query as the accessor call). Combined
+    * with [[graft.GraftExtensions]]'s SQL-registered functions, a
+    * SQL-only user gets the full relational surface. */
+  def registerViews(s: SparkSession, d: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(s, d) else load(s, d, name)
+      df.createOrReplaceTempView(name)
+    }
 }
