@@ -52,13 +52,17 @@ object MixtureOps {
     val weight =
       if (temperature == 1) col("t_tokens")
       else floor(sqrt(col("t_tokens").cast(DoubleType))).cast(LongType)
-    // weight * totalBudget must fit a long — weight <= isqrt(corpus
-    // tokens) (~3e6 at 100 TB), so budgets up to ~1e12 tokens are safe.
-    // The weight total rides a broadcast 1-row aggregate, not a global
-    // window (an unpartitioned window funnels the frame to one task).
+    // The allocation product runs in DECIMAL(38,0): at T=1 the weight
+    // IS the domain token mass (~1e13 at 100 TB), and weight × a
+    // ~1e12-token budget (~1e25) silently wraps a Long under non-ANSI
+    // mode — dropping exactly the LARGEST domains. 38 digits hold any
+    // realistic mass × budget; `div` floors back to BIGINT. The weight
+    // total rides a broadcast 1-row aggregate, not a global window (an
+    // unpartitioned window funnels the frame to one task).
     val w = mass.withColumn("weight", weight)
     w.crossJoin(broadcast(w.agg(sum(col("weight")).as("__wtot"))))
-      .withColumn("budget", expr(s"(weight * ${totalBudget}L) div __wtot"))
+      .withColumn("budget",
+        expr(s"CAST((CAST(weight AS DECIMAL(38,0)) * ${totalBudget}L) div __wtot AS BIGINT)"))
       .drop("__wtot")
   }
 

@@ -42,15 +42,28 @@ object ShardStore {
     * makes each file a contiguous bin range: a bin-range read then
     * skips whole files' row groups on parquet min/max stats
     * (ShardPruningSpec measures exactly that). */
+  /** In-partition clustering strategies share one landing path so the
+    * validation and writer contract cannot diverge between layouts.
+    * Both sorts lead with the partition columns so the dynamic-
+    * partition writer preserves them (the ShardPruningSpec lesson). */
+  private val plainCluster: DataFrame => DataFrame = df =>
+    df.repartition(col("split"), col("lang"))
+      .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
+
+  private val zCluster: DataFrame => DataFrame = df =>
+    graft.operators.ZOrder.withZValueQuantile(df, "bin", "n_tokens", "__z")
+      .repartition(col("split"), col("lang"))
+      .sortWithinPartitions(col("split"), col("lang"), col("__z"))
+      .drop("__z")
+
   private def land(docs: DataFrame, manifest: DataFrame, root: String,
-                   mode: String, maxRecordsPerFile: Long): Unit = {
+                   mode: String, maxRecordsPerFile: Long,
+                   cluster: DataFrame => DataFrame = plainCluster): Unit = {
     val missing = manifest
       .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
     require(missing == 0,
       s"$missing manifest rows have no document in `docs` — stale or filtered input?")
-    manifest.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .repartition(col("split"), col("lang"))
-      .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
+    cluster(manifest.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")))
       .write.mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("split", "lang").parquet(root)
@@ -74,25 +87,10 @@ object ShardStore {
     * layout, because rectangles split bin locality across z-cells —
     * pick the clustering for the table's dominant read shape.
     * Quantile (not uniform-width) ranks keep the cells row-balanced
-    * under token-length skew ([[graft.operators.ZOrder]]). The sort
-    * leads with the partition columns so the dynamic-partition writer
-    * preserves it (the ShardPruningSpec ordering lesson). */
+    * under token-length skew ([[graft.operators.ZOrder]]). */
   def initZOrdered(docs: DataFrame, manifest: DataFrame, root: String,
-                   maxRecordsPerFile: Long = 0L): Unit = {
-    val missing = manifest
-      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
-    require(missing == 0,
-      s"$missing manifest rows have no document in `docs` — stale or filtered input?")
-    graft.operators.ZOrder.withZValueQuantile(
-        manifest.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
-        "bin", "n_tokens", "__z")
-      .repartition(col("split"), col("lang"))
-      .sortWithinPartitions(col("split"), col("lang"), col("__z"))
-      .drop("__z")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("split", "lang").parquet(root)
-  }
+                   maxRecordsPerFile: Long = 0L): Unit =
+    land(docs, manifest, root, "overwrite", maxRecordsPerFile, zCluster)
 
   /** Land one ingest's accepted rows (appends; bins were opened past
     * each group's historical max, so clustering stays monotone across

@@ -170,12 +170,20 @@ object StateStore {
                         v: Long): DataFrame = {
     val schema = schemas(table).add(StructField("ingest", LongType))
     val p = s"$root/$table"
-    if (!fs(spark, root).exists(new Path(p)))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(table))
-    else
-      spark.read.schema(schema).parquet(p)
-        .filter(col("ingest") <= v) // partition-pruned: old deltas only
-        .drop("ingest")
+    val f = fs(spark, root)
+    // a compact() crash inside DirSwap.swap leaves the table root
+    // moved aside — heal it HERE, on the read path, not only on the
+    // next compaction: treating a mid-swap root as an empty table
+    // would silently re-admit every shipped doc, and the next commit
+    // would recreate the root so a later recover() DELETES the
+    // moved-aside corpus state
+    DirSwap.recover(f, p)
+    require(f.exists(new Path(p)),
+      s"state table $p is missing for committed version $v — refusing to " +
+        "read a damaged state root as an empty table")
+    spark.read.schema(schema).parquet(p)
+      .filter(col("ingest") <= v) // partition-pruned: old deltas only
+      .drop("ingest")
   }
 
   /** Reconstruct the state as of version `v` (time travel): pruned
@@ -243,6 +251,7 @@ object StateStore {
                    maxDeltas: Int = 16): Option[Long] = {
     val f = fs(spark, root)
     val hashesDir = new Path(s"$root/hashes")
+    DirSwap.recover(f, s"$root/hashes") // heal a mid-swap root before counting
     if (!f.exists(hashesDir)) None
     else {
       val deltas = f.listStatus(hashesDir).count(_.getPath.getName.startsWith("ingest="))

@@ -156,10 +156,15 @@ object ScaleProbe {
           .select(col("vec_id"), col("embedding"))
         val vs = e.agg(max(col("vec_id"))).head().getLong(0) + 1
         val rep = (0 until k).map { c =>
+          // rotation stride 11 is coprime to 64: every copy c in 1..63
+          // gets a NON-identity rotation (a stride of 8 would make
+          // copy 8 the identity — duplicating copy 0 exactly — and a
+          // shift past 64 a negative slice length)
+          val shift = (11 * c) % 64
           val emb =
-            if (c == 0) col("embedding")
-            else concat(slice(col("embedding"), 8 * c + 1, 64 - 8 * c),
-              slice(col("embedding"), 1, 8 * c))
+            if (shift == 0) col("embedding")
+            else concat(slice(col("embedding"), shift + 1, 64 - shift),
+              slice(col("embedding"), 1, shift))
           e.select((col("vec_id") + lit(c.toLong * vs)).as("vec_id"),
             emb.as("embedding"))
         }.reduce(_ unionByName _)

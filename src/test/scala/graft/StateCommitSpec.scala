@@ -124,4 +124,36 @@ class StateCommitSpec extends AnyFunSuite {
       Seq((4001L, "en", filler("post"))).toDF("doc_id", "lang", "text"))
     assert(StateStore.commitDelta(spark, d, root) == 3L)
   }
+
+  test("a compact() crash mid-swap heals on the READ path, never an empty table") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sc_heal").toString
+    StateStore.commitBootstrap(spark, TrainingPipeline.bootstrapState(corpusOf(5)), root)
+    val before = StateStore.load(spark, root).get.shingles
+      .select($"doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(before.nonEmpty)
+
+    // simulated crash between DirSwap's two renames on the shingles
+    // table: staged rewrite complete, root moved aside, process died.
+    // Silently reading this as an EMPTY witness table would re-admit
+    // every shipped doc on the next ingest — the read path must roll
+    // the swap forward instead.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = new Path(root).getFileSystem(conf)
+    val t = s"$root/shingles"
+    org.apache.hadoop.fs.FileUtil.copy(f, new Path(t), f, new Path(t + "__swap_tmp"),
+      false, conf)
+    assert(f.rename(new Path(t), new Path(t + "__swap_trash")))
+    assert(!f.exists(new Path(t)), "simulated crash: shingles root is gone")
+
+    val healed = StateStore.load(spark, root).get.shingles
+      .select($"doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(healed == before, "healed shingle state differs")
+    assert(!f.exists(new Path(t + "__swap_tmp")) && !f.exists(new Path(t + "__swap_trash")))
+
+    // a table root that is GONE (no swap artifacts) for a committed
+    // version is corruption and must fail loudly, not read as empty
+    assert(f.delete(new Path(s"$root/manifest"), true))
+    val e = intercept[Exception] { StateStore.load(spark, root).get.manifest.count() }
+    assert(e.getMessage.contains("damaged state root"), e.getMessage)
+  }
 }
