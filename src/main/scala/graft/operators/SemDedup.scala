@@ -96,6 +96,37 @@ object SemDedup {
         coalesce(col("comp"), col("id")).as("group_id"))
   }
 
+  /** Incremental semantic near-dup: batch vectors against a standing
+    * corpus, within shared clusters only — the embedding-space mirror
+    * of [[Dedup.minhashCrossNearDups]]. Both sides are assigned to the
+    * SAME seed model (clusters must be stable across a corpus's
+    * lifetime, like LSH band config), and the corpus never self-pairs:
+    * candidate volume is O(batch x cluster density) regardless of how
+    * large the corpus has grown. Returns (batch_id, corpus_id, cos).
+    *
+    * At 100 TB the corpus side arrives pre-assigned from stored state
+    * (assign once at ingest, persist (id, cluster, qv, nsq)) — the
+    * corpus text/embedding is then read zero times per ingest; this
+    * entry point re-assigns both sides for the self-contained query
+    * form. */
+  def crossSemanticPairs(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, vecCol: String,
+                         k: Int, threshold: Double): DataFrame = {
+    val seeds = hashSeeds(corpus, idCol, vecCol, k)
+    val c = assignClusters(corpus, idCol, vecCol, seeds)
+      .select(col("cluster").as("cluster_c"), col("id").as("corpus_id"),
+        col("qv").as("qv_c"), col("nsq").as("nsq_c"))
+    val b = assignClusters(batch, idCol, vecCol, seeds)
+      .select(col("cluster"), col("id").as("batch_id"),
+        col("qv").as("qv_b"), col("nsq").as("nsq_b"))
+    b.join(c, col("cluster") === col("cluster_c"))
+      .withColumn("cos", cosineFrom(
+        dotQuantized(col("qv_b"), col("qv_c")).cast(DoubleType),
+        col("nsq_b").cast(DoubleType), col("nsq_c").cast(DoubleType)))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("cos"))
+  }
+
   /** §2.7 — semantic dedup groups over `embeddings`, 8 hash-seeded
     * clusters, cosine >= 0.3 (the q_embed_neardup threshold). */
   def semanticDedupQ(s: SparkSession, d: String): DataFrame =
@@ -103,8 +134,21 @@ object SemDedup {
         k = 8, threshold = 0.3)
       .orderBy(col("vec_id"))
 
+  /** §2.7 — the incremental cut on `embeddings`: every fourth vec_id
+    * plays the incoming batch (scale-invariant cut, the vector-table
+    * analog of q_cross_neardup's source split). Seeds come from the
+    * CORPUS side only — a batch must never move the cluster model. */
+  def crossSemanticQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    crossSemanticPairs(
+        e.filter(col("vec_id") % 4 =!= 3), e.filter(col("vec_id") % 4 === 3),
+        "vec_id", "embedding", k = 8, threshold = 0.3)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semantic_dedup" -> (semanticDedupQ _),
+    "q_cross_semantic" -> (crossSemanticQ _),
   )
 
   /** BIGINT quantized dot (no double cast — the L2 comparison must
@@ -147,5 +191,35 @@ object SemDedup {
          |SELECT asg.vec_id, asg.cluster, COALESCE(lab.comp, asg.vec_id) AS group_id
          |FROM asg LEFT JOIN lab ON asg.vec_id = lab.id
          |ORDER BY asg.vec_id""".stripMargin,
+
+    // seeds from the corpus side only; assignment is a per-row
+    // function of (vector, seeds) so assigning the cut jointly or
+    // separately is identical — the cross pair join then replays
+    // exactly
+    "q_cross_semantic" ->
+      s"""WITH
+         |ph AS (${graft.operators.TrainingOps.polyHashSql("semcl|", "embeddings", "vec_id")}),
+         |seeds AS (
+         |  SELECT e.vec_id AS sid, e.embedding AS se
+         |  FROM embeddings e JOIN ph ON e.vec_id = ph.vec_id
+         |  WHERE e.vec_id % 4 <> 3
+         |  ORDER BY ph.h, e.vec_id LIMIT 8),
+         |v AS (SELECT vec_id, embedding, ${qdot("embedding", "embedding")} AS nsq FROM embeddings),
+         |sv AS (SELECT sid, se, ${qdot("se", "se")} AS snsq FROM seeds),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, sid AS cluster, embedding, nsq FROM (
+         |    SELECT v.vec_id, sv.sid, v.embedding, v.nsq,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.nsq + sv.snsq - 2 * ${qdot("v.embedding", "sv.se")}, sv.sid) AS rn
+         |    FROM v CROSS JOIN sv) t
+         |  WHERE rn = 1)
+         |SELECT batch_id, corpus_id, cos FROM (
+         |  SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+         |    CAST(${qdot("b.embedding", "c.embedding")} AS DOUBLE)
+         |      / greatest(sqrt(CAST(b.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)), 1e-9) AS cos
+         |  FROM (SELECT * FROM asg WHERE vec_id % 4 = 3) b
+         |  JOIN (SELECT * FROM asg WHERE vec_id % 4 <> 3) c ON b.cluster = c.cluster) p
+         |WHERE cos >= 0.3
+         |ORDER BY batch_id, corpus_id""".stripMargin,
   )
 }

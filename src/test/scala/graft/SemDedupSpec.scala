@@ -53,6 +53,24 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cross pairs: corpus never self-pairs, batch clones are found") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = e.filter($"vec_id" % 4 =!= 3)
+    // plant a batch that contains exact clones of three corpus vectors
+    val batch = corpus.filter($"vec_id".isin(0L, 4L, 8L))
+      .withColumn("vec_id", $"vec_id" + 200000L + lit(3L)) // keep id % 4 == 3
+    val pairs = SemDedup.crossSemanticPairs(corpus, batch,
+        "vec_id", "embedding", k = 8, threshold = 0.3)
+      .select($"batch_id", $"corpus_id", $"cos").collect()
+    // each clone must hit its original with cosine 1 (same cluster by
+    // identical distances + deterministic tie-break)
+    for (orig <- Seq(0L, 4L, 8L)) {
+      val hit = pairs.find(r => r.getLong(0) == orig + 200003L && r.getLong(1) == orig)
+      assert(hit.isDefined, s"clone of $orig not paired with it")
+      assert(hit.get.getDouble(2) > 0.999)
+    }
+  }
+
   test("hash-seeded assignment is partitioning-invariant") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val a = SemDedup.semanticGroups(e, "vec_id", "embedding", k = 8, threshold = 0.3)
