@@ -57,4 +57,16 @@ object Writer {
 
   def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** CSV round-trip with an EXPLICIT schema — CSV carries no types, so
+    * reading without one silently strings every column; the explicit
+    * schema is the same alignment contract [[SchemaAlign]] enforces on
+    * load (ref: load.py:104-181). Headers on, day-partitioned like the
+    * other sinks. */
+  def appendByDayCsv(df: DataFrame, path: String, dayCol: String = "day"): Unit =
+    df.write.mode("append").option("header", "true").partitionBy(dayCol).csv(path)
+
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
 }

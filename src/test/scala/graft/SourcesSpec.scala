@@ -111,6 +111,22 @@ class SourcesSpec extends AnyFunSuite {
       .collect().toSeq == Seq(1L))
   }
 
+  test("CSV round-trip keeps rows, TYPES (explicit schema) and day partitioning") {
+    val path = Files.createTempDirectory("graft_csv").toString + "/t"
+    val df = Seq((1L, 1.5, "2024-01-01"), (2L, 2.5, "2024-01-02"))
+      .toDF("id", "v", "day")
+    Writer.appendByDayCsv(df, path)
+    val back = Writer.readCsv(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    assert(back.count() == 2)
+    // types survive: CSV without a schema would string both columns
+    assert(back.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.filter(col("day") === "2024-01-02").select("v").as[Double]
+      .collect().toSeq == Seq(2.5))
+  }
+
   test("compact rewrites many small files into the computed target count") {
     val src = Files.createTempDirectory("graft_cmp").toString + "/src"
     val dst = Files.createTempDirectory("graft_cmp").toString + "/dst"
