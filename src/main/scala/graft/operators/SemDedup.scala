@@ -78,16 +78,8 @@ object SemDedup {
           .withColumn("nsq", dotQuantized(col("qv"), col("qv")))
       } else assignClusters(df, idCol, vecCol, hashSeeds(df, idCol, vecCol, k))
 
-    val a = assigned.select(col("cluster"), col("id").as("id_a"),
-      col("qv").as("qv_a"), col("nsq").as("nsq_a"))
-    val b = assigned.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
-      col("qv").as("qv_b"), col("nsq").as("nsq_b"))
-    val pairs = a.join(b,
-        col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
-      .withColumn("cos", cosineFrom(
-        dotQuantized(col("qv_a"), col("qv_b")).cast(DoubleType),
-        col("nsq_a").cast(DoubleType), col("nsq_b").cast(DoubleType)))
-      .filter(col("cos") >= threshold)
+    val pairs = scoredPairs(assigned, assigned, threshold,
+        selfPairs = true)
       .select(col("id_a"), col("id_b"))
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
     assigned.select(col("id"), col("cluster"))
@@ -113,18 +105,33 @@ object SemDedup {
                          idCol: String, vecCol: String,
                          k: Int, threshold: Double): DataFrame = {
     val seeds = hashSeeds(corpus, idCol, vecCol, k)
-    val c = assignClusters(corpus, idCol, vecCol, seeds)
-      .select(col("cluster").as("cluster_c"), col("id").as("corpus_id"),
-        col("qv").as("qv_c"), col("nsq").as("nsq_c"))
-    val b = assignClusters(batch, idCol, vecCol, seeds)
-      .select(col("cluster"), col("id").as("batch_id"),
-        col("qv").as("qv_b"), col("nsq").as("nsq_b"))
-    b.join(c, col("cluster") === col("cluster_c"))
+    scoredPairs(
+        assignClusters(batch, idCol, vecCol, seeds),
+        assignClusters(corpus, idCol, vecCol, seeds),
+        threshold, selfPairs = false)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"), col("cos"))
+  }
+
+  /** The shared pair stage: within-cluster equi join + quantized
+    * cosine at `threshold`, over two assigned frames (id, cluster, qv,
+    * nsq). `selfPairs = true` joins a frame against itself with the
+    * `id_a < id_b` dedup; false scores every a×b cluster collision
+    * (the cross-ingest shape — the sides are disjoint by contract).
+    * One implementation so the cosine guard and threshold semantics
+    * cannot drift between the within-corpus and cross-corpus paths. */
+  private def scoredPairs(a: DataFrame, b: DataFrame, threshold: Double,
+                          selfPairs: Boolean): DataFrame = {
+    val l = a.select(col("cluster"), col("id").as("id_a"),
+      col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+    val r = b.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
+      col("qv").as("qv_b"), col("nsq").as("nsq_b"))
+    val cond = col("cluster") === col("cluster_b") &&
+      (if (selfPairs) col("id_a") < col("id_b") else lit(true))
+    l.join(r, cond)
       .withColumn("cos", cosineFrom(
-        dotQuantized(col("qv_b"), col("qv_c")).cast(DoubleType),
-        col("nsq_b").cast(DoubleType), col("nsq_c").cast(DoubleType)))
+        dotQuantized(col("qv_a"), col("qv_b")).cast(DoubleType),
+        col("nsq_a").cast(DoubleType), col("nsq_b").cast(DoubleType)))
       .filter(col("cos") >= threshold)
-      .select(col("batch_id"), col("corpus_id"), col("cos"))
   }
 
   /** §2.7 — semantic dedup groups over `embeddings`, 8 hash-seeded
@@ -157,23 +164,31 @@ object SemDedup {
     s"""list_sum(list_transform(range(1, len($a)+1),
        |    i -> CAST(floor(CAST($a[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST($b[i] AS DOUBLE) * 1000000) AS BIGINT)))""".stripMargin
 
+  /** Shared oracle CTE prefix: seed selection (optionally restricted
+    * to a corpus-side filter) + quantized-L2 assignment of EVERY
+    * vector — one copy so the two semantic oracles cannot
+    * desynchronize. Emits CTEs `ph, seeds, v, sv, asg`. */
+  private def assignSql(seedWhere: String): String =
+    s"""ph AS (${graft.operators.TrainingOps.polyHashSql("semcl|", "embeddings", "vec_id")}),
+       |seeds AS (
+       |  SELECT e.vec_id AS sid, e.embedding AS se
+       |  FROM embeddings e JOIN ph ON e.vec_id = ph.vec_id
+       |  $seedWhere
+       |  ORDER BY ph.h, e.vec_id LIMIT 8),
+       |v AS (SELECT vec_id, embedding, ${qdot("embedding", "embedding")} AS nsq FROM embeddings),
+       |sv AS (SELECT sid, se, ${qdot("se", "se")} AS snsq FROM seeds),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, sid AS cluster, embedding, nsq FROM (
+       |    SELECT v.vec_id, sv.sid, v.embedding, v.nsq,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY v.nsq + sv.snsq - 2 * ${qdot("v.embedding", "sv.se")}, sv.sid) AS rn
+       |    FROM v CROSS JOIN sv) t
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE
-         |ph AS (${graft.operators.TrainingOps.polyHashSql("semcl|", "embeddings", "vec_id")}),
-         |seeds AS (
-         |  SELECT e.vec_id AS sid, e.embedding AS se
-         |  FROM embeddings e JOIN ph ON e.vec_id = ph.vec_id
-         |  ORDER BY ph.h, e.vec_id LIMIT 8),
-         |v AS (SELECT vec_id, embedding, ${qdot("embedding", "embedding")} AS nsq FROM embeddings),
-         |sv AS (SELECT sid, se, ${qdot("se", "se")} AS snsq FROM seeds),
-         |asg AS MATERIALIZED (
-         |  SELECT vec_id, sid AS cluster, embedding, nsq FROM (
-         |    SELECT v.vec_id, sv.sid, v.embedding, v.nsq,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY v.nsq + sv.snsq - 2 * ${qdot("v.embedding", "sv.se")}, sv.sid) AS rn
-         |    FROM v CROSS JOIN sv) t
-         |  WHERE rn = 1),
+         |${assignSql("")},
          |pr AS MATERIALIZED (
          |  SELECT id_a, id_b FROM (
          |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -198,21 +213,7 @@ object SemDedup {
     // exactly
     "q_cross_semantic" ->
       s"""WITH
-         |ph AS (${graft.operators.TrainingOps.polyHashSql("semcl|", "embeddings", "vec_id")}),
-         |seeds AS (
-         |  SELECT e.vec_id AS sid, e.embedding AS se
-         |  FROM embeddings e JOIN ph ON e.vec_id = ph.vec_id
-         |  WHERE e.vec_id % 4 <> 3
-         |  ORDER BY ph.h, e.vec_id LIMIT 8),
-         |v AS (SELECT vec_id, embedding, ${qdot("embedding", "embedding")} AS nsq FROM embeddings),
-         |sv AS (SELECT sid, se, ${qdot("se", "se")} AS snsq FROM seeds),
-         |asg AS MATERIALIZED (
-         |  SELECT vec_id, sid AS cluster, embedding, nsq FROM (
-         |    SELECT v.vec_id, sv.sid, v.embedding, v.nsq,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY v.nsq + sv.snsq - 2 * ${qdot("v.embedding", "sv.se")}, sv.sid) AS rn
-         |    FROM v CROSS JOIN sv) t
-         |  WHERE rn = 1)
+         |${assignSql("WHERE e.vec_id % 4 <> 3")}
          |SELECT batch_id, corpus_id, cos FROM (
          |  SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
          |    CAST(${qdot("b.embedding", "c.embedding")} AS DOUBLE)

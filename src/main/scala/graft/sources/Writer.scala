@@ -62,11 +62,23 @@ object Writer {
     * reading without one silently strings every column; the explicit
     * schema is the same alignment contract [[SchemaAlign]] enforces on
     * load (ref: load.py:104-181). Headers on, day-partitioned like the
-    * other sinks. */
+    * other sinks.
+    *
+    * `multiLine` on read: the writer quotes embedded newlines (document
+    * text has them), and the line-oriented default reader would split
+    * such a quoted record into malformed rows. `enforceSchema=false`:
+    * the default applies the user schema POSITIONALLY, silently
+    * mis-assigning columns if the file's column order ever drifts —
+    * with it off, a header/schema name mismatch fails loudly (the
+    * by-name alignment the docstring promises). */
   def appendByDayCsv(df: DataFrame, path: String, dayCol: String = "day"): Unit =
     df.write.mode("append").option("header", "true").partitionBy(dayCol).csv(path)
 
   def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
               schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(path)
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("enforceSchema", "false")
+      .schema(schema).csv(path)
 }

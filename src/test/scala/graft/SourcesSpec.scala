@@ -125,6 +125,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.schema("id").dataType == org.apache.spark.sql.types.LongType)
     assert(back.filter(col("day") === "2024-01-02").select("v").as[Double]
       .collect().toSeq == Seq(2.5))
+
+    // embedded newlines (document text) survive the quoted round-trip
+    val path2 = Files.createTempDirectory("graft_csv2").toString + "/t"
+    val text = "line one\nline two\nline three"
+    Writer.appendByDayCsv(Seq((7L, text, "2024-01-01")).toDF("id", "text", "day"), path2)
+    val back2 = Writer.readCsv(spark, path2,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    assert(back2.count() == 1)
+    assert(back2.select("text").as[String].collect().head == text)
   }
 
   test("compact rewrites many small files into the computed target count") {
