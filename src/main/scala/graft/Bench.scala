@@ -47,7 +47,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val heavyWarmupNeeded = only.forall(_.exists(Set(
       "q_training_pipeline", "q_incremental_pipeline",
-      "q_dup_spans", "q_dup_scrub", "q_semantic_dedup", "q_domain_mixture")))
+      "q_dup_spans", "q_dup_scrub", "q_semantic_dedup", "q_cross_semantic",
+      "q_domain_mixture")))
 
     // Warm the training-pipeline stage shapes (gate/dedup/LSH/CC/split/
     // decon/pack and the ingest's union band join + state anti-joins)
@@ -74,9 +75,13 @@ object Bench {
           concat(lit(s"b$i"), pmod(col("id") * i, lit(89)))): _*).as("text"))
       val delta = graft.operators.TrainingPipeline.runIncremental(st, batch, parity)
       delta.accepted.count(); delta.tombstones.count()
-      // round-6 operator shapes: dup-span interval merge, mixture
-      // draw, and the semantic-dedup seed/assign/pair chain
-      graft.operators.SubstringDedup.dupSpans(mini, "doc_id", "text", n = 4).count()
+      // round-6 operator shapes: dup-span interval merge + scrub
+      // aggregate, mixture draw, and the semantic seed/assign/pair
+      // chain. n = 10 matters: the gram chain's lead-column count is
+      // part of the expression tree, so warming n=4 would compile the
+      // WRONG codegen shape (the lshBands lesson again).
+      graft.operators.SubstringDedup.dupSpans(mini, "doc_id", "text", n = 10).count()
+      graft.operators.SubstringDedup.scrubDupSpans(mini, "doc_id", "text", n = 10).count()
       graft.operators.MixtureOps.temperatureMixture(
         mini.select(col("lang").as("domain"), col("doc_id"),
           lit(10L).as("n_tokens")),

@@ -78,8 +78,12 @@ object MixtureOps {
     val h = PolyHash64.poly_hash64(concat(lit("mix|"), idCol.cast(StringType)))
     val w = Window.partitionBy(domainCol).orderBy(h, idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe join: a NULL domain is a real group (domainBudgets
+    // allocates it a share), and a plain equi-join would silently drop
+    // its docs while still letting its weight shrink every other
+    // domain's allocation
     docs
-      .join(broadcast(budgets), domainCol === col("__mix_dom"))
+      .join(broadcast(budgets), domainCol <=> col("__mix_dom"))
       .withColumn("__cum", coalesce(sum(tokensCol.cast(LongType)).over(w), lit(0L)))
       .filter(col("__cum") < col("budget"))
       .drop("__cum", "__mix_dom")

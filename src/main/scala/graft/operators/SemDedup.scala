@@ -70,13 +70,18 @@ object SemDedup {
   def semanticGroups(df: DataFrame, idCol: String, vecCol: String,
                      k: Int, threshold: Double,
                      refine: Boolean = false): DataFrame = {
-    val assigned =
+    // persisted: the O(n·k) scoring + argmin pass feeds THREE consumers
+    // (both sides of the pair self-join and the final label join) —
+    // the same multi-consumer discipline Dedup applies to its state
+    // frames; without it the assignment recomputes per consumer
+    val assigned = (
       if (refine) {
         val centroids = IvfIndex.trainCentroids(df, idCol, vecCol, k, iters = 2)
         df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
             IvfIndex.nearestCentroid(col(vecCol), centroids).as("cluster"))
           .withColumn("nsq", dotQuantized(col("qv"), col("qv")))
       } else assignClusters(df, idCol, vecCol, hashSeeds(df, idCol, vecCol, k))
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val pairs = scoredPairs(assigned, assigned, threshold,
         selfPairs = true)

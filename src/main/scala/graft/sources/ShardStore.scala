@@ -158,6 +158,10 @@ object ShardStore {
                    maxFilesPerPartition: Int = 16,
                    maxTombstoneFrac: Double = 0.2,
                    maxRecordsPerFile: Long = 0L): Option[Int] = {
+    // heal a mid-swap root BEFORE the data read — every other entry
+    // point (read/compact/counted overload) self-heals; this one must
+    // not throw on a state they would recover
+    DirSwap.recover(fs(spark, root), root)
     val dead = if (!fs(spark, root).exists(new Path(tombDir(root)))) 0L
       else spark.read.parquet(tombDir(root)).select(col("doc_id")).distinct().count()
     // total landed rows == live + dead docs (doc_id unique per row)

@@ -99,7 +99,14 @@ object StateStore {
       recovered match {
         case Some(v) => writeLatest(spark, root, v); Some(v) // heal the pointer
         case None =>
-          require(Tables.forall(t => !f.exists(new Path(s"$root/$t"))),
+          // No markers. Distinguish an interrupted FIRST commit (the
+          // `.init` sentinel lands before any artifact, so sentinel +
+          // artifacts + no marker = a v0 commit that died mid-write —
+          // safe to treat as empty: the replayed bootstrap overwrites
+          // the same dirs) from true damage (artifacts with NO commits
+          // dir at all = somebody lost the markers of a real corpus).
+          val initSeen = f.exists(commitsDir)
+          require(initSeen || Tables.forall(t => !f.exists(new Path(s"$root/$t"))),
             s"state tables exist under $root but no commit marker does — " +
               "refusing to treat a damaged state root as an empty corpus")
           None
@@ -125,6 +132,16 @@ object StateStore {
                             hashes: DataFrame, sigs: DataFrame,
                             shingles: DataFrame, manifest: DataFrame,
                             dead: DataFrame, labels: DataFrame): Long = {
+    val f = fs(spark, root)
+    // the `.init` sentinel (== the commits dir) lands BEFORE any
+    // artifact: a crash mid-first-commit then reads as an interrupted
+    // commit, not as corruption — see latestVersion
+    f.mkdirs(new Path(s"$root/commits"))
+    // heal any mid-swap table root a crashed compact() left behind —
+    // writing into a recreated root would make a LATER recover()
+    // delete the moved-aside corpus state (the readTable hazard,
+    // guarded on the write path too)
+    Tables.foreach(t => DirSwap.recover(f, s"$root/$t"))
     writePartition(hashes, "hashes", root, v, Seq("h"))
     writePartition(sigs, "sigs", root, v, Seq("id", "hs", "sig"))
     writePartition(shingles, "shingles", root, v, Seq("doc_id", "split", "h"))

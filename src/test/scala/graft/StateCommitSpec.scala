@@ -156,4 +156,30 @@ class StateCommitSpec extends AnyFunSuite {
     val e = intercept[Exception] { StateStore.load(spark, root).get.manifest.count() }
     assert(e.getMessage.contains("damaged state root"), e.getMessage)
   }
+
+  test("a crash during the FIRST commit is replayable, lost markers stay loud") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sc_first").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = new Path(root).getFileSystem(conf)
+
+    // simulated first-commit crash: the .init sentinel (commits dir)
+    // and some artifacts landed, no marker yet — load() must see an
+    // untouched corpus so the at-least-once replay can run, NOT brick
+    // the root forever
+    f.mkdirs(new Path(s"$root/commits"))
+    corpusOf(3).write.parquet(s"$root/hashes/ingest=0")
+    assert(StateStore.load(spark, root).isEmpty)
+    StateStore.commitBootstrap(spark, TrainingPipeline.bootstrapState(corpusOf(3)), root)
+    assert(StateStore.load(spark, root).isDefined)
+
+    // lost markers on a REAL corpus (commits dir itself gone) remain
+    // loud corruption
+    val root2 = java.nio.file.Files.createTempDirectory("graft_sc_lost").toString
+    StateStore.commitBootstrap(spark, TrainingPipeline.bootstrapState(corpusOf(3)), root2)
+    val f2 = new Path(root2).getFileSystem(conf)
+    assert(f2.delete(new Path(s"$root2/commits"), true))
+    assert(f2.delete(new Path(s"$root2/LATEST"), false))
+    val e = intercept[Exception] { StateStore.load(spark, root2) }
+    assert(e.getMessage.contains("no commit marker"), e.getMessage)
+  }
 }
