@@ -25,10 +25,12 @@ import graft.sources.Tables
   * only T ∈ {1, 2} keeps the oracle-parity guarantee; other T run the
   * same plan with a double pow().
   *
-  * Allocation: B_d = B * w_d // Σw (integer floor), remainder tokens
-  * dropped (never over-budget). Within a domain the draw is the
-  * deterministic hash-order token-budget prefix of
-  * [[CorpusOps.tokenBudgetSample]] — membership is a pure function of
+  * Allocation: B_d = B * w_d // Σw (integer floor — the ALLOCATION
+  * never exceeds B). Within a domain the draw is the deterministic
+  * hash-order token-budget prefix of [[CorpusOps.tokenBudgetSample]]:
+  * prefix semantics admit the document that crosses the boundary, so
+  * the DRAWN tokens may overshoot B_d (and the global total B) by at
+  * most one document per domain — membership is a pure function of
   * the id set, independent of partitioning.
   *
   * Scale shape: one grouped aggregation for the domain masses (tiny

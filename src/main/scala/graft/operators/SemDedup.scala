@@ -87,10 +87,19 @@ object SemDedup {
         selfPairs = true)
       .select(col("id_a"), col("id_b"))
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    assigned.select(col("id"), col("cluster"))
+    // connectedComponents is eager (it iterates), so the cache is hot
+    // here; localCheckpoint materializes the final (3-long-column)
+    // result while it still is, which lets us unpersist the fat
+    // assignment frame (qv arrays) before returning instead of leaving
+    // it in the cache manager for the session's lifetime — checkpoint
+    // blocks free with GC once the caller drops the frame
+    val out = assigned.select(col("id"), col("cluster"))
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         coalesce(col("comp"), col("id")).as("group_id"))
+      .localCheckpoint()
+    assigned.unpersist()
+    out
   }
 
   /** Incremental semantic near-dup: batch vectors against a standing

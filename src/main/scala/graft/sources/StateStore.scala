@@ -78,6 +78,12 @@ object StateStore {
 
   private def latestPath(root: String) = new Path(s"$root/LATEST")
   private def markerPath(root: String, v: Long) = new Path(s"$root/commits/v$v")
+  // In-flight-commit sentinel: created BEFORE any artifact, deleted
+  // right after the version marker lands — so it can never outlive a
+  // real commit. Its presence (with no markers) means "a commit died
+  // mid-write, replay is safe"; its absence alongside state artifacts
+  // means the markers of a REAL corpus were lost — loud corruption.
+  private def initSentinel(root: String) = new Path(s"$root/commits/.init")
 
   /** Latest committed version. A missing LATEST with commit markers
     * present is recovered (and the pointer healed); state tables with
@@ -99,13 +105,14 @@ object StateStore {
       recovered match {
         case Some(v) => writeLatest(spark, root, v); Some(v) // heal the pointer
         case None =>
-          // No markers. Distinguish an interrupted FIRST commit (the
-          // `.init` sentinel lands before any artifact, so sentinel +
-          // artifacts + no marker = a v0 commit that died mid-write —
-          // safe to treat as empty: the replayed bootstrap overwrites
-          // the same dirs) from true damage (artifacts with NO commits
-          // dir at all = somebody lost the markers of a real corpus).
-          val initSeen = f.exists(commitsDir)
+          // No markers. Distinguish an interrupted commit (the `.init`
+          // sentinel lands before any artifact and is deleted only
+          // after the marker, so sentinel + artifacts + no marker = a
+          // v0 commit that died mid-write — safe to treat as empty:
+          // the replayed bootstrap overwrites the same dirs) from true
+          // damage (artifacts but NO sentinel = the markers of a real
+          // corpus were lost, even if the commits dir itself survived).
+          val initSeen = f.exists(initSentinel(root))
           require(initSeen || Tables.forall(t => !f.exists(new Path(s"$root/$t"))),
             s"state tables exist under $root but no commit marker does — " +
               "refusing to treat a damaged state root as an empty corpus")
@@ -133,10 +140,12 @@ object StateStore {
                             shingles: DataFrame, manifest: DataFrame,
                             dead: DataFrame, labels: DataFrame): Long = {
     val f = fs(spark, root)
-    // the `.init` sentinel (== the commits dir) lands BEFORE any
-    // artifact: a crash mid-first-commit then reads as an interrupted
-    // commit, not as corruption — see latestVersion
+    // the `.init` sentinel lands BEFORE any artifact: a crash
+    // mid-commit then reads as an interrupted commit, not as
+    // corruption — see latestVersion. Deleted after the marker, so a
+    // committed corpus whose markers are later lost stays loud.
     f.mkdirs(new Path(s"$root/commits"))
+    f.create(initSentinel(root), true).close()
     // heal any mid-swap table root a crashed compact() left behind —
     // writing into a recreated root would make a LATER recover()
     // delete the moved-aside corpus state (the readTable hazard,
@@ -151,6 +160,7 @@ object StateStore {
     labels.select(col("id"), col("comp"))
       .write.mode("overwrite").parquet(s"$root/labels/v=$v")
     fs(spark, root).create(markerPath(root, v), true).close() // commit point for recovery
+    f.delete(initSentinel(root), false) // marker landed: the sentinel may not outlive it
     writeLatest(spark, root, v)
     v
   }

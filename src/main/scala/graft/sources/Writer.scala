@@ -66,7 +66,12 @@ object Writer {
     *
     * `multiLine` on read: the writer quotes embedded newlines (document
     * text has them), and the line-oriented default reader would split
-    * such a quoted record into malformed rows. `enforceSchema=false`:
+    * such a quoted record into malformed rows. It is a throughput
+    * trade, not a free default: a multiLine scan is NOT SPLITTABLE —
+    * one whole file per task — so at the 100 TB design point a
+    * newline-free CSV ingest should pass `multiLine = false` to keep
+    * per-split parallelism (the parquet/ORC legs don't have this
+    * trade; CSV is the interchange path). `enforceSchema=false`:
     * the default applies the user schema POSITIONALLY, silently
     * mis-assigning columns if the file's column order ever drifts —
     * with it off, a header/schema name mismatch fails loudly (the
@@ -75,10 +80,11 @@ object Writer {
     df.write.mode("append").option("header", "true").partitionBy(dayCol).csv(path)
 
   def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
-              schema: org.apache.spark.sql.types.StructType): DataFrame =
+              schema: org.apache.spark.sql.types.StructType,
+              multiLine: Boolean = true): DataFrame =
     spark.read
       .option("header", "true")
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .option("enforceSchema", "false")
       .schema(schema).csv(path)
 }

@@ -162,15 +162,20 @@ class StateCommitSpec extends AnyFunSuite {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = new Path(root).getFileSystem(conf)
 
-    // simulated first-commit crash: the .init sentinel (commits dir)
-    // and some artifacts landed, no marker yet — load() must see an
-    // untouched corpus so the at-least-once replay can run, NOT brick
-    // the root forever
+    // simulated first-commit crash: the .init sentinel and some
+    // artifacts landed, no marker yet — load() must see an untouched
+    // corpus so the at-least-once replay can run, NOT brick the root
+    // forever
     f.mkdirs(new Path(s"$root/commits"))
+    f.create(new Path(s"$root/commits/.init"), true).close()
     corpusOf(3).write.parquet(s"$root/hashes/ingest=0")
     assert(StateStore.load(spark, root).isEmpty)
     StateStore.commitBootstrap(spark, TrainingPipeline.bootstrapState(corpusOf(3)), root)
     assert(StateStore.load(spark, root).isDefined)
+    // the sentinel may not outlive the commit it guarded — its
+    // survival would make the lost-marker damage below read as empty
+    assert(!f.exists(new Path(s"$root/commits/.init")),
+      ".init sentinel must be deleted once the version marker lands")
 
     // lost markers on a REAL corpus (commits dir itself gone) remain
     // loud corruption
@@ -181,5 +186,18 @@ class StateCommitSpec extends AnyFunSuite {
     assert(f2.delete(new Path(s"$root2/LATEST"), false))
     val e = intercept[Exception] { StateStore.load(spark, root2) }
     assert(e.getMessage.contains("no commit marker"), e.getMessage)
+
+    // the likeliest partial-damage shape: marker FILES (and LATEST)
+    // lost while the commits/ directory itself survives — must stay
+    // loud too, not read as an empty corpus (the sentinel, not the
+    // directory, is what licenses the replay)
+    val root3 = java.nio.file.Files.createTempDirectory("graft_sc_lostm").toString
+    StateStore.commitBootstrap(spark, TrainingPipeline.bootstrapState(corpusOf(3)), root3)
+    val f3 = new Path(root3).getFileSystem(conf)
+    f3.listStatus(new Path(s"$root3/commits")).foreach(s => f3.delete(s.getPath, false))
+    assert(f3.exists(new Path(s"$root3/commits")), "commits dir must survive")
+    assert(f3.delete(new Path(s"$root3/LATEST"), false))
+    val e3 = intercept[Exception] { StateStore.load(spark, root3) }
+    assert(e3.getMessage.contains("no commit marker"), e3.getMessage)
   }
 }
