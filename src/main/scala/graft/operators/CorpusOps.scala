@@ -80,21 +80,76 @@ object CorpusOps {
 
   // ---- Token-budget sampling ----------------------------------------------
 
+  /** The scale-safe engine behind every deterministic budget-prefix
+    * draw ([[tokenBudgetSample]], [[MixtureOps.temperatureMixture]]):
+    * keep each group's hash-order prefix while the exclusive running
+    * token sum stays under its budget — WITHOUT sorting whole groups
+    * in one task (the shape a per-group unbounded-preceding window
+    * forces, and the one that dies when a single domain is terabytes).
+    *
+    * The hash order is cut into 2^bucketBits range buckets (arithmetic
+    * `shiftright` of the signed order hash, so bucket order == draw
+    * order). Per-bucket masses collapse in ONE map-side-combined
+    * aggregation; the exclusive bucket-prefix mass is a window over
+    * that BUCKET frame — #groups × 2^bucketBits rows, corpus-size-
+    * independent. Joined back, every doc row gets a whole-bucket
+    * verdict: all-in (the bucket's inclusive mass fits the budget),
+    * all-out (its exclusive mass is already past it), or boundary.
+    * Exactly ONE bucket per group is boundary, and only it pays an
+    * exact within-bucket cumsum — partitioned by (group, bucket), so
+    * the residual sort is 2^bucketBits× smaller than the per-group
+    * sort it replaces and shrinks further as buckets are raised.
+    *
+    * Membership is bit-identical to the single-window cumsum (the
+    * DuckDB oracles keep the plain-window form): a doc's exclusive
+    * prefix mass is its bucket's exclusive mass plus its within-bucket
+    * exclusive mass, and whole-bucket verdicts are the boundary cases
+    * where that sum's comparison is decided by the bucket term alone. */
+  private[operators] def budgetPrefixFilter(
+      docs: DataFrame, grpCol: Column, idCol: Column, hashCol: Column,
+      tokensCol: Column, budgetCol: Column, bucketBits: Int = 12): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    val aug = docs
+      .withColumn("__t", tokensCol.cast(LongType))
+      .withColumn("__bud", budgetCol.cast(LongType))
+      .withColumn("__g", grpCol)
+      .withColumn("__h", hashCol)
+      .withColumn("__b", shiftright(col("__h"), 64 - bucketBits))
+    val cuts = aug.groupBy(col("__g").as("__cg"), col("__b").as("__cb_b"))
+      .agg(sum(col("__t")).as("__bs"))
+    val wb = Window.partitionBy(col("__cg")).orderBy(col("__cb_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cuts.withColumn("__pre", coalesce(sum(col("__bs")).over(wb), lit(0L)))
+    // the cut frame is bounded (#groups × 2^bucketBits short rows) —
+    // AQE broadcasts it; the join is null-safe on the group because a
+    // NULL group is a real draw group (the temperatureMixture contract)
+    val joined = aug.join(cum,
+      col("__g") <=> col("__cg") && col("__b") === col("__cb_b"))
+    val allIn = joined.filter(col("__pre") + col("__bs") <= col("__bud"))
+    val wj = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__h"), idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = joined
+      .filter(col("__pre") < col("__bud") && col("__pre") + col("__bs") > col("__bud"))
+      .withColumn("__cum", col("__pre") + coalesce(sum(col("__t")).over(wj), lit(0L)))
+      .filter(col("__cum") < col("__bud"))
+      .drop("__cum")
+    allIn.unionByName(boundary)
+      .drop("__t", "__bud", "__g", "__h", "__b", "__cg", "__cb_b", "__bs", "__pre")
+  }
+
   /** Deterministic per-group corpus sample to a token budget: order
     * each group by a replayable id hash (so membership is a pure
     * function of the id set, independent of partitioning or arrival
     * order) and keep documents while the exclusive running token sum
     * is under `budget`. The standard "give me ~N tokens per language"
-    * downsampling step; one window per group, fully codegen'd. */
+    * downsampling step; the draw runs on the bucketed prefix engine
+    * ([[budgetPrefixFilter]]), so no group is ever sorted in one task. */
   def tokenBudgetSample(docs: DataFrame, grpCol: Column, idCol: Column,
                         tokensCol: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val h = PolyHash64.poly_hash64(concat(lit("sample|"), idCol.cast(StringType)))
-    val w = Window.partitionBy(grpCol).orderBy(h, idCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.withColumn("__cum", coalesce(sum(tokensCol).over(w), lit(0L)))
-      .filter(col("__cum") < budget)
-      .drop("__cum")
+    budgetPrefixFilter(docs, grpCol, idCol, h, tokensCol, lit(budget))
   }
 
   /** §2.5 — ~5k tokens per language from `documents`. */
