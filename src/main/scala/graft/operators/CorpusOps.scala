@@ -104,14 +104,31 @@ object CorpusOps {
     * DuckDB oracles keep the plain-window form): a doc's exclusive
     * prefix mass is its bucket's exclusive mass plus its within-bucket
     * exclusive mass, and whole-bucket verdicts are the boundary cases
-    * where that sum's comparison is decided by the bucket term alone. */
-  private[operators] def budgetPrefixFilter(
+    * where that sum's comparison is decided by the bucket term alone.
+    * The all-in test is STRICT (`__pre + __bs < __bud`): a bucket whose
+    * inclusive mass lands exactly on the budget routes through the
+    * exact within-bucket cumsum, because a zero-token doc at its tail
+    * has exclusive prefix mass == budget and the plain-window `c < b`
+    * semantics exclude it — an inclusive all-in would keep it.
+    *
+    * Contract: `tokensCol >= 0`. The bucket decomposition drops an
+    * all-out bucket (`__pre >= __bud`) wholesale, which is only sound
+    * when masses are non-negative (a later negative mass could bring
+    * the exclusive cumsum back under budget); enforced with the same
+    * up-front filter-free guard style as [[ppsSystematicSample]] — a
+    * negative token count fails the run rather than silently mis-
+    * sampling. */
+  private[graft] def budgetPrefixFilter(
       docs: DataFrame, grpCol: Column, idCol: Column, hashCol: Column,
       tokensCol: Column, budgetCol: Column, bucketBits: Int = 12): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 20,
       s"bucketBits must be in [1, 20], got $bucketBits")
+    val t = tokensCol.cast(LongType)
     val aug = docs
-      .withColumn("__t", tokensCol.cast(LongType))
+      .withColumn("__t", when(t >= 0, t).otherwise(raise_error(concat(
+        lit("budgetPrefixFilter: negative token count — the bucket " +
+          "decomposition requires non-negative masses, got "),
+        t.cast(StringType)))))
       .withColumn("__bud", budgetCol.cast(LongType))
       .withColumn("__g", grpCol)
       .withColumn("__h", hashCol)
@@ -126,11 +143,11 @@ object CorpusOps {
     // NULL group is a real draw group (the temperatureMixture contract)
     val joined = aug.join(cum,
       col("__g") <=> col("__cg") && col("__b") === col("__cb_b"))
-    val allIn = joined.filter(col("__pre") + col("__bs") <= col("__bud"))
+    val allIn = joined.filter(col("__pre") + col("__bs") < col("__bud"))
     val wj = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__h"), idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val boundary = joined
-      .filter(col("__pre") < col("__bud") && col("__pre") + col("__bs") > col("__bud"))
+      .filter(col("__pre") < col("__bud") && col("__pre") + col("__bs") >= col("__bud"))
       .withColumn("__cum", col("__pre") + coalesce(sum(col("__t")).over(wj), lit(0L)))
       .filter(col("__cum") < col("__bud"))
       .drop("__cum")
@@ -173,16 +190,30 @@ object CorpusOps {
     * partitioning-independent, and replayable in ANSI SQL — the
     * weighted-sampling story that `-ln(u)/w` priority sampling can't
     * deliver cross-engine. A doc heavier than W/k spans >= 1 boundary
-    * and is always kept (the PPS certainty case). One window per
-    * group; no driver state. */
+    * and is always kept (the PPS certainty case).
+    *
+    * Scale shape — the same bucket decomposition as
+    * [[budgetPrefixFilter]], NOT a per-group unbounded-preceding
+    * window: the hash order is cut into 2^bucketBits range buckets
+    * whose masses collapse in one map-side-combined aggregation; a
+    * bucket spanning [pre, pre+bs) contains a stratum boundary iff
+    * `(pre*k) div W < ((pre+bs)*k) div W`, so all non-crossing buckets
+    * — everything except at most k per group — are dropped WHOLESALE
+    * without ever sorting their docs. Only the <= k crossing buckets
+    * pay an exact within-bucket cumsum (partitioned by group AND
+    * bucket), each 2^bucketBits× smaller than the group sort this
+    * replaces. A doc's exclusive prefix is its bucket's exclusive mass
+    * plus its within-bucket exclusive mass, so membership is
+    * bit-identical to the single-window form (the DuckDB oracle keeps
+    * that form). */
   def ppsSystematicSample(docs: DataFrame, grpCol: Column, idCol: Column,
-                          weightCol: Column, k: Int): DataFrame = {
+                          weightCol: Column, k: Int,
+                          bucketBits: Int = 12): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
     val h = PolyHash64.poly_hash64(concat(lit("pps|"), idCol.cast(StringType)))
-    val w = Window.partitionBy(grpCol).orderBy(h, idCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy(grpCol)
-    docs
+    val aug = docs
       .withColumn("__wt", weightCol.cast(LongType))
       // weight <= 0 carries no mass: such a doc can never contain a
       // stratum boundary, so excluding it up front is semantics-neutral
@@ -191,15 +222,32 @@ object CorpusOps {
       // Spark `div` truncates while DuckDB `//` floors — parity only
       // holds on non-negatives)
       .filter(col("__wt") > 0)
-      .withColumn("__cb", coalesce(sum(col("__wt")).over(w), lit(0L)))
-      .withColumn("__W", sum(col("__wt")).over(wTot))
+      .withColumn("__h", h)
+      .withColumn("__g", grpCol)
+      .withColumn("__b", shiftright(col("__h"), 64 - bucketBits))
+    // bucket masses + per-group totals: both run over the bounded cut
+    // frame (#groups × 2^bucketBits short rows), never the corpus
+    val cuts = aug.groupBy(col("__g").as("__cg"), col("__b").as("__cb_b"))
+      .agg(sum(col("__wt")).as("__bs"))
+    val wb = Window.partitionBy(col("__cg")).orderBy(col("__cb_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("__cg"))
+    val cum = cuts
+      .withColumn("__pre", coalesce(sum(col("__bs")).over(wb), lit(0L)))
+      .withColumn("__W", sum(col("__bs")).over(wTot))
+      // keep only buckets a stratum boundary lands in — at most k per
+      // group survive, so the doc-side join below is highly selective.
+      // __W > 0 holds because every contributing row has __wt > 0.
+      .filter(expr(s"(__pre * $k) div __W < ((__pre + __bs) * $k) div __W"))
+    val wj = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__h"), idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    aug
+      .join(cum, col("__g") <=> col("__cg") && col("__b") === col("__cb_b"))
+      .withColumn("__cb", col("__pre") + coalesce(sum(col("__wt")).over(wj), lit(0L)))
       // `div` = integer floor division on BIGINT — exact, no double
-      // rounding. __W > 0 is guaranteed by the filter above (every
-      // surviving row contributes), so the division cannot hit ANSI
-      // divide-by-zero even for a group whose docs were all zero-weight
-      // (the group is simply gone).
+      // rounding
       .filter(expr(s"(__cb * $k) div __W < ((__cb + __wt) * $k) div __W"))
-      .drop("__wt", "__cb", "__W")
+      .drop("__wt", "__h", "__g", "__b", "__cg", "__cb_b", "__bs", "__pre", "__W", "__cb")
   }
 
   /** §2.5 — ~8 docs per language, inclusion ∝ token count. */

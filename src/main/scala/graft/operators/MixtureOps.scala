@@ -34,8 +34,11 @@ import graft.sources.Tables
   * the id set, independent of partitioning.
   *
   * Scale shape: one grouped aggregation for the domain masses (tiny
-  * result, broadcast back), one window per domain for the prefix draw.
-  * No driver state; domains are the natural partition key.
+  * result, broadcast back); the prefix draw runs on the bucketed
+  * engine ([[CorpusOps.budgetPrefixFilter]]), so only each domain's
+  * single boundary bucket — 2^bucketBits× smaller than the domain —
+  * pays an exact sort. No driver state; domains (and their hash
+  * buckets) are the natural partition key.
   */
 object MixtureOps {
 
@@ -78,17 +81,19 @@ object MixtureOps {
     val budgets = domainBudgets(docs, domainCol, tokensCol, totalBudget, temperature)
       .select(col("domain").as("__mix_dom"), col("budget"))
     val h = PolyHash64.poly_hash64(concat(lit("mix|"), idCol.cast(StringType)))
-    val w = Window.partitionBy(domainCol).orderBy(h, idCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
     // null-safe join: a NULL domain is a real group (domainBudgets
     // allocates it a share), and a plain equi-join would silently drop
     // its docs while still letting its weight shrink every other
-    // domain's allocation
-    docs
-      .join(broadcast(budgets), domainCol <=> col("__mix_dom"))
-      .withColumn("__cum", coalesce(sum(tokensCol.cast(LongType)).over(w), lit(0L)))
-      .filter(col("__cum") < col("budget"))
-      .drop("__cum", "__mix_dom")
+    // domain's allocation.
+    // The draw itself runs on the bucketed prefix engine
+    // ([[CorpusOps.budgetPrefixFilter]]) — membership is provably
+    // identical to the per-domain unbounded-preceding window (the
+    // DuckDB oracle keeps that form), but no domain is ever sorted in
+    // one task, so a terabyte-scale domain cannot funnel the draw.
+    CorpusOps.budgetPrefixFilter(
+        docs.join(broadcast(budgets), domainCol <=> col("__mix_dom")),
+        domainCol, idCol, h, tokensCol, col("budget"))
+      .drop("__mix_dom")
   }
 
   /** §2.7 — ~8k tokens re-mixed across `source` domains at T=2. */

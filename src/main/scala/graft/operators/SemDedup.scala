@@ -69,7 +69,8 @@ object SemDedup {
     * the canonical representative with `group_id == id`. */
   def semanticGroups(df: DataFrame, idCol: String, vecCol: String,
                      k: Int, threshold: Double,
-                     refine: Boolean = false): DataFrame = {
+                     refine: Boolean = false,
+                     checkpoint: Boolean = true): DataFrame = {
     // persisted: the O(n·k) scoring + argmin pass feeds THREE consumers
     // (both sides of the pair self-join and the final label join) —
     // the same multi-consumer discipline Dedup applies to its state
@@ -92,14 +93,20 @@ object SemDedup {
     // result while it still is, which lets us unpersist the fat
     // assignment frame (qv arrays) before returning instead of leaving
     // it in the cache manager for the session's lifetime — checkpoint
-    // blocks free with GC once the caller drops the frame
-    val out = assigned.select(col("id"), col("cluster"))
+    // blocks free with GC once the caller drops the frame.
+    // `checkpoint = false` keeps the frame lazy (lineage intact) for
+    // plan inspection (PlanSpec pins the broadcast/blocked-join shape,
+    // which a checkpointed frame hides behind Scan ExistingRDD).
+    val joined = assigned.select(col("id"), col("cluster"))
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         coalesce(col("comp"), col("id")).as("group_id"))
-      .localCheckpoint()
-    assigned.unpersist()
-    out
+    if (!checkpoint) joined
+    else {
+      val out = joined.localCheckpoint()
+      assigned.unpersist()
+      out
+    }
   }
 
   /** Incremental semantic near-dup: batch vectors against a standing
@@ -119,12 +126,56 @@ object SemDedup {
                          idCol: String, vecCol: String,
                          k: Int, threshold: Double): DataFrame = {
     val seeds = hashSeeds(corpus, idCol, vecCol, k)
-    scoredPairs(
-        assignClusters(batch, idCol, vecCol, seeds),
-        assignClusters(corpus, idCol, vecCol, seeds),
-        threshold, selfPairs = false)
-      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"), col("cos"))
+    crossSemanticFromState(
+      assignmentTable(corpus, idCol, vecCol, seeds),
+      batch, idCol, vecCol, seeds, threshold)
   }
+
+  // ---- Persisted semantic-assignment state --------------------------------
+  //
+  // The embedding-space mirror of Dedup's signature-table family
+  // (Dedup.signatureTable / minhashCrossFromState / minhashCrossStates):
+  // assign each document's embedding ONCE, at ingest time, and persist
+  // the assignment rows; every later ingest then scores its batch
+  // against stored state and the corpus embeddings are read zero times.
+  // Without this, a daily semantic ingest at 100 TB re-reads and
+  // re-assigns the entire corpus per call — the most expensive possible
+  // no-op.
+
+  /** The k-row cluster model: (sid, s_qv, s_nsq). Persist ONCE per
+    * corpus lifetime — clusters must be stable across ingests (the
+    * seed model is the semantic analog of the LSH band config: change
+    * it and every stored assignment is invalidated). */
+  def seedTable(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    hashSeeds(corpus, idCol, vecCol, k)
+
+  /** The maintained per-doc state: (id, cluster, qv, nsq) — quantized
+    * vector and norm alongside the cluster so the pair stage never
+    * touches raw embeddings again. Append each accepted batch's rows
+    * (the delta IS the batch's assignment — `old ∪ delta`, the same
+    * state arithmetic as [[TrainingPipeline.StateDelta]]). */
+  def assignmentTable(df: DataFrame, idCol: String, vecCol: String,
+                      seeds: DataFrame): DataFrame =
+    assignClusters(df, idCol, vecCol, seeds)
+
+  /** Incremental pairs against stored state: the batch is assigned
+    * under the PERSISTED seed model and scored only against corpus
+    * state rows in shared clusters. Returns (batch_id, corpus_id, cos)
+    * plus — via [[assignmentTable]] on the same seeds — the delta to
+    * append if the batch is accepted. */
+  def crossSemanticFromState(corpusAssign: DataFrame, batch: DataFrame,
+                             idCol: String, vecCol: String,
+                             seeds: DataFrame, threshold: Double): DataFrame =
+    crossSemanticStates(corpusAssign,
+      assignClusters(batch, idCol, vecCol, seeds), threshold)
+
+  /** Both sides as precomputed assignment frames — the shape an
+    * incremental pipeline uses when the batch's assignment also feeds
+    * its own state append (compute once, persist, pass here). */
+  def crossSemanticStates(corpusAssign: DataFrame, batchAssign: DataFrame,
+                          threshold: Double): DataFrame =
+    scoredPairs(batchAssign, corpusAssign, threshold, selfPairs = false)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"), col("cos"))
 
   /** The shared pair stage: within-cluster equi join + quantized
     * cosine at `threshold`, over two assigned frames (id, cluster, qv,

@@ -58,7 +58,9 @@ object TrainingPipeline {
       decontShingle: Int = 8,
       packCapacity: Long = 2048L,
       verifyK: Int = 0,
-      lshBands: Int = 8)
+      lshBands: Int = 8,
+      scrubSpanGram: Int = 0,
+      scrubMinCount: Int = 2)
 
   /** The stage intermediates [[run]] flows through — exposed so
     * [[bootstrapState]] can capture incremental-ingest state without
@@ -133,10 +135,29 @@ object TrainingPipeline {
     val pairs = Dedup.minhashNearDupsFromState(sigs, numPerm = 32,
       bands = cfg.lshBands, threshold = cfg.nearDupThreshold, verifyK = cfg.verifyK)
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    val canonical = exactDeduped
+    val canonical0 = exactDeduped
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .filter(col("comp").isNull || col("comp") === col("doc_id"))
       .drop("comp")
+
+    // 3b. substring scrub (config-gated, OFF by default — `scrubSpanGram
+    // = 0` leaves this a no-op and the stage chain byte-identical to the
+    // ungated pipeline): remove corpus-wide duplicated word spans
+    // ([[SubstringDedup.scrubDupSpans]], survey row 96) from the
+    // surviving canonicals, between near-dup resolution (whole-doc dups
+    // are already gone, so span counting isn't inflated by them) and the
+    // split (token counts downstream — packing — see scrubbed text).
+    // The decon gram hashes stay those of the PRE-scrub text: a
+    // conservative superset (a scrubbed span can only remove leak
+    // evidence, never add it), and it keeps the shared token pass
+    // single. Scrubbed text is normalized by construction.
+    val canonical =
+      if (cfg.scrubSpanGram < 2) canonical0
+      else canonical0
+        .join(SubstringDedup.scrubDupSpans(canonical0, "doc_id", "text",
+            cfg.scrubSpanGram, cfg.scrubMinCount)
+          .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+        .withColumn("text", col("clean_text")).drop("clean_text")
 
     // 4. split
     val split = TrainingOps.assignSplit(canonical, col("doc_id"),

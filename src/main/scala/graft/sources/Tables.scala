@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed accessors for the synthetic warehouse (TESTDATA.md).
   *
@@ -29,19 +29,27 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Read it as nanos-since-epoch (legacy conf, set
-    * dynamically so any caller session works) and truncate to
-    * microseconds — the same truncation DuckDB applies on read, so the
-    * two engines see identical timestamps. `ts div 1000` is integer
-    * division (a double division would lose precision at 2^63 ns). */
-  /** Shared ns→µs conversion — the batch (events) and streaming
-    * (EventStream.readEvents) paths must truncate identically or their
-    * parity breaks. */
+  /** Normalize `events.ts` to session-TZ TIMESTAMP regardless of how the
+    * generator encoded it. Three shapes exist across testdata generations:
+    *   - TIMESTAMP(NANOS) parquet → Spark's vectorized reader rejects it;
+    *     with the legacy `nanosAsLong` conf it lands as LongType nanos,
+    *     truncated here to µs with integer division (`ts div 1000` — a
+    *     double division would lose precision at 2^63 ns). DuckDB applies
+    *     the same truncation on read, so both engines see identical values.
+    *   - timestamp[us] without timezone → Spark reads TIMESTAMP_NTZ;
+    *     cast to TIMESTAMP is value-preserving under the UTC session TZ
+    *     the engine pins, and matches DuckDB's naive-µs reading.
+    *   - timestamp[us] UTC-adjusted → already TIMESTAMP, passed through.
+    * Shared by the batch (events) and streaming (EventStream.readEvents)
+    * paths — they must normalize identically or their parity breaks. */
   def nanosTsToMicros(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -57,12 +65,21 @@ object Tables {
                   startMicros: Long, endMicros: Long): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.filter(col("ts") >= startMicros * 1000 && col("ts") < endMicros * 1000)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else
-      df.filter(col("ts") >= expr(s"timestamp_micros(${startMicros}L)") &&
-                col("ts") < expr(s"timestamp_micros(${endMicros}L)"))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.filter(col("ts") >= startMicros * 1000 && col("ts") < endMicros * 1000)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // NTZ literals fold to constants, so the bound still reaches the
+        // scan (row-group pruning applies); the cast to TIMESTAMP happens
+        // only after the filter, on the surviving rows.
+        df.filter(col("ts") >= expr(s"cast(timestamp_micros(${startMicros}L) as timestamp_ntz)") &&
+                  col("ts") < expr(s"cast(timestamp_micros(${endMicros}L) as timestamp_ntz)"))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        df.filter(col("ts") >= expr(s"timestamp_micros(${startMicros}L)") &&
+                  col("ts") < expr(s"timestamp_micros(${endMicros}L)"))
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

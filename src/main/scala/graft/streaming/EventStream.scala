@@ -16,15 +16,16 @@ import graft.operators.Relational.dec2
   */
 object EventStream {
 
-  /** `ts` lands as nanos-since-epoch (see Tables.events — Spark cannot
-    * read TIMESTAMP(NANOS) parquet natively). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** `ts`'s physical encoding has varied across testdata generations
+    * (TIMESTAMP(NANOS) → legacy LongType nanos; timestamp[us] naive →
+    * TIMESTAMP_NTZ) — see Tables.nanosTsToMicros. The stream schema is
+    * therefore probed from the files already present (one batch-side
+    * footer read at stream construction, not per microbatch) rather
+    * than hard-coded to one encoding. */
+  def eventsSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(dir).schema
+  }
 
   /** Tumbling 1-hour aggregation; identical logic for batch and stream.
     * Groups on the `window()` column itself (not `window.start`) so
@@ -49,7 +50,7 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.sources.Tables.nanosTsToMicros(
-      spark.readStream.schema(eventsSchema).parquet(dir))
+      spark.readStream.schema(eventsSchema(spark, dir)).parquet(dir))
   }
 
   /** Run the hourly aggregation into an in-memory table (test/dev sink). */

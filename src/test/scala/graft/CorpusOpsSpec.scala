@@ -67,6 +67,87 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.contains(1L), "a doc heavier than W/k spans a stratum boundary by construction")
   }
 
+  test("budgetPrefixFilter at small bucketBits is row-identical to the plain single window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.PolyHash64
+    // crafted corpus: 3 groups × 80 docs with zero-token docs mixed in —
+    // at bucketBits 1..3 every bucket holds many docs, so the all-in /
+    // all-out / boundary classification and the within-bucket residual
+    // cumsum (the machinery the sf-scale oracle barely touches at 4096
+    // near-singleton buckets) all carry real weight
+    val rng = new scala.util.Random(42)
+    val rows = (1L to 240L).map { i =>
+      ((i % 3).toString, i, if (rng.nextInt(4) == 0) 0L else rng.nextInt(50).toLong)
+    }
+    val df = rows.toDF("grp", "doc_id", "n_tokens")
+    val h = PolyHash64.poly_hash64(concat(lit("sample|"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"grp").orderBy(h, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def plain(budget: Long): Set[Long] =
+      df.withColumn("__c", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .filter($"__c" < budget).select($"doc_id").as[Long].collect().toSet
+
+    for (bits <- 1 to 3) {
+      // budgets landing EXACTLY on inclusive bucket-prefix masses (the
+      // equality case the strict all-in test exists for: a bucket whose
+      // inclusive mass == budget must route through the exact cumsum so
+      // a zero-token doc at its tail is excluded like the plain form
+      // excludes it), plus off-by-one neighbours, tiny, and past-total
+      val inclMasses = df
+        .withColumn("__b", shiftright(h, 64 - bits))
+        .groupBy($"grp", $"__b").agg(sum($"n_tokens").as("bs"))
+        .withColumn("incl", sum($"bs").over(
+          Window.partitionBy($"grp").orderBy($"__b")))
+        .select($"incl").as[Long].collect().toSet
+      val budgets =
+        (inclMasses.flatMap(m => Seq(m - 1, m, m + 1)) ++ Seq(1L, 7L, 1000000L))
+          .filter(_ > 0)
+      budgets.foreach { b =>
+        val got = CorpusOps.budgetPrefixFilter(
+            df, $"grp", $"doc_id", h, $"n_tokens", lit(b), bucketBits = bits)
+          .select($"doc_id").as[Long].collect().toSet
+        assert(got == plain(b), s"bucketBits=$bits budget=$b")
+      }
+    }
+  }
+
+  test("budgetPrefixFilter rejects negative token counts (bucket-decomposition contract)") {
+    val df = Seq(("g", 1L, 5L), ("g", 2L, -3L)).toDF("grp", "doc_id", "n_tokens")
+    val ex = intercept[Exception] {
+      CorpusOps.budgetPrefixFilter(df, $"grp", $"doc_id",
+          graft.plans.PolyHash64.poly_hash64($"doc_id".cast("string")),
+          $"n_tokens", lit(100L), bucketBits = 2)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("PPS bucketed engine is row-identical to the plain single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.PolyHash64
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 300L).map { i =>
+      ((i % 3).toString, i, rng.nextInt(100).toLong) // zeros included → filtered identically
+    }
+    val df = rows.toDF("grp", "doc_id", "wt")
+    val h = PolyHash64.poly_hash64(concat(lit("pps|"), $"doc_id".cast("string")))
+    def plain(k: Int): Set[Long] = {
+      val w = Window.partitionBy($"grp").orderBy(h, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.filter($"wt" > 0)
+        .withColumn("__cb", coalesce(sum($"wt").over(w), lit(0L)))
+        .withColumn("__W", sum($"wt").over(Window.partitionBy($"grp")))
+        .filter(expr(s"(__cb * $k) div __W < ((__cb + wt) * $k) div __W"))
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    for (bits <- 1 to 3; k <- Seq(1, 3, 8)) {
+      val got = CorpusOps.ppsSystematicSample(
+          df, $"grp", $"doc_id", $"wt", k, bucketBits = bits)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == plain(k), s"bucketBits=$bits k=$k")
+    }
+  }
+
   test("cross dedup flags exactly the batch docs whose text exists in the corpus") {
     val corpus = Seq((1L, "shared   Content here"), (2L, "corpus only text")).toDF("doc_id", "text")
     val batch = Seq((10L, "shared content HERE"),   // normalized-equal to corpus doc 1

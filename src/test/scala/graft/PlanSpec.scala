@@ -152,7 +152,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("semantic dedup: k-row seed broadcast, pair join blocked on cluster") {
-    val p = plan(graft.operators.SemDedup.semanticDedupQ(spark, TestSpark.sf))
+    // checkpoint = false: the production query localCheckpoints its
+    // result (cache hygiene), which truncates the plan to a Scan
+    // ExistingRDD — the pin needs the lineage intact
+    val p = plan(graft.operators.SemDedup.semanticGroups(
+      graft.sources.Tables.embeddings(spark, TestSpark.sf),
+      "vec_id", "embedding", k = 8, threshold = 0.3, checkpoint = false))
     // the seed scoring pass broadcasts the k-row side
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     // the pair stage is an equi join on cluster (+ id range residual),
@@ -160,13 +165,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("domain mixture: broadcast budgets, draw windows partitioned by domain") {
+  test("domain mixture: broadcast budgets, no per-domain unbounded window over docs") {
     val p = plan(graft.operators.MixtureOps.domainMixtureQ(spark, TestSpark.sf))
     assert(p.contains("BroadcastExchange"), p)
-    // every window partitions on the domain key — the draw never
-    // funnels the corpus to one task (the weight TOTAL is a 1-row
-    // aggregate, which is allowed its single partition)
-    val unpartitioned = "windowspecdefinition\\((?!source)".r
-    assert(unpartitioned.findFirstIn(p).isEmpty, p)
+    // the draw runs on the bucketed prefix engine: every window
+    // partitions on an engine-internal key (the bounded cut frame's
+    // __cg, or the boundary residual's (__g, __b)) — no window ever
+    // partitions on the raw domain alone over the doc frame, and none
+    // is unpartitioned, so no domain funnels to one task
+    val offEngine = "windowspecdefinition\\((?!__)".r
+    assert(offEngine.findFirstIn(p).isEmpty, p)
+    // the boundary residual is sub-bucketed: its window keys include
+    // the bucket id alongside the group
+    assert("windowspecdefinition\\(__g#\\d+[^,]*, __b#".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("PPS sample: bucketed engine, no per-group unbounded window over docs") {
+    val p = plan(graft.operators.CorpusOps.ppsSampleQ(spark, TestSpark.sf))
+    val offEngine = "windowspecdefinition\\((?!__)".r
+    assert(offEngine.findFirstIn(p).isEmpty, p)
+    assert("windowspecdefinition\\(__g#\\d+[^,]*, __b#".r.findFirstIn(p).nonEmpty, p)
   }
 }

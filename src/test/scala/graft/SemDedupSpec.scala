@@ -71,6 +71,43 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("a persisted assignment table yields identical cross pairs to the direct path") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = e.filter($"vec_id" % 4 =!= 3)
+    val batch = e.filter($"vec_id" % 4 === 3)
+
+    // "maintained tables": seed model + per-doc assignments written to
+    // parquet once, read back cold — the ingest then never touches the
+    // corpus embeddings (the daily-ingest shape at 100 TB)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semstate")
+    SemDedup.seedTable(corpus, "vec_id", "embedding", k = 8)
+      .write.parquet(s"$dir/seeds")
+    val seeds = spark.read.parquet(s"$dir/seeds")
+    SemDedup.assignmentTable(corpus, "vec_id", "embedding", seeds)
+      .write.parquet(s"$dir/assign")
+
+    val fromTable = SemDedup.crossSemanticFromState(
+        spark.read.parquet(s"$dir/assign"), batch, "vec_id", "embedding",
+        seeds, threshold = 0.3)
+      .select($"batch_id", $"corpus_id", $"cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = SemDedup.crossSemanticPairs(corpus, batch,
+        "vec_id", "embedding", k = 8, threshold = 0.3)
+      .select($"batch_id", $"corpus_id", $"cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromTable == direct && fromTable.nonEmpty)
+
+    // delta-append arithmetic: state ∪ batch-assignment must equal a
+    // from-scratch assignment of the grown corpus under the SAME seeds
+    val grownDirect = SemDedup.assignmentTable(
+        corpus.unionByName(batch), "vec_id", "embedding", seeds)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toSet
+    val grownAppended = spark.read.parquet(s"$dir/assign")
+      .unionByName(SemDedup.assignmentTable(batch, "vec_id", "embedding", seeds))
+      .select($"id", $"cluster").as[(Long, Long)].collect().toSet
+    assert(grownAppended == grownDirect)
+  }
+
   test("hash-seeded assignment is partitioning-invariant") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val a = SemDedup.semanticGroups(e, "vec_id", "embedding", k = 8, threshold = 0.3)

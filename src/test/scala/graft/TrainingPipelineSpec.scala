@@ -17,6 +17,31 @@ class TrainingPipelineSpec extends AnyFunSuite {
   lazy val manifest = TrainingPipeline.run(docs, cfg).cache()
   lazy val survivors = manifest.select($"doc_id")
 
+  test("substring-scrub stage: gated off by default, shrinks tokens only when on") {
+    // the stage sits after near-dup resolution and before the split:
+    // the survivor SET and their split/bin grouping keys are untouched
+    // (split hashes ids, decon grams stay pre-scrub), only token
+    // counts may shrink where corpus-wide duplicated spans were cut
+    val on = TrainingPipeline.run(docs,
+        cfg.copy(scrubSpanGram = 10, scrubMinCount = 2))
+      .select($"doc_id", $"split", $"lang", $"n_tokens")
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    val off = manifest
+      .select($"doc_id", $"split", $"lang", $"n_tokens")
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(on.keySet == off.keySet,
+      "scrub must not change which docs survive, their splits or langs")
+    on.foreach { case (id, (_, s, l, t)) =>
+      assert(s == off(id)._2 && l == off(id)._3, s"doc $id changed split/lang")
+      assert(t <= off(id)._4, s"doc $id gained tokens under scrub")
+    }
+    // the sf corpus plants duplicated 10-gram spans (q_dup_spans is
+    // non-empty), and at least one spanning doc survives the gates —
+    // so the scrub must actually have cut something
+    assert(on.exists { case (id, (_, _, _, t)) => t < off(id)._4 },
+      "scrub-on run removed no tokens from any survivor")
+  }
+
   test("pipeline is deterministic end-to-end") {
     val a = TrainingPipeline.trainingPipelineQ(spark, TestSpark.sf).collect()
     val b = TrainingPipeline.trainingPipelineQ(spark, TestSpark.sf).collect()
