@@ -16,22 +16,77 @@ import org.apache.spark.sql.functions._
   * appends accumulate — the read path's anti-join cost and the
   * file-open cost both reset to zero.
   *
-  * The compaction swap is crash-safe ([[DirSwap]]: the old root moves
-  * aside before the rewrite moves in, so no crash point loses data —
-  * [[read]] and [[compact]] self-heal an interrupted swap), but not
-  * atomic: a reader racing the swap can still glimpse a missing root
-  * for an instant. That residue is the honest limit of bare parquet —
-  * at deployment scale this table graduates to a format with a
-  * transactional pointer (Delta/Iceberg) and this object's surface
-  * maps 1:1 onto it (append = append, tombstone = delete, compact =
-  * OPTIMIZE).
+  * Compaction is reader-atomic via a versioned layout — the same
+  * pointer-flip pattern [[StateStore]] uses: data lives under
+  * `root/v<N>/`, a `root/_current` pointer file names the live
+  * version, and [[compact]] writes `v<N+1>` IN FULL before flipping
+  * the pointer. A reader never sees a missing or half-written table:
+  * it resolves the pointer once ([[dataDir]]) and reads an immutable
+  * complete version dir. The PREVIOUS version is retained until the
+  * next compaction as a grace copy, so a reader that resolved the old
+  * pointer mid-compact finishes its scan against intact files; only
+  * versions two compactions old are deleted. (Disk high-water mark:
+  * 2× the table between compactions — the price of lock-free readers;
+  * a transactional format (Delta/Iceberg) with snapshot retention is
+  * the deployment-scale graduation and this object's surface maps 1:1
+  * onto it: append = append, tombstone = delete, compact = OPTIMIZE.)
+  *
+  * Legacy bare-layout roots (data files directly under `root`, the
+  * pre-pointer layout) still read via [[DirSwap.recover]] healing and
+  * are migrated into the versioned layout by their first [[compact]].
   */
 object ShardStore {
 
-  private def tombDir(root: String) = root + "/_tombstones"
+  private def tombDir(dataDir: String) = dataDir + "/_tombstones"
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentPath(root: String) = new Path(s"$root/_current")
+
+  /** Version index of a data dir under the versioned layout; -1 for a
+    * legacy bare root. */
+  private def versionOf(root: String, dir: String): Long =
+    if (dir == root) -1L else dir.substring(root.length + 2).toLong
+
+  private def versionDirs(f: org.apache.hadoop.fs.FileSystem,
+                          root: String): Seq[(Long, Path)] =
+    f.globStatus(new Path(s"$root/v*")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => s.getPath.getName.drop(1).toLong -> s.getPath)
+
+  /** The LIVE data directory: `root/<_current>` under the versioned
+    * layout, `root` itself for a legacy bare table. Resolving the
+    * pointer is the reader's only coupling to maintenance — the dir it
+    * returns is complete and immutable-under-compaction (appends do
+    * land in it, file-atomically). If the pointer file is mid-flip
+    * (the delete→rename instant of [[StateStore.writeLatest]]'s
+    * pattern), the highest version dir IS the flip target and complete
+    * — fall back to it. */
+  def dataDir(spark: SparkSession, root: String): String = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(root))) DirSwap.recover(f, root)
+    val cur = currentPath(root)
+    if (f.exists(cur)) {
+      val in = f.open(cur)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+      s"$root/$name"
+    } else {
+      val vs = versionDirs(f, root)
+      if (vs.isEmpty) root // legacy bare layout
+      else s"$root/v${vs.map(_._1).max}"
+    }
+  }
+
+  private def flipCurrent(spark: SparkSession, root: String, name: String): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/_current.tmp")
+    val out = f.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    if (f.exists(currentPath(root))) f.delete(currentPath(root), false)
+    require(f.rename(tmp, currentPath(root)), s"could not flip $root/_current")
+  }
 
   /** Manifest rows + their text, clustered and landed. Fails loudly if
     * a manifest row has no document (stale or filtered input).
@@ -69,10 +124,16 @@ object ShardStore {
       .partitionBy("split", "lang").parquet(root)
   }
 
-  /** Land the bootstrap manifest (overwrites the root). */
+  /** Land the bootstrap manifest (replaces any prior table at the
+    * root) as version 0 of the versioned layout, then flip the
+    * pointer — the table is addressable only once fully written. */
   def init(docs: DataFrame, manifest: DataFrame, root: String,
-           maxRecordsPerFile: Long = 0L): Unit =
-    land(docs, manifest, root, "overwrite", maxRecordsPerFile)
+           maxRecordsPerFile: Long = 0L): Unit = {
+    val f = fs(docs.sparkSession, root)
+    if (f.exists(new Path(root))) f.delete(new Path(root), true)
+    land(docs, manifest, s"$root/v0", "overwrite", maxRecordsPerFile)
+    flipCurrent(docs.sparkSession, root, "v0")
+  }
 
   /** [[init]] with rows clustered by the quantile Z-VALUE of
     * (bin, n_tokens) instead of plain (bin, doc_id) order — each shard
@@ -89,31 +150,36 @@ object ShardStore {
     * Quantile (not uniform-width) ranks keep the cells row-balanced
     * under token-length skew ([[graft.operators.ZOrder]]). */
   def initZOrdered(docs: DataFrame, manifest: DataFrame, root: String,
-                   maxRecordsPerFile: Long = 0L): Unit =
-    land(docs, manifest, root, "overwrite", maxRecordsPerFile, zCluster)
+                   maxRecordsPerFile: Long = 0L): Unit = {
+    val f = fs(docs.sparkSession, root)
+    if (f.exists(new Path(root))) f.delete(new Path(root), true)
+    land(docs, manifest, s"$root/v0", "overwrite", maxRecordsPerFile, zCluster)
+    flipCurrent(docs.sparkSession, root, "v0")
+  }
 
   /** Land one ingest's accepted rows (appends; bins were opened past
     * each group's historical max, so clustering stays monotone across
     * the appended files). */
   def append(batchDocs: DataFrame, accepted: DataFrame, root: String,
              maxRecordsPerFile: Long = 0L): Unit =
-    land(batchDocs, accepted, root, "append", maxRecordsPerFile)
+    land(batchDocs, accepted, dataDir(batchDocs.sparkSession, root),
+      "append", maxRecordsPerFile)
 
   /** Record retractions: (doc_id, reason) appended to the side table. */
   def addTombstones(tombstones: DataFrame, root: String): Unit =
     tombstones.select(col("doc_id"), col("reason"))
-      .write.mode("append").parquet(tombDir(root))
+      .write.mode("append")
+      .parquet(tombDir(dataDir(tombstones.sparkSession, root)))
 
   /** The live table: every landed row minus tombstoned docs. Heals an
     * interrupted compaction swap first (root missing but the rewrite
     * or the moved-aside original present — see [[DirSwap.recover]]). */
   def read(spark: SparkSession, root: String): DataFrame = {
-    if (!fs(spark, root).exists(new Path(root)))
-      DirSwap.recover(fs(spark, root), root)
-    val all = spark.read.parquet(root)
-    if (!fs(spark, root).exists(new Path(tombDir(root)))) all
+    val dir = dataDir(spark, root)
+    val all = spark.read.parquet(dir)
+    if (!fs(spark, root).exists(new Path(tombDir(dir)))) all
     else all.join(
-      spark.read.parquet(tombDir(root)).select(col("doc_id")).distinct(),
+      spark.read.parquet(tombDir(dir)).select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
   }
 
@@ -138,10 +204,10 @@ object ShardStore {
                    maxTombstoneFrac: Double,
                    maxRecordsPerFile: Long): Option[Int] = {
     val f = fs(spark, root)
-    DirSwap.recover(f, root)
+    val dir = dataDir(spark, root)
     val partitions = math.max(1,
-      f.globStatus(new Path(s"$root/*/*")).count(_.isDirectory))
-    val files = f.globStatus(new Path(s"$root/*/*/*"))
+      f.globStatus(new Path(s"$dir/*/*")).count(_.isDirectory))
+    val files = f.globStatus(new Path(s"$dir/*/*/*"))
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val tombFrac = deadDocs.toDouble / math.max(1L, liveDocs + deadDocs)
     if (files > partitions.toLong * maxFilesPerPartition || tombFrac > maxTombstoneFrac)
@@ -158,36 +224,54 @@ object ShardStore {
                    maxFilesPerPartition: Int = 16,
                    maxTombstoneFrac: Double = 0.2,
                    maxRecordsPerFile: Long = 0L): Option[Int] = {
-    // heal a mid-swap root BEFORE the data read — every other entry
-    // point (read/compact/counted overload) self-heals; this one must
-    // not throw on a state they would recover
-    DirSwap.recover(fs(spark, root), root)
-    val dead = if (!fs(spark, root).exists(new Path(tombDir(root)))) 0L
-      else spark.read.parquet(tombDir(root)).select(col("doc_id")).distinct().count()
+    // dataDir heals a mid-swap legacy root BEFORE the data read —
+    // every entry point must not throw on a state read() would recover
+    val dir = dataDir(spark, root)
+    val dead = if (!fs(spark, root).exists(new Path(tombDir(dir)))) 0L
+      else spark.read.parquet(tombDir(dir)).select(col("doc_id")).distinct().count()
     // total landed rows == live + dead docs (doc_id unique per row)
-    val total = spark.read.parquet(root).count()
+    val total = spark.read.parquet(dir).count()
     maybeCompact(spark, root, liveDocs = total - dead, deadDocs = dead,
       maxFilesPerPartition, maxTombstoneFrac, maxRecordsPerFile)
   }
 
   /** Physically apply tombstones and merge accumulated small files:
-    * rewrite the live rows fully re-clustered, swap the rewrite in
-    * crash-safely ([[DirSwap]]), drop the tombstone table (it lives
-    * inside the root, so the swap drops it with the old files).
-    * Returns the data file count after the swap. */
+    * rewrite the live rows fully re-clustered into the NEXT version
+    * dir, flip the `_current` pointer, and drop versions two
+    * compactions old (the immediately previous version is retained as
+    * the in-flight readers' grace copy — see the class doc). The
+    * tombstone table lives inside the version dir, so the new version
+    * starts with zero tombstone debt by construction. A crash before
+    * the flip leaves a complete-but-unreferenced next dir that the
+    * following compact simply overwrites; no crash point ever leaves
+    * the pointer naming an incomplete dir. Returns the data file
+    * count of the new version. Legacy bare roots are healed
+    * ([[DirSwap.recover]]) and migrated: their files are deleted only
+    * AFTER v0 is complete and the pointer names it. */
   def compact(spark: SparkSession, root: String,
               maxRecordsPerFile: Long = 0L): Int = {
     val f = fs(spark, root)
     DirSwap.recover(f, root)
-    // read() is lazy — the rewrite job below is the only materialization,
-    // and it finishes before the swap touches the original files
+    val cur = dataDir(spark, root)
+    val curVer = versionOf(root, cur)
+    val next = s"$root/v${curVer + 1}"
+    // read() is lazy — the rewrite job below is the only
+    // materialization, and it completes before the pointer moves
     read(spark, root)
       .repartition(col("split"), col("lang"))
       .sortWithinPartitions(col("split"), col("lang"), col("bin"), col("doc_id"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("split", "lang").parquet(DirSwap.tmpDir(root))
-    DirSwap.swap(f, root)
-    spark.read.parquet(root).inputFiles.length
+      .partitionBy("split", "lang").parquet(next)
+    flipCurrent(spark, root, s"v${curVer + 1}")
+    if (curVer < 0L) {
+      // one-time legacy migration: drop the bare-layout data now that
+      // the pointer names v0 (split=*/ partition dirs + side table)
+      f.globStatus(new Path(s"$root/*=*")).foreach(st => f.delete(st.getPath, true))
+      f.delete(new Path(tombDir(root)), true)
+    } else
+      versionDirs(f, root).filter(_._1 < curVer)
+        .foreach { case (_, p) => f.delete(p, true) }
+    spark.read.parquet(next).inputFiles.length
   }
 }

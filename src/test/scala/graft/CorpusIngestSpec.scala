@@ -102,9 +102,10 @@ class CorpusIngestSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_ingest2").toString
     val df = b1.toDF("doc_id", "lang", "text")
     CorpusIngest.ingestBatch(df, 0L, s"$base/state", s"$base/shards")
-    val before = spark.read.parquet(s"$base/shards").count()
+    val before = spark.read.parquet(ShardStore.dataDir(spark, s"$base/shards")).count()
     CorpusIngest.ingestBatch(df, 0L, s"$base/state", s"$base/shards")
-    assert(spark.read.parquet(s"$base/shards").count() == before, "replay appended rows")
+    assert(spark.read.parquet(ShardStore.dataDir(spark, s"$base/shards")).count() == before,
+      "replay appended rows")
     assert(CorpusIngest.latestVersion(spark, s"$base/state").contains(0L),
       "replay must not advance the state version")
   }

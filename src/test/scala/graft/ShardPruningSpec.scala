@@ -20,7 +20,7 @@ class ShardPruningSpec extends AnyFunSuite {
   /** Files whose [min(bin), max(bin)] range admits `bin = b` — exactly
     * the row groups a stats-pruning reader must open. */
   private def filesAdmitting(root: String, b: Long): (Long, Long) = {
-    val perFile = spark.read.parquet(root)
+    val perFile = spark.read.parquet(ShardStore.dataDir(spark, root))
       .filter($"split" === "train" && $"lang" === "en")
       .select($"bin", input_file_name().as("f"))
       .groupBy($"f").agg(min($"bin").as("lo"), max($"bin").as("hi"))
@@ -60,7 +60,7 @@ class ShardPruningSpec extends AnyFunSuite {
     // files' min/max too, proving nothing about clustering
     val probe = bins / 2
 
-    def q(root: String) = spark.read.parquet(root)
+    def q(root: String) = spark.read.parquet(ShardStore.dataDir(spark, root))
       .filter($"split" === "train" && $"lang" === "en" && $"bin" === probe)
 
     // identical answers from both layouts

@@ -49,13 +49,14 @@ class ShardStoreSpec extends AnyFunSuite {
     assert(live.filter($"text".isNull).count() == 0)
 
     // before compaction the tombstoned row is still physically present
-    assert(spark.read.parquet(root).filter($"doc_id" === 2L).count() == 1)
-    val filesBefore = spark.read.parquet(root).inputFiles.length
+    def raw() = spark.read.parquet(ShardStore.dataDir(spark, root))
+    assert(raw().filter($"doc_id" === 2L).count() == 1)
+    val filesBefore = raw().inputFiles.length
 
     val filesAfter = ShardStore.compact(spark, root)
     assert(filesAfter <= filesBefore, s"$filesBefore -> $filesAfter files")
     // physical purge: the raw table no longer contains the tombstoned doc
-    assert(spark.read.parquet(root).filter($"doc_id" === 2L).count() == 0)
+    assert(raw().filter($"doc_id" === 2L).count() == 0)
     // and read() is unchanged by compaction (tombstone table gone too)
     val after = ShardStore.read(spark, root)
       .select($"doc_id", $"split", $"lang", $"bin", $"n_tokens")
@@ -79,7 +80,8 @@ class ShardStoreSpec extends AnyFunSuite {
     ShardStore.addTombstones(
       Seq((1L, "superseded"), (2L, "superseded")).toDF("doc_id", "reason"), root)
     assert(ShardStore.maybeCompact(spark, root).isDefined)
-    assert(spark.read.parquet(root).filter($"doc_id" <= 2L).count() == 0)
+    assert(spark.read.parquet(ShardStore.dataDir(spark, root))
+      .filter($"doc_id" <= 2L).count() == 0)
     assert(ShardStore.maybeCompact(spark, root).isEmpty, "debt reset after compaction")
 
     // many tiny appended files: the file-count trigger fires
@@ -87,7 +89,41 @@ class ShardStoreSpec extends AnyFunSuite {
     assert(ShardStore.maybeCompact(spark, root, maxFilesPerPartition = 1).isDefined)
   }
 
-  test("an interrupted compaction swap is healed; no crash point loses the table") {
+  test("compaction flips the pointer; the previous version survives one cycle as a grace copy") {
+    val docs = Seq((1L, "en", filler("ga")), (2L, "en", filler("gb")))
+      .toDF("doc_id", "lang", "text")
+    val st = TrainingPipeline.bootstrapState(docs)
+    val root = java.nio.file.Files.createTempDirectory("graft_ver").toString + "/shards"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    ShardStore.init(docs, st.manifest, root)
+    val d0 = ShardStore.dataDir(spark, root)
+    val before = ShardStore.read(spark, root).select($"doc_id").as[Long].collect().sorted
+
+    ShardStore.compact(spark, root)
+    val d1 = ShardStore.dataDir(spark, root)
+    assert(d1 != d0, "compact must flip the pointer to a fresh version dir")
+    // a reader that resolved the OLD pointer mid-compact keeps reading
+    // intact files — the old version dir is retained for one cycle
+    assert(f.exists(p(d0)), "previous version must survive one compaction")
+    assert(spark.read.parquet(d0).select($"doc_id").as[Long].collect().sorted
+      .sameElements(before), "grace copy must still be a complete table")
+    assert(ShardStore.read(spark, root).select($"doc_id").as[Long].collect().sorted
+      .sameElements(before))
+
+    ShardStore.compact(spark, root)
+    val d2 = ShardStore.dataDir(spark, root)
+    assert(d2 != d1)
+    assert(!f.exists(p(d0)), "a version two compactions old is reclaimed")
+    assert(f.exists(p(d1)), "the immediately previous version is retained")
+    // the root path itself was resolvable throughout — no missing-root
+    // window exists in the pointer design
+    assert(f.exists(p(root)) && f.exists(p(s"$root/_current")))
+  }
+
+  test("a damaged root (crash mid-move) is healed; no crash point loses the table") {
     val docs = Seq((1L, "en", filler("ra")), (2L, "en", filler("rb")))
       .toDF("doc_id", "lang", "text")
     val st = TrainingPipeline.bootstrapState(docs)

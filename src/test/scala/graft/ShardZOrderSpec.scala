@@ -46,7 +46,7 @@ class ShardZOrderSpec extends AnyFunSuite {
     val (binLo, binHi) = (bins / 4, bins / 2)
     val tokCap = 140L // ~25th percentile of 20 + uniform[0, 480)
 
-    def q(root: String) = spark.read.parquet(root)
+    def q(root: String) = spark.read.parquet(ShardStore.dataDir(spark, root))
       .filter($"split" === "train" && $"lang" === "en" &&
         $"bin".between(binLo, binHi) && $"n_tokens" <= tokCap)
 
@@ -68,7 +68,7 @@ class ShardZOrderSpec extends AnyFunSuite {
     /** Files whose (bin, n_tokens) min/max rectangle intersects the
       * predicate rectangle — what a stats-pruning reader must open. */
     def filesAdmitting(root: String): (Long, Long) = {
-      val perFile = spark.read.parquet(root)
+      val perFile = spark.read.parquet(ShardStore.dataDir(spark, root))
         .filter($"split" === "train" && $"lang" === "en")
         .select($"bin", $"n_tokens", input_file_name().as("f"))
         .groupBy($"f").agg(

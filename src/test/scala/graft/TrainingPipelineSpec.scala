@@ -18,15 +18,31 @@ class TrainingPipelineSpec extends AnyFunSuite {
   lazy val survivors = manifest.select($"doc_id")
 
   test("substring-scrub stage: gated off by default, shrinks tokens only when on") {
+    // the sf corpus's span-sharing docs are near-dups of each other, so
+    // near-dup resolution removes them before the scrub stage ever sees
+    // a duplicated gram — plant two gate-passing docs that share one
+    // long phrase (5 duplicated 10-grams) but are otherwise disjoint
+    // (trigram Jaccard ~0.1, far under the 0.5 near-dup cut) so BOTH
+    // reach the scrub and their shared span must be excised
+    val filler = (0 until 120)
+      .map(i => s"q${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .grouped(60).toSeq
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val planted = Seq(9000001L, 9000002L).zip(filler).map { case (id, ws) =>
+      val txt = (ws.take(25) :+ phrase) .mkString(" ") + " " + ws.drop(25).mkString(" ")
+      (id, txt, "en", "src99", txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.unionByName(planted)
+
     // the stage sits after near-dup resolution and before the split:
     // the survivor SET and their split/bin grouping keys are untouched
     // (split hashes ids, decon grams stay pre-scrub), only token
     // counts may shrink where corpus-wide duplicated spans were cut
-    val on = TrainingPipeline.run(docs,
+    val on = TrainingPipeline.run(corpus,
         cfg.copy(scrubSpanGram = 10, scrubMinCount = 2))
       .select($"doc_id", $"split", $"lang", $"n_tokens")
       .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
-    val off = manifest
+    val off = TrainingPipeline.run(corpus, cfg)
       .select($"doc_id", $"split", $"lang", $"n_tokens")
       .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
     assert(on.keySet == off.keySet,
@@ -35,11 +51,16 @@ class TrainingPipelineSpec extends AnyFunSuite {
       assert(s == off(id)._2 && l == off(id)._3, s"doc $id changed split/lang")
       assert(t <= off(id)._4, s"doc $id gained tokens under scrub")
     }
-    // the sf corpus plants duplicated 10-gram spans (q_dup_spans is
-    // non-empty), and at least one spanning doc survives the gates —
-    // so the scrub must actually have cut something
-    assert(on.exists { case (id, (_, _, _, t)) => t < off(id)._4 },
-      "scrub-on run removed no tokens from any survivor")
+    // at least one planted doc reaches the manifest (decon can drop at
+    // most the train-side one), and every surviving planted doc lost
+    // exactly the 14 phrase words
+    val survivors = Seq(9000001L, 9000002L).filter(on.contains)
+    assert(survivors.nonEmpty, "both planted docs fell out of the manifest")
+    survivors.foreach { id =>
+      assert(on(id)._4 == off(id)._4 - 14L,
+        s"doc $id: expected the shared 14-word span scrubbed, " +
+          s"got ${off(id)._4} -> ${on(id)._4}")
+    }
   }
 
   test("pipeline is deterministic end-to-end") {
@@ -77,7 +98,7 @@ class TrainingPipelineSpec extends AnyFunSuite {
   test("written shards prune by split/lang and preserve the manifest exactly") {
     val path = java.nio.file.Files.createTempDirectory("graft_shards").toString
     TrainingPipeline.writeShards(docs, manifest, path)
-    val back = spark.read.parquet(path)
+    val back = spark.read.parquet(graft.sources.ShardStore.dataDir(spark, path))
     // partition pruning: the split/lang filters must land in the scan's
     // PartitionFilters (directory-level pruning, no data read elsewhere)
     val trainEn = back.filter($"split" === "train" && $"lang" === "en")
