@@ -169,10 +169,58 @@ object TrainingOps {
       .orderBy(col("lang"), col("bin"))
   }
 
+  // ---- Global deterministic shuffle order ---------------------------------
+
+  /** Training-order assignment: a deterministic global permutation
+    * position (0..n-1) for every doc — "epoch shuffling" as a pure
+    * function of the id set, so shard writers can lay the corpus out
+    * in a shuffled order that any re-run, backfill or resumed job
+    * reproduces without coordination. Position = rank in
+    * (hash, id) order under a domain-salted replayable hash.
+    *
+    * The naive form — `row_number() OVER (ORDER BY h)` — funnels the
+    * entire corpus through ONE task (an unpartitioned window). This
+    * runs the bucket decomposition instead (the [[graft.operators
+    * .CorpusOps.budgetPrefixFilter]] trick applied to ranking): the
+    * hash order is cut into 2^bucketBits range buckets; per-bucket
+    * COUNTS collapse in one map-side-combined aggregation; the
+    * exclusive bucket-prefix count is a window over that bounded cut
+    * frame (2^bucketBits short rows — the only unpartitioned window,
+    * and it never sees the corpus); each doc's position is its
+    * bucket's prefix count plus its within-bucket row_number
+    * (partitioned by bucket, so the residual sort is 2^bucketBits×
+    * smaller than the global sort it replaces). Bit-identical to the
+    * single-window rank: ranks within a bucket are contiguous because
+    * the bucket is a contiguous hash range. */
+  def globalShuffleOrder(docs: DataFrame, idCol: Column,
+                         salt: String = "order|",
+                         bucketBits: Int = 12): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    val h = PolyHash64.poly_hash64(concat(lit(salt), idCol.cast(StringType)))
+    val aug = docs.select(idCol.as("id"), h.as("__h"))
+      .withColumn("__b", shiftright(col("__h"), 64 - bucketBits))
+    val cuts = aug.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val wb = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cuts.withColumn("__pre", coalesce(sum(col("__c")).over(wb), lit(0L)))
+    val wj = Window.partitionBy(col("__b")).orderBy(col("__h"), col("id"))
+    aug.join(cum, Seq("__b"))
+      .withColumn("pos", col("__pre") + row_number().over(wj) - lit(1L))
+      .select(col("id"), col("pos"))
+  }
+
+  /** §2.5 — the training-order permutation over `documents`. */
+  def shuffleOrderQ(s: SparkSession, d: String): DataFrame =
+    globalShuffleOrder(Tables.documents(s, d), col("doc_id"))
+      .select(col("id").as("doc_id"), col("pos"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign"   -> (splitAssignQ _),
     "q_decontaminate"  -> (decontaminateQ _),
     "q_pack_sequences" -> (packSequencesQ _),
+    "q_shuffle_order"  -> (shuffleOrderQ _),
   )
 
   // ---- Oracles -------------------------------------------------------------
@@ -242,6 +290,15 @@ object TrainingOps {
   val oracles: Map[String, String] = Map(
     "q_split_assign" ->
       s"""SELECT doc_id, bucket, split FROM ($splitSql) s ORDER BY doc_id""".stripMargin,
+
+    // the oracle replays the SINGLE-window rank; the engine's bucketed
+    // decomposition must reproduce it bit-exactly (contiguous hash
+    // ranges => contiguous rank blocks)
+    "q_shuffle_order" ->
+      s"""SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM (${polyHashSql("order|")}) _h
+         |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH split AS ($splitSql),

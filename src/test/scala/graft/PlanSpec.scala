@@ -180,6 +180,15 @@ class PlanSpec extends AnyFunSuite {
     assert("windowspecdefinition\\(__g#\\d+[^,]*, __b#".r.findFirstIn(p).nonEmpty, p)
   }
 
+  test("shuffle order: the only unpartitioned window runs over the bounded cut frame") {
+    val p = plan(graft.operators.TrainingOps.shuffleOrderQ(spark, TestSpark.sf))
+    // the per-doc rank window is partitioned by the hash bucket
+    assert("windowspecdefinition\\(__b#\\d+[^,]*, __h#".r.findFirstIn(p).nonEmpty, p)
+    // every window key is engine-internal — no window orders the raw
+    // doc frame globally
+    assert("windowspecdefinition\\((?!__)".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("PPS sample: bucketed engine, no per-group unbounded window over docs") {
     val p = plan(graft.operators.CorpusOps.ppsSampleQ(spark, TestSpark.sf))
     val offEngine = "windowspecdefinition\\((?!__)".r

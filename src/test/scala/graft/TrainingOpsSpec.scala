@@ -58,6 +58,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs == Set((trainId, testId)), s"got $pairs")
   }
 
+  test("global shuffle order is a permutation, partitioning-invariant, bucketed == plain") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.PolyHash64
+    // permutation: positions are exactly 0..n-1
+    val out = TrainingOps.globalShuffleOrder(docs, $"doc_id")
+      .select($"id", $"pos").as[(Long, Long)].collect()
+    assert(out.map(_._2).sorted.toSeq == out.indices.map(_.toLong).toSeq,
+      "positions must be exactly 0..n-1")
+    // partitioning invariance
+    val re = TrainingOps.globalShuffleOrder(
+        docs.repartition(7).orderBy($"doc_id".desc), $"doc_id")
+      .select($"id", $"pos").as[(Long, Long)].collect()
+    assert(out.toMap == re.toMap)
+    // bucketed == the plain single-window rank at small bucketBits
+    // (multi-doc buckets force the prefix + residual machinery)
+    val h = PolyHash64.poly_hash64(concat(lit("order|"), $"doc_id".cast("string")))
+    val plain = docs
+      .withColumn("pos", row_number().over(Window.orderBy(h, $"doc_id")).cast("long") - 1L)
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    for (bits <- 1 to 3) {
+      val got = TrainingOps.globalShuffleOrder(docs, $"doc_id", bucketBits = bits)
+        .select($"id", $"pos").as[(Long, Long)].collect().toMap
+      assert(got == plain, s"bucketBits=$bits")
+    }
+  }
+
   test("greedy packing never overflows capacity (oversized docs excepted)") {
     val toks = docs.select($"lang", $"doc_id",
       graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
