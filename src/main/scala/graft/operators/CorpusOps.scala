@@ -178,6 +178,57 @@ object CorpusOps {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  // ---- Length-stratified budget sampling ----------------------------------
+
+  /** Length-stratified token-budget sampling: cut the corpus into
+    * `strata` equal-POPULATION strata by token count (global rank in
+    * (n_tokens, id) order), then draw each stratum's deterministic
+    * hash-order prefix to an equal share of the global budget — the
+    * "don't let short docs drown the long tail" flattening step (the
+    * length analog of [[MixtureOps.temperatureMixture]]'s domain
+    * flattening).
+    *
+    * Scale shape: the global rank never runs as an unpartitioned
+    * window over docs — token counts are bounded-cardinality integers,
+    * so per-LENGTH counts collapse in one map-side aggregation, the
+    * exclusive prefix count is a window over that bounded cut frame,
+    * and each doc's rank is its length's prefix count plus a
+    * within-length row_number (partitioned by length). Stratum =
+    * `(rank * strata) div n` — all-integer, replayable. The draw then
+    * runs on [[budgetPrefixFilter]]. Ties in (n_tokens, id) cannot
+    * exist (ids are unique), so the stratification is exact and
+    * partitioning-independent. */
+  def lengthStratifiedSample(docs: DataFrame, idCol: Column, tokensCol: Column,
+                             strata: Int, totalBudget: Long): DataFrame = {
+    require(strata > 0, s"strata must be positive, got $strata")
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val aug = docs.select(idCol.as("id"), tokensCol.cast(LongType).as("n_tokens"))
+    val cuts = aug.groupBy(col("n_tokens").as("__ct")).agg(count(lit(1)).as("__c"))
+    val wb = Window.orderBy(col("__ct")).rowsBetween(Window.unboundedPreceding, -1)
+    // cut frame = one row per DISTINCT token count — bounded, so its
+    // unpartitioned window and the 1-row total broadcast are both fine
+    val cum = cuts
+      .withColumn("__pre", coalesce(sum(col("__c")).over(wb), lit(0L)))
+      .crossJoin(broadcast(cuts.agg(sum(col("__c")).as("__n"))))
+    val wj = Window.partitionBy(col("n_tokens")).orderBy(col("id"))
+    val ranked = aug.join(cum, col("n_tokens") === col("__ct"))
+      .withColumn("__rank", col("__pre") + row_number().over(wj) - lit(1L))
+      .withColumn("stratum", expr(s"(__rank * $strata) div __n"))
+      .select(col("id"), col("n_tokens"), col("stratum"))
+    val h = PolyHash64.poly_hash64(concat(lit("lsamp|"), col("id").cast(StringType)))
+    budgetPrefixFilter(ranked, col("stratum"), col("id"), h,
+        col("n_tokens"), lit(totalBudget / strata))
+  }
+
+  /** §2.5 — 4 length strata over `documents`, ~2k tokens each. */
+  def lengthStratifiedQ(s: SparkSession, d: String): DataFrame =
+    lengthStratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), strata = 4, totalBudget = 8000L)
+      .select(col("stratum"), col("id").as("doc_id"), col("n_tokens"))
+      .orderBy(col("stratum"), col("doc_id"))
+
   // ---- Weighted (PPS) systematic sampling ---------------------------------
 
   /** Deterministic probability-proportional-to-size sampling: ~`k` docs
@@ -356,6 +407,7 @@ object CorpusOps {
     "q_cross_neardup"       -> (crossNearDupQ _),
     "q_label_centroids"     -> (labelCentroidsQ _),
     "q_pps_sample"          -> (ppsSampleQ _),
+    "q_length_stratified"   -> (lengthStratifiedQ _),
   )
 
   // ---- Oracles -------------------------------------------------------------
@@ -402,6 +454,31 @@ object CorpusOps {
          |SELECT lang, doc_id, n_tokens FROM cum
          |WHERE c < 5000
          |ORDER BY lang, doc_id""".stripMargin,
+
+    // replays the SINGLE-window global rank + per-stratum prefix; the
+    // engine's bucketed rank and draw must reproduce both bit-exactly
+    "q_length_stratified" ->
+      s"""WITH h AS (${TrainingOps.polyHashSql("lsamp|")}),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, n_tokens,
+         |    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS r,
+         |    COUNT(*) OVER () AS n
+         |  FROM toks),
+         |strat AS (
+         |  SELECT doc_id, n_tokens, CAST((r * 4) // n AS BIGINT) AS stratum FROM ranked),
+         |cum AS (
+         |  SELECT s.stratum, s.doc_id, s.n_tokens,
+         |    COALESCE(SUM(s.n_tokens) OVER (
+         |      PARTITION BY s.stratum ORDER BY h.h, s.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         |  FROM strat s JOIN h USING (doc_id))
+         |SELECT stratum, doc_id, n_tokens FROM cum
+         |WHERE c < 2000
+         |ORDER BY stratum, doc_id""".stripMargin,
 
     "q_cross_dedup" ->
       """WITH n AS (

@@ -122,6 +122,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("length-stratified sample: budget-bounded per stratum, partitioning-invariant") {
+    val toks = docs.select($"doc_id",
+      graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.lengthStratifiedSample(df, $"doc_id", $"n_tokens",
+          strata = 4, totalBudget = 8000L)
+        .select($"stratum", $"id", $"n_tokens").as[(Long, Long, Long)].collect()
+    val rows = run(toks)
+    assert(rows.nonEmpty && rows.map(_._1).distinct.sorted.sameElements(Array(0L, 1L, 2L, 3L)),
+      "every stratum must draw something at this budget")
+    // prefix semantics: each stratum overshoots its 2000-token share by
+    // at most one document
+    rows.groupBy(_._1).foreach { case (st, rs) =>
+      val t = rs.map(_._3).sum; val m = rs.map(_._3).max
+      assert(t < 2000 + m, s"stratum $st drew $t tokens")
+    }
+    // strata are length-ordered: every doc in a lower stratum is no
+    // longer than every doc in a higher one (equal-population rank cut)
+    val maxPer = rows.groupBy(_._1).map { case (st, rs) => st -> rs.map(_._3).max }
+    val minPer = rows.groupBy(_._1).map { case (st, rs) => st -> rs.map(_._3).min }
+    for (st <- 0L to 2L)
+      assert(maxPer(st) <= minPer(st + 1),
+        s"stratum $st max ${maxPer(st)} exceeds stratum ${st + 1} min ${minPer(st + 1)}")
+    assert(run(toks.repartition(9).orderBy($"doc_id".desc)).toSet == rows.toSet)
+  }
+
   test("PPS bucketed engine is row-identical to the plain single-window form") {
     import org.apache.spark.sql.expressions.Window
     import graft.plans.PolyHash64
