@@ -188,36 +188,57 @@ object CorpusOps {
     * length analog of [[MixtureOps.temperatureMixture]]'s domain
     * flattening).
     *
-    * Scale shape: the global rank never runs as an unpartitioned
-    * window over docs — token counts are bounded-cardinality integers,
-    * so per-LENGTH counts collapse in one map-side aggregation, the
-    * exclusive prefix count is a window over that bounded cut frame,
-    * and each doc's rank is its length's prefix count plus a
-    * within-length row_number (partitioned by length). Stratum =
-    * `(rank * strata) div n` — all-integer, replayable. The draw then
-    * runs on [[budgetPrefixFilter]]. Ties in (n_tokens, id) cannot
-    * exist (ids are unique), so the stratification is exact and
-    * partitioning-independent. */
+    * Scale shape: the global rank never runs as an unpartitioned — or
+    * skewed — window over docs. The rank order is (n_tokens, h, id)
+    * with `h` the replayable draw hash as tiebreak, so within a length
+    * class the order is uniform-hash order and decomposes by hash
+    * range exactly like [[budgetPrefixFilter]]: per-(length, bucket)
+    * counts collapse in one map-side aggregation; the per-LENGTH
+    * prefix is a window over the per-length frame (one row per
+    * distinct token count — bounded-cardinality integers); the
+    * per-bucket prefix within a length partitions by length over the
+    * bucket frame; only the within-(length, bucket) row_number touches
+    * doc rows, partitioned by BOTH keys — a single popular length
+    * (half the corpus at n_tokens=512) still spreads over 2^bucketBits
+    * tasks. Stratum = `(rank * strata) div n`, all-integer,
+    * replayable; the draw then runs on [[budgetPrefixFilter]]. */
   def lengthStratifiedSample(docs: DataFrame, idCol: Column, tokensCol: Column,
-                             strata: Int, totalBudget: Long): DataFrame = {
+                             strata: Int, totalBudget: Long,
+                             bucketBits: Int = 12): DataFrame = {
     require(strata > 0, s"strata must be positive, got $strata")
     require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
-    val aug = docs.select(idCol.as("id"), tokensCol.cast(LongType).as("n_tokens"))
-    val cuts = aug.groupBy(col("n_tokens").as("__ct")).agg(count(lit(1)).as("__c"))
-    val wb = Window.orderBy(col("__ct")).rowsBetween(Window.unboundedPreceding, -1)
-    // cut frame = one row per DISTINCT token count — bounded, so its
-    // unpartitioned window and the 1-row total broadcast are both fine
-    val cum = cuts
-      .withColumn("__pre", coalesce(sum(col("__c")).over(wb), lit(0L)))
-      .crossJoin(broadcast(cuts.agg(sum(col("__c")).as("__n"))))
-    val wj = Window.partitionBy(col("n_tokens")).orderBy(col("id"))
-    val ranked = aug.join(cum, col("n_tokens") === col("__ct"))
-      .withColumn("__rank", col("__pre") + row_number().over(wj) - lit(1L))
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    val h = PolyHash64.poly_hash64(concat(lit("lsamp|"), idCol.cast(StringType)))
+    val aug = docs.select(idCol.as("id"), tokensCol.cast(LongType).as("n_tokens"),
+        h.as("__h"))
+      .withColumn("__b", shiftright(col("__h"), 64 - bucketBits))
+    val cells = aug.groupBy(col("n_tokens").as("__ct"), col("__b").as("__cb"))
+      .agg(count(lit(1)).as("__c"))
+    // per-length totals → exclusive length-prefix counts (frame: one
+    // row per distinct token count) + the 1-row corpus total broadcast
+    val wl = Window.orderBy(col("__ct")).rowsBetween(Window.unboundedPreceding, -1)
+    val lens = cells.groupBy(col("__ct")).agg(sum(col("__c")).as("__lc"))
+      .withColumn("__lpre", coalesce(sum(col("__lc")).over(wl), lit(0L)))
+      .crossJoin(broadcast(cells.agg(sum(col("__c")).as("__n"))))
+      .select(col("__ct").as("__lt"), col("__lpre"), col("__n"))
+    // exclusive bucket-prefix within each length (frame: occupied
+    // (length, bucket) cells — corpus-size-independent)
+    val wb = Window.partitionBy(col("__ct")).orderBy(col("__cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cells.withColumn("__bpre", coalesce(sum(col("__c")).over(wb), lit(0L)))
+      .join(lens, col("__ct") === col("__lt"))
+    val wj = Window.partitionBy(col("n_tokens"), col("__b"))
+      .orderBy(col("__h"), col("id"))
+    val ranked = aug
+      .join(cum, col("n_tokens") === col("__ct") && col("__b") === col("__cb"))
+      .withColumn("__rank",
+        col("__lpre") + col("__bpre") + row_number().over(wj) - lit(1L))
       .withColumn("stratum", expr(s"(__rank * $strata) div __n"))
-      .select(col("id"), col("n_tokens"), col("stratum"))
-    val h = PolyHash64.poly_hash64(concat(lit("lsamp|"), col("id").cast(StringType)))
-    budgetPrefixFilter(ranked, col("stratum"), col("id"), h,
-        col("n_tokens"), lit(totalBudget / strata))
+      .select(col("id"), col("n_tokens"), col("stratum"), col("__h"))
+    budgetPrefixFilter(ranked, col("stratum"), col("id"), col("__h"),
+        col("n_tokens"), lit(totalBudget / strata), bucketBits)
+      .drop("__h")
   }
 
   /** §2.5 — 4 length strata over `documents`, ~2k tokens each. */
@@ -465,9 +486,9 @@ object CorpusOps {
          |  FROM documents),
          |ranked AS (
          |  SELECT doc_id, n_tokens,
-         |    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS r,
+         |    ROW_NUMBER() OVER (ORDER BY n_tokens, h, doc_id) - 1 AS r,
          |    COUNT(*) OVER () AS n
-         |  FROM toks),
+         |  FROM toks JOIN h USING (doc_id)),
          |strat AS (
          |  SELECT doc_id, n_tokens, CAST((r * 4) // n AS BIGINT) AS stratum FROM ranked),
          |cum AS (

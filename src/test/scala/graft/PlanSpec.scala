@@ -189,6 +189,16 @@ class PlanSpec extends AnyFunSuite {
     assert("windowspecdefinition\\((?!__)".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("length-stratified: doc-frame windows partition by (length, hash bucket)") {
+    val p = plan(graft.operators.CorpusOps.lengthStratifiedQ(spark, TestSpark.sf))
+    // every window key is engine-internal or the bounded length key —
+    // nothing orders the raw doc frame globally or by length alone
+    assert("windowspecdefinition\\((?!__|n_tokens#)".r.findFirstIn(p).isEmpty, p)
+    // the within-cell rank partitions by BOTH length and hash bucket,
+    // so one popular length class cannot funnel to a single task
+    assert("windowspecdefinition\\(n_tokens#\\d+L?, __b#".r.findFirstIn(p).nonEmpty, p)
+  }
+
   test("PPS sample: bucketed engine, no per-group unbounded window over docs") {
     val p = plan(graft.operators.CorpusOps.ppsSampleQ(spark, TestSpark.sf))
     val offEngine = "windowspecdefinition\\((?!__)".r
