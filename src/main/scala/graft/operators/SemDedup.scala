@@ -177,6 +177,36 @@ object SemDedup {
     scoredPairs(batchAssign, corpusAssign, threshold, selfPairs = false)
       .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"), col("cos"))
 
+  /** Semantic decontamination: flag TRAIN docs whose embedding is
+    * cosine-close to any TEST doc — the embedding-space analog of
+    * [[TrainingOps.decontaminate]]'s verbatim n-gram check, catching
+    * the leaks paraphrase hides from exact grams (the reason modern
+    * eval-hygiene pipelines run both). Split membership is the
+    * deterministic id-hash split ([[TrainingOps.assignSplit]], so the
+    * flagged set is a pure function of the id set), seeds come from
+    * the TRAIN side only (the corpus-owns-the-cluster-model contract
+    * of [[crossSemanticPairs]]), and the pair stage is the same
+    * cluster-blocked join — candidate volume O(test × cluster
+    * density), never train × test. Returns (train_id, test_id, cos)
+    * per leak; `train_id`s are the docs to drop or quarantine. */
+  def semanticDecontaminate(emb: DataFrame, idCol: String, vecCol: String,
+                            k: Int, threshold: Double,
+                            trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val cols = emb.columns.map(col).toSeq
+    val withSplit = TrainingOps.assignSplit(emb, col(idCol), trainPct, valPct)
+    val train = withSplit.filter(col("split") === "train").select(cols: _*)
+    val test  = withSplit.filter(col("split") === "test").select(cols: _*)
+    crossSemanticPairs(train, test, idCol, vecCol, k, threshold)
+      .select(col("corpus_id").as("train_id"), col("batch_id").as("test_id"),
+        col("cos"))
+  }
+
+  /** §2.5/§2.7 — semantic train→test leaks over `embeddings`. */
+  def semanticDeconQ(s: SparkSession, d: String): DataFrame =
+    semanticDecontaminate(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, threshold = 0.3)
+      .orderBy(col("train_id"), col("test_id"))
+
   /** The shared pair stage: within-cluster equi join + quantized
     * cosine at `threshold`, over two assigned frames (id, cluster, qv,
     * nsq). `selfPairs = true` joins a frame against itself with the
@@ -221,6 +251,7 @@ object SemDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_cross_semantic" -> (crossSemanticQ _),
+    "q_semantic_decon" -> (semanticDeconQ _),
   )
 
   /** BIGINT quantized dot (no double cast — the L2 comparison must
@@ -287,5 +318,22 @@ object SemDedup {
          |  JOIN (SELECT * FROM asg WHERE vec_id % 4 <> 3) c ON b.cluster = c.cluster) p
          |WHERE cos >= 0.3
          |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // split replay (row 73's HUGEINT hash) + seeds restricted to the
+    // train side + the same cluster-blocked pair join, train vs test
+    "q_semantic_decon" ->
+      s"""WITH spl AS (
+         |  SELECT vec_id, (h % 100 + 100) % 100 AS bucket
+         |  FROM (${graft.operators.TrainingOps.polyHashSql("split|", "embeddings", "vec_id")}) _h),
+         |${assignSql("WHERE e.vec_id IN (SELECT vec_id FROM spl WHERE bucket < 80)")}
+         |SELECT train_id, test_id, cos FROM (
+         |  SELECT c.vec_id AS train_id, b.vec_id AS test_id,
+         |    CAST(${qdot("b.embedding", "c.embedding")} AS DOUBLE)
+         |      / greatest(sqrt(CAST(b.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)), 1e-9) AS cos
+         |  FROM (SELECT a.* FROM asg a JOIN spl USING (vec_id) WHERE spl.bucket >= 90) b
+         |  JOIN (SELECT a.* FROM asg a JOIN spl USING (vec_id) WHERE spl.bucket < 80) c
+         |    ON b.cluster = c.cluster) p
+         |WHERE cos >= 0.3
+         |ORDER BY train_id, test_id""".stripMargin,
   )
 }

@@ -71,6 +71,34 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic decontamination flags a planted train→test embedding leak") {
+    import graft.operators.TrainingOps
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val split = TrainingOps.assignSplit(e.select($"vec_id"), $"vec_id")
+      .select($"vec_id", $"split").as[(Long, String)].collect().toMap
+    val trainId = split.collectFirst { case (id, "train") => id }.get
+    // a fresh id that the deterministic split sends to TEST
+    val testId = (800000L to 800200L).find { id =>
+      TrainingOps.assignSplit(Seq(id).toDF("vec_id"), $"vec_id")
+        .select($"split").as[String].head() == "test"
+    }.get
+    val planted = e.filter($"vec_id" === trainId).withColumn("vec_id", lit(testId))
+    val leaks = graft.operators.SemDedup.semanticDecontaminate(
+        e.unionByName(planted), "vec_id", "embedding", k = 8, threshold = 0.3)
+      .select($"train_id", $"test_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    // the clone must be flagged against its train original with cos ~ 1
+    val hit = leaks.find(l => l._1 == trainId && l._2 == testId)
+    assert(hit.isDefined, s"planted leak ($trainId -> $testId) not flagged")
+    assert(hit.get._3 > 0.999)
+    // every flagged pair straddles the split in the right direction
+    leaks.foreach { case (tr, te, cos) =>
+      assert(split.getOrElse(tr, "train") == "train", s"$tr is not a train doc")
+      assert(te == testId || split.getOrElse(te, "test") == "test", s"$te is not a test doc")
+      assert(cos >= 0.3)
+    }
+  }
+
   test("a persisted assignment table yields identical cross pairs to the direct path") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val corpus = e.filter($"vec_id" % 4 =!= 3)
