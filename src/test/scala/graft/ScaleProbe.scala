@@ -143,6 +143,24 @@ object ScaleProbe {
           d, col("domain"), col("doc_id"), col("n_tokens"),
           totalBudget = 8000L * k).count()
       }
+      // round-8 additions: the bucketed prefix/rank engines. Budgets
+      // scale with k so the draws stay selective; the curves must stay
+      // sub-linear because only boundary buckets ever pay a sort.
+      time("token_budget", k) {
+        val d = docs.select((col("doc_id") % 20).as("lang"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        graft.operators.CorpusOps.tokenBudgetSample(
+          d, col("lang"), col("doc_id"), col("n_tokens"), budget = 5000L * k).count()
+      }
+      time("pps_sample", k) {
+        val d = docs.select((col("doc_id") % 20).as("lang"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        graft.operators.CorpusOps.ppsSystematicSample(
+          d, col("lang"), col("doc_id"), col("n_tokens"), k = 8).count()
+      }
+      time("shuffle_order", k) {
+        graft.operators.TrainingOps.globalShuffleOrder(docs, col("doc_id")).count()
+      }
       time("semantic_dedup", k) {
         // embeddings replicated by id shift + per-copy cyclic dimension
         // rotation: rotation preserves norms and within-copy cosines
