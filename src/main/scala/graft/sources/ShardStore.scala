@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   * Legacy bare-layout roots (data files directly under `root`, the
   * pre-pointer layout) still read via [[DirSwap.recover]] healing and
   * are migrated into the versioned layout by their first [[compact]].
+  *
+  * Concurrency contract: READERS are lock-free at any time (the
+  * pointer + grace copy above); WRITERS are single-threaded — one
+  * ingest loop owns append/addTombstones/compact (the
+  * [[graft.streaming.CorpusIngest]] shape). An append racing a
+  * compact would land rows in the outgoing version after the rewrite
+  * read them; a transactional format's optimistic commit protocol is
+  * the graduation for multi-writer deployments.
   */
 object ShardStore {
 
