@@ -174,6 +174,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrated quality equals the plain per-group percent rank, invariant") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Curation
+    val scored = Curation.score(docs, $"text")
+      .select($"source", $"doc_id", $"quality")
+    def run(df: org.apache.spark.sql.DataFrame, bits: Int) =
+      Curation.calibrateQuality(df, $"source", $"quality", $"doc_id", bits)
+        .select($"id", $"q_rank").as[(Long, Double)].collect().toMap
+    // plain single-window reference: percent rank over the integer
+    // score image with id tiebreak
+    val w = Window.partitionBy($"source")
+      .orderBy(floor($"quality" * 1e9).cast("long"), $"doc_id")
+    val plain = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      .withColumn("q_rank", ($"rk" - 1).cast("double") / greatest($"n" - 1, lit(1)))
+      .select($"doc_id", $"q_rank").as[(Long, Double)].collect().toMap
+    for (bits <- Seq(1, 3, 12))
+      assert(run(scored, bits) == plain, s"bucketBits=$bits")
+    assert(run(scored.repartition(11).orderBy($"doc_id".desc), 12) == plain)
+    assert(plain.values.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("cross dedup flags exactly the batch docs whose text exists in the corpus") {
     val corpus = Seq((1L, "shared   Content here"), (2L, "corpus only text")).toDF("doc_id", "text")
     val batch = Seq((10L, "shared content HERE"),   // normalized-equal to corpus doc 1
