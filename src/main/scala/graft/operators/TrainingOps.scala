@@ -113,6 +113,66 @@ object TrainingOps {
       .drop("__cum")
   }
 
+  /** [[packBinned]] without the per-group window — bit-identical bins
+    * via the distributed prefix-sum recipe, for when single groups
+    * (train×en is most of a corpus) are too large for one window task:
+    * range-partition on (group, id) so each task holds a contiguous
+    * slice of the pack order; per-(slice, group) token totals collapse
+    * to a bounded frame (partitions × groups short rows — the one
+    * documented driver collect, same bounded-model posture as the CC
+    * fast path); broadcast the exclusive slice offsets back; one
+    * O(1)-state pass per slice then computes each doc's global
+    * exclusive cumsum as offset + local prefix, and
+    * `bin = cum div capacity` exactly as the window form. Adds `bin`,
+    * preserves all input columns. */
+  def packBinnedRanged(df: DataFrame, grpCol: Column, idCol: Column,
+                       tokensCol: Column, capacity: Long,
+                       partitions: Int = 0): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    // the group key travels as its JSON image so the offset map needs
+    // no group-type-specific encoder (structs, NULLs all round-trip)
+    val sorted = df
+      .withColumn("__gk", to_json(struct(grpCol.as("g"))))
+      .withColumn("__tk", coalesce(tokensCol.cast(LongType), lit(0L)))
+      .repartitionByRange(p, grpCol, idCol)
+      .sortWithinPartitions(grpCol, idCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slices = sorted.groupBy(col("__pid"), col("__gk"))
+      .agg(sum(col("__tk")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets: Map[(Int, String), Long] = slices.groupBy(_._2).iterator.flatMap {
+      case (gk, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).map { case (pid, _, s) =>
+          val entry = (pid, gk) -> acc; acc += s; entry
+        }
+    }.toMap
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val outSchema = sorted.schema.add("bin", LongType)
+    val gkIdx = sorted.schema.fieldIndex("__gk")
+    val tkIdx = sorted.schema.fieldIndex("__tk")
+    val pidIdx = sorted.schema.fieldIndex("__pid")
+    val packed = sorted.mapPartitions { it =>
+      var curG: String = null
+      var cum = 0L
+      it.map { row =>
+        val gk = row.getString(gkIdx)
+        if (gk != curG) {
+          curG = gk
+          cum = bOff.value.getOrElse((row.getInt(pidIdx), gk), 0L)
+        }
+        val bin = cum / capacity // exclusive prefix, same as the window form
+        cum += row.getLong(tkIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.drop("__gk", "__tk", "__pid")
+  }
+
   /** Strict first-fit-in-order packing: scan each group in id order,
     * open a new bin whenever adding the document would exceed
     * `capacity` (a document larger than `capacity` gets a bin of its

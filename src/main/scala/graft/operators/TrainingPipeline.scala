@@ -176,7 +176,9 @@ object TrainingPipeline {
     // 6. pack per (split, lang)
     val toks = clean.select(col("split"), col("lang"), col("doc_id"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
-    val manifest = TrainingOps.packBinned(toks, struct(col("split"), col("lang")),
+    // ranged variant: train×en is most of a corpus — the windowed form
+    // would funnel it through one task (bins are provably identical)
+    val manifest = TrainingOps.packBinnedRanged(toks, struct(col("split"), col("lang")),
         col("doc_id"), col("n_tokens"), cfg.packCapacity)
       .select(col("split"), col("lang"), col("bin"), col("doc_id"), col("n_tokens"))
     Stages(gated, sigs, labels,
@@ -492,7 +494,7 @@ object TrainingPipeline {
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
     val offsets = state.manifest.groupBy(col("split"), col("lang"))
       .agg((max(col("bin")) + lit(1L)).as("__off"))
-    val newRows = TrainingOps.packBinned(toks, struct(col("split"), col("lang")),
+    val newRows = TrainingOps.packBinnedRanged(toks, struct(col("split"), col("lang")),
         col("doc_id"), col("n_tokens"), cfg.packCapacity)
       .join(broadcast(offsets), Seq("split", "lang"), "left")
       .withColumn("bin", col("bin") + coalesce(col("__off"), lit(0L)))

@@ -84,6 +84,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ranged packing is bit-identical to the windowed form, including struct groups") {
+    val toks = docs.select($"lang", $"source", $"doc_id",
+      graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
+    def bins(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
+    // simple group key
+    val w1 = bins(TrainingOps.packBinned(toks, $"lang", $"doc_id", $"n_tokens", 2048L))
+    val r1 = bins(TrainingOps.packBinnedRanged(toks, $"lang", $"doc_id", $"n_tokens", 2048L))
+    assert(r1 == w1)
+    // struct group key (the pipeline's shape) + adversarial input
+    // partitioning + few range partitions so groups straddle slices
+    val skewed = toks.repartition(3).orderBy($"doc_id".desc)
+    val w2 = bins(TrainingOps.packBinned(skewed,
+      struct($"lang", $"source"), $"doc_id", $"n_tokens", 500L))
+    val r2 = bins(TrainingOps.packBinnedRanged(skewed,
+      struct($"lang", $"source"), $"doc_id", $"n_tokens", 500L, partitions = 2))
+    assert(r2 == w2)
+  }
+
   test("greedy packing never overflows capacity (oversized docs excepted)") {
     val toks = docs.select($"lang", $"doc_id",
       graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
