@@ -270,6 +270,66 @@ object TrainingOps {
       .select(col("id"), col("pos"))
   }
 
+  /** Per-GROUP variant of [[globalShuffleOrder]]: adds `pos` = each
+    * row's 0-based rank in (hash, id) order WITHIN its group, all
+    * other columns preserved. Same bucket decomposition, with the cut
+    * frame keyed (group, bucket) and the prefix window partitioned by
+    * group over that bounded frame — no group ever sorts in one task. */
+  def groupedShuffleOrder(docs: DataFrame, grpCol: Column, idCol: Column,
+                          salt: String = "order|",
+                          bucketBits: Int = 12): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    val aug = docs
+      .withColumn("__h", PolyHash64.poly_hash64(
+        concat(lit(salt), idCol.cast(StringType))))
+      .withColumn("__g", grpCol)
+      .withColumn("__b", shiftright(col("__h"), 64 - bucketBits))
+    val cuts = aug.groupBy(col("__g").as("__cg"), col("__b").as("__cb"))
+      .agg(count(lit(1)).as("__c"))
+    val wb = Window.partitionBy(col("__cg")).orderBy(col("__cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cuts.withColumn("__pre", coalesce(sum(col("__c")).over(wb), lit(0L)))
+    val wj = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__h"), idCol)
+    aug.join(cum, col("__g") <=> col("__cg") && col("__b") === col("__cb"))
+      .withColumn("pos", col("__pre") + row_number().over(wj) - lit(1L))
+      .drop("__h", "__g", "__b", "__cg", "__cb", "__c", "__pre")
+  }
+
+  /** Deterministic weighted interleave of corpora — the data-MIXING
+    * order: reading the output sorted by (slot, corpus, id) yields
+    * each corpus at a frequency ∝ its weight in every long-enough
+    * prefix, reproducibly (the training loader's "sample corpus c
+    * with probability w_c" as a pure function of the id set, no RNG
+    * state to checkpoint). Classic weighted-fair-queueing virtual
+    * time: doc k (0-based, hash order within its corpus via
+    * [[groupedShuffleOrder]]) lands at `slot = ((k+1) · 2^20) div w`
+    * — corpora with twice the weight fire twice as often. All
+    * integer; `(k+1) · 2^20` holds corpora to ~2^43 docs before Long
+    * overflow (document-scale safe). Adds (pos, slot); weight must
+    * be positive (raises otherwise). */
+  def interleaveOrder(docs: DataFrame, corpusCol: Column, idCol: Column,
+                      weightCol: Column, salt: String = "ileave|",
+                      bucketBits: Int = 12): DataFrame = {
+    val w = weightCol.cast(LongType)
+    groupedShuffleOrder(docs, corpusCol, idCol, salt, bucketBits)
+      .withColumn("__w", when(w > 0, w).otherwise(raise_error(concat(
+        lit("interleaveOrder: weight must be positive, got "),
+        w.cast(StringType)))))
+      .withColumn("slot", expr(s"((pos + 1) * ${1L << 20}L) div __w"))
+      .drop("__w")
+  }
+
+  /** §2.5 — weighted interleave over `documents`: corpus = source,
+    * weight = a deterministic 1..3 cycle off the source number. */
+  def interleaveOrderQ(s: SparkSession, d: String): DataFrame =
+    interleaveOrder(
+        Tables.documents(s, d).select(col("source"), col("doc_id")),
+        col("source"), col("doc_id"),
+        substring(col("source"), 4, 10).cast(IntegerType) % 3 + 1)
+      .select(col("source"), col("doc_id"), col("pos"), col("slot"))
+      .orderBy(col("source"), col("doc_id"))
+
   /** §2.5 — the training-order permutation over `documents`. */
   def shuffleOrderQ(s: SparkSession, d: String): DataFrame =
     globalShuffleOrder(Tables.documents(s, d), col("doc_id"))
@@ -281,6 +341,7 @@ object TrainingOps {
     "q_decontaminate"  -> (decontaminateQ _),
     "q_pack_sequences" -> (packSequencesQ _),
     "q_shuffle_order"  -> (shuffleOrderQ _),
+    "q_interleave_order" -> (interleaveOrderQ _),
   )
 
   // ---- Oracles -------------------------------------------------------------
@@ -350,6 +411,20 @@ object TrainingOps {
   val oracles: Map[String, String] = Map(
     "q_split_assign" ->
       s"""SELECT doc_id, bucket, split FROM ($splitSql) s ORDER BY doc_id""".stripMargin,
+
+    // weighted-fair-queueing interleave: per-corpus hash rank replayed
+    // as a single window, virtual-time slot as pure integer arithmetic
+    "q_interleave_order" ->
+      s"""WITH h AS (${polyHashSql("ileave|")}),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS pos,
+         |    (CAST(substr(source, 4) AS INTEGER) % 3) + 1 AS w
+         |  FROM documents JOIN h USING (doc_id))
+         |SELECT source, doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(((pos + 1) * 1048576) // w AS BIGINT) AS slot
+         |FROM r
+         |ORDER BY source, doc_id""".stripMargin,
 
     // the oracle replays the SINGLE-window rank; the engine's bucketed
     // decomposition must reproduce it bit-exactly (contiguous hash

@@ -84,6 +84,43 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted interleave: per-corpus permutations, weight-proportional prefixes") {
+    import org.apache.spark.sql.expressions.Window
+    val weights = Map("a" -> 1L, "b" -> 2L, "c" -> 3L)
+    val rows = (1L to 600L).map(i => (Seq("a", "b", "c")((i % 3).toInt), i))
+    val df = rows.toDF("corpus", "doc_id")
+    val out = TrainingOps.interleaveOrder(df, $"corpus", $"doc_id",
+        when($"corpus" === "a", 1L).when($"corpus" === "b", 2L).otherwise(3L))
+      .select($"corpus", $"doc_id", $"pos", $"slot")
+      .as[(String, Long, Long, Long)].collect()
+    // pos is a 0..n_c-1 permutation within each corpus
+    out.groupBy(_._1).foreach { case (c, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == rs.indices.map(_.toLong).toSeq, c)
+    }
+    // reading in (slot, corpus, id) order, every reasonable prefix
+    // carries the corpora in ~1:2:3 proportion (WFQ guarantees each
+    // corpus is within one doc of its weighted share at any virtual
+    // time, so a 120-doc prefix is 20/40/60 ± slack)
+    val ordered = out.sortBy(r => (r._4, r._1, r._2))
+    for (n <- Seq(60, 120, 300)) {
+      val counts = ordered.take(n).groupBy(_._1).map { case (c, rs) => c -> rs.length }
+      val wTot = weights.values.sum
+      weights.foreach { case (c, w) =>
+        val expect = n.toDouble * w / wTot
+        assert(math.abs(counts.getOrElse(c, 0) - expect) <= 3,
+          s"prefix $n: corpus $c has ${counts.getOrElse(c, 0)}, expected ~$expect")
+      }
+    }
+    // grouped rank equals the plain per-corpus window form
+    val h = graft.plans.PolyHash64.poly_hash64(
+      concat(lit("ileave|"), $"doc_id".cast("string")))
+    val plain = df.withColumn("pos",
+        row_number().over(Window.partitionBy($"corpus").orderBy(h, $"doc_id"))
+          .cast("long") - 1L)
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(out.map(r => r._2 -> r._3).toMap == plain)
+  }
+
   test("ranged packing is bit-identical to the windowed form, including struct groups") {
     val toks = docs.select($"lang", $"source", $"doc_id",
       graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
