@@ -254,21 +254,14 @@ object TrainingOps {
     * the bucket is a contiguous hash range. */
   def globalShuffleOrder(docs: DataFrame, idCol: Column,
                          salt: String = "order|",
-                         bucketBits: Int = 12): DataFrame = {
-    require(bucketBits >= 1 && bucketBits <= 20,
-      s"bucketBits must be in [1, 20], got $bucketBits")
-    val h = PolyHash64.poly_hash64(concat(lit(salt), idCol.cast(StringType)))
-    val aug = docs.select(idCol.as("id"), h.as("__h"))
-      .withColumn("__b", shiftright(col("__h"), 64 - bucketBits))
-    val cuts = aug.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
-    val wb = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = cuts.withColumn("__pre", coalesce(sum(col("__c")).over(wb), lit(0L)))
-    val wj = Window.partitionBy(col("__b")).orderBy(col("__h"), col("id"))
-    aug.join(cum, Seq("__b"))
-      .withColumn("pos", col("__pre") + row_number().over(wj) - lit(1L))
+                         bucketBits: Int = 12): DataFrame =
+    // the global rank is the grouped rank over one group — same engine,
+    // one code path (the constant group key costs nothing: the cut
+    // frame stays 2^bucketBits rows and every doc-frame window still
+    // partitions by the hash bucket)
+    groupedShuffleOrder(docs.select(idCol.as("id")), lit(0L), col("id"),
+        salt, bucketBits)
       .select(col("id"), col("pos"))
-  }
 
   /** Per-GROUP variant of [[globalShuffleOrder]]: adds `pos` = each
     * row's 0-based rank in (hash, id) order WITHIN its group, all

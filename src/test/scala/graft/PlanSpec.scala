@@ -182,7 +182,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("shuffle order: the only unpartitioned window runs over the bounded cut frame") {
     val p = plan(graft.operators.TrainingOps.shuffleOrderQ(spark, TestSpark.sf))
-    // the per-doc rank window is partitioned by the hash bucket
+    // the per-doc rank window is partitioned by the hash bucket (the
+    // constant group key folds away under the optimizer)
     assert("windowspecdefinition\\(__b#\\d+[^,]*, __h#".r.findFirstIn(p).nonEmpty, p)
     // every window key is engine-internal — no window orders the raw
     // doc frame globally
