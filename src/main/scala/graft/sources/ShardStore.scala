@@ -182,8 +182,28 @@ object ShardStore {
   /** The live table: every landed row minus tombstoned docs. Heals an
     * interrupted compaction swap first (root missing but the rewrite
     * or the moved-aside original present — see [[DirSwap.recover]]). */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val dir = dataDir(spark, root)
+  def read(spark: SparkSession, root: String): DataFrame =
+    readDir(spark, root, dataDir(spark, root))
+
+  /** The live table AS OF a retained version — the versioned layout's
+    * free time travel. Only the current and the immediately previous
+    * version exist (the one-cycle grace retention, see the class doc);
+    * asking for a reclaimed or never-written version fails loudly.
+    * `versions` lists what is readable right now. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val f = fs(spark, root)
+    require(versionDirs(f, root).exists(_._1 == version),
+      s"version $version is not retained at $root — readable: " +
+        versions(spark, root).mkString("[", ", ", "]"))
+    readDir(spark, root, s"$root/v$version")
+  }
+
+  /** Version indexes currently on disk, ascending (at most two: the
+    * grace copy and the live version; one before the first compact). */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    versionDirs(fs(spark, root), root).map(_._1).sorted
+
+  private def readDir(spark: SparkSession, root: String, dir: String): DataFrame = {
     val all = spark.read.parquet(dir)
     if (!fs(spark, root).exists(new Path(tombDir(dir)))) all
     else all.join(

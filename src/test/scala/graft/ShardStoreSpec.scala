@@ -121,6 +121,18 @@ class ShardStoreSpec extends AnyFunSuite {
     // the root path itself was resolvable throughout — no missing-root
     // window exists in the pointer design
     assert(f.exists(p(root)) && f.exists(p(s"$root/_current")))
+
+    // time travel over the retained window: both readable versions list,
+    // resolve, and carry the same live rows (no tombstones in between);
+    // a reclaimed version fails loudly
+    assert(ShardStore.versions(spark, root) == Seq(1L, 2L))
+    for (v <- Seq(1L, 2L))
+      assert(ShardStore.readVersion(spark, root, v)
+        .select($"doc_id").as[Long].collect().sorted.sameElements(before), s"v$v")
+    val ex = intercept[IllegalArgumentException] {
+      ShardStore.readVersion(spark, root, 0L)
+    }
+    assert(ex.getMessage.contains("not retained"))
   }
 
   test("a damaged root (crash mid-move) is healed; no crash point loses the table") {
