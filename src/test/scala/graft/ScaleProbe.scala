@@ -161,6 +161,23 @@ object ScaleProbe {
       time("shuffle_order", k) {
         graft.operators.TrainingOps.globalShuffleOrder(docs, col("doc_id")).count()
       }
+      time("interleave", k) {
+        graft.operators.TrainingOps.interleaveOrder(
+          docs.select((col("doc_id") % 20).as("corpus"), col("doc_id")),
+          col("corpus"), col("doc_id"), col("corpus") % 3 + 1).count()
+      }
+      time("length_strat", k) {
+        graft.operators.CorpusOps.lengthStratifiedSample(
+          docs.select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          col("doc_id"), col("n_tokens"), strata = 4, totalBudget = 8000L * k).count()
+      }
+      time("quality_calib", k) {
+        graft.operators.Curation.calibrateQuality(
+          graft.operators.Curation.score(docs, col("text"))
+            .select((col("doc_id") % 20).as("source"), col("doc_id"), col("quality")),
+          col("source"), col("quality"), col("doc_id")).count()
+      }
       time("semantic_dedup", k) {
         // embeddings replicated by id shift + per-copy cyclic dimension
         // rotation: rotation preserves norms and within-copy cosines
