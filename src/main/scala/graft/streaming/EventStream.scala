@@ -21,10 +21,22 @@ object EventStream {
     * TIMESTAMP_NTZ) — see Tables.nanosTsToMicros. The stream schema is
     * therefore probed from the files already present (one batch-side
     * footer read at stream construction, not per microbatch) rather
-    * than hard-coded to one encoding. */
+    * than hard-coded to one encoding. A stream started on an EMPTY
+    * landing dir (files arrive later) cannot probe — it falls back to
+    * the current-generation shape (naive timestamp[us] → NTZ), which
+    * `nanosTsToMicros` normalizes like any other. */
   def eventsSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(dir).schema
+    try spark.read.parquet(dir).schema
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+    }
   }
 
   /** Tumbling 1-hour aggregation; identical logic for batch and stream.

@@ -32,6 +32,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() >= batch.count() / 2)
   }
 
+  test("a stream can start on an empty landing dir (schema falls back, files arrive later)") {
+    val dir = Files.createTempDirectory("graft_stream_empty")
+    // probing an empty dir must not throw — the fallback shape applies
+    val schema = EventStream.eventsSchema(spark, dir.toString)
+    assert(schema.fieldNames.contains("ts"))
+    val q = EventStream.startMemorySink(spark, dir.toString, "hourly_late")
+    try {
+      q.processAllAvailable() // zero batches, no data yet
+      Files.copy(Paths.get(s"${TestSpark.sf}/events.parquet"),
+        dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the late-arriving file flows through the same normalized-ts path
+    assert(spark.table("hourly_late").count() > 0)
+  }
+
   test("streaming top tokens equals the batch sketch (bounded state, complete mode)") {
     val dir = Files.createTempDirectory("graft_tok_stream")
     Files.copy(Paths.get(s"${TestSpark.sf}/documents.parquet"),
