@@ -117,7 +117,8 @@ object CorpusOps {
     * the exclusive cumsum back under budget); enforced with the same
     * up-front filter-free guard style as [[ppsSystematicSample]] — a
     * negative token count fails the run rather than silently mis-
-    * sampling. */
+    * sampling; a NULL token count carries zero mass (exactly what the
+    * plain window's null-skipping sum did). */
   private[graft] def budgetPrefixFilter(
       docs: DataFrame, grpCol: Column, idCol: Column, hashCol: Column,
       tokensCol: Column, budgetCol: Column, bucketBits: Int = 12): DataFrame = {
@@ -125,10 +126,11 @@ object CorpusOps {
       s"bucketBits must be in [1, 20], got $bucketBits")
     val t = tokensCol.cast(LongType)
     val aug = docs
-      .withColumn("__t", when(t >= 0, t).otherwise(raise_error(concat(
-        lit("budgetPrefixFilter: negative token count — the bucket " +
-          "decomposition requires non-negative masses, got "),
-        t.cast(StringType)))))
+      .withColumn("__t", when(t >= 0, t).when(t.isNull, lit(0L))
+        .otherwise(raise_error(concat(
+          lit("budgetPrefixFilter: negative token count — the bucket " +
+            "decomposition requires non-negative masses, got "),
+          t.cast(StringType)))))
       .withColumn("__bud", budgetCol.cast(LongType))
       .withColumn("__g", grpCol)
       .withColumn("__h", hashCol)
@@ -210,7 +212,11 @@ object CorpusOps {
     require(bucketBits >= 1 && bucketBits <= 20,
       s"bucketBits must be in [1, 20], got $bucketBits")
     val h = PolyHash64.poly_hash64(concat(lit("lsamp|"), idCol.cast(StringType)))
-    val aug = docs.select(idCol.as("id"), tokensCol.cast(LongType).as("n_tokens"),
+    // NULL token counts normalize to zero mass up front — the ranked
+    // equi-joins below key on n_tokens, and a NULL key would silently
+    // drop the doc instead of ranking it first (0 sorts lowest)
+    val aug = docs.select(idCol.as("id"),
+        coalesce(tokensCol.cast(LongType), lit(0L)).as("n_tokens"),
         h.as("__h"))
       .withColumn("__b", shiftright(col("__h"), 64 - bucketBits))
     val cells = aug.groupBy(col("n_tokens").as("__ct"), col("__b").as("__cb"))

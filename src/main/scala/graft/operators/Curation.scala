@@ -62,9 +62,11 @@ object Curation {
                        idCol: Column, bucketBits: Int = 12): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 20,
       s"bucketBits must be in [1, 20], got $bucketBits")
-    val aug = docs.select(grpCol.as("__g"), idCol.as("id"),
-        scoreCol.cast(DoubleType).as("score"))
-      .withColumn("__qi", floor(col("score") * 1e9).cast(LongType))
+    // adds q_rank, preserves every input column (the sibling-engine
+    // convention: dunder internals never leak into the output)
+    val aug = docs
+      .withColumn("__qi", floor(scoreCol.cast(DoubleType) * 1e9).cast(LongType))
+      .withColumn("__g", grpCol)
       // scores live in [0, 1] → the integer image fits 30 bits; its
       // top bits are a monotone range bucket of the rank order
       .withColumn("__b", shiftright(col("__qi"), 30 - bucketBits))
@@ -77,13 +79,13 @@ object Curation {
       .withColumn("__pre", coalesce(sum(col("__c")).over(wb), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(wn))
     val wj = Window.partitionBy(col("__g"), col("__b"))
-      .orderBy(col("__qi"), col("id"))
+      .orderBy(col("__qi"), idCol)
     aug.join(cum, col("__g") <=> col("__cg") && col("__b") === col("__cb"))
       .withColumn("__rank", col("__pre") + row_number().over(wj))
       .withColumn("q_rank",
         (col("__rank") - lit(1L)).cast(DoubleType) /
           greatest(col("__n") - lit(1L), lit(1L)).cast(DoubleType))
-      .select(col("__g"), col("id"), col("score"), col("q_rank"))
+      .drop("__qi", "__g", "__b", "__cg", "__cb", "__c", "__pre", "__n", "__rank")
   }
 
   /** §2.5 — per-source calibrated quality over `documents`. */
@@ -92,8 +94,7 @@ object Curation {
         score(Tables.documents(s, d), col("text"))
           .select(col("source"), col("doc_id"), col("quality")),
         col("source"), col("quality"), col("doc_id"))
-      .select(col("__g").as("source"), col("id").as("doc_id"),
-        col("score").as("quality"), col("q_rank"))
+      .select(col("source"), col("doc_id"), col("quality"), col("q_rank"))
       .orderBy(col("source"), col("doc_id"))
 
   /** The full pipeline over `documents`. */

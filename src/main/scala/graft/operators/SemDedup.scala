@@ -101,8 +101,14 @@ object SemDedup {
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         coalesce(col("comp"), col("id")).as("group_id"))
-    if (!checkpoint) joined
-    else {
+    if (!checkpoint) {
+      // no checkpoint → no materialization boundary to hide behind:
+      // release the cache entry now (an action on the returned frame
+      // recomputes the assignment — this path exists for plan
+      // inspection, not execution)
+      assigned.unpersist()
+      joined
+    } else {
       val out = joined.localCheckpoint()
       assigned.unpersist()
       out

@@ -140,7 +140,13 @@ object TrainingOps {
       .repartitionByRange(p, grpCol, idCol)
       .sortWithinPartitions(grpCol, idCol)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint, not persist: the slice-stats job and the
+      // offset pass below MUST see the same physical partitioning (the
+      // range partitioner samples), and checkpoint blocks free with GC
+      // when the caller drops the frame — a persist here would pin a
+      // corpus-sized cache entry per call for the session's lifetime
+      // (the semanticGroups lesson)
+      .localCheckpoint(false)
     val slices = sorted.groupBy(col("__pid"), col("__gk"))
       .agg(sum(col("__tk")).as("__s"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
@@ -308,7 +314,7 @@ object TrainingOps {
     groupedShuffleOrder(docs, corpusCol, idCol, salt, bucketBits)
       .withColumn("__w", when(w > 0, w).otherwise(raise_error(concat(
         lit("interleaveOrder: weight must be positive, got "),
-        w.cast(StringType)))))
+        coalesce(w.cast(StringType), lit("NULL"))))))
       .withColumn("slot", expr(s"((pos + 1) * ${1L << 20}L) div __w"))
       .drop("__w")
   }

@@ -63,6 +63,23 @@ object ShardStore {
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
       .map(s => s.getPath.getName.drop(1).toLong -> s.getPath)
 
+  /** Only COMMITTED version dirs count anywhere a reader resolves: a
+    * version is committed once its `_SUCCESS` marker exists (Spark's
+    * committer writes it at job completion; [[markCommitted]] creates
+    * it defensively in case the success-marker conf is off). An
+    * in-flight compact's half-written next dir, or a crash leftover,
+    * has no marker and is therefore never advertised, never resolved
+    * by the pointer fallback, and safely overwritten by the next
+    * compact. */
+  private def committedVersionDirs(f: org.apache.hadoop.fs.FileSystem,
+                                   root: String): Seq[(Long, Path)] =
+    versionDirs(f, root).filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
+
+  private def markCommitted(f: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val m = new Path(dir, "_SUCCESS")
+    if (!f.exists(m)) f.create(m, true).close()
+  }
+
   /** The LIVE data directory: `root/<_current>` under the versioned
     * layout, `root` itself for a legacy bare table. Resolving the
     * pointer is the reader's only coupling to maintenance — the dir it
@@ -81,7 +98,10 @@ object ShardStore {
                  finally in.close()
       s"$root/$name"
     } else {
-      val vs = versionDirs(f, root)
+      // only COMMITTED versions resolve — during a legacy root's first
+      // compact, the half-written v0 has no marker yet and readers keep
+      // resolving the still-intact legacy root
+      val vs = committedVersionDirs(f, root)
       if (vs.isEmpty) root // legacy bare layout
       else s"$root/v${vs.map(_._1).max}"
     }
@@ -140,6 +160,7 @@ object ShardStore {
     val f = fs(docs.sparkSession, root)
     if (f.exists(new Path(root))) f.delete(new Path(root), true)
     land(docs, manifest, s"$root/v0", "overwrite", maxRecordsPerFile)
+    markCommitted(f, s"$root/v0")
     flipCurrent(docs.sparkSession, root, "v0")
   }
 
@@ -162,6 +183,7 @@ object ShardStore {
     val f = fs(docs.sparkSession, root)
     if (f.exists(new Path(root))) f.delete(new Path(root), true)
     land(docs, manifest, s"$root/v0", "overwrite", maxRecordsPerFile, zCluster)
+    markCommitted(f, s"$root/v0")
     flipCurrent(docs.sparkSession, root, "v0")
   }
 
@@ -192,7 +214,7 @@ object ShardStore {
     * `versions` lists what is readable right now. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val f = fs(spark, root)
-    require(versionDirs(f, root).exists(_._1 == version),
+    require(committedVersionDirs(f, root).exists(_._1 == version),
       s"version $version is not retained at $root — readable: " +
         versions(spark, root).mkString("[", ", ", "]"))
     readDir(spark, root, s"$root/v$version")
@@ -201,7 +223,7 @@ object ShardStore {
   /** Version indexes currently on disk, ascending (at most two: the
     * grace copy and the live version; one before the first compact). */
   def versions(spark: SparkSession, root: String): Seq[Long] =
-    versionDirs(fs(spark, root), root).map(_._1).sorted
+    committedVersionDirs(fs(spark, root), root).map(_._1).sorted
 
   private def readDir(spark: SparkSession, root: String, dir: String): DataFrame = {
     val all = spark.read.parquet(dir)
@@ -291,6 +313,7 @@ object ShardStore {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("split", "lang").parquet(next)
+    markCommitted(f, next)
     flipCurrent(spark, root, s"v${curVer + 1}")
     if (curVer < 0L) {
       // one-time legacy migration: drop the bare-layout data now that

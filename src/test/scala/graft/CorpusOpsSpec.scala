@@ -181,7 +181,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select($"source", $"doc_id", $"quality")
     def run(df: org.apache.spark.sql.DataFrame, bits: Int) =
       Curation.calibrateQuality(df, $"source", $"quality", $"doc_id", bits)
-        .select($"id", $"q_rank").as[(Long, Double)].collect().toMap
+        .select($"doc_id", $"q_rank").as[(Long, Double)].collect().toMap
     // plain single-window reference: percent rank over the integer
     // score image with id tiebreak
     val w = Window.partitionBy($"source")
