@@ -261,16 +261,19 @@ object SemDedup {
   )
 
   /** BIGINT quantized dot (no double cast — the L2 comparison must
-    * stay integer-exact). */
-  private def qdot(a: String, b: String) =
+    * stay integer-exact). Shared with [[PqIndex]]'s oracles so both
+    * engines' replays quantize identically. */
+  private[operators] def qdot(a: String, b: String) =
     s"""list_sum(list_transform(range(1, len($a)+1),
        |    i -> CAST(floor(CAST($a[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST($b[i] AS DOUBLE) * 1000000) AS BIGINT)))""".stripMargin
 
   /** Shared oracle CTE prefix: seed selection (optionally restricted
     * to a corpus-side filter) + quantized-L2 assignment of EVERY
     * vector — one copy so the two semantic oracles cannot
-    * desynchronize. Emits CTEs `ph, seeds, v, sv, asg`. */
-  private def assignSql(seedWhere: String): String =
+    * desynchronize. Emits CTEs `ph, seeds, v, sv, asg`. Also reused by
+    * [[PqIndex]]'s IVF-PQ oracle — its coarse quantizer IS this
+    * assignment, so the two replays cannot drift. */
+  private[operators] def assignSql(seedWhere: String): String =
     s"""ph AS (${graft.operators.TrainingOps.polyHashSql("semcl|", "embeddings", "vec_id")}),
        |seeds AS (
        |  SELECT e.vec_id AS sid, e.embedding AS se

@@ -36,6 +36,26 @@ object TextOps {
         qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** §2 row 108 — compression-ratio quality signal: `n_bytes /
+    * deflate_len` per document (graft.plans.DeflateLen, raw DEFLATE
+    * level 6). High ratio = template/boilerplate/repetitive spam; the
+    * MassiveText-style cut keeps documents whose ratio stays under a
+    * threshold. Registered rows-only (SURVEY §5): zlib is
+    * deterministic per build but not replayable ANSI SQL — the same
+    * posture as the HLL and quantile sketches. The keep verdict at
+    * 4.0 complements q_repetition's word-level rules: DEFLATE sees
+    * repeated STRUCTURE (byte n-grams) that word histograms miss. */
+  def compressRatioQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        graft.plans.DeflateLen.deflate_len(col("text"), 6).as("deflate_len"))
+      .withColumn("ratio",
+        col("n_bytes").cast(DoubleType) /
+          greatest(col("deflate_len").cast(DoubleType), lit(1d)))
+      .withColumn("keep", col("ratio") <= 4.0)
+      .orderBy(col("doc_id"))
+
   /** §2.3#42 — language-ID confusion counts vs the labeled lang. */
   def langIdQ(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -190,6 +210,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count"     -> (tokenCountQ _),
     "q_quality_score"   -> (qualityScoreQ _),
+    "q_compress_ratio"  -> (compressRatioQ _),
     "q_lang_id"         -> (langIdQ _),
     "q_fingerprint"     -> (fingerprintQ _),
     "q_ngram_jaccard"   -> (ngramJaccardQ _),
