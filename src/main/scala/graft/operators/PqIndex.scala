@@ -167,6 +167,35 @@ object PqIndex {
     topKByD2(summed, k)
   }
 
+  /** Two-stage retrieval (§2 row 109): ADC shortlists `shortlist`
+    * candidates per query from the compressed codes, then ONLY those
+    * rows' full vectors are fetched and reranked by exact quantized
+    * L2 — the standard lossy-then-exact serving pattern (PQ recall
+    * loss is concentrated past the shortlist boundary; the rerank
+    * restores exact order inside it). The shortlist id set (nq ×
+    * shortlist rows) is broadcast against the corpus scan, so the
+    * full-vector fetch is a broadcast-join row filter — the corpus is
+    * never shuffled, and full vectors move for shortlist rows only. */
+  def adcRerankTopK(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, codebook: DataFrame,
+                    dim: Int, m: Int, shortlist: Int, k: Int): DataFrame = {
+    require(k <= shortlist, s"k=$k must not exceed shortlist=$shortlist")
+    val short = adcTopK(codes, queries, idCol, vecCol, codebook, dim, m, shortlist)
+      .select(col("qid"), col("cid"))
+    val cv = corpus.select(col(idCol).cast(LongType).as("cid"),
+        quantize(col(vecCol)).as("c_qv"))
+      .withColumn("c_nsq", dot_long(col("c_qv"), col("c_qv")))
+    val qv = queries.select(col(idCol).cast(LongType).as("qid"),
+        quantize(col(vecCol)).as("q_qv"))
+      .withColumn("q_nsq", dot_long(col("q_qv"), col("q_qv")))
+    val summed = cv.join(broadcast(short), "cid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("cid"),
+        (col("q_nsq") + col("c_nsq")
+          - lit(2L) * dot_long(col("q_qv"), col("c_qv"))).as("adc_d2"))
+    topKByD2(summed, k).withColumnRenamed("adc_d2", "d2")
+  }
+
   /** IVF-PQ: [[SemDedup.assignClusters]]' hash-seeded coarse quantizer
     * blocks the corpus into cells; each query probes its `nprobe`
     * nearest cells (exact quantized L2 to the seed, the assignment
@@ -218,6 +247,17 @@ object PqIndex {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** §2 row 109 — ADC shortlist of 20, exact rerank to top-5, for
+    * every 50th vector. */
+  def pqRerankQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cb = hashCodebook(e, "vec_id", "embedding", Dim, M, Kc)
+    val codes = encode(e, "vec_id", "embedding", cb, Dim, M)
+    adcRerankTopK(codes, e, e.filter(col("vec_id") % 50 === 0), "vec_id",
+        "embedding", cb, Dim, M, shortlist = 20, k = 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** §2 row 107 — IVF-PQ top-5, 8 coarse cells / probe 2, for every
     * 50th vector. */
   def ivfPqTopKQ(s: SparkSession, d: String): DataFrame = {
@@ -230,6 +270,7 @@ object PqIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_topk"    -> (pqTopKQ _),
     "q_ivfpq_topk" -> (ivfPqTopKQ _),
+    "q_pq_rerank"  -> (pqRerankQ _),
   )
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -280,6 +321,36 @@ object PqIndex {
          |  SELECT qid, cid, adc_d2,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rn
          |  FROM sc) t
+         |WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
+    // ADC shortlist (rn <= 20) then exact quantized-L2 rerank over the
+    // shortlisted full vectors only
+    "q_pq_rerank" ->
+      s"""WITH
+         |$pqSql,
+         |sc AS (
+         |  SELECT lut.qid, enc.vec_id AS cid, CAST(SUM(lut.d2) AS BIGINT) AS adc_d2
+         |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rn
+         |    FROM sc) t
+         |  WHERE rn <= 20),
+         |rer AS (
+         |  SELECT short.qid, short.cid,
+         |    CAST(${qdot("qe.embedding", "qe.embedding")}
+         |      + ${qdot("ce.embedding", "ce.embedding")}
+         |      - 2 * ${qdot("qe.embedding", "ce.embedding")} AS BIGINT) AS d2
+         |  FROM short
+         |  JOIN embeddings qe ON short.qid = qe.vec_id
+         |  JOIN embeddings ce ON short.cid = ce.vec_id)
+         |SELECT qid, cid, d2, rn FROM (
+         |  SELECT qid, cid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+         |  FROM rer) t
          |WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
 

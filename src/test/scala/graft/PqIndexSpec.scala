@@ -131,6 +131,62 @@ class PqIndexSpec extends AnyFunSuite {
     assert(escaped.count() == 0, "a returned candidate sits in an unprobed cell")
   }
 
+  test("rerank with a full-corpus shortlist equals exact brute-force L2 top-k") {
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val n = emb.count().toInt
+    val got = PqIndex.adcRerankTopK(codes, emb, q, "vec_id", "embedding",
+        cb, Dim, M, shortlist = n, k = 5)
+      .orderBy($"qid", $"rn").collect().toSeq
+    // exact reference: quantized L2 of every (query, candidate) pair
+    val cv = emb.select($"vec_id".cast(LongType).as("cid"),
+        quantize($"embedding").as("c_qv"))
+      .withColumn("c_nsq", dot_long($"c_qv", $"c_qv"))
+    val qv = q.select($"vec_id".cast(LongType).as("qid"),
+        quantize($"embedding").as("q_qv"))
+      .withColumn("q_nsq", dot_long($"q_qv", $"q_qv"))
+    val w = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+    val want = cv.crossJoin(qv)
+      .select($"qid", $"cid",
+        ($"q_nsq" + $"c_nsq" - lit(2L) * dot_long($"q_qv", $"c_qv")).as("d2"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter($"rn" <= 5)
+      .select($"qid", $"cid", $"d2", $"rn")
+      .orderBy($"qid", $"rn").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("rerank results never leave the ADC shortlist") {
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val short = PqIndex.adcTopK(codes, q, "vec_id", "embedding", cb, Dim, M, 20)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val got = PqIndex.adcRerankTopK(codes, emb, q, "vec_id", "embedding",
+        cb, Dim, M, shortlist = 20, k = 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect()
+    assert(got.nonEmpty && got.forall(short.contains))
+  }
+
+  test("codebook and codes fed back from parquet reproduce the search exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("pqstate").toString
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val cb2 = spark.read.parquet(s"$dir/codebook")
+    val codes2 = spark.read.parquet(s"$dir/codes")
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val direct = PqIndex.adcTopK(codes, q, "vec_id", "embedding", cb, Dim, M, 5)
+      .orderBy($"qid", $"rn").collect().toSeq
+    val fed = PqIndex.adcTopK(codes2, q, "vec_id", "embedding", cb2, Dim, M, 5)
+      .orderBy($"qid", $"rn").collect().toSeq
+    assert(fed == direct)
+    // a new batch encodes against the persisted codebook without
+    // touching the corpus — the signature-table ingest posture
+    val batch = emb.filter($"vec_id" % 97 === 0)
+    val be = PqIndex.encode(batch, "vec_id", "embedding", cb2, Dim, M)
+    val all = PqIndex.encode(emb, "vec_id", "embedding", cb, Dim, M)
+      .join(batch.select($"vec_id".cast(LongType).as("id")), "id")
+    assert(be.orderBy($"id", $"sub").collect().toSeq ==
+      all.orderBy($"id", $"sub").collect().toSeq)
+  }
+
   test("kmeans codebook has the same shape and encodes deterministically") {
     val km = PqIndex.kmeansCodebook(emb, "vec_id", "embedding", Dim, M, Kc)
     assert(km.count() == M * Kc)
