@@ -206,4 +206,25 @@ class PlanSpec extends AnyFunSuite {
     assert(offEngine.findFirstIn(p).isEmpty, p)
     assert("windowspecdefinition\\(__g#\\d+[^,]*, __b#".r.findFirstIn(p).nonEmpty, p)
   }
+
+  test("PQ ADC: broadcast codebook/LUT joins, k-bounded top-k, no per-query candidate window") {
+    val p = plan(graft.operators.PqIndex.pqTopKQ(spark, TestSpark.sf))
+    // codebook + LUT reach the scan side as broadcasts
+    assert(p.contains("BroadcastExchange"), p)
+    // top-k per query is the MinKByLong object aggregate (map-side
+    // k-bounded buffers), never a window sorting scored candidates
+    assert(p.toLowerCase.contains("minkbylong"), p)
+    assert(!"windowspecdefinition\\(qid#".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("IVF-PQ: cell-blocked equi joins only, shortlist/probe frames broadcast") {
+    val p = plan(graft.operators.PqIndex.ivfPqTopKQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.toLowerCase.contains("minkbylong"), p)
+    // the candidate restriction is an equi join on cluster, the ADC
+    // join an equi join on (qid, sub, code) — never a cartesian over
+    // (query × corpus)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

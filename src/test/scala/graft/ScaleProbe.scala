@@ -47,6 +47,30 @@ object ScaleProbe {
       (col("doc_id") + lit(shift)).as("doc_id"),
       regexp_replace(col("text"), "(\\S+)", "$1" + tag).as("text"))
 
+  /** Embeddings replicated by id shift + per-copy cyclic dimension
+    * rotation: rotation preserves norms and within-copy cosines
+    * EXACTLY while cross-copy cosines decorrelate (random 64-dim
+    * cosine exceeds 0.3 with ~1% probability). Rotation stride 11 is
+    * coprime to 64: every copy c in 1..63 gets a NON-identity
+    * rotation (a stride of 8 would make copy 8 the identity —
+    * duplicating copy 0 exactly — and a shift past 64 a negative
+    * slice length). Shared by the semantic_dedup and PQ probes. */
+  def replicateEmb(spark: org.apache.spark.sql.SparkSession,
+                   sfDir: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val vs = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    (0 until k).map { c =>
+      val shift = (11 * c) % 64
+      val emb =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, 64 - shift),
+          slice(col("embedding"), 1, shift))
+      e.select((col("vec_id") + lit(c.toLong * vs)).as("vec_id"),
+        emb.as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = TestSpark.spark
@@ -179,32 +203,37 @@ object ScaleProbe {
           col("source"), col("quality"), col("doc_id")).count()
       }
       time("semantic_dedup", k) {
-        // embeddings replicated by id shift + per-copy cyclic dimension
-        // rotation: rotation preserves norms and within-copy cosines
-        // EXACTLY while cross-copy cosines decorrelate (random 64-dim
-        // cosine exceeds 0.3 with ~1% probability). The cluster count
-        // grows with the corpus — a FIXED cluster count over growing
-        // data is the quadratic trap (per-cluster density, not cluster
-        // count, is what must stay constant; SemDeDup's own recipe
-        // scales clusters with corpus size).
-        val e = Tables.embeddings(spark, sfDir)
-          .select(col("vec_id"), col("embedding"))
-        val vs = e.agg(max(col("vec_id"))).head().getLong(0) + 1
-        val rep = (0 until k).map { c =>
-          // rotation stride 11 is coprime to 64: every copy c in 1..63
-          // gets a NON-identity rotation (a stride of 8 would make
-          // copy 8 the identity — duplicating copy 0 exactly — and a
-          // shift past 64 a negative slice length)
-          val shift = (11 * c) % 64
-          val emb =
-            if (shift == 0) col("embedding")
-            else concat(slice(col("embedding"), shift + 1, 64 - shift),
-              slice(col("embedding"), 1, shift))
-          e.select((col("vec_id") + lit(c.toLong * vs)).as("vec_id"),
-            emb.as("embedding"))
-        }.reduce(_ unionByName _)
         graft.operators.SemDedup.semanticGroups(
-          rep, "vec_id", "embedding", k = 8 * k, threshold = 0.3).count()
+          replicateEmb(spark, sfDir, k), "vec_id", "embedding",
+          k = 8 * k, threshold = 0.3).count()
+      }
+      // round-9 additions: the compressed-domain ANN family. The
+      // corpus grows k×; the query set is FIXED (the base corpus'
+      // every-50th vector — a serving workload). pq_adc is the honest
+      // linear compressed scan (every code row pays m lookup-adds per
+      // query); ivfpq scales coarse cells with the corpus (8k cells)
+      // at fixed nprobe=2, so per-query candidate volume — and the
+      // curve — should stay ~flat in k once the O(n·cells) assignment
+      // is paid. Encode is inside the timed body on purpose: at a
+      // 100 TB ingest the encode pass is the recurring cost.
+      time("pq_adc", k) {
+        val rep = replicateEmb(spark, sfDir, k)
+        val q = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 50 === 0)
+        val cb = graft.operators.PqIndex.hashCodebook(
+          rep, "vec_id", "embedding", 64, 4, 8)
+        val codes = graft.operators.PqIndex.encode(
+          rep, "vec_id", "embedding", cb, 64, 4)
+        graft.operators.PqIndex.adcTopK(
+          codes, q, "vec_id", "embedding", cb, 64, 4, 5).count()
+      }
+      time("ivfpq", k) {
+        val rep = replicateEmb(spark, sfDir, k)
+        val q = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 50 === 0)
+        graft.operators.PqIndex.ivfPqTopK(
+          rep, q, "vec_id", "embedding", 64, 4, 8,
+          kClusters = 8 * k, nprobe = 2, k = 5).count()
       }
 
       // Incremental ingest vs re-running the full pipeline: the batch is
