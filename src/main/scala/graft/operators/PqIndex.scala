@@ -139,8 +139,9 @@ object PqIndex {
   }
 
   /** k-bounded top-k per query over (qid, cid, d2) — [[MinKByLong]],
-    * never a per-query window over scored candidates. */
-  private def topKByD2(summed: DataFrame, k: Int): DataFrame = {
+    * never a per-query window over scored candidates. Shared with
+    * [[ScalarQuant]]'s compressed-domain scan. */
+  private[operators] def topKByD2(summed: DataFrame, k: Int): DataFrame = {
     val spark = summed.sparkSession
     import spark.implicits._
     val agg = new MinKByLong(k).toColumn
