@@ -69,9 +69,83 @@ object TextOps2 {
         (redact(col("text")) =!= col("text")).as("changed"))
       .orderBy(col("doc_id"))
 
+  /** Fixed retrieval workload for q_bm25: literal query strings over
+    * the corpus vocabulary — constants, so the workload is replayable
+    * by construction. */
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "table scan fast"),
+    (2L, "customer order value"),
+    (3L, "spark window merge"))
+
+  /** §2 row 111 — BM25 document retrieval (Robertson/Spärck Jones),
+    * top-10 docs per query.
+    *
+    * Cross-engine parity without `ln()` (the q_tfidf problem, one
+    * level up): idf uses the RATIONAL Lucene-shaped form
+    * `1 + (N − df + 0.5)/(df + 0.5)` (always ≥ 1, no negative-idf
+    * clamp needed), and the per-term score — idf · tf·(k1+1)/(tf +
+    * k1·(1 − b + b·dl/avgdl)), k1=1.2 b=0.75 — is computed in doubles
+    * whose expression SHAPE is pinned op-for-op against the oracle
+    * (every step a single IEEE-754 op on identical inputs), then
+    * floored to a 1e-9-granular LONG. Summing over matched terms
+    * happens on the INTEGER image, so the doc score is independent of
+    * float summation order — the row-104 integer-score-image trick
+    * applied to additive retrieval scoring.
+    *
+    * Scale shape: query terms are a broadcast (the tf table is
+    * restricted to them before anything wide happens); df and the
+    * (N, total-length) scalars are broadcast aggregates; the one
+    * doc-keyed join (tf rows × doc length) carries only matching
+    * docs; top-k per query runs on the k-bounded [[graft.functions
+    * .MinKByLong]] aggregator, never a corpus-wide window. */
+  def bm25Q(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tokens = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0))).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dlen = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dlen.agg(sum(col("dl")).as("tot_dl")))
+    val qt = Bm25Queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(regexp_extract_all(lower(col("qtext")),
+        lit(TokenPattern), lit(0))).as("token"))
+      .distinct()
+    val nd = col("n_docs").cast(DoubleType)
+    val dfd = col("df").cast(DoubleType)
+    val tfd = col("tf").cast(DoubleType)
+    val r = col("dl").cast(DoubleType) / (col("tot_dl").cast(DoubleType) / nd)
+    val idfR = lit(1.0d) + (nd - dfd + lit(0.5d)) / (dfd + lit(0.5d))
+    val sat = (tfd * lit(2.2d)) / (tfd + lit(1.2d) * (lit(0.25d) + lit(0.75d) * r))
+    val summed = tf
+      .join(broadcast(qt), "token")
+      .join(broadcast(dfreq), "token")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        floor((idfR * sat) * lit(1000000000.0d)).as("s_i"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("s_i")).as("score_i"))
+    // top-10 per query, descending score: MinKByLong on the negated
+    // integer image (scores are >= 0, negation cannot wrap)
+    val agg = new graft.functions.MinKByLong(10).toColumn
+    summed.select(col("qid"), -col("score_i"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(x => (x._2, x._3))
+      .agg(agg.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), col("p._2").as("doc_id"), (-col("p._1")).as("score_i"),
+        (col("pos") + 1).cast(LongType).as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf"  -> (tfidfQ _),
     "q_redact" -> (redactQ _),
+    "q_bm25"   -> (bm25Q _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,6 +165,49 @@ object TextOps2 {
         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n) t
         |WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+
+    // expression shape mirrors bm25Q op-for-op: every double step is a
+    // single IEEE-754 operation on identical inputs, floored to the
+    // integer image BEFORE the order-independent sum
+    "q_bm25" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+        |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY 1),
+        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |              (SELECT SUM(dl) FROM dlen) AS tot_dl),
+        |q(qid, qtext) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'table scan fast'),
+        |  (CAST(2 AS BIGINT), 'customer order value'),
+        |  (CAST(3 AS BIGINT), 'spark window merge')),
+        |qt AS (SELECT DISTINCT qid, token FROM (
+        |  SELECT qid, UNNEST(regexp_extract_all(lower(qtext), '[a-z0-9]+', 0)) AS token
+        |  FROM q) u),
+        |sc AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(SUM(CAST(floor(
+        |      ((1.0 + ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |                / (CAST(dfq.df AS DOUBLE) + 0.5)))
+        |       * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * (CAST(dlen.dl AS DOUBLE)
+        |                 / (CAST(st.tot_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_i
+        |  FROM tf
+        |  JOIN qt ON tf.token = qt.token
+        |  JOIN dfq ON tf.token = dfq.token
+        |  JOIN dlen ON tf.doc_id = dlen.doc_id
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2)
+        |SELECT qid, doc_id, score_i, rn FROM (
+        |  SELECT qid, doc_id, score_i,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score_i DESC, doc_id) AS BIGINT) AS rn
+        |  FROM sc) t
+        |WHERE rn <= 10
+        |ORDER BY qid, rn""".stripMargin,
 
     "q_redact" ->
       """SELECT doc_id,

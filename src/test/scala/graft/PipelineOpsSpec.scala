@@ -172,4 +172,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     // "zebra": tf=1, df=1 → 2.0; "on": tf=1, df=2 → 4/3 — rarity wins
     assert(score("zebra") > score("on"))
   }
+
+  test("bm25: matching docs only, descending scores, rank-dense per query") {
+    val out = graft.operators.TextOps2.bm25Q(spark, TestSpark.sf)
+      .select($"qid", $"doc_id", $"score_i", $"rn")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length), s"ranks not dense for $qid")
+      // scores non-increasing with rank; ties broken by ascending doc id
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), s"$qid: $a !>= $b")
+      case _ => }
+      assert(rows.forall(_._3 > 0), "BM25 scores must be positive for matches")
+    }
+    // every returned doc really contains at least one query term
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", lower($"text").as("t"))
+    val terms = graft.operators.TextOps2.Bm25Queries.toMap
+    val byDoc = docs.as[(Long, String)].collect().toMap
+    out.foreach { case (qid, did, _, _) =>
+      val qs = terms(qid).split(" ")
+      assert(qs.exists(w => byDoc(did).split("[^a-z0-9]+").contains(w)),
+        s"doc $did matches no term of query $qid")
+    }
+  }
 }
