@@ -335,12 +335,65 @@ object TrainingOps {
       .select(col("id").as("doc_id"), col("pos"))
       .orderBy(col("doc_id"))
 
+  /** §2 row 112 — corpus vocabulary: the top-`v` tokens by (count
+    * desc, token) as (token, tid) with tid = 1-based frequency rank;
+    * id 0 is reserved for OOV. One map-side-combined count over the
+    * corpus; the rank window runs over the LIMITED v-row frame only
+    * (the codebook-donor posture), and the resulting table is
+    * broadcast-sized by construction. */
+  def buildVocab(docs: DataFrame, textCol: Column, v: Int): DataFrame = {
+    require(v > 0, s"vocab size must be positive, got $v")
+    val counts = docs
+      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(v)
+    val w = Window.orderBy(col("c").desc, col("token"))
+    counts.withColumn("tid", row_number().over(w).cast(LongType))
+      .select(col("token"), col("tid"), col("c"))
+  }
+
+  /** Id-ized token sequences: each doc's tokens mapped through the
+    * broadcast vocab (OOV → 0), reassembled in position order — the
+    * tokenize→ids step that feeds sequence packing (row 75). One
+    * broadcast left join on the exploded tokens, one doc-keyed
+    * shuffle for the ordered reassembly (inherent: sequences ARE
+    * doc-grouped), nothing corpus-wide beyond the vocab count. */
+  def idize(docs: DataFrame, idCol: Column, textCol: Column,
+            vocab: DataFrame): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokens(textCol)).as(Seq("pos", "token")))
+    toks.join(broadcast(vocab.select(col("token"), col("tid"))), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("tid"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x("tid")).as("ids"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** §2.5 — 512-token vocab over `documents`, id sequences per doc.
+    * The sequence goes over the oracle wire as a CSV string: the
+    * driver's value-hash compare is only proven on scalar columns
+    * (every prior oracle output is scalar), and a joined string pins
+    * order + content just as tightly. The library API ([[idize]])
+    * returns the real array column. */
+  def tokenIdsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    idize(docs, col("doc_id"), col("text"),
+        buildVocab(docs, col("text"), v = 512))
+      .select(col("doc_id"),
+        concat_ws(",", col("ids")).as("ids_csv"), col("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign"   -> (splitAssignQ _),
     "q_decontaminate"  -> (decontaminateQ _),
     "q_pack_sequences" -> (packSequencesQ _),
     "q_shuffle_order"  -> (shuffleOrderQ _),
     "q_interleave_order" -> (interleaveOrderQ _),
+    "q_token_ids"      -> (tokenIdsQ _),
   )
 
   // ---- Oracles -------------------------------------------------------------
@@ -410,6 +463,27 @@ object TrainingOps {
   val oracles: Map[String, String] = Map(
     "q_split_assign" ->
       s"""SELECT doc_id, bucket, split FROM ($splitSql) s ORDER BY doc_id""".stripMargin,
+
+    // top-512 vocab by (count desc, token), OOV -> 0, sequences
+    // reassembled in position order
+    "q_token_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i,
+        |    regexp_extract_all(text, '[A-Za-z0-9]+', 0)[i] AS token
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(1, len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) + 1)) AS i
+        |    FROM documents) t),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+        |vocab AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT) AS tid
+        |  FROM (SELECT * FROM cnt ORDER BY c DESC, token LIMIT 512) v),
+        |mapped AS (
+        |  SELECT toks.doc_id, toks.i, COALESCE(vocab.tid, 0) AS tid
+        |  FROM toks LEFT JOIN vocab USING (token))
+        |SELECT doc_id, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS ids_csv,
+        |  CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // weighted-fair-queueing interleave: per-corpus hash rank replayed
     // as a single window, virtual-time slot as pure integer arithmetic

@@ -179,4 +179,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(packed == Set(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L),
       ("de", 4L, 0L), ("de", 5L, 1L)))
   }
+
+  test("vocab ids are dense frequency ranks; id sequences replay the text") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "bb aa zz"),
+      (3L, "aa")).toDF("doc_id", "text")
+    val vocab = TrainingOps.buildVocab(docs, $"text", v = 2)
+    val v = vocab.select($"token", $"tid").as[(String, Long)].collect().toMap
+    // aa ×4, bb ×2, cc/zz ×1 → top-2 = aa(1), bb(2)
+    assert(v == Map("aa" -> 1L, "bb" -> 2L))
+    val ids = TrainingOps.idize(docs, $"doc_id", $"text", vocab)
+      .select($"doc_id", $"ids", $"n_oov").as[(Long, Seq[Long], Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(ids(1L) == ((Seq(1L, 2L, 1L, 0L), 1L)), ids(1L).toString)
+    assert(ids(2L) == ((Seq(2L, 1L, 0L), 1L)))
+    assert(ids(3L) == ((Seq(1L), 0L)))
+  }
+
+  test("idize is invariant to input partitioning") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val vocab = TrainingOps.buildVocab(docs, $"text", v = 64)
+    val a = TrainingOps.idize(docs, $"doc_id", $"text", vocab)
+      .orderBy($"doc_id").collect().toSeq
+    val b = TrainingOps.idize(docs.repartition(7), $"doc_id", $"text", vocab)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -49,8 +49,19 @@ for name, sql in sorted(oracle.items()):
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             same = (pd.isna(a) & pd.isna(b)) | (a == b)
         else:
-            same = pd.Series(a, dtype=object).fillna("\0NULL").to_numpy() == \
-                   pd.Series(b, dtype=object).fillna("\0NULL").to_numpy()
+            # list/array cells (numpy arrays from parquet, lists from duckdb)
+            # break elementwise ==; canonicalize to tuples first
+            def canon(x):
+                if isinstance(x, (list, tuple)) or (hasattr(x, "tolist") and getattr(x, "ndim", 0) > 0):
+                    return tuple(x.tolist() if hasattr(x, "tolist") else x)
+                try:
+                    if x is None or pd.isna(x):  # covers None, NaN, NaT
+                        return "\0NULL"
+                except (TypeError, ValueError):
+                    pass
+                return x
+            same = pd.Series([canon(x) for x in a], dtype=object).to_numpy() == \
+                   pd.Series([canon(x) for x in b], dtype=object).to_numpy()
         if not np.all(same):
             bad = np.where(~same)[0][:3]
             print(f"FAIL {name}: col {c} mismatch at rows {bad.tolist()}: "
