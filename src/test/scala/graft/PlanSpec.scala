@@ -227,4 +227,24 @@ class PlanSpec extends AnyFunSuite {
     // (query × corpus)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("BM25: query terms and stats broadcast, top-k aggregated — no corpus window") {
+    val p = plan(graft.operators.TextOps2.bm25Q(spark, TestSpark.sf))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.toLowerCase.contains("minkbylong"), p)
+    // no window at all: ranking is fully aggregator-side
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("token ids: vocab rank window bounded by the limit, mapping broadcast") {
+    val p = plan(graft.operators.TrainingOps.tokenIdsQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastExchange"), p)
+    // exactly one window — the vocab rank — and it sits above a
+    // LIMIT-bounded frame (TakeOrderedAndProject under AQE), never the
+    // exploded token stream
+    assert("windowspecdefinition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit")
+      || p.contains("Limit"), p)
+  }
 }
