@@ -25,8 +25,14 @@ class MinKByLong(k: Int) extends Aggregator[(Long, Long), List[(Long, Long)], Se
   private def trim(l: List[(Long, Long)]): List[(Long, Long)] =
     l.sorted.take(k)
 
+  // the buffer is kept sorted ascending (zero/trim invariant), so a
+  // full buffer rejects a non-improving candidate with one comparison
+  // against its last element — this aggregator is the inner loop of
+  // every compressed-domain scan (one reduce per scored candidate per
+  // query), and the unconditional sort-per-row dominated its profile
   override def reduce(b: List[(Long, Long)], a: (Long, Long)): List[(Long, Long)] =
-    trim(a :: b)
+    if (b.lengthCompare(k) >= 0 && Ordering[(Long, Long)].gteq(a, b.last)) b
+    else trim(a :: b)
 
   override def merge(b1: List[(Long, Long)], b2: List[(Long, Long)]): List[(Long, Long)] =
     trim(b1 ::: b2)

@@ -21,8 +21,11 @@ class SmallestK(k: Int) extends Aggregator[(String, Long), List[(String, Long)],
   private def trim(l: List[(String, Long)]): List[(String, Long)] =
     l.sorted.take(k)
 
+  // sorted-ascending buffer invariant (zero/trim): a full buffer
+  // rejects a non-improving row with one comparison — see MinKByLong
   override def reduce(b: List[(String, Long)], a: (String, Long)): List[(String, Long)] =
-    trim(a :: b)
+    if (b.lengthCompare(k) >= 0 && Ordering[(String, Long)].gteq(a, b.last)) b
+    else trim(a :: b)
 
   override def merge(b1: List[(String, Long)], b2: List[(String, Long)]): List[(String, Long)] =
     trim(b1 ::: b2)

@@ -63,14 +63,27 @@ object IvfIndex {
     * the old seed rule), assignment ties break on lowest centroid id,
     * empty clusters keep their previous centroid. */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int, trainSample: Int = 4096): Seq[Seq[Double]] = {
-    val sample: Array[Array[Double]] = df
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy(col("__h"), col(idCol))
-      .limit(math.max(k, trainSample))
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+                     k: Int, iters: Int, trainSample: Int = 4096): Seq[Seq[Double]] =
+    trainFromSample(hashSample(df, idCol, vecCol, math.max(k, trainSample)), k, iters)
+
+  /** The bounded driver sample in replayable id-hash order — ONE
+    * distributed sort-limit job; callers training several models off
+    * the same corpus (e.g. [[PqIndex.kmeansCodebook]]'s per-subspace
+    * codebooks) collect it once and slice driver-side instead of
+    * re-running the corpus pass per model. */
+  def hashSample(df: DataFrame, idCol: String, vecCol: String,
+                 n: Int): Array[Array[Double]] = df
+    .withColumn("__h", xxhash64(col(idCol)))
+    .orderBy(col("__h"), col(idCol))
+    .limit(n)
+    .select(col(vecCol))
+    .collect()
+    .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Lloyd iterations over an in-memory sample (deterministic: first-k
+    * seeds, strict-< lowest-id tie-break, empty clusters keep their
+    * centroid). */
+  def trainFromSample(sample: Array[Array[Double]], k: Int, iters: Int): Seq[Seq[Double]] = {
     require(sample.length >= k,
       s"training set has only ${sample.length} rows — need at least k=$k for k-means seeds")
 

@@ -79,15 +79,16 @@ object PqIndex {
   /** Library-path codebook: per-subspace Lloyd k-means (bounded driver
     * sample, deterministic seeds — the [[IvfIndex]] posture), then
     * quantized to the same (sub, code, c_q, c_nsq) shape so encode/ADC
-    * are codebook-agnostic. */
+    * are codebook-agnostic. The hash sample is collected ONCE and
+    * sliced driver-side — the id hash is slice-independent, so m
+    * corpus sort-limit passes would select the same rows m times. */
   def kmeansCodebook(df: DataFrame, idCol: String, vecCol: String,
                      dim: Int, m: Int, kc: Int, iters: Int = 2): DataFrame = {
     val sub = checkDims(dim, m)
     val spark = df.sparkSession
+    val sample = IvfIndex.hashSample(df, idCol, vecCol, math.max(kc, 4096))
     val rows = (0 until m).flatMap { s =>
-      val slices = df.select(col(idCol).as("id"),
-        slice(col(vecCol), s * sub + 1, sub).as("v"))
-      IvfIndex.trainCentroids(slices, "id", "v", kc, iters)
+      IvfIndex.trainFromSample(sample.map(_.slice(s * sub, (s + 1) * sub)), kc, iters)
         .zipWithIndex.map { case (c, j) => (s, j, c.map(x => math.floor(x * 1e6).toLong)) }
     }
     import spark.implicits._

@@ -81,64 +81,77 @@ object TextOps2 {
     * top-10 docs per query.
     *
     * Cross-engine parity without `ln()` (the q_tfidf problem, one
-    * level up): idf uses the RATIONAL Lucene-shaped form
-    * `1 + (N − df + 0.5)/(df + 0.5)` (always ≥ 1, no negative-idf
-    * clamp needed), and the per-term score — idf · tf·(k1+1)/(tf +
-    * k1·(1 − b + b·dl/avgdl)), k1=1.2 b=0.75 — is computed in doubles
-    * whose expression SHAPE is pinned op-for-op against the oracle
-    * (every step a single IEEE-754 op on identical inputs), then
-    * floored to a 1e-9-granular LONG. Summing over matched terms
-    * happens on the INTEGER image, so the doc score is independent of
-    * float summation order — the row-104 integer-score-image trick
-    * applied to additive retrieval scoring.
+    * level up): idf uses the RATIONAL Lucene-shaped form NORMALIZED by
+    * the corpus size — `(1 + (N − df + 0.5)/(df + 0.5)) / (N + 1)`,
+    * always in (0, 1] — and the per-term score, idf_n · tf·(k1+1)/(tf
+    * + k1·(1 − b + b·dl/avgdl)) with k1=1.2 b=0.75, is computed in
+    * doubles whose expression SHAPE is pinned op-for-op against the
+    * oracle (every step a single IEEE-754 op on identical inputs),
+    * then floored to a 1e-15-granular LONG. Summing over matched
+    * terms happens on the INTEGER image, so the doc score is
+    * independent of float summation order — the row-104
+    * integer-score-image trick applied to additive retrieval scoring.
+    * The normalization is a per-corpus positive constant, so within a
+    * query it never changes the real-valued ranking; what it buys is
+    * an OVERFLOW-FREE image at any corpus size: per-term image ≤
+    * (k1+1)·1e15 = 2.2e15 (inside double's 2^53 exact-integer range),
+    * and the summed image stays under Long.Max for queries up to
+    * ~4000 distinct terms — the unnormalized 1e9 image would wrap a
+    * Long at N ≈ 5e9 docs and silently invert rankings.
     *
-    * Scale shape: query terms are a broadcast (the tf table is
-    * restricted to them before anything wide happens); df and the
-    * (N, total-length) scalars are broadcast aggregates; the one
-    * doc-keyed join (tf rows × doc length) carries only matching
-    * docs; top-k per query runs on the k-bounded [[graft.functions
-    * .MinKByLong]] aggregator, never a corpus-wide window. */
+    * Scale shape: query terms are a broadcast, and df comes from the
+    * query-RESTRICTED tf frame (a |query-terms|-row broadcast — a
+    * corpus-wide vocabulary df table is not broadcastable); the
+    * (N, total-length) scalars are broadcast aggregates; doc length
+    * is `sum(tf)` per doc off the SAME tf frame, so the corpus is
+    * tokenized once and the dl aggregation reuses tf's exchange; the
+    * one doc-keyed join carries only matching docs; top-k per query
+    * runs on the k-bounded [[graft.functions.MinKByLong]] aggregator
+    * (via [[PqIndex.topKByD2]]), never a corpus-wide window. */
   def bm25Q(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val tokens = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0))).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dlen = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dlen.agg(sum(col("dl")).as("tot_dl")))
     val qt = Bm25Queries.toDF("qid", "qtext")
       .select(col("qid"), explode(regexp_extract_all(lower(col("qtext")),
         lit(TokenPattern), lit(0))).as("token"))
       .distinct()
+    // restrict FIRST, then derive df from the restricted frame: df of
+    // a query term is the number of docs carrying it, same value the
+    // vocabulary-wide table would give, at |query terms| rows. The
+    // restriction for df uses the DISTINCT token list — restricting by
+    // (qid, token) would double-count a doc once per query sharing
+    // the token
+    val qtok = qt.select(col("token")).distinct()
+    val tfq = tf.join(broadcast(qt), "token")
+    val dfq = tf.join(broadcast(qtok), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast(DoubleType)
     val dfd = col("df").cast(DoubleType)
     val tfd = col("tf").cast(DoubleType)
     val r = col("dl").cast(DoubleType) / (col("tot_dl").cast(DoubleType) / nd)
-    val idfR = lit(1.0d) + (nd - dfd + lit(0.5d)) / (dfd + lit(0.5d))
+    val idfN = (lit(1.0d) + (nd - dfd + lit(0.5d)) / (dfd + lit(0.5d))) / (nd + lit(1.0d))
     val sat = (tfd * lit(2.2d)) / (tfd + lit(1.2d) * (lit(0.25d) + lit(0.75d) * r))
-    val summed = tf
-      .join(broadcast(qt), "token")
-      .join(broadcast(dfreq), "token")
+    val summed = tfq
+      .join(broadcast(dfq), "token")
       .join(dlen, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
-        floor((idfR * sat) * lit(1000000000.0d)).as("s_i"))
+        floor((idfN * sat) * lit(1.0e15d)).as("s_i"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("s_i")).as("score_i"))
-    // top-10 per query, descending score: MinKByLong on the negated
-    // integer image (scores are >= 0, negation cannot wrap)
-    val agg = new graft.functions.MinKByLong(10).toColumn
-    summed.select(col("qid"), -col("score_i"), col("doc_id"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(x => (x._2, x._3))
-      .agg(agg.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("qid"), col("p._2").as("doc_id"), (-col("p._1")).as("score_i"),
-        (col("pos") + 1).cast(LongType).as("rn"))
+    // top-10 per query, descending score: the shared k-bounded top-k
+    // on the negated image (scores are >= 0, negation cannot wrap)
+    PqIndex.topKByD2(
+        summed.select(col("qid"), col("doc_id").as("cid"),
+          (-col("score_i")).as("adc_d2")), 10)
+      .select(col("qid"), col("cid").as("doc_id"),
+        (-col("adc_d2")).as("score_i"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
 
@@ -174,10 +187,9 @@ object TextOps2 {
         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
         |  FROM documents),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
-        |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY 1),
+        |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
         |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |              (SELECT SUM(dl) FROM dlen) AS tot_dl),
+        |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dlen) AS tot_dl),
         |q(qid, qtext) AS (VALUES
         |  (CAST(1 AS BIGINT), 'table scan fast'),
         |  (CAST(2 AS BIGINT), 'customer order value'),
@@ -185,20 +197,25 @@ object TextOps2 {
         |qt AS (SELECT DISTINCT qid, token FROM (
         |  SELECT qid, UNNEST(regexp_extract_all(lower(qtext), '[a-z0-9]+', 0)) AS token
         |  FROM q) u),
+        |tfq AS (SELECT tf.doc_id, tf.token, tf.tf, qt.qid
+        |  FROM tf JOIN qt ON tf.token = qt.token),
+        |qtok AS (SELECT DISTINCT token FROM qt),
+        |dfq AS (SELECT tf.token, COUNT(*) AS df
+        |  FROM tf JOIN qtok ON tf.token = qtok.token GROUP BY 1),
         |sc AS (
-        |  SELECT qt.qid, tf.doc_id,
+        |  SELECT tfq.qid, tfq.doc_id,
         |    CAST(SUM(CAST(floor(
-        |      ((1.0 + ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
-        |                / (CAST(dfq.df AS DOUBLE) + 0.5)))
-        |       * ((CAST(tf.tf AS DOUBLE) * 2.2)
-        |          / (CAST(tf.tf AS DOUBLE)
+        |      (((1.0 + ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |                 / (CAST(dfq.df AS DOUBLE) + 0.5)))
+        |        / (CAST(st.n_docs AS DOUBLE) + 1.0))
+        |       * ((CAST(tfq.tf AS DOUBLE) * 2.2)
+        |          / (CAST(tfq.tf AS DOUBLE)
         |             + 1.2 * (0.25 + 0.75 * (CAST(dlen.dl AS DOUBLE)
         |                 / (CAST(st.tot_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))
-        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_i
-        |  FROM tf
-        |  JOIN qt ON tf.token = qt.token
-        |  JOIN dfq ON tf.token = dfq.token
-        |  JOIN dlen ON tf.doc_id = dlen.doc_id
+        |      * 1000000000000000.0) AS BIGINT)) AS BIGINT) AS score_i
+        |  FROM tfq
+        |  JOIN dfq ON tfq.token = dfq.token
+        |  JOIN dlen ON tfq.doc_id = dlen.doc_id
         |  CROSS JOIN st
         |  GROUP BY 1, 2)
         |SELECT qid, doc_id, score_i, rn FROM (

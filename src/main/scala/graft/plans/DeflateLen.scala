@@ -52,21 +52,32 @@ object DeflateLen {
 
   /** One-shot DEFLATE (raw, no zlib header — the 2-byte header would
     * wash out short-string ratios) over the UTF-8 bytes; returns the
-    * compressed length only, the payload is discarded. The Deflater is
-    * per-call: the expression must be thread-safe across codegen'd
-    * tasks, and a pooled native zlib stream is exactly the kind of
-    * shared mutable state that breaks there. */
+    * compressed length only, the payload is discarded.
+    *
+    * Thread-safety vs allocation: a SHARED Deflater breaks across
+    * concurrent codegen'd tasks, but a per-row `new Deflater` pays a
+    * native zlib stream init/free per document — so each task thread
+    * keeps its own instances (one per level) in a ThreadLocal and
+    * `reset()`s between rows, which zlib defines as restoring a fresh
+    * stream (bit-identical output). The scratch buffer is likewise
+    * per-thread and fixed-size: only the count is kept, so `deflate`
+    * can loop over an 8 KiB window regardless of input length. The
+    * native streams live as long as their executor task threads —
+    * bounded by the thread pool, not the row count. */
+  private val deflaters = ThreadLocal.withInitial[Array[Deflater]](() => new Array[Deflater](10))
+  private val scratch = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
   def compute(s: UTF8String, level: Int): Int = {
-    val bytes = s.getBytes
-    val d = new Deflater(level, /* nowrap = */ true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](math.max(64, bytes.length + 16))
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val ds = deflaters.get()
+    var d = ds(level)
+    if (d == null) { d = new Deflater(level, /* nowrap = */ true); ds(level) = d }
+    else d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = scratch.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   /** Column API (via the in-package bridge). */
