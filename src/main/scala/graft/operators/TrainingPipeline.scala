@@ -60,7 +60,8 @@ object TrainingPipeline {
       verifyK: Int = 0,
       lshBands: Int = 8,
       scrubSpanGram: Int = 0,
-      scrubMinCount: Int = 2)
+      scrubMinCount: Int = 2,
+      vocabSize: Int = 0)
 
   /** The stage intermediates [[run]] flows through — exposed so
     * [[bootstrapState]] can capture incremental-ingest state without
@@ -178,9 +179,29 @@ object TrainingPipeline {
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
     // ranged variant: train×en is most of a corpus — the windowed form
     // would funnel it through one task (bins are provably identical)
-    val manifest = TrainingOps.packBinnedRanged(toks, struct(col("split"), col("lang")),
+    val manifest0 = TrainingOps.packBinnedRanged(toks, struct(col("split"), col("lang")),
         col("doc_id"), col("n_tokens"), cfg.packCapacity)
       .select(col("split"), col("lang"), col("bin"), col("doc_id"), col("n_tokens"))
+
+    // 7. id-ization (config-gated, OFF by default — `vocabSize > 0`
+    // adds (ids, n_oov) per manifest row; default off keeps the
+    // manifest schema, so q_training_pipeline stays hash-exact). The
+    // vocabulary comes from the TRAIN split only — inducing it over
+    // val/test would leak their token statistics into the model's
+    // input space — and val/test docs map through it with OOV → 0,
+    // exactly as they would at training time. Same tokenizer as
+    // n_tokens, so |ids| == n_tokens row for row.
+    val manifest =
+      if (cfg.vocabSize <= 0) manifest0
+      else {
+        val vocab = TrainingOps.buildVocab(
+          clean.filter(col("split") === "train"), col("text"), cfg.vocabSize)
+        manifest0.join(
+          TrainingOps.idize(clean, col("doc_id"), col("text"), vocab),
+          Seq("doc_id"), "left")
+          .select(col("split"), col("lang"), col("bin"), col("doc_id"),
+            col("n_tokens"), col("ids"), col("n_oov"))
+      }
     Stages(gated, sigs, labels,
       sh.join(clean.select(col("doc_id")), Seq("doc_id")), manifest)
   }

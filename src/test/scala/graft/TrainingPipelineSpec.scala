@@ -63,6 +63,37 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("id-ization stage: gated off by default, train-only vocab, |ids| == n_tokens") {
+    val off = TrainingPipeline.run(docs, cfg)
+    assert(!off.columns.contains("ids"),
+      "vocabSize = 0 must leave the manifest schema unchanged")
+    val on = TrainingPipeline.run(docs, cfg.copy(vocabSize = 64)).cache()
+    assert(on.columns.toSeq ==
+      Seq("split", "lang", "bin", "doc_id", "n_tokens", "ids", "n_oov"))
+    // membership/splits/bins identical to the ungated run
+    val offKeys = off.select($"doc_id", $"split", $"bin")
+      .as[(Long, String, Long)].collect().toSet
+    val onKeys = on.select($"doc_id", $"split", $"bin")
+      .as[(Long, String, Long)].collect().toSet
+    assert(onKeys == offKeys, "id-ization must not move docs, splits or bins")
+    // the sequence length is the packed token count, row for row
+    assert(on.filter(size($"ids") =!= $"n_tokens").count() == 0)
+    // vocab induced from the train split only: every non-OOV id used
+    // anywhere must be a token that occurs in some TRAIN doc
+    val trainTokens = on.filter($"split" === "train")
+      .join(docs, "doc_id")
+      .select(explode(TextFunctions.tokens($"text")).as("t"))
+      .distinct().as[String].collect().toSet
+    val vocab = TrainingOps.buildVocab(
+      on.filter($"split" === "train").join(docs, "doc_id"), $"text", 64)
+    val vocabTokens = vocab.select($"token").as[String].collect().toSet
+    assert(vocabTokens.subsetOf(trainTokens),
+      "vocabulary must come from train-split text only")
+    // and n_oov counts exactly the positions mapped to 0
+    assert(on.filter($"n_oov" =!= size(filter($"ids", x => x === 0L))).count() == 0)
+    on.unpersist()
+  }
+
   test("pipeline is deterministic end-to-end") {
     val a = TrainingPipeline.trainingPipelineQ(spark, TestSpark.sf).collect()
     val b = TrainingPipeline.trainingPipelineQ(spark, TestSpark.sf).collect()
