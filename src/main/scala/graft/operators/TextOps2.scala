@@ -99,37 +99,61 @@ object TextOps2 {
     * ~4000 distinct terms — the unnormalized 1e9 image would wrap a
     * Long at N ≈ 5e9 docs and silently invert rankings.
     *
-    * Scale shape: query terms are a broadcast, and df comes from the
-    * query-RESTRICTED tf frame (a |query-terms|-row broadcast — a
-    * corpus-wide vocabulary df table is not broadcastable); the
-    * (N, total-length) scalars are broadcast aggregates; doc length
-    * is `sum(tf)` per doc off the SAME tf frame, so the corpus is
-    * tokenized once and the dl aggregation reuses tf's exchange; the
-    * one doc-keyed join carries only matching docs; top-k per query
-    * runs on the k-bounded [[graft.functions.MinKByLong]] aggregator
-    * (via [[PqIndex.topKByD2]]), never a corpus-wide window. */
+    * Scale shape — the signature-table posture: [[buildBm25Postings]]
+    * tokenizes the corpus ONCE into a persisted postings table
+    * (doc_id, token, tf, dl) + a 1-row stats table; every query then
+    * runs [[bm25FromPostings]] against those tables and never touches
+    * the corpus text again (a deployment buckets the postings by
+    * token, so a query's reads prune to its terms' buckets). Query
+    * terms are a broadcast; df comes from the query-RESTRICTED
+    * postings (a |query-terms|-row broadcast — a corpus-wide
+    * vocabulary df table is not broadcastable); top-k per query runs
+    * on the k-bounded [[graft.functions.MinKByLong]] aggregator (via
+    * [[PqIndex.topKByD2]]), never a corpus-wide window. */
   def bm25Q(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, d)
-    val tokens = docs.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0))).as("token"))
-    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val (postings, stats) = buildBm25Postings(docs, col("doc_id"), col("text"))
+    bm25FromPostings(s, postings, stats, Bm25Queries, k = 10)
+  }
+
+  /** The persisted retrieval index: postings (doc_id, token, tf, dl)
+    * and a 1-row stats frame (n_docs, tot_dl). Built once per corpus,
+    * written as tables, fed back via [[bm25FromPostings]] — the same
+    * maintain-state-not-rescan family as `Dedup.signatureTable` and
+    * `SemDedup.assignmentTable`. `n_docs` counts the DOCS frame (a
+    * token-free doc contributes to N and avgdl but has no postings
+    * row), which is why stats ride along instead of being re-derived
+    * from postings at read time. */
+  def buildBm25Postings(docs: DataFrame, idCol: Column, textCol: Column): (DataFrame, DataFrame) = {
+    val tf = docs.select(idCol.as("doc_id"),
+        explode(regexp_extract_all(lower(textCol), lit(TokenPattern), lit(0))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val postings = tf.join(dlen, "doc_id")
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dlen.agg(sum(col("dl")).as("tot_dl")))
-    val qt = Bm25Queries.toDF("qid", "qtext")
+    (postings, stats)
+  }
+
+  /** Score fixed query strings against a postings/stats index — zero
+    * corpus-text access. See [[bm25Q]] for the parity math. */
+  def bm25FromPostings(s: SparkSession, postings: DataFrame, stats: DataFrame,
+                       queriesSeq: Seq[(Long, String)], k: Int): DataFrame = {
+    import s.implicits._
+    val qt = queriesSeq.toDF("qid", "qtext")
       .select(col("qid"), explode(regexp_extract_all(lower(col("qtext")),
         lit(TokenPattern), lit(0))).as("token"))
       .distinct()
     // restrict FIRST, then derive df from the restricted frame: df of
-    // a query term is the number of docs carrying it, same value the
+    // a query term is the number of docs carrying it, same value a
     // vocabulary-wide table would give, at |query terms| rows. The
     // restriction for df uses the DISTINCT token list — restricting by
     // (qid, token) would double-count a doc once per query sharing
     // the token
     val qtok = qt.select(col("token")).distinct()
-    val tfq = tf.join(broadcast(qt), "token")
-    val dfq = tf.join(broadcast(qtok), "token")
+    val pq = postings.join(broadcast(qt), "token")
+    val dfq = postings.join(broadcast(qtok), "token")
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast(DoubleType)
     val dfd = col("df").cast(DoubleType)
@@ -137,19 +161,18 @@ object TextOps2 {
     val r = col("dl").cast(DoubleType) / (col("tot_dl").cast(DoubleType) / nd)
     val idfN = (lit(1.0d) + (nd - dfd + lit(0.5d)) / (dfd + lit(0.5d))) / (nd + lit(1.0d))
     val sat = (tfd * lit(2.2d)) / (tfd + lit(1.2d) * (lit(0.25d) + lit(0.75d) * r))
-    val summed = tfq
+    val summed = pq
       .join(broadcast(dfq), "token")
-      .join(dlen, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
         floor((idfN * sat) * lit(1.0e15d)).as("s_i"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("s_i")).as("score_i"))
-    // top-10 per query, descending score: the shared k-bounded top-k
+    // top-k per query, descending score: the shared k-bounded top-k
     // on the negated image (scores are >= 0, negation cannot wrap)
     PqIndex.topKByD2(
         summed.select(col("qid"), col("doc_id").as("cid"),
-          (-col("score_i")).as("adc_d2")), 10)
+          (-col("score_i")).as("adc_d2")), k)
       .select(col("qid"), col("cid").as("doc_id"),
         (-col("adc_d2")).as("score_i"), col("rn"))
       .orderBy(col("qid"), col("rn"))

@@ -198,4 +198,19 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"doc $did matches no term of query $qid")
     }
   }
+
+  test("bm25 scored from a parquet-round-tripped postings index is identical") {
+    import graft.operators.TextOps2
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val (postings, stats) = TextOps2.buildBm25Postings(docs, $"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25ix").toString
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val fed = TextOps2.bm25FromPostings(spark,
+        spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"),
+        TextOps2.Bm25Queries, k = 10)
+      .collect().toSeq
+    val direct = TextOps2.bm25Q(spark, TestSpark.sf).collect().toSeq
+    assert(fed.nonEmpty && fed == direct)
+  }
 }
