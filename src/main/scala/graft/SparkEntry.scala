@@ -42,7 +42,7 @@ object SparkEntry {
     Fuzzy.queries ++ Profiling.queries ++ TrainingOps.queries ++ CorpusOps.queries ++
     HeavyHitters.queries ++ TrainingPipeline.queries ++ LmScore.queries ++
     SubstringDedup.queries ++ SemDedup.queries ++ MixtureOps.queries ++
-    PqIndex.queries ++ ScalarQuant.queries ++ ClusterOps.queries ++
+    PqIndex.queries ++ ScalarQuant.queries ++ ClusterOps.queries ++ GraphOps.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -220,6 +220,6 @@ object SparkEntry {
     Fuzzy.oracles ++ Profiling.oracles ++ TrainingOps.oracles ++ CorpusOps.oracles ++
     HeavyHitters.oracles ++ TrainingPipeline.oracles ++
     SubstringDedup.oracles ++ SemDedup.oracles ++ MixtureOps.oracles ++
-    PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++
+    PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++ GraphOps.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.Tables
+
+/** Weighted PageRank over an arbitrary edge DataFrame (SURVEY.md §2
+  * row 114) — the link-graph quality signal web-scale curation runs
+  * before anything else (CommonCrawl-derived pipelines rank hosts by
+  * centrality to pick crawl/keep candidates; the reference's DAG has
+  * no graph step, this is part of the mandated LLM-pipeline surface).
+  *
+  * Scale shape (100 TB of edges): the rank state is O(nodes) and
+  * stays DISTRIBUTED (never collected); each iteration is one
+  * contribution join keyed on the source node + one groupBy on the
+  * destination + one left join back to the node set — all equi-joins
+  * on node ids, AQE-skew-safe, no driver state beyond two scalars
+  * (node count, per-iteration dangling mass — the watermark-scalar
+  * posture). The out-weight join is hoisted OUT of the loop (edges
+  * carry their source's total weight from one pre-pass). Each
+  * iteration's rank frame is localCheckpoint-materialized so plan
+  * depth stays O(1) per iteration instead of O(iters) at the end.
+  *
+  * Determinism/oracle parity: pure integer arithmetic end to end.
+  * Ranks live at `scale` (default 1e12); every division is
+  * floor-div via `(a - pmod(a, b)) div b` (exact: the numerator is
+  * made divisible first), damping is the rational dampNum/dampDen —
+  * no float ever enters, so DuckDB replays iterations verbatim.
+  * Dangling mass (nodes with no out-edges) is redistributed
+  * uniformly each iteration, the standard treatment.
+  *
+  * OVERFLOW CONTRACT: rank·weight must stay under 2^63 — with the
+  * default scale 1e12 that allows per-edge weights to ~9.2e6.
+  * Callers with heavier edges pre-scale the weight column (ranking
+  * depends only on the w/W ratios, so uniform scaling is harmless).
+  */
+object GraphOps {
+
+  /** Exact integer floor-div of two long columns (b > 0): subtract the
+    * positive remainder, then integral-divide (exact by construction —
+    * same value both engines replay as `(a - pmod) // b`). */
+  private[operators] def fdiv(a: Column, b: Column): Column =
+    call_function("div", a - pmod(a, b), b)
+
+  /** (node, rank) after `iters` damped iterations; Σrank ≈ scale
+    * (short only by per-division floor truncation). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+               iters: Int, scale: Long = 1000000000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
+    val w = col(wCol).cast(LongType)
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"),
+      when(w > 0, w).otherwise(raise_error(
+        lit("pageRank: edge weights must be positive"))).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // loop-invariant: each edge carries its source's total out-weight
+    val ew = e.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRank: empty edge set")
+      val teleport = Math.floorDiv((dampDen - dampNum) * scale, dampDen * n)
+      val init = nodes.withColumn("rank", lit(Math.floorDiv(scale, n)))
+      val last = (1 to iters).foldLeft(init) { (ranks, _) =>
+        val contrib = ew.join(ranks, ew("src") === ranks("node"))
+          .select(col("dst"), fdiv(col("rank") * col("w"), col("ow")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+        val dangling = ranks.join(outw, ranks("node") === outw("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+        val next = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(broadcast(dangling)) // 1-row aggregate
+          .select(nodes("node"),
+            (lit(teleport) + fdiv(lit(dampNum) *
+              (coalesce(col("inc"), lit(0L)) + fdiv(col("dm"), lit(n))),
+              lit(dampDen))).as("rank"))
+          .localCheckpoint() // O(nodes); truncates per-iteration lineage
+        ranks.unpersist()
+        next
+      }
+      last
+    } finally { ew.unpersist(); nodes.unpersist(); () }
+  }
+
+  /** The registered query's edge graph: nation-to-nation trade flows —
+    * customer nation → supplier nation, weighted by lineitem count.
+    * Dims broadcast; the fact join is the only big shuffle. */
+  def nationFlowEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** §2 row 114 — 3 damped iterations over the nation-flow graph. */
+  def pageRankQ(s: SparkSession, d: String): DataFrame =
+    pageRank(nationFlowEdges(s, d), "src", "dst", "w", iters = 3)
+      .select(col("node"), col("rank")).orderBy(col("node"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (pageRankQ _),
+  )
+
+  /** Textual floor-div macro for the oracle (b > 0). */
+  private def fd(a: String, b: String) =
+    s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+
+  /** One unrolled iteration: contributions, dangling mass, damped
+    * update — emits `rk$i` from `rk$p`. */
+  private def iterSql(i: Int, p: Int): String =
+    s"""c$i AS (
+       |  SELECT e.dst AS node, SUM(${fd("r.rank * e.w", "e.ow")}) AS inc
+       |  FROM ew e JOIN rk$p r ON e.src = r.node
+       |  GROUP BY e.dst),
+       |d$i AS (
+       |  SELECT COALESCE(SUM(r.rank), 0) AS dm
+       |  FROM rk$p r LEFT JOIN outw ow ON r.node = ow.src
+       |  WHERE ow.src IS NULL),
+       |rk$i AS MATERIALIZED (
+       |  SELECT n.node,
+       |    ${fd("(100 - 85) * 1000000000000", "100 * nn.n")}
+       |      + ${fd(s"85 * (COALESCE(c.inc, 0) + ${fd("d.dm", "nn.n")})", "100")} AS rank
+       |  FROM nodes n CROSS JOIN n1 nn CROSS JOIN d$i d
+       |  LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |n1 AS (SELECT COUNT(*) AS n FROM nodes),
+         |outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.src),
+         |rk0 AS (SELECT node, ${fd("1000000000000", "nn.n")} AS rank
+         |        FROM nodes, n1 nn),
+         |${iterSql(1, 0)},
+         |${iterSql(2, 1)},
+         |${iterSql(3, 2)}
+         |SELECT node, rank FROM rk3
+         |ORDER BY node""".stripMargin,
+  )
+}
