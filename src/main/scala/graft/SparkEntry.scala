@@ -218,7 +218,7 @@ object SparkEntry {
     Chunking.oracles ++ AsOfJoinOp.oracles ++
     Cdc.oracles ++ Analytics.oracles ++ Sampling.oracles ++ TextOps2.oracles ++
     Fuzzy.oracles ++ Profiling.oracles ++ TrainingOps.oracles ++ CorpusOps.oracles ++
-    HeavyHitters.oracles ++ TrainingPipeline.oracles ++
+    HeavyHitters.oracles ++ TrainingPipeline.oracles ++ LmScore.oracles ++
     SubstringDedup.oracles ++ SemDedup.oracles ++ MixtureOps.oracles ++
     PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++ GraphOps.oracles ++
     graft.sources.ExtractClient.oracles

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -73,7 +74,116 @@ object LmScore {
         round(col("avg_logprob"), 9).as("avg_logprob"))
       .orderBy(col("doc_id"))
 
+  // ---- Bigram LM (SURVEY.md §2 row 115) -----------------------------------
+
+  /** Interpolated bigram language-model score (SURVEY.md §2 row 115):
+    * per-doc mean log-probability where each non-initial token is
+    * scored `λ·C(a,b)/C(a) + (1−λ)·C(b)/N` and the first token falls
+    * back to its unigram probability — the KenLM-lite perplexity
+    * filter (CCNet's curation signal) one rung above [[unigramLogProb]]:
+    * it penalizes UNSEEN TRANSITIONS (word salad built from common
+    * words sails through a unigram gate; its bigrams are all rare).
+    * Interpolation (not backoff) keeps every probability strictly
+    * positive without discounting bookkeeping.
+    *
+    * Shape: tokens explode once and feed BOTH count tables (unigram =
+    * one hash agg; bigram = lead() over the per-DOC window — bounded
+    * by doc length, never a corpus-wide sort); per-doc terms join the
+    * two vocab tables on their keys (linear equi-joins, map-side
+    * combinable aggs). The per-doc fold is the same sorted exact
+    * reduction as the unigram path, so the score is a pure function
+    * of (document, corpus) independent of partitioning. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0d && lambda < 1d, s"lambda must be in (0,1), got $lambda")
+    val toks = docs.select(col(idCol).as("__id"),
+      posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__a")))
+    val dw = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val seq2 = toks.withColumn("__b", lead(col("__a"), 1).over(dw))
+
+    val uni = toks.groupBy(col("__a")).agg(count(lit(1)).as("__ca"))
+    val total = uni.agg(sum(col("__ca")).as("__n"))
+    val big = seq2.filter(col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__cab"))
+
+    // per-doc bigram terms: k occurrences of transition (a, b)
+    val terms = seq2.filter(col("__b").isNotNull)
+      .groupBy(col("__id"), col("__a"), col("__b")).agg(count(lit(1)).as("__k"))
+      .join(big, Seq("__a", "__b"))
+      .join(uni, Seq("__a"))
+      .join(uni.select(col("__a").as("__b"), col("__ca").as("__cb")), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .select(col("__id"), col("__a"), col("__b"), col("__k"),
+        log(lit(lambda) * (col("__cab").cast(DoubleType) / col("__ca").cast(DoubleType))
+          + lit(1d - lambda) * (col("__cb").cast(DoubleType) / col("__n").cast(DoubleType)))
+          .as("__lp"))
+    val folded = terms.groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__a"), col("__b"), col("__k"), col("__lp"))))
+        .as("__ts"))
+      .select(col("__id"),
+        aggregate(col("__ts"), lit(0.0),
+          (acc, t) => acc + t.getField("__k").cast(DoubleType) * t.getField("__lp"))
+          .as("__bsum"))
+
+    // first-token unigram term + token count per doc
+    val firstTok = toks.filter(col("__pos") === 0)
+      .join(uni, Seq("__a"))
+      .crossJoin(broadcast(total))
+      .select(col("__id"),
+        (log(col("__ca").cast(DoubleType)) - log(col("__n").cast(DoubleType))).as("__lp1"))
+    val nTok = toks.groupBy(col("__id")).agg(count(lit(1)).as("n_tokens"))
+
+    nTok.join(firstTok, Seq("__id"))
+      .join(folded, Seq("__id"), "left") // one-word docs have no bigrams
+      .select(col("__id").as(idCol), col("n_tokens"),
+        ((col("__lp1") + coalesce(col("__bsum"), lit(0.0))) /
+          col("n_tokens").cast(DoubleType)).as("avg_logprob"))
+  }
+
+  /** §2 row 115 — rows-only (ln): 9-decimal deterministic emission,
+    * the [[unigramLogProbQ]] posture. Its input statistics are
+    * oracle-verified through q_top_bigrams. */
+  def bigramLogProbQ(s: SparkSession, d: String): DataFrame =
+    bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_logprob"), 9).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+
+  /** §2 row 115 oracle anchor: top-10 word bigrams per language —
+    * pins the tokenization + transition-count derivation the rows-only
+    * score consumes (the q_top_tokens relationship, one n up). */
+  def topBigramsQ(s: SparkSession, d: String): DataFrame =
+    TextFunctions.shingleRows(Tables.documents(s, d),
+        Seq(col("lang"), col("doc_id")), col("text"), n = 2, out = "bigram")
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))))
+      .filter(col("rn") <= 10)
+      .select(col("lang"), col("rn").cast(LongType).as("rn"), col("bigram"), col("cnt"))
+      .orderBy(col("lang"), col("rn"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_logprob" -> (unigramLogProbQ _),
+    "q_bigram_logprob"  -> (bigramLogProbQ _),
+    "q_top_bigrams"     -> (topBigramsQ _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // same normalized-words derivation as the decontamination shingle
+    // oracle (TrainingOps.shingle8Sql), at n=2 with a per-lang rank
+    "q_top_bigrams" ->
+      """SELECT lang, rn, bigram, cnt FROM (
+        |  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, bigram) AS BIGINT) AS rn
+        |  FROM (
+        |    SELECT lang, unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |    FROM (SELECT lang,
+        |            regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+        |          FROM documents) w) t
+        |  GROUP BY lang, bigram) g
+        |WHERE rn <= 10
+        |ORDER BY lang, rn""".stripMargin,
   )
 }

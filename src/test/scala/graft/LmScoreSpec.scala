@@ -45,4 +45,59 @@ class LmScoreSpec extends AnyFunSuite {
     assert(scored(100L) < scored(1L) - 2.0,
       s"garbage ${scored(100L)} should sit nats below fluent ${scored(1L)}")
   }
+
+  // ---- bigram LM (§2 row 115) ----
+
+  test("bigram score matches a hand reference on a crafted corpus") {
+    // corpus: "a b" x2 and "a c" x1 → C(a)=3, C(b)=2? no: tokens a,b,a,b,a,c
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = LmScore.bigramLogProb(df, "doc_id", "text", lambda = 0.7)
+      .select($"doc_id", $"n_tokens", $"avg_logprob")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // corpus stats: N=6, C(a)=3, C(b)=2, C(c)=1; C(a,b)=2, C(a,c)=1
+    val N = 6d
+    def doc(cab: Double, cb: Double): Double = {
+      val p1 = math.log(3d / N)                      // first token 'a'
+      val p2 = math.log(0.7 * (cab / 3d) + 0.3 * (cb / N))
+      (p1 + p2) / 2d
+    }
+    assert(got(1L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - doc(2d, 2d)) < 1e-12)
+    assert(math.abs(got(3L)._2 - doc(1d, 1d)) < 1e-12)
+  }
+
+  test("bigram scores are bit-identical across partitionings") {
+    def scores(d: org.apache.spark.sql.DataFrame) =
+      LmScore.bigramLogProb(d, "doc_id", "text")
+        .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect().toMap
+    val a = scores(docs.repartition(1))
+    val b = scores(docs.repartition(13, $"lang"))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("word salad from common words: unigram passes it, bigram catches it") {
+    val fluent = (1 to 30).map(i => s"w${i % 6} x${i % 6}").mkString(" ")
+    // same token distribution, transitions scrambled to unseen pairs
+    val salad = (1 to 30).map(i => s"w${i % 6} x${(i + 3) % 6}").mkString(" ")
+    val bg = (1L to 20L).map(i => (i, fluent)) :+ (100L, salad)
+    val uni = LmScore.unigramLogProb(bg.toDF("doc_id", "text"), "doc_id", "text",
+        exact = true)
+      .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect().toMap
+    val big = LmScore.bigramLogProb(bg.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect().toMap
+    // unigram can't separate them by much; bigram must
+    assert(uni(100L) > uni(1L) - 0.5, s"unigram gap unexpectedly large: ${uni}")
+    assert(big(100L) < big(1L) - 0.5,
+      s"bigram should separate salad ${big(100L)} from fluent ${big(1L)}")
+  }
+
+  test("a one-word document scores its unigram probability") {
+    val df = Seq((1L, "solo"), (2L, "solo pair"), (3L, "solo pair")).toDF("doc_id", "text")
+    val got = LmScore.bigramLogProb(df, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"avg_logprob")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // N=5, C(solo)=3 → score(doc1) = ln(3/5) / 1
+    assert(got(1L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - math.log(3d / 5d)) < 1e-12)
+  }
 }
