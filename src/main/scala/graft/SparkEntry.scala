@@ -43,6 +43,7 @@ object SparkEntry {
     HeavyHitters.queries ++ TrainingPipeline.queries ++ LmScore.queries ++
     SubstringDedup.queries ++ SemDedup.queries ++ MixtureOps.queries ++
     PqIndex.queries ++ ScalarQuant.queries ++ ClusterOps.queries ++ GraphOps.queries ++
+    BpeOps.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -221,5 +222,6 @@ object SparkEntry {
     HeavyHitters.oracles ++ TrainingPipeline.oracles ++ LmScore.oracles ++
     SubstringDedup.oracles ++ SemDedup.oracles ++ MixtureOps.oracles ++
     PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++ GraphOps.oracles ++
+    BpeOps.oracles ++
     graft.sources.ExtractClient.oracles
 }
