@@ -154,6 +154,58 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs (SURVEY.md §2 row 117):
+    * (id_a, id_b, containment) where |S_a ∩ S_b| / |S_a| >= t — the
+    * quote/subset detector symmetric Jaccard structurally misses (a
+    * 200-word excerpt inside a 20k-word page has Jaccard ≈ 0.01 but
+    * containment 1.0; dedup literature treats these as distinct
+    * relations for exactly this reason). Directional: a is the
+    * contained side, and a pair can appear in both directions.
+    *
+    * Scale shape: the [[ngramJaccard]] prefix-filter layout with the
+    * contained side pruned and the container side FULL — if no element
+    * of a's (|A| - ceil(t·|A|) + 1)-element prefix hits B, the overlap
+    * is at most ceil(t·|A|) - 1 < t·|A| (pigeonhole), so prefix×full
+    * loses no true pair REGARDLESS of prefix order; rare-first
+    * ordering (df, then hash) is pure fan-out control. No n_chars
+    * blocking: size asymmetry is the point here. Ids only through the
+    * candidate shuffle; arrays attach after dedup. */
+  def containmentPairs(docs: DataFrame, t: Double): DataFrame = {
+    require(t > 0d && t <= 1d, s"containment threshold must be in (0,1], got $t")
+    import org.apache.spark.sql.expressions.Window
+    val uniq = shingleRows(docs, Seq(col("doc_id")), col("text"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val withDf = uniq.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    val sh = withDf
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(struct(col("df"), col("h"))))
+        .getField("h").as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefLen = (size(col("hs")) - ceil(size(col("hs")) * t) + 1).cast(IntegerType)
+    val pref = sh.select(col("doc_id").as("id_a"),
+      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+    val full = sh.select(col("doc_id").as("id_b"), explode(col("hs")).as("h"))
+    val candIds = pref.join(full, Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candIds
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast(DoubleType) /
+          size(col("hs_a")).cast(DoubleType))
+      .filter(col("containment") >= t)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** §2 row 117 — containment pairs at t = 0.8. */
+  def containmentQ(s: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(s, d), t = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** §2.3#34 — exact dedup groups (md5 hash-groupBy). */
   def dedupExactQ(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -214,6 +266,7 @@ object TextOps {
     "q_lang_id"         -> (langIdQ _),
     "q_fingerprint"     -> (fingerprintQ _),
     "q_ngram_jaccard"   -> (ngramJaccardQ _),
+    "q_containment"     -> (containmentQ _),
     "q_dedup_exact"     -> (dedupExactQ _),
     "q_dedup_norm"      -> (dedupNormQ _),
     "q_dedup_minhash"   -> (dedupMinhashQ _),
@@ -302,6 +355,23 @@ object TextOps {
          |  WHERE abs(sa.n_chars - sb.n_chars) <= 8) p
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // directional overlap ratio over the same sparse intersection
+    // table as q_ngram_jaccard; the Spark prefix×full filter is
+    // lossless (pigeonhole — see containmentPairs), so both engines
+    // score exactly the pairs sharing >= 1 shingle
+    "q_containment" ->
+      s"""WITH s AS ($shingleSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+         |ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |       FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id <> b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT id_a, id_b, containment FROM (
+         |  SELECT ic.id_a, ic.id_b, CAST(ic.c AS DOUBLE) / sa.n AS containment
+         |  FROM ic JOIN sz sa ON sa.doc_id = ic.id_a) p
+         |WHERE containment >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // exact pairwise Jaccard (sparse form, see q_ngram_jaccard) —
     // equals the LSH output because 16x2 banding misses a corpus true

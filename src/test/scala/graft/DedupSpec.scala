@@ -167,4 +167,39 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(banded == exact, s"banded=${banded.size} exact=${exact.size}")
   }
+
+  // ---- containment (§2 row 117) ----
+
+  test("containment catches an excerpt that Jaccard misses") {
+    val page = (1 to 400).map(i => s"tok${i}a tok${i}b").mkString(" ")
+    val excerpt = (50 to 60).map(i => s"tok${i}a tok${i}b").mkString(" ")
+    val others = (1 to 5).map(i => (100L + i, s"noise$i " * 20))
+    val docs = (Seq((1L, page), (2L, excerpt)) ++ others).toDF("doc_id", "text")
+    val cont = TextOps.containmentPairs(docs, 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(cont.contains((2L, 1L)), s"excerpt not flagged: $cont")
+    assert(!cont.contains((1L, 2L)), "containment must be directional")
+    // the symmetric Jaccard of the same pair sits far below any
+    // near-dup threshold — this is the relation only containment sees
+    val j = TextOps.ngramJaccard(docs.withColumn("n_chars", length($"text")))
+      .filter(($"doc_a" === 1 && $"doc_b" === 2) || ($"doc_a" === 2 && $"doc_b" === 1))
+    assert(j.count() == 0)
+  }
+
+  test("prefix×full candidate filter is lossless vs the brute-force join") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(120)
+    val got = TextOps.containmentPairs(docs, 0.5)
+      .select($"id_a", $"id_b", $"containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: every doc pair, exact shingle-set containment
+    val sets = graft.functions.TextFunctions.shingleRows(docs, Seq($"doc_id"), $"text")
+      .select($"doc_id", xxhash64($"sh").as("h")).distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.5
+    } yield (a, b, c)).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
 }
