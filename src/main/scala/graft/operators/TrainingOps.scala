@@ -341,10 +341,16 @@ object TrainingOps {
     * corpus; the rank window runs over the LIMITED v-row frame only
     * (the codebook-donor posture), and the resulting table is
     * broadcast-sized by construction. */
-  def buildVocab(docs: DataFrame, textCol: Column, v: Int): DataFrame = {
+  def buildVocab(docs: DataFrame, textCol: Column, v: Int): DataFrame =
+    buildVocabFromTokens(docs, graft.functions.TextFunctions.tokens(textCol), v)
+
+  /** [[buildVocab]] over an already-tokenized array column — the
+    * subword path: row 116's BPE pieces feed the same rank/limit
+    * machinery the word path uses. */
+  def buildVocabFromTokens(docs: DataFrame, toksCol: Column, v: Int): DataFrame = {
     require(v > 0, s"vocab size must be positive, got $v")
     val counts = docs
-      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("token"))
+      .select(explode(toksCol).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token"))
       .limit(v)
@@ -360,9 +366,14 @@ object TrainingOps {
     * shuffle for the ordered reassembly (inherent: sequences ARE
     * doc-grouped), nothing corpus-wide beyond the vocab count. */
   def idize(docs: DataFrame, idCol: Column, textCol: Column,
-            vocab: DataFrame): DataFrame = {
+            vocab: DataFrame): DataFrame =
+    idizeFromTokens(docs, idCol, graft.functions.TextFunctions.tokens(textCol), vocab)
+
+  /** [[idize]] over an already-tokenized array column (subword path). */
+  def idizeFromTokens(docs: DataFrame, idCol: Column, toksCol: Column,
+                      vocab: DataFrame): DataFrame = {
     val toks = docs.select(idCol.as("doc_id"),
-      posexplode(graft.functions.TextFunctions.tokens(textCol)).as(Seq("pos", "token")))
+      posexplode(toksCol).as(Seq("pos", "token")))
     toks.join(broadcast(vocab.select(col("token"), col("tid"))), Seq("token"), "left")
       .withColumn("tid", coalesce(col("tid"), lit(0L)))
       .groupBy(col("doc_id"))

@@ -61,7 +61,11 @@ object TrainingPipeline {
       lshBands: Int = 8,
       scrubSpanGram: Int = 0,
       scrubMinCount: Int = 2,
-      vocabSize: Int = 0)
+      vocabSize: Int = 0,
+      bpeMerges: Int = 0) {
+    require(bpeMerges == 0 || vocabSize > 0,
+      "bpeMerges > 0 needs vocabSize > 0: subword ids only exist through the vocab stage")
+  }
 
   /** The stage intermediates [[run]] flows through — exposed so
     * [[bootstrapState]] can capture incremental-ingest state without
@@ -191,14 +195,32 @@ object TrainingPipeline {
     // input space — and val/test docs map through it with OOV → 0,
     // exactly as they would at training time. Same tokenizer as
     // n_tokens, so |ids| == n_tokens row for row.
+    // `bpeMerges > 0` swaps the id-ization tokenizer for the row-116
+    // subword path: merges AND vocab are induced from the TRAIN split
+    // only (the same no-leak rule as the word vocab); all splits then
+    // encode through the frozen merge table, so |ids| == |pieces| per
+    // doc and val/test pieces outside the train vocab map to OOV = 0 —
+    // exactly the serving-time behavior. n_tokens (and packing) keep
+    // the word tokenizer: bins measure corpus mass, not model vocab.
     val manifest =
       if (cfg.vocabSize <= 0) manifest0
       else {
-        val vocab = TrainingOps.buildVocab(
-          clean.filter(col("split") === "train"), col("text"), cfg.vocabSize)
-        manifest0.join(
-          TrainingOps.idize(clean, col("doc_id"), col("text"), vocab),
-          Seq("doc_id"), "left")
+        val idized =
+          if (cfg.bpeMerges <= 0)
+            TrainingOps.idize(clean, col("doc_id"), col("text"),
+              TrainingOps.buildVocab(
+                clean.filter(col("split") === "train"), col("text"), cfg.vocabSize))
+          else {
+            val train = clean.filter(col("split") === "train")
+            val merges = BpeOps.learnMerges(train, "text", cfg.bpeMerges)
+            val pieces = BpeOps.encode(clean, "doc_id", "text", merges)
+              .persist(Lvl) // feeds the vocab count AND the id mapping
+            val vocab = TrainingOps.buildVocabFromTokens(
+              pieces.join(train.select(col("doc_id")), Seq("doc_id")),
+              col("pieces"), cfg.vocabSize)
+            TrainingOps.idizeFromTokens(pieces, col("doc_id"), col("pieces"), vocab)
+          }
+        manifest0.join(idized, Seq("doc_id"), "left")
           .select(col("split"), col("lang"), col("bin"), col("doc_id"),
             col("n_tokens"), col("ids"), col("n_oov"))
       }

@@ -94,6 +94,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
     on.unpersist()
   }
 
+  test("BPE stage: subword ids when bpeMerges > 0, train-only merges, |ids| == |pieces|") {
+    import graft.operators.BpeOps
+    val on = TrainingPipeline.run(docs, cfg.copy(vocabSize = 64, bpeMerges = 4)).cache()
+    assert(on.columns.toSeq ==
+      Seq("split", "lang", "bin", "doc_id", "n_tokens", "ids", "n_oov"))
+    // membership/splits/bins identical to the ungated run
+    val off = TrainingPipeline.run(docs, cfg)
+    assert(on.select($"doc_id", $"split", $"bin").as[(Long, String, Long)].collect().toSet ==
+      off.select($"doc_id", $"split", $"bin").as[(Long, String, Long)].collect().toSet)
+    // replay the subword path outside the pipeline: merges from the
+    // surviving TRAIN docs only, every split encoded through them —
+    // |ids| must equal the piece count row for row (NOT n_tokens: the
+    // subword sequence is the model's input, n_tokens is corpus mass)
+    val trainDocs = docs.join(on.filter($"split" === "train").select($"doc_id"), "doc_id")
+    val merges = BpeOps.learnMerges(trainDocs, "text", 4)
+    assert(merges.size == 4)
+    val pieces = BpeOps.encode(
+        docs.join(on.select($"doc_id"), "doc_id"), "doc_id", "text", merges)
+      .select($"doc_id", size($"pieces").as("np"))
+    assert(on.join(pieces, "doc_id").filter(size($"ids") =!= $"np").count() == 0,
+      "|ids| must equal the BPE piece count per doc")
+    // OOV bookkeeping holds on the subword path too
+    assert(on.filter($"n_oov" =!= size(filter($"ids", x => x === 0L))).count() == 0)
+    // subword ids without a vocab stage are a config error
+    intercept[IllegalArgumentException] { TrainingPipeline.Config(bpeMerges = 2) }
+    on.unpersist()
+  }
+
   test("pipeline is deterministic end-to-end") {
     val a = TrainingPipeline.trainingPipelineQ(spark, TestSpark.sf).collect()
     val b = TrainingPipeline.trainingPipelineQ(spark, TestSpark.sf).collect()
