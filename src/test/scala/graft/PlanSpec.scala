@@ -247,4 +247,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit")
       || p.contains("Limit"), p)
   }
+
+  test("top bigrams: the shingle window partitions by (lang, doc_id), never the lang alone") {
+    val p = plan(graft.operators.LmScore.topBigramsQ(spark, TestSpark.sf))
+    // the lead() window is bounded per doc — a lang-only partition
+    // would funnel each language through one task
+    assert("windowspecdefinition\\(lang#\\d+[^,]*, doc_id#".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bigram logprob: doc-bounded lead window, 1-row stats broadcast") {
+    val p = plan(graft.operators.LmScore.bigramLogProbQ(spark, TestSpark.sf))
+    // the transition window is keyed on the doc id — never corpus-wide
+    assert("windowspecdefinition\\(__id#".r.findFirstIn(p).nonEmpty, p)
+    assert("windowspecdefinition\\((?!__id)".r.findFirstIn(p).isEmpty, p)
+    // the corpus-total join is a broadcast of a 1-row aggregate
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("containment: df window keys on the shingle hash; candidate join is an equi join") {
+    val p = plan(graft.operators.TextOps.containmentQ(spark, TestSpark.sf))
+    // the only doc-frame windows are (doc-bounded) shingling and the
+    // df count keyed on the high-cardinality hash — no doc-id-free
+    // text window, no cartesian candidate generation
+    assert("windowspecdefinition\\(h#".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

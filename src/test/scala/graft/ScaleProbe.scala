@@ -236,6 +236,36 @@ object ScaleProbe {
           kClusters = 8 * k, nprobe = 2, k = 5).count()
       }
 
+      // round-10 additions. kmeans: the full-corpus Lloyd trainer —
+      // iters+1 linear passes against a k-row broadcast model, so the
+      // curve must track corpus size with no quadratic term. pagerank:
+      // a pseudo-random k-growing graph (nodes AND edges scale with
+      // k); each iteration is one equi-join + one agg on node ids.
+      // bpe_learn: per-copy word suffixes grow the VOCAB k× while the
+      // corpus grows k× — the trainer's per-iteration cost rides the
+      // vocab table, the one corpus-sized cost is the word count.
+      // containment: cross-copy shingles never collide, so true pairs
+      // and candidates both grow k× — super-linear growth would mean
+      // the prefix filter stopped bounding the join.
+      time("kmeans_lloyd", k) {
+        graft.operators.ClusterOps.lloydCentroids(
+          replicateEmb(spark, sfDir, k), "vec_id", "embedding",
+          k = 8, iters = 2).size.toLong
+      }
+      time("pagerank", k) {
+        val n = stride(docs)
+        val e = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 2617L + 13L, lit(n)).as("dst"),
+          (pmod(col("doc_id"), lit(50)) + 1).as("w"))
+        graft.operators.GraphOps.pageRank(e, "src", "dst", "w", iters = 3).count()
+      }
+      time("bpe_learn", k) {
+        graft.operators.BpeOps.learnMerges(docs, "text", 6).size.toLong
+      }
+      time("containment", k) {
+        TextOps.containmentPairs(docs, 0.8).count()
+      }
+
       // Incremental ingest vs re-running the full pipeline: the batch is
       // FIXED (one fresh base-sized copy, lang column required by the
       // pipeline) while the corpus grows k×. The full run re-pays the
