@@ -37,9 +37,13 @@ import graft.sources.Tables
   * (q_bpe_encode) replay exactly, unrolled per iteration. */
 object BpeOps {
 
-  /** Single-codepoint symbol split ('.' matches any char; text is
-    * whitespace-normalized so no line terminators survive). */
-  def charSymbols(w: Column): Column = regexp_extract_all(w, lit("."), lit(0))
+  /** Single-codepoint symbol split. `(?s).` — not bare `.` — so BOTH
+    * engines match EVERY codepoint: Java's `.` excludes U+0085,
+    * U+2028 and U+2029 (which `normalize`'s \\s+ does NOT strip)
+    * while RE2's excludes only \\n; a bare dot would silently drop
+    * such chars on one side, breaking the lossless-encoding contract
+    * AND cross-engine parity. */
+  def charSymbols(w: Column): Column = regexp_extract_all(w, lit("(?s)."), lit(0))
 
   /** The distinct-word frequency table — the trainer's working set. */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
@@ -183,11 +187,20 @@ object BpeOps {
        |  GROUP BY u.a, u.b)""".stripMargin
 
   /** One unrolled trainer iteration: top pair of `$prev` → merge CTE
-    * `m$i` → next symbol state `s$i`. */
+    * `m$i` → next symbol state `s$i`. `m$i` is GUARANTEED one row: if
+    * the pair table runs dry a (NULL, NULL) sentinel takes its place,
+    * under which the merge CASE never fires (NULL comparisons) — the
+    * CROSS JOINs degrade to no-ops instead of annihilating the
+    * relation, mirroring Spark's early loop exit. */
   private def iterSql(i: Int): String = {
     val prev = s"s${i - 1}"
     s"""${pairSql(s"p$i", prev)},
-       |m$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+       |m$i AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, 0 AS pri
+       |    FROM (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1) _top
+       |    UNION ALL SELECT NULL, NULL, 1) _u
+       |  ORDER BY pri LIMIT 1),
        |s$i AS MATERIALIZED (
        |  SELECT freq, ${mergeSql("syms", "m")} AS syms
        |  FROM $prev CROSS JOIN m$i m)""".stripMargin
@@ -198,14 +211,14 @@ object BpeOps {
   private def trainerSql: String =
     s"""w0 AS (SELECT w FROM ($wordsSql) _all),
        |wf AS (SELECT w, COUNT(*) AS freq FROM w0 GROUP BY w),
-       |s0 AS MATERIALIZED (SELECT freq, regexp_extract_all(w, '.') AS syms FROM wf),
+       |s0 AS MATERIALIZED (SELECT freq, regexp_extract_all(w, '(?s).') AS syms FROM wf),
        |${(1 to NumMerges).map(iterSql).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_bpe_pairs" ->
       s"""WITH w0 AS (SELECT w FROM ($wordsSql) _all),
          |wf AS (SELECT w, COUNT(*) AS freq FROM w0 GROUP BY w),
-         |s0 AS (SELECT freq, regexp_extract_all(w, '.') AS syms FROM wf),
+         |s0 AS (SELECT freq, regexp_extract_all(w, '(?s).') AS syms FROM wf),
          |${pairSql("p1", "s0")}
          |SELECT rn, a, b, cnt FROM (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rn,
@@ -214,17 +227,20 @@ object BpeOps {
          |WHERE rn <= 20
          |ORDER BY rn""".stripMargin,
 
+    // the NULL sentinel rows of dry iterations are filtered out —
+    // Spark's merge list simply ends early
     "q_bpe_merges" ->
       s"""WITH $trainerSql
          |SELECT CAST(rank AS BIGINT) AS rank, a, b FROM (
          |${(1 to NumMerges).map(i => s"  SELECT $i AS rank, a, b FROM m$i")
             .mkString("\n  UNION ALL\n")}) _m
+         |WHERE a IS NOT NULL
          |ORDER BY rank""".stripMargin,
 
     // the encoder: every DISTINCT word through the 6 chained merge
     // folds, corpus reassembled by (doc, pos)
     "q_bpe_encode" -> {
-      val chain = (1 to NumMerges).foldLeft("regexp_extract_all(w, '.')") {
+      val chain = (1 to NumMerges).foldLeft("regexp_extract_all(w, '(?s).')") {
         (acc, i) => mergeSql(acc, s"mm$i")
       }
       s"""WITH $trainerSql,

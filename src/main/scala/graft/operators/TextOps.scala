@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -98,44 +98,49 @@ object TextOps {
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame =
     ngramJaccard(Tables.documents(s, d))
 
+  /** Per-doc RARE-FIRST shingle-hash sets — the shared prelude of
+    * [[ngramJaccard]] and [[containmentPairs]] (one copy so their
+    * hashing, df tie-break and prefix arithmetic cannot drift).
+    * Distinct (carry, shingle-hash) pairs from ONE shingling pass; df
+    * attached with a window over h (post-distinct, count per
+    * h-partition) rather than a groupBy+self-join, which would
+    * re-derive the exploded table on the second branch (Spark does not
+    * dedupe common subplans — measured ~2x slower). ONE grouped agg
+    * then builds each doc's set ordered rare-first: sort_array over
+    * struct(df, h) sorts lexicographically, .getField("h")
+    * (GetArrayStructFields, codegen'd) strips the df key so the stored
+    * set is a plain array<long> — the same array serves the prefix
+    * slice AND the exact verify, and array_intersect keeps its
+    * primitive fast path (on structs it degrades to a quadratic scan,
+    * measured 6x slower end-to-end). Persisted: the sets feed three
+    * consumers (prefix explode + both attach joins). */
+  private def rareFirstSets(docs: DataFrame, carry: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uniq = shingleRows(docs, carry, col("text"))
+      .select(carry :+ xxhash64(col("sh")).as("h"): _*)
+      .distinct()
+    uniq.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(carry: _*)
+      .agg(sort_array(collect_set(struct(col("df"), col("h"))))
+        .getField("h").as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Prefix length for threshold t over a set of size |hs|: keeping
+    * the first |hs| − ceil(t·|hs|) + 1 elements guarantees (pigeonhole)
+    * that any counterpart reaching overlap ≥ ceil(t·|hs|) shares at
+    * least one of them — for ANY prefix order. */
+  private def prefLen(t: Double): Column =
+    (size(col("hs")) - ceil(size(col("hs")) * t) + 1).cast(IntegerType)
+
   /** Operator form over any frame with (doc_id, n_chars, text) —
     * exposed so the scaling probe (`graft.ScaleProbe`) can drive it on
     * replicated corpora. */
   def ngramJaccard(docs: DataFrame): DataFrame = {
     val t = 0.5
-    // distinct (doc, shingle-hash) pairs — the exploded set form. The
-    // expensive regex shingling runs exactly ONCE: df is attached with
-    // a window over h (post-distinct, count(*) per h-partition = df)
-    // rather than a groupBy+self-join, which would re-derive the
-    // exploded table from scratch on the second branch (Spark does not
-    // dedupe common subplans) and measured ~2x slower.
-    import org.apache.spark.sql.expressions.Window
-    val uniq = shingleRows(docs,
-        Seq(col("doc_id"), col("n_chars")), col("text"))
-      .select(col("doc_id"), col("n_chars"), xxhash64(col("sh")).as("h"))
-      .distinct()
-    val withDf = uniq.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("h"))))
-    // ONE grouped agg builds each doc's set ordered rare-first:
-    // sort_array over struct(df, h) sorts lexicographically by (df, h),
-    // then .getField("h") (GetArrayStructFields, codegen'd) strips the
-    // df key so what's stored per doc is a plain array<long> in df
-    // order. The same array serves both the prefix (slice of the head)
-    // and the exact verify — and array_intersect keeps its primitive
-    // fast path (on struct elements it degrades to a quadratic scan,
-    // which measured 6x slower end-to-end).
-    // Three consumers (prefix explode + both attach joins): persist the
-    // per-doc sets so the shingling/df/sort pipeline runs exactly once
-    // instead of relying on best-effort exchange reuse (same fix as
-    // minhashNearDups; lineage kept so lost blocks recompute).
-    val sh = withDf
-      .groupBy(col("doc_id"), col("n_chars"))
-      .agg(sort_array(collect_set(struct(col("df"), col("h"))))
-        .getField("h").as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefLen = (size(col("hs")) - ceil(size(col("hs")) * t) + 1).cast(IntegerType)
+    val sh = rareFirstSets(docs, Seq(col("doc_id"), col("n_chars")))
     val pref = sh.select(col("doc_id"), col("n_chars"),
-      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+      explode(slice(col("hs"), lit(1), prefLen(t))).as("h"))
     val a = pref.select(col("h"), col("doc_id").as("doc_a"), col("n_chars").as("nc_a"))
     val b = pref.select(col("h").as("h_b"), col("doc_id").as("doc_b"), col("n_chars").as("nc_b"))
     val candIds = a.join(b,
@@ -172,20 +177,9 @@ object TextOps {
     * candidate shuffle; arrays attach after dedup. */
   def containmentPairs(docs: DataFrame, t: Double): DataFrame = {
     require(t > 0d && t <= 1d, s"containment threshold must be in (0,1], got $t")
-    import org.apache.spark.sql.expressions.Window
-    val uniq = shingleRows(docs, Seq(col("doc_id")), col("text"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .distinct()
-    val withDf = uniq.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("h"))))
-    val sh = withDf
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(struct(col("df"), col("h"))))
-        .getField("h").as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefLen = (size(col("hs")) - ceil(size(col("hs")) * t) + 1).cast(IntegerType)
+    val sh = rareFirstSets(docs, Seq(col("doc_id")))
     val pref = sh.select(col("doc_id").as("id_a"),
-      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+      explode(slice(col("hs"), lit(1), prefLen(t))).as("h"))
     val full = sh.select(col("doc_id").as("id_b"), explode(col("hs")).as("h"))
     val candIds = pref.join(full, Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
