@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Distributed batch-perceptron classifier (SURVEY.md §2 row 118) —
+  * the TRAINING primitive behind curation-style quality classifiers
+  * (GPT-3/LLaMA-lineage pipelines train a lightweight classifier on
+  * weak labels and keep what it scores well; the serving half is a
+  * per-row projection this file also provides). Batch perceptron, not
+  * SGD: the update is the SUM of misclassified examples' y·x — one
+  * map-side-combined aggregation per iteration, order-independent,
+  * which is what makes distributed training DETERMINISTIC (per-sample
+  * SGD depends on visit order by construction; float gradient sums
+  * depend on partitioning — this does neither).
+  *
+  * Scale shape (100 TB): the model is d+1 longs on the driver (the
+  * bounded-model posture of [[IvfIndex]]/[[ClusterOps]]); each
+  * iteration is ONE pass — the dot product against weight LITERALS is
+  * a pure projection, the update a d-column aggregate. Scoring is a
+  * zero-shuffle projection.
+  *
+  * Determinism/oracle: integer features, integer labels (±1), integer
+  * weights — every iteration replays exactly in DuckDB (unrolled
+  * CTEs). Ties score negative (`dot > 0` → +1 else −1) and update on
+  * `y·dot <= 0`, both engines identical.
+  *
+  * OVERFLOW CONTRACT: |w_j| grows at most by Σ|x_j| per iteration, so
+  * iters · Σ_docs |x_j| · max_j |x_j| · d must stay under 2^63 —
+  * with character-count features (≤ ~1e4) that holds to ~1e12 docs at
+  * iters ≲ 10; heavier feature scales should be pre-divided (the
+  * decision rule is invariant to uniform feature scaling only at
+  * train+serve jointly — document any rescale with the model). */
+object Classify {
+
+  /** Integer character-statistics features over a text column —
+    * bias, length, digit count, vowel count, space count. Cheap,
+    * codegen'd, and byte-replayable in DuckDB (`length −
+    * length(regexp_replace(...))`, the charClassRatio derivation). */
+  def charFeatures(textCol: Column): Seq[Column] = {
+    def cnt(c: Column, cls: String) =
+      (length(c) - length(regexp_replace(c, cls, ""))).cast(LongType)
+    Seq(
+      lit(1L),
+      length(textCol).cast(LongType),
+      cnt(textCol, "[0-9]"),
+      cnt(lower(textCol), "[aeiou]"),
+      cnt(textCol, "[ ]"))
+  }
+
+  /** `iters` batch-perceptron rounds from zero weights; returns the
+    * weight vector (same order as `feats`). `labelCol` must be ±1. */
+  def trainPerceptron(df: DataFrame, feats: Seq[Column], labelCol: Column,
+                      iters: Int): Seq[Long] = {
+    require(feats.nonEmpty && iters >= 1, "need features and iters >= 1")
+    val y = labelCol.cast(LongType)
+    (1 to iters).foldLeft(Seq.fill(feats.size)(0L)) { (w, _) =>
+      val dot = feats.zip(w).map { case (f, wi) => f * lit(wi) }
+        .reduce(_ + _)
+      val mis = (y * dot) <= 0
+      val aggs = feats.map(f => coalesce(sum(when(mis, y * f)), lit(0L)))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      w.zipWithIndex.map { case (wi, j) => wi + row.getLong(j) }
+    }
+  }
+
+  /** ±1 prediction — a pure projection against weight literals. */
+  def predict(feats: Seq[Column], w: Seq[Long]): Column = {
+    val dot = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    when(dot > 0, 1L).otherwise(-1L)
+  }
+
+  /** §2 row 118 — 3 rounds on char features, label = (lang == 'en');
+    * output: the learned weights + the residual misclassified count
+    * as (name, value) rows. */
+  def perceptronQ(s: SparkSession, d: String): DataFrame = {
+    val s2 = s; import s2.implicits._
+    val docs = Tables.documents(s, d)
+    val feats = charFeatures(col("text"))
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val w = trainPerceptron(docs, feats, label, iters = 3)
+    val mis = docs.agg(coalesce(sum(
+        when(label =!= predict(feats, w), 1L)), lit(0L)).as("value"))
+      .select(lit("misclassified").as("name"), col("value"))
+    w.zipWithIndex.map { case (wi, j) => (s"w$j", wi) }
+      .toDF("name", "value")
+      .unionByName(mis)
+      .orderBy(col("name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perceptron" -> (perceptronQ _),
+  )
+
+  /** Feature SQL shared by every iteration (x0..x4 + label y). */
+  private val featSql =
+    """f AS MATERIALIZED (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |    CAST(1 AS BIGINT) AS x0,
+      |    CAST(length(text) AS BIGINT) AS x1,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS x2,
+      |    CAST(length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS BIGINT) AS x3,
+      |    CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS x4
+      |  FROM documents)""".stripMargin
+
+  private val dims = 0 to 4
+  private def dotSql(w: String) =
+    dims.map(j => s"$w.w$j * x$j").mkString(" + ")
+
+  /** One unrolled batch update: `w$i` from `w$p`. */
+  private def stepSql(i: Int, p: Int): String = {
+    val upd = dims.map(j =>
+      s"w.w$j + COALESCE(SUM(CASE WHEN y * (${dotSql("w")}) <= 0 THEN y * x$j END), 0) AS w$j")
+      .mkString(",\n    ")
+    s"""w$i AS (
+       |  SELECT $upd
+       |  FROM f CROSS JOIN w$p w
+       |  GROUP BY ${dims.map(j => s"w.w$j").mkString(", ")})""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_perceptron" ->
+      s"""WITH $featSql,
+         |w0 AS (SELECT ${dims.map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+         |${stepSql(1, 0)},
+         |${stepSql(2, 1)},
+         |${stepSql(3, 2)}
+         |SELECT name, value FROM (
+         |${dims.map(j => s"  SELECT 'w$j' AS name, w$j AS value FROM w3")
+            .mkString("\n  UNION ALL\n")}
+         |  UNION ALL
+         |  SELECT 'misclassified',
+         |    COALESCE(SUM(CASE WHEN y <> (CASE WHEN ${dotSql("w")} > 0 THEN 1 ELSE -1 END)
+         |                      THEN 1 END), 0)
+         |  FROM f CROSS JOIN w3 w) _out
+         |ORDER BY name""".stripMargin,
+  )
+}
