@@ -15,6 +15,9 @@ import graft.plans.RollingMinHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.rollingMinHashDescriptor)
+    e.injectFunction(GraftExtensions.polyHash64Descriptor)
+    e.injectFunction(GraftExtensions.deflateLenDescriptor)
+    e.injectFunction(GraftExtensions.bpeMergePairDescriptor)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.NanosFilterPushdown)
   }
@@ -39,8 +42,48 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rolling_minhash"),
     rollingMinHashBuilder)
 
+  val polyHash64Builder: Seq[Expression] => Expression = {
+    case Seq(text) => graft.plans.PolyHash64(text)
+    case _ => throw new IllegalArgumentException(
+      "graft_poly_hash64(text) takes 1 argument")
+  }
+
+  val polyHash64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_poly_hash64"),
+    new ExpressionInfo(classOf[graft.plans.PolyHash64].getName, "graft_poly_hash64"),
+    polyHash64Builder)
+
+  val deflateLenBuilder: Seq[Expression] => Expression = {
+    case Seq(text) => graft.plans.DeflateLen(text, 6)
+    case Seq(text, lvl) => graft.plans.DeflateLen(text,
+      lvl.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "graft_deflate_len(text[, level]) takes 1 or 2 arguments")
+  }
+
+  val deflateLenDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_deflate_len"),
+    new ExpressionInfo(classOf[graft.plans.DeflateLen].getName, "graft_deflate_len"),
+    deflateLenBuilder)
+
+  val bpeMergePairBuilder: Seq[Expression] => Expression = {
+    case Seq(syms, a, b) => graft.plans.BpeMergePair(syms,
+      String.valueOf(a.eval()), String.valueOf(b.eval()))
+    case _ => throw new IllegalArgumentException(
+      "graft_bpe_merge_pair(symbols, a, b) takes 3 arguments (a, b literals)")
+  }
+
+  val bpeMergePairDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe_merge_pair"),
+    new ExpressionInfo(classOf[graft.plans.BpeMergePair].getName, "graft_bpe_merge_pair"),
+    bpeMergePairBuilder)
+
   /** Register on a session that already exists (the builder-extensions
     * route only affects sessions created with `.withExtensions`). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "graft_rolling_minhash", rollingMinHashBuilder)
+    ColumnBridge.registerFunction(spark, "graft_poly_hash64", polyHash64Builder)
+    ColumnBridge.registerFunction(spark, "graft_deflate_len", deflateLenBuilder)
+    ColumnBridge.registerFunction(spark, "graft_bpe_merge_pair", bpeMergePairBuilder)
+  }
 }

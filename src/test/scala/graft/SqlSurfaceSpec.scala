@@ -42,4 +42,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect()
     assert(rows.length == 5 && rows.forall(!_.isNullAt(1)))
   }
+
+  test("the newer native expressions are SQL-registered too") {
+    GraftExtensions.register(spark)
+    Tables.registerViews(spark, TestSpark.sf)
+    // poly_hash64 == the Column API value
+    val viaSql = spark.sql(
+      "SELECT graft_poly_hash64('abc') AS h").collect()(0).getLong(0)
+    assert(viaSql == graft.plans.PolyHash64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    // deflate_len positive and below the raw length for compressible text
+    val dl = spark.sql(
+      "SELECT graft_deflate_len(repeat('spam ', 100)) AS n")
+      .collect()(0).getAs[Number](0).longValue()
+    assert(dl > 0 && dl < 500, dl.toString)
+    // bpe merge inside SQL follows the greedy scan
+    val merged = spark.sql(
+      "SELECT graft_bpe_merge_pair(array('a','a','a'), 'a', 'a') AS m")
+      .collect()(0).getSeq[String](0)
+    assert(merged == Seq("aa", "a"), merged.toString)
+  }
 }
