@@ -43,7 +43,7 @@ object SparkEntry {
     HeavyHitters.queries ++ TrainingPipeline.queries ++ LmScore.queries ++
     SubstringDedup.queries ++ SemDedup.queries ++ MixtureOps.queries ++
     PqIndex.queries ++ ScalarQuant.queries ++ ClusterOps.queries ++ GraphOps.queries ++
-    BpeOps.queries ++ Classify.queries ++
+    BpeOps.queries ++ Classify.queries ++ Contamination.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -222,6 +222,6 @@ object SparkEntry {
     HeavyHitters.oracles ++ TrainingPipeline.oracles ++ LmScore.oracles ++
     SubstringDedup.oracles ++ SemDedup.oracles ++ MixtureOps.oracles ++
     PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++ GraphOps.oracles ++
-    BpeOps.oracles ++ Classify.oracles ++
+    BpeOps.oracles ++ Classify.oracles ++ Contamination.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -96,6 +96,66 @@ object MixtureOps {
       .drop("__mix_dom")
   }
 
+  /** Domain-characteristic tokens by chi-square (SURVEY.md §2.10) —
+    * the mixture DIAGNOSTIC next to the mixture itself: which tokens
+    * are statistically over-represented in each domain vs the rest of
+    * the corpus (the standard 2×2 contingency test over occurrence
+    * counts; the signature-term / corpus-drift report every mixing
+    * decision starts from).
+    *
+    * Cross-engine exactness without ln(): chi² = N·(ad−bc)² /
+    * ((a+b)(c+d)(a+c)(b+d)) is RATIONAL in the four counts, and the
+    * double-precision evaluation is pinned to one explicit association
+    * (mirrored token-for-token in the oracle), so both engines round
+    * identically — the row-111 BM25 posture: compare on the floored
+    * 1e-6 LONG image of a bit-deterministic double. The over-
+    * representation gate (ad > bc) stays EXACT integer (products
+    * ≤ ~2^53 at any realistic per-cell count; the image never decides
+    * membership, only rank).
+    *
+    * Scale shape: ONE corpus-scale aggregation — groupBy(domain, token)
+    * after the explode; every later frame (token totals, domain totals,
+    * the 1-row N) re-aggregates that vocab×domains result, and the
+    * identical exchange is planned once (reused-exchange), so corpus
+    * text is scanned and shuffled a single time. Domain totals and N
+    * ride broadcasts; the top-k rank window partitions by domain over a
+    * VOCAB-bounded frame, never a corpus-bounded one. */
+  def characteristicTokens(docs: DataFrame, domainCol: Column, textCol: Column,
+                           topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val D = DoubleType
+    val toks = docs.select(domainCol.as("source"),
+      explode(TextFunctions.tokens(textCol)).as("token"))
+    val st = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("a"))
+    val tt = st.groupBy(col("token")).agg(sum(col("a")).as("rt"))
+    val stot = st.groupBy(col("source")).agg(sum(col("a")).as("ts"))
+    val ntot = st.agg(sum(col("a")).as("n"))
+    val j = st.join(tt, "token").join(broadcast(stot), "source")
+      .crossJoin(broadcast(ntot))
+      .withColumn("b", col("rt") - col("a"))
+      .withColumn("c", col("ts") - col("a"))
+      .withColumn("d", col("n") - col("rt") - col("ts") + col("a"))
+      .filter(col("a") * col("d") > col("b") * col("c"))
+    val diff = col("a").cast(D) * col("d").cast(D) -
+      col("b").cast(D) * col("c").cast(D)
+    val chi = col("n").cast(D) * diff * diff /
+      (col("rt").cast(D) * (col("n") - col("rt")).cast(D)) /
+      (col("ts").cast(D) * (col("n") - col("ts")).cast(D))
+    val ranked = j
+      .withColumn("chi2_img", floor(chi * lit(1000000.0)).cast(LongType))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("chi2_img").desc, col("token"))).cast(LongType))
+      .filter(col("rn") <= topK)
+    ranked.select(col("source"), col("token"), col("a").as("n_in"),
+      col("b").as("n_out"), col("chi2_img"), col("rn"))
+  }
+
+  /** §2.10 — top-10 signature tokens per `source`. */
+  def chi2TokensQ(s: SparkSession, d: String): DataFrame =
+    characteristicTokens(Tables.documents(s, d), col("source"), col("text"))
+      .orderBy(col("source"), col("rn"))
+
   /** §2.7 — ~8k tokens re-mixed across `source` domains at T=2. */
   def domainMixtureQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
@@ -108,9 +168,46 @@ object MixtureOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_mixture" -> (domainMixtureQ _),
+    "q_chi2_tokens"    -> (chi2TokensQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the double-precision chi² evaluation mirrors the Scala column
+    // expression ASSOCIATION-FOR-ASSOCIATION (left-assoc * and /), so
+    // both engines produce the same IEEE bits and the floored 1e-6
+    // image compares exactly; membership (ad > bc) is exact integer
+    "q_chi2_tokens" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, COUNT(*) AS a FROM toks GROUP BY 1, 2),
+        |tt AS (SELECT token, CAST(SUM(a) AS BIGINT) AS rt FROM st GROUP BY 1),
+        |stot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ts FROM st GROUP BY 1),
+        |ntot AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM st),
+        |j AS (
+        |  SELECT st.source, st.token, a, rt, ts, n,
+        |    rt - a AS b, ts - a AS c, n - rt - ts + a AS d
+        |  FROM st JOIN tt USING (token) JOIN stot USING (source) CROSS JOIN ntot),
+        |chi AS (
+        |  SELECT source, token, a, b,
+        |    CAST(floor(
+        |      CAST(n AS DOUBLE)
+        |        * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |        * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |        / (CAST(rt AS DOUBLE) * CAST(n - rt AS DOUBLE))
+        |        / (CAST(ts AS DOUBLE) * CAST(n - ts AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS chi2_img
+        |  FROM j WHERE a * d > b * c),
+        |r AS (
+        |  SELECT source, token, CAST(a AS BIGINT) AS n_in, CAST(b AS BIGINT) AS n_out,
+        |    chi2_img,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY chi2_img DESC, token)
+        |      AS BIGINT) AS rn
+        |  FROM chi)
+        |SELECT source, token, n_in, n_out, chi2_img, rn
+        |FROM r WHERE rn <= 10
+        |ORDER BY source, rn""".stripMargin,
+
     "q_domain_mixture" ->
       s"""WITH h AS (${TrainingOps.polyHashSql("mix|")}),
          |toks AS (

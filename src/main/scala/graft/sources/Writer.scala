@@ -50,6 +50,26 @@ object Writer {
     nFiles
   }
 
+  /** Bucketed co-located layout (SURVEY.md §2.10): hash-cluster a table
+    * ONCE into `buckets` files per partition on its join/agg key and
+    * record the bucketing in the catalog. Every later equi-join or
+    * aggregation on that key then reads the clustering instead of
+    * re-shuffling — for the 100 TB fact⋈fact case (events⋈events,
+    * corpus⋈signature-table) where neither side broadcasts, this is
+    * the difference between shuffling petabytes per query and
+    * shuffling them ONCE at layout time. `sortBy` additionally
+    * pre-sorts each bucket so sort-merge joins skip their per-task
+    * sort. Spark-native bucketing (not Hive's): the bucket file count
+    * must match on both sides for the no-exchange plan, so pick
+    * `buckets` for the TARGET cluster's reducer count, not the local
+    * rig. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+
   /** ORC round-trip — same day-partitioned layout as the parquet path
     * (format breadth: parquet, CSV, JSON raw zone, ORC). */
   def appendByDayOrc(df: DataFrame, path: String, dayCol: String = "day"): Unit =

@@ -37,6 +37,28 @@ class MixtureSpec extends AnyFunSuite {
     assert(n("big") == 1000L * 9000L / 9100L && n("small") == 1000L * 100L / 9100L)
   }
 
+  test("chi2 surfaces each domain's signature token, partitioning-invariant") {
+    // "common" saturates both domains (no signal); zebra/filler are
+    // domain-exclusive and must top their domain's ranking
+    val corpus = (
+      (1 to 30).map(i => ("a", s"zebra common shared$i")) ++
+      (1 to 30).map(i => ("b", s"filler common shared$i")))
+      .toDF("domain", "text")
+    val top = MixtureOps.characteristicTokens(corpus, $"domain", $"text", topK = 3)
+      .filter($"rn" === 1)
+      .select($"source", $"token").as[(String, String)].collect().toMap
+    assert(top("a") == "zebra" && top("b") == "filler", top.toString)
+    // the balanced token never outranks the exclusive ones
+    val common = MixtureOps.characteristicTokens(corpus, $"domain", $"text", topK = 3)
+      .filter($"token" === "common").count()
+    assert(common == 0, "a 50/50 token is not over-represented anywhere")
+    val a = MixtureOps.characteristicTokens(corpus, $"domain", $"text")
+      .orderBy($"source", $"rn").collect().toSeq
+    val b = MixtureOps.characteristicTokens(corpus.repartition(7), $"domain", $"text")
+      .orderBy($"source", $"rn").collect().toSeq
+    assert(a == b)
+  }
+
   test("draw is a budget-bounded hash prefix, partitioning-invariant") {
     val kept = MixtureOps.temperatureMixture(docs, $"domain", $"doc_id",
       $"n_tokens", totalBudget = 1000L)

@@ -5,7 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for all suites (forked test JVM). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+      // saveAsTable targets (BucketedJoinSpec) land in a scratch
+      // warehouse, not the repo working dir
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
