@@ -101,6 +101,57 @@ object Contamination {
     decontaminateBloom(Tables.documents(s, d), "doc_id", "text", minShared = 1)
       .orderBy(col("train_id"), col("test_id"))
 
+  // ---- Persisted eval index (incremental decon state) --------------------
+
+  /** Build-once eval index (the [[Dedup.signatureTable]] posture
+    * applied to decontamination): the eval set's distinct shingle-hash
+    * table — ids kept for pair attribution — plus the Bloom bitset over
+    * those hashes and its parameters, all parquet. Eval sets are
+    * STATIC while train batches arrive daily; with the index persisted,
+    * screening a batch reads ZERO eval text — the bloom is one tiny
+    * file and the hash table is ids-only. */
+  def writeEvalIndex(evalDocs: DataFrame, idCol: String, textCol: String,
+                     dir: String, n: Int = 8,
+                     mBits: Int = 1 << 20, k: Int = 3): Unit = {
+    val sh = TextFunctions.shingleRows(
+        evalDocs.select(col(idCol).as("eval_id"), col(textCol).as("__text")),
+        Seq(col("eval_id")), col("__text"), n = n)
+      .select(col("eval_id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    sh.write.mode("overwrite").parquet(s"$dir/hashes")
+    bloomOf(sh.select(col("h")).distinct(), "h", mBits, k)
+      .withColumn("m_bits", lit(mBits))
+      .withColumn("k_probes", lit(k))
+      .withColumn("n_gram", lit(n))
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
+  /** Screen a train batch against a persisted eval index: the batch's
+    * shingles are Bloom-prefiltered map-side (parameters come from the
+    * index itself, so build and probe cannot disagree), then exactly
+    * joined to the hash table. Identical semantics to
+    * [[TrainingOps.decontaminate]] restricted to (batch × eval); the
+    * 1-row parameter read is the bounded watermark-scalar posture. */
+  def screenAgainstIndex(spark: SparkSession, batch: DataFrame,
+                         idCol: String, textCol: String, dir: String,
+                         minShared: Long = 1): DataFrame = {
+    val bloom = spark.read.parquet(s"$dir/bloom")
+    val meta = bloom.select(col("m_bits"), col("k_probes"), col("n_gram")).head()
+    val (mBits, k, n) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val candidates = TextFunctions.shingleRows(
+        batch.select(col(idCol).as("train_id"), col(textCol).as("__text")),
+        Seq(col("train_id")), col("__text"), n = n)
+      .select(col("train_id"), xxhash64(col("sh")).as("h"))
+      .join(broadcast(bloom.select(col("__bits"))))
+      .filter(mightContain(col("__bits"), col("h"), mBits, k))
+      .drop("__bits")
+      .distinct()
+    candidates.join(spark.read.parquet(s"$dir/hashes"), "h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- Per-document contamination scoring --------------------------------
 
   /** Positional word `n`-gram shingles: one row per (id, pos, hash),

@@ -53,6 +53,27 @@ object TrainingOps {
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic k-fold assignment (SURVEY.md §2.10) — the
+    * cross-validation complement of [[assignSplit]]: fold =
+    * `pmod(hash("fold|" + id), k)`, so fold-i's train set is "every
+    * row whose fold ≠ i" with no stored state, no coordination, and
+    * exact reproducibility across re-runs and backfills. A pure
+    * per-row projection (zero exchanges); the "fold|" domain prefix
+    * keeps the fold stream independent of the split/sample/order hash
+    * streams over the same ids. */
+  def assignFolds(df: DataFrame, idCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn("fold",
+      pmod(PolyHash64.poly_hash64(concat(lit("fold|"), idCol.cast(StringType))),
+        lit(k.toLong)))
+  }
+
+  /** §2.10 — 5-fold assignment over `documents`. */
+  def kfoldQ(s: SparkSession, d: String): DataFrame =
+    assignFolds(Tables.documents(s, d), col("doc_id"), 5)
+      .select(col("doc_id"), col("fold"))
+      .orderBy(col("doc_id"))
+
   // ---- Decontamination ---------------------------------------------------
 
   /** Train/test leakage check: every (train doc, test doc) pair sharing
@@ -400,6 +421,7 @@ object TrainingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign"   -> (splitAssignQ _),
+    "q_kfold"          -> (kfoldQ _),
     "q_decontaminate"  -> (decontaminateQ _),
     "q_pack_sequences" -> (packSequencesQ _),
     "q_shuffle_order"  -> (shuffleOrderQ _),
@@ -474,6 +496,11 @@ object TrainingOps {
   val oracles: Map[String, String] = Map(
     "q_split_assign" ->
       s"""SELECT doc_id, bucket, split FROM ($splitSql) s ORDER BY doc_id""".stripMargin,
+
+    "q_kfold" ->
+      s"""SELECT doc_id, (h % 5 + 5) % 5 AS fold
+         |FROM (${polyHashSql("fold|")}) _h
+         |ORDER BY doc_id""".stripMargin,
 
     // top-512 vocab by (count desc, token), OOV -> 0, sequences
     // reassembled in position order

@@ -101,6 +101,24 @@ class ContaminationSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("persisted eval index screens batches identically to the direct path") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val split = TrainingOps.assignSplit(
+      docs.select($"doc_id", $"text"), $"doc_id")
+    val evalDocs = split.filter($"split" === "test").select($"doc_id", $"text")
+    val batch = split.filter($"split" === "train").select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("evalidx").toString
+    Contamination.writeEvalIndex(evalDocs, "doc_id", "text", dir)
+    val fed = Contamination.screenAgainstIndex(spark, batch, "doc_id", "text", dir)
+      .orderBy($"train_id", $"eval_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val direct = TrainingOps.decontaminate(docs, "doc_id", "text", minShared = 1)
+      .orderBy($"train_id", $"test_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fed.nonEmpty && fed == direct,
+      s"index-fed screen diverged: ${fed.size} vs ${direct.size} pairs")
+  }
+
   test("plan: bloom rides a broadcast, not a shuffle") {
     val plan = Contamination.deconBloomQ(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
