@@ -116,6 +116,19 @@ object ScaleProbe {
     // corpus, one decade past the bench SF, still inside the sandbox)
     val ks = sys.env.getOrElse("SPARK_GRAFT_PROBE_KS", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
+    // fixed eval index for the asymmetric screen probe (built once —
+    // eval sets are static while batches grow; that asymmetry is the
+    // thing the probe measures)
+    val evalIdxDir = java.nio.file.Files
+      .createTempDirectory("graft_probe_evalidx").toString
+    locally {
+      // built from COPY 0 (replicate suffixes every word, so the raw
+      // base would never match any replicated corpus)
+      val split = TrainingOps.assignSplit(replicate(base, 1), col("doc_id"))
+      graft.operators.Contamination.writeEvalIndex(
+        split.filter(col("split") === "test"), "doc_id", "text", evalIdxDir)
+      spark.sharedState.cacheManager.clearCache()
+    }
     ks.foreach { k =>
       val docs = replicate(base, k)
       time("minhash_16x2", k) {
@@ -264,6 +277,34 @@ object ScaleProbe {
       }
       time("containment", k) {
         TextOps.containmentPairs(docs, 0.8).count()
+      }
+
+      // round-11 additions. decon_bloom: both splits grow k× — the
+      // bloom path must stay at-or-under the exact path's linear
+      // curve. eval_screen is the ASYMMETRIC deployment shape: the
+      // eval index is FIXED (base corpus test split, built once
+      // outside the loop) while the screened batch grows k×; per-copy
+      // word suffixes mean only copy 0 can match, so true pairs stay
+      // constant and the curve isolates the map-side scan+hash cost
+      // the bloom cannot remove. chi2 rides one corpus aggregation —
+      // the later frames are vocab-sized. contam_score: test positions
+      // and train set both grow k×, flagged rows stay k-proportional.
+      time("decon_bloom", k) {
+        graft.operators.Contamination.decontaminateBloom(
+          docs, "doc_id", "text", minShared = 1).count()
+      }
+      time("eval_screen", k) {
+        graft.operators.Contamination.screenAgainstIndex(
+          spark, docs, "doc_id", "text", evalIdxDir).count()
+      }
+      time("contam_score", k) {
+        graft.operators.Contamination.contaminationScore(
+          docs, "doc_id", "text").count()
+      }
+      time("chi2_tokens", k) {
+        graft.operators.MixtureOps.characteristicTokens(
+          docs.select((col("doc_id") % 20).as("domain"), col("text")),
+          col("domain"), col("text")).count()
       }
 
       // Incremental ingest vs re-running the full pipeline: the batch is
