@@ -29,10 +29,32 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   import org.apache.spark.sql.graft.ColumnBridge
 
+  /** A SQL-surface argument that must be a non-null foldable literal —
+    * rejects columns (Unevaluable would surface as an internal error)
+    * and NULL (String.valueOf(null) would silently become "null"). */
+  private def litOf(e: Expression, fn: String, arg: String): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal, not a column")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(
+      s"$fn: $arg must not be NULL")
+    v
+  }
+
+  private def litInt(e: Expression, fn: String, arg: String): Int =
+    litOf(e, fn, arg) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got '$other'")
+    }
+
+  private def litString(e: Expression, fn: String, arg: String): String =
+    litOf(e, fn, arg).toString
+
   val rollingMinHashBuilder: Seq[Expression] => Expression = {
     case Seq(text) => RollingMinHash(text, 8)
     case Seq(text, k) => RollingMinHash(text,
-      k.eval().asInstanceOf[Number].intValue())
+      litInt(k, "graft_rolling_minhash", "k"))
     case _ => throw new IllegalArgumentException(
       "graft_rolling_minhash(text[, k]) takes 1 or 2 arguments")
   }
@@ -56,7 +78,7 @@ object GraftExtensions {
   val deflateLenBuilder: Seq[Expression] => Expression = {
     case Seq(text) => graft.plans.DeflateLen(text, 6)
     case Seq(text, lvl) => graft.plans.DeflateLen(text,
-      lvl.eval().asInstanceOf[Number].intValue())
+      litInt(lvl, "graft_deflate_len", "level"))
     case _ => throw new IllegalArgumentException(
       "graft_deflate_len(text[, level]) takes 1 or 2 arguments")
   }
@@ -68,7 +90,8 @@ object GraftExtensions {
 
   val bpeMergePairBuilder: Seq[Expression] => Expression = {
     case Seq(syms, a, b) => graft.plans.BpeMergePair(syms,
-      String.valueOf(a.eval()), String.valueOf(b.eval()))
+      litString(a, "graft_bpe_merge_pair", "a"),
+      litString(b, "graft_bpe_merge_pair", "b"))
     case _ => throw new IllegalArgumentException(
       "graft_bpe_merge_pair(symbols, a, b) takes 3 arguments (a, b literals)")
   }

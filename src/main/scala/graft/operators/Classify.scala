@@ -112,8 +112,11 @@ object Classify {
 
   /** One unrolled batch update: `w$i` from `w$p`. */
   private def stepSql(i: Int, p: Int): String = {
+    // CAST back to BIGINT: DuckDB SUM(BIGINT) widens to HUGEINT, which
+    // the compare harness would coerce through float64 — the cast keeps
+    // the parity bit-exact int64-vs-int64 (the repo-wide oracle contract)
     val upd = dims.map(j =>
-      s"w.w$j + COALESCE(SUM(CASE WHEN y * (${dotSql("w")}) <= 0 THEN y * x$j END), 0) AS w$j")
+      s"CAST(w.w$j + COALESCE(SUM(CASE WHEN y * (${dotSql("w")}) <= 0 THEN y * x$j END), 0) AS BIGINT) AS w$j")
       .mkString(",\n    ")
     s"""w$i AS (
        |  SELECT $upd
@@ -133,8 +136,8 @@ object Classify {
             .mkString("\n  UNION ALL\n")}
          |  UNION ALL
          |  SELECT 'misclassified',
-         |    COALESCE(SUM(CASE WHEN y <> (CASE WHEN ${dotSql("w")} > 0 THEN 1 ELSE -1 END)
-         |                      THEN 1 END), 0)
+         |    CAST(COALESCE(SUM(CASE WHEN y <> (CASE WHEN ${dotSql("w")} > 0 THEN 1 ELSE -1 END)
+         |                      THEN 1 END), 0) AS BIGINT)
          |  FROM f CROSS JOIN w3 w) _out
          |ORDER BY name""".stripMargin,
   )

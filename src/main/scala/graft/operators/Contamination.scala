@@ -119,7 +119,11 @@ object Contamination {
       .select(col("eval_id"), xxhash64(col("sh")).as("h"))
       .distinct()
     sh.write.mode("overwrite").parquet(s"$dir/hashes")
-    bloomOf(sh.select(col("h")).distinct(), "h", mBits, k)
+    // build the bloom from the hashes just written, not from `sh` —
+    // re-evaluating `sh` would run the explode+window shingle pipeline
+    // over the eval text a second time
+    val written = evalDocs.sparkSession.read.parquet(s"$dir/hashes")
+    bloomOf(written.select(col("h")).distinct(), "h", mBits, k)
       .withColumn("m_bits", lit(mBits))
       .withColumn("k_probes", lit(k))
       .withColumn("n_gram", lit(n))

@@ -109,9 +109,11 @@ object MixtureOps {
     * (mirrored token-for-token in the oracle), so both engines round
     * identically — the row-111 BM25 posture: compare on the floored
     * 1e-6 LONG image of a bit-deterministic double. The over-
-    * representation gate (ad > bc) stays EXACT integer (products
-    * ≤ ~2^53 at any realistic per-cell count; the image never decides
-    * membership, only rank).
+    * representation gate (ad > bc) stays EXACT — the products are
+    * taken in decimal(38,0), which holds any long×long without
+    * overflow (d ≈ N, so a 64-bit product would wrap for common
+    * tokens at corpus scale; the image never decides membership,
+    * only rank).
     *
     * Scale shape: ONE corpus-scale aggregation — groupBy(domain, token)
     * after the explode; every later frame (token totals, domain totals,
@@ -135,7 +137,12 @@ object MixtureOps {
       .withColumn("b", col("rt") - col("a"))
       .withColumn("c", col("ts") - col("a"))
       .withColumn("d", col("n") - col("rt") - col("ts") + col("a"))
-      .filter(col("a") * col("d") > col("b") * col("c"))
+      // widen to decimal before the cross-products: d ≈ n (total corpus
+      // occurrences), so a*d exceeds Long for any token with more than
+      // ~2^63/n in-domain hits — decimal(20,0)×decimal(20,0) plans a
+      // decimal(38,0) product, which holds any long×long exactly
+      .filter(col("a").cast(DecimalType(20, 0)) * col("d").cast(DecimalType(20, 0)) >
+              col("b").cast(DecimalType(20, 0)) * col("c").cast(DecimalType(20, 0)))
     val diff = col("a").cast(D) * col("d").cast(D) -
       col("b").cast(D) * col("c").cast(D)
     val chi = col("n").cast(D) * diff * diff /

@@ -43,17 +43,10 @@ class IvfBucketSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle") {
-    // default warehouse dir (spark-warehouse/ under the test cwd,
-    // gitignored) — spark.sql.warehouse.dir is a static conf. The
-    // in-memory catalog forgets tables between JVMs but the dirs
-    // survive; clear both.
+    // tables land in TestSpark's per-JVM temp warehouse, so stale dirs
+    // cannot survive across runs; only the in-JVM catalog needs clearing
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lines")
-    Seq("b_orders", "b_lines").foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
     Tables.orders(spark, TestSpark.sf)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
