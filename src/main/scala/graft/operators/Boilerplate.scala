@@ -95,6 +95,28 @@ object Boilerplate {
         (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  // ---- Incremental frequency state -----------------------------------------
+
+  /** Append one batch's segment frequencies to a persisted state dir.
+    * Document frequency is ADDITIVE over batches with disjoint doc ids
+    * (the ingest contract every incremental path here shares), so a
+    * commit writes O(batch) rows and never reads existing state — the
+    * StateStore delta posture. Readers aggregate on read; an atomic
+    * versioned-commit wrapper (StateStore.commitDelta's pattern)
+    * applies unchanged if concurrent readers need isolation. */
+  def appendFrequencies(batch: DataFrame, idCol: Column, segsCol: Column,
+                        dir: String): Unit =
+    segmentFrequencies(batch, idCol, segsCol)
+      .write.mode("append").parquet(dir)
+
+  /** Corpus-wide frequencies from the accumulated deltas: one
+    * aggregation over the state table (segment-vocabulary-sized, far
+    * below corpus scale) — batch ingest reads ZERO corpus text. */
+  def frequenciesFromState(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("segment"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+
   // ---- Registered queries --------------------------------------------------
 
   private val W = 2     // token-segment width on the newline-free tables

@@ -92,6 +92,31 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(run(base) == run(base.repartition(13, $"lang")))
   }
 
+  test("state-fed frequencies equal the direct count over all batches") {
+    val base = Tables.documents(spark, TestSpark.sf)
+    val segs2 = Boilerplate.fixedTokenSegments(col("text"), 2)
+    val b1 = base.filter($"doc_id" % 3 === 0)
+    val b2 = base.filter($"doc_id" % 3 === 1)
+    val b3 = base.filter($"doc_id" % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("bp-state").toString + "/freq"
+    Seq(b1, b2, b3).foreach(b =>
+      Boilerplate.appendFrequencies(b, col("doc_id"), segs2, dir))
+    val fed = Boilerplate.frequenciesFromState(spark, dir)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val direct = Boilerplate.segmentFrequencies(base, col("doc_id"), segs2)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(fed == direct)
+    // and the scrub driven from state matches the direct scrub
+    val bFed = Boilerplate.topSegments(
+      Boilerplate.frequenciesFromState(spark, dir), 50)
+    val bDir = Boilerplate.topSegments(
+      Boilerplate.segmentFrequencies(base, col("doc_id"), segs2), 50)
+    def run(b: org.apache.spark.sql.DataFrame) =
+      Boilerplate.scrubSegments(base, col("doc_id"), segs2, b, sep = " ")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(run(bFed) == run(bDir))
+  }
+
   test("plan: boilerplate set broadcasts; scrub join is not a shuffle join") {
     val s = Boilerplate.fixedTokenSegments(col("text"), 2)
     val base = Tables.documents(spark, TestSpark.sf)
