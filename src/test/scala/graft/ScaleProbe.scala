@@ -306,6 +306,23 @@ object ScaleProbe {
           docs.select((col("doc_id") % 20).as("domain"), col("text")),
           col("domain"), col("text")).count()
       }
+      // count + top-100 + scrub over the k× corpus: count and scrub are
+      // both single-pass (the boilerplate set broadcasts), so the curve
+      // should track input size
+      time("line_scrub", k) {
+        val segs = graft.operators.Boilerplate.fixedTokenSegments(col("text"), 2)
+        val boiler = graft.operators.Boilerplate.topSegments(
+          graft.operators.Boilerplate.segmentFrequencies(docs, col("doc_id"), segs), 100)
+        graft.operators.Boilerplate.scrubSegments(
+          docs, col("doc_id"), segs, boiler, sep = " ").count()
+      }
+      // model (one bounded-space aggregation) + scoring (broadcast λ
+      // join, per-doc sums) over the k× corpus — the bucket table stays
+      // 256 rows at every k
+      time("dsir_score", k) {
+        graft.operators.Dsir.affinityScores(
+          docs, col("doc_id"), col("text"), col("doc_id") % 20 === 0).count()
+      }
 
       // Incremental ingest vs re-running the full pipeline: the batch is
       // FIXED (one fresh base-sized copy, lang column required by the
