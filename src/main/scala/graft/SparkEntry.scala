@@ -224,6 +224,6 @@ object SparkEntry {
     SubstringDedup.oracles ++ SemDedup.oracles ++ MixtureOps.oracles ++
     PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++ GraphOps.oracles ++
     BpeOps.oracles ++ Classify.oracles ++ Contamination.oracles ++
-    Boilerplate.oracles ++ Dsir.oracles ++
+    Boilerplate.oracles ++ Dsir.oracles ++ SketchOps.oracles ++
     graft.sources.ExtractClient.oracles
 }

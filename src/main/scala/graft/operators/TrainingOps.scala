@@ -440,7 +440,11 @@ object TrainingOps {
     * pmod it or order by it directly. Shared by every oracle that
     * replays a domain-prefixed id hash. */
   private[operators] def polyHashSql(prefix: String, table: String = "documents",
-                                     id: String = "doc_id"): String =
+                                     id: String = "doc_id"): String = {
+    // the innermost layer aliases the prefixed string AS t; an id also
+    // named t would shadow it and silently hash the UNPREFIXED value
+    // (caught by the q_cms_tokens parity gate)
+    require(id != "t", "polyHashSql: id column must not be named 't'")
     s"""SELECT $id,
        |  CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - $M ELSE z3 END AS BIGINT) AS h
        |FROM (
@@ -469,6 +473,7 @@ object TrainingOps {
        |                  (a, b) -> (a * 1000003 + b) % $M) AS p
        |              FROM (SELECT $id, '$prefix' || CAST($id AS VARCHAR) AS t
        |                    FROM $table) _t0) _t1) _t2) _t3) _t4) _t5) _t6) _t7""".stripMargin
+  }
 
   /** Split-assignment CTE: doc_id -> (bucket, split), i.e.
     * pmod(poly_hash64('split|' || id), 100) with Java floor-mod
