@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -170,10 +170,57 @@ object LmScore {
       .select(col("lang"), col("rn").cast(LongType).as("rn"), col("bigram"), col("cnt"))
       .orderBy(col("lang"), col("rn"))
 
+  /** §2.11 row 129 — PMI collocations, exactly. PMI(x,y) =
+    * ln(p(x,y)/(p(x)p(y))) ranks identically to the LIFT
+    * c_xy·N1/(c_x·c_y): ln is monotone and the remaining N1/N2 factor
+    * is a per-corpus constant — so the transcendental drops out of the
+    * ORDER entirely (the DSIR lesson applied to collocation mining).
+    * The reported score is the fixed-point lift image,
+    * (SCALE·c_xy·N1) div (c_x·c_y): decimal(38,0) products,
+    * IntegralDivide, engine-independent. Bounds: numerator ≤
+    * SCALE·n_xy·N1 ≤ 1e32 < 1e38; lift ≤ SCALE·N1/minCount < 2^63
+    * for corpora to ~10^13 tokens at the defaults.
+    *
+    * Scale shape: unigram and bigram count tables are VOCAB-bounded —
+    * both broadcast; the min-count gate prunes the bigram tail before
+    * the joins; selection is TakeOrderedAndProject. The corpus is
+    * scanned twice (unigram explode + bigram shingle pass), each a
+    * single aggregation. */
+  def collocations(docs: DataFrame, idCol: Column, textCol: Column,
+                   minCount: Long = 10, topK: Int = 20,
+                   scale: Long = 1000000L): DataFrame = {
+    require(minCount >= 1 && topK > 0 && scale > 0, "bad collocation params")
+    val D = DecimalType(20, 0)
+    val uni = docs.select(idCol.as("__id"), explode(TextFunctions.words(textCol)).as("w"))
+    val cu = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n1 = uni.agg(count(lit(1)).as("n1"))
+    val cb = TextFunctions.shingleRows(
+        docs.select(idCol.as("__id"), textCol.as("__t")),
+        Seq(col("__id")), col("__t"), n = 2, out = "bigram")
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    cb.withColumn("__x", split(col("bigram"), " ").getItem(0))
+      .withColumn("__y", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(cu.select(col("w").as("__x"), col("c1").as("__cx"))), "__x")
+      .join(broadcast(cu.select(col("w").as("__y"), col("c1").as("__cy"))), "__y")
+      .crossJoin(broadcast(n1))
+      .withColumn("lift", call_function("div",
+        lit(scale).cast(D) * col("n_xy").cast(D) * col("n1").cast(D),
+        col("__cx").cast(D) * col("__cy").cast(D)))
+      .select(col("bigram"), col("n_xy"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /** §2.11 — top-20 collocations by exact PMI rank. */
+  def collocationsQ(s: SparkSession, d: String): DataFrame =
+    collocations(Tables.documents(s, d), col("doc_id"), col("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_logprob" -> (unigramLogProbQ _),
     "q_bigram_logprob"  -> (bigramLogProbQ _),
     "q_top_bigrams"     -> (topBigramsQ _),
+    "q_collocations"    -> (collocationsQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +240,31 @@ object LmScore {
         |  GROUP BY lang, bigram) g
         |WHERE rn <= 10
         |ORDER BY lang, rn""".stripMargin,
+
+    // lift = (SCALE·c_xy·N1) // (c_x·c_y) in HUGEINT — the integer
+    // image whose ORDER equals PMI's for a fixed corpus
+    "q_collocations" ->
+      """WITH w AS (SELECT doc_id,
+        |        regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+        |      FROM documents),
+        |uni AS (SELECT unnest(ws) AS wd FROM w),
+        |cu AS (SELECT wd, count(*) AS c1 FROM uni GROUP BY wd),
+        |n1 AS (SELECT count(*) AS n FROM uni),
+        |cb AS (
+        |  SELECT bigram, count(*) AS n_xy FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w) b
+        |  GROUP BY bigram HAVING count(*) >= 10),
+        |parts AS (
+        |  SELECT bigram, n_xy,
+        |    string_split(bigram, ' ')[1] AS x, string_split(bigram, ' ')[2] AS y
+        |  FROM cb)
+        |SELECT p.bigram, CAST(p.n_xy AS BIGINT) AS n_xy,
+        |  CAST((1000000 * CAST(p.n_xy AS HUGEINT) * (SELECT n FROM n1))
+        |    // (CAST(cx.c1 AS HUGEINT) * cy.c1) AS BIGINT) AS lift
+        |FROM parts p
+        |JOIN cu cx ON p.x = cx.wd
+        |JOIN cu cy ON p.y = cy.wd
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
   )
 }

@@ -91,6 +91,40 @@ class LmScoreSpec extends AnyFunSuite {
       s"bigram should separate salad ${big(100L)} from fluent ${big(1L)}")
   }
 
+  test("collocations: a bound phrase tops independent co-occurrences") {
+    // "san francisco" always co-occurs; filler words pair freely
+    val docs = (1 to 30).map { i =>
+      (i.toLong, "san francisco " + Seq("the", "of", "and", "to", "in")
+        .map(w => w + " " + Seq("the", "of", "and", "to", "in")((i + w.length) % 5))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val top = graft.operators.LmScore.collocations(
+        docs, $"doc_id", $"text", minCount = 10, topK = 3)
+      .select($"bigram").as[String].collect()
+    assert(top.head == "san francisco", s"got ${top.toSeq}")
+  }
+
+  test("collocation output is lift-descending and deterministic across partitionings") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.LmScore.collocations(
+          df, $"doc_id", $"text", minCount = 5, topK = 50)
+        .as[(String, Long, Long)].collect().toSeq
+    val got = run(docs)
+    assert(got.map(_._3) == got.map(_._3).sortBy(-_),
+      "output must be lift-descending")
+    assert(got == run(docs.repartition(11, $"lang")))
+  }
+
+  test("collocations plan: count tables broadcast, selection is TakeOrdered") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val plan = graft.operators.LmScore.collocations(docs, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"vocab tables must broadcast:\n$plan")
+  }
+
   test("a one-word document scores its unigram probability") {
     val df = Seq((1L, "solo"), (2L, "solo pair"), (3L, "solo pair")).toDF("doc_id", "text")
     val got = LmScore.bigramLogProb(df, "doc_id", "text")
