@@ -117,8 +117,58 @@ object GraphOps {
     pageRank(nationFlowEdges(s, d), "src", "dst", "w", iters = 3)
       .select(col("node"), col("rank")).orderBy(col("node"))
 
+  /** Exact per-node triangle counts by degree-oriented wedge closure
+    * (the compact-forward algorithm): canonicalize the undirected edge
+    * set, orient every edge from its lower-(degree, id) endpoint to the
+    * higher, generate wedges by self-joining oriented edges on their
+    * source, and close each wedge against the oriented edge set. The
+    * orientation bounds out-degrees by O(√m), so wedge volume is
+    * O(m^1.5) — the skew-proof bound — instead of Σ deg² (a single
+    * celebrity node would otherwise generate |corpus|² wedges). All
+    * three steps are equi-joins: degrees (node-bounded) join in, the
+    * wedge join keys on the shared source, closure keys on the
+    * endpoint pair. No cartesian anywhere.
+    *
+    * The triangle SET is orientation-independent, so the oracle's
+    * id-ordered 3-way join replays the same counts exactly. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .join(deg.select(col("n").as("t"), col("d").as("dt")), "t")
+    val w1 = oriented.select(col("s"), col("t").as("t1"), col("dt").as("dt1"))
+    val w2 = oriented.select(col("s"), col("t").as("t2"), col("dt").as("dt2"))
+    val wedges = w1.join(w2, Seq("s"))
+      .filter(col("dt1") < col("dt2") ||
+        (col("dt1") === col("dt2") && col("t1") < col("t2")))
+    val closed = wedges.join(
+      oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
+    closed.select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** §2.11 — triangle cohesion of the embedding near-dup graph: nodes
+    * in mutually-similar triads (the cluster-density diagnostic over
+    * the same pair relation q_embed_neardup registers). */
+  def trianglesQ(s: SparkSession, d: String): DataFrame =
+    triangleCounts(VectorQueries.embedNearDupQ(s, d), "id_a", "id_b")
+      .orderBy(col("n_tri").desc, col("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (pageRankQ _),
+    "q_pagerank"  -> (pageRankQ _),
+    "q_triangles" -> (trianglesQ _),
   )
 
   /** Textual floor-div macro for the oracle (b > 0). */
@@ -144,6 +194,28 @@ object GraphOps {
        |  LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // triangle set is orientation-independent: the id-ordered 3-way
+    // join over the canonical (u < w) near-dup edges replays the
+    // degree-oriented closure's counts exactly
+    "q_triangles" -> {
+      val dot = VectorQueries.dotSql _
+      s"""WITH v AS (SELECT label, vec_id, embedding, ${dot("embedding", "embedding")} AS nsq FROM embeddings),
+         |e AS (
+         |  SELECT a.vec_id AS u, b.vec_id AS w
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${dot("a.embedding", "b.embedding")} / greatest(sqrt(a.nsq) * sqrt(b.nsq), 1e-9) >= 0.3),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.w AS b, e2.w AS c
+         |  FROM e e1
+         |  JOIN e e2 ON e2.u = e1.w
+         |  JOIN e e3 ON e3.u = e1.u AND e3.w = e2.w)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) t
+         |GROUP BY node
+         |ORDER BY n_tri DESC, node""".stripMargin
+    },
     "q_pagerank" ->
       s"""WITH e AS (
          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,

@@ -68,7 +68,7 @@ object VectorQueries {
 
   /** Integer-quantized dot products (SURVEY.md §5): exact, order-free,
     * floor() has no round-half ambiguity across engines. */
-  private def dotSql(a: String, b: String) =
+  private[operators] def dotSql(a: String, b: String) =
     s"""CAST(list_sum(list_transform(range(1, len($a)+1),
        |    i -> CAST(floor(CAST($a[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST($b[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)""".stripMargin
 

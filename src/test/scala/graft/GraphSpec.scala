@@ -58,6 +58,50 @@ class GraphSpec extends AnyFunSuite {
       ex.getCause != null && ex.getCause.getMessage.contains("positive"), ex.getMessage)
   }
 
+  test("triangles: K4 has four, each node in three; pendant nodes in none") {
+    // K4 on 1..4 plus a pendant edge 4-5 and duplicate/reversed noise
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (2L, 1L), (3L, 1L)).toDF("a", "b")
+    val got = GraphOps.triangleCounts(e, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // total triangles = sum/3 = 4
+    assert(got.values.sum == 12)
+  }
+
+  test("triangles match a brute-force count on a pseudo-random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 220).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val canon = edges.map { case (a, b) => (a.min(b), a.max(b)) }.distinct.toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if canon((i, j)) && canon((j, k)) && canon((i, k))
+    } yield Seq(i, j, k)).flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == brute)
+  }
+
+  test("a star graph (maximal skew) has zero triangles and zero wedge blowup") {
+    val star = (2L to 400L).map(i => (1L, i)).toDF("a", "b")
+    // degree orientation points every edge AT the hub, so the hub's
+    // out-degree is 0 and no wedges are generated at all
+    assert(GraphOps.triangleCounts(star, "a", "b").count() == 0)
+  }
+
+  test("triangle counts are invariant to edge partitioning and direction") {
+    val e = GraphOps.nationFlowEdges(spark, TestSpark.sf)
+      .select($"src".as("a"), $"dst".as("b"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.triangleCounts(df, "a", "b")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val flipped = e.select($"b".as("a"), $"a".as("b"))
+    assert(run(e).nonEmpty)
+    assert(run(e) == run(flipped.repartition(9)))
+  }
+
   test("nation-flow edge derivation broadcasts the dims") {
     val p = GraphOps.nationFlowEdges(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
