@@ -50,6 +50,26 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("the sketch aggregates a stream: complete-mode cells equal the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = ms.toDS().toDF("t")
+      .agg(CountMinAgg.count_min($"t", 2, 8).as("sk"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    try {
+      ms.addData("a", "b", "a")
+      q.processAllAvailable()
+      ms.addData("c", "a")
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").head().getSeq[Long](0)
+      val batch = Seq("a", "b", "a", "c", "a").toDF("t")
+        .agg(CountMinAgg.count_min($"t", 2, 8).as("sk")).head().getSeq[Long](0)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sketches over disjoint batches add elementwise (delta-state additivity)") {
     val withId = toks.withColumn("i", monotonically_increasing_id())
     val b1 = withId.filter($"i" % 2 === 0).select($"t")

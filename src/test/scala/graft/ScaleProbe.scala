@@ -323,6 +323,27 @@ object ScaleProbe {
         graft.operators.Dsir.affinityScores(
           docs, col("doc_id"), col("text"), col("doc_id") % 20 === 0).count()
       }
+      // vocab grows k× (suffixed words) and the bigram table with it;
+      // count tables stay vocab-bounded broadcasts
+      time("collocations", k) {
+        graft.operators.LmScore.collocations(
+          docs, col("doc_id"), col("text")).count()
+      }
+      // k disjoint copies of the near-dup edge list (id-shifted):
+      // edges and triangles grow EXACTLY k×, isolating the wedge-closure
+      // kernel from edge generation; degree orientation caps wedge
+      // volume at O(m^1.5)
+      time("triangles", k) {
+        val e0 = graft.operators.VectorOps.nearDupPairs(
+            Tables.embeddings(spark, sfDir), "vec_id", "embedding", "label",
+            threshold = 0.3)
+          .select(col("id_a"), col("id_b"))
+        val es = e0.agg(max(greatest(col("id_a"), col("id_b")))).head().getLong(0) + 1L
+        val edges = (0 until k).map { c =>
+          e0.select((col("id_a") + c * es).as("id_a"), (col("id_b") + c * es).as("id_b"))
+        }.reduce(_ union _)
+        graft.operators.GraphOps.triangleCounts(edges, "id_a", "id_b").count()
+      }
 
       // Incremental ingest vs re-running the full pipeline: the batch is
       // FIXED (one fresh base-sized copy, lang column required by the
