@@ -184,6 +184,53 @@ object TextOps2 {
     "q_bm25"   -> (bm25Q _),
   )
 
+  /** The BM25 ranking as reusable oracle CTEs ending in `bm25rank`
+    * (qid, doc_id, score_i, rn<=10) — shared by the q_bm25 oracle and
+    * the hybrid-fusion oracle. */
+  private[operators] val bm25RankCtes =
+    """tokens AS (
+      |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+      |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dlen) AS tot_dl),
+      |q(qid, qtext) AS (VALUES
+      |  (CAST(1 AS BIGINT), 'table scan fast'),
+      |  (CAST(2 AS BIGINT), 'customer order value'),
+      |  (CAST(3 AS BIGINT), 'spark window merge')),
+      |qt AS (SELECT DISTINCT qid, token FROM (
+      |  SELECT qid, UNNEST(regexp_extract_all(lower(qtext), '[a-z0-9]+', 0)) AS token
+      |  FROM q) u),
+      |tfq AS (SELECT tf.doc_id, tf.token, tf.tf, qt.qid
+      |  FROM tf JOIN qt ON tf.token = qt.token),
+      |qtok AS (SELECT DISTINCT token FROM qt),
+      |dfq AS (SELECT tf.token, COUNT(*) AS df
+      |  FROM tf JOIN qtok ON tf.token = qtok.token GROUP BY 1),
+      |sc AS (
+      |  SELECT tfq.qid, tfq.doc_id,
+      |    CAST(SUM(CAST(floor(
+      |      (((1.0 + ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+      |                 / (CAST(dfq.df AS DOUBLE) + 0.5)))
+      |        / (CAST(st.n_docs AS DOUBLE) + 1.0))
+      |       * ((CAST(tfq.tf AS DOUBLE) * 2.2)
+      |          / (CAST(tfq.tf AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * (CAST(dlen.dl AS DOUBLE)
+      |                 / (CAST(st.tot_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))
+      |      * 1000000000000000.0) AS BIGINT)) AS BIGINT) AS score_i
+      |  FROM tfq
+      |  JOIN dfq ON tfq.token = dfq.token
+      |  JOIN dlen ON tfq.doc_id = dlen.doc_id
+      |  CROSS JOIN st
+      |  GROUP BY 1, 2),
+      |bm25rank AS (
+      |  SELECT qid, doc_id, score_i, rn FROM (
+      |    SELECT qid, doc_id, score_i,
+      |      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY score_i DESC, doc_id) AS BIGINT) AS rn
+      |    FROM sc) t
+      |  WHERE rn <= 10)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_tfidf" ->
       """WITH tokens AS (
@@ -206,48 +253,9 @@ object TextOps2 {
     // single IEEE-754 operation on identical inputs, floored to the
     // integer image BEFORE the order-independent sum
     "q_bm25" ->
-      """WITH tokens AS (
-        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
-        |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dlen) AS tot_dl),
-        |q(qid, qtext) AS (VALUES
-        |  (CAST(1 AS BIGINT), 'table scan fast'),
-        |  (CAST(2 AS BIGINT), 'customer order value'),
-        |  (CAST(3 AS BIGINT), 'spark window merge')),
-        |qt AS (SELECT DISTINCT qid, token FROM (
-        |  SELECT qid, UNNEST(regexp_extract_all(lower(qtext), '[a-z0-9]+', 0)) AS token
-        |  FROM q) u),
-        |tfq AS (SELECT tf.doc_id, tf.token, tf.tf, qt.qid
-        |  FROM tf JOIN qt ON tf.token = qt.token),
-        |qtok AS (SELECT DISTINCT token FROM qt),
-        |dfq AS (SELECT tf.token, COUNT(*) AS df
-        |  FROM tf JOIN qtok ON tf.token = qtok.token GROUP BY 1),
-        |sc AS (
-        |  SELECT tfq.qid, tfq.doc_id,
-        |    CAST(SUM(CAST(floor(
-        |      (((1.0 + ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
-        |                 / (CAST(dfq.df AS DOUBLE) + 0.5)))
-        |        / (CAST(st.n_docs AS DOUBLE) + 1.0))
-        |       * ((CAST(tfq.tf AS DOUBLE) * 2.2)
-        |          / (CAST(tfq.tf AS DOUBLE)
-        |             + 1.2 * (0.25 + 0.75 * (CAST(dlen.dl AS DOUBLE)
-        |                 / (CAST(st.tot_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))
-        |      * 1000000000000000.0) AS BIGINT)) AS BIGINT) AS score_i
-        |  FROM tfq
-        |  JOIN dfq ON tfq.token = dfq.token
-        |  JOIN dlen ON tfq.doc_id = dlen.doc_id
-        |  CROSS JOIN st
-        |  GROUP BY 1, 2)
-        |SELECT qid, doc_id, score_i, rn FROM (
-        |  SELECT qid, doc_id, score_i,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY score_i DESC, doc_id) AS BIGINT) AS rn
-        |  FROM sc) t
-        |WHERE rn <= 10
-        |ORDER BY qid, rn""".stripMargin,
+      s"""WITH $bm25RankCtes
+         |SELECT qid, doc_id, score_i, rn FROM bm25rank
+         |ORDER BY qid, rn""".stripMargin,
 
     "q_redact" ->
       """SELECT doc_id,

@@ -19,7 +19,10 @@ class ParitySpec extends AnyFunSuite {
 
   test("queries that should be nonempty are nonempty") {
     val expectEmptyOk = Set("q_anti_join", "q_overlap_detect", "q_dedup_simhash",
-      "q_ngram_jaccard", "q_dedup_minhash", "q_embed_neardup", "q_gap_days")
+      "q_ngram_jaccard", "q_dedup_minhash", "q_embed_neardup", "q_gap_days",
+      // sf0.001's sparse near-dup graph has no triangles (2 appear at
+      // sf0.01, 33 at sf0.1)
+      "q_triangles")
     SparkEntry.queries.keys.filterNot(expectEmptyOk).foreach { name =>
       withClue(name) {
         assert(SparkEntry.queries(name)(spark, TestSpark.sf).count() > 0)
