@@ -44,7 +44,7 @@ object SparkEntry {
     SubstringDedup.queries ++ SemDedup.queries ++ MixtureOps.queries ++
     PqIndex.queries ++ ScalarQuant.queries ++ ClusterOps.queries ++ GraphOps.queries ++
     BpeOps.queries ++ Classify.queries ++ Contamination.queries ++
-    Boilerplate.queries ++ Dsir.queries ++ Fusion.queries ++
+    Boilerplate.queries ++ Dsir.queries ++ Fusion.queries ++ Blocklist.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -224,6 +224,6 @@ object SparkEntry {
     SubstringDedup.oracles ++ SemDedup.oracles ++ MixtureOps.oracles ++
     PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++ GraphOps.oracles ++
     BpeOps.oracles ++ Classify.oracles ++ Contamination.oracles ++
-    Boilerplate.oracles ++ Dsir.oracles ++ SketchOps.oracles ++ Fusion.oracles ++
+    Boilerplate.oracles ++ Dsir.oracles ++ SketchOps.oracles ++ Fusion.oracles ++ Blocklist.oracles ++
     graft.sources.ExtractClient.oracles
 }

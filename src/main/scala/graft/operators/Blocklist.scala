@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Blocklist (banned-phrase) filtering — the C4/Dolma-style content
+  * gate: drop or flag documents containing any of N banned phrases
+  * VERBATIM as a token sequence. Distinct from decontamination (row
+  * 74: n-gram OVERLAP against an eval corpus) — here the unit is an
+  * exact phrase from a curated list, matched at word boundaries after
+  * normalization, with per-phrase occurrence counts for the audit
+  * trail real filters must produce.
+  *
+  * Scale shape: the phrase list is curated and tiny — it BROADCASTS.
+  * Phrases are grouped by token length; for each distinct length L the
+  * corpus's L-shingles (the shared shingleRows machinery) equi-join
+  * the length-L phrases. One shingle pass per distinct length, each a
+  * broadcast join — corpus text shuffles zero times; the per-doc
+  * summary aggregates (id, phrase) hits with map-side combine.
+  */
+object Blocklist {
+
+  /** Per-(doc, phrase) occurrence counts, one row per matched pair.
+    * Multi-word phrases match across the normalized token stream;
+    * empty/blank phrases are rejected. */
+  def phraseHits(docs: DataFrame, idCol: Column, textCol: Column,
+                 phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val normed = phrases.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
+    require(normed.forall(_.nonEmpty), "blocklist phrases must be non-blank")
+    require(normed.distinct.size == normed.size, "duplicate blocklist phrases")
+    val byLen = normed.groupBy(_.split(" ").length)
+    val src = docs.select(idCol.as("id"), textCol.as("__text"))
+    byLen.toSeq.sortBy(_._1).map { case (len, ps) =>
+      val pdf = broadcast(ps.toDF("phrase"))
+      val sh =
+        if (len == 1) src.select(col("id"),
+          explode(TextFunctions.words(col("__text"))).as("sh"))
+        else TextFunctions.shingleRows(src, Seq(col("id")), col("__text"), n = len)
+      sh.join(pdf, col("sh") === col("phrase"))
+        .groupBy(col("id"), col("phrase"))
+        .agg(count(lit(1)).as("n_hits"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Documents with at least one banned phrase: (id, n_phrases,
+    * n_hits) — the audit summary a filtering run reports. */
+  def flagged(docs: DataFrame, idCol: Column, textCol: Column,
+              phrases: Seq[String]): DataFrame =
+    phraseHits(docs, idCol, textCol, phrases)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_phrases"), sum(col("n_hits")).as("n_hits"))
+
+  /** The clean side: documents matching NO banned phrase (broadcast
+    * anti-join on the flagged id set). */
+  def blocklistFilter(docs: DataFrame, idCol: Column, textCol: Column,
+                      phrases: Seq[String]): DataFrame =
+    docs.join(flagged(docs, idCol, textCol, phrases)
+        .select(col("id").as("__bad")),
+      idCol === col("__bad"), "left_anti")
+
+  // ---- Registered query ----------------------------------------------------
+
+  /** Fixed audit workload: phrases over the synthetic vocabulary at
+    * lengths 1..3 (constants — replayable by construction). */
+  private[graft] val AuditPhrases = Seq(
+    "slow merge",
+    "customer order value",
+    "spark")
+
+  /** §2.11 — the audit summary over the corpus. */
+  def blocklistQ(s: SparkSession, d: String): DataFrame =
+    flagged(Tables.documents(s, d), col("doc_id"), col("text"), AuditPhrases)
+      .select(col("id").as("doc_id"), col("n_phrases"), col("n_hits"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_blocklist" -> (blocklistQ _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // occurrence counts per (doc, phrase) via the positional n-gram
+    // derivation at each phrase length, then the per-doc audit rollup
+    "q_blocklist" ->
+      """WITH w AS (SELECT doc_id,
+        |        regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+        |      FROM documents),
+        |g1 AS (SELECT doc_id, unnest(ws) AS sh FROM w),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |         i -> ws[i] || ' ' || ws[i+1])) AS sh FROM w),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+        |hits AS (
+        |  SELECT doc_id, sh AS phrase, count(*) AS n_hits FROM g1 WHERE sh = 'spark' GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT doc_id, sh, count(*) FROM g2 WHERE sh = 'slow merge' GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT doc_id, sh, count(*) FROM g3 WHERE sh = 'customer order value' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrases,
+        |       CAST(sum(n_hits) AS BIGINT) AS n_hits
+        |FROM hits GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
