@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -175,7 +175,47 @@ object Profiling {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy(col("col_x"), col("col_y"))
 
+  /** §2.11 — order-independent dataset fingerprint: the reproducibility
+    * checksum shard validation and cross-engine dataset equality audits
+    * need. Each row hashes with the domain-prefixed poly-hash over its
+    * canonical representation (columns cast to string, NULL mapped to a
+    * \\u0000 sentinel so NULL ≠ empty, \\u0001 field separator), and the
+    * dataset value is the mod-2^64 SUM of row hashes — commutative, so
+    * it is independent of row order, partitioning and merge order, and
+    * any single-row change flips it with overwhelming probability.
+    * The sum accumulates in decimal(38,0) (≤ 9.3e31 at 1e13 rows —
+    * no overflow, ANSI-safe) and reports the signed 64-bit image.
+    * Caller contract: provide string/integer columns (float→string
+    * rendering is engine-specific). Grouped form = one aggregation on
+    * the group key — per-shard checksums in a single pass. */
+  def datasetFingerprint(df: DataFrame, cols: Seq[Column],
+                         groupCols: Seq[Column] = Nil): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    // \\u0001 separates fields (no separator would collide ("ab","c")
+    // with ("a","bc")); \\u0000 is the NULL sentinel, distinct from ""
+    val repr = concat_ws("\u0001",
+      lit("row") +: cols.map(c => coalesce(c.cast(StringType), lit("\u0000"))): _*)
+    val h = graft.plans.PolyHash64.poly_hash64(repr).cast(DecimalType(38, 0))
+    val two64 = lit(BigDecimal("18446744073709551616")).cast(DecimalType(38, 0))
+    val two63 = lit(BigDecimal("9223372036854775808")).cast(DecimalType(38, 0))
+    val base = df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_rows"), sum(h).as("__s"))
+    base.withColumn("__m", pmod(col("__s"), two64))
+      .withColumn("checksum",
+        when(col("__m") >= two63, col("__m") - two64).otherwise(col("__m"))
+          .cast(LongType))
+      .drop("__s", "__m")
+  }
+
+  /** §2.11 — per-source shard checksums over `documents`. */
+  def datasetHashQ(s: SparkSession, d: String): DataFrame =
+    datasetFingerprint(Tables.documents(s, d),
+        Seq(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text")),
+        groupCols = Seq(col("source")))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_hash"  -> (datasetHashQ _),
     "q_profile"       -> (profileQ _),
     "q_histogram"     -> (histogramQ _),
     "q_time_weighted" -> (timeWeightedQ _),
@@ -185,6 +225,29 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    // row repr replayed byte-for-byte (chr(1) separator, chr(0) NULL
+    // sentinel), poly-hash via the shared HUGEINT replay (empty domain
+    // prefix: "row" leads the repr itself), mod-2^64 sum, signed image
+    "q_dataset_hash" -> {
+      val rows =
+        """SELECT source,
+          |    'row' || chr(1) || CAST(doc_id AS VARCHAR) || chr(1) ||
+          |    COALESCE(lang, chr(0)) || chr(1) || COALESCE(source, chr(0)) || chr(1) ||
+          |    COALESCE(CAST(n_chars AS VARCHAR), chr(0)) || chr(1) || COALESCE(text, chr(0)) AS r
+          |  FROM documents""".stripMargin
+      val M = "18446744073709551616"
+      s"""WITH rows_ AS (
+         |  $rows),
+         |hs AS (${TrainingOps.polyHashSql("", "(SELECT DISTINCT r FROM rows_)", "r")}),
+         |j AS (SELECT rows_.source, hs.h FROM rows_ JOIN hs ON rows_.r = hs.r),
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |               sum(CAST(h AS HUGEINT)) AS s0
+         |        FROM j GROUP BY source),
+         |fin AS (SELECT source, n_rows, ((s0 % $M) + $M) % $M AS m FROM agg)
+         |SELECT source, n_rows,
+         |  CAST(CASE WHEN m >= 9223372036854775808 THEN m - $M ELSE m END AS BIGINT) AS checksum
+         |FROM fin ORDER BY source""".stripMargin
+    },
     "q_profile" ->
       """WITH s AS (SELECT COUNT(*) AS n,
         |  COUNT(event_id) AS nn1, COUNT(DISTINCT event_id) AS nd1,

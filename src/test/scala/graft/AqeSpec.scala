@@ -45,6 +45,25 @@ class AqeSpec extends AnyFunSuite {
     }
   }
 
+  test("a selective dim filter injects a runtime bloom filter on the fact side") {
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    ) {
+      val fact = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+        .select($"l_orderkey", $"l_quantity")
+      val dim = graft.sources.Tables.orders(spark, TestSpark.sf)
+        .filter($"o_totalprice" > 400000.0)
+        .select($"o_orderkey")
+      val plan = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter must prune the fact scan:\n$plan")
+    }
+  }
+
   test("the text-scoring hot path sits inside whole-stage codegen") {
     // AQE off: the static physical plan shows WholeStageCodegen nodes
     // without needing an execution pass

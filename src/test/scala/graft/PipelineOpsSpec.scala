@@ -149,6 +149,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count() == users * days)
   }
 
+  test("dataset fingerprint: order/partition-invariant, change-sensitive, NULL-safe") {
+    import graft.operators.Profiling.datasetFingerprint
+    val base = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val cols = Seq($"doc_id", $"lang", $"text")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      datasetFingerprint(df, cols).as[(Long, Long)].head()
+    val a = fp(base)
+    // any row order / partitioning gives the same checksum
+    assert(a == fp(base.repartition(13).sortWithinPartitions($"text")))
+    // a single-row change flips it, same row count
+    val mutated = base.withColumn("text",
+      when($"doc_id" === 7L, concat($"text", lit("!"))).otherwise($"text"))
+    assert(fp(mutated)._1 == a._1 && fp(mutated)._2 != a._2)
+    // NULL and empty string are distinct representations
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("doc_id", "text")
+    val withEmpty = Seq((1L, Some("")), (2L, Some("x"))).toDF("doc_id", "text")
+    assert(datasetFingerprint(withNull, Seq($"doc_id", $"text")).as[(Long, Long)].head()._2 !=
+      datasetFingerprint(withEmpty, Seq($"doc_id", $"text")).as[(Long, Long)].head()._2)
+    // field boundaries matter: ("ab","c") != ("a","bc")
+    val ab = Seq(("ab", "c")).toDF("x", "y")
+    val a_bc = Seq(("a", "bc")).toDF("x", "y")
+    assert(datasetFingerprint(ab, Seq($"x", $"y")).as[(Long, Long)].head()._2 !=
+      datasetFingerprint(a_bc, Seq($"x", $"y")).as[(Long, Long)].head()._2)
+    // grouped checksums equal per-group singles
+    val grouped = datasetFingerprint(base, cols, Seq($"source"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val singles = grouped.map(_._1).map { src =>
+      val (n, c) = fp(base.filter($"source" === src))
+      (src, n, c)
+    }
+    assert(grouped == singles)
+  }
+
   test("histogram bins partition the rows exactly") {
     val h = graft.operators.Profiling.histogramQ(spark, TestSpark.sf)
     val total = h.agg(sum($"n")).as[Long].head()
