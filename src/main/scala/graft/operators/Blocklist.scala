@@ -15,12 +15,14 @@ import graft.sources.Tables
   * normalization, with per-phrase occurrence counts for the audit
   * trail real filters must produce.
   *
-  * Scale shape: the phrase list is curated and tiny — it BROADCASTS.
-  * Phrases are grouped by token length; for each distinct length L the
-  * corpus's L-shingles (the shared shingleRows machinery) equi-join
-  * the length-L phrases. One shingle pass per distinct length, each a
-  * broadcast join — corpus text shuffles zero times; the per-doc
-  * summary aggregates (id, phrase) hits with map-side combine.
+  * Scale shape: the phrase list is curated and tiny — it BROADCASTS,
+  * so no JOIN ever shuffles. Phrases are grouped by token length; for
+  * each distinct length L the corpus's L-shingles equi-join the
+  * length-L phrases. Cost per multi-word length is one shingleRows
+  * pass, which carries that machinery's one sort-shuffle on the doc
+  * key (shingleRows' documented cost); single-word phrases are a pure
+  * explode with no shuffle. The per-doc summary aggregates (id,
+  * phrase) hits with map-side combine.
   */
 object Blocklist {
 
@@ -34,8 +36,12 @@ object Blocklist {
     val normed = phrases.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
     require(normed.forall(_.nonEmpty), "blocklist phrases must be non-blank")
     require(normed.distinct.size == normed.size, "duplicate blocklist phrases")
-    val byLen = normed.groupBy(_.split(" ").length)
     val src = docs.select(idCol.as("id"), textCol.as("__text"))
+    // an empty blocklist is the natural no-op: nothing flagged
+    if (normed.isEmpty)
+      return src.select(col("id"), lit("").as("phrase"), lit(0L).as("n_hits"))
+        .limit(0)
+    val byLen = normed.groupBy(_.split(" ").length)
     byLen.toSeq.sortBy(_._1).map { case (len, ps) =>
       val pdf = broadcast(ps.toDF("phrase"))
       val sh =

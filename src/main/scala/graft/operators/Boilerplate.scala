@@ -72,12 +72,12 @@ object Boilerplate {
     * document, reassembling the survivors in original order with `sep`.
     * Docs whose segments are ALL boilerplate stay in the output with
     * empty text — scrubbing must never drop a document silently.
-    * Output: id, text_clean, n_removed, n_kept. */
+    * Output: id, text_clean, n_removed. */
   def scrubSegments(docs: DataFrame, idCol: Column, segsCol: Column,
                     boiler: DataFrame, sep: String = "\n"): DataFrame = {
     val bh = broadcast(
       boiler.select(xxhash64(col("segment")).as("__bh")).distinct())
-    val ex = docs.select(idCol.as("id"), size(segsCol).cast(LongType).as("__n"),
+    val ex = docs.select(idCol.as("id"),
       posexplode(segsCol).as(Seq("__pos", "__seg")))
     val kept = ex.join(bh, xxhash64(col("__seg")) === col("__bh"), "left_anti")
     val re = kept

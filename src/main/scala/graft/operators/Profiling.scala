@@ -178,8 +178,9 @@ object Profiling {
   /** §2.11 — order-independent dataset fingerprint: the reproducibility
     * checksum shard validation and cross-engine dataset equality audits
     * need. Each row hashes with the domain-prefixed poly-hash over its
-    * canonical representation (columns cast to string, NULL mapped to a
-    * \\u0000 sentinel so NULL ≠ empty, \\u0001 field separator), and the
+    * canonical representation (length-prefixed fields — `v<len>:<val>`,
+    * NULL → `n` — so boundaries and NULLs are unambiguous for ANY
+    * value bytes, sentinels included), and the
     * dataset value is the mod-2^64 SUM of row hashes — commutative, so
     * it is independent of row order, partitioning and merge order, and
     * any single-row change flips it with overwhelming probability.
@@ -191,10 +192,15 @@ object Profiling {
   def datasetFingerprint(df: DataFrame, cols: Seq[Column],
                          groupCols: Seq[Column] = Nil): DataFrame = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
-    // \\u0001 separates fields (no separator would collide ("ab","c")
-    // with ("a","bc")); \\u0000 is the NULL sentinel, distinct from ""
-    val repr = concat_ws("\u0001",
-      lit("row") +: cols.map(c => coalesce(c.cast(StringType), lit("\u0000"))): _*)
+    // self-delimiting field encoding: v<charlen>:<value>, NULL -> n —
+    // no separator/sentinel byte can be forged by a value ("ab","c")
+    // vs ("a","bc") and NULL vs any literal all stay distinct
+    val repr = concat(
+      lit("row") +: cols.map { c =>
+        val cs = c.cast(StringType)
+        when(cs.isNull, lit("n"))
+          .otherwise(concat(lit("v"), length(cs).cast(StringType), lit(":"), cs))
+      }: _*)
     val h = graft.plans.PolyHash64.poly_hash64(repr).cast(DecimalType(38, 0))
     val two64 = lit(BigDecimal("18446744073709551616")).cast(DecimalType(38, 0))
     val two63 = lit(BigDecimal("9223372036854775808")).cast(DecimalType(38, 0))
@@ -225,15 +231,18 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
-    // row repr replayed byte-for-byte (chr(1) separator, chr(0) NULL
-    // sentinel), poly-hash via the shared HUGEINT replay (empty domain
+    // row repr replayed byte-for-byte (length-prefixed fields, NULL->n),
+    // poly-hash via the shared UTF-8-byte HUGEINT replay (empty domain
     // prefix: "row" leads the repr itself), mod-2^64 sum, signed image
     "q_dataset_hash" -> {
       val rows =
         """SELECT source,
-          |    'row' || chr(1) || CAST(doc_id AS VARCHAR) || chr(1) ||
-          |    COALESCE(lang, chr(0)) || chr(1) || COALESCE(source, chr(0)) || chr(1) ||
-          |    COALESCE(CAST(n_chars AS VARCHAR), chr(0)) || chr(1) || COALESCE(text, chr(0)) AS r
+          |    'row' ||
+          |    'v' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) ||
+          |    CASE WHEN lang IS NULL THEN 'n' ELSE 'v' || CAST(length(lang) AS VARCHAR) || ':' || lang END ||
+          |    CASE WHEN source IS NULL THEN 'n' ELSE 'v' || CAST(length(source) AS VARCHAR) || ':' || source END ||
+          |    'v' || CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR) ||
+          |    CASE WHEN text IS NULL THEN 'n' ELSE 'v' || CAST(length(text) AS VARCHAR) || ':' || text END AS r
           |  FROM documents""".stripMargin
       val M = "18446744073709551616"
       s"""WITH rows_ AS (

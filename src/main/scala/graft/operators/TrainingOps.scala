@@ -435,7 +435,10 @@ object TrainingOps {
 
   /** HUGEINT replay of `poly_hash64(prefix || CAST(id AS VARCHAR))`:
     * byte polynomial then splitmix64, 64x64-bit products split at 2^32
-    * (the q_dedup_simhash recipe). Emits `SELECT <id>, h` where `h` is
+    * (the q_dedup_simhash recipe). The polynomial folds UTF-8 BYTES
+    * (hex(encode(t)) decoded pairwise), matching PolyHash64.compute on
+    * ANY text — not just ASCII, unlike the ascii(substr) fold the
+    * documented-ASCII oracles use. Emits `SELECT <id>, h` where `h` is
     * the SIGNED 64-bit result (matches Spark's Long), so callers can
     * pmod it or order by it directly. Shared by every oracle that
     * replays a domain-prefixed id hash. */
@@ -468,8 +471,9 @@ object TrainingOps {
        |              SELECT $id,
        |                list_reduce(
        |                  list_prepend(CAST(0 AS HUGEINT),
-       |                    list_transform(range(1, length(t)+1),
-       |                      i -> CAST(ascii(substr(t,i,1)) AS HUGEINT))),
+       |                    list_transform(range(1, octet_length(encode(t))+1),
+       |                      i -> CAST(strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i-1, 1)) - 1 AS HUGEINT) * 16
+       |                         + CAST(strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i, 1)) - 1 AS HUGEINT))),
        |                  (a, b) -> (a * 1000003 + b) % $M) AS p
        |              FROM (SELECT $id, '$prefix' || CAST($id AS VARCHAR) AS t
        |                    FROM $table) _t0) _t1) _t2) _t3) _t4) _t5) _t6) _t7""".stripMargin

@@ -42,6 +42,13 @@ class BlocklistSpec extends AnyFunSuite {
     assert(clean == Set(1L))
   }
 
+  test("an empty blocklist is a no-op: nothing flagged, everything kept") {
+    assert(Blocklist.phraseHits(docs, $"doc_id", $"text", Seq.empty).count() == 0)
+    val kept = Blocklist.blocklistFilter(docs, $"doc_id", $"text", Seq.empty)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
   test("blank and duplicate phrases are rejected") {
     intercept[IllegalArgumentException] {
       Blocklist.phraseHits(docs, $"doc_id", $"text", Seq("ok", "  "))

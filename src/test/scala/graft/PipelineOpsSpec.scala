@@ -172,6 +172,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val a_bc = Seq(("a", "bc")).toDF("x", "y")
     assert(datasetFingerprint(ab, Seq($"x", $"y")).as[(Long, Long)].head()._2 !=
       datasetFingerprint(a_bc, Seq($"x", $"y")).as[(Long, Long)].head()._2)
+    // the encoding is self-delimiting: a VALUE equal to the NULL marker
+    // or containing what looks like a length prefix cannot collide
+    val litN = Seq((1L, Some("n"))).toDF("doc_id", "text")
+    val realNull = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(datasetFingerprint(litN, Seq($"doc_id", $"text")).as[(Long, Long)].head()._2 !=
+      datasetFingerprint(realNull, Seq($"doc_id", $"text")).as[(Long, Long)].head()._2)
     // grouped checksums equal per-group singles
     val grouped = datasetFingerprint(base, cols, Seq($"source"))
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
