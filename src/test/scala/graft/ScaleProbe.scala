@@ -329,6 +329,21 @@ object ScaleProbe {
         graft.operators.LmScore.collocations(
           docs, col("doc_id"), col("text")).count()
       }
+      // broadcast phrase joins + one shingle window per multi-word
+      // length — should track input size
+      time("blocklist", k) {
+        // phrases carry copy-0's word suffix, so hits stay constant
+        // while the scanned corpus grows k×
+        graft.operators.Blocklist.flagged(docs, col("doc_id"), col("text"),
+          Seq("slowza mergeza", "sparkza")).count()
+      }
+      // one aggregation over the corpus; the checksum is a projection
+      // into the agg — pure input-linear
+      time("dataset_hash", k) {
+        graft.operators.Profiling.datasetFingerprint(docs,
+          Seq(col("doc_id"), col("text")),
+          groupCols = Seq(col("doc_id") % 20)).count()
+      }
       // k disjoint copies of the near-dup edge list (id-shifted):
       // edges and triangles grow EXACTLY k×, isolating the wedge-closure
       // kernel from edge generation; degree orientation caps wedge
