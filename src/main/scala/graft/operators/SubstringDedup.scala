@@ -65,10 +65,16 @@ object SubstringDedup {
     val dupH = grams.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select(col("__h"))
     val occ = grams.join(dupH, Seq("__h")).select(col("__id"), col("__pos"))
-    // classic interval merge as one window pass: a new span starts when
-    // this occurrence begins past the running max end of everything
-    // before it ([pos, pos+n) half-open, so adjacency pos == prevEnd
-    // merges)
+    mergeSpans(occ, n)
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_words"))
+  }
+
+  /** Classic interval merge as one window pass over occ(__id, __pos):
+    * a new span starts when this occurrence begins past the running
+    * max end of everything before it ([pos, pos+n) half-open, so
+    * adjacency pos == prevEnd merges). */
+  private def mergeSpans(occ: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
     val prevEnd = max(col("__pos") + lit(n.toLong))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -79,9 +85,34 @@ object SubstringDedup {
       .groupBy(col("__id"), col("__gid"))
       .agg(min(col("__pos")).as("span_start"),
         (max(col("__pos")) + lit(n.toLong)).as("span_end"))
+      .select(col("__id"), col("span_start"), col("span_end"))
+  }
+
+  /** Within-document repetition spans (keep-first): occurrences of an
+    * n-gram strictly AFTER its first occurrence in the SAME document,
+    * merged into maximal spans — the "truncate looped/self-repeating
+    * text" pass, distinct from [[dupSpans]] (corpus-wide counts scrub
+    * EVERY occurrence including the first; here each document keeps
+    * one copy of its own content). One extra shuffle keys (doc, gram)
+    * for the per-doc first-occurrence window — still ids+hash only. */
+  def selfRepeatSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val grams = gramRows(docs, idCol, textCol, n)
+    val byGram = Window.partitionBy(col("__id"), col("__h"))
+    val occ = grams
+      .withColumn("__first", min(col("__pos")).over(byGram))
+      .filter(col("__pos") > col("__first"))
+      .select(col("__id"), col("__pos"))
+    mergeSpans(occ, n)
       .select(col("__id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("n_words"))
   }
+
+  /** Scrub the self-repeated spans (keep-first) out of the normalized
+    * text; output shape matches [[scrubDupSpans]]. */
+  def selfRepeatScrub(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame =
+    scrubSpans(docs, idCol, textCol, selfRepeatSpans(docs, idCol, textCol, n))
 
   /** Scrub every duplicated span out of the (normalized) text: one row
     * per input doc with `clean_text` = the surviving words joined by
@@ -91,8 +122,13 @@ object SubstringDedup {
     * merged spans exploded back out — O(covered words), bounded by the
     * corpus word count. */
   def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int = 10, minCount: Int = 2): DataFrame = {
-    val spans = dupSpans(docs, idCol, textCol, n, minCount)
+                    n: Int = 10, minCount: Int = 2): DataFrame =
+    scrubSpans(docs, idCol, textCol, dupSpans(docs, idCol, textCol, n, minCount))
+
+  /** Scrub arbitrary half-open word spans (idCol, span_start,
+    * span_end) out of the normalized text. */
+  private def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+                         spans: DataFrame): DataFrame = {
     val covered = spans.select(col(idCol).as("__id"),
       explode(sequence(col("span_start"), col("span_end") - 1)).as("__pos"))
     val words = docs.select(col(idCol).as("__id"),
@@ -123,9 +159,16 @@ object SubstringDedup {
     scrubDupSpans(Tables.documents(s, d), "doc_id", "text", n = 10)
       .orderBy(col("doc_id"))
 
+  /** §2.11 — the corpus with within-doc bigram repetition scrubbed
+    * (keep-first). */
+  def selfRepeatScrubQ(s: SparkSession, d: String): DataFrame =
+    selfRepeatScrub(Tables.documents(s, d), "doc_id", "text", n = 2)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dup_spans" -> (dupSpansQ _),
-    "q_dup_scrub" -> (dupScrubQ _),
+    "q_dup_spans"        -> (dupSpansQ _),
+    "q_dup_scrub"        -> (dupScrubQ _),
+    "q_self_repeat_scrub" -> (selfRepeatScrubQ _),
   )
 
   /** 0-based gram positions to mirror posexplode; gram strings instead
@@ -155,7 +198,54 @@ object SubstringDedup {
        |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + $n AS span_end
        |  FROM gr GROUP BY doc_id, gid)""".stripMargin
 
+  /** Keep-first self-repetition spans: occurrences after the first of
+    * the same gram in the same doc, merged with the shared interval
+    * logic. */
+  private def selfSpansSql(n: Int): String =
+    s"""WITH g AS (${gramSql(n)}),
+       |firsts AS (SELECT doc_id, sh, MIN(pos) AS fp FROM g GROUP BY doc_id, sh),
+       |occ AS (SELECT g.doc_id, g.pos FROM g
+       |        JOIN firsts f ON g.doc_id = f.doc_id AND g.sh = f.sh
+       |        WHERE g.pos > f.fp),
+       |b AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > COALESCE(MAX(pos + $n) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM occ),
+       |gr AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM b),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + $n AS span_end
+       |  FROM gr GROUP BY doc_id, gid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_self_repeat_scrub" ->
+      s"""${selfSpansSql(2)},
+         |covered AS (
+         |  SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS pos FROM spans),
+         |wp AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i+1] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |        FROM documents) t,
+         |    LATERAL (SELECT unnest(range(0, len(ws))) AS i) _i),
+         |kept AS (
+         |  SELECT wp.doc_id, wp.pos, wp.w FROM wp
+         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+         |                    WHERE c.doc_id = wp.doc_id AND c.pos = wp.pos))
+         |SELECT d.doc_id,
+         |  COALESCE(k.clean_text, '') AS clean_text,
+         |  CAST(len(d2.ws) AS BIGINT) - COALESCE(k.n_kept, 0) AS n_removed
+         |FROM documents d
+         |JOIN (SELECT doc_id,
+         |        regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |      FROM documents) d2 ON d.doc_id = d2.doc_id
+         |LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         |             COUNT(*) AS n_kept
+         |           FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_dup_spans" ->
       s"""${spansSql(10)}
          |SELECT doc_id, span_start, span_end, span_end - span_start AS n_words

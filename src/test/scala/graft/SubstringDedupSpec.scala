@@ -51,6 +51,31 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(base == shuffled)
   }
 
+  test("self-repeat scrub keeps the first copy, removes later repeats") {
+    val d = Seq(
+      (1L, "a b c a b c"),          // exact loop: keep one period
+      (2L, "a a a a"),              // overlapping self-repeat
+      (3L, "no repeats here at all"),
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup.selfRepeatScrub(d, "doc_id", "text", n = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "a b c", 3L)))
+    assert(out(1) == ((2L, "a", 3L)))
+    assert(out(2) == ((3L, "no repeats here at all", 0L)))
+  }
+
+  test("self-repeat is per-document: cross-doc duplicates survive untouched") {
+    // identical docs — the corpus-wide dupSpans would scrub BOTH to
+    // nothing; the keep-first self variant must leave each intact
+    val d = Seq((1L, "x y z w v u"), (2L, "x y z w v u")).toDF("doc_id", "text")
+    val self = SubstringDedup.selfRepeatScrub(d, "doc_id", "text", n = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(self.forall { case (_, t, r) => t == "x y z w v u" && r == 0L })
+    val corpusWide = SubstringDedup.scrubDupSpans(d, "doc_id", "text", n = 2)
+      .as[(Long, String, Long)].collect()
+    assert(corpusWide.forall { case (_, t, r) => t == "" && r == 6L })
+  }
+
   test("corpus query finds real duplicated spans at sf0.001") {
     val spans = SubstringDedup.dupSpansQ(spark, TestSpark.sf).collect()
     // every span is at least the gram length and within its doc
