@@ -213,6 +213,52 @@ object Profiling {
       .drop("__s", "__m")
   }
 
+  /** §2.11 — CUSUM change-point detection over a per-group daily
+    * series: the standard drift monitor for ingest volumes / corpus
+    * stats. Both one-sided sums, S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − target) and
+    * S⁻ₜ = max(0, S⁻ₜ₋₁ + target − xₜ), with target = floor(mean) —
+    * all INTEGER, so they replay exactly cross-engine. The recurrence
+    * is evaluated through the prefix-sum identity
+    *   S⁺ₜ = Pₜ − min(0, min_{j≤t} Pⱼ),   Pₜ = Σ (xⱼ − target),
+    * (and S⁻ₜ = −Pₜ + max(0, max_{j≤t} Pⱼ)) — pure WINDOW functions,
+    * no sequential fold: codegen-friendly in Spark, and immune to the
+    * DuckDB list_reduce struct-field evaluation-order quirk a direct
+    * fold replay hits. Alarm = first day S⁺ exceeds the target (one
+    * full day's worth of accumulated upward drift), NULL if never.
+    *
+    * Scale shape: the corpus-scale work is the daily aggregation the
+    * caller already did; the windows partition per group over the DAY
+    * series (bounded by the calendar span), then one grouped max. */
+  def cusumDrift(daily: DataFrame, groupCol: Column, dayCol: Column,
+                 xCol: Column): DataFrame = {
+    val d = daily.select(groupCol.as("__g"), dayCol.as("__d"),
+      xCol.cast(LongType).as("__x"))
+    val tgt = d.groupBy(col("__g"))
+      .agg(GraphOps.fdiv(sum(col("__x")), count(lit(1))).as("__target"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(tgt), "__g")
+      .withColumn("__p", sum(col("__x") - col("__target")).over(w))
+      .withColumn("__sp", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .withColumn("__sd", -col("__p") + greatest(lit(0L), max(col("__p")).over(w)))
+      .groupBy(col("__g"), col("__target"))
+      .agg(max(col("__sp")).as("max_up"),
+        max(col("__sd")).as("max_down"),
+        min(when(col("__sp") > col("__target"), col("__d"))).as("alarm_day"))
+      .select(col("__g"), col("__target").as("target"),
+        col("max_up"), col("max_down"), col("alarm_day"))
+  }
+
+  /** §2.11 — drift monitor over daily event volumes per type. */
+  def driftCusumQ(s: SparkSession, d: String): DataFrame =
+    cusumDrift(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("x")),
+      col("event_type"), col("day"), col("x"))
+      .withColumnRenamed("__g", "event_type")
+      .orderBy(col("event_type"))
+
   /** §2.11 — per-source shard checksums over `documents`. */
   def datasetHashQ(s: SparkSession, d: String): DataFrame =
     datasetFingerprint(Tables.documents(s, d),
@@ -221,6 +267,7 @@ object Profiling {
       .orderBy(col("source"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_cusum"   -> (driftCusumQ _),
     "q_dataset_hash"  -> (datasetHashQ _),
     "q_profile"       -> (profileQ _),
     "q_histogram"     -> (histogramQ _),
@@ -231,6 +278,33 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    // the prefix-sum window form of the CUSUM recurrence, identical
+    // expressions both engines; target = floor(mean)
+    "q_drift_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tgt AS (
+        |  SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS target FROM daily GROUP BY 1),
+        |p AS (
+        |  SELECT d.event_type, t.target, d.day,
+        |    SUM(d.x - t.target) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM daily d JOIN tgt t USING (event_type)),
+        |s AS (
+        |  SELECT event_type, target, day,
+        |    p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sp,
+        |    -p + GREATEST(CAST(0 AS BIGINT), MAX(p) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sd
+        |  FROM p)
+        |SELECT event_type, target,
+        |  CAST(MAX(sp) AS BIGINT) AS max_up,
+        |  CAST(MAX(sd) AS BIGINT) AS max_down,
+        |  MIN(CASE WHEN sp > target THEN day END) AS alarm_day
+        |FROM s GROUP BY event_type, target
+        |ORDER BY event_type""".stripMargin,
+
     // row repr replayed byte-for-byte (length-prefixed fields, NULL->n),
     // poly-hash via the shared UTF-8-byte HUGEINT replay (empty domain
     // prefix: "row" leads the repr itself), mod-2^64 sum, signed image

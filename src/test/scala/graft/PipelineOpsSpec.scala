@@ -149,6 +149,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count() == users * days)
   }
 
+  test("cusum drift: window form equals the sequential recurrence; step change alarms") {
+    import graft.operators.Profiling.cusumDrift
+    // a level shift: 10/day for 10 days, then 30/day — must alarm soon
+    // after the shift; a stable series must not
+    val shifted = (1 to 20).map(i =>
+      ("s", f"2024-02-$i%02d", if (i <= 10) 10L else 30L))
+    val stable = (1 to 20).map(i => ("c", f"2024-02-$i%02d", 20L))
+    val df = (shifted ++ stable).toDF("g", "day", "x")
+    val out = cusumDrift(df, $"g", $"day", $"x")
+      .as[(String, Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("c")._5.isEmpty && out("c")._3 == 0L)
+    assert(out("s")._5.nonEmpty, "level shift must raise the alarm")
+    // window form == the direct sequential fold on the shifted series
+    val xs = shifted.map(_._3)
+    val t = xs.sum / xs.length
+    var su = 0L; var mu = 0L; var sd = 0L; var md = 0L
+    var alarm: Option[String] = None
+    shifted.foreach { case (_, day, x) =>
+      su = math.max(0L, su + x - t); mu = math.max(mu, su)
+      sd = math.max(0L, sd + t - x); md = math.max(md, sd)
+      if (alarm.isEmpty && su > t) alarm = Some(day)
+    }
+    assert(out("s") == (("s", t, mu, md, alarm)))
+  }
+
   test("dataset fingerprint: order/partition-invariant, change-sensitive, NULL-safe") {
     import graft.operators.Profiling.datasetFingerprint
     val base = graft.sources.Tables.documents(spark, TestSpark.sf)
