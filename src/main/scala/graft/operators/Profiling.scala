@@ -231,20 +231,29 @@ object Profiling {
     * series (bounded by the calendar span), then one grouped max. */
   def cusumDrift(daily: DataFrame, groupCol: Column, dayCol: Column,
                  xCol: Column): DataFrame = {
-    val d = daily.select(groupCol.as("__g"), dayCol.as("__d"),
-      xCol.cast(LongType).as("__x"))
-    val tgt = d.groupBy(col("__g"))
-      .agg(GraphOps.fdiv(sum(col("__x")), count(lit(1))).as("__target"))
+    // pre-aggregate to one row per (group, day): duplicate day rows
+    // would otherwise make the ROWS-framed prefix sum order-dependent
+    val d = daily
+      .groupBy(groupCol.as("__g"), dayCol.as("__d"))
+      .agg(sum(xCol.cast(LongType)).as("__x"))
+    // per-group floor(mean) as a whole-partition window — ONE pass over
+    // the day series, no second evaluation of the caller's aggregation
+    val full = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.join(broadcast(tgt), "__g")
+    d.withColumn("__target",
+        GraphOps.fdiv(sum(col("__x")).over(full), count(lit(1)).over(full)))
       .withColumn("__p", sum(col("__x") - col("__target")).over(w))
       .withColumn("__sp", col("__p") - least(lit(0L), min(col("__p")).over(w)))
       .withColumn("__sd", -col("__p") + greatest(lit(0L), max(col("__p")).over(w)))
       .groupBy(col("__g"), col("__target"))
+      // alarm threshold floors at 0: S+ is non-negative, so a negative
+      // target must not fire on a perfectly stable series
       .agg(max(col("__sp")).as("max_up"),
         max(col("__sd")).as("max_down"),
-        min(when(col("__sp") > col("__target"), col("__d"))).as("alarm_day"))
+        min(when(col("__sp") > greatest(col("__target"), lit(0L)), col("__d")))
+          .as("alarm_day"))
       .select(col("__g"), col("__target").as("target"),
         col("max_up"), col("max_down"), col("alarm_day"))
   }
@@ -301,7 +310,7 @@ object Profiling {
         |SELECT event_type, target,
         |  CAST(MAX(sp) AS BIGINT) AS max_up,
         |  CAST(MAX(sd) AS BIGINT) AS max_down,
-        |  MIN(CASE WHEN sp > target THEN day END) AS alarm_day
+        |  MIN(CASE WHEN sp > GREATEST(target, CAST(0 AS BIGINT)) THEN day END) AS alarm_day
         |FROM s GROUP BY event_type, target
         |ORDER BY event_type""".stripMargin,
 

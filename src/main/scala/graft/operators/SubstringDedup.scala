@@ -92,8 +92,11 @@ object SubstringDedup {
     * n-gram strictly AFTER its first occurrence in the SAME document,
     * merged into maximal spans — the "truncate looped/self-repeating
     * text" pass, distinct from [[dupSpans]] (corpus-wide counts scrub
-    * EVERY occurrence including the first; here each document keeps
-    * one copy of its own content). One extra shuffle keys (doc, gram)
+    * EVERY occurrence including the first; here the FIRST
+    * occurrence's span survives — note that for loops whose period is
+    * shorter than n the scrub truncates to the unrepeated prefix, e.g.
+    * "a a a a" at n=2 keeps just "a", pinned in spec). One extra
+    * shuffle keys (doc, gram)
     * for the per-doc first-occurrence window — still ids+hash only. */
   def selfRepeatSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {
@@ -182,11 +185,10 @@ object SubstringDedup {
        |  LATERAL (SELECT unnest(range(0, greatest(len(ws) - ${n - 1}, 0))) AS i) _i""".stripMargin
   }
 
-  private def spansSql(n: Int): String =
-    s"""WITH g AS (${gramSql(n)}),
-       |dup AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(*) >= 2),
-       |occ AS (SELECT doc_id, pos FROM g WHERE sh IN (SELECT sh FROM dup)),
-       |b AS (
+  /** The shared interval-merge CTE chain (occ -> spans), the SQL twin
+    * of [[mergeSpans]]. */
+  private def mergeSqlCtes(n: Int): String =
+    s"""b AS (
        |  SELECT doc_id, pos,
        |    CASE WHEN pos > COALESCE(MAX(pos + $n) OVER (
        |        PARTITION BY doc_id ORDER BY pos
@@ -197,6 +199,12 @@ object SubstringDedup {
        |spans AS (
        |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + $n AS span_end
        |  FROM gr GROUP BY doc_id, gid)""".stripMargin
+
+  private def spansSql(n: Int): String =
+    s"""WITH g AS (${gramSql(n)}),
+       |dup AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(*) >= 2),
+       |occ AS (SELECT doc_id, pos FROM g WHERE sh IN (SELECT sh FROM dup)),
+       |${mergeSqlCtes(n)}""".stripMargin
 
   /** Keep-first self-repetition spans: occurrences after the first of
     * the same gram in the same doc, merged with the shared interval
@@ -207,44 +215,40 @@ object SubstringDedup {
        |occ AS (SELECT g.doc_id, g.pos FROM g
        |        JOIN firsts f ON g.doc_id = f.doc_id AND g.sh = f.sh
        |        WHERE g.pos > f.fp),
-       |b AS (
-       |  SELECT doc_id, pos,
-       |    CASE WHEN pos > COALESCE(MAX(pos + $n) OVER (
-       |        PARTITION BY doc_id ORDER BY pos
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-       |      THEN 1 ELSE 0 END AS brk
-       |  FROM occ),
-       |gr AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM b),
-       |spans AS (
-       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + $n AS span_end
-       |  FROM gr GROUP BY doc_id, gid)""".stripMargin
+       |${mergeSqlCtes(n)}""".stripMargin
+
+  /** The scrub-replay tail shared by the corpus-wide and keep-first
+    * scrub oracles (spans CTE -> reassembled clean text), the SQL twin
+    * of [[scrubSpans]]. */
+  private val scrubSqlTail: String =
+    """covered AS (
+      |  SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS pos FROM spans),
+      |wp AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i+1] AS w
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+      |        FROM documents) t,
+      |    LATERAL (SELECT unnest(range(0, len(ws))) AS i) _i),
+      |kept AS (
+      |  SELECT wp.doc_id, wp.pos, wp.w FROM wp
+      |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+      |                    WHERE c.doc_id = wp.doc_id AND c.pos = wp.pos))
+      |SELECT d.doc_id,
+      |  COALESCE(k.clean_text, '') AS clean_text,
+      |  CAST(len(d2.ws) AS BIGINT) - COALESCE(k.n_kept, 0) AS n_removed
+      |FROM documents d
+      |JOIN (SELECT doc_id,
+      |        regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+      |      FROM documents) d2 ON d.doc_id = d2.doc_id
+      |LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+      |             COUNT(*) AS n_kept
+      |           FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_self_repeat_scrub" ->
       s"""${selfSpansSql(2)},
-         |covered AS (
-         |  SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS pos FROM spans),
-         |wp AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i+1] AS w
-         |  FROM (SELECT doc_id,
-         |          regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
-         |        FROM documents) t,
-         |    LATERAL (SELECT unnest(range(0, len(ws))) AS i) _i),
-         |kept AS (
-         |  SELECT wp.doc_id, wp.pos, wp.w FROM wp
-         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
-         |                    WHERE c.doc_id = wp.doc_id AND c.pos = wp.pos))
-         |SELECT d.doc_id,
-         |  COALESCE(k.clean_text, '') AS clean_text,
-         |  CAST(len(d2.ws) AS BIGINT) - COALESCE(k.n_kept, 0) AS n_removed
-         |FROM documents d
-         |JOIN (SELECT doc_id,
-         |        regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
-         |      FROM documents) d2 ON d.doc_id = d2.doc_id
-         |LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
-         |             COUNT(*) AS n_kept
-         |           FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |$scrubSqlTail""".stripMargin,
 
     "q_dup_spans" ->
       s"""${spansSql(10)}
@@ -254,28 +258,6 @@ object SubstringDedup {
 
     "q_dup_scrub" ->
       s"""${spansSql(10)},
-         |covered AS (
-         |  SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS pos FROM spans),
-         |wp AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i+1] AS w
-         |  FROM (SELECT doc_id,
-         |          regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
-         |        FROM documents) t,
-         |    LATERAL (SELECT unnest(range(0, len(ws))) AS i) _i),
-         |kept AS (
-         |  SELECT wp.doc_id, wp.pos, wp.w FROM wp
-         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
-         |                    WHERE c.doc_id = wp.doc_id AND c.pos = wp.pos))
-         |SELECT d.doc_id,
-         |  COALESCE(k.clean_text, '') AS clean_text,
-         |  CAST(len(d2.ws) AS BIGINT) - COALESCE(k.n_kept, 0) AS n_removed
-         |FROM documents d
-         |JOIN (SELECT doc_id,
-         |        regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
-         |      FROM documents) d2 ON d.doc_id = d2.doc_id
-         |LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
-         |             COUNT(*) AS n_kept
-         |           FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |$scrubSqlTail""".stripMargin,
   )
 }
