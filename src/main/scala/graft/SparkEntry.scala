@@ -169,7 +169,7 @@ object SparkEntry {
     },
 
     "q_hourly_events" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events
@@ -195,7 +195,8 @@ object SparkEntry {
         |ORDER BY user_id, sess_id""".stripMargin,
 
     "q_asof_join" ->
-      """SELECT event_id, user_id, asof_orderkey, asof_orderdate FROM (
+      """SELECT event_id, user_id, asof_orderkey,
+        |  strftime(asof_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate FROM (
         |  SELECT e.event_id, e.user_id,
         |    o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
         |    ROW_NUMBER() OVER (PARTITION BY e.event_id

@@ -1,6 +1,9 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,11 +12,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column support (SURVEY.md §2.3 #46): media as opaque
   * `binary` columns plus typed metadata.
   *
-  * The Spark-side plumbing — schema, batched per-partition decode,
-  * metadata extraction as plan expressions — is real; the actual
-  * image/audio decode is STUBBED with a deterministic fake (this
-  * container has no media libraries). Swap [[fakeDecode]] for a real
-  * decoder (e.g. TwelveMonkeys/JavaCV) without touching the plumbing.
+  * Two decode paths share one plumbing shape (batched mapPartitions,
+  * per-partition setup, bounded batch memory):
+  *  - [[fakeDecode]] — deterministic fake over arbitrary bytes, kept
+  *    because the sf testdata payloads are text stand-ins and the
+  *    oracle replay must be engine-independent;
+  *  - [[imageMeta]] / [[imageDecode]] / [[imageResize]] — REAL
+  *    JPEG/PNG/GIF/BMP decode on `javax.imageio` (JDK-only, zero new
+  *    dependencies). Metadata reads the header ONLY (no pixel decode —
+  *    the 100 TB fast path); feature extraction and resize decode
+  *    pixels. Video frame seeking stays stubbed ([[frameSample]]) —
+  *    the JDK has no video codecs.
   */
 object Multimodal {
 
@@ -63,6 +72,130 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast(LongType).as("doc_id"),
       col(textCol).cast(BinaryType).as("payload")).as[MediaRow]
+  }
+
+  /** Real decode output: header metadata plus extracted pixel features
+    * (mean channel values ×1000, truncated — integer-exact so the spec
+    * can assert them against an independently computed expectation). */
+  final case class ImageFeatures(doc_id: Long, format: String,
+                                 width: Long, height: Long,
+                                 mean_r: Long, mean_g: Long, mean_b: Long)
+
+  /** REAL header-only metadata decode: `ImageIO` reader dimensions
+    * without decoding pixels. Returns None for bytes no installed
+    * reader recognizes (corrupt / non-image payloads are data, not
+    * exceptions, in a 100 TB corpus). */
+  def imageMeta(m: MediaRow): Option[DecodedMedia] = {
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(m.payload))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val md = MessageDigest.getInstance("SHA-256")
+          val sha = md.digest(m.payload).map("%02x".format(_)).mkString
+          Some(DecodedMedia(m.doc_id, m.payload.length.toLong, sha,
+            r.getWidth(0).toLong, r.getHeight(0).toLong))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** REAL full decode + feature extraction: mean R/G/B over all pixels,
+    * reported as floor(mean*1000) so the value is bit-deterministic.
+    * This is the expensive path — only run it downstream of filters
+    * that [[imageMeta]]'s header fields can answer. */
+  def imageDecode(m: MediaRow): Option[ImageFeatures] = {
+    try {
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(m.payload))
+      try {
+        val readers = ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val fmt = r.getFormatName.toLowerCase
+            val img = r.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Some(ImageFeatures(m.doc_id, fmt, w.toLong, h.toLong,
+              sr * 1000 / n, sg * 1000 / n, sb * 1000 / n))
+          } finally r.dispose()
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed REAL metadata pass — same mapPartitions shape as
+    * [[decode]]; `ImageIO.setUseCache(false)` once per partition so
+    * executors never spill decode scratch to local disk. */
+  def decodeImageMeta(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap(imageMeta)
+    }
+  }
+
+  /** Distributed REAL decode+features pass. */
+  def decodeImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap(imageDecode)
+    }
+  }
+
+  /** A resized image: the actually-resampled PNG payload + out dims. */
+  final case class ResizedMedia(doc_id: Long, out_w: Long, out_h: Long,
+                                png: Array[Byte])
+
+  /** REAL pixel resize: fit into a `box`×`box` square, aspect
+    * preserved (same floor arithmetic as [[withResize]]'s metadata
+    * form), bilinear resample, re-encode PNG (deterministic codec).
+    * Skips payloads no reader recognizes. */
+  def imageResize(media: Dataset[MediaRow], box: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+          if (img == null) None
+          else {
+            val (w0, h0) = (math.max(img.getWidth, 1), math.max(img.getHeight, 1))
+            val scale = math.min(box.toDouble / w0, box.toDouble / h0)
+            val (w1, h1) = (math.max(math.floor(w0 * scale).toInt, 1),
+                            math.max(math.floor(h0 * scale).toInt, 1))
+            val out = new java.awt.image.BufferedImage(
+              w1, h1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w1, h1, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            Some(ResizedMedia(m.doc_id, w1.toLong, h1.toLong, bos.toByteArray))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
   }
 
   /** A sampled video frame (stub: content hash stands in for pixels). */

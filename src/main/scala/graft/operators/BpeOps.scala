@@ -220,7 +220,7 @@ object BpeOps {
          |wf AS (SELECT w, COUNT(*) AS freq FROM w0 GROUP BY w),
          |s0 AS (SELECT freq, regexp_extract_all(w, '(?s).') AS syms FROM wf),
          |${pairSql("p1", "s0")}
-         |SELECT rn, a, b, cnt FROM (
+         |SELECT rn, a, b, CAST(cnt AS BIGINT) AS cnt FROM (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rn,
          |    a, b, cnt
          |  FROM p1) t

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.sources.Tables
 
-/** Distributed batch-perceptron classifier (SURVEY.md §2 row 118) —
+/** Distributed batch-perceptron classifier (SURVEY.md §2 row 138) —
   * the TRAINING primitive behind curation-style quality classifiers
   * (GPT-3/LLaMA-lineage pipelines train a lightweight classifier on
   * weak labels and keep what it scores well; the serving half is a

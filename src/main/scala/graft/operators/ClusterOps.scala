@@ -173,7 +173,7 @@ object ClusterOps {
          |${assignToSql("a1", "c1")},
          |${updateSql("c2", "a1")},
          |${assignToSql("a2", "c2")}
-         |SELECT vec_id, cluster, d2 FROM a2
+         |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM a2
          |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -234,7 +234,7 @@ object GraphOps {
          |${iterSql(1, 0)},
          |${iterSql(2, 1)},
          |${iterSql(3, 2)}
-         |SELECT node, rank FROM rk3
+         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM rk3
          |ORDER BY node""".stripMargin,
   )
 }

@@ -206,7 +206,10 @@ object Relational {
     * path in graft.streaming.EventStream). */
   def hourlyEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      // the hour bucket is emitted as a formatted string so the output
+      // type is precision-unambiguous (parquet ns vs us drift otherwise)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+               col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
@@ -258,7 +261,9 @@ object Relational {
       .withColumn("asof_orderdate", last(col("o_orderdate"), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("event_id"), col("u").as("user_id"),
-        col("asof_orderkey"), col("asof_orderdate"))
+        col("asof_orderkey"),
+        // formatted string: precision-unambiguous across parquet readers
+        date_format(col("asof_orderdate"), "yyyy-MM-dd HH:mm:ss").as("asof_orderdate"))
       .orderBy(col("event_id"))
   }
 

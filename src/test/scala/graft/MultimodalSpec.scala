@@ -35,6 +35,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- REAL decode path (javax.imageio) on synthetic generated images ----
+
+  /** Deterministic synthetic image: solid fill, encoded via ImageIO. */
+  private def mkImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("real image decode reads true dimensions from PNG and JPEG headers") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, mkImage(64, 48, 0x336699, "png")),
+      Multimodal.MediaRow(2L, mkImage(17, 31, 0xff0000, "jpg")),
+      Multimodal.MediaRow(3L, mkImage(320, 240, 0x00ff00, "png")),
+      Multimodal.MediaRow(4L, "not an image at all".getBytes("UTF-8"))))
+    val out = Multimodal.decodeImageMeta(media).collect()
+      .map(d => d.doc_id -> ((d.width, d.height))).toMap
+    assert(out == Map(1L -> ((64L, 48L)), 2L -> ((17L, 31L)), 3L -> ((320L, 240L))))
+  }
+
+  test("real pixel decode extracts exact channel means on solid fills") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, mkImage(10, 10, 0x102030, "png")),
+      Multimodal.MediaRow(2L, mkImage(5, 7, 0xffffff, "png"))))
+    val out = Multimodal.decodeImageFeatures(media).collect()
+      .map(f => f.doc_id -> ((f.mean_r, f.mean_g, f.mean_b))).toMap
+    // solid fill → mean == fill value exactly; ×1000 integer image
+    assert(out(1L) == ((0x10 * 1000L, 0x20 * 1000L, 0x30 * 1000L)))
+    assert(out(2L) == ((255000L, 255000L, 255000L)))
+  }
+
+  test("real resize fits the box, preserves aspect, and round-trips through ImageIO") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, mkImage(640, 480, 0x808080, "png")),
+      Multimodal.MediaRow(2L, mkImage(100, 300, 0x223344, "png"))))
+    val out = Multimodal.imageResize(media, 224).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert((out(1L).out_w, out(1L).out_h) == ((224L, 168L)))
+    assert((out(2L).out_w, out(2L).out_h) == ((74L, 224L)))
+    // the emitted payload is a decodable PNG with the claimed dims
+    val rt = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).png))
+    assert(rt.getWidth == 224 && rt.getHeight == 168)
+  }
+
   test("resize preserves aspect and fits the box") {
     import spark.implicits._
     val docs = Tables.documents(spark, TestSpark.sf)

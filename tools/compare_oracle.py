@@ -2,6 +2,12 @@
 """Local stand-in for the driver's correctness gate: run each oracle SQL
 in DuckDB against the sf tables and compare (exactly) with the parquet
 dumped by graft.Verify. Columns sorted by name, rows compared as-is.
+
+Driver parity: the driver's value hash is DTYPE-SENSITIVE, so a DuckDB
+HUGEINT (-> pandas float64) against a Spark int64 fails there even when
+every value is equal. We therefore fail on any dtype-kind or dtype-width
+mismatch per column, after canonicalizing timestamp precision (ns vs us
+is a storage artifact, both sides are normalized to datetime64[us]).
 Usage: compare_oracle.py <sfDir> <outDir> [query ...]
 """
 import sys, json, glob, os
@@ -43,7 +49,22 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
         fails.append(name)
         continue
+    # canonicalize timestamp precision before the strict dtype check
+    for df in (got, want):
+        for c in df.columns:
+            if df[c].dtype.kind == 'M':
+                df[c] = df[c].astype('datetime64[us]')
     ok = True
+    for c in got.columns:
+        da, db = got[c].dtype, want[c].dtype
+        if da != db and not (da == object and db == object):
+            # driver's value hash is dtype-sensitive: int64 vs float64
+            # (DuckDB HUGEINT), int32 vs int64 etc. must fail here too
+            print(f"FAIL {name}: col {c} dtype {da} vs {db}")
+            ok = False
+    if not ok:
+        fails.append(name)
+        continue
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
