@@ -89,27 +89,44 @@ object Blocklist {
     "q_blocklist" -> (blocklistQ _),
   )
 
+  // The per-length CTEs and WHERE clauses are GENERATED from
+  // AuditPhrases (normalized exactly as phraseHits normalizes), so
+  // editing the phrase list cannot silently break oracle parity.
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def lenCte(len: Int): String =
+    if (len == 1) s"g1 AS (SELECT doc_id, unnest(ws) AS sh FROM w)"
+    else {
+      val concat = (0 until len).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
+      s"g$len AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-${len - 2}),\n" +
+        s"         i -> $concat)) AS sh FROM w)"
+    }
+
+  private def hitsArms: String = {
+    val normed = AuditPhrases.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
+    normed.groupBy(_.split(" ").length).toSeq.sortBy(_._1).map { case (len, ps) =>
+      s"  SELECT doc_id, sh AS phrase, count(*) AS n_hits FROM g$len\n" +
+        s"  WHERE sh IN (${ps.sorted.map(sqlLit).mkString(", ")}) GROUP BY 1, 2"
+    }.mkString("\n  UNION ALL\n")
+  }
+
+  private def lenCtes: String =
+    AuditPhrases.map(_.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").length)
+      .distinct.sorted.map(lenCte).mkString(",\n")
+
   val oracles: Map[String, String] = Map(
     // occurrence counts per (doc, phrase) via the positional n-gram
     // derivation at each phrase length, then the per-doc audit rollup
     "q_blocklist" ->
-      """WITH w AS (SELECT doc_id,
-        |        regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
-        |      FROM documents),
-        |g1 AS (SELECT doc_id, unnest(ws) AS sh FROM w),
-        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-        |         i -> ws[i] || ' ' || ws[i+1])) AS sh FROM w),
-        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
-        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
-        |hits AS (
-        |  SELECT doc_id, sh AS phrase, count(*) AS n_hits FROM g1 WHERE sh = 'spark' GROUP BY 1, 2
-        |  UNION ALL
-        |  SELECT doc_id, sh, count(*) FROM g2 WHERE sh = 'slow merge' GROUP BY 1, 2
-        |  UNION ALL
-        |  SELECT doc_id, sh, count(*) FROM g3 WHERE sh = 'customer order value' GROUP BY 1, 2)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrases,
-        |       CAST(sum(n_hits) AS BIGINT) AS n_hits
-        |FROM hits GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH w AS (SELECT doc_id,
+         |        regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+         |      FROM documents),
+         |$lenCtes,
+         |hits AS (
+         |$hitsArms)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrases,
+         |       CAST(sum(n_hits) AS BIGINT) AS n_hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
   )
 }

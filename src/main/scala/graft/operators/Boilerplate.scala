@@ -17,8 +17,9 @@ import graft.sources.Tables
   * the unit is a whole segment and the signal is corpus-wide document
   * frequency, not pairwise overlap.
   *
-  * Scale shape (100 TB): counting shuffles (hash, id) pairs plus ONE
-  * short representative string per map-side partial — `array_distinct`
+  * Scale shape (100 TB): counting shuffles (segment, partial-count)
+  * pairs — segments are short by construction and map-side combine
+  * collapses the Zipf head before the exchange; `array_distinct`
   * inside the projection makes plain `count(1)` a distinct-doc count,
   * so no two-phase count(DISTINCT) expansion. The scrub side joins the
   * exploded segments against the boilerplate set by hash — the set is
@@ -51,13 +52,20 @@ object Boilerplate {
   /** Corpus-wide document frequency per segment: one row per distinct
     * segment, `n_docs` = number of distinct documents containing it.
     * `array_distinct` dedups within each doc BEFORE the explode, so the
-    * aggregate is a plain count with map-side combine. */
+    * aggregate is a plain count with map-side combine.
+    *
+    * Groups by the segment STRING, not its hash: this table is the
+    * user-facing frequency report, so a 64-bit collision must not be
+    * able to merge two distinct segments' counts. Segments are short by
+    * construction (w tokens / one line) and map-side combine collapses
+    * the Zipf head before the exchange, so the string key costs little;
+    * hashing stays confined to the scrub JOIN side, where membership is
+    * the only question and the collision caveat is documented. */
   def segmentFrequencies(docs: DataFrame, idCol: Column,
                          segsCol: Column): DataFrame =
     docs.select(idCol.as("__id"), explode(array_distinct(segsCol)).as("segment"))
-      .groupBy(xxhash64(col("segment")).as("__h"))
-      .agg(count(lit(1)).as("n_docs"), min(col("segment")).as("segment"))
-      .select(col("segment"), col("n_docs"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_docs"))
 
   /** Threshold policies over [[segmentFrequencies]] — compose freely:
     * absolute document count, or the top-`n` Zipf head (scale-stable
@@ -103,19 +111,31 @@ object Boilerplate {
     * commit writes O(batch) rows and never reads existing state — the
     * StateStore delta posture. Readers aggregate on read; an atomic
     * versioned-commit wrapper (StateStore.commitDelta's pattern)
-    * applies unchanged if concurrent readers need isolation. */
+    * applies unchanged if concurrent readers need isolation.
+    *
+    * `batchId` names the batch in every delta row: a retried/duplicate
+    * append of the same batch is then DETECTABLE and neutralized at
+    * read time ([[frequenciesFromState]] collapses per (batch_id,
+    * segment) before summing), instead of silently double-counting
+    * document frequency. */
   def appendFrequencies(batch: DataFrame, idCol: Column, segsCol: Column,
-                        dir: String): Unit =
+                        dir: String, batchId: String): Unit =
     segmentFrequencies(batch, idCol, segsCol)
+      .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(dir)
 
   /** Corpus-wide frequencies from the accumulated deltas: one
     * aggregation over the state table (segment-vocabulary-sized, far
-    * below corpus scale) — batch ingest reads ZERO corpus text. */
+    * below corpus scale) — batch ingest reads ZERO corpus text.
+    * Re-appended batches collapse to one contribution per (batch_id,
+    * segment) — `max` is exact because duplicate appends of one batch
+    * write identical counts. */
   def frequenciesFromState(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+      .groupBy(col("batch_id"), col("segment"))
+      .agg(max(col("n_docs")).as("__n"))
       .groupBy(col("segment"))
-      .agg(sum(col("n_docs")).as("n_docs"))
+      .agg(sum(col("__n")).as("n_docs"))
 
   // ---- Registered queries --------------------------------------------------
 

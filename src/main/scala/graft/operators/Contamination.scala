@@ -140,8 +140,15 @@ object Contamination {
                          idCol: String, textCol: String, dir: String,
                          minShared: Long = 1): DataFrame = {
     val bloom = spark.read.parquet(s"$dir/bloom")
-    val meta = bloom.select(col("m_bits"), col("k_probes"), col("n_gram")).head()
-    val (mBits, k, n) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // an empty / partially-written index must fail with a message that
+    // names the dir, not an opaque NoSuchElementException from head()
+    val metaRow = bloom.select(col("m_bits"), col("k_probes"), col("n_gram"))
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"eval index at $dir has no bloom parameter row — index empty or partially written"))
+    require(!metaRow.anyNull,
+      s"eval index at $dir has NULL bloom parameters — index partially written")
+    val (mBits, k, n) = (metaRow.getInt(0), metaRow.getInt(1), metaRow.getInt(2))
     val candidates = TextFunctions.shingleRows(
         batch.select(col(idCol).as("train_id"), col(textCol).as("__text")),
         Seq(col("train_id")), col("__text"), n = n)

@@ -99,13 +99,18 @@ class BoilerplateSpec extends AnyFunSuite {
     val b2 = base.filter($"doc_id" % 3 === 1)
     val b3 = base.filter($"doc_id" % 3 === 2)
     val dir = java.nio.file.Files.createTempDirectory("bp-state").toString + "/freq"
-    Seq(b1, b2, b3).foreach(b =>
-      Boilerplate.appendFrequencies(b, col("doc_id"), segs2, dir))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      Boilerplate.appendFrequencies(b, col("doc_id"), segs2, dir, s"batch-$i") }
     val fed = Boilerplate.frequenciesFromState(spark, dir)
       .as[(String, Long)].collect().sortBy(_._1).toSeq
     val direct = Boilerplate.segmentFrequencies(base, col("doc_id"), segs2)
       .as[(String, Long)].collect().sortBy(_._1).toSeq
     assert(fed == direct)
+    // a retried append of an existing batch must NOT double-count
+    Boilerplate.appendFrequencies(b2, col("doc_id"), segs2, dir, "batch-1")
+    val fed2 = Boilerplate.frequenciesFromState(spark, dir)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(fed2 == direct)
     // and the scrub driven from state matches the direct scrub
     val bFed = Boilerplate.topSegments(
       Boilerplate.frequenciesFromState(spark, dir), 50)
