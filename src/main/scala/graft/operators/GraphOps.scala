@@ -46,10 +46,18 @@ object GraphOps {
     call_function("div", a - pmod(a, b), b)
 
   /** (node, rank) after `iters` damped iterations; Σrank ≈ scale
-    * (short only by per-division floor truncation). */
+    * (short only by per-division floor truncation).
+    *
+    * `init` warm-starts from persisted ranks (GraphState posture):
+    * current nodes missing from `init` start at the uniform rank,
+    * nodes in `init` but gone from the graph are dropped. The update
+    * is a pure function of (ranks, edges, n), so running k1 iterations,
+    * persisting, and resuming for k2 equals k1+k2 straight — integer-
+    * exact (GraphSpec pins it). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
                iters: Int, scale: Long = 1000000000000L,
-               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
     val w = col(wCol).cast(LongType)
@@ -71,8 +79,14 @@ object GraphOps {
       val n = nodes.count()
       require(n > 0, "pageRank: empty edge set")
       val teleport = Math.floorDiv((dampDen - dampNum) * scale, dampDen * n)
-      val init = nodes.withColumn("rank", lit(Math.floorDiv(scale, n)))
-      val last = (1 to iters).foldLeft(init) { (ranks, _) =>
+      val uniform = lit(Math.floorDiv(scale, n))
+      val start = init match {
+        case None => nodes.withColumn("rank", uniform)
+        case Some(prev) => nodes
+          .join(prev.select(col("node"), col("rank").as("__pr")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__pr"), uniform).as("rank"))
+      }
+      val last = (1 to iters).foldLeft(start) { (ranks, _) =>
         val contrib = ew.join(ranks, ew("src") === ranks("node"))
           .select(col("dst"), fdiv(col("rank") * col("w"), col("ow")).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
@@ -100,7 +114,16 @@ object GraphOps {
     * 2^63 contract honored at ANY scale factor (raw counts at TPC-H
     * SF 1e5 are ~1e9 per nation pair — rank·1e9 would wrap). Dims
     * broadcast; the fact join is the only big shuffle. */
-  def nationFlowEdges(s: SparkSession, d: String): DataFrame = {
+  def nationFlowEdges(s: SparkSession, d: String): DataFrame =
+    rawNationFlowEdges(s, d)
+      .groupBy(col("src"), col("dst"))
+      .agg((lit(1L) + fdiv(sum(col("w")) - 1L, lit(1024L))).as("w"))
+
+  /** The same derivation BEFORE aggregation: one row per lineitem with
+    * w=1, keyed by orderkey so callers can slice it into delta batches
+    * (GraphState accumulates raw counts; Σ batches == the direct
+    * count, exactly). */
+  def rawNationFlowEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
@@ -108,8 +131,8 @@ object GraphOps {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg((lit(1L) + fdiv(count(lit(1)) - 1L, lit(1024L))).as("w"))
+      .select(col("l_orderkey"), col("c_nationkey").as("src"),
+        col("s_nationkey").as("dst"), lit(1L).as("w"))
   }
 
   /** §2 row 114 — 3 damped iterations over the nation-flow graph. */

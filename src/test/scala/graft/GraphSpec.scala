@@ -102,6 +102,53 @@ class GraphSpec extends AnyFunSuite {
     assert(run(e) == run(flipped.repartition(9)))
   }
 
+  test("warm-start continuation: k1 iterations persisted + k2 resumed == k1+k2 straight") {
+    val e = GraphOps.nationFlowEdges(spark, TestSpark.sf)
+    val straight = GraphOps.pageRank(e, "src", "dst", "w", iters = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // round-trip the intermediate ranks through parquet (long-exact)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_warm").toString
+    GraphOps.pageRank(e, "src", "dst", "w", iters = 1)
+      .write.mode("overwrite").parquet(dir)
+    val resumed = GraphOps.pageRank(e, "src", "dst", "w", iters = 2,
+        init = Some(spark.read.parquet(dir)))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(resumed == straight)
+  }
+
+  test("graph state: delta-accumulated edges equal the direct derivation; refresh versions advance") {
+    import graft.operators.GraphState
+    val root = java.nio.file.Files.createTempDirectory("graft_gs").toString
+    val raw = GraphOps.rawNationFlowEdges(spark, TestSpark.sf)
+    GraphState.commitEdgeDelta(spark, raw.filter($"l_orderkey" % 2 === 0),
+      "src", "dst", "w", root, "even")
+    GraphState.commitEdgeDelta(spark, raw.filter($"l_orderkey" % 2 === 1),
+      "src", "dst", "w", root, "odd")
+    val acc = GraphState.edgesFromState(spark, root)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val direct = raw.groupBy($"src", $"dst").agg(sum($"w").as("w"))
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(acc == direct)
+    // a retried batch overwrites its own partition — no double count
+    GraphState.commitEdgeDelta(spark, raw.filter($"l_orderkey" % 2 === 1),
+      "src", "dst", "w", root, "odd")
+    val acc2 = GraphState.edgesFromState(spark, root)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(acc2 == direct)
+    // refresh twice: versions advance and the second warm-starts
+    assert(GraphState.latestRankVersion(spark, root).isEmpty)
+    GraphState.refreshRanks(spark, root, iters = 1)
+    assert(GraphState.latestRankVersion(spark, root).contains(0L))
+    val r2 = GraphState.refreshRanks(spark, root, iters = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(GraphState.latestRankVersion(spark, root).contains(1L))
+    // continuation identity through the store: 1 + 2 == 3 straight
+    val straight = GraphOps.pageRank(
+        GraphState.edgesFromState(spark, root), "src", "dst", "w", iters = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r2 == straight)
+  }
+
   test("nation-flow edge derivation broadcasts the dims") {
     val p = GraphOps.nationFlowEdges(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
