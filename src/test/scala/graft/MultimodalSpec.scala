@@ -88,6 +88,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rt.getWidth == 224 && rt.getHeight == 168)
   }
 
+  /** Deterministic synthetic WAV: 16-bit PCM mono square wave. */
+  private def mkWav(sampleRate: Int, nFrames: Int, amp: Short, period: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s: Short = if ((i / period) % 2 == 0) amp else (-amp).toShort
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode reads true header metadata from WAV bytes") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, mkWav(8000, 4000, 1000, 100)),
+      Multimodal.MediaRow(2L, mkWav(16000, 16000, 500, 50)),
+      Multimodal.MediaRow(3L, "definitely not audio".getBytes("UTF-8"))))
+    val out = Multimodal.decodeAudioMeta(media).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == Multimodal.AudioMeta(1L, 8000L, 1L, 4000L, 500L))
+    assert(out(2L) == Multimodal.AudioMeta(2L, 16000L, 1L, 16000L, 1000L))
+  }
+
+  test("real audio feature extraction is exact on a square wave") {
+    import spark.implicits._
+    // 4000 frames, amplitude 1000, half-period 100 → 39 sign flips;
+    // square wave RMS == amplitude exactly
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, mkWav(8000, 4000, 1000, 100))))
+    val f = Multimodal.decodeAudioFeatures(media).collect().head
+    assert(f.peak == 1000L)
+    assert(f.zero_crossings == 39L)
+    assert(f.rms_x1000 == 1000000L)
+  }
+
   test("resize preserves aspect and fits the box") {
     import spark.implicits._
     val docs = Tables.documents(spark, TestSpark.sf)
