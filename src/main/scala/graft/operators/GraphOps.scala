@@ -189,9 +189,63 @@ object GraphOps {
     triangleCounts(VectorQueries.embedNearDupQ(s, d), "id_a", "id_b")
       .orderBy(col("n_tri").desc, col("node"))
 
+  /** Synchronous label propagation (SURVEY.md §2 row 141) — community
+    * detection over an undirected pair graph, the coarser companion to
+    * [[Dedup.connectedComponents]]: CC answers "transitively linked at
+    * all?", LPA answers "which DENSE group?" (a chain of borderline
+    * near-dup links no longer glues two clusters into one component).
+    *
+    * Determinism (the property plain LPA lacks): synchronous rounds —
+    * every node updates from the PREVIOUS round's labels — and total
+    * tie order (neighbor-count DESC, label ASC), so the result is a
+    * pure function of (edges, iters) and DuckDB replays it verbatim.
+    * Fixed `iters` rather than convergence detection: synchronous LPA
+    * can 2-cycle on bipartite-ish regions, so a convergence loop is
+    * not guaranteed to terminate; a small fixed round count is the
+    * standard production choice and keeps the oracle an exact unroll.
+    *
+    * Scale shape: each round is ONE equi-join of edges to the O(nodes)
+    * label frame + two hash aggregations keyed on the destination
+    * (argmax via max(struct(cnt, -label)) — no per-node window, so a
+    * celebrity node costs a wide aggregate, not a single-task sort);
+    * label state is localCheckpoint-truncated per round, the pageRank
+    * posture. Edge symmetrization doubles the edge frame once,
+    * up front, persisted across rounds. */
+  def labelPropagation(pairs: DataFrame, idACol: String, idBCol: String,
+                       iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val p0 = pairs.select(col(idACol).cast(LongType).as("a"),
+        col(idBCol).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // every node of the pair graph appears as a dst after
+      // symmetrization, so dst-keyed rounds cover all nodes
+      val start = edges.select(col("dst").as("node")).distinct()
+        .withColumn("community", col("node"))
+      (1 to iters).foldLeft(start) { (lbl, _) =>
+        edges.join(lbl, edges("src") === lbl("node"))
+          .groupBy(col("dst"), col("community")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("community")).as("nl"))).as("m"))
+          .select(col("dst").as("node"), (-col("m.nl")).as("community"))
+          .localCheckpoint() // O(nodes); truncates per-round lineage
+      }
+    } finally { edges.unpersist(); () }
+  }
+
+  /** §2.12 — 4 synchronous rounds over the embedding near-dup graph
+    * (the q_dedup_groups / q_triangles pair relation). */
+  def labelPropQ(s: SparkSession, d: String): DataFrame =
+    labelPropagation(VectorQueries.embedNearDupQ(s, d), "id_a", "id_b", iters = 4)
+      .orderBy(col("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank"  -> (pageRankQ _),
-    "q_triangles" -> (trianglesQ _),
+    "q_pagerank"   -> (pageRankQ _),
+    "q_triangles"  -> (trianglesQ _),
+    "q_label_prop" -> (labelPropQ _),
   )
 
   /** Textual floor-div macro for the oracle (b > 0). */
@@ -239,6 +293,36 @@ object GraphOps {
          |GROUP BY node
          |ORDER BY n_tri DESC, node""".stripMargin
     },
+    // exact unroll of the synchronous rounds: per round, neighbor
+    // label counts then ROW_NUMBER over (count DESC, label ASC) —
+    // identical to the engine's max(struct(c, -label)) argmax
+    "q_label_prop" -> {
+      val dot = VectorQueries.dotSql _
+      def round(i: Int, p: Int): String =
+        s"""ct$i AS (
+           |  SELECT e.dst AS node, l.community AS lab, COUNT(*) AS c
+           |  FROM ed e JOIN lp$p l ON e.src = l.node GROUP BY 1, 2),
+           |lp$i AS MATERIALIZED (
+           |  SELECT node, lab AS community FROM (
+           |    SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+           |      ORDER BY c DESC, lab ASC) AS rn
+           |    FROM ct$i) t
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH v AS (SELECT label, vec_id, embedding, ${dot("embedding", "embedding")} AS nsq FROM embeddings),
+         |pr AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${dot("a.embedding", "b.embedding")} / greatest(sqrt(a.nsq) * sqrt(b.nsq), 1e-9) >= 0.3),
+         |ed AS (SELECT ia AS src, ib AS dst FROM pr UNION SELECT ib, ia FROM pr),
+         |lp0 AS (SELECT DISTINCT dst AS node, dst AS community FROM ed),
+         |${round(1, 0)},
+         |${round(2, 1)},
+         |${round(3, 2)},
+         |${round(4, 3)}
+         |SELECT node, community FROM lp4
+         |ORDER BY node""".stripMargin
+    },
+
     "q_pagerank" ->
       s"""WITH e AS (
          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,

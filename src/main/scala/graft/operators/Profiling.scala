@@ -268,6 +268,51 @@ object Profiling {
       .withColumnRenamed("__g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Corpus version diff (SURVEY.md §2 row 144) — the incremental twin
+    * of [[datasetFingerprint]]: given two snapshots of a keyed corpus,
+    * classify every id as added / removed / changed / unchanged. The
+    * comparison moves CONTENT FINGERPRINTS, not text: each side
+    * projects (id, poly_hash64("vdiff|" || text)) and the diff is one
+    * full-outer equi-join on the id — at 100 TB the join ships 16
+    * bytes/doc instead of documents, and when both snapshots persist a
+    * fingerprint column (the row-134 posture) the diff reads no text
+    * at all. Downstream incremental processing consumes the added ∪
+    * changed ids as its work list.
+    *
+    * Collision caveat: only the SAME id's two versions are ever
+    * compared, so a hash collision can only mask a changed doc as
+    * unchanged — probability ≈ n·2⁻⁶⁴ over the whole corpus (no
+    * birthday quadratic; contrast the cross-doc grouping cases where
+    * we group by the string itself). The oracle replays the same
+    * fingerprints, collisions included. */
+  def versionDiff(v1: DataFrame, v2: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).cast(LongType).as("doc_id"),
+        graft.plans.PolyHash64.poly_hash64(
+          concat(lit("vdiff|"), col(textCol))).as(out))
+    fp(v1, "fp_a").join(fp(v2, "fp_b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** §2.12 — diff `documents` against a deterministically derived
+    * second snapshot (remove doc_id%23=0, edit text at %17=0, add
+    * re-keyed copies of %29=0): every status class is exercised. */
+  def versionDiffQ(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d)
+    val v2 = v1.filter(pmod(col("doc_id"), lit(23)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .unionByName(v1.filter(pmod(col("doc_id"), lit(29)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+    versionDiff(v1, v2, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
   /** §2.11 — per-source shard checksums over `documents`. */
   def datasetHashQ(s: SparkSession, d: String): DataFrame =
     datasetFingerprint(Tables.documents(s, d),
@@ -278,6 +323,7 @@ object Profiling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_cusum"   -> (driftCusumQ _),
     "q_dataset_hash"  -> (datasetHashQ _),
+    "q_version_diff"  -> (versionDiffQ _),
     "q_profile"       -> (profileQ _),
     "q_histogram"     -> (histogramQ _),
     "q_time_weighted" -> (timeWeightedQ _),
@@ -313,6 +359,33 @@ object Profiling {
         |  MIN(CASE WHEN sp > GREATEST(target, CAST(0 AS BIGINT)) THEN day END) AS alarm_day
         |FROM s GROUP BY event_type, target
         |ORDER BY event_type""".stripMargin,
+
+    // same derived v2 snapshot, same "vdiff|"-prefixed content
+    // fingerprints (hashed once per DISTINCT text, joined back by the
+    // text itself), same full-outer status fold — collisions, if any,
+    // replay identically
+    "q_version_diff" -> {
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' [rev2]' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 23 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 29 = 0),
+         |allt AS (SELECT DISTINCT txt FROM (
+         |  SELECT text AS txt FROM v1 UNION ALL SELECT text FROM v2) u),
+         |hs AS (${TrainingOps.polyHashSql("vdiff|", "allt", "txt")}),
+         |f1 AS (SELECT v1.doc_id, hs.h AS fa FROM v1 JOIN hs ON v1.text = hs.txt),
+         |f2 AS (SELECT v2.doc_id, hs.h AS fb FROM v2 JOIN hs ON v2.text = hs.txt),
+         |j AS (SELECT COALESCE(f1.doc_id, f2.doc_id) AS doc_id, f1.fa, f2.fb
+         |      FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN fa IS NULL THEN 'added'
+         |       WHEN fb IS NULL THEN 'removed'
+         |       WHEN fa = fb THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
 
     // row repr replayed byte-for-byte (length-prefixed fields, NULL->n),
     // poly-hash via the shared UTF-8-byte HUGEINT replay (empty domain

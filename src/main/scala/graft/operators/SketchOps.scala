@@ -51,9 +51,37 @@ object SketchOps {
   private val CmsD = 4
   private val CmsW = 16
 
+  /** §2.12 — deterministic HLL registers (SURVEY.md §2 row 140): per-day
+    * user-population sketches whose REGISTER STATE is the oracle
+    * contract, plus the 'ALL' row produced by merging the daily rows
+    * with a plain relational max — the stored-sketch-state posture
+    * (a quarter of distinct-user questions reads 90 register rows, not
+    * a quarter of raw events). The estimate stays spec-only (HllSpec);
+    * the registers are exact. */
+  def hllRegistersQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.plans.HllRegistersAgg
+    val ev = Tables.events(s, d).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      col("user_id").cast(StringType).as("item"))
+    val daily = ev.groupBy(col("day"))
+      .agg(HllRegistersAgg.hll_registers(col("item"), HllP).as("regs"))
+    val exploded = daily
+      .select(col("day"), posexplode(col("regs")).as(Seq("bucket", "reg")))
+      .select(col("day"), col("bucket").cast(LongType).as("bucket"),
+        col("reg").cast(LongType).as("reg"))
+    val merged = exploded.groupBy(col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .select(lit("ALL").as("day"), col("bucket"), col("reg"))
+    exploded.unionByName(merged).orderBy(col("day"), col("bucket"))
+  }
+
+  private val HllP = 6 // m = 64 registers
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_hll_users"  -> (hllUsersQ _), // rows-only: estimate is engine-specific
-    "q_cms_tokens" -> (cmsTokensQ _),
+    "q_hll_users"     -> (hllUsersQ _), // rows-only: estimate is engine-specific
+    "q_cms_tokens"    -> (cmsTokensQ _),
+    "q_hll_registers" -> (hllRegistersQ _),
   )
 
   /** HUGEINT replay of the whole sketch: per-row domain-prefixed
@@ -80,6 +108,45 @@ object SketchOps {
          |SELECT tc.tok AS token, est.est AS est, tc.exact AS exact
          |FROM tc JOIN est ON tc.tok = est.tok
          |ORDER BY exact DESC, token LIMIT 20""".stripMargin
+    },
+
+    // Register-level HLL replay: splitmix-finished poly-hash per
+    // DISTINCT item (registers depend only on the distinct set — the
+    // dedup bounds the HUGEINT hash work), bucket = floor-mod low
+    // bits, rho = trailing-zero rank via the lowest-set-bit identity
+    // bit_count((w & -w) - 1) + 1, then GROUP BY bucket MAX(rho).
+    // The 'ALL' row replays the merge as max over the daily rows —
+    // the same relational form the Spark side uses.
+    "q_hll_registers" -> {
+      val m = 1 << 6
+      val rhoCap = 64 - 6 + 1
+      s"""WITH items AS (
+         |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         |    CAST(user_id AS VARCHAR) AS item FROM events),
+         |iv AS (SELECT DISTINCT item FROM items),
+         |hs AS (${TrainingOps.polyHashSql("hll|", "iv", "item")}),
+         |hr AS (
+         |  SELECT item, CAST(((h % $m) + $m) % $m AS BIGINT) AS bucket,
+         |    CAST(CASE WHEN w = 0 THEN $rhoCap
+         |         ELSE bit_count((w & (-w)) - 1) + 1 END AS BIGINT) AS rho
+         |  FROM (
+         |    SELECT item, h, CAST(
+         |      (CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + 18446744073709551616
+         |            ELSE CAST(h AS HUGEINT) END) // $m AS BIGINT) AS w
+         |    FROM hs) _w),
+         |dreg AS (
+         |  SELECT i.day, r.bucket, MAX(r.rho) AS reg
+         |  FROM items i JOIN hr r USING (item) GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM items),
+         |grid AS (SELECT d.day, CAST(b.b AS BIGINT) AS bucket
+         |         FROM days d CROSS JOIN (SELECT unnest(range(0, $m)) AS b) b),
+         |daily AS (
+         |  SELECT g.day, g.bucket, COALESCE(dr.reg, 0) AS reg
+         |  FROM grid g LEFT JOIN dreg dr ON g.day = dr.day AND g.bucket = dr.bucket),
+         |allr AS (SELECT 'ALL' AS day, bucket, MAX(reg) AS reg FROM daily GROUP BY 2)
+         |SELECT day, bucket, CAST(reg AS BIGINT) AS reg
+         |FROM (SELECT * FROM daily UNION ALL SELECT * FROM allr) u
+         |ORDER BY day, bucket""".stripMargin
     },
   )
 }

@@ -253,7 +253,81 @@ object TextOps {
       .select(col("doc_id"), col("width"), col("height"), col("out_w"), col("out_h"))
       .orderBy(col("doc_id"))
 
+  /** §2.12 (SURVEY.md §2 row 142) — canonical-representative selection:
+    * resolve the MinHash near-dup pairs into clusters (connected
+    * components) and keep ONE doc per cluster by quality — argmax
+    * (qualityScore DESC, doc_id ASC), the production alternative to
+    * keep-first/keep-min (which keeps whatever document happened to get
+    * the smallest id, not the best copy). Output is the per-cluster
+    * decision record: (comp, keep_id, quality, n_members).
+    *
+    * Scale shape: pairs and CC are the existing banded/star-capped
+    * paths; the selection itself is ONE aggregation over the O(dups)
+    * membership frame — argmax via max(struct(q, -id)), no per-cluster
+    * window, so a pathological mega-cluster costs a wide hash
+    * aggregate, not a single-task sort. Quality is the fixed-order
+    * double composition q_quality_score already proves replayable. */
+  /** Per-cluster argmax selection: `cc` is a component map (id, comp),
+    * `quality` scores every doc (doc_id, q). Ties on q break to the
+    * SMALLER doc_id, so the result is total-order deterministic. */
+  def keepBestPerCluster(cc: DataFrame, quality: DataFrame): DataFrame =
+    cc.join(quality, cc("id") === quality("doc_id"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("comp"), (-col("m.nid")).as("keep_id"),
+        col("m.q").as("quality"), col("n_members"))
+
+  def keepBestQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numPerm = 32, bands = 16)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val dq = docs.select(col("doc_id"),
+      qualityScore(col("text")).as("q"))
+    keepBestPerCluster(cc, dq).orderBy(col("comp"))
+  }
+
+  /** §2.12 (SURVEY.md §2 row 143) — leakage-safe train/val/test split:
+    * hash the near-dup CLUSTER id, not the document id. A doc-level
+    * deterministic split (row 73) lets two near-duplicates land in
+    * train and test — the eval set then contains soft copies of
+    * training documents, the contamination the decon rows exist to
+    * prevent, re-introduced by the splitter itself. Here every member
+    * of a connected component shares the component-min id, so the
+    * whole cluster moves as one unit; singletons (docs in no pair)
+    * keep their own id — for them the assignment degenerates to the
+    * doc-level split, as it should.
+    *
+    * Scale shape: pairs/CC as in q_keep_best; the assignment itself is
+    * a pure projection over docs LEFT JOIN the O(dups) component map —
+    * no new shuffle beyond the join on doc_id. */
+  /** Cluster-keyed deterministic split assignment: every doc hashes on
+    * its component id (own id for singletons), so a near-dup cluster
+    * can never straddle splits. `docs` needs the id column only. */
+  def clusterSplit(docs: DataFrame, idCol: String, cc: DataFrame): DataFrame = {
+    val ids = docs.select(col(idCol))
+    ids.join(cc, ids(idCol) === cc("id"), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
+      .withColumn("bucket", pmod(graft.plans.PolyHash64.poly_hash64(
+        concat(lit("csplit|"), col("comp").cast(StringType))), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+  }
+
+  def clusterSplitQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numPerm = 32, bands = 16)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    clusterSplit(docs, "doc_id", cc).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_keep_best"       -> (keepBestQ _),
+    "q_cluster_split"   -> (clusterSplitQ _),
     "q_token_count"     -> (tokenCountQ _),
     "q_quality_score"   -> (qualityScoreQ _),
     "q_compress_ratio"  -> (compressRatioQ _),
@@ -386,6 +460,84 @@ object TextOps {
          |          JOIN sz sb ON sb.doc_id = ic.id_b) p
          |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same sparse pair relation as q_dedup_minhash, resolved into
+    // components by the recursive-CTE min-reachable-id fixpoint (the
+    // q_dedup_groups pattern), then per-component argmax over the
+    // fixed-order quality double — ROW_NUMBER (q DESC, doc_id ASC)
+    // is identical to the engine's max(struct(q, -doc_id))
+    "q_keep_best" ->
+      s"""WITH RECURSIVE s AS ($shingleSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+         |ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |       FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT ic.id_a, ic.id_b,
+         |      CAST(ic.c AS DOUBLE) / (sa.n + sb.n - ic.c) AS jaccard
+         |    FROM ic JOIN sz sa ON sa.doc_id = ic.id_a
+         |            JOIN sz sb ON sb.doc_id = ic.id_b) p
+         |  WHERE jaccard >= 0.5),
+         |nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |cc(id, comp) AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+         |cm AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |dq AS (
+         |  SELECT doc_id,
+         |    0.6 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |           / greatest(length(text), 1))
+         |    + 0.4 * (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+', 0))
+         |                    BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) AS q
+         |  FROM documents)
+         |SELECT comp, doc_id AS keep_id, q AS quality, n_members FROM (
+         |  SELECT cm.comp, cm.id AS doc_id, dq.q,
+         |    ROW_NUMBER() OVER (PARTITION BY cm.comp ORDER BY dq.q DESC, cm.id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cm.comp) AS n_members
+         |  FROM cm JOIN dq ON cm.id = dq.doc_id) t
+         |WHERE rn = 1
+         |ORDER BY comp""".stripMargin,
+
+    // the keep_best component map, completed with singleton comps
+    // (doc_id itself), then the split-hash replay over the DISTINCT
+    // comp values: pmod(poly_hash64('csplit|' || comp), 100)
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE s AS ($shingleSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+         |ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |       FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT ic.id_a, ic.id_b,
+         |      CAST(ic.c AS DOUBLE) / (sa.n + sb.n - ic.c) AS jaccard
+         |    FROM ic JOIN sz sa ON sa.doc_id = ic.id_a
+         |            JOIN sz sb ON sb.doc_id = ic.id_b) p
+         |  WHERE jaccard >= 0.5),
+         |nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |cc(id, comp) AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+         |cm AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |wc AS (SELECT d.doc_id, COALESCE(cm.comp, d.doc_id) AS comp
+         |       FROM documents d LEFT JOIN cm ON d.doc_id = cm.id),
+         |cv AS (SELECT DISTINCT comp FROM wc),
+         |hs AS (${TrainingOps.polyHashSql("csplit|", "cv", "comp")}),
+         |b AS (SELECT wc.doc_id, wc.comp,
+         |        CAST((hs.h % 100 + 100) % 100 AS BIGINT) AS bucket
+         |      FROM wc JOIN hs ON wc.comp = hs.comp)
+         |SELECT doc_id, comp, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // SimHash replayed end-to-end in HUGEINT: token byte-polynomial +
     // splitmix64 (the q_rolling_fingerprint recipe: 64x64-bit products

@@ -155,4 +155,39 @@ class GraphSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  // --- label propagation (SURVEY.md §2 row 139) ---
+
+  test("label propagation separates bridged triangles that CC merges") {
+    // two triangles joined by one bridge edge 3-4: a single borderline
+    // link must NOT glue the dense groups (CC does — that's the point)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val lp = GraphOps.labelPropagation(pairs, "a", "b", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lp(1L) == lp(2L) && lp(2L) == lp(3L))
+    assert(lp(4L) == lp(5L) && lp(5L) == lp(6L))
+    assert(lp(1L) != lp(4L), lp.toString)
+    val cc = graft.operators.Dedup.connectedComponents(pairs, "a", "b")
+      .select($"comp").distinct().count()
+    assert(cc == 1L) // the contrast: one component, two communities
+  }
+
+  test("label propagation on a clique converges to the min id") {
+    val nodes = (1L to 5L)
+    val pairs = (for (a <- nodes; b <- nodes if a < b) yield (a, b))
+      .toDF("a", "b")
+    val lp = GraphOps.labelPropagation(pairs, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lp.values.toSet == Set(1L), lp.toString)
+  }
+
+  test("label propagation is invariant to pair partitioning") {
+    val pairs = graft.operators.VectorQueries.embedNearDupQ(spark, TestSpark.sf)
+    val a = GraphOps.labelPropagation(pairs, "id_a", "id_b", iters = 4)
+      .orderBy($"node").collect().toSeq
+    val b = GraphOps.labelPropagation(pairs.repartition(7, $"id_b"), "id_a", "id_b", iters = 4)
+      .orderBy($"node").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

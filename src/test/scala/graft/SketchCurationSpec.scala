@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{Profiling, SketchOps, TextOps}
+import graft.plans.{HllRegistersAgg, PolyHash64}
+import graft.sources.Tables
+
+/** Round-9 additions (SURVEY.md §2 rows 138, 140-142): deterministic
+  * HLL registers, keep-best canonical selection, cluster-aware split,
+  * corpus version diff. */
+class SketchCurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val P = 6
+  private val M = 1 << P
+
+  /** Scala reference of the register pipeline (independent of the
+    * aggregate's buffer plumbing). */
+  private def refRegisters(items: Seq[String]): Array[Int] = {
+    val regs = new Array[Int](M)
+    items.foreach { it =>
+      val h = PolyHash64.compute(UTF8String.fromString("hll|" + it))
+      val b = java.lang.Math.floorMod(h, M.toLong).toInt
+      val w = h >>> P
+      val rho = if (w == 0L) 64 - P + 1 else java.lang.Long.numberOfTrailingZeros(w) + 1
+      if (rho > regs(b)) regs(b) = rho
+    }
+    regs
+  }
+
+  private def aggRegisters(items: Seq[String]): Array[Int] =
+    items.toDF("item")
+      .agg(HllRegistersAgg.hll_registers(col("item"), P).as("r"))
+      .head().getSeq[Int](0).toArray
+
+  test("hll registers match the scala reference pipeline") {
+    val items = (1 to 500).map(i => s"user-$i")
+    assert(aggRegisters(items).toSeq == refRegisters(items).toSeq)
+  }
+
+  test("hll merge is elementwise max: union == max(partials), idempotent") {
+    val a = (1 to 300).map(i => s"u$i")
+    val b = (200 to 600).map(i => s"u$i") // overlap on purpose
+    val ra = aggRegisters(a)
+    val rb = aggRegisters(b)
+    val runion = aggRegisters(a ++ b)
+    val merged = ra.zip(rb).map { case (x, y) => math.max(x, y) }
+    assert(runion.toSeq == merged.toSeq)
+    // idempotence: re-merging a batch already included changes nothing
+    assert(runion.zip(ra).map { case (x, y) => math.max(x, y) }.toSeq == runion.toSeq)
+  }
+
+  test("hll estimate lands near the exact distinct count") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0).toDouble
+    val est = ev.select(col("user_id").cast("string").as("item"))
+      .agg(HllRegistersAgg.hll_registers(col("item"), P).as("r"))
+      .select(HllRegistersAgg.estimate(col("r"), P).as("e"))
+      .head().getDouble(0)
+    // m=64 -> sigma ~ 1.04/8 = 13%; allow 3 sigma
+    assert(math.abs(est - exact) / exact < 0.4, s"est=$est exact=$exact")
+  }
+
+  test("q_hll_registers: the ALL row is the max over the daily rows") {
+    val out = SketchOps.hllRegistersQ(spark, TestSpark.sf).collect()
+    val daily = out.filter(_.getString(0) != "ALL")
+    val all = out.filter(_.getString(0) == "ALL")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(all.size == M)
+    val expect = daily.groupBy(_.getLong(1))
+      .map { case (b, rows) => b -> rows.map(_.getLong(2)).max }
+    assert(expect == all)
+  }
+
+  test("keepBestPerCluster picks max quality, ties to smaller id") {
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "comp")
+    val q = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.1), (8L, 0.1))
+      .toDF("doc_id", "q")
+    val out = TextOps.keepBestPerCluster(cc, q)
+      .orderBy(col("comp")).as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.1, 2L)))
+  }
+
+  test("clusterSplit: every member of a component shares the split") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val cc = Seq((10L, 10L), (11L, 10L), (57L, 10L), (80L, 80L), (81L, 80L))
+      .toDF("id", "comp")
+    val out = TextOps.clusterSplit(docs, "doc_id", cc)
+    val perComp = out.groupBy(col("comp"))
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perComp.forall(_.getLong(1) == 1L))
+    // singleton assignment degenerates to the id-level hash
+    val single = out.filter(col("doc_id") === 5L).head()
+    val expect = java.lang.Math.floorMod(
+      PolyHash64.compute(UTF8String.fromString("csplit|5")), 100L)
+    assert(single.getLong(2) == expect)
+    // all three splits appear over 200 docs
+    assert(out.select(col("split")).distinct().count() == 3L)
+  }
+
+  test("versionDiff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "x"), (4L, "d")).toDF("doc_id", "text")
+    val out = Profiling.versionDiff(v1, v2, "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
+  test("versionDiff of a snapshot against itself is all-unchanged") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = Profiling.versionDiff(docs, docs, "doc_id", "text")
+    assert(out.filter(col("status") =!= "unchanged").count() == 0L)
+    assert(out.count() == docs.count())
+  }
+}
