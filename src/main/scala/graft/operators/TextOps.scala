@@ -325,9 +325,48 @@ object TextOps {
     clusterSplit(docs, "doc_id", cc).orderBy(col("doc_id"))
   }
 
+  /** §2.12 (SURVEY.md §2 row 145) — per-document n-gram novelty: the
+    * fraction of a doc's distinct 3-gram shingles whose FIRST corpus
+    * occurrence (min doc_id over containing docs) is the doc itself —
+    * the curation signal that separates novel content from recombined
+    * boilerplate (a doc pasted together from earlier docs scores ~0
+    * even when no single source passes a near-dup threshold; dedup
+    * rows 34-38 cannot see this).
+    *
+    * Scale shape: text reduces to (doc_id, shingle-HASH) immediately —
+    * ids+hash only through every shuffle. First-occurrence is a
+    * whole-partition window min on the hash (one exchange, no
+    * groupBy+join back), then one per-doc aggregation. Novelty is the
+    * integer floor-div percentage — no doubles. Collision caveat: two
+    * shingles sharing a 64-bit hash collapse into one novelty unit;
+    * the oracle replays the same hashes, so collisions replay exactly.
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(
+      docs.select(col(idCol).as("__id"), col(textCol).as("__t")),
+      Seq(col("__id")), col("__t"), n = 3, out = "sh")
+    val dh = sh.select(col("__id"),
+        graft.plans.PolyHash64.poly_hash64(concat(lit("nov|"), col("sh"))).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("h"))
+    dh.withColumn("first_id", min(col("__id")).over(w))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("__id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_pct",
+        GraphOps.fdiv(lit(100L) * col("n_novel"), col("n_shingles")))
+  }
+
+  /** §2.12 — novelty over `documents` in doc_id order. */
+  def noveltyQ(s: SparkSession, d: String): DataFrame =
+    noveltyScores(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keep_best"       -> (keepBestQ _),
     "q_cluster_split"   -> (clusterSplitQ _),
+    "q_novelty"         -> (noveltyQ _),
     "q_token_count"     -> (tokenCountQ _),
     "q_quality_score"   -> (qualityScoreQ _),
     "q_compress_ratio"  -> (compressRatioQ _),
@@ -501,6 +540,25 @@ object TextOps {
          |  FROM cm JOIN dq ON cm.id = dq.doc_id) t
          |WHERE rn = 1
          |ORDER BY comp""".stripMargin,
+
+    // per-doc distinct "nov|"-prefixed shingle hashes (replayed in
+    // HUGEINT — collisions collapse identically), first occurrence =
+    // min doc_id per hash, floor-div percentage
+    "q_novelty" ->
+      s"""WITH s AS ($shingleSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |gv AS (SELECT DISTINCT g FROM ex),
+         |hs AS (${TrainingOps.polyHashSql("nov|", "gv", "g")}),
+         |dh AS (SELECT DISTINCT ex.doc_id, hs.h FROM ex JOIN hs ON ex.g = hs.g),
+         |fo AS (SELECT h, MIN(doc_id) AS fid FROM dh GROUP BY h),
+         |agg AS (
+         |  SELECT dh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(SUM(CASE WHEN fo.fid = dh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM dh JOIN fo ON dh.h = fo.h
+         |  GROUP BY dh.doc_id)
+         |SELECT doc_id, n_shingles, n_novel,
+         |  CAST((100 * n_novel) // n_shingles AS BIGINT) AS novelty_pct
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     // the keep_best component map, completed with singleton comps
     // (doc_id itself), then the split-hash replay over the DISTINCT

@@ -360,6 +360,46 @@ object ScaleProbe {
         graft.operators.GraphOps.triangleCounts(edges, "id_a", "id_b").count()
       }
 
+      // round-9 (driver round) additions. hll_registers: one pass,
+      // constant 2^p-byte buffer per task — the curve must track input
+      // size with no cardinality term. label_prop: k disjoint copies of
+      // the near-dup edge list (the triangles replication): nodes and
+      // edges grow exactly k×, each round is one equi-join + two aggs.
+      // version_diff: both snapshots grow k×, the diff joins 16-byte
+      // fingerprints on the id. keep_best / cluster_split ride the
+      // minhash_16x2 + cc_groups curves (one extra broadcast join +
+      // one aggregation each — not separately probed).
+      time("hll_registers", k) {
+        docs.select((col("doc_id") % 20).as("g"),
+            explode(graft.functions.TextFunctions.words(col("text"))).as("item"))
+          .groupBy(col("g"))
+          .agg(graft.plans.HllRegistersAgg.hll_registers(col("item"), 6).as("r"))
+          .count()
+      }
+      time("label_prop", k) {
+        val e0 = graft.operators.VectorOps.nearDupPairs(
+            Tables.embeddings(spark, sfDir), "vec_id", "embedding", "label",
+            threshold = 0.3)
+          .select(col("id_a"), col("id_b"))
+        val es = e0.agg(max(greatest(col("id_a"), col("id_b")))).head().getLong(0) + 1L
+        val edges = (0 until k).map { c =>
+          e0.select((col("id_a") + c * es).as("id_a"), (col("id_b") + c * es).as("id_b"))
+        }.reduce(_ union _)
+        graft.operators.GraphOps.labelPropagation(edges, "id_a", "id_b", iters = 4).count()
+      }
+      // per-copy word suffixes keep cross-copy shingles disjoint, so
+      // novelty structure per copy is identical to the base — rows and
+      // distinct hashes grow exactly k×, isolating the window+agg cost
+      time("novelty", k) {
+        TextOps.noveltyScores(docs, "doc_id", "text").count()
+      }
+      time("version_diff", k) {
+        val v2 = docs.filter(pmod(col("doc_id"), lit(23)) =!= 0)
+          .withColumn("text", when(pmod(col("doc_id"), lit(17)) === 0,
+            concat(col("text"), lit(" r2"))).otherwise(col("text")))
+        graft.operators.Profiling.versionDiff(docs, v2, "doc_id", "text").count()
+      }
+
       // Incremental ingest vs re-running the full pipeline: the batch is
       // FIXED (one fresh base-sized copy, lang column required by the
       // pipeline) while the corpus grows k×. The full run re-pays the

@@ -76,6 +76,55 @@ class SketchCurationSpec extends AnyFunSuite {
     assert(expect == all)
   }
 
+  test("hll aggregates a stream: complete-mode registers equal the batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = ms.toDS().toDF("item")
+      .agg(HllRegistersAgg.hll_registers(col("item"), P).as("r"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream").start()
+    try {
+      ms.addData("a", "b", "a")
+      q.processAllAvailable()
+      ms.addData("c", "a", "d")
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream").head().getSeq[Int](0)
+      val batch = Seq("a", "b", "a", "c", "a", "d").toDF("item")
+        .agg(HllRegistersAgg.hll_registers(col("item"), P).as("r"))
+        .head().getSeq[Int](0)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("novelty: pure-copy docs score 0, the original scores 100") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),        // exact copy of 1
+      (3L, "zeta eta theta iota kappa lambda"),      // all-novel
+      (4L, "beta gamma delta zeta eta theta")        // recombination of 1+3
+    ).toDF("doc_id", "text")
+    val out = TextOps.noveltyScores(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("novelty_pct"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 100L)
+    assert(out(2L) == 0L)
+    assert(out(3L) == 100L)
+    // doc 4's shingles "beta gamma delta" and "zeta eta theta" are
+    // seen; the two stitch shingles are new -> 2/4 = 50
+    assert(out(4L) == 50L, out.toString)
+  }
+
+  test("novelty is invariant to doc partitioning") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val a = TextOps.noveltyScores(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().toSeq
+    val b = TextOps.noveltyScores(docs.repartition(11, col("text")), "doc_id", "text")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("keepBestPerCluster picks max quality, ties to smaller id") {
     val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("id", "comp")
