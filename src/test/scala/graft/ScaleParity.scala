@@ -23,13 +23,19 @@ import graft.sources.Tables
   */
 object ScaleParity {
 
-  /** The families whose parity previously existed only at sf0.01. */
+  /** The families whose parity previously existed only at sf0.01.
+    * Round-9 continuation adds the new document/embedding families
+    * (q_hll_registers stays out: the replica keeps `events` verbatim,
+    * so it would re-test sf0.1 volume — its scale posture is the
+    * constant-buffer probe instead). */
   val Families: Set[String] = Set(
     "q_kmeans", "q_pagerank",
     "q_bpe_pairs", "q_bpe_merges", "q_bpe_encode",
     "q_cms_tokens", "q_dsir_select",
     "q_frequent_lines", "q_line_scrub",
-    "q_collocations", "q_triangles")
+    "q_collocations", "q_triangles",
+    "q_label_prop", "q_keep_best", "q_cluster_split",
+    "q_novelty", "q_version_diff")
 
   /** Write `df` as a SINGLE parquet file `<dir>/<table>.parquet` —
     * the driver-testdata shape both engines read. */
