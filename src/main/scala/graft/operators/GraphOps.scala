@@ -100,6 +100,12 @@ object GraphOps {
               (coalesce(col("inc"), lit(0L)) + fdiv(col("dm"), lit(n))),
               lit(dampDen))).as("rank"))
           .localCheckpoint() // O(nodes); truncates per-iteration lineage
+          // EAGERLY: the next iteration consumes ranks on TWO paths
+          // (contribution join + the dangling broadcast aggregate,
+          // which runs as its own collect job) — measured, the lazy
+          // form re-pays rank lineage in the broadcast job (q_pagerank
+          // 2.7 -> 4.4 s); label propagation below, with one consumer
+          // per round, takes the lazy form
         next
       }
       last
@@ -231,7 +237,10 @@ object GraphOps {
           .groupBy(col("dst"))
           .agg(max(struct(col("c"), (-col("community")).as("nl"))).as("m"))
           .select(col("dst").as("node"), (-col("m.nl")).as("community"))
-          .localCheckpoint() // O(nodes); truncates per-round lineage
+          .localCheckpoint(eager = false) // O(nodes); truncates per-round
+          // lineage LAZILY — no per-round job barrier (measured: the
+          // eager form cost ~1s/round in pure scheduling on a small
+          // graph)
       }
     } finally { edges.unpersist(); () }
   }
