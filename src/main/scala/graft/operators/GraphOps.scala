@@ -223,26 +223,30 @@ object GraphOps {
     val p0 = pairs.select(col(idACol).cast(LongType).as("a"),
         col(idBCol).cast(LongType).as("b"))
       .filter(col("a") =!= col("b"))
+    // persist WITHOUT a finally-unpersist: everything here is lazy (the
+    // rounds are lazy checkpoints), so no action runs before return — an
+    // eager unpersist would drop the cache before the caller's first
+    // job and every round would replay the caller's pair derivation
+    // (the expensive part). The ContextCleaner reclaims the blocks once
+    // the returned frame is unreferenced — the minhashNearDups pattern.
     val edges = p0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // every node of the pair graph appears as a dst after
-      // symmetrization, so dst-keyed rounds cover all nodes
-      val start = edges.select(col("dst").as("node")).distinct()
-        .withColumn("community", col("node"))
-      (1 to iters).foldLeft(start) { (lbl, _) =>
-        edges.join(lbl, edges("src") === lbl("node"))
-          .groupBy(col("dst"), col("community")).agg(count(lit(1)).as("c"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("c"), (-col("community")).as("nl"))).as("m"))
-          .select(col("dst").as("node"), (-col("m.nl")).as("community"))
-          .localCheckpoint(eager = false) // O(nodes); truncates per-round
-          // lineage LAZILY — no per-round job barrier (measured: the
-          // eager form cost ~1s/round in pure scheduling on a small
-          // graph)
-      }
-    } finally { edges.unpersist(); () }
+    // every node of the pair graph appears as a dst after
+    // symmetrization, so dst-keyed rounds cover all nodes
+    val start = edges.select(col("dst").as("node")).distinct()
+      .withColumn("community", col("node"))
+    (1 to iters).foldLeft(start) { (lbl, _) =>
+      edges.join(lbl, edges("src") === lbl("node"))
+        .groupBy(col("dst"), col("community")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("community")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("community"))
+        .localCheckpoint(eager = false) // O(nodes); truncates per-round
+        // lineage LAZILY — no per-round job barrier (measured: the
+        // eager form cost ~1s/round in pure scheduling on a small
+        // graph)
+    }
   }
 
   /** §2.12 — 4 synchronous rounds over the embedding near-dup graph

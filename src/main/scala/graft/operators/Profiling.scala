@@ -287,15 +287,21 @@ object Profiling {
     * fingerprints, collisions included. */
   def versionDiff(v1: DataFrame, v2: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
-    def fp(df: DataFrame, out: String): DataFrame =
+    // presence markers, not fingerprint nullness, decide added/removed:
+    // a NULL text hashes to a NULL fingerprint, which must read as "a
+    // present doc with NULL content" (null-safe-equal to another NULL
+    // text), never as an absent row
+    def fp(df: DataFrame, out: String, mark: String): DataFrame =
       df.select(col(idCol).cast(LongType).as("doc_id"),
         graft.plans.PolyHash64.poly_hash64(
-          concat(lit("vdiff|"), col(textCol))).as(out))
-    fp(v1, "fp_a").join(fp(v2, "fp_b"), Seq("doc_id"), "full_outer")
+          concat(lit("vdiff|"), col(textCol))).as(out),
+        lit(true).as(mark))
+    fp(v1, "fp_a", "in_a")
+      .join(fp(v2, "fp_b", "in_b"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("fp_a").isNull, "added")
-          .when(col("fp_b").isNull, "removed")
-          .when(col("fp_a") === col("fp_b"), "unchanged")
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(col("fp_a") <=> col("fp_b"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -118,8 +118,10 @@ object SketchOps {
     // The 'ALL' row replays the merge as max over the daily rows —
     // the same relational form the Spark side uses.
     "q_hll_registers" -> {
-      val m = 1 << 6
-      val rhoCap = 64 - 6 + 1
+      // derived from HllP, not re-typed: engine and oracle must move
+      // together if the register count ever changes
+      val m = 1 << HllP
+      val rhoCap = 64 - HllP + 1
       s"""WITH items AS (
          |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
          |    CAST(user_id AS VARCHAR) AS item FROM events),

@@ -309,12 +309,9 @@ object TextOps {
     val ids = docs.select(col(idCol))
     ids.join(cc, ids(idCol) === cc("id"), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
-      .withColumn("bucket", pmod(graft.plans.PolyHash64.poly_hash64(
-        concat(lit("csplit|"), col("comp").cast(StringType))), lit(100L)))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("bucket",
+        TrainingOps.splitBucket(col("comp"), prefix = "csplit|"))
+      .withColumn("split", TrainingOps.splitOf(col("bucket")))
   }
 
   def clusterSplitQ(s: SparkSession, d: String): DataFrame = {
@@ -390,6 +387,33 @@ object TextOps {
       |          regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
       |        FROM documents) w
       |  WHERE len(ws) >= 3""".stripMargin
+
+  /** Shared oracle prelude: minhash-parity near-dup pairs (j >= 0.5,
+    * the q_dedup_minhash relation) resolved into a component map `cm`
+    * by the recursive min-reachable-id fixpoint — used verbatim by the
+    * q_keep_best and q_cluster_split oracles so the two cannot drift.
+    * Callers must open with WITH RECURSIVE. */
+  private val componentMapSql =
+    s"""s AS ($shingleSql),
+       |ex AS (SELECT doc_id, unnest(sh) AS t FROM s),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |       FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT ic.id_a, ic.id_b,
+       |      CAST(ic.c AS DOUBLE) / (sa.n + sb.n - ic.c) AS jaccard
+       |    FROM ic JOIN sz sa ON sa.doc_id = ic.id_a
+       |            JOIN sz sb ON sb.doc_id = ic.id_b) p
+       |  WHERE jaccard >= 0.5),
+       |nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+       |cc(id, comp) AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+       |cm AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
@@ -506,26 +530,7 @@ object TextOps {
     // fixed-order quality double — ROW_NUMBER (q DESC, doc_id ASC)
     // is identical to the engine's max(struct(q, -doc_id))
     "q_keep_best" ->
-      s"""WITH RECURSIVE s AS ($shingleSql),
-         |ex AS (SELECT doc_id, unnest(sh) AS t FROM s),
-         |sz AS (SELECT doc_id, len(sh) AS n FROM s),
-         |ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-         |       FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2),
-         |pr AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT ic.id_a, ic.id_b,
-         |      CAST(ic.c AS DOUBLE) / (sa.n + sb.n - ic.c) AS jaccard
-         |    FROM ic JOIN sz sa ON sa.doc_id = ic.id_a
-         |            JOIN sz sb ON sb.doc_id = ic.id_b) p
-         |  WHERE jaccard >= 0.5),
-         |nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
-         |cc(id, comp) AS (
-         |  SELECT id, id AS comp FROM nodes
-         |  UNION
-         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
-         |cm AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+      s"""WITH RECURSIVE $componentMapSql,
          |dq AS (
          |  SELECT doc_id,
          |    0.6 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
@@ -564,26 +569,7 @@ object TextOps {
     // (doc_id itself), then the split-hash replay over the DISTINCT
     // comp values: pmod(poly_hash64('csplit|' || comp), 100)
     "q_cluster_split" ->
-      s"""WITH RECURSIVE s AS ($shingleSql),
-         |ex AS (SELECT doc_id, unnest(sh) AS t FROM s),
-         |sz AS (SELECT doc_id, len(sh) AS n FROM s),
-         |ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-         |       FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2),
-         |pr AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT ic.id_a, ic.id_b,
-         |      CAST(ic.c AS DOUBLE) / (sa.n + sb.n - ic.c) AS jaccard
-         |    FROM ic JOIN sz sa ON sa.doc_id = ic.id_a
-         |            JOIN sz sb ON sb.doc_id = ic.id_b) p
-         |  WHERE jaccard >= 0.5),
-         |nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
-         |cc(id, comp) AS (
-         |  SELECT id, id AS comp FROM nodes
-         |  UNION
-         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
-         |cm AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+      s"""WITH RECURSIVE $componentMapSql,
          |wc AS (SELECT d.doc_id, COALESCE(cm.comp, d.doc_id) AS comp
          |       FROM documents d LEFT JOIN cm ON d.doc_id = cm.id),
          |cv AS (SELECT DISTINCT comp FROM wc),

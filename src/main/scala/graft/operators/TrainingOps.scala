@@ -33,18 +33,24 @@ object TrainingOps {
     * oracle replays the exact assignment in HUGEINT (the
     * q_dedup_simhash proof pattern). The "split|" domain prefix keeps
     * this hash stream independent of any other use of the same ids. */
-  def splitBucket(idCol: Column): Column =
-    pmod(PolyHash64.poly_hash64(concat(lit("split|"), idCol.cast(StringType))), lit(100L))
+  def splitBucket(idCol: Column, prefix: String = "split|"): Column =
+    pmod(PolyHash64.poly_hash64(concat(lit(prefix), idCol.cast(StringType))), lit(100L))
+
+  /** bucket → split-name mapping, shared by every split assigner (the
+    * doc-level [[assignSplit]] and the cluster-keyed
+    * [[TextOps.clusterSplit]]) so the thresholds cannot drift. */
+  private[operators] def splitOf(bucket: Column,
+                                 trainPct: Int = 80, valPct: Int = 10): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
 
   def assignSplit(df: DataFrame, idCol: Column,
                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"split percentages must leave room for test: train=$trainPct val=$valPct")
     df.withColumn("bucket", splitBucket(idCol))
-      .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("bucket"), trainPct, valPct))
   }
 
   /** §2.5 — per-doc split assignment over `documents`. */

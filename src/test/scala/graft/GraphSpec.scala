@@ -156,7 +156,7 @@ class GraphSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  // --- label propagation (SURVEY.md §2 row 139) ---
+  // --- label propagation (SURVEY.md §2 row 141) ---
 
   test("label propagation separates bridged triangles that CC merges") {
     // two triangles joined by one bridge edge 3-4: a single borderline

@@ -161,6 +161,17 @@ class SketchCurationSpec extends AnyFunSuite {
       (3L, "removed"), (4L, "added")))
   }
 
+  test("versionDiff: NULL text is content, not absence") {
+    val v1 = Seq((1L, null), (2L, null), (3L, "c"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, null), (2L, "b"), (4L, null))
+      .toDF("doc_id", "text")
+    val out = Profiling.versionDiff(v1, v2, "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
   test("versionDiff of a snapshot against itself is all-unchanged") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val out = Profiling.versionDiff(docs, docs, "doc_id", "text")
