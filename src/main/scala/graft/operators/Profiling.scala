@@ -175,6 +175,80 @@ object Profiling {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy(col("col_x"), col("col_y"))
 
+  /** Exact weighted median (SURVEY.md §2 row 146) — the lower weighted
+    * median: smallest v with cumulative weight ≥ half the total
+    * (2·cumw ≥ W in integers — no halves, no doubles). The summary
+    * corpus reports need when documents should count by SIZE, not per
+    * head: an unweighted median token count over many tiny docs hides
+    * where the bytes actually live.
+    *
+    * Scale shape: ONE map-side-combined aggregation to the (group,
+    * value) frame — the tie-order hazard of a row-level cumsum is
+    * gone because equal values collapse before the window — then
+    * windows over the value-DISTINCT series per group (bounded by the
+    * value domain, not the corpus), then a grouped min. All integer,
+    * replayed verbatim. */
+  def weightedMedian(df: DataFrame, grpCol: Column, valCol: Column,
+                     wCol: Column): DataFrame = {
+    val d = df.groupBy(grpCol.as("__g"), valCol.cast(LongType).as("__v"))
+      .agg(sum(wCol.cast(LongType)).as("__w"))
+    val cum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d.withColumn("__cw", sum(col("__w")).over(cum))
+      .withColumn("__tw", sum(col("__w")).over(full))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col("__g"), col("__tw"))
+      .agg(min(col("__v")).as("w_median"))
+      .select(col("__g"), col("w_median"), col("__tw").as("total_w"))
+  }
+
+  /** §2.12 — per-language char-weighted median token count. */
+  def weightedMedianQ(s: SparkSession, d: String): DataFrame =
+    weightedMedian(Tables.documents(s, d), col("lang"),
+      graft.functions.TextFunctions.tokenCount(col("text")), col("n_chars"))
+      .withColumnRenamed("__g", "lang")
+      .orderBy(col("lang"))
+
+  /** Per-group OLS trend (SURVEY.md §2 row 147) — slope/intercept of y
+    * on x from the closed form, the "is this metric drifting and how
+    * fast" companion to the CUSUM alarm (row 137 says WHEN something
+    * shifted; this says the RATE). One aggregation pass: n, Σx, Σy,
+    * Σxy, Σx² accumulate as EXACT decimals (map-side partials,
+    * order-independent), and only the final formula runs in double —
+    * identical formula text both engines, slope rounded to 12 decimals
+    * (the corrPairs convention), and the intercept computed FROM the
+    * rounded slope so both engines feed identical inputs. */
+  def trendPerGroup(df: DataFrame, grpCol: Column, xCol: Column,
+                    yCol: Column): DataFrame = {
+    val D0 = DecimalType(18, 0)
+    val d = df.select(grpCol.as("__g"), xCol.cast(LongType).as("__x"),
+      yCol.cast(DecimalType(12, 2)).as("__y"))
+    d.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("__y").cast(DecimalType(38, 4))).as("sy"),
+        sum((col("__x").cast(D0) * col("__y")).cast(DecimalType(38, 4))).as("sxy"),
+        sum((col("__x").cast(D0) * col("__x").cast(D0)).cast(DecimalType(38, 0))).as("sxx"))
+      .withColumn("slope",
+        expr("""round((cast(n as double) * cast(sxy as double)
+               | - cast(sx as double) * cast(sy as double))
+               | / (cast(n as double) * cast(sxx as double)
+               |    - cast(sx as double) * cast(sx as double)), 12)""".stripMargin))
+      .withColumn("intercept",
+        expr("""round((cast(sy as double) - slope * cast(sx as double))
+               | / cast(n as double), 12)""".stripMargin))
+      .select(col("__g"), col("n"), col("slope"), col("intercept"))
+  }
+
+  /** §2.12 — per-event-type value trend over wall-clock hours. */
+  def trendQ(s: SparkSession, d: String): DataFrame =
+    trendPerGroup(Tables.events(s, d), col("event_type"),
+      expr("unix_micros(ts) div 3600000000"), col("value"))
+      .withColumnRenamed("__g", "event_type")
+      .orderBy(col("event_type"))
+
   /** §2.11 — order-independent dataset fingerprint: the reproducibility
     * checksum shard validation and cross-engine dataset equality audits
     * need. Each row hashes with the domain-prefixed poly-hash over its
@@ -330,6 +404,8 @@ object Profiling {
     "q_drift_cusum"   -> (driftCusumQ _),
     "q_dataset_hash"  -> (datasetHashQ _),
     "q_version_diff"  -> (versionDiffQ _),
+    "q_weighted_median" -> (weightedMedianQ _),
+    "q_trend"         -> (trendQ _),
     "q_profile"       -> (profileQ _),
     "q_histogram"     -> (histogramQ _),
     "q_time_weighted" -> (timeWeightedQ _),
@@ -364,6 +440,53 @@ object Profiling {
         |  CAST(MAX(sd) AS BIGINT) AS max_down,
         |  MIN(CASE WHEN sp > GREATEST(target, CAST(0 AS BIGINT)) THEN day END) AS alarm_day
         |FROM s GROUP BY event_type, target
+        |ORDER BY event_type""".stripMargin,
+
+    // per-(lang, token-count) weight sums, integer cumsum windows,
+    // 2*cumw >= W lower-median rule — all BIGINT
+    "q_weighted_median" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS v,
+        |    CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v,
+        |    SUM(w) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY lang) AS tw
+        |  FROM d)
+        |SELECT lang, CAST(MIN(v) AS BIGINT) AS w_median, CAST(tw AS BIGINT) AS total_w
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY lang, tw
+        |ORDER BY lang""".stripMargin,
+
+    // exact decimal sums, then the identical double formula text:
+    // slope rounded to 12 decimals, intercept computed FROM the
+    // rounded slope (the corr_matrix convention)
+    "q_trend" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS x,
+        |    CAST(value AS DECIMAL(12,2)) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sy,
+        |    SUM(CAST(CAST(x AS DECIMAL(18,0)) * y AS DECIMAL(38,4))) AS sxy,
+        |    SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sxx
+        |  FROM d GROUP BY g),
+        |sl AS (
+        |  SELECT g, n, sx, sy,
+        |    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12) AS slope
+        |  FROM a)
+        |SELECT g AS event_type, n, slope,
+        |  ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |   / CAST(n AS DOUBLE), 12) AS intercept
+        |FROM sl
         |ORDER BY event_type""".stripMargin,
 
     // same derived v2 snapshot, same "vdiff|"-prefixed content

@@ -161,6 +161,40 @@ class SketchCurationSpec extends AnyFunSuite {
       (3L, "removed"), (4L, "added")))
   }
 
+  test("weightedMedian: weight-skewed vs uniform, lower-median rule") {
+    import graft.operators.Profiling
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 10L)).toDF("v", "w")
+      .withColumn("g", lit("a"))
+    val m = Profiling.weightedMedian(df, col("g"), col("v"), col("w"))
+      .as[(String, Long, Long)].head()
+    assert(m == ("a", 3L, 12L)) // the heavy value owns the median
+    val even = Seq((1L, 5L), (2L, 5L)).toDF("v", "w").withColumn("g", lit("b"))
+    val m2 = Profiling.weightedMedian(even, col("g"), col("v"), col("w"))
+      .as[(String, Long, Long)].head()
+    assert(m2 == ("b", 1L, 10L)) // exact half -> LOWER median
+  }
+
+  test("trendPerGroup recovers an exact line") {
+    import graft.operators.Profiling
+    val df = (1L to 5L).map(x => ("g", x, 2.0 * x + 3.0)).toDF("g", "x", "y")
+    val t = Profiling.trendPerGroup(df, col("g"), col("x"), col("y"))
+      .as[(String, Long, Double, Double)].head()
+    assert(t == ("g", 5L, 2.0, 3.0), t.toString)
+  }
+
+  test("rankAgreement: identity, reversal, zero overlap") {
+    import graft.operators.Fusion
+    val ra = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L), (2L, 20L, 2L), (2L, 30L, 3L),
+      (3L, 77L, 1L)).toDF("qid", "doc_id", "rn")
+    val rb = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), // identical
+      (2L, 10L, 3L), (2L, 20L, 2L), (2L, 30L, 1L),            // reversed
+      (3L, 88L, 1L)).toDF("qid", "doc_id", "rn")               // no overlap
+    val out = Fusion.rankAgreement(ra, rb).orderBy(col("qid"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 3L, 0L), (2L, 3L, 0L, 3L), (3L, 0L, 0L, 0L)))
+  }
+
   test("versionDiff: NULL text is content, not absence") {
     val v1 = Seq((1L, null), (2L, null), (3L, "c"))
       .toDF("doc_id", "text")
