@@ -42,7 +42,7 @@ object SparkEntry {
     Fuzzy.queries ++ Profiling.queries ++ TrainingOps.queries ++ CorpusOps.queries ++
     HeavyHitters.queries ++ TrainingPipeline.queries ++ LmScore.queries ++
     SubstringDedup.queries ++ SemDedup.queries ++ MixtureOps.queries ++
-    PqIndex.queries ++ ScalarQuant.queries ++ ClusterOps.queries ++ GraphOps.queries ++ GraphState.queries ++
+    PqIndex.queries ++ ScalarQuant.queries ++ ClusterOps.queries ++ GraphOps.queries ++ GraphState.queries ++ NoveltyState.queries ++
     BpeOps.queries ++ Classify.queries ++ Contamination.queries ++
     Boilerplate.queries ++ Dsir.queries ++ Fusion.queries ++ Blocklist.queries ++
     graft.sources.ExtractClient.queries
@@ -223,7 +223,7 @@ object SparkEntry {
     Fuzzy.oracles ++ Profiling.oracles ++ TrainingOps.oracles ++ CorpusOps.oracles ++
     HeavyHitters.oracles ++ TrainingPipeline.oracles ++ LmScore.oracles ++
     SubstringDedup.oracles ++ SemDedup.oracles ++ MixtureOps.oracles ++
-    PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++ GraphOps.oracles ++ GraphState.oracles ++
+    PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++ GraphOps.oracles ++ GraphState.oracles ++ NoveltyState.oracles ++
     BpeOps.oracles ++ Classify.oracles ++ Contamination.oracles ++
     Boilerplate.oracles ++ Dsir.oracles ++ SketchOps.oracles ++ Fusion.oracles ++ Blocklist.oracles ++
     graft.sources.ExtractClient.oracles

@@ -338,14 +338,22 @@ object TextOps {
     * shingles sharing a 64-bit hash collapse into one novelty unit;
     * the oracle replays the same hashes, so collisions replay exactly.
     */
-  def noveltyScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = shingleRows(
-      docs.select(col(idCol).as("__id"), col(textCol).as("__t")),
-      Seq(col("__id")), col("__t"), n = 3, out = "sh")
-    val dh = sh.select(col("__id"),
+  /** Per-doc DISTINCT "nov|"-prefixed 3-gram shingle hashes — the
+    * (__id, h) projection every novelty path shares (the direct score
+    * below and [[NoveltyState]]'s persisted first-seen state), so the
+    * hash streams cannot drift between them. */
+  private[operators] def docShingleHashes(docs: DataFrame, idCol: String,
+                                          textCol: String): DataFrame =
+    shingleRows(
+        docs.select(col(idCol).as("__id"), col(textCol).as("__t")),
+        Seq(col("__id")), col("__t"), n = 3, out = "sh")
+      .select(col("__id"),
         graft.plans.PolyHash64.poly_hash64(concat(lit("nov|"), col("sh"))).as("h"))
       .distinct()
+
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dh = docShingleHashes(docs, idCol, textCol)
     val w = Window.partitionBy(col("h"))
     dh.withColumn("first_id", min(col("__id")).over(w))
       .groupBy(col("__id").as("doc_id"))
@@ -387,6 +395,26 @@ object TextOps {
       |          regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
       |        FROM documents) w
       |  WHERE len(ws) >= 3""".stripMargin
+
+  /** Full-corpus novelty replay; `finalWhere` restricts the OUTPUT
+    * rows only (first occurrences stay corpus-global) — shared with
+    * NoveltyState's incremental gate, whose state-fed batch scores
+    * must equal exactly this, restricted to the batch. */
+  private[operators] def noveltySql(finalWhere: String = ""): String =
+    s"""WITH s AS ($shingleSql),
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |gv AS (SELECT DISTINCT g FROM ex),
+       |hs AS (${TrainingOps.polyHashSql("nov|", "gv", "g")}),
+       |dh AS (SELECT DISTINCT ex.doc_id, hs.h FROM ex JOIN hs ON ex.g = hs.g),
+       |fo AS (SELECT h, MIN(doc_id) AS fid FROM dh GROUP BY h),
+       |agg AS (
+       |  SELECT dh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN fo.fid = dh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM dh JOIN fo ON dh.h = fo.h
+       |  GROUP BY dh.doc_id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  CAST((100 * n_novel) // n_shingles AS BIGINT) AS novelty_pct
+       |FROM agg $finalWhere ORDER BY doc_id""".stripMargin
 
   /** Shared oracle prelude: minhash-parity near-dup pairs (j >= 0.5,
     * the q_dedup_minhash relation) resolved into a component map `cm`
@@ -549,21 +577,7 @@ object TextOps {
     // per-doc distinct "nov|"-prefixed shingle hashes (replayed in
     // HUGEINT — collisions collapse identically), first occurrence =
     // min doc_id per hash, floor-div percentage
-    "q_novelty" ->
-      s"""WITH s AS ($shingleSql),
-         |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         |gv AS (SELECT DISTINCT g FROM ex),
-         |hs AS (${TrainingOps.polyHashSql("nov|", "gv", "g")}),
-         |dh AS (SELECT DISTINCT ex.doc_id, hs.h FROM ex JOIN hs ON ex.g = hs.g),
-         |fo AS (SELECT h, MIN(doc_id) AS fid FROM dh GROUP BY h),
-         |agg AS (
-         |  SELECT dh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
-         |    CAST(SUM(CASE WHEN fo.fid = dh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-         |  FROM dh JOIN fo ON dh.h = fo.h
-         |  GROUP BY dh.doc_id)
-         |SELECT doc_id, n_shingles, n_novel,
-         |  CAST((100 * n_novel) // n_shingles AS BIGINT) AS novelty_pct
-         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_novelty" -> noveltySql(),
 
     // the keep_best component map, completed with singleton comps
     // (doc_id itself), then the split-hash replay over the DISTINCT

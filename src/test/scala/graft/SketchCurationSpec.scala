@@ -116,6 +116,39 @@ class SketchCurationSpec extends AnyFunSuite {
     assert(out(4L) == 50L, out.toString)
   }
 
+  test("novelty state: state-fed == direct, idempotent, order-free") {
+    import graft.operators.NoveltyState
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_novspec").toString
+    NoveltyState.commitNoveltyDelta(spark, corpus, "doc_id", "text", root, "corpus")
+    NoveltyState.commitNoveltyDelta(spark, batch, "doc_id", "text", root, "b1")
+    val fed = NoveltyState.scoreAgainstState(
+        NoveltyState.stateFrom(spark, root), batch, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().toSeq
+    val direct = TextOps.noveltyScores(docs, "doc_id", "text")
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(fed == direct && fed.nonEmpty)
+    // retry idempotence: re-landing a batch changes nothing
+    NoveltyState.commitNoveltyDelta(spark, batch, "doc_id", "text", root, "b1")
+    val fed2 = NoveltyState.scoreAgainstState(
+        NoveltyState.stateFrom(spark, root), batch, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(fed2 == fed)
+    // arrival order is irrelevant: first-seen is keyed by doc id
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_novspec2").toString
+    NoveltyState.commitNoveltyDelta(spark, batch, "doc_id", "text", root2, "b1")
+    NoveltyState.commitNoveltyDelta(spark, corpus, "doc_id", "text", root2, "corpus")
+    val fed3 = NoveltyState.scoreAgainstState(
+        NoveltyState.stateFrom(spark, root2), batch, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(fed3 == fed)
+  }
+
   test("novelty is invariant to doc partitioning") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val a = TextOps.noveltyScores(docs, "doc_id", "text")
