@@ -29,6 +29,18 @@ import graft.sources.Tables
   * Caller contract: score only docs whose batch has been committed
   * (an uncommitted doc's unseen hashes would silently drop out of the
   * inner join).
+  *
+  * MEASURED trade (ScaleProbe nov_ingest/nov_full, honest negative):
+  * on the synthetic bench corpus the full recompute restricted to the
+  * batch stays CHEAPER (~0.9 s vs ~1.5-1.9 s, both flat over a 16×
+  * corpus — Catalyst prunes the recompute's final per-doc aggregate
+  * to batch rows). Why: these docs are ~0.5 KB with ~90 distinct
+  * shingles, so the state table is nearly the size of the text it
+  * replaces and the ingest's parquet round-trip buys no byte
+  * reduction. The state path wins where real corpora live — documents
+  * of tens of KB whose distinct-hash table is a small fraction of the
+  * text — and when the state is kept compacted/bucketed so the
+  * min-reduce is a layout-free scan.
   */
 object NoveltyState {
 

@@ -400,6 +400,31 @@ object ScaleProbe {
         graft.operators.Profiling.versionDiff(docs, v2, "doc_id", "text").count()
       }
 
+      // Novelty ingest vs full recompute: the batch is FIXED (one
+      // fresh base-sized copy, all-new hashes) while the committed
+      // state grows k×. The ingest pays O(batch) commit + a scan of
+      // the compact hash state (no corpus TEXT); the full path
+      // re-shingles the whole corpus every time.
+      if (onlyOps.forall(s => s.contains("nov_ingest") || s.contains("nov_full"))) {
+        import graft.operators.NoveltyState
+        val nroot = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_nov_k$k").toString
+        NoveltyState.commitNoveltyDelta(spark, docs, "doc_id", "text", nroot, "corpus")
+        spark.sharedState.cacheManager.clearCache()
+        val nbatch = suffixed(base, 999L * stride(base), "zz")
+        time("nov_ingest", k) {
+          NoveltyState.commitNoveltyDelta(spark, nbatch, "doc_id", "text", nroot, "probe")
+          NoveltyState.scoreAgainstState(
+            NoveltyState.stateFrom(spark, nroot), nbatch, "doc_id", "text").count()
+        }
+        time("nov_full", k) {
+          TextOps.noveltyScores(
+              docs.select(col("doc_id"), col("text")).unionByName(nbatch),
+              "doc_id", "text")
+            .filter(col("doc_id") >= 999L * stride(base)).count()
+        }
+      }
+
       // Incremental ingest vs re-running the full pipeline: the batch is
       // FIXED (one fresh base-sized copy, lang column required by the
       // pipeline) while the corpus grows k×. The full run re-pays the
