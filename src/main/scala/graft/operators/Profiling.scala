@@ -204,6 +204,56 @@ object Profiling {
       .select(col("__g"), col("w_median"), col("__tw").as("total_w"))
   }
 
+  /** Exact per-group winsorization report (SURVEY.md §2 row 153) —
+    * the robust-scaling companion to the MAD outlier flag: clamp a
+    * value distribution at its exact lower/upper percentiles and
+    * report, per group, the bounds, how much mass was clamped on each
+    * side, and the clamped sum — the numbers a feature-normalization
+    * or payout-capping stage needs, all integers so parity is
+    * hash-exact. Quantile rule is the weightedMedian lower-quantile
+    * generalization: q_p = smallest v with cum_count·100 ≥ p·n.
+    *
+    * Scale shape: raw rows are touched ONCE — the (group, value)
+    * aggregation with map-side combine; every later step (cumsum,
+    * bounds, clamp, collapse) rides the value-DISTINCT frame, bounded
+    * by the value domain, not the corpus. Bounds are chained
+    * conditional MINs over the same whole-partition window — no
+    * self-join, no broadcast, zero exchanges after the first; the
+    * final groupBy groups on the window's partition key and reuses it.
+    */
+  def winsorize(df: DataFrame, grpCol: Column, valCol: Column,
+                pLo: Int, pHi: Int): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100,
+      s"need 0 <= pLo < pHi <= 100, got ($pLo, $pHi)")
+    val d = df.groupBy(grpCol.as("__g"), valCol.cast(LongType).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d.withColumn("__cw", sum(col("__c")).over(cum))
+      .withColumn("__n", sum(col("__c")).over(full))
+      .withColumn("lo",
+        min(when(col("__cw") * 100 >= col("__n") * pLo, col("__v"))).over(full))
+      .withColumn("hi",
+        min(when(col("__cw") * 100 >= col("__n") * pHi, col("__v"))).over(full))
+      .groupBy(col("__g"), col("__n").as("n"), col("lo"), col("hi"))
+      .agg(
+        sum(when(col("__v") < col("lo"), col("__c")).otherwise(0L)).as("n_lo"),
+        sum(when(col("__v") > col("hi"), col("__c")).otherwise(0L)).as("n_hi"),
+        sum(col("__c") *
+          greatest(col("lo"), least(col("hi"), col("__v")))).as("sum_wins"))
+  }
+
+  /** §2.12 — per-event-type 5/95% winsorization of `value` in exact
+    * cents (value is 2-decimal by construction; DECIMAL(12,2)·100 is
+    * the lossless integer image). */
+  def winsorizeQ(s: SparkSession, d: String): DataFrame =
+    winsorize(Tables.events(s, d), col("event_type"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType), 5, 95)
+      .withColumnRenamed("__g", "event_type")
+      .orderBy(col("event_type"))
+
   /** §2.12 — per-language char-weighted median token count. */
   def weightedMedianQ(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), col("lang"),
@@ -405,6 +455,7 @@ object Profiling {
     "q_dataset_hash"  -> (datasetHashQ _),
     "q_version_diff"  -> (versionDiffQ _),
     "q_weighted_median" -> (weightedMedianQ _),
+    "q_winsorize"     -> (winsorizeQ _),
     "q_trend"         -> (trendQ _),
     "q_profile"       -> (profileQ _),
     "q_histogram"     -> (histogramQ _),
@@ -460,6 +511,34 @@ object Profiling {
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY lang, tw
         |ORDER BY lang""".stripMargin,
+
+    // cents image of value, per-(type, cents) counts, integer cumsum
+    // windows, lower-quantile conditional mins, clamped integer sums
+    "q_winsorize" ->
+      """WITH d AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM d),
+        |b AS (
+        |  SELECT g, v, c, CAST(n AS BIGINT) AS n,
+        |    MIN(CASE WHEN cw * 100 >= n * 5 THEN v END)
+        |      OVER (PARTITION BY g) AS lo,
+        |    MIN(CASE WHEN cw * 100 >= n * 95 THEN v END)
+        |      OVER (PARTITION BY g) AS hi
+        |  FROM w)
+        |SELECT g AS event_type, n, lo, hi,
+        |  CAST(SUM(CASE WHEN v < lo THEN c ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN v > hi THEN c ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(SUM(c * GREATEST(lo, LEAST(hi, v))) AS BIGINT) AS sum_wins
+        |FROM b GROUP BY g, n, lo, hi
+        |ORDER BY event_type""".stripMargin,
 
     // exact decimal sums, then the identical double formula text:
     // slope rounded to 12 decimals, intercept computed FROM the

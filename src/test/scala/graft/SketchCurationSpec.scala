@@ -207,6 +207,29 @@ class SketchCurationSpec extends AnyFunSuite {
     assert(m2 == ("b", 1L, 10L)) // exact half -> LOWER median
   }
 
+  test("winsorize: exact bounds, clamped mass on both sides") {
+    import graft.operators.Profiling
+    // 100 rows of v=1..100 in one group: p5 -> 5, p95 -> 95
+    val df = (1L to 100L).map(v => ("a", v)).toDF("g", "v")
+    val r = Profiling.winsorize(df, col("g"), col("v"), 5, 95)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    val (g, n, lo, hi, nLo, nHi, sw) = r
+    assert((g, n, lo, hi) == ("a", 100L, 5L, 95L))
+    assert(nLo == 4L && nHi == 5L) // v<5 -> 4 rows; v>95 -> 5 rows
+    // clamped sum: 4*5 + sum(5..95) + 5*95
+    assert(sw == 4L * 5 + (5L to 95L).sum + 5L * 95)
+  }
+
+  test("winsorize: duplicate-heavy values collapse before the cumsum") {
+    import graft.operators.Profiling
+    // 9 copies of 10 + one 1000: p95 bound must be 1000 only if the
+    // tail row covers the 95th percentile -- cum at v=10 is 90 < 95
+    val df = (Seq.fill(9)(10L) :+ 1000L).map(("a", _)).toDF("g", "v")
+    val r = Profiling.winsorize(df, col("g"), col("v"), 5, 95)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(r._3 == 10L && r._4 == 1000L && r._5 == 0L && r._6 == 0L)
+  }
+
   test("trendPerGroup recovers an exact line") {
     import graft.operators.Profiling
     val df = (1L to 5L).map(x => ("g", x, 2.0 * x + 3.0)).toDF("g", "x", "y")
