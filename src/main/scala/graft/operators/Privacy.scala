@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** k-anonymity audit + suppression (SURVEY.md §2 row 155) — the
+  * privacy gate a training-data pipeline needs BEFORE text-level PII
+  * redaction (row 60) can be called sufficient: redaction removes
+  * direct identifiers, but a row whose QUASI-identifier combination
+  * (language × source × length bucket, zip × age × gender, …) is
+  * shared by fewer than k rows is re-identifiable by linkage even
+  * with every name scrubbed. The audit reports every equivalence
+  * class with its size and risk flag; suppression nulls the quasi
+  * columns of below-k rows (generalization-by-suppression — the
+  * class everyone else remains in is untouched), so the released
+  * frame is k-anonymous by construction.
+  *
+  * Scale shape: ONE exchange. Class sizes are a COUNT over the
+  * quasi-key window — no audit⋈data join-back (the join formulation
+  * shuffles the data twice); suppression is a conditional projection
+  * over the same windowed frame, and the audit collapse groups on
+  * the window's own partition keys, reusing its exchange. The
+  * equivalence-class frame is bounded by the quasi-key domain, not
+  * the corpus.
+  *
+  * NULL quasi values: treated as a VALUE (SQL GROUP BY semantics both
+  * engines share) — all-NULL rows form their own class; that matches
+  * the linkage-attack model, where "field missing" is itself an
+  * observable. */
+object Privacy {
+
+  /** Tag every row with its equivalence-class size `class_n` over
+    * `quasiCols` and `at_risk = class_n < k`. Pure window + projection. */
+  def tagKAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("class_n", count(lit(1)).over(w))
+      .withColumn("at_risk", col("class_n") < k)
+  }
+
+  /** The audit report: one row per equivalence class. */
+  def audit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    tagKAnonymity(df, quasiCols, k)
+      .groupBy(quasiCols.map(col) :+ col("class_n") :+ col("at_risk"): _*)
+      .agg(count(lit(1)).as("n_rows")) // == class_n; kept as a cross-check
+      .drop("n_rows")
+
+  /** Suppress: null out the quasi columns of rows in below-k classes;
+    * other columns and row count are untouched. */
+  def suppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val tagged = tagKAnonymity(df, quasiCols, k)
+    val suppressed = quasiCols.foldLeft(tagged) { (d, c) =>
+      d.withColumn(c, when(col("at_risk"), lit(null)).otherwise(col(c)))
+    }
+    suppressed.drop("class_n", "at_risk")
+  }
+
+  // quasi-identifiers for the documents gate: language × source ×
+  // coarse length bucket (n_chars div 100)
+  private def quasiDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        GraphOps.fdiv(col("n_chars"), lit(100L)).as("len_bucket"))
+
+  private val K = 3L
+
+  /** §2 row 155 — the equivalence-class audit. */
+  def kanonAuditQ(s: SparkSession, dir: String): DataFrame =
+    audit(quasiDocs(s, dir), Seq("lang", "source", "len_bucket"), K)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
+  /** §2 row 155 — the suppressed release. */
+  def kanonSuppressQ(s: SparkSession, dir: String): DataFrame =
+    suppress(quasiDocs(s, dir), Seq("lang", "source", "len_bucket"), K)
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanon_audit"    -> (kanonAuditQ _),
+    "q_kanon_suppress" -> (kanonSuppressQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_kanon_audit" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST((n_chars - (n_chars % 100)) / 100 AS BIGINT) AS len_bucket
+         |  FROM documents),
+         |t AS (
+         |  SELECT lang, source, len_bucket,
+         |    CAST(COUNT(*) OVER (PARTITION BY lang, source, len_bucket) AS BIGINT)
+         |      AS class_n
+         |  FROM q)
+         |SELECT DISTINCT lang, source, len_bucket, class_n,
+         |  class_n < $K AS at_risk
+         |FROM t
+         |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    "q_kanon_suppress" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST((n_chars - (n_chars % 100)) / 100 AS BIGINT) AS len_bucket
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, lang, source, len_bucket,
+         |    COUNT(*) OVER (PARTITION BY lang, source, len_bucket) AS class_n
+         |  FROM q)
+         |SELECT doc_id,
+         |  CASE WHEN class_n < $K THEN NULL ELSE lang END AS lang,
+         |  CASE WHEN class_n < $K THEN NULL ELSE source END AS source,
+         |  CASE WHEN class_n < $K THEN NULL ELSE len_bucket END AS len_bucket
+         |FROM t
+         |ORDER BY doc_id""".stripMargin,
+  )
+}

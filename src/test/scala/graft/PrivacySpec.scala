@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Privacy
+
+/** k-anonymity audit + suppression (§2 row 155). */
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (id, zip, age) with one 3-row class, one 2-row class, one singleton
+  private def frame() = Seq(
+    (1L, "94110", 30L), (2L, "94110", 30L), (3L, "94110", 30L),
+    (4L, "94110", 40L), (5L, "94110", 40L),
+    (6L, "10001", 99L),
+  ).toDF("id", "zip", "age")
+
+  test("audit sizes every equivalence class and flags below-k") {
+    val got = Privacy.audit(frame(), Seq("zip", "age"), 3)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("94110", 30L, 3L, false),
+      ("94110", 40L, 2L, true),
+      ("10001", 99L, 1L, true)))
+  }
+
+  test("suppression nulls quasi columns of at-risk rows only") {
+    val got = Privacy.suppress(frame(), Seq("zip", "age"), 3)
+      .as[(Long, Option[String], Option[Long])].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some("94110"), Some(30L)), (2L, Some("94110"), Some(30L)),
+      (3L, Some("94110"), Some(30L)),
+      (4L, None, None), (5L, None, None), (6L, None, None)))
+  }
+
+  test("suppressed release is k-anonymous over non-null classes") {
+    val rel = Privacy.suppress(frame(), Seq("zip", "age"), 3)
+    val classes = rel.filter(col("zip").isNotNull)
+      .groupBy("zip", "age").count().as[(String, Long, Long)].collect()
+    assert(classes.forall(_._3 >= 3))
+    assert(rel.count() == 6) // suppression never drops rows
+  }
+
+  test("NULL quasi values form their own class") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "x")).toDF("id", "zip")
+    val got = Privacy.audit(df, Seq("zip"), 2)
+      .as[(Option[String], Long, Boolean)].collect().toSet
+    assert(got == Set((None, 2L, false), (Some("x"), 1L, true)))
+  }
+
+  test("tag + audit + suppress ride one exchange") {
+    val plan = Privacy.suppress(frame(), Seq("zip", "age"), 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("registered queries: audit classes cover all suppress rows") {
+    val audit = Privacy.kanonAuditQ(spark, TestSpark.sf)
+    val sup = Privacy.kanonSuppressQ(spark, TestSpark.sf)
+    val atRiskMass = audit.filter(col("at_risk"))
+      .agg(sum(col("class_n"))).as[Long].head()
+    val nulled = sup.filter(col("lang").isNull).count()
+    assert(audit.count() > 0 && nulled == atRiskMass)
+  }
+}
