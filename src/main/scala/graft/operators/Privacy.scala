@@ -59,6 +59,25 @@ object Privacy {
     suppressed.drop("class_n", "at_risk")
   }
 
+  /** l-diversity audit — the homogeneity-attack companion: a class
+    * can be k-anonymous yet leak completely when every member shares
+    * the same SENSITIVE value (a linker learns it without identifying
+    * anyone). Reports per class the size AND the exact distinct count
+    * of the sensitive attribute; `at_risk` when either bound fails.
+    * One grouped aggregation (count + exact count-distinct — Spark's
+    * two-phase distinct agg, still a single logical pass). */
+  def auditLDiversity(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot be a quasi-identifier")
+    require(k >= 2 && l >= 2, s"k and l must be >= 2, got ($k, $l)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_n"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("class_n") < k || col("n_sensitive") < l)
+  }
+
   // quasi-identifiers for the documents gate: language × source ×
   // coarse length bucket (n_chars div 100)
   private def quasiDocs(s: SparkSession, dir: String): DataFrame =
@@ -78,9 +97,17 @@ object Privacy {
     suppress(quasiDocs(s, dir), Seq("lang", "source", "len_bucket"), K)
       .orderBy(col("doc_id"))
 
+  /** §2 row 155 — l-diversity over (source, len_bucket) with `lang`
+    * as the sensitive attribute. */
+  def ldivAuditQ(s: SparkSession, dir: String): DataFrame =
+    auditLDiversity(quasiDocs(s, dir), Seq("source", "len_bucket"),
+        "lang", K, 2L)
+      .orderBy(col("source"), col("len_bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon_audit"    -> (kanonAuditQ _),
-    "q_kanon_suppress" -> (kanonSuppressQ _))
+    "q_kanon_suppress" -> (kanonSuppressQ _),
+    "q_ldiv_audit"     -> (ldivAuditQ _))
 
   val oracles: Map[String, String] = Map(
     "q_kanon_audit" ->
@@ -97,6 +124,18 @@ object Privacy {
          |  class_n < $K AS at_risk
          |FROM t
          |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    "q_ldiv_audit" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST((n_chars - (n_chars % 100)) / 100 AS BIGINT) AS len_bucket
+         |  FROM documents)
+         |SELECT source, len_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS class_n,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_sensitive,
+         |  (COUNT(*) < $K OR COUNT(DISTINCT lang) < 2) AS at_risk
+         |FROM q GROUP BY source, len_bucket
+         |ORDER BY source, len_bucket""".stripMargin,
 
     "q_kanon_suppress" ->
       s"""WITH q AS (

@@ -52,6 +52,19 @@ class PrivacySpec extends AnyFunSuite {
     assert(got == Set((None, 2L, false), (Some("x"), 1L, true)))
   }
 
+  test("l-diversity flags the homogeneous k-anonymous class") {
+    // class (94110, x3) is k-anonymous but all share disease "flu"
+    val df = Seq(
+      (1L, "94110", "flu"), (2L, "94110", "flu"), (3L, "94110", "flu"),
+      (4L, "10001", "flu"), (5L, "10001", "cold"), (6L, "10001", "hiv"),
+    ).toDF("id", "zip", "disease")
+    val got = Privacy.auditLDiversity(df, Seq("zip"), "disease", 3, 2)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("94110", 3L, 1L, true),   // size ok, diversity fails
+      ("10001", 3L, 3L, false)))
+  }
+
   test("tag + audit + suppress ride one exchange") {
     val plan = Privacy.suppress(frame(), Seq("zip", "age"), 3)
       .queryExecution.executedPlan.toString
