@@ -78,6 +78,51 @@ object Privacy {
       .withColumn("at_risk", col("class_n") < k || col("n_sensitive") < l)
   }
 
+  /** Generalization ladder (global recoding) — the k-anonymity repair
+    * that PRESERVES utility where suppression destroys it: instead of
+    * nulling at-risk rows, coarsen the numeric quasi-identifier
+    * (bucket width `baseWidth`·2^j) to the MINIMAL level j at which
+    * every (fixedCols, bucket_j) class reaches k, then release every
+    * row at that one global level. Returns (chosenLevel, release); if
+    * even the coarsest level fails, the release falls back to
+    * suppression at the top level (the standard generalize-then-
+    * suppress combo) and chosenLevel = levels-1.
+    *
+    * Scale shape: all levels are evaluated in ONE pass — each row
+    * explodes to its `levels` (level, bucket) pairs, but hash
+    * aggregation combines map-side, so what shuffles is the
+    * DISTINCT-cell frame × levels (quasi-domain-bounded), never
+    * levels× the corpus; per-level minima are a second aggregation
+    * over cells, and only `levels` rows reach the driver. (An
+    * early-stop iterative probe would beat this when level 0 usually
+    * qualifies, but pays one job per probed level; one worst-case
+    * pass is the better default.) The release is a pure projection. */
+  def generalizeToK(df: DataFrame, fixedCols: Seq[String], numCol: String,
+                    baseWidth: Long, levels: Int, k: Long): (Int, DataFrame) = {
+    require(baseWidth > 0 && levels >= 1 && levels <= 30, s"bad ladder ($baseWidth, $levels)")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val pairs = array((0 until levels).map(j =>
+      struct(lit(j).as("lvl"),
+        GraphOps.fdiv(col(numCol), lit(baseWidth << j)).as("b"))): _*)
+    val minPerLevel = df
+      .select(fixedCols.map(col) :+ explode(pairs).as("e"): _*)
+      .groupBy(col("e.lvl").as("lvl") +: fixedCols.map(col) :+ col("e.b").as("b"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lvl")).agg(min(col("c")).as("mn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chosen = (0 until levels).find(j => minPerLevel.getOrElse(j, 0L) >= k)
+    chosen match {
+      case Some(j) =>
+        (j, df.withColumn(numCol,
+          GraphOps.fdiv(col(numCol), lit(baseWidth << j))))
+      case None =>
+        val top = levels - 1
+        val coarse = df.withColumn(numCol,
+          GraphOps.fdiv(col(numCol), lit(baseWidth << top)))
+        (top, suppress(coarse, fixedCols :+ numCol, k))
+    }
+  }
+
   // quasi-identifiers for the documents gate: language × source ×
   // coarse length bucket (n_chars div 100)
   private def quasiDocs(s: SparkSession, dir: String): DataFrame =
@@ -104,10 +149,22 @@ object Privacy {
         "lang", K, 2L)
       .orderBy(col("source"), col("len_bucket"))
 
+  /** §2 row 155 — minimal-level generalization over (lang, n_chars)
+    * with an 8-rung width ladder 100·2^j. */
+  def kanonGeneralizeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      col("n_chars"))
+    val (lvl, rel) = generalizeToK(docs, Seq("lang"), "n_chars", 100L, 8, K)
+    rel.select(col("doc_id"), col("lang"),
+        col("n_chars").as("len_bucket"), lit(lvl.toLong).as("level"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_kanon_audit"    -> (kanonAuditQ _),
-    "q_kanon_suppress" -> (kanonSuppressQ _),
-    "q_ldiv_audit"     -> (ldivAuditQ _))
+    "q_kanon_audit"      -> (kanonAuditQ _),
+    "q_kanon_suppress"   -> (kanonSuppressQ _),
+    "q_ldiv_audit"       -> (ldivAuditQ _),
+    "q_kanon_generalize" -> (kanonGeneralizeQ _))
 
   val oracles: Map[String, String] = Map(
     "q_kanon_audit" ->
@@ -124,6 +181,22 @@ object Privacy {
          |  class_n < $K AS at_risk
          |FROM t
          |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // the full ladder in one replay: per-level class minima via a
+    // range(8) cross join, chosen = MIN qualifying level, release
+    // bucketed at the chosen width (1 << chosen)
+    "q_kanon_generalize" ->
+      s"""WITH lv AS (SELECT unnest(range(8)) AS lvl),
+         |cells AS (
+         |  SELECT lvl, lang, n_chars // (100 * (1 << lvl)) AS b, COUNT(*) AS c
+         |  FROM documents CROSS JOIN lv GROUP BY 1, 2, 3),
+         |mins AS (SELECT lvl, MIN(c) AS mn FROM cells GROUP BY 1),
+         |ch AS (SELECT MIN(lvl) AS chosen FROM mins WHERE mn >= $K)
+         |SELECT doc_id, lang,
+         |  CAST(n_chars // (100 * (1 << chosen)) AS BIGINT) AS len_bucket,
+         |  CAST(chosen AS BIGINT) AS level
+         |FROM documents CROSS JOIN ch
+         |ORDER BY doc_id""".stripMargin,
 
     "q_ldiv_audit" ->
       s"""WITH q AS (

@@ -71,6 +71,28 @@ class PrivacySpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("generalizeToK picks the minimal qualifying level") {
+    // widths 10,20,40...: at w=10 buckets {0,1,2} sizes (2,2,2) < 3;
+    // at w=20 buckets {0,1} sizes (4,2) < 3; at w=40 bucket 0 size 6
+    val df = Seq(5L, 7L, 12L, 15L, 25L, 27L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "grp", "v")
+    val (lvl, rel) = Privacy.generalizeToK(df, Seq("grp"), "v", 10L, 4, 3)
+    assert(lvl == 2)
+    assert(rel.select("v").as[Long].collect().toSet == Set(0L))
+  }
+
+  test("generalizeToK falls back to suppression past the top level") {
+    // one immovable singleton group: no width unifies grp a with b
+    val df = Seq((1L, "a", 5L), (2L, "b", 5L), (3L, "b", 6L), (4L, "b", 7L))
+      .toDF("id", "grp", "v")
+    val (lvl, rel) = Privacy.generalizeToK(df, Seq("grp"), "v", 10L, 3, 3)
+    assert(lvl == 2)
+    val rows = rel.as[(Long, Option[String], Option[Long])].collect()
+      .sortBy(_._1).toSeq
+    assert(rows.head == ((1L, None, None)))      // the singleton suppressed
+    assert(rows.tail.forall(_._2.contains("b"))) // the k-class released
+  }
+
   test("registered queries: audit classes cover all suppress rows") {
     val audit = Privacy.kanonAuditQ(spark, TestSpark.sf)
     val sup = Privacy.kanonSuppressQ(spark, TestSpark.sf)
