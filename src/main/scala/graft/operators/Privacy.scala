@@ -123,6 +123,57 @@ object Privacy {
     }
   }
 
+  /** t-closeness audit — the third classic: an l-diverse class whose
+    * sensitive DISTRIBUTION still skews far from the corpus-wide one
+    * leaks probabilistically (a linker's posterior shifts by the
+    * skew). Reports per class the EXACT total-variation distance as
+    * an integer fraction — TVD = num/(2·N_c·N_g) with
+    * num = Σ_v |c_{cv}·N_g − g_v·N_c| — and flags classes with
+    * TVD > tNum/tDen by integer cross-multiplication (5·num >
+    * 2·N_c·N_g for t = 1/5): no floats anywhere, parity hash-exact.
+    * Sensitive values ABSENT from a class still contribute their
+    * g_v·N_c term; that sum folds algebraically into
+    * N_c·(N_g − Σ_{v∈c} g_v), so only PRESENT (class, value) pairs
+    * are ever materialized.
+    *
+    * Scale shape: one aggregation of data rows to the (class, value)
+    * frame; class totals, per-value global totals and the corpus
+    * total are three chained windows over that bounded frame (the
+    * unpartitioned one rides a frame bounded by |classes|·|sensitive
+    * domain|, never the corpus); the collapse groups on the class
+    * window's keys. Integer-exactness contract: products reach
+    * N_c·N_g, so longs are exact while that stays below 2^63
+    * (~3·10^9 rows per side) — switch the products to DECIMAL(38,0)
+    * past that. */
+  def auditTCloseness(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot be a quasi-identifier")
+    require(tNum > 0 && tDen > 0 && tNum < tDen,
+      s"t must be a fraction in (0,1), got $tNum/$tDen")
+    val qc = quasiCols.map(col)
+    val cv = df.groupBy(qc :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__cv"))
+    val wClass = Window.partitionBy(qc: _*)
+    val wValue = Window.partitionBy(col(sensitiveCol))
+    val wAll = Window.partitionBy()
+    cv.withColumn("__gv", sum(col("__cv")).over(wValue))
+      .withColumn("__nc", sum(col("__cv")).over(wClass))
+      .withColumn("__sg", sum(col("__gv")).over(wClass))
+      .withColumn("__ng", sum(col("__cv")).over(wAll))
+      .groupBy(qc :+ col("__nc").as("class_n") :+ col("__ng"): _*)
+      .agg(sum(abs(col("__cv") * col("__ng") - col("__gv") * col("__nc")))
+        .as("__present"),
+        min(col("__sg")).as("__sgm"))
+      .withColumn("tvd_num",
+        col("__present") + col("class_n") * (col("__ng") - col("__sgm")))
+      .withColumn("tvd_den", lit(2L) * col("class_n") * col("__ng"))
+      .withColumn("at_risk", lit(tDen) * col("tvd_num") > lit(tNum) * col("tvd_den"))
+      .select(qc :+ col("class_n") :+ col("tvd_num") :+ col("tvd_den")
+        :+ col("at_risk"): _*)
+  }
+
   // quasi-identifiers for the documents gate: language × source ×
   // coarse length bucket (n_chars div 100)
   private def quasiDocs(s: SparkSession, dir: String): DataFrame =
@@ -160,11 +211,18 @@ object Privacy {
       .orderBy(col("doc_id"))
   }
 
+  /** §2 row 155 — t-closeness of each source's language distribution
+    * against the corpus-wide one, t = 1/10. */
+  def tcloseAuditQ(s: SparkSession, dir: String): DataFrame =
+    auditTCloseness(Tables.documents(s, dir), Seq("source"), "lang", 1L, 10L)
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon_audit"      -> (kanonAuditQ _),
     "q_kanon_suppress"   -> (kanonSuppressQ _),
     "q_ldiv_audit"       -> (ldivAuditQ _),
-    "q_kanon_generalize" -> (kanonGeneralizeQ _))
+    "q_kanon_generalize" -> (kanonGeneralizeQ _),
+    "q_tclose_audit"     -> (tcloseAuditQ _))
 
   val oracles: Map[String, String] = Map(
     "q_kanon_audit" ->
@@ -197,6 +255,32 @@ object Privacy {
          |  CAST(chosen AS BIGINT) AS level
          |FROM documents CROSS JOIN ch
          |ORDER BY doc_id""".stripMargin,
+
+    // (class, value) counts + three layered window sums + the
+    // absent-pair fold N_c·(N_g − Σ_present g_v); flag by integer
+    // cross-multiplication — no floats on either engine
+    "q_tclose_audit" ->
+      """WITH cv AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cv
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, lang, cv,
+        |    SUM(cv) OVER (PARTITION BY lang) AS gv,
+        |    SUM(cv) OVER (PARTITION BY source) AS nc,
+        |    SUM(cv) OVER () AS ng
+        |  FROM cv),
+        |w2 AS (
+        |  SELECT *, SUM(gv) OVER (PARTITION BY source) AS sg FROM w),
+        |a AS (
+        |  SELECT source, CAST(nc AS BIGINT) AS class_n, ng,
+        |    SUM(ABS(cv * ng - gv * nc)) AS present, MIN(sg) AS sgm
+        |  FROM w2 GROUP BY source, nc, ng)
+        |SELECT source, class_n,
+        |  CAST(present + class_n * (ng - sgm) AS BIGINT) AS tvd_num,
+        |  CAST(2 * class_n * ng AS BIGINT) AS tvd_den,
+        |  (10 * (present + class_n * (ng - sgm)) > 2 * class_n * ng) AS at_risk
+        |FROM a
+        |ORDER BY source""".stripMargin,
 
     "q_ldiv_audit" ->
       s"""WITH q AS (

@@ -93,6 +93,27 @@ class PrivacySpec extends AnyFunSuite {
     assert(rows.tail.forall(_._2.contains("b"))) // the k-class released
   }
 
+  test("t-closeness: exact TVD fraction incl. absent-value fold") {
+    // class a = {x,x,x}, class b = {x,y,y}; global x:4 y:2, N=6
+    // TVD(a) = 1/2(|1-4/6| + |0-2/6|) = 1/3 -> num 12 / den 36
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "x"), ("b", "y"), ("b", "y")).toDF("grp", "v")
+    val got = Privacy.auditTCloseness(df, Seq("grp"), "v", 1, 4)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(("a", 3L, 12L, 36L, true), ("b", 3L, 12L, 36L, true)))
+    val loose = Privacy.auditTCloseness(df, Seq("grp"), "v", 1, 2)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(loose.forall(!_._5)) // 1/3 <= 1/2
+  }
+
+  test("t-closeness: a class matching the global distribution scores 0") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("grp", "v")
+    val got = Privacy.auditTCloseness(df, Seq("grp"), "v", 1, 10)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.forall(r => r._3 == 0L && !r._5))
+  }
+
   test("registered queries: audit classes cover all suppress rows") {
     val audit = Privacy.kanonAuditQ(spark, TestSpark.sf)
     val sup = Privacy.kanonSuppressQ(spark, TestSpark.sf)
