@@ -39,6 +39,48 @@ object VectorOps {
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
   }
 
+  /** Hard-negative mining (SURVEY.md §2 row 156) — the contrastive-
+    * training data op: for each anchor, the k most-similar corpus
+    * vectors with a DIFFERENT label. Those are exactly the pairs a
+    * triplet/contrastive loss learns most from — easy negatives (far,
+    * different label) contribute ~zero gradient, and random sampling
+    * finds almost only easy ones; mining the near-but-wrong ones is
+    * what the embedding-training pipelines this library feeds do at
+    * scale.
+    *
+    * Shape mirrors [[bruteForceTopK]]: the ANCHOR BATCH broadcasts
+    * (caller batches anchors — the corpus scans once per batch, never
+    * self-joins), labels ride the prepared frames, the different-label
+    * filter applies BEFORE ranking (an anchor's own row drops there
+    * too), and ranking uses the same (cos DESC, cid) order contract as
+    * [[topKByCosine]]. At corpus×corpus scale, feed `candidates` from
+    * the IVF cells (row 107) or LSH buckets (row 41) instead of the
+    * full table — mining tolerates approximate candidates by
+    * construction (a missed near-negative costs a training pair, not
+    * correctness).
+    */
+  def mineHardNegatives(candidates: DataFrame, anchors: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    val c = candidates.select(col(idCol).as("cid"), col(labelCol).as("c_lbl"),
+        quantize(col(vecCol)).as("c_qv"))
+      .withColumn("c_nsq", dotQuantized(col("c_qv"), col("c_qv")).cast(DoubleType))
+    val q = anchors.select(col(idCol).as("qid"), col(labelCol).as("q_lbl"),
+        quantize(col(vecCol)).as("q_qv"))
+      .withColumn("q_nsq", dotQuantized(col("q_qv"), col("q_qv")).cast(DoubleType))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_lbl") =!= col("q_lbl"))
+      .withColumn("cos", cosineFrom(
+        dotQuantized(col("q_qv"), col("c_qv")).cast(DoubleType),
+        col("q_nsq"), col("c_nsq")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("q_lbl"), col("cid"), col("c_lbl"),
+        col("cos"), col("rn"))
+  }
+
   /** Fails fast when the declared dim does not match the data: a
     * mismatch would null the hyperplane dots and collapse every row
     * into one bucket (full cross product) — silently. */

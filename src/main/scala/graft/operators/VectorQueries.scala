@@ -18,6 +18,15 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** §2 row 156 — hard negatives for the first 10 anchors: top-5
+    * most-similar different-label vectors, full-corpus candidates. */
+  def hardNegativesQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    VectorOps.mineHardNegatives(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** §2.3#39 — near-dup pairs by cosine >= 0.3, blocked on label. */
   def embedNearDupQ(s: SparkSession, d: String): DataFrame =
     VectorOps.nearDupPairs(Tables.embeddings(s, d),
@@ -60,6 +69,7 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_bruteforce" -> (knnBruteforceQ _),
+    "q_hard_negatives" -> (hardNegativesQ _),
     "q_embed_neardup"  -> (embedNearDupQ _),
     "q_knn_lsh"        -> (knnLshQ _),
     "q_knn_ivf"        -> (knnIvfQ _),
@@ -89,6 +99,23 @@ object VectorQueries {
     // identical to brute force (see knnIvfQ), so both queries share the
     // exact quantized-dot top-k replay
     "q_knn_ivf" -> knnExactSql,
+
+    // the knn replay with labels riding and the different-label filter
+    // applied before ranking (anchor self-pairs drop there too)
+    "q_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS q_lbl, embedding AS qe, nsq AS q_nsq FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, label AS c_lbl, embedding AS ce, nsq AS c_nsq FROM v),
+         |s AS (
+         |  SELECT qid, q_lbl, cid, c_lbl,
+         |    ${dotSql("qe", "ce")} / greatest(sqrt(q_nsq) * sqrt(c_nsq), 1e-9) AS cos
+         |  FROM q, c WHERE c_lbl <> q_lbl)
+         |SELECT qid, q_lbl, cid, c_lbl, cos, rn FROM (
+         |  SELECT qid, q_lbl, cid, c_lbl, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |  FROM s) t
+         |WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
     "q_knn_bruteforce" -> knnExactSql,
 
     "q_embed_neardup" ->

@@ -60,6 +60,36 @@ class VectorSpec extends AnyFunSuite {
     assert(pairs.filter($"cos" < 0.3).count() == 0)
   }
 
+  test("hard negatives never share the anchor's label, never self-match") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val got = VectorOps.mineHardNegatives(e, e.filter($"vec_id" < 5),
+        "vec_id", "embedding", "label", k = 3)
+      .select($"qid", $"q_lbl", $"cid", $"c_lbl", $"rn")
+      .as[(Long, Int, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (qid, ql, cid, cl, _) => ql != cl && qid != cid })
+    // per anchor: exactly k rows, ranks 1..k
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._5).sorted.toSeq == (1L to 3L))
+    }
+  }
+
+  test("hard negatives = brute-force ranking restricted to other labels") {
+    // hand-checkable frame: anchor label 0 at origin-ish; negatives at
+    // decreasing cosine
+    val df = Seq(
+      (0L, 0, Array(1f, 0f)),
+      (1L, 1, Array(0.9f, 0.1f)),   // most similar wrong-label
+      (2L, 1, Array(0.5f, 0.5f)),
+      (3L, 0, Array(0.99f, 0.01f)), // same label: excluded despite similarity
+      (4L, 2, Array(0f, 1f)))       // near-orthogonal
+      .toDF("vec_id", "label", "embedding")
+    val got = VectorOps.mineHardNegatives(df, df.filter($"vec_id" === 0L),
+        "vec_id", "embedding", "label", k = 3)
+      .select($"cid", $"rn").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (4L, 3L)))
+  }
+
   test("requireDim fails with a clear message on an empty dataset") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
