@@ -75,6 +75,18 @@ class DqSpec extends AnyFunSuite {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("a filter above the tag still pushes down to the parquet scan") {
+    // the tag is a pure projection over input columns, so a predicate
+    // on an input column must reach PushedFilters — the scaladoc claim
+    val dir = java.nio.file.Files.createTempDirectory("dqpush").toString + "/t"
+    frame().write.mode("overwrite").parquet(dir)
+    val plan = Dq.tag(spark.read.parquet(dir), rules)
+      .filter(col("v") > 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,0)]"),
+      s"filter did not push past the DQ tag:\n$plan")
+  }
+
   test("duplicate rule names are rejected") {
     intercept[IllegalArgumentException] {
       Dq.tag(frame(), Seq(DqRule("r", lit(true)), DqRule("r", lit(false))))

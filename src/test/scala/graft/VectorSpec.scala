@@ -90,6 +90,18 @@ class VectorSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 2L), (4L, 3L)))
   }
 
+  test("hard-negative plan broadcasts the anchor batch, corpus never shuffles") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val plan = VectorOps.mineHardNegatives(e, e.filter($"vec_id" < 5),
+        "vec_id", "embedding", "label", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the corpus side reaches the join without a hash exchange; the
+    // only hashpartitioning belongs to the per-anchor ranking window
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("requireDim fails with a clear message on an empty dataset") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
