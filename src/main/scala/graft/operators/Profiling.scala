@@ -254,6 +254,42 @@ object Profiling {
       .withColumnRenamed("__g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Approximate functional-dependency audit (SURVEY.md §2 row 157) —
+    * the DISCOVERED-rule complement to the declarative DQ gate (row
+    * 150): for a candidate dependency X→Y, report per determinant
+    * value the majority dependent, its support, and the exact integer
+    * confidence — "source determines language at 93%; these rows are
+    * the exceptions" is how real-world rules live (exact FDs are rare
+    * in dirty data; the audit quantifies HOW approximate). The
+    * violating rows (off-majority) are the repair/quarantine work
+    * list, obtainable by an equi-join of the data against this frame
+    * on (det, majority).
+    *
+    * Scale shape: one map-side-combined aggregation of rows to the
+    * (det, dep) frame; majority pick and per-det totals are windows
+    * over that value-pair-bounded frame partitioned by det; no data
+    * join-back inside the audit. Ties on count break on the smaller
+    * dependent value so the report is deterministic. */
+  def fdAudit(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val d = df.groupBy(col(detCol).as("det"), col(depCol).as("dep"))
+      .agg(count(lit(1)).as("__c"))
+    val wDet = Window.partitionBy(col("det"))
+    val pick = Window.partitionBy(col("det"))
+      .orderBy(col("__c").desc, col("dep"))
+    d.withColumn("n", sum(col("__c")).over(wDet))
+      .withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(col("det"), col("dep").as("dep_major"), col("n"),
+        col("__c").as("n_major"),
+        GraphOps.fdiv(lit(100L) * col("__c"), col("n")).as("conf_pct"))
+  }
+
+  /** §2.12 — does `source` determine `lang` over documents? */
+  def fdAuditQ(s: SparkSession, d: String): DataFrame =
+    fdAudit(Tables.documents(s, d), "source", "lang")
+      .withColumnRenamed("det", "source")
+      .orderBy(col("source"))
+
   /** §2.12 — per-language char-weighted median token count. */
   def weightedMedianQ(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), col("lang"),
@@ -456,6 +492,7 @@ object Profiling {
     "q_version_diff"  -> (versionDiffQ _),
     "q_weighted_median" -> (weightedMedianQ _),
     "q_winsorize"     -> (winsorizeQ _),
+    "q_fd_audit"      -> (fdAuditQ _),
     "q_trend"         -> (trendQ _),
     "q_profile"       -> (profileQ _),
     "q_histogram"     -> (histogramQ _),
@@ -511,6 +548,22 @@ object Profiling {
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY lang, tw
         |ORDER BY lang""".stripMargin,
+
+    // (det, dep) counts, majority via ROW_NUMBER (count desc, dep asc),
+    // floor-div confidence — all integers
+    "q_fd_audit" ->
+      """WITH d AS (
+        |  SELECT source AS det, lang AS dep, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT det, dep, c,
+        |    CAST(SUM(c) OVER (PARTITION BY det) AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY det ORDER BY c DESC, dep) AS rk
+        |  FROM d)
+        |SELECT det AS source, dep AS dep_major, n, c AS n_major,
+        |  CAST((100 * c) // n AS BIGINT) AS conf_pct
+        |FROM w WHERE rk = 1
+        |ORDER BY source""".stripMargin,
 
     // cents image of value, per-(type, cents) counts, integer cumsum
     // windows, lower-quantile conditional mins, clamped integer sums

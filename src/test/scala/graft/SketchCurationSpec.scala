@@ -207,6 +207,17 @@ class SketchCurationSpec extends AnyFunSuite {
     assert(m2 == ("b", 1L, 10L)) // exact half -> LOWER median
   }
 
+  test("fdAudit: majority, confidence, deterministic tie-break") {
+    import graft.operators.Profiling
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "fr"),
+      ("s2", "de"), ("s2", "en")).toDF("src", "lang")
+    val got = Profiling.fdAudit(df, "src", "lang")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("s1", "en", 3L, 2L, 66L),   // floor(200/3)
+      ("s2", "de", 2L, 1L, 50L)))  // tie 1-1 -> smaller dep value
+  }
+
   test("winsorize: exact bounds, clamped mass on both sides") {
     import graft.operators.Profiling
     // 100 rows of v=1..100 in one group: p5 -> 5, p95 -> 95
