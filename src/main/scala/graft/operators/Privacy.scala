@@ -243,17 +243,31 @@ object Privacy {
     // the full ladder in one replay: per-level class minima via a
     // range(8) cross join, chosen = MIN qualifying level, release
     // bucketed at the chosen width (1 << chosen)
+    // replays the engine's fallback too: when NO level reaches k, the
+    // release is the TOP-level recoding with small classes suppressed
+    // (quasi columns NULLed), never a NULL bucket for every row
     "q_kanon_generalize" ->
       s"""WITH lv AS (SELECT unnest(range(8)) AS lvl),
          |cells AS (
          |  SELECT lvl, lang, n_chars // (100 * (1 << lvl)) AS b, COUNT(*) AS c
          |  FROM documents CROSS JOIN lv GROUP BY 1, 2, 3),
          |mins AS (SELECT lvl, MIN(c) AS mn FROM cells GROUP BY 1),
-         |ch AS (SELECT MIN(lvl) AS chosen FROM mins WHERE mn >= $K)
-         |SELECT doc_id, lang,
-         |  CAST(n_chars // (100 * (1 << chosen)) AS BIGINT) AS len_bucket,
+         |ch AS (SELECT MIN(lvl) AS raw FROM mins WHERE mn >= $K),
+         |ch2 AS (SELECT COALESCE(raw, 7) AS chosen, raw IS NULL AS fb FROM ch),
+         |rel AS (
+         |  SELECT doc_id, lang,
+         |    n_chars // (100 * (1 << chosen)) AS lb, chosen, fb
+         |  FROM documents CROSS JOIN ch2),
+         |cls AS (
+         |  SELECT doc_id, lang, lb, chosen, fb,
+         |    COUNT(*) OVER (PARTITION BY lang, lb) AS class_n
+         |  FROM rel)
+         |SELECT doc_id,
+         |  CASE WHEN fb AND class_n < $K THEN NULL ELSE lang END AS lang,
+         |  CAST(CASE WHEN fb AND class_n < $K THEN NULL ELSE lb END AS BIGINT)
+         |    AS len_bucket,
          |  CAST(chosen AS BIGINT) AS level
-         |FROM documents CROSS JOIN ch
+         |FROM cls
          |ORDER BY doc_id""".stripMargin,
 
     // (class, value) counts + three layered window sums + the

@@ -624,7 +624,10 @@ object Profiling {
     // same derived v2 snapshot, same "vdiff|"-prefixed content
     // fingerprints (hashed once per DISTINCT text, joined back by the
     // text itself), same full-outer status fold — collisions, if any,
-    // replay identically
+    // replay identically. Presence comes from v1/v2 markers (LEFT
+    // join to the hash table), never from fingerprint non-NULLness:
+    // the engine defines NULL text as a PRESENT doc with NULL content
+    // (fp NULL, null-safe-equal), so the oracle must too
     "q_version_diff" -> {
       s"""WITH v1 AS (SELECT doc_id, text FROM documents),
          |v2 AS (
@@ -634,16 +637,20 @@ object Profiling {
          |  UNION ALL
          |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 29 = 0),
          |allt AS (SELECT DISTINCT txt FROM (
-         |  SELECT text AS txt FROM v1 UNION ALL SELECT text FROM v2) u),
+         |  SELECT text AS txt FROM v1 UNION ALL SELECT text FROM v2) u
+         |  WHERE txt IS NOT NULL),
          |hs AS (${TrainingOps.polyHashSql("vdiff|", "allt", "txt")}),
-         |f1 AS (SELECT v1.doc_id, hs.h AS fa FROM v1 JOIN hs ON v1.text = hs.txt),
-         |f2 AS (SELECT v2.doc_id, hs.h AS fb FROM v2 JOIN hs ON v2.text = hs.txt),
-         |j AS (SELECT COALESCE(f1.doc_id, f2.doc_id) AS doc_id, f1.fa, f2.fb
+         |f1 AS (SELECT v1.doc_id, hs.h AS fa, TRUE AS ia
+         |       FROM v1 LEFT JOIN hs ON v1.text = hs.txt),
+         |f2 AS (SELECT v2.doc_id, hs.h AS fb, TRUE AS ib
+         |       FROM v2 LEFT JOIN hs ON v2.text = hs.txt),
+         |j AS (SELECT COALESCE(f1.doc_id, f2.doc_id) AS doc_id,
+         |             f1.fa, f2.fb, f1.ia, f2.ib
          |      FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
          |SELECT doc_id,
-         |  CASE WHEN fa IS NULL THEN 'added'
-         |       WHEN fb IS NULL THEN 'removed'
-         |       WHEN fa = fb THEN 'unchanged'
+         |  CASE WHEN ia IS NULL THEN 'added'
+         |       WHEN ib IS NULL THEN 'removed'
+         |       WHEN fa IS NOT DISTINCT FROM fb THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM j ORDER BY doc_id""".stripMargin
     },

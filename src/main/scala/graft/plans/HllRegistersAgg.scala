@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -37,12 +37,16 @@ case class HllRegistersAgg(
     p: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+  extends TypedImperativeAggregate[Array[Byte]] with ImplicitCastInputTypes {
 
   require(p >= 2 && p <= 16, s"p (bucket bits) must be in [2,16], got $p")
   private val m = 1 << p
 
   override def children: Seq[Expression] = Seq(child)
+  // coerce (or reject) non-string children at analysis time — the
+  // update path reads the input as UTF8String, and without a declared
+  // input type a long child dies mid-execution with a ClassCastException
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_hll_registers"

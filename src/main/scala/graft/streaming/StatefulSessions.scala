@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -92,7 +93,10 @@ object StatefulSessions {
             state.remove()
             Iterator.single(SessionOut(user, o.start_us, o.last_us, o.n, o.sum))
           } else {
-            val evs = it.map(e => SessionEvent(e.user_id, e.ts.getTime * 1000, e.value)).toSeq
+            // DateTimeUtils keeps full microsecond precision (getTime
+            // truncates to ms) — gap arithmetic matches the batch path
+            val evs = it.map(e =>
+              SessionEvent(e.user_id, DateTimeUtils.fromJavaTimestamp(e.ts), e.value)).toSeq
             val (closed, open) = step(state.getOption, evs, gapUs)
             open.foreach { o =>
               state.update(o)

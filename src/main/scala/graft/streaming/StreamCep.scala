@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -98,7 +99,12 @@ object StreamCep {
         (user: Long, it: Iterator[TsCepEvent], state: GroupState[CepState]) =>
           val prior = state.getOption.getOrElse(CepState(Vector.empty, Dfa(Nil, Nil)))
           val buffer = prior.buffer ++ it.map(e =>
-            CepEvent(e.user_id, e.ts.getTime * 1000, e.event_id, e.event_type))
+            // full microsecond precision (getTime is ms-resolution; the
+            // micros live in getNanos) — keeps ts_us identical to the
+            // batch twin's unix_micros so strict-after ordering and
+            // watermark ripeness agree on sub-millisecond events
+            CepEvent(e.user_id, DateTimeUtils.fromJavaTimestamp(e.ts),
+              e.event_id, e.event_type))
           val wmUs = state.getCurrentWatermarkMs() * 1000
           val (ripe, unripe) = buffer.partition(_.ts_us <= wmUs)
           val (matches, dfa) =

@@ -13,6 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * forwarders so the package intrusion surface stays minimal.
   */
 object ColumnBridge {
+  /** Spark 4 made `types.AbstractDataType` private[sql]; extension
+    * expressions need it to declare `inputTypes` (ExpectsInputTypes /
+    * ImplicitCastInputTypes). Same in-package-alias pattern as the
+    * Column bridges. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -54,6 +54,19 @@ class SketchCurationSpec extends AnyFunSuite {
     assert(runion.zip(ra).map { case (x, y) => math.max(x, y) }.toSeq == runion.toSeq)
   }
 
+  test("hll registers coerce a non-string child at analysis time") {
+    // before declaring inputTypes, a long child passed analysis and
+    // died inside the aggregate with a ClassCastException; now the
+    // implicit StringType cast makes it equal the explicit-cast form
+    val df = (1L to 400L).toDF("uid")
+    val implicitCast = df.agg(HllRegistersAgg.hll_registers(col("uid"), P).as("r"))
+      .head().getSeq[Int](0)
+    val explicitCast = df.agg(
+        HllRegistersAgg.hll_registers(col("uid").cast("string"), P).as("r"))
+      .head().getSeq[Int](0)
+    assert(implicitCast == explicitCast)
+  }
+
   test("hll estimate lands near the exact distinct count") {
     val ev = Tables.events(spark, TestSpark.sf)
     val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0).toDouble

@@ -90,6 +90,36 @@ class StreamCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sub-millisecond timestamps keep full precision and strict-after order") {
+    implicit val sqlCtx = spark.sqlContext
+    // a and b sit INSIDE the same millisecond: a at .000250, b at
+    // .000750. The ms-truncating conversion collapsed both to the same
+    // ts_us, so the strict-after rule (ts_us > mts.last) rejected the
+    // match; full-precision conversion must accept it.
+    def evUs(id: Long, user: Long, us: Long, typ: String) = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      (id, t, user, typ)
+    }
+    val base = 6000000000L // 100 min in us
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamCep.matchPattern(
+        in.toDS().toDF("event_id", "ts", "user_id", "event_type"),
+        Seq("a", "b"), "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cep_subms").start()
+    try {
+      in.addData(evUs(1, 5, base + 250, "a"), evUs(2, 5, base + 750, "b"),
+        evUs(9, 6, base + 120000000L, "x")) // watermark pusher
+      q.processAllAvailable()
+      val out = spark.table("cep_subms")
+        .select(col("user_id"), col("ts"), col("ids"))
+        .as[(Long, Seq[Long], Seq[Long])].collect().toSeq
+      assert(out == Seq((5L, Seq(base + 250, base + 750), Seq(1L, 2L))),
+        out.toString)
+    } finally q.stop()
+  }
+
   test("state drains and is dropped for completed users") {
     // pure-function proxy for the state contract: an empty buffer and
     // a stage-0 DFA after a match means remove() — advance must end at
