@@ -45,7 +45,7 @@ object SparkEntry {
     PqIndex.queries ++ ScalarQuant.queries ++ ClusterOps.queries ++ GraphOps.queries ++ GraphState.queries ++ NoveltyState.queries ++
     BpeOps.queries ++ Classify.queries ++ Contamination.queries ++
     Boilerplate.queries ++ Dsir.queries ++ Fusion.queries ++ Blocklist.queries ++
-    Dq.queries ++ Assembly.queries ++ Cep.queries ++ Privacy.queries ++
+    Dq.queries ++ Assembly.queries ++ Cep.queries ++ Privacy.queries ++ Hygiene.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -227,6 +227,6 @@ object SparkEntry {
     PqIndex.oracles ++ ScalarQuant.oracles ++ ClusterOps.oracles ++ GraphOps.oracles ++ GraphState.oracles ++ NoveltyState.oracles ++
     BpeOps.oracles ++ Classify.oracles ++ Contamination.oracles ++
     Boilerplate.oracles ++ Dsir.oracles ++ SketchOps.oracles ++ Fusion.oracles ++ Blocklist.oracles ++
-    Dq.oracles ++ Assembly.oracles ++ Cep.oracles ++ Privacy.oracles ++
+    Dq.oracles ++ Assembly.oracles ++ Cep.oracles ++ Privacy.oracles ++ Hygiene.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.plans.{PolyHash64, UnicodeNorm}
+import graft.sources.Tables
+
+/** Corpus text hygiene (SURVEY.md §2 rows 158–160): Unicode
+  * canonicalization, C4-style global line-level dedup, and
+  * Pareto-frontier (skyline) multi-objective selection.
+  *
+  * These are the passes a web-scale training-data pipeline runs
+  * BEFORE the document-level dedup stack: normalization makes
+  * byte-identity mean text-identity (composed vs decomposed accents
+  * otherwise split exact-dup groups), line dedup strips the
+  * boilerplate that repeats ACROSS documents at a granularity
+  * document-level near-dup misses (the C4 recipe: keep one global
+  * occurrence of every line), and skyline selection picks the
+  * quality/length frontier no scalar score can (a doc is dropped only
+  * if some other doc beats it on EVERY axis).
+  */
+object Hygiene {
+
+  // ---- Unicode normalization (row 158; expressions in plans.UnicodeNorm) ----
+
+  /** Registered query: the corpus text is seeded with DECOMPOSED
+    * accents (every 'e' -> 'e' + U+0301) deterministically in BOTH
+    * engines, so the oracle exercises real composition, not an ASCII
+    * no-op: NFC shortens the text back (combining pairs compose) and
+    * strip_accents returns it to the original ASCII form —
+    * `roundtrip_ok` proves the full circle per document. */
+  def unicodeNormQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = regexp_replace(col("text"), "e", "e\u0301") // e + combining acute (decomposed)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast(LongType).as("len_raw"),
+        length(UnicodeNorm.nfc_normalize(col("raw"))).cast(LongType).as("len_nfc"),
+        (UnicodeNorm.strip_accents(UnicodeNorm.nfc_normalize(col("raw")))
+          === col("text")).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Global line-level dedup (row 159; the C4 recipe) ----
+
+  /** Keep the FIRST global occurrence (by (doc_id, line position)) of
+    * every distinct line; reassemble each document from its surviving
+    * lines. A document whose every line lost the race survives with
+    * empty text (presence is not identity — downstream length gates
+    * drop it explicitly).
+    *
+    * Scale shape (100 TB): the keep/drop DECISION never shuffles line
+    * text — lines are keyed by the domain-prefixed [[PolyHash64]]
+    * ("line|"), and the argmin-per-hash aggregation combines map-side
+    * into a (hash, doc_id, pos) frame of ids only. Line text moves
+    * through exactly two shuffles, the floor for this operator: the
+    * equi-join of lines against their winning (doc_id, pos) ids, and
+    * the per-document reassembly aggregation. No window over the
+    * exploded frame, no driver materialization. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", PolyHash64.poly_hash64(concat(lit("line|"), col("line"))))
+    // ids-only argmin with map-side combine; struct order = (doc_id, pos)
+    val firsts = lines
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    val kept = lines.join(firsts,
+      lines("h") === firsts("h") &&
+        col("doc_id") === col("fdoc") && col("pos") === col("fpos"))
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_dedup"))
+    docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        (size(split(col(textCol), "\n"))).cast(LongType).as("n_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Registered query: documents get a deterministic line structure
+    * (a newline after every 10th word — same regex, same engine-order
+    * semantics in Java regex and RE2) and then the global line dedup.
+    * Duplicate and near-duplicate documents in the corpus make the
+    * kept-fraction a real signal, exactly as C4's line dedup fires on
+    * cross-site boilerplate. */
+  def dedupLinesQ(s: SparkSession, dir: String): DataFrame = {
+    val structured = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n").as("text"))
+    dedupLines(structured, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  // ---- Pareto-frontier (skyline) selection (row 160) ----
+
+  /** Skyline over two maximized integer metrics: keep a row iff no
+    * other row is >= on both axes and > on at least one. Classic
+    * two-pass decomposition, all distributed:
+    *  1. collapse to one (m1, max m2) row per distinct m1 — a hash
+    *     aggregation with map-side combine;
+    *  2. running max over that DISTINCT-m1 frame ordered by m1 DESC
+    *     (strictly-preceding rows = strictly larger m1) — the only
+    *     unpartitioned window, riding a frame bounded by |distinct
+    *     m1| (the value domain, e.g. max document length), never the
+    *     corpus;
+    *  3. broadcast the frontier-per-m1 frame back onto the full data.
+    * A row survives iff it achieves its m1-class max AND beats the
+    * best m2 among all strictly-larger m1 (ties on both axes are
+    * mutually non-dominating — both kept). */
+  def skyline2(df: DataFrame, m1: Column, m2: Column, out: Seq[String]): DataFrame = {
+    val m = df.select(out.map(col) :+ m1.as("__m1") :+ m2.as("__m2"): _*)
+    val pm = m.groupBy(col("__m1")).agg(max(col("__m2")).as("__mm"))
+    val wAbove = Window.orderBy(col("__m1").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fr = pm.withColumn("__above", max(col("__mm")).over(wAbove))
+    m.join(broadcast(fr), Seq("__m1"))
+      .filter(col("__m2") === col("__mm") &&
+        (col("__above").isNull || col("__m2") > col("__above")))
+      .select(out.map(col) :+ col("__m1") :+ col("__m2"): _*)
+  }
+
+  /** Registered query: the (n_chars, distinct-word-count) frontier of
+    * the documents table — the docs no other doc dominates on both
+    * length and lexical diversity. */
+  def paretoSelectQ(s: SparkSession, dir: String): DataFrame =
+    skyline2(Tables.documents(s, dir),
+        col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("__m1").as("n_chars"),
+        col("__m2").as("n_distinct"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unicode_norm"  -> (unicodeNormQ _),
+    "q_dedup_lines"   -> (dedupLinesQ _),
+    "q_pareto_select" -> (paretoSelectQ _))
+
+  val oracles: Map[String, String] = Map(
+    // decomposed seeding (chr(769) = U+0301 combining acute) replayed
+    // with DuckDB's utf8proc normalizers; length() counts codepoints
+    // on both engines
+    "q_unicode_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, 'e', 'e' || chr(769), 'g') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        |  strip_accents(nfc_normalize(raw)) = text AS roundtrip_ok
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // same line synthesis (RE2 replace mirrors Java's), same
+    // "line|"-prefixed hash identity via the shared HUGEINT replay,
+    // first occurrence by (doc_id, pos), string_agg reassembly in
+    // position order; LEFT JOIN keeps fully-deduped docs as ''
+    "q_dedup_lines" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '((?:\\S+ ){9}\\S+) ', '\\1' || chr(10), 'g') AS t
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(t, chr(10))) AS line,
+         |    unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+         |  FROM d),
+         |dl AS (SELECT DISTINCT line AS ln FROM l),
+         |hs AS (${TrainingOps.polyHashSql("line|", "dl", "ln")}),
+         |lh AS (SELECT l.doc_id, l.line, l.pos, hs.h
+         |       FROM l JOIN hs ON l.line = hs.ln),
+         |rk AS (
+         |  SELECT doc_id, line, pos,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM lh),
+         |rebuilt AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+         |  FROM rk WHERE rn = 1 GROUP BY doc_id),
+         |tot AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_total
+         |  FROM d)
+         |SELECT tot.doc_id, tot.n_total,
+         |  COALESCE(rebuilt.n_kept, 0) AS n_kept,
+         |  COALESCE(rebuilt.text_dedup, '') AS text_dedup
+         |FROM tot LEFT JOIN rebuilt ON tot.doc_id = rebuilt.doc_id
+         |ORDER BY tot.doc_id""".stripMargin
+    },
+
+    // per-m1 max, running max over strictly-larger m1 (one row per
+    // distinct m1 -> ROWS frame is exact), frontier filter
+    "q_pareto_select" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars AS m1,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS m2
+        |  FROM documents),
+        |pm AS (SELECT m1, MAX(m2) AS mm FROM m GROUP BY m1),
+        |fr AS (
+        |  SELECT m1, mm,
+        |    MAX(mm) OVER (ORDER BY m1 DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS above
+        |  FROM pm)
+        |SELECT doc_id, CAST(m.m1 AS BIGINT) AS n_chars, m2 AS n_distinct
+        |FROM m JOIN fr ON m.m1 = fr.m1
+        |WHERE m2 = mm AND (above IS NULL OR m2 > above)
+        |ORDER BY doc_id""".stripMargin)
+}
