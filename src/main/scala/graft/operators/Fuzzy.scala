@@ -43,8 +43,82 @@ object Fuzzy {
     matchPairs(Tables.part(s, d), "p_name", maxDist = 2)
       .orderBy(col("name_a"), col("name_b"))
 
+  // ---- Jaro-Winkler entity resolution (§2 rows 161/162) ----
+
+  /** Mention frame for the registered ER queries: part names with a
+    * DETERMINISTIC typo model replayed identically in both engines
+    * (drop last char / uppercase first / double last char, keyed on
+    * p_partkey mod 11) — so the resolver faces real variation, not
+    * just exact-duplicate names. */
+  private def mentions(s: SparkSession, d: String): DataFrame = {
+    val k = pmod(col("p_partkey"), lit(11))
+    Tables.part(s, d).select(
+      col("p_partkey").cast(LongType).as("id"),
+      when(k === 0, expr("substring(p_name, 1, length(p_name)-1)"))
+        .when(k === 1,
+          concat(upper(substring(col("p_name"), 1, 1)), expr("substring(p_name, 2)")))
+        .when(k === 2,
+          concat(col("p_name"), expr("substring(p_name, length(p_name), 1)")))
+        .otherwise(col("p_name")).as("nm"))
+  }
+
+  /** Candidate pairs over the DISTINCT-string frame: each distinct
+    * name is represented by its min mention id (`nid`), blocked on
+    * the lowercased 3-char prefix, scored with the native
+    * [[JaroWinkler]] expression. Similarity never runs per corpus
+    * row — the pair frame is bounded by the string DOMAIN squared
+    * within a block, not the mention count (names repeat massively;
+    * scoring repeats is pure waste at any scale). */
+  def jaroPairs(m: DataFrame, threshold: Double): DataFrame = {
+    val dn = m.groupBy(col("nm")).agg(min(col("id")).as("nid"))
+      .withColumn("blk", lower(substring(col("nm"), 1, 3)))
+    dn.as("a").join(dn.as("b"),
+        col("a.blk") === col("b.blk") && col("a.nid") < col("b.nid"))
+      .withColumn("sim",
+        graft.plans.JaroWinkler.jaro_winkler(col("a.nm"), col("b.nm")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.nid").as("na"), col("b.nid").as("nb"), col("sim"))
+  }
+
+  /** Full entity resolution: similarity edges over distinct names →
+    * connected components → every mention labeled with its entity
+    * (the component-min nid; unmatched names are their own entity)
+    * and the entity's canonical name (the name that OWNS the min
+    * nid). The corpus-sized frames only ever see equi-joins against
+    * the name-domain-bounded (nm → entity) map — broadcast-sized at
+    * any corpus scale. */
+  def entityResolve(m: DataFrame, threshold: Double): DataFrame = {
+    val dn = m.groupBy(col("nm")).agg(min(col("id")).as("nid"))
+    val pairs = jaroPairs(m, threshold)
+    val cm = Dedup.connectedComponents(pairs, "na", "nb")
+      .withColumnRenamed("id", "nid")
+    val withComp = dn.join(cm, Seq("nid"), "left")
+      .withColumn("entity", coalesce(col("comp"), col("nid")))
+    val canon = withComp.filter(col("nid") === col("entity"))
+      .select(col("entity"), col("nm").as("canonical"))
+    m.join(broadcast(withComp.select(col("nm"), col("entity"))), Seq("nm"))
+      .join(broadcast(canon), Seq("entity"))
+      .select(col("id"), col("entity"), col("canonical"))
+  }
+
+  private val JwThreshold = 0.91
+
+  /** q_jaro_pairs — the scored candidate-pair frame itself: the
+    * oracle replays the DOUBLE bit-exactly against DuckDB's
+    * jaro_winkler_similarity. */
+  def jaroPairsQ(s: SparkSession, d: String): DataFrame =
+    jaroPairs(mentions(s, d), JwThreshold)
+      .orderBy(col("na"), col("nb"))
+
+  /** q_entity_resolution — mention → entity + canonical name. */
+  def entityResolveQ(s: SparkSession, d: String): DataFrame =
+    entityResolve(mentions(s, d), JwThreshold)
+      .orderBy(col("id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_match" -> (fuzzyMatchQ _),
+    "q_jaro_pairs" -> (jaroPairsQ _),
+    "q_entity_resolution" -> (entityResolveQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -55,5 +129,58 @@ object Fuzzy {
         |FROM p a JOIN p b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // same deterministic typo model, same 3-char-prefix blocking,
+    // DuckDB's own jaro_winkler_similarity — the DOUBLE itself is on
+    // the wire (bit-exact kernel parity, see plans.JaroWinkler)
+    "q_jaro_pairs" ->
+      s"""WITH $erMentionsSql,
+         |dn AS (SELECT nm, MIN(id) AS nid FROM m GROUP BY nm)
+         |SELECT a.nid AS na, b.nid AS nb,
+         |  jaro_winkler_similarity(a.nm, b.nm) AS sim
+         |FROM dn a JOIN dn b
+         |  ON lower(substr(a.nm, 1, 3)) = lower(substr(b.nm, 1, 3))
+         | AND a.nid < b.nid
+         |WHERE jaro_winkler_similarity(a.nm, b.nm) >= $JwThreshold
+         |ORDER BY na, nb""".stripMargin,
+
+    // edges -> recursive-CTE components (the shared CC replay
+    // pattern) -> entity + canonical-name join-back
+    "q_entity_resolution" ->
+      s"""WITH RECURSIVE $erMentionsSql,
+         |dn AS (SELECT nm, MIN(id) AS nid FROM m GROUP BY nm),
+         |pr AS (
+         |  SELECT a.nid AS na, b.nid AS nb
+         |  FROM dn a JOIN dn b
+         |    ON lower(substr(a.nm, 1, 3)) = lower(substr(b.nm, 1, 3))
+         |   AND a.nid < b.nid
+         |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= $JwThreshold),
+         |nodes AS (SELECT na AS id FROM pr UNION SELECT nb FROM pr),
+         |edges AS (SELECT na AS a, nb AS b FROM pr
+         |          UNION SELECT nb, na FROM pr),
+         |cc(id, comp) AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+         |cm AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |wc AS (SELECT dn.nm, dn.nid, COALESCE(cm.comp, dn.nid) AS entity
+         |       FROM dn LEFT JOIN cm ON dn.nid = cm.id),
+         |canon AS (SELECT entity, nm AS canonical FROM wc WHERE nid = entity)
+         |SELECT m.id, wc.entity, canon.canonical
+         |FROM m JOIN wc ON m.nm = wc.nm
+         |       JOIN canon ON wc.entity = canon.entity
+         |ORDER BY m.id""".stripMargin,
   )
+
+  /** Mention CTE shared by both ER oracles — must mirror [[mentions]]
+    * exactly (CASE arms keyed on p_partkey mod 11). A def, not a val:
+    * the oracles map above captures it during object init. */
+  private def erMentionsSql =
+    """m AS (
+      |  SELECT p_partkey AS id,
+      |    CASE WHEN p_partkey % 11 = 0 THEN substr(p_name, 1, length(p_name)-1)
+      |         WHEN p_partkey % 11 = 1 THEN upper(substr(p_name, 1, 1)) || substr(p_name, 2)
+      |         WHEN p_partkey % 11 = 2 THEN p_name || substr(p_name, length(p_name), 1)
+      |         ELSE p_name END AS nm
+      |  FROM part)""".stripMargin
 }
