@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -118,9 +118,93 @@ object Fusion {
     rankAgreement(sparse, dense).orderBy(col("qid"))
   }
 
+  // ---- Retrieval-quality evaluation (SURVEY.md §2 row 163) -------------
+
+  /** Integer DCG discount image: w(i) = floor(Scale / log2(i+1)) for
+    * ranks 1..k, computed ONCE here and injected as literals into BOTH
+    * engines' plans — cross-engine exactness by construction (the BM25
+    * integer-score-image trick applied to the discount table; no
+    * engine ever evaluates a log). */
+  private[graft] def dcgWeights(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i =>
+      math.floor(Scale.toDouble / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Graded gain 2^rel − 1 for rel ∈ {0, 1, 2} as an explicit integer
+    * map — no pow() in either engine. */
+  private def gainOf(rel: Column): Column =
+    when(rel === 2, 3L).when(rel === 1, 1L).otherwise(0L)
+
+  private def weightOf(rn: Column, k: Int): Column =
+    dcgWeights(k).zipWithIndex.foldLeft(lit(0L)) { case (acc, (wi, i)) =>
+      when(rn === (i + 1).toLong, wi).otherwise(acc)
+    }
+
+  /** Per-query retrieval metrics of one `ranking` (qid, doc_id, rn with
+    * rn starting at 1) against graded `qrels` (qid, doc_id, rel > 0):
+    * the INTEGER cores of the standard IR metrics, so parity is
+    * hash-exact and the caller does the one division each metric ends
+    * with — `first_rel_rank` (MRR = avg 1/first_rel_rank; NULL when the
+    * top-k has no relevant doc), `n_rel_at_k` / `n_rel_total`
+    * (precision@k, recall@k), and `dcg` / `idcg` on the fixed-point
+    * discount image (nDCG = dcg/idcg).
+    *
+    * Scale shape: both inputs are top-k-per-query bounded, so every
+    * frame here is |queries|·k rows — the corpus-sized work stays inside
+    * the rankers. The qrels spine (not the ranking) drives the output,
+    * so a query the ranker returned nothing for still reports a row —
+    * total retrieval failure is the eval's loudest signal. */
+  def retrievalEval(ranking: DataFrame, qrels: DataFrame, k: Int,
+                    ranker: String): DataFrame = {
+    val hits = ranking.filter(col("rn") <= k)
+      .join(qrels.select(col("qid"), col("doc_id"), col("rel")),
+        Seq("qid", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val perQ = hits.groupBy(col("qid")).agg(
+      min(when(col("rel") > 0, col("rn"))).as("first_rel_rank"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_at_k"),
+      sum(gainOf(col("rel")) * weightOf(col("rn"), k)).as("dcg"))
+    // ideal DCG: qrels sorted by grade (doc_id tiebreak — deterministic
+    // even with equal grades), truncated at k
+    val ideal = qrels
+      .withColumn("irn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("doc_id")))
+        .cast(LongType))
+      .groupBy(col("qid")).agg(
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_total"),
+        sum(when(col("irn") <= k, gainOf(col("rel")) * weightOf(col("irn"), k))
+          .otherwise(0L)).as("idcg"))
+    ideal.join(perQ, Seq("qid"), "left")
+      .select(lit(ranker).as("ranker"), col("qid"),
+        col("first_rel_rank"),
+        coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
+        col("n_rel_total"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"),
+        col("idcg"))
+  }
+
+  /** §2 row 163 — BM25 and the RRF fusion each scored against dense
+    * pseudo-qrels (exact-cosine top-5: the self-match grades 2, ranks
+    * 2–5 grade 1 — the standard distillation eval: how well does
+    * lexical/fused retrieval recover the embedding ground truth). */
+  def retrievalEvalQ(s: SparkSession, d: String): DataFrame = {
+    val (sparse, dense) = rankerPair(s, d)
+    val e = Tables.embeddings(s, d)
+    val qids = TextOps2.Bm25Queries.map(_._1)
+    val qrels = VectorOps.bruteForceTopK(
+        e, e.filter(col("vec_id").isin(qids: _*)), "vec_id", "embedding", k = 5)
+      .select(col("qid"), col("cid").as("doc_id"),
+        when(col("rn") === 1, 2L).otherwise(1L).as("rel"))
+    val fused = rrfFuse(Seq(sparse, dense), topK = 10)
+      .select(col("qid"), col("doc_id"), col("rn"))
+    retrievalEval(sparse, qrels, k = 10, ranker = "bm25")
+      .unionByName(retrievalEval(fused, qrels, k = 10, ranker = "rrf"))
+      .orderBy(col("ranker"), col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rank"    -> (hybridRankQ _),
     "q_rank_agreement" -> (rankAgreementQ _),
+    "q_retrieval_eval" -> (retrievalEvalQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,5 +274,75 @@ object Fusion {
          |  CAST(COALESCE(ag.discordant, 0) AS BIGINT) AS discordant
          |FROM nc LEFT JOIN ag ON nc.qid = ag.qid
          |ORDER BY nc.qid""".stripMargin,
+
+    // both rankers' CTEs shared verbatim with q_hybrid_rank; qrels =
+    // the dense top-5 (rank 1 grades 2, ranks 2-5 grade 1); the DCG
+    // discount is the SAME floor(1e6/log2(i+1)) literal table the Scala
+    // side bakes in — neither engine evaluates a log
+    "q_retrieval_eval" -> {
+      def wCase(rn: String): String =
+        dcgWeights(10).zipWithIndex.map { case (w, i) =>
+          s"WHEN $rn = ${i + 1} THEN $w" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+      val gain = "CASE WHEN rel = 2 THEN 3 WHEN rel = 1 THEN 1 ELSE 0 END"
+      s"""WITH ${TextOps2.bm25RankCtes},
+         |v AS (SELECT vec_id, embedding, ${VectorQueries.dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |qv AS (SELECT vec_id AS qid, embedding AS qe, nsq AS q_nsq FROM v WHERE vec_id IN (1, 2, 3)),
+         |s2 AS (SELECT qid, c.vec_id AS cid,
+         |         ${VectorQueries.dotSql("qe", "c.embedding")} / greatest(sqrt(q_nsq) * sqrt(c.nsq), 1e-9) AS cos
+         |       FROM qv, v c),
+         |densernk AS (
+         |  SELECT qid, cid, rn FROM (
+         |    SELECT qid, cid,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |    FROM s2) t
+         |  WHERE rn <= 10),
+         |qrels AS (
+         |  SELECT qid, cid AS doc_id, CASE WHEN rn = 1 THEN 2 ELSE 1 END AS rel
+         |  FROM densernk WHERE rn <= 5),
+         |contrib AS (
+         |  SELECT qid, doc_id, 1000000 // (60 + rn) AS c FROM bm25rank
+         |  UNION ALL
+         |  SELECT qid, cid AS doc_id, 1000000 // (60 + rn) AS c FROM densernk),
+         |fused AS (
+         |  SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS rrf
+         |  FROM contrib GROUP BY qid, doc_id),
+         |rrfrank AS (
+         |  SELECT qid, doc_id, rn FROM (
+         |    SELECT qid, doc_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+         |    FROM fused) t
+         |  WHERE rn <= 10),
+         |ranked AS (
+         |  SELECT 'bm25' AS ranker, qid, doc_id, rn FROM bm25rank
+         |  UNION ALL
+         |  SELECT 'rrf' AS ranker, qid, doc_id, rn FROM rrfrank),
+         |hits AS (
+         |  SELECT r.ranker, r.qid, r.rn, COALESCE(q.rel, 0) AS rel
+         |  FROM ranked r LEFT JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+         |  WHERE r.rn <= 10),
+         |perq AS (
+         |  SELECT ranker, qid,
+         |    CAST(MIN(CASE WHEN rel > 0 THEN rn END) AS BIGINT) AS first_rel_rank,
+         |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+         |    CAST(SUM(($gain) * (${wCase("rn")})) AS BIGINT) AS dcg
+         |  FROM hits GROUP BY ranker, qid),
+         |ideal AS (
+         |  SELECT qid,
+         |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_total,
+         |    CAST(SUM(CASE WHEN irn <= 10 THEN ($gain) * (${wCase("irn")}) ELSE 0 END) AS BIGINT) AS idcg
+         |  FROM (SELECT qid, rel,
+         |          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS BIGINT) AS irn
+         |        FROM qrels) t
+         |  GROUP BY qid),
+         |rankers AS (SELECT DISTINCT ranker FROM ranked)
+         |SELECT rk.ranker, i.qid, p.first_rel_rank,
+         |  CAST(COALESCE(p.n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
+         |  i.n_rel_total,
+         |  CAST(COALESCE(p.dcg, 0) AS BIGINT) AS dcg, i.idcg
+         |FROM rankers rk CROSS JOIN ideal i
+         |LEFT JOIN perq p ON p.ranker = rk.ranker AND p.qid = i.qid
+         |ORDER BY rk.ranker, i.qid""".stripMargin
+    },
   )
 }

@@ -31,6 +31,50 @@ class FusionSpec extends AnyFunSuite {
       Seq((1L, 5L, 1L), (1L, 7L, 2L), (2L, 9L, 1L)))
   }
 
+  private def qrels(rows: (Long, Long, Long)*) =
+    rows.toDF("qid", "doc_id", "rel")
+
+  test("retrievalEval: perfect ranking scores dcg == idcg, rank-1 first hit") {
+    val labels = qrels((1L, 10L, 2L), (1L, 20L, 1L), (1L, 30L, 1L))
+    // ranking in exactly ideal order (grade desc, doc_id tiebreak)
+    val perfect = rank((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+    val got = Fusion.retrievalEval(perfect, labels, k = 10, ranker = "t")
+      .as[(String, Long, Option[Long], Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (_, _, first, atK, total, dcg, idcg) = got.head
+    assert(first.contains(1L) && atK == 3L && total == 3L && dcg == idcg)
+    // dcg on the literal discount image: 3*1000000 + 1*630929 + 1*500000
+    assert(dcg == 3L * 1000000L + 630929L + 500000L)
+  }
+
+  test("retrievalEval: a ranker that misses everything still reports its row") {
+    val labels = qrels((1L, 10L, 2L), (2L, 40L, 1L))
+    val miss = rank((1L, 99L, 1L), (1L, 98L, 2L))  // qid 2 absent entirely
+    val got = Fusion.retrievalEval(miss, labels, k = 10, ranker = "t")
+      .as[(String, Long, Option[Long], Long, Long, Long, Long)]
+      .collect().sortBy(_._2)
+    assert(got.length == 2)  // qrels spine drives output
+    assert(got(0) == (("t", 1L, None, 0L, 1L, 0L, 3L * 1000000L)))
+    assert(got(1) == (("t", 2L, None, 0L, 1L, 0L, 1000000L)))
+  }
+
+  test("retrievalEval: late hit ranks below k are excluded; partial recall counted") {
+    val labels = qrels((1L, 10L, 1L), (1L, 20L, 1L))
+    val r = rank((1L, 99L, 1L), (1L, 10L, 2L), (1L, 20L, 4L))
+    val got = Fusion.retrievalEval(r, labels, k = 3, ranker = "t")
+      .as[(String, Long, Option[Long], Long, Long, Long, Long)].collect()
+    val (_, _, first, atK, total, dcg, idcg) = got.head
+    assert(first.contains(2L) && atK == 1L && total == 2L)
+    assert(dcg == 630929L)              // one grade-1 hit at rank 2
+    assert(idcg == 1000000L + 630929L)  // both rels fit in ideal top-3
+  }
+
+  test("discount weights are the floor(1e6/log2(i+1)) image") {
+    val w = (1 to 10).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    assert(Fusion.dcgWeights(10) == w && w.head == 1000000L && w(6) == 333333L)
+  }
+
   test("hybrid query is deterministic and query-bounded") {
     def run() = Fusion.hybridRankQ(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long)].collect().toSeq
