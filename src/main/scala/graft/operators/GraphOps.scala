@@ -255,10 +255,80 @@ object GraphOps {
     labelPropagation(VectorQueries.embedNearDupQ(s, d), "id_a", "id_b", iters = 4)
       .orderBy(col("node"))
 
+  /** Multi-source BFS hop distance (SURVEY.md §2 row 164) — exact
+    * shortest hop count from a SEED SET along an undirected pair
+    * graph, capped at `maxHops`: the "distance from trusted seeds"
+    * quality signal (WebText-style curation ranks pages by link
+    * distance from a vetted whitelist; here the registered query runs
+    * it over the semantic near-dup graph — semantic hops from one
+    * exemplar per label). Unreached nodes report dist = NULL — the
+    * graph spine (every node of the symmetrized edge set, plus the
+    * seeds) drives the output, the retrievalEval NULL-row posture:
+    * isolation is the signal, not a dropped row.
+    *
+    * Scale shape: classic frontier expansion — per hop ONE equi-join
+    * of the frontier against the edge frame, a distinct, and an
+    * anti-join against the settled-distance state; all keyed on node
+    * ids, AQE-skew-safe, no driver state beyond the hop counter. The
+    * frontier is localCheckpoint-materialized per hop (it is read
+    * three times: emptiness probe, union into state, next expansion)
+    * and the loop exits early on an empty frontier, so the number of
+    * rounds is min(maxHops, eccentricity of the seed set) — each
+    * round O(frontier ⋈ edges), never corpus². Settled state is
+    * O(nodes) and stays distributed.
+    *
+    * Exactness: layered BFS discovers each node at its true shortest
+    * hop (the anti-join keeps first discovery; within a layer all
+    * candidates carry the same dist), so `min(dist)` over DuckDB's
+    * capped recursive walk replays it verbatim — pure integers. */
+  def seedDistance(pairs: DataFrame, idACol: String, idBCol: String,
+                   seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val p0 = pairs.select(col(idACol).cast(LongType).as("a"),
+        col(idBCol).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val s0 = seeds.select(col(seedCol).cast(LongType).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var dist = s0
+    var frontier = s0
+    var h = 1L
+    while (h <= maxHops && !frontier.isEmpty) {
+      val nxt = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint() // materialized: probed, unioned, re-expanded
+      dist = dist.unionAll(nxt)
+      frontier = nxt
+      h += 1
+    }
+    // spine: every graph node + every seed; unreached stay NULL
+    edges.select(col("dst").as("node")).distinct()
+      .unionAll(s0.select(col("node"))).distinct()
+      .join(dist, Seq("node"), "left")
+      .select(col("node"), col("dist"))
+  }
+
+  /** §2 row 164 — hop distance from one exemplar (min vec_id) per
+    * label along the embedding near-dup graph, capped at 8 hops. */
+  def seedDistanceQ(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.embeddings(s, d)
+      .groupBy(col("label")).agg(min(col("vec_id")).as("node"))
+      .select(col("node"))
+    seedDistance(VectorQueries.embedNearDupQ(s, d), "id_a", "id_b",
+        seeds, "node", maxHops = 8)
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank"   -> (pageRankQ _),
-    "q_triangles"  -> (trianglesQ _),
-    "q_label_prop" -> (labelPropQ _),
+    "q_pagerank"      -> (pageRankQ _),
+    "q_triangles"     -> (trianglesQ _),
+    "q_label_prop"    -> (labelPropQ _),
+    "q_seed_distance" -> (seedDistanceQ _),
   )
 
   /** Textual floor-div macro for the oracle (b > 0). */
@@ -356,5 +426,38 @@ object GraphOps {
          |${iterSql(3, 2)}
          |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM rk3
          |ORDER BY node""".stripMargin,
+
+    // layered BFS == min(dist) over the hop-capped recursive walk:
+    // each node's first discovery is its true shortest hop, so the
+    // UNION-deduped (node, dist) closure under dist < 8 replays the
+    // frontier loop exactly; the spine LEFT JOIN keeps unreached
+    // nodes as NULL rows, matching the engine. ed/spine dedup via
+    // explicit DISTINCT subqueries, NOT bare UNION: DuckDB 1.0 fails
+    // to dedup a non-recursive UNION CTE inside WITH RECURSIVE
+    // (observed: seed nodes doubled in spine).
+    "q_seed_distance" -> {
+      val dot = VectorQueries.dotSql _
+      s"""WITH RECURSIVE
+         |v AS (SELECT label, vec_id, embedding, ${dot("embedding", "embedding")} AS nsq FROM embeddings),
+         |pr AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${dot("a.embedding", "b.embedding")} / greatest(sqrt(a.nsq) * sqrt(b.nsq), 1e-9) >= 0.3),
+         |ed AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT ia AS src, ib AS dst FROM pr UNION ALL SELECT ib, ia FROM pr) t0),
+         |seeds AS (SELECT CAST(MIN(vec_id) AS BIGINT) AS node FROM embeddings GROUP BY label),
+         |walk(node, dist) AS (
+         |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+         |  UNION
+         |  SELECT e.dst, w.dist + 1
+         |  FROM walk w JOIN ed e ON e.src = w.node
+         |  WHERE w.dist < 8),
+         |best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node),
+         |spine AS (SELECT DISTINCT node FROM
+         |  (SELECT dst AS node FROM ed UNION ALL SELECT node FROM seeds) t1)
+         |SELECT CAST(sp.node AS BIGINT) AS node, CAST(b.dist AS BIGINT) AS dist
+         |FROM spine sp LEFT JOIN best b ON sp.node = b.node
+         |ORDER BY sp.node""".stripMargin
+    },
   )
 }

@@ -190,4 +190,48 @@ class GraphSpec extends AnyFunSuite {
       .orderBy($"node").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  private def dists(pairs: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) =
+    GraphOps.seedDistance(pairs.toDF("a", "b"), "a", "b",
+        seeds.toDF("node"), "node", maxHops)
+      .as[(Long, Option[Long])].collect().toMap
+
+  test("seed distance: path graph measures exact hops, cap truncates to NULL") {
+    // 1-2-3-4-5 chain seeded at 1
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val d = dists(chain, Seq(1L), maxHops = 8)
+    assert(d == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(3L), 5L -> Some(4L)), d.toString)
+    // capped at 2 hops: nodes 4 and 5 unreached -> NULL, rows kept
+    val c = dists(chain, Seq(1L), maxHops = 2)
+    assert(c == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> None, 5L -> None), c.toString)
+  }
+
+  test("seed distance: multi-source takes the nearer seed; shortcut beats long way") {
+    // ring 1-2-3-4-5-6-1 plus chord 1-4; seeds {1}
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L), (1L, 4L))
+    val d = dists(ring, Seq(1L), maxHops = 8)
+    assert(d(4L) == Some(1L) && d(3L) == Some(2L) && d(5L) == Some(2L), d.toString)
+    // two seeds on opposite ends of a chain: every node <= 2 hops
+    val d2 = dists(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), Seq(1L, 5L), 8)
+    assert(d2.values.flatten.max == 2L, d2.toString)
+  }
+
+  test("seed distance: disconnected component stays NULL; off-graph seed reports 0") {
+    val d = dists(Seq((1L, 2L), (10L, 11L)), Seq(1L, 99L), maxHops = 8)
+    assert(d(10L).isEmpty && d(11L).isEmpty, d.toString)
+    assert(d(99L) == Some(0L) && d(2L) == Some(1L), d.toString)
+  }
+
+  test("seed distance is invariant to pair partitioning") {
+    val pairs = graft.operators.VectorQueries.embedNearDupQ(spark, TestSpark.sf)
+    val seeds = Seq(0L, 1L).toDF("node")
+    val a = GraphOps.seedDistance(pairs, "id_a", "id_b", seeds, "node", 8)
+      .orderBy($"node").collect().toSeq
+    val b = GraphOps.seedDistance(pairs.repartition(7, $"id_b"), "id_a", "id_b",
+        seeds, "node", 8)
+      .orderBy($"node").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
