@@ -71,6 +71,64 @@ object MixtureOps {
       .drop("__wtot")
   }
 
+  /** Largest-remainder (Hamilton) apportionment (SURVEY.md §2 row 165)
+    * — integer quotas proportional to `wCol` that sum to EXACTLY
+    * `budget`. [[domainBudgets]]' floor allocation undershoots by up
+    * to (#domains − 1) tokens; when the budget is a contract (exact
+    * per-domain shard counts, sampling quotas that must tile a fixed
+    * token budget), the remainder must be distributed, and naive
+    * per-row rounding breaks the sum. Hamilton's method: base_d =
+    * ⌊B·w_d/W⌋, then the D = B − Σbase largest fractional parts get
+    * +1. Fractions are compared WITHOUT division: rem_d = (B·w_d)
+    * mod W is the fraction's numerator over the common denominator W
+    * — pure integers, so DuckDB replays the allocation verbatim
+    * (products ride DECIMAL(38,0)/HUGEINT; the domainBudgets overflow
+    * posture).
+    *
+    * D < |{d : rem_d > 0}| always (Σrem = D·W, each rem < W), so
+    * zero-remainder domains — in particular zero-weight ones — never
+    * receive a bonus unit; the `rem > 0` guard documents that
+    * invariant rather than creating it. Ties in rem break by key ASC
+    * — total order, deterministic under any partitioning.
+    *
+    * Scale shape: the corpus-sized work is the caller's weight
+    * aggregation; this operator runs on the DOMAIN-bounded frame —
+    * total weight and deficit are broadcast 1-row aggregates and the
+    * single unpartitioned rank window rides the domain frame (the
+    * skyline posture: bounded by the domain count, never the corpus). */
+  def apportion(weights: DataFrame, keyCols: Seq[String], wCol: String,
+                budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(keyCols.nonEmpty, "at least one key column required")
+    val w = weights.select(
+      keyCols.map(col) :+ col(wCol).cast(LongType).as("__w"): _*)
+    val base = w
+      .crossJoin(broadcast(w.agg(sum(col("__w")).as("__wtot"))))
+      .withColumn("__base",
+        expr(s"CAST((CAST(__w AS DECIMAL(38,0)) * ${budget}L) div __wtot AS BIGINT)"))
+      .withColumn("__rem",
+        expr(s"CAST((CAST(__w AS DECIMAL(38,0)) * ${budget}L) % __wtot AS BIGINT)"))
+    val ranked = base
+      .crossJoin(broadcast(base.agg((lit(budget) - sum(col("__base"))).as("__def"))))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__rem").desc +: keyCols.map(col(_).asc): _*)))
+    ranked
+      .select(keyCols.map(col) ++ Seq(
+        col("__w").as("weight"),
+        (col("__base") + when(col("__rn") <= col("__def") && col("__rem") > 0, 1L)
+          .otherwise(0L)).as("quota")): _*)
+  }
+
+  /** §2 row 165 — a prime budget (forces remainders) over the
+    * (lang, source) char-mass domains of `documents`. */
+  def apportionQ(s: SparkSession, d: String): DataFrame =
+    apportion(
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("mass")),
+      Seq("lang", "source"), "mass", budget = 999983L)
+      .orderBy(col("lang"), col("source"))
+
   /** The resampled corpus: every doc kept by the temperature mixture,
     * with its domain's allocation alongside. */
   def temperatureMixture(docs: DataFrame, domainCol: Column, idCol: Column,
@@ -176,9 +234,32 @@ object MixtureOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_mixture" -> (domainMixtureQ _),
     "q_chi2_tokens"    -> (chi2TokensQ _),
+    "q_apportion"      -> (apportionQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // pure integer replay: products in HUGEINT, floor-div base,
+    // mod-W remainder numerators, deficit = B - sum(base), rank by
+    // (rem DESC, keys ASC) over the domain-bounded frame
+    "q_apportion" ->
+      """WITH mass AS (
+        |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT SUM(weight) AS wt FROM mass),
+        |b AS (
+        |  SELECT lang, source, weight,
+        |    (weight * 999983) // wt AS base,
+        |    (weight * 999983) % wt AS rem
+        |  FROM mass CROSS JOIN tot),
+        |d AS (SELECT 999983 - SUM(base) AS def FROM b),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rn
+        |  FROM b)
+        |SELECT lang, source, weight,
+        |  CAST(base + CASE WHEN rn <= (SELECT def FROM d) AND rem > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY lang, source""".stripMargin,
+
     // the double-precision chi² evaluation mirrors the Scala column
     // expression ASSOCIATION-FOR-ASSOCIATION (left-assoc * and /), so
     // both engines produce the same IEEE bits and the floored 1e-6

@@ -75,4 +75,42 @@ class MixtureSpec extends AnyFunSuite {
       .select($"doc_id").orderBy($"doc_id").as[Long].collect().toSeq
     assert(a == b)
   }
+
+  private def quotas(ws: Seq[(String, Long)], budget: Long) =
+    MixtureOps.apportion(ws.toDF("k", "w"), Seq("k"), "w", budget)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+
+  test("apportion: quotas sum exactly to the budget; each is floor or ceil of its share") {
+    // shares of 100 over weights 1,1,1 are 33.33.. -> floor sum 99, one +1
+    val q = quotas(Seq(("a", 1L), ("b", 1L), ("c", 1L)), 100L)
+    assert(q.values.sum == 100L, q.toString)
+    assert(q.values.toSet.subsetOf(Set(33L, 34L)), q.toString)
+    // skewed weights, prime budget: still exact
+    val q2 = quotas(Seq(("a", 7L), ("b", 2L), ("c", 991L)), 9973L)
+    assert(q2.values.sum == 9973L, q2.toString)
+    // each quota within 1 of the exact share B*w/W
+    val wtot = 1000.0
+    Seq(("a", 7L), ("b", 2L), ("c", 991L)).foreach { case (k, w) =>
+      val exact = 9973L * w / wtot
+      assert(q2(k) == math.floor(exact).toLong || q2(k) == math.ceil(exact).toLong,
+        s"$k: ${q2(k)} vs $exact")
+    }
+  }
+
+  test("apportion: zero-weight domains get zero; remainder ties break by key") {
+    val q = quotas(Seq(("a", 5L), ("z", 0L), ("b", 5L)), 11L)
+    assert(q("z") == 0L, q.toString)
+    assert(q.values.sum == 11L, q.toString)
+    // a and b have equal remainders; the single bonus unit goes to "a"
+    assert(q("a") == 6L && q("b") == 5L, q.toString)
+  }
+
+  test("apportion is invariant to input partitioning") {
+    val ws = (1 to 50).map(i => (s"d$i", (i * 37 % 13 + 1).toLong))
+    val a = MixtureOps.apportion(ws.toDF("k", "w"), Seq("k"), "w", 12345L)
+      .orderBy($"k").collect().toSeq
+    val b = MixtureOps.apportion(ws.toDF("k", "w").repartition(7), Seq("k"), "w", 12345L)
+      .orderBy($"k").collect().toSeq
+    assert(a == b && a.map(_.getLong(2)).sum == 12345L)
+  }
 }
