@@ -454,6 +454,16 @@ object TrainingOps {
     // named t would shadow it and silently hash the UNPREFIXED value
     // (caught by the q_cms_tokens parity gate)
     require(id != "t", "polyHashSql: id column must not be named 't'")
+    polyHashOverSql(id,
+      s"SELECT $id, '$prefix' || CAST($id AS VARCHAR) AS t FROM $table")
+  }
+
+  /** The general form: `inner` is any relation emitting the
+    * passthrough columns `keys` (comma-separated) plus a VARCHAR
+    * column `t`; emits `SELECT <keys>, h` with h = the signed 64-bit
+    * poly_hash64(t). [[polyHashSql]] is the common id-hash wrapper. */
+  private[operators] def polyHashOverSql(keys: String, inner: String): String = {
+    val id = keys
     s"""SELECT $id,
        |  CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - $M ELSE z3 END AS BIGINT) AS h
        |FROM (
@@ -481,8 +491,7 @@ object TrainingOps {
        |                      i -> CAST(strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i-1, 1)) - 1 AS HUGEINT) * 16
        |                         + CAST(strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i, 1)) - 1 AS HUGEINT))),
        |                  (a, b) -> (a * 1000003 + b) % $M) AS p
-       |              FROM (SELECT $id, '$prefix' || CAST($id AS VARCHAR) AS t
-       |                    FROM $table) _t0) _t1) _t2) _t3) _t4) _t5) _t6) _t7""".stripMargin
+       |              FROM ($inner) _t0) _t1) _t2) _t3) _t4) _t5) _t6) _t7""".stripMargin
   }
 
   /** Split-assignment CTE: doc_id -> (bucket, split), i.e.
