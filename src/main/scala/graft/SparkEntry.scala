@@ -46,7 +46,7 @@ object SparkEntry {
     BpeOps.queries ++ Classify.queries ++ Contamination.queries ++
     Boilerplate.queries ++ Dsir.queries ++ Fusion.queries ++ Blocklist.queries ++
     Dq.queries ++ Assembly.queries ++ Cep.queries ++ Privacy.queries ++ Hygiene.queries ++
-    SpanCorrupt.queries ++ Regression.queries ++ PcaOps.queries ++
+    SpanCorrupt.queries ++ Regression.queries ++ PcaOps.queries ++ Bm25State.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -229,6 +229,6 @@ object SparkEntry {
     BpeOps.oracles ++ Classify.oracles ++ Contamination.oracles ++
     Boilerplate.oracles ++ Dsir.oracles ++ SketchOps.oracles ++ Fusion.oracles ++ Blocklist.oracles ++
     Dq.oracles ++ Assembly.oracles ++ Cep.oracles ++ Privacy.oracles ++ Hygiene.oracles ++
-    SpanCorrupt.oracles ++ Regression.oracles ++ PcaOps.oracles ++
+    SpanCorrupt.oracles ++ Regression.oracles ++ PcaOps.oracles ++ Bm25State.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Incremental retrieval-index state (SURVEY.md §2 row 169) — BM25
+  * postings that GROW by document batches without re-tokenizing the
+  * corpus: the [[GraphState]] delta posture applied to the row-111
+  * persisted index.
+  *
+  * Why batches compose exactly: a document lives in exactly ONE batch,
+  * so its postings rows (doc_id, token, tf, dl) are computed entirely
+  * within that batch and are DISJOINT from every other batch's — the
+  * accumulated postings table is the plain union of batch partitions,
+  * no merge arithmetic at all; and the index stats (n_docs, tot_dl)
+  * are additive counters, one tiny row per batch, re-summed at read
+  * time. Ingesting a batch therefore costs O(batch) tokenization and
+  * an O(batch) commit; existing state is never read OR rewritten on
+  * the write path, and a retried batchId overwrites its own partition
+  * (idempotent). Scoring reads the partitioned postings dir exactly
+  * like the direct index — [[TextOps2.bm25FromPostings]] unchanged —
+  * so query cost is independent of how many batches built the index.
+  *
+  * df/idf freshness falls out for free: df is derived at QUERY time
+  * from the query-restricted accumulated postings (the row-111
+  * design), so there is no materialized df table to go stale as
+  * batches land.
+  */
+object Bm25State {
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Tokenize ONE batch of docs and land its postings + stats as the
+    * batch's own partitions. Re-running a batchId overwrites its
+    * partitions only. */
+  def commitDocBatch(spark: SparkSession, root: String, batchId: String,
+                     docs: DataFrame, idCol: Column, textCol: Column): Unit = {
+    val (postings, stats) = TextOps2.buildBm25Postings(docs, idCol, textCol)
+    postings.write.mode("overwrite").parquet(s"$root/postings/ingest=$batchId")
+    stats.write.mode("overwrite").parquet(s"$root/stats/ingest=$batchId")
+  }
+
+  /** The accumulated index: postings = union of every batch partition
+    * (read as one partitioned table), stats = the additive re-sum of
+    * the per-batch counter rows. */
+  def readIndex(spark: SparkSession, root: String): (DataFrame, DataFrame) = {
+    require(fs(spark, root).exists(new Path(s"$root/postings")),
+      s"no committed batches under $root")
+    val postings = spark.read.parquet(s"$root/postings")
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"))
+    val stats = spark.read.parquet(s"$root/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+    (postings, stats)
+  }
+
+  /** §2 row 169 — `documents` ingested as THREE disjoint batches
+    * (doc_id mod 3) through real on-disk state, then scored with the
+    * standard queries: bit-identical to q_bm25's direct derivation,
+    * so the same oracle replays it. */
+  def bm25IncrQ(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_state").toString
+    val docs = Tables.documents(s, d)
+    (0 to 2).foreach { b =>
+      commitDocBatch(s, root, s"b$b",
+        docs.filter(pmod(col("doc_id"), lit(3)) === b),
+        col("doc_id"), col("text"))
+    }
+    val (postings, stats) = readIndex(s, root)
+    TextOps2.bm25FromPostings(s, postings, stats, TextOps2.Bm25Queries, k = 10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_incr" -> (bm25IncrQ _),
+  )
+
+  /** Batch disjointness makes the accumulated index equal the direct
+    * one, so the incremental query replays with q_bm25's exact
+    * oracle. */
+  val oracles: Map[String, String] = Map(
+    "q_bm25_incr" -> TextOps2.oracles("q_bm25"),
+  )
+}

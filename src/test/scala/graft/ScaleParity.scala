@@ -35,7 +35,10 @@ object ScaleParity {
     "q_frequent_lines", "q_line_scrub",
     "q_collocations", "q_triangles",
     "q_label_prop", "q_keep_best", "q_cluster_split",
-    "q_novelty", "q_version_diff")
+    "q_novelty", "q_version_diff",
+    // round-10 families
+    "q_seed_distance", "q_apportion", "q_span_corrupt",
+    "q_normal_eq", "q_embed_moments", "q_retrieval_eval")
 
   /** Write `df` as a SINGLE parquet file `<dir>/<table>.parquet` —
     * the driver-testdata shape both engines read. */
