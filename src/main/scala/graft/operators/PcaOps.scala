@@ -108,6 +108,25 @@ object PcaOps {
     principalComponents(stats, dim, n)
   }
 
+  /** The whitening APPLICATION ("all-but-the-top"): subtract each
+    * vector's projection onto the given components — v ← v − Σ_c
+    * (v·c) c. The components are a bounded driver model shipped as
+    * LITERAL arrays into one codegen-friendly column expression
+    * (zip_with/aggregate over the vector), so application is a pure
+    * per-row projection: zero exchanges, corpus never funnels.
+    * Double-valued (the post-statistics side of the row-168 contract)
+    * — spec-verified, not oracle-hashed. */
+  def removeComponents(df: DataFrame, vecCol: String,
+                       components: Seq[Array[Double]]): DataFrame = {
+    val out = components.foldLeft(col(vecCol).cast(ArrayType(DoubleType))) { (v, c) =>
+      val lc = array(c.map(lit): _*)
+      val proj = aggregate(zip_with(v, lc, (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x)
+      zip_with(v, lc, (a, b) => a - proj * b)
+    }
+    df.withColumn(vecCol, out)
+  }
+
   /** §2 row 168 — the moment statistics of the embeddings table. */
   def embedMomentsQ(s: SparkSession, d: String): DataFrame =
     momentRows(Tables.embeddings(s, d), "embedding", dim = 64)

@@ -72,6 +72,28 @@ class PcaSpec extends AnyFunSuite {
     assert(got((0L, 2L)) == 1000L + 500L, got.toString)
   }
 
+  test("removing the top component kills its variance, preserves the rest") {
+    val dir1 = Array(math.sqrt(0.5), math.sqrt(0.5), 0.0)
+    val rows = (1 to 400).map { i =>
+      def u(k: Int) = (((i * 2654435761L + k * 40503L) % 1000) / 500.0) - 1.0
+      val (a, b) = (10.0 * u(1), 1.0 * u(2))
+      Tuple1(Array((a * dir1(0) + b * 0.7071).toFloat,
+        (a * dir1(1) - b * 0.7071).toFloat, (0.1 * u(3)).toFloat))
+    }
+    val df = rows.toDF("v")
+    val pcs = PcaOps.fitPrincipalComponents(df, "v", dim = 3, n = 1)
+    val whitened = PcaOps.removeComponents(df, "v", Seq(pcs.head._2))
+      .as[Tuple1[Array[Double]]].collect().map(_._1)
+    // residual projection onto the removed direction is ~0 per row
+    val v1 = pcs.head._2
+    whitened.foreach { w =>
+      val p = (0 until 3).map(k => w(k) * v1(k)).sum
+      assert(math.abs(p) < 1e-4, s"residual projection $p")
+    }
+    // the orthogonal b-direction variance survives (vectors not zeroed)
+    assert(whitened.map(w => w.map(x => x * x).sum).max > 0.1)
+  }
+
   test("statistics are invariant to partitioning (merge correctness)") {
     val df = (1 to 300).map(i =>
       Tuple1(Array.tabulate(8)(k => ((i * (k + 3)) % 17) * 0.05f))).toDF("v")
