@@ -217,12 +217,61 @@ object Privacy {
     auditTCloseness(Tables.documents(s, dir), Seq("source"), "lang", 1L, 10L)
       .orderBy(col("source"))
 
+  // ---- Deterministic discrete-Laplace release (§2 row 170) -----------
+
+  /** Trailing-zero count of the 64-bit hash image — Geometric(1/2)
+    * over a uniform hash: P(tz = k) = 2^-(k+1). Bit trick:
+    * (h & -h) isolates the lowest set bit (two's-complement wrap is
+    * the point), minus 1 turns it into tz ones, bit_count counts
+    * them; h = 0 means all 64 positions are "zeros". */
+  private def trailingZeros(h: Column): Column =
+    when(h === 0L, lit(64L))
+      .otherwise(call_function("bit_count",
+        h.bitwiseAND(negate(h)) - 1L).cast(org.apache.spark.sql.types.LongType))
+
+  /** Noised group-count release under deterministic discrete-Laplace
+    * noise — the privacy family's AGGREGATE release (rows 155's
+    * audits gate the microdata; this releases statistics): released =
+    * count + Z where Z = G₁ − G₂ with G_i iid Geometric(1/2) drawn
+    * from domain-prefixed key hashes, which is EXACTLY the discrete
+    * Laplace P(Z = z) = 2^-|z|/3 — the ε = ln 2 mechanism for
+    * sensitivity-1 counts. No ln(), no float: the geometric is the
+    * trailing-zero count of a uniform 64 bits (P(tz=k)=2^-(k+1)),
+    * pure bit arithmetic both engines replay exactly.
+    *
+    * Determinism is a deliberate trade, stated honestly: noise is a
+    * pure function of (salt, group key), so re-releases REPRODUCE
+    * (backfills agree, diffs are meaningful) and repeated queries
+    * cannot average the noise away — but an adversary knowing the
+    * salt can strip it; the formal guarantee holds only while the
+    * salt is secret (rotate it per release epoch for fresh draws).
+    * Scale: one grouped count (map-side combined) + a per-group
+    * projection; the released frame is group-domain bounded. */
+  def dpCountRelease(df: DataFrame, keyCols: Seq[String], salt: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val keyStr = concat_ws("\u0001",
+      keyCols.map(c => coalesce(col(c).cast(org.apache.spark.sql.types.StringType),
+        lit("\u0000"))): _*)
+    def geo(prefix: String) = trailingZeros(
+      graft.plans.PolyHash64.poly_hash64(concat(lit(s"$prefix$salt|"), keyStr)))
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .select(keyCols.map(col) :+
+        (col("__n") + geo("dpa|") - geo("dpb|")).as("released"): _*)
+  }
+
+  /** §2 row 170 — released per-(lang, source) doc counts, epoch salt
+    * "r10". */
+  def dpCountsQ(s: SparkSession, dir: String): DataFrame =
+    dpCountRelease(Tables.documents(s, dir), Seq("lang", "source"), "r10")
+      .orderBy(col("lang"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon_audit"      -> (kanonAuditQ _),
     "q_kanon_suppress"   -> (kanonSuppressQ _),
     "q_ldiv_audit"       -> (ldivAuditQ _),
     "q_kanon_generalize" -> (kanonGeneralizeQ _),
-    "q_tclose_audit"     -> (tcloseAuditQ _))
+    "q_tclose_audit"     -> (tcloseAuditQ _),
+    "q_dp_counts"        -> (dpCountsQ _))
 
   val oracles: Map[String, String] = Map(
     "q_kanon_audit" ->
@@ -323,5 +372,38 @@ object Privacy {
          |  CASE WHEN class_n < $K THEN NULL ELSE len_bucket END AS len_bucket
          |FROM t
          |ORDER BY doc_id""".stripMargin,
+
+    // the geometric draws replayed bit-for-bit: HUGEINT hash image,
+    // trailing zeros via bit_count(xor(m, m-1)) - 1, noise = tz_a - tz_b
+    "q_dp_counts" -> {
+      def hashCte(prefix: String) = TrainingOps.polyHashOverSql("lang, source",
+        s"""SELECT lang, source,
+           |  '$prefix' || concat_ws(chr(1),
+           |    COALESCE(CAST(lang AS VARCHAR), chr(0)),
+           |    COALESCE(CAST(source AS VARCHAR), chr(0))) AS t
+           |FROM (SELECT DISTINCT lang, source FROM documents) _k""".stripMargin)
+      def tz(h: String, m: String, tzn: String) =
+        s"""SELECT lang, source,
+           |  CASE WHEN $m = 0 THEN 64
+           |       ELSE bit_count(xor($m, $m - 1)) - 1 END AS $tzn
+           |FROM (SELECT lang, source,
+           |        CASE WHEN $h < 0
+           |          THEN CAST($h AS HUGEINT) + 18446744073709551616
+           |          ELSE CAST($h AS HUGEINT) END AS $m
+           |      FROM __HCTE__) _m""".stripMargin
+      s"""WITH cnts AS (
+         |  SELECT lang, source, COUNT(*) AS n
+         |  FROM documents GROUP BY lang, source),
+         |ha AS (${hashCte("dpa|r10|")}),
+         |hb AS (${hashCte("dpb|r10|")}),
+         |za AS (${tz("h", "m", "tza").replace("__HCTE__", "ha")}),
+         |zb AS (${tz("h", "m", "tzb").replace("__HCTE__", "hb")})
+         |SELECT c.lang, c.source,
+         |  CAST(c.n + za.tza - zb.tzb AS BIGINT) AS released
+         |FROM cnts c
+         |JOIN za ON c.lang = za.lang AND c.source = za.source
+         |JOIN zb ON c.lang = zb.lang AND c.source = zb.source
+         |ORDER BY c.lang, c.source""".stripMargin
+    },
   )
 }

@@ -122,4 +122,29 @@ class PrivacySpec extends AnyFunSuite {
     val nulled = sup.filter(col("lang").isNull).count()
     assert(audit.count() > 0 && nulled == atRiskMass)
   }
+
+  test("dp release: reproducible per salt, fresh draws per epoch, bounded noise") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (s"g${i % 400}", i)).toDF("g", "id")
+    val r1 = Privacy.dpCountRelease(df, Seq("g"), "epoch1")
+      .as[(String, Long)].collect().toMap
+    val r2 = Privacy.dpCountRelease(df, Seq("g"), "epoch1")
+      .as[(String, Long)].collect().toMap
+    assert(r1 == r2, "same salt must reproduce exactly")
+    val r3 = Privacy.dpCountRelease(df, Seq("g"), "epoch2")
+      .as[(String, Long)].collect().toMap
+    assert(r1 != r3, "a new epoch salt must redraw the noise")
+    // every group has true count 12 or 13; discrete-Laplace tails die
+    // as 2^-|z| so |noise| >= 40 has probability ~2^-40 per group
+    val noises = r1.map { case (g, rel) =>
+      val r = g.stripPrefix("g").toInt
+      rel - (if (r >= 1 && r <= 200) 13L else 12L) }
+    assert(noises.forall(n => math.abs(n) <= 40), noises.toString)
+    // P(Z = 0) = 1/3: with 400 draws expect ~133, allow a wide band
+    val zeros = noises.count(_ == 0L)
+    assert(zeros > 60 && zeros < 220, s"zeros=$zeros")
+    // symmetry: the mean noise is near 0 (sd of the mean ~ 0.1)
+    val mean = noises.sum.toDouble / noises.size
+    assert(math.abs(mean) < 0.8, s"mean=$mean")
+  }
 }
