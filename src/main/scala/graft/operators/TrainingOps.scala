@@ -78,6 +78,39 @@ object TrainingOps {
   def kfoldQ(s: SparkSession, d: String): DataFrame =
     assignFolds(Tables.documents(s, d), col("doc_id"), 5)
       .select(col("doc_id"), col("fold"))
+
+  /** Nested ablation tiers (SURVEY.md §2 row 171) — the subset ladder
+    * scaling-law and data-ablation experiments need: a 1% / 10% /
+    * 100% corpus where every smaller tier is a STRICT SUBSET of every
+    * larger one (so "more data" runs differ only by addition, never
+    * by resampling). Nesting is free from the hash-threshold scheme:
+    * with residue r = pmod(hash("tier|" + id), 1e6), subset_p =
+    * {r < p} is monotone in p by construction — no coordination, no
+    * stored state, and a doc's tier is the FIRST threshold (ppm,
+    * ascending) that admits it. Thresholds are parts-per-million
+    * longs, all-integer; docs past the last threshold get tier −1
+    * (excluded even from the full ablation — supported, though the
+    * common ladder ends at 1e6 = everything). Pure per-row projection,
+    * zero exchanges; the "tier|" prefix keeps this stream independent
+    * of split/fold/sample/order streams over the same ids. */
+  def nestedTiers(df: DataFrame, idCol: Column, ppm: Seq[Long]): DataFrame = {
+    require(ppm.nonEmpty && ppm == ppm.sorted && ppm.distinct == ppm,
+      s"thresholds must be strictly increasing, got $ppm")
+    require(ppm.head > 0 && ppm.last <= 1000000L,
+      s"thresholds are parts-per-million in (0, 1e6], got $ppm")
+    val r = pmod(PolyHash64.poly_hash64(
+      concat(lit("tier|"), idCol.cast(StringType))), lit(1000000L))
+    val tier = ppm.zipWithIndex.reverse.foldLeft(lit(-1L)) {
+      case (acc, (p, i)) => when(r < p, i.toLong).otherwise(acc)
+    }
+    df.withColumn("tier", tier)
+  }
+
+  /** §2 row 171 — the 1% / 10% / 100% ladder over `documents`. */
+  def ablationTiersQ(s: SparkSession, d: String): DataFrame =
+    nestedTiers(Tables.documents(s, d), col("doc_id"),
+        Seq(10000L, 100000L, 1000000L))
+      .select(col("doc_id"), col("tier"))
       .orderBy(col("doc_id"))
 
   // ---- Decontamination ---------------------------------------------------
@@ -433,6 +466,7 @@ object TrainingOps {
     "q_shuffle_order"  -> (shuffleOrderQ _),
     "q_interleave_order" -> (interleaveOrderQ _),
     "q_token_ids"      -> (tokenIdsQ _),
+    "q_ablation_tiers" -> (ablationTiersQ _),
   )
 
   // ---- Oracles -------------------------------------------------------------
@@ -524,6 +558,16 @@ object TrainingOps {
     "q_kfold" ->
       s"""SELECT doc_id, (h % 5 + 5) % 5 AS fold
          |FROM (${polyHashSql("fold|")}) _h
+         |ORDER BY doc_id""".stripMargin,
+
+    // residue < first admitting ppm threshold; -1 never fires here
+    // because the ladder ends at 1e6
+    "q_ablation_tiers" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN r < 10000 THEN 0 WHEN r < 100000 THEN 1
+         |            WHEN r < 1000000 THEN 2 ELSE -1 END AS BIGINT) AS tier
+         |FROM (SELECT doc_id, (h % 1000000 + 1000000) % 1000000 AS r
+         |      FROM (${polyHashSql("tier|")}) _h) _r
          |ORDER BY doc_id""".stripMargin,
 
     // top-512 vocab by (count desc, token), OOV -> 0, sequences

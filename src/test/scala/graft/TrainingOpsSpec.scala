@@ -206,4 +206,38 @@ class TrainingOpsSpec extends AnyFunSuite {
       .orderBy($"doc_id").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("nested tiers: strict subset ladder, near-target sizes, exhaustive at 1e6") {
+    val ids = (1L to 20000L).toDF("id")
+    val t = TrainingOps.nestedTiers(ids, $"id", Seq(10000L, 100000L, 1000000L))
+      .as[(Long, Long)].collect().toMap
+    val tier0 = t.filter(_._2 == 0L).keySet
+    val tier01 = t.filter(_._2 <= 1L).keySet
+    // the 1e6 ladder top admits everything: no -1
+    assert(t.values.forall(v => v >= 0L && v <= 2L))
+    // sizes near 1% and 10% of 20k
+    assert(tier0.size > 100 && tier0.size < 320, s"1% tier: ${tier0.size}")
+    assert(tier01.size > 1500 && tier01.size < 2600, s"10% tier: ${tier01.size}")
+    // nesting: re-running with ONLY the coarser thresholds keeps
+    // exactly the same membership for the surviving tiers
+    val t2 = TrainingOps.nestedTiers(ids, $"id", Seq(100000L))
+      .as[(Long, Long)].collect().toMap
+    assert(t2.filter(_._2 == 0L).keySet == tier01,
+      "10% subset must be identical whether or not a 1% tier exists below it")
+    // and the 1% tier is a strict subset of the 10% tier
+    assert(tier0.subsetOf(tier01) && tier0.size < tier01.size)
+  }
+
+  test("nested tiers reject non-increasing or out-of-range ladders") {
+    val ids = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      TrainingOps.nestedTiers(ids, $"id", Seq(5L, 5L))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOps.nestedTiers(ids, $"id", Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOps.nestedTiers(ids, $"id", Seq(2000000L))
+    }
+  }
 }
