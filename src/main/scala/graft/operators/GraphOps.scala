@@ -324,11 +324,100 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** k-core peeling (SURVEY.md §2 row 174) — iteratively remove every
+    * node whose degree among SURVIVORS is < k; what remains is the
+    * k-core, the classic dense-subgraph backbone (Seidman 1983).
+    * Curation reads it two ways: link-spam farms and bot rings live in
+    * high-core regions their page-level features hide (each removal
+    * can cascade — a node above threshold on the raw graph dies once
+    * its weak neighbors peel), and a retrieval/similarity graph's core
+    * is its "hub vocabulary". Returns (node, peel_round): the 1-based
+    * round the node was peeled, NULL = in the core — the peel round is
+    * a coreness proxy (earlier = further from the core), so the whole
+    * cascade is the signal, not just membership.
+    *
+    * `rounds` caps the peel; the loop ALSO exits early once a round
+    * removes nothing (peeling is monotone — an empty round fixes the
+    * degrees forever, so early exit equals running all remaining
+    * rounds). Parity needs no convergence claim: the capped peel is a
+    * pure function of (edges, k, rounds) on BOTH engines, and extra
+    * oracle rounds after fixpoint remove nothing by the same argument.
+    *
+    * Scale shape (the seedDistance posture): per round ONE equi-join
+    * of the symmetrized edge frame against the O(nodes) survivor set
+    * (dst side — removed sources drop out when the degree frame joins
+    * back to survivors), one map-side-combined degree aggregation, one
+    * left join + filter; survivor/removed state is localCheckpoint-
+    * truncated per round and stays distributed; the driver holds only
+    * the round counter and the per-round emptiness probe. Edges are
+    * symmetrized + distinct'd ONCE, persisted across rounds. */
+  def kCorePeel(pairs: DataFrame, idACol: String, idBCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val p0 = pairs.select(col(idACol).cast(LongType).as("a"),
+        col(idBCol).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // every node appears as dst after symmetrization
+      val spine = edges.select(col("dst").as("node")).distinct()
+        .localCheckpoint()
+      var surv = spine
+      var removed = spine.filter(lit(false))
+        .withColumn("peel_round", lit(0L)).localCheckpoint()
+      var r = 1
+      var fixed = false
+      while (r <= rounds && !fixed) {
+        val sdst = surv.select(col("node").as("dst"))
+        val deg = edges.join(sdst, Seq("dst"))
+          .groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        val rem = surv.join(deg, surv("node") === deg("src"), "left")
+          .filter(coalesce(col("dg"), lit(0L)) < k)
+          .select(col("node"), lit(r.toLong).as("peel_round"))
+          .localCheckpoint() // probed for emptiness, unioned, anti-joined
+        if (rem.isEmpty) fixed = true
+        else {
+          removed = removed.unionAll(rem).localCheckpoint(eager = false)
+          surv = surv.join(rem.select(col("node")), Seq("node"), "left_anti")
+            .localCheckpoint() // consumed twice next round (dst filter + left join)
+        }
+        r += 1
+      }
+      spine.join(removed, Seq("node"), "left")
+        .select(col("node"), col("peel_round"))
+    } finally { edges.unpersist(); () }
+  }
+
+  /** The q_kcore graph: the bipartite customer–supplier purchase graph
+    * (an edge per distinct trading pair), node ids disambiguated by
+    * even/odd (2·custkey / 2·suppkey+1) — SF-proof, no offset to
+    * outgrow. Dims broadcast; the fact join is the only big shuffle. */
+  def purchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("ca"),
+        (col("l_suppkey") * 2L + 1L).as("sb"))
+      .distinct()
+  }
+
+  /** §2 row 174 — k=48 peel of the purchase graph, 6 capped rounds
+    * (a 4-round cascade at sf0.01: a threshold chosen ABOVE the
+    * typical customer degree so peeling customers starves suppliers,
+    * the bipartite cascade k-core exists to catch). */
+  def kCoreQ(s: SparkSession, d: String): DataFrame =
+    kCorePeel(purchaseEdges(s, d), "ca", "sb", k = 48, rounds = 6)
+      .orderBy(col("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"      -> (pageRankQ _),
     "q_triangles"     -> (trianglesQ _),
     "q_label_prop"    -> (labelPropQ _),
     "q_seed_distance" -> (seedDistanceQ _),
+    "q_kcore"         -> (kCoreQ _),
   )
 
   /** Textual floor-div macro for the oracle (b > 0). */
@@ -426,6 +515,43 @@ object GraphOps {
          |${iterSql(3, 2)}
          |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM rk3
          |ORDER BY node""".stripMargin,
+
+    // exact unroll of the 6 capped peel rounds; every CTE MATERIALIZED
+    // (an unmaterialized chain re-derives its ancestors per reference —
+    // exponential in rounds on DuckDB 1.0). Degree counts only filter
+    // the dst side, like the engine: a removed src's degree row is
+    // dropped by the survivor left join, never consumed.
+    "q_kcore" -> {
+      def round(i: Int, p: Int): String =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT e.src AS node, COUNT(*) AS dg
+           |  FROM ed e JOIN s$p b ON e.dst = b.node GROUP BY 1),
+           |r$i AS MATERIALIZED (
+           |  SELECT s.node, CAST($i AS BIGINT) AS peel_round
+           |  FROM s$p s LEFT JOIN d$i d ON s.node = d.node
+           |  WHERE COALESCE(d.dg, 0) < 48),
+           |s$i AS MATERIALIZED (
+           |  SELECT node FROM s$p EXCEPT SELECT node FROM r$i)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey * 2 AS ca, l.l_suppkey * 2 + 1 AS sb
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |ed AS MATERIALIZED (
+         |  SELECT ca AS src, sb AS dst FROM e0 UNION SELECT sb, ca FROM e0),
+         |s0 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM ed),
+         |${round(1, 0)},
+         |${round(2, 1)},
+         |${round(3, 2)},
+         |${round(4, 3)},
+         |${round(5, 4)},
+         |${round(6, 5)},
+         |peeled AS (
+         |  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+         |  SELECT * FROM r3 UNION ALL SELECT * FROM r4 UNION ALL
+         |  SELECT * FROM r5 UNION ALL SELECT * FROM r6)
+         |SELECT CAST(s.node AS BIGINT) AS node, p.peel_round
+         |FROM s0 s LEFT JOIN peeled p ON s.node = p.node
+         |ORDER BY s.node""".stripMargin
+    },
 
     // layered BFS == min(dist) over the hop-capped recursive walk:
     // each node's first discovery is its true shortest hop, so the
