@@ -200,6 +200,57 @@ object TextOps {
     containmentPairs(Tables.documents(s, d), t = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Weighted (multiset) Jaccard pair verification (SURVEY.md §2 row
+    * 175) — Σ_t min(c_a, c_b) / Σ_t max(c_a, c_b) over TOKEN COUNTS:
+    * the repetition-aware relation set Jaccard is blind to ("a a a b"
+    * vs "a b" score 1.0 on sets, 2/4 here — loop-y spam and its clean
+    * source separate on multiplicity, not vocabulary; Ioffe 2010
+    * treats weighted Jaccard as its own relation for this reason).
+    * Emits the exact integer pair (wj_num, wj_den): num = Σ min over
+    * shared tokens, den = len_a + len_b − num (the Σ max identity —
+    * only the SHARED-token join is ever computed; per-doc totals cover
+    * the rest), divide at display. wj_den = 0 only for two token-free
+    * docs — kept explicit, the kappa posture.
+    *
+    * Scale shape: scoring rides an EXISTING candidate relation (here
+    * row 33's set-Jaccard near-dups) — never all pairs; the tf frame
+    * is one map-side-combined groupBy of the corpus, the shared-token
+    * intersection is two equi-joins keyed (doc, token) whose fan-out
+    * is bounded by |pairs| × doc length, and the num aggregation
+    * combines map-side. tf persists across its three consumers (len
+    * totals + both pair sides) — the rareFirstSets pattern. */
+  def weightedJaccard(docs: DataFrame, idCol: String, textCol: String,
+                      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("__id"),
+        explode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))).as("token"))
+      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lens = tf.groupBy(col("__id")).agg(sum(col("c")).as("l"))
+    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+    val inter = p
+      .join(tf.select(col("__id").as("doc_a"), col("token"), col("c").as("ca")), "doc_a")
+      .join(tf.select(col("__id").as("doc_b"), col("token"), col("c").as("cb")),
+        Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("n"))
+    p.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(lens.select(col("__id").as("doc_a"), col("l").as("la")), Seq("doc_a"), "left")
+      .join(lens.select(col("__id").as("doc_b"), col("l").as("lb")), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("n"), lit(0L)).as("wj_num"),
+        (coalesce(col("la"), lit(0L)) + coalesce(col("lb"), lit(0L)) -
+          coalesce(col("n"), lit(0L))).as("wj_den"))
+  }
+
+  /** §2 row 175 — the set-Jaccard near-dup pairs rescored by token
+    * multiplicity. */
+  def weightedJaccardQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    weightedJaccard(docs, "doc_id", "text",
+        ngramJaccard(docs), "doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** §2.3#34 — exact dedup groups (md5 hash-groupBy). */
   def dedupExactQ(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -379,6 +430,7 @@ object TextOps {
     "q_fingerprint"     -> (fingerprintQ _),
     "q_ngram_jaccard"   -> (ngramJaccardQ _),
     "q_containment"     -> (containmentQ _),
+    "q_weighted_jaccard" -> (weightedJaccardQ _),
     "q_dedup_exact"     -> (dedupExactQ _),
     "q_dedup_norm"      -> (dedupNormQ _),
     "q_dedup_minhash"   -> (dedupMinhashQ _),
@@ -514,6 +566,42 @@ object TextOps {
          |  WHERE abs(sa.n_chars - sb.n_chars) <= 8) p
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the q_ngram_jaccard pair relation verbatim (same CTEs), then
+    // token-count multisets joined on shared tokens; num/den replayed
+    // in HUGEINT and emitted BIGINT — LEFT joins keep the pair spine
+    // under zero-overlap/token-free edge cases, like the engine
+    "q_weighted_jaccard" ->
+      s"""WITH s AS ($shingleSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         |sz AS (SELECT doc_id, n_chars, len(sh) AS n FROM s),
+         |ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |       FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT doc_a, doc_b FROM (
+         |  SELECT ic.id_a AS doc_a, ic.id_b AS doc_b,
+         |    CAST(ic.c AS DOUBLE) / (sa.n + sb.n - ic.c) AS jaccard
+         |  FROM ic JOIN sz sa ON sa.doc_id = ic.id_a
+         |          JOIN sz sb ON sb.doc_id = ic.id_b
+         |  WHERE abs(sa.n_chars - sb.n_chars) <= 8) p
+         |  WHERE jaccard >= 0.5),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS token
+         |    FROM documents) u
+         |  GROUP BY 1, 2),
+         |ln AS (SELECT doc_id, SUM(c) AS l FROM tf GROUP BY 1),
+         |it AS (SELECT p.doc_a, p.doc_b, SUM(LEAST(a.c, b.c)) AS n
+         |       FROM pr p JOIN tf a ON a.doc_id = p.doc_a
+         |               JOIN tf b ON b.doc_id = p.doc_b AND b.token = a.token
+         |       GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(COALESCE(it.n, 0) AS BIGINT) AS wj_num,
+         |  CAST(COALESCE(la.l, 0) + COALESCE(lb.l, 0) - COALESCE(it.n, 0) AS BIGINT) AS wj_den
+         |FROM pr p
+         |LEFT JOIN it ON it.doc_a = p.doc_a AND it.doc_b = p.doc_b
+         |LEFT JOIN ln la ON la.doc_id = p.doc_a
+         |LEFT JOIN ln lb ON lb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     // directional overlap ratio over the same sparse intersection
     // table as q_ngram_jaccard; the Spark prefix×full filter is
