@@ -101,6 +101,72 @@ object Hygiene {
     dedupLines(structured, "doc_id", "text").orderBy(col("doc_id"))
   }
 
+  // ---- Frequency truecasing (row 176) ----
+
+  /** Corpus-frequency truecasing — rewrite every token to its
+    * MAJORITY surface form across the corpus (ties break
+    * lexicographically): the casing-repair gate multilingual pipelines
+    * run on OCR dumps, ALL-CAPS shouting, headline-cased titles and
+    * MiXeD crawl junk (Lita et al., ACL 2003 "tRuEcasIng"). Exact
+    * dedup, shingling and vocabularies all fracture on casing that
+    * normalization-by-lowercasing would destroy information to fix —
+    * truecasing folds variants onto the corpus's own dominant form
+    * instead ("nasa" → "NASA", "THE" → "the").
+    *
+    * Scale shape: surface-form votes are ONE map-side-combined groupBy
+    * over (lower(token), token) — vocabulary-bounded output; the
+    * canonical pick is an argmax on that frame via min(struct(-count,
+    * token)) (no window — a celebrity token costs a wide aggregate,
+    * the LPA posture); the rewrite is an equi-join of the positional
+    * token stream against the (lower → canonical) map keyed on the
+    * lowercased token, then the dedupLines two-shuffle reassembly
+    * (per-doc sort_array over collected (pos, token) structs). Output
+    * is the truecased TOKEN STREAM (the training-corpus canonical
+    * form), not a lossless rewrite — inter-token bytes are the
+    * tokenizer's to drop. Token-free docs survive as ("", 0) rows via
+    * the document spine (presence ≠ identity, the dedupLines rule). */
+  def truecase(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).cast(LongType).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0)))
+          .as(Seq("pos", "tk")))
+      .withColumn("lt", lower(col("tk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = tok
+      .groupBy(col("lt"), col("tk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lt"))
+      .agg(min(struct((-col("c")).as("nc"), col("tk"))).as("m"))
+      .select(col("lt"), col("m.tk").as("ct"))
+    val rebuilt = tok.join(canon, Seq("lt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tk") =!= col("ct"), 1L).otherwise(0L)).as("n_changed"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("ct")))),
+            x => x.getField("ct")), " ").as("truecased"))
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"),
+        coalesce(col("truecased"), lit("")).as("truecased"))
+  }
+
+  /** Registered query: the corpus is seeded with deterministic case
+    * damage IN BOTH ENGINES (doc_id%7=0 → ALL-CAPS, %7=1 → 'table'
+    * headline-cased; upper/regexp_replace have identical Java/RE2
+    * semantics on ASCII), so the oracle exercises real majority-vote
+    * repair — the lowercase majority wins the vote and the damaged
+    * docs fold back, the unicode-norm seeding precedent. */
+  def truecaseQ(s: SparkSession, dir: String): DataFrame = {
+    val damaged = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+          .when(pmod(col("doc_id"), lit(7)) === 1,
+            regexp_replace(col("text"), "table", "Table"))
+          .otherwise(col("text")).as("text"))
+    truecase(damaged, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
   // ---- Pareto-frontier (skyline) selection (row 160) ----
 
   /** Skyline over two maximized integer metrics: keep a row iff no
@@ -144,9 +210,44 @@ object Hygiene {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unicode_norm"  -> (unicodeNormQ _),
     "q_dedup_lines"   -> (dedupLinesQ _),
-    "q_pareto_select" -> (paretoSelectQ _))
+    "q_pareto_select" -> (paretoSelectQ _),
+    "q_truecase"      -> (truecaseQ _))
 
   val oracles: Map[String, String] = Map(
+    // same damage seeding, positional tokens via LATERAL range unnest,
+    // ROW_NUMBER (count DESC, token ASC) == the engine's
+    // min(struct(-c, tk)) argmax, ordered string_agg reassembly,
+    // document spine keeps token-free rows
+    "q_truecase" ->
+      """WITH seeded AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+        |         WHEN doc_id % 7 = 1 THEN regexp_replace(text, 'table', 'Table', 'g')
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i + 1] AS tk,
+        |    lower(l[i + 1]) AS lt
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+', 0) AS l
+        |        FROM seeded) t,
+        |    LATERAL (SELECT unnest(range(0, len(l))) AS i) _i),
+        |votes AS (SELECT lt, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |canon AS (SELECT lt, tk AS ct FROM (
+        |    SELECT lt, tk, ROW_NUMBER() OVER (PARTITION BY lt
+        |      ORDER BY c DESC, tk ASC) AS rn FROM votes) v
+        |  WHERE rn = 1),
+        |rebuilt AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN t.tk <> c.ct THEN 1 ELSE 0 END) AS n_changed,
+        |    string_agg(c.ct, ' ' ORDER BY t.pos) AS truecased
+        |  FROM tok t JOIN canon c ON t.lt = c.lt
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(r.n_changed, 0) AS BIGINT) AS n_changed,
+        |  COALESCE(r.truecased, '') AS truecased
+        |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // decomposed seeding (chr(769) = U+0301 combining acute) replayed
     // with DuckDB's utf8proc normalizers; length() counts codepoints
     // on both engines
