@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.plans.{PolyHash64, UnicodeNorm}
+import graft.plans.{LcpLen, PolyHash64, UnicodeNorm}
 import graft.sources.Tables
 
 /** Corpus text hygiene (SURVEY.md §2 rows 158–160): Unicode
@@ -167,6 +167,46 @@ object Hygiene {
     truecase(damaged, "doc_id", "text").orderBy(col("doc_id"))
   }
 
+  // ---- Group-LCP template detection (row 178) ----
+
+  /** Longest common prefix per group (SURVEY.md §2 row 178) — the
+    * template detector for crawl corpora: pages generated from one
+    * site template share a long literal prefix (header boilerplate,
+    * breadcrumbs, legal banners) that line/segment dedup only catches
+    * if the template happens to align with line breaks. A long group
+    * LCP is the "this source is templated" diagnostic that routes the
+    * group to prefix-stripping.
+    *
+    * Scale = the LCP(min, max) identity: under lexicographic order
+    * every string of the group sorts between min and max, so the LCP
+    * of the whole SET equals LCP(min, max) — corpus-wide LCP costs
+    * ONE associative min/max aggregation (map-side combined, any
+    * group count, any corpus size) plus one O(prefix) scalar per
+    * group ([[graft.plans.LcpLen]], codegen'd, code-point-exact).
+    * NULL texts carry no prefix evidence: min/max skip them; a group
+    * of only NULLs reports NULL lcp. */
+  def groupLcp(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(col(textCol)).as("n_docs"),
+        min(col(textCol)).as("mn"), max(col(textCol)).as("mx"))
+    agg.withColumn("lcp_len", LcpLen.lcp_len(col("mn"), col("mx")))
+      .select(col(groupCol), col("n_docs"), col("lcp_len"),
+        col("mn").substr(lit(1), coalesce(col("lcp_len"), lit(0L)).cast("int"))
+          .as("prefix"))
+  }
+
+  /** Registered query: per-source LCP with a deterministic template
+    * seeded IN BOTH ENGINES ('[source] ' prepended — the truecase
+    * damage-seeding precedent), so the oracle exercises real template
+    * discovery: the LCP must recover at least the seeded header and
+    * exactly whatever common continuation the corpus adds. */
+  def templatePrefixQ(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.documents(s, dir)
+      .select(col("source"),
+        concat(lit("["), col("source"), lit("] "), col("text")).as("text"))
+    groupLcp(seeded, "source", "text").orderBy(col("source"))
+  }
+
   // ---- Pareto-frontier (skyline) selection (row 160) ----
 
   /** Skyline over two maximized integer metrics: keep a row iff no
@@ -211,9 +251,36 @@ object Hygiene {
     "q_unicode_norm"  -> (unicodeNormQ _),
     "q_dedup_lines"   -> (dedupLinesQ _),
     "q_pareto_select" -> (paretoSelectQ _),
-    "q_truecase"      -> (truecaseQ _))
+    "q_truecase"      -> (truecaseQ _),
+    "q_template_prefix" -> (templatePrefixQ _))
 
   val oracles: Map[String, String] = Map(
+    // same template seeding; group min/max, then the first divergent
+    // character position over a LATERAL position range (floored at 1
+    // so an empty-min group still yields its lcp=0 row: substr('',1,1)
+    // = '' differs from any non-empty char); DuckDB length/substr are
+    // character-based, matching the engine's code-point contract
+    "q_template_prefix" ->
+      """WITH seeded AS (
+        |  SELECT source, '[' || source || '] ' || text AS text FROM documents),
+        |mm AS (SELECT source, COUNT(text) AS n_docs,
+        |         MIN(text) AS mn, MAX(text) AS mx
+        |       FROM seeded GROUP BY source),
+        |lc AS (
+        |  SELECT m.source, m.n_docs, m.mn,
+        |    COALESCE(MIN(CASE WHEN substr(m.mn, CAST(i + 1 AS INT), 1)
+        |                        <> substr(m.mx, CAST(i + 1 AS INT), 1)
+        |                      THEN i END),
+        |             least(length(m.mn), length(m.mx))) AS lcp_len
+        |  FROM mm m, LATERAL (SELECT unnest(range(0,
+        |    greatest(least(length(m.mn), length(m.mx)), 1))) AS i) _i
+        |  GROUP BY m.source, m.n_docs, m.mn, m.mx)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(lcp_len AS BIGINT) AS lcp_len,
+        |  substr(mn, 1, CAST(lcp_len AS INT)) AS prefix
+        |FROM lc
+        |ORDER BY source""".stripMargin,
+
     // same damage seeding, positional tokens via LATERAL range unnest,
     // ROW_NUMBER (count DESC, token ASC) == the engine's
     // min(struct(-c, tk)) argmax, ordered string_agg reassembly,
