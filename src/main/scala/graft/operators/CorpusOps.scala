@@ -427,7 +427,60 @@ object CorpusOps {
     labelCentroids(Tables.embeddings(s, d), "label", "embedding", exact = true)
       .orderBy(col("label"), col("pos"))
 
+  /** Vocabulary growth curve (SURVEY.md §2 row 179) — exact (corpus
+    * size, distinct vocabulary) checkpoints along the doc_id ingest
+    * order: the empirical Heaps'-law curve (V ≈ K·nᵝ) corpus
+    * diagnostics fit to answer "is the crawl still finding new
+    * language, or re-crawling the same pages?" — a flattening curve
+    * is saturation/duplication, a super-Heaps curve is junk influx
+    * (OCR noise mints unbounded pseudo-vocabulary). The fit itself is
+    * a 2-parameter display-time regression; the ENGINE's product is
+    * the exact integer curve.
+    *
+    * Scale shape: one distinct (token, doc) pass → min(doc_id) per
+    * token (map-side combined, vocabulary-bounded output) and one
+    * per-doc token-count aggregation; each joins the k-row checkpoint
+    * frame by BROADCAST range predicate (fan-out k, a constant), then
+    * map-side-combinable sums per checkpoint. No windows, no sorting,
+    * no corpus-sized shuffle beyond the two aggregations. Checkpoint
+    * cutoffs are doc_id-percentile marks off a 1-row max aggregate
+    * (the watermark-scalar posture) — a token is "new at checkpoint
+    * p" iff its FIRST doc_id lands under the cutoff, so the curve is
+    * a pure function of the data, not of partitioning. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  steps: Int = 10): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+    val maxId = docs.agg(max(col(idCol).cast(LongType)).as("mx"))
+    val pcts = (1 to steps).map(i => i * 100 / steps).toDF("pct")
+    val cuts = pcts.crossJoin(broadcast(maxId))
+      .select(col("pct").cast(LongType).as("pct"),
+        GraphOps.fdiv(col("pct") * col("mx"), lit(100L)).as("cutoff"))
+    val firsts = tok.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val vocab = firsts.join(broadcast(cuts), col("first_doc") <= col("cutoff"))
+      .groupBy(col("pct"), col("cutoff"))
+      .agg(count(lit(1)).as("vocab"))
+    val occ = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .join(broadcast(cuts), col("doc_id") <= col("cutoff"))
+      .groupBy(col("pct")).agg(sum(col("nt")).as("n_tokens"))
+    cuts.join(vocab, Seq("pct", "cutoff"), "left")
+      .join(occ, Seq("pct"), "left")
+      .select(col("pct"), col("cutoff"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+  }
+
+  /** §2 row 179 — the 10-step growth curve over documents. */
+  def vocabGrowthQ(s: SparkSession, d: String): DataFrame =
+    vocabGrowth(Tables.documents(s, d), "doc_id", "text", steps = 10)
+      .orderBy(col("pct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_growth" -> (vocabGrowthQ _),
     "q_repetition_filter"   -> (repetitionFilterQ _),
     "q_token_budget_sample" -> (tokenBudgetSampleQ _),
     "q_cross_dedup"         -> (crossDedupQ _),
@@ -446,6 +499,36 @@ object CorpusOps {
       |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // first-doc per token + per-doc counts, each range-joined to the
+    // 10 percentile cutoffs ((pct*max) floor-div 100, exact); sums in
+    // HUGEINT emitted BIGINT; LEFT joins keep early empty checkpoints
+    "q_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+        |  FROM documents),
+        |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |cuts AS (
+        |  SELECT CAST(p * 10 AS BIGINT) AS pct,
+        |    CAST(((p * 10 * mx.mx) - ((((p * 10 * mx.mx) % 100) + 100) % 100)) // 100 AS BIGINT) AS cutoff
+        |  FROM (SELECT unnest(range(1, 11)) AS p) _p, mx),
+        |firsts AS (SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token),
+        |vocab AS (
+        |  SELECT c.pct, COUNT(*) AS vocab
+        |  FROM firsts f JOIN cuts c ON f.first_doc <= c.cutoff
+        |  GROUP BY c.pct),
+        |occ AS (
+        |  SELECT c.pct, SUM(dn.nt) AS n_tokens
+        |  FROM (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id) dn
+        |  JOIN cuts c ON dn.doc_id <= c.cutoff
+        |  GROUP BY c.pct)
+        |SELECT c.pct, c.cutoff,
+        |  CAST(COALESCE(o.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(v.vocab, 0) AS BIGINT) AS vocab
+        |FROM cuts c
+        |LEFT JOIN vocab v ON v.pct = c.pct
+        |LEFT JOIN occ o ON o.pct = c.pct
+        |ORDER BY c.pct""".stripMargin,
+
     "q_repetition_filter" ->
       s"""WITH w AS ($wordsSql),
          |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
