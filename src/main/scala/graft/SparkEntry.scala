@@ -47,7 +47,7 @@ object SparkEntry {
     Boilerplate.queries ++ Dsir.queries ++ Fusion.queries ++ Blocklist.queries ++
     Dq.queries ++ Assembly.queries ++ Cep.queries ++ Privacy.queries ++ Hygiene.queries ++
     SpanCorrupt.queries ++ Regression.queries ++ PcaOps.queries ++ Bm25State.queries ++
-    Agreement.queries ++ PhraseSearch.queries ++ Rake.queries ++
+    Agreement.queries ++ PhraseSearch.queries ++ Rake.queries ++ AssocRules.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -231,6 +231,6 @@ object SparkEntry {
     Boilerplate.oracles ++ Dsir.oracles ++ SketchOps.oracles ++ Fusion.oracles ++ Blocklist.oracles ++
     Dq.oracles ++ Assembly.oracles ++ Cep.oracles ++ Privacy.oracles ++ Hygiene.oracles ++
     SpanCorrupt.oracles ++ Regression.oracles ++ PcaOps.oracles ++ Bm25State.oracles ++
-    Agreement.oracles ++ PhraseSearch.oracles ++ Rake.oracles ++
+    Agreement.oracles ++ PhraseSearch.oracles ++ Rake.oracles ++ AssocRules.oracles ++
     graft.sources.ExtractClient.oracles
 }
