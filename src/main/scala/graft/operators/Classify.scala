@@ -91,8 +91,58 @@ object Classify {
       .orderBy(col("name"))
   }
 
+  /** Classifier calibration table (SURVEY.md §2 row 181) — the
+    * reliability diagram's exact integer core: bin the model's raw
+    * margin into `bins` equal-width buckets over its observed range
+    * and report (n, n_pos, lo, hi) per bucket. Calibration is the
+    * eval accuracy alone hides: a filter whose high-margin bucket is
+    * only 60% positive is mis-ranking exactly the documents a
+    * margin-thresholded curation pass keeps (quality classifiers are
+    * consumed via thresholds, so the empirical positive rate PER
+    * SCORE BAND — n_pos/n, divide at display — is the operative
+    * guarantee; Platt/isotonic RECALIBRATION fits on top of this
+    * table, driver-side, display-time).
+    *
+    * Exactness: the margin is the integer feature·weight dot; the
+    * bucket is floor((m − mn)·bins / (mx − mn + 1)) — pure integer,
+    * always in [0, bins) (the +1 keeps m = mx inside the top bucket);
+    * a degenerate constant-margin corpus collapses to bucket 0 by the
+    * explicit mx = mn guard. Scale shape: one 1-row min/max aggregate
+    * broadcast back (watermark-scalar posture), one map-side-combined
+    * groupBy on the bucket id — no sort, no window, no quantile
+    * estimation. */
+  def calibrationTable(scored: DataFrame, scoreCol: String, labelCol: String,
+                       bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val mm = scored.agg(min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
+    scored.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(GraphOps.fdiv((col(scoreCol) - col("mn")) * bins,
+            col("mx") - col("mn") + 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col(labelCol) === 1L, 1L)), lit(0L)).as("n_pos"),
+        min(col(scoreCol)).as("lo"), max(col(scoreCol)).as("hi"))
+      .select(col("bin"), col("n"), col("n_pos"), col("lo"), col("hi"))
+  }
+
+  /** §2 row 181 — 10-bin calibration of the row-118 perceptron's raw
+    * margin against the lang == 'en' label it was trained on. */
+  def calibrationQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val feats = charFeatures(col("text"))
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val w = trainPerceptron(docs, feats, label, iters = 3)
+    val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    calibrationTable(
+        docs.select(margin.as("score"), label.as("y")), "score", "y", bins = 10)
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_perceptron" -> (perceptronQ _),
+    "q_perceptron"  -> (perceptronQ _),
+    "q_calibration" -> (calibrationQ _),
   )
 
   /** Feature SQL shared by every iteration (x0..x4 + label y). */
@@ -140,5 +190,31 @@ object Classify {
          |                      THEN 1 END), 0) AS BIGINT)
          |  FROM f CROSS JOIN w3 w) _out
          |ORDER BY name""".stripMargin,
+
+    // the q_perceptron training unroll shared verbatim (same featSql/
+    // step CTEs), then integer margins, the 1-row min/max, and the
+    // floor-div bucket; mx = mn guard replayed; HUGEINT sums → BIGINT
+    "q_calibration" -> {
+      def fd(a: String, b: String) =
+        s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+      s"""WITH $featSql,
+         |w0 AS (SELECT ${dims.map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+         |${stepSql(1, 0)},
+         |${stepSql(2, 1)},
+         |${stepSql(3, 2)},
+         |marg AS (SELECT y, ${dotSql("w")} AS m FROM f CROSS JOIN w3 w),
+         |mm AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM marg),
+         |bk AS (
+         |  SELECT y, m,
+         |    CASE WHEN mm.mx = mm.mn THEN 0
+         |         ELSE ${fd("(m - mm.mn) * 10", "mm.mx - mm.mn + 1")} END AS bin
+         |  FROM marg CROSS JOIN mm)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS n_pos,
+         |  CAST(MIN(m) AS BIGINT) AS lo, CAST(MAX(m) AS BIGINT) AS hi
+         |FROM bk
+         |GROUP BY bin
+         |ORDER BY bin""".stripMargin
+    },
   )
 }
