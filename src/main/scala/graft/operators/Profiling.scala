@@ -428,6 +428,60 @@ object Profiling {
       .withColumnRenamed("__g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Token-distribution drift between two corpus snapshots (SURVEY.md
+    * §2 row 182) — the DISTRIBUTION-level companion to row 144's
+    * doc-level version diff and row 148's time-series CUSUM: two
+    * snapshots can share zero documents yet be statistically
+    * identical, or share 95% of documents while the remaining 5%
+    * shifts the vocabulary (a spam influx, a new template, a language
+    * mix change). Per token, the 2-proportion chi-square contribution
+    *   χ²(t) = (c1·N2 − c2·N1)² / (N1·N2·(c1+c2))
+    * — the per-token term of the classic homogeneity test; Σ over
+    * tokens is the corpus statistic, the per-token ranking is the
+    * "what drifted" answer.
+    *
+    * Exactness: c1·N2 − c2·N1 is computed in BIGINT (the kappa
+    * overflow contract: count·N < 2^63 ⇒ N under ~3e9 tokens per
+    * snapshot; pre-scale counts beyond — χ² ratios are scale-free up
+    * to the common factor), then ONE cast to double and three pinned
+    * single-op divisions — both engines evaluate the identical IEEE
+    * sequence (the BM25 pinned-shape rule), so the doubles replay
+    * bit-exactly. `minCount` floors c1+c2: rare-token cells below a
+    * chi-square's validity threshold are noise, and at 100 TB the
+    * filter also bounds output by the frequent vocabulary.
+    *
+    * Scale shape: ONE map-side-combined (token, snapshot) groupBy over
+    * both snapshots read as a single pass (the snapshot tag is a
+    * projection), pivoted to (c1, c2) in the same aggregation; totals
+    * are a 1-row broadcast (watermark-scalar posture). No windows, no
+    * joins beyond the broadcast. */
+  def tokenDrift(docs: DataFrame, snapCol: Column, textCol: Column,
+                 minCount: Long = 10L): DataFrame = {
+    val tok = docs.select(snapCol.cast(LongType).as("snap"),
+      explode(regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+    val tc = tok.groupBy(col("token"))
+      .agg(coalesce(sum(when(col("snap") === 0L, 1L)), lit(0L)).as("c1"),
+        coalesce(sum(when(col("snap") =!= 0L, 1L)), lit(0L)).as("c2"))
+    val tot = tc.agg(coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("n2"))
+    tc.filter(col("c1") + col("c2") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("d", (col("c1") * col("n2") - col("c2") * col("n1"))
+        .cast(DoubleType))
+      .select(col("token"), col("c1"), col("c2"),
+        (col("d") * col("d") / col("n1").cast(DoubleType)
+          / col("n2").cast(DoubleType)
+          / (col("c1") + col("c2")).cast(DoubleType)).as("chi2"))
+  }
+
+  /** §2 row 182 — drift between the even- and odd-doc_id snapshot
+    * halves (the version-diff split convention), minCount 10. */
+  def tokenDriftQ(s: SparkSession, d: String): DataFrame =
+    tokenDrift(Tables.documents(s, d), pmod(col("doc_id"), lit(2)),
+        col("text"), minCount = 10L)
+      .orderBy(col("token"))
+
   /** Corpus version diff (SURVEY.md §2 row 144) — the incremental twin
     * of [[datasetFingerprint]]: given two snapshots of a keyed corpus,
     * classify every id as added / removed / changed / unchanged. The
@@ -488,6 +542,7 @@ object Profiling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_cusum"   -> (driftCusumQ _),
+    "q_token_drift"   -> (tokenDriftQ _),
     "q_dataset_hash"  -> (datasetHashQ _),
     "q_version_diff"  -> (versionDiffQ _),
     "q_weighted_median" -> (weightedMedianQ _),
@@ -503,6 +558,30 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    // one (token, snapshot-tag) count pass pivoted to (c1, c2); the
+    // chi term replayed with the SAME pinned IEEE shape: one BIGINT
+    // difference cast to double, a square, then three single
+    // divisions in the same order
+    "q_token_drift" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 2 AS snap,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+        |  FROM documents),
+        |tc AS (
+        |  SELECT token,
+        |    CAST(COALESCE(SUM(CASE WHEN snap = 0 THEN 1 END), 0) AS BIGINT) AS c1,
+        |    CAST(COALESCE(SUM(CASE WHEN snap <> 0 THEN 1 END), 0) AS BIGINT) AS c2
+        |  FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+        |               CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n2 FROM tc)
+        |SELECT token, c1, c2,
+        |  (CAST(c1 * n2 - c2 * n1 AS DOUBLE) * CAST(c1 * n2 - c2 * n1 AS DOUBLE))
+        |    / CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |    / CAST(c1 + c2 AS DOUBLE) AS chi2
+        |FROM tc CROSS JOIN tot
+        |WHERE c1 + c2 >= 10
+        |ORDER BY token""".stripMargin,
+
     // the prefix-sum window form of the CUSUM recurrence, identical
     // expressions both engines; target = floor(mean)
     "q_drift_cusum" ->
