@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -70,13 +70,66 @@ object Analytics {
       .orderBy(col("win_id"))
   }
 
+  /** Frequent-path mining (SURVEY.md §2 row 184) — the top event-type
+    * n-grams along each user's timeline: what funnels (row 55, a FIXED
+    * pattern checked) and CEP (row 151, a single pattern matched)
+    * cannot answer — "which paths actually happen?" The clickstream
+    * discovery query product analytics runs before it knows what
+    * funnel to define.
+    *
+    * Scale shape: ONE per-user window (lead ×(n−1) share the frame,
+    * partitions bounded by a user's events) ordered by (ts, event_id)
+    * — the event_id tiebreaker makes the sequence a pure function of
+    * the data at any SF, not of sort stability; then one map-side-
+    * combined count on the path string whose domain is
+    * |event types|ⁿ — value-bounded, so the final top-k sort is a
+    * bounded frame, never the event stream. */
+  def frequentPaths(events: DataFrame, userCol: Column, tsCol: Column,
+                    idCol: Column, typeCol: Column,
+                    n: Int, k: Int): DataFrame = {
+    require(n >= 2 && k >= 1, s"need n >= 2 and k >= 1, got n=$n k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(tsCol, idCol)
+    val steps = (0 until n).map { i =>
+      if (i == 0) typeCol else lead(typeCol, i).over(w) }
+    val paths = events
+      .select(concat_ws(">", steps: _*).as("path"),
+        steps.last.isNotNull.as("complete"))
+      .filter(col("complete"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
+  /** §2 row 184 — top-10 3-step paths over the events stream. */
+  def pathsQ(s: SparkSession, d: String): DataFrame =
+    frequentPaths(Tables.events(s, d), col("user_id"), col("ts"),
+      col("event_id"), col("event_type"), n = 3, k = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"        -> (funnelQ _),
     "q_retention"     -> (retentionQ _),
     "q_interval_join" -> (intervalJoinQ _),
+    "q_event_paths"   -> (pathsQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // same (ts, event_id)-ordered lead window; complete trigrams only;
+    // top-10 by (count DESC, path ASC)
+    "q_event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS t0,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+        |  FROM events)
+        |SELECT t0 || '>' || t1 || '>' || t2 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM seq
+        |WHERE t2 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n_paths DESC, path
+        |LIMIT 10""".stripMargin,
+
     "q_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS t_view FROM events
