@@ -467,8 +467,10 @@ object CorpusOps {
     val occ = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
       .join(broadcast(cuts), col("doc_id") <= col("cutoff"))
       .groupBy(col("pct")).agg(sum(col("nt")).as("n_tokens"))
-    cuts.join(vocab, Seq("pct", "cutoff"), "left")
-      .join(occ, Seq("pct"), "left")
+    // the reassembly joins ride k-row aggregate frames — broadcast
+    // them rather than let unknown stats pick a sort-merge shuffle
+    cuts.join(broadcast(vocab), Seq("pct", "cutoff"), "left")
+      .join(broadcast(occ), Seq("pct"), "left")
       .select(col("pct"), col("cutoff"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("vocab"), lit(0L)).as("vocab"))

@@ -273,4 +273,76 @@ class PlanSpec extends AnyFunSuite {
     assert("windowspecdefinition\\(h#".r.findFirstIn(p).nonEmpty, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("phrase search: the term table broadcasts; no window, no cartesian") {
+    val p = plan(graft.operators.PhraseSearch.phraseQ(spark, TestSpark.sf))
+    // non-query tokens must drop map-side at a broadcast join — a
+    // shuffled join would move every posting of the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("percolation: must/must-not tables broadcast; veto is an anti join") {
+    val p = plan(graft.operators.Percolate.percolateQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("association rules: frequent-token frames broadcast; pair join keys on doc_id") {
+    val p = plan(graft.operators.AssocRules.assocQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("calibration: one 1-row broadcast, bucket aggregation is partial") {
+    val df = graft.operators.Classify.calibrationQ(spark, TestSpark.sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("vocab growth: checkpoint frame broadcasts on the range predicate") {
+    val p = plan(graft.operators.CorpusOps.vocabGrowthQ(spark, TestSpark.sf))
+    // the <= cutoff join must be a broadcast nested loop over the
+    // k-row checkpoint frame, never a sort-merge over the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("truecase: the only window is the boundaryless token argmax-free reassembly path") {
+    val p = plan(graft.operators.Hygiene.truecaseQ(spark, TestSpark.sf))
+    // canonical pick is an aggregation argmax — NO window anywhere in
+    // the truecase plan (a per-token window would shuffle the stream
+    // once more and single-task celebrity tokens)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("template prefix: one aggregation, no join, no window over the corpus") {
+    val p = plan(graft.operators.Hygiene.templatePrefixQ(spark, TestSpark.sf))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_min") || p.contains("partial_max"), p)
+  }
+
+  test("token drift: single count pass pivoted in-aggregation, 1-row broadcast totals") {
+    val p = plan(graft.operators.Profiling.tokenDriftQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    // one corpus aggregation keyed on token: the pivot must not add a
+    // second token-keyed exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("kappa: contingency is the only corpus aggregation; marginal join full-outer on the tiny frame") {
+    val p = plan(graft.operators.Agreement.kappaQ(spark, TestSpark.sf))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
