@@ -428,6 +428,50 @@ object Profiling {
       .withColumnRenamed("__g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Partition-skew audit (SURVEY.md §2 row 185) — the pre-flight
+    * check before `repartition(key)`/bucketed writes at 100 TB: how
+    * would the rows ACTUALLY balance over `buckets` hash partitions,
+    * and is any bucket dominated by a single celebrity key? A skewed
+    * key that would straggle a shuffle is found here, on one cheap
+    * aggregation pass, instead of three hours into the join it
+    * stalls — the report that decides between plain repartitioning,
+    * salting, and AQE skew handling. Per bucket: row count, distinct
+    * keys, total weight (bytes proxy), and the heaviest key with its
+    * row count ("one key = the whole bucket" is the salting signal).
+    *
+    * Uses the replayable poly_hash64 (domain-prefixed "skew|") rather
+    * than Spark's internal shuffle hash: the audit's point is the
+    * SHAPE of a key distribution under A fixed hash — any mixing hash
+    * gives the same diagnosis, and this one both engines can compute.
+    *
+    * Scale shape: one (bucket, key) aggregation with map-side combine
+    * (output bounded by distinct keys), one bucket-level rollup
+    * (bounded by `buckets`); the heaviest-key pick is the
+    * max(struct(rows, key)) aggregation argmax — no window. */
+  def partitionSkewAudit(df: DataFrame, keyCol: Column, weightCol: Column,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val keyed = df.select(keyCol.cast(StringType).as("k"),
+        coalesce(weightCol.cast(LongType), lit(0L)).as("w"))
+      .withColumn("bucket", pmod(graft.plans.PolyHash64.poly_hash64(
+        concat(lit("skew|"), col("k"))), lit(buckets.toLong)))
+    keyed.groupBy(col("bucket"), col("k"))
+      .agg(count(lit(1)).as("nr"), sum(col("w")).as("tw"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("nr")).as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(col("tw")).as("tot_w"),
+        max(struct(col("nr"), col("k"))).as("m"))
+      .select(col("bucket"), col("n_rows"), col("n_keys"), col("tot_w"),
+        col("m.k").as("top_key"), col("m.nr").as("top_key_rows"))
+  }
+
+  /** §2 row 185 — events keyed by user_id into 32 buckets, weighted by
+    * payload bytes. */
+  def skewAuditQ(s: SparkSession, d: String): DataFrame =
+    partitionSkewAudit(Tables.events(s, d), col("user_id"),
+        length(col("props")), buckets = 32)
+      .orderBy(col("bucket"))
+
   /** Token-distribution drift between two corpus snapshots (SURVEY.md
     * §2 row 182) — the DISTRIBUTION-level companion to row 144's
     * doc-level version diff and row 148's time-series CUSUM: two
@@ -543,6 +587,7 @@ object Profiling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_cusum"   -> (driftCusumQ _),
     "q_token_drift"   -> (tokenDriftQ _),
+    "q_skew_audit"    -> (skewAuditQ _),
     "q_dataset_hash"  -> (datasetHashQ _),
     "q_version_diff"  -> (versionDiffQ _),
     "q_weighted_median" -> (weightedMedianQ _),
@@ -558,6 +603,41 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    // poly_hash64 replayed once per DISTINCT key then joined back;
+    // bucket = pmod(h, 32); ROW_NUMBER (nr DESC, k DESC) == the
+    // engine's max(struct(nr, k)) argmax; HUGEINT sums → BIGINT
+    "q_skew_audit" -> {
+      val hk = TrainingOps.polyHashOverSql("k",
+        """SELECT k, 'skew|' || k AS t FROM (
+          |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events) _d""".stripMargin)
+      s"""WITH hk AS ($hk),
+         |rows_w AS (
+         |  SELECT CAST(e.user_id AS VARCHAR) AS k,
+         |    COALESCE(length(e.props), 0) AS w
+         |  FROM events e),
+         |keyed AS (
+         |  SELECT ((hk.h % 32) + 32) % 32 AS bucket, r.k, r.w
+         |  FROM rows_w r JOIN hk ON r.k = hk.k),
+         |per_key AS (
+         |  SELECT bucket, k, COUNT(*) AS nr, SUM(w) AS tw
+         |  FROM keyed GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT bucket,
+         |    CAST(SUM(nr) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(tw) AS BIGINT) AS tot_w
+         |  FROM per_key GROUP BY bucket),
+         |top AS (
+         |  SELECT bucket, k AS top_key, CAST(nr AS BIGINT) AS top_key_rows
+         |  FROM (SELECT bucket, k, nr, ROW_NUMBER() OVER (PARTITION BY bucket
+         |          ORDER BY nr DESC, k DESC) AS rn FROM per_key) t
+         |  WHERE rn = 1)
+         |SELECT CAST(a.bucket AS BIGINT) AS bucket, a.n_rows, a.n_keys,
+         |  a.tot_w, t.top_key, t.top_key_rows
+         |FROM agg a JOIN top t ON a.bucket = t.bucket
+         |ORDER BY a.bucket""".stripMargin
+    },
+
     // one (token, snapshot-tag) count pass pivoted to (c1, c2); the
     // chi term replayed with the SAME pinned IEEE shape: one BIGINT
     // difference cast to double, a square, then three single
