@@ -134,6 +134,65 @@ object VectorOps {
       .select(col("blk").as("block"), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Mutual-kNN pairs with margin scoring (SURVEY.md §2 row 186) —
+    * the high-precision matching rule mining pipelines layer on raw
+    * cosine: a pair counts only if each side is in the OTHER's top-k
+    * (mutual nearest neighbors), scored by the margin criterion
+    * cos(a,b) relative to the mean of both sides' top-k cosines
+    * (Artetxe & Schwenk 2019's ratio margin — the bitext-mining
+    * scorer; absolute cosine thresholds fail because "how close is
+    * close" varies per neighborhood, and hubness makes some vectors
+    * everyone's neighbor without being anyone's match).
+    *
+    * Exactness: cosines are floored onto a 1e12 integer image
+    * (the BM25 integer-score-image trick), so top-k ranking, the
+    * top-k SUMS (order-free integer addition — a double sum would
+    * depend on reduction order) and the margin itself are exact:
+    * margin = icos·(cnt_a + cnt_b) / (isum_a + isum_b), emitted as
+    * the integer pair, divide at display. cnt handles rims smaller
+    * than k. Image headroom: icos ≤ 1e12, num ≤ 2k·1e12.
+    *
+    * Scale shape: rides the SAME blocking as [[nearDupPairs]] (pair
+    * space linear-ish per block, equi-join on the block key); the
+    * top-k rank is a per-(block, src) window whose partitions are
+    * block-bounded; top-k stats are a map-side-combined aggregation;
+    * mutuality is ONE self-equi-join of the k-bounded edge frame. */
+  def mutualKnnMargin(df: DataFrame, idCol: String, vecCol: String,
+                      blockCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("nsq", dotQuantized(col("qv"), col("qv")).cast(DoubleType))
+    val a = v.select(col("blk"), col("id").as("src"), col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+    val b = v.select(col("blk").as("blk_b"), col("id").as("dst"), col("qv").as("qv_b"), col("nsq").as("nsq_b"))
+    val w = Window.partitionBy(col("blk"), col("src"))
+      .orderBy(col("icos").desc, col("dst"))
+    val edges = a.join(b, col("blk") === col("blk_b") && col("src") =!= col("dst"))
+      .withColumn("icos", floor(cosineFrom(
+        dotQuantized(col("qv_a"), col("qv_b")).cast(DoubleType),
+        col("nsq_a"), col("nsq_b")) * 1000000000000L).cast(LongType))
+      .select(col("blk"), col("src"), col("dst"), col("icos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = edges.groupBy(col("blk"), col("src"))
+      .agg(sum(col("icos")).as("isum"), count(lit(1)).as("cnt"))
+    val mutual = edges.filter(col("src") < col("dst"))
+      .join(edges.select(col("blk").as("blk2"), col("src").as("src2"),
+          col("dst").as("dst2")),
+        col("blk") === col("blk2") && col("dst") === col("src2") &&
+          col("src") === col("dst2"))
+      .select(col("blk"), col("src").as("id_a"), col("dst").as("id_b"), col("icos"))
+    mutual
+      .join(stats.select(col("blk"), col("src").as("id_a"),
+        col("isum").as("isum_a"), col("cnt").as("cnt_a")), Seq("blk", "id_a"))
+      .join(stats.select(col("blk"), col("src").as("id_b"),
+        col("isum").as("isum_b"), col("cnt").as("cnt_b")), Seq("blk", "id_b"))
+      .select(col("blk").as("block"), col("id_a"), col("id_b"), col("icos"),
+        (col("icos") * (col("cnt_a") + col("cnt_b"))).as("margin_num"),
+        (col("isum_a") + col("isum_b")).as("margin_den"))
+  }
+
   // ---- LSH (random hyperplanes) ----------------------------------------
 
   /** Deterministic pseudo-random hyperplanes (splitmix64-derived,

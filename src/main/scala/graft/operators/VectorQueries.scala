@@ -74,7 +74,14 @@ object VectorQueries {
     "q_knn_lsh"        -> (knnLshQ _),
     "q_knn_ivf"        -> (knnIvfQ _),
     "q_dedup_groups"   -> (dedupGroupsQ _),
+    "q_mutual_knn"     -> (mutualKnnQ _),
   )
+
+  /** §2 row 186 — mutual-3NN pairs with margin scores, label-blocked. */
+  def mutualKnnQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.mutualKnnMargin(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy(col("block"), col("id_a"), col("id_b"))
 
   /** Integer-quantized dot products (SURVEY.md §5): exact, order-free,
     * floor() has no round-half ambiguity across engines. */
@@ -99,6 +106,37 @@ object VectorQueries {
     // identical to brute force (see knnIvfQ), so both queries share the
     // exact quantized-dot top-k replay
     "q_knn_ivf" -> knnExactSql,
+
+    // label-blocked directed pairs on the quantized-dot cosine floored
+    // to the 1e12 integer image; ROW_NUMBER (icos DESC, dst) == the
+    // engine's window; mutuality via the k-bounded self-join; margin
+    // as the integer pair
+    "q_mutual_knn" ->
+      s"""WITH v AS (SELECT label, vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |p AS (
+         |  SELECT a.label AS blk, a.vec_id AS src, b.vec_id AS dst,
+         |    CAST(floor((${dotSql("a.embedding", "b.embedding")}
+         |      / greatest(sqrt(a.nsq) * sqrt(b.nsq), 1e-9)) * 1000000000000) AS BIGINT) AS icos
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |e AS (
+         |  SELECT blk, src, dst, icos FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY blk, src
+         |      ORDER BY icos DESC, dst) AS rn FROM p) t
+         |  WHERE rn <= 3),
+         |st AS (SELECT blk, src, SUM(icos) AS isum, COUNT(*) AS cnt
+         |       FROM e GROUP BY 1, 2),
+         |m AS (
+         |  SELECT e1.blk, e1.src AS id_a, e1.dst AS id_b, e1.icos
+         |  FROM e e1 JOIN e e2
+         |    ON e1.blk = e2.blk AND e1.dst = e2.src AND e1.src = e2.dst
+         |  WHERE e1.src < e1.dst)
+         |SELECT m.blk AS block, m.id_a, m.id_b, m.icos,
+         |  CAST(m.icos * (sa.cnt + sb.cnt) AS BIGINT) AS margin_num,
+         |  CAST(sa.isum + sb.isum AS BIGINT) AS margin_den
+         |FROM m
+         |JOIN st sa ON sa.blk = m.blk AND sa.src = m.id_a
+         |JOIN st sb ON sb.blk = m.blk AND sb.src = m.id_b
+         |ORDER BY block, id_a, id_b""".stripMargin,
 
     // the knn replay with labels riding and the different-label filter
     // applied before ranking (anchor self-pairs drop there too)
