@@ -167,6 +167,57 @@ object Hygiene {
     truecase(damaged, "doc_id", "text").orderBy(col("doc_id"))
   }
 
+  // ---- Charset anomaly filter (row 187) ----
+
+  /** Byte-level charset anomaly report (SURVEY.md §2 row 187) — the
+    * cheapest hygiene gate a crawl pipeline runs, BEFORE tokenization:
+    * per document, code-point count vs byte count (their gap counts
+    * multibyte characters — a spike in nominally-ASCII English is
+    * mojibake or homoglyph spam), C0 control characters (binary junk
+    * leaking through an extractor), and U+FFFD replacement characters
+    * (an upstream decoder already gave up). The suspect flag fires on
+    * any control/replacement character or a multibyte share above
+    * `pctMax` percent — integer cross-multiplied, no division.
+    *
+    * A Cyrillic 'а' in Latin text is invisible to every token-level
+    * filter (it changes the token, silently) — THIS is the layer that
+    * sees it, which is why the check runs on bytes, not tokens. Pure
+    * per-row projection: zero shuffles beyond the caller's sink;
+    * every count is one regexp over the row (codegen'd). */
+  def charsetAnomalies(docs: DataFrame, idCol: String, textCol: String,
+                       pctMax: Int = 5): DataFrame = {
+    val t = col(textCol)
+    def charsOf(c: Column) = length(c).cast(LongType)
+    val nChars = charsOf(t)
+    val ascii = charsOf(regexp_replace(t, "[^\\x00-\\x7F]", ""))
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        nChars.as("n_chars"),
+        octet_length(t).cast(LongType).as("n_bytes"),
+        (nChars - ascii).as("n_nonascii"),
+        (charsOf(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "XX")) - nChars).as("n_ctl"),
+        (charsOf(regexp_replace(t, "�", "XX")) - nChars).as("n_replacement"))
+      .select(col("doc_id"), col("n_chars"), col("n_bytes"),
+        col("n_nonascii"), col("n_ctl"), col("n_replacement"),
+        (col("n_ctl") > 0 || col("n_replacement") > 0 ||
+          col("n_nonascii") * 100 > col("n_chars") * pctMax).as("suspect"))
+  }
+
+  /** Registered query: deterministic damage seeded IN BOTH ENGINES
+    * (the truecase precedent) — doc_id%11=0 swaps 'a' for Cyrillic
+    * 'а' (the homoglyph token filters can't see), %11=1 injects a BEL
+    * control character — so the oracle exercises every detector. */
+  def charsetQ(s: SparkSession, dir: String): DataFrame = {
+    val damaged = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+            regexp_replace(col("text"), "a", "а"))
+          .when(pmod(col("doc_id"), lit(11)) === 1,
+            concat(col("text"), lit("\u0007")))
+          .otherwise(col("text")).as("text"))
+    charsetAnomalies(damaged, "doc_id", "text", pctMax = 5)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Group-LCP template detection (row 178) ----
 
   /** Longest common prefix per group (SURVEY.md §2 row 178) — the
@@ -252,9 +303,32 @@ object Hygiene {
     "q_dedup_lines"   -> (dedupLinesQ _),
     "q_pareto_select" -> (paretoSelectQ _),
     "q_truecase"      -> (truecaseQ _),
+    "q_charset"       -> (charsetQ _),
     "q_template_prefix" -> (templatePrefixQ _))
 
   val oracles: Map[String, String] = Map(
+    // same damage seeding (Cyrillic homoglyph swap / BEL injection);
+    // length = chars, strlen = bytes in DuckDB; control/replacement
+    // counts via the double-expansion trick (replace each hit with
+    // TWO chars, diff the lengths); suspect threshold cross-multiplied
+    "q_charset" ->
+      """WITH seeded AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN regexp_replace(text, 'a', 'а', 'g')
+        |         WHEN doc_id % 11 = 1 THEN text || chr(7)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_nonascii,
+        |    CAST(length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', 'XX', 'g')) - length(text) AS BIGINT) AS n_ctl,
+        |    CAST(length(regexp_replace(text, '�', 'XX', 'g')) - length(text) AS BIGINT) AS n_replacement
+        |  FROM seeded)
+        |SELECT doc_id, n_chars, n_bytes, n_nonascii, n_ctl, n_replacement,
+        |  (n_ctl > 0 OR n_replacement > 0 OR n_nonascii * 100 > n_chars * 5) AS suspect
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
     // same template seeding; group min/max, then the first divergent
     // character position over a LATERAL position range (floored at 1
     // so an empty-min group still yields its lcp=0 row: substr('',1,1)
