@@ -73,8 +73,49 @@ object Bm25State {
     TextOps2.bm25FromPostings(s, postings, stats, TextOps2.Bm25Queries, k = 10)
   }
 
+  /** Time-travel read (SURVEY.md §2 row 189): the index AS OF a batch
+    * set — reproduce last week's retrieval results, bisect a quality
+    * regression to the batch that introduced it, or serve a frozen
+    * index while new batches land. Costs NOTHING extra at write time:
+    * because batches are disjoint partitions keyed by the `ingest`
+    * partition column, "as of" is a PARTITION-PRUNED read — the
+    * excluded batches' files are never opened (the q_bm25_asof plan
+    * shows the pruned PartitionFilters), and stats re-sum only the
+    * included counter rows. The contract that makes this exact is the
+    * same disjointness that makes accumulation exact: an as-of index
+    * EQUALS the direct index built from the included batches' docs. */
+  def readIndexAsOf(spark: SparkSession, root: String,
+                    batches: Seq[String]): (DataFrame, DataFrame) = {
+    require(batches.nonEmpty, "readIndexAsOf: empty batch set")
+    require(fs(spark, root).exists(new Path(s"$root/postings")),
+      s"no committed batches under $root")
+    val postings = spark.read.parquet(s"$root/postings")
+      .filter(col("ingest").isin(batches: _*))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"))
+    val stats = spark.read.parquet(s"$root/stats")
+      .filter(col("ingest").isin(batches: _*))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+    (postings, stats)
+  }
+
+  /** §2 row 189 — three batches committed, scored AS OF the first two:
+    * equals the direct index over doc_id % 3 != 2, which is exactly
+    * what the oracle replays. */
+  def bm25AsOfQ(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_asof").toString
+    val docs = Tables.documents(s, d)
+    (0 to 2).foreach { b =>
+      commitDocBatch(s, root, s"b$b",
+        docs.filter(pmod(col("doc_id"), lit(3)) === b),
+        col("doc_id"), col("text"))
+    }
+    val (postings, stats) = readIndexAsOf(s, root, Seq("b0", "b1"))
+    TextOps2.bm25FromPostings(s, postings, stats, TextOps2.Bm25Queries, k = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_incr" -> (bm25IncrQ _),
+    "q_bm25_asof" -> (bm25AsOfQ _),
   )
 
   /** Batch disjointness makes the accumulated index equal the direct
@@ -82,5 +123,11 @@ object Bm25State {
     * oracle. */
   val oracles: Map[String, String] = Map(
     "q_bm25_incr" -> TextOps2.oracles("q_bm25"),
+    // the identical scoring chain over the as-of corpus restriction
+    "q_bm25_asof" ->
+      s"""WITH ${TextOps2.bm25RankCtesOver(
+             "(SELECT * FROM documents WHERE doc_id % 3 <> 2) dv")}
+         |SELECT qid, doc_id, score_i, rn FROM bm25rank
+         |ORDER BY qid, rn""".stripMargin,
   )
 }

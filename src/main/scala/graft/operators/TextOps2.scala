@@ -187,13 +187,17 @@ object TextOps2 {
   /** The BM25 ranking as reusable oracle CTEs ending in `bm25rank`
     * (qid, doc_id, score_i, rn<=10) — shared by the q_bm25 oracle and
     * the hybrid-fusion oracle. */
-  private[operators] val bm25RankCtes =
-    """tokens AS (
+  /** The q_bm25 oracle CTE chain over an arbitrary document relation —
+    * parameterized so the as-of state read (a batch-restricted index)
+    * replays with the identical scoring math on the restricted
+    * corpus. */
+  private[operators] def bm25RankCtesOver(docsRel: String): String =
+    s"""tokens AS (
       |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
-      |  FROM documents),
+      |  FROM $docsRel),
       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
       |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |st AS (SELECT (SELECT COUNT(*) FROM $docsRel) AS n_docs,
       |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dlen) AS tot_dl),
       |q(qid, qtext) AS (VALUES
       |  (CAST(1 AS BIGINT), 'table scan fast'),
@@ -230,6 +234,8 @@ object TextOps2 {
       |        ORDER BY score_i DESC, doc_id) AS BIGINT) AS rn
       |    FROM sc) t
       |  WHERE rn <= 10)""".stripMargin
+
+  private[operators] val bm25RankCtes = bm25RankCtesOver("documents")
 
   val oracles: Map[String, String] = Map(
     "q_tfidf" ->

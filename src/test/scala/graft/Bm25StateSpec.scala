@@ -75,4 +75,34 @@ class Bm25StateSpec extends AnyFunSuite {
       corpus.filter($"doc_id" > 3), $"doc_id", $"text")
     assert(hits("incremental state").contains(4L))
   }
+
+  test("as-of read equals the direct index over the included batches") {
+    val root = tmp()
+    Bm25State.commitDocBatch(spark, root, "a",
+      corpus.filter($"doc_id" <= 3), $"doc_id", $"text")
+    Bm25State.commitDocBatch(spark, root, "b",
+      corpus.filter($"doc_id" > 3), $"doc_id", $"text")
+    val (p, st) = Bm25State.readIndexAsOf(spark, root, Seq("a"))
+    val asOf = TextOps2.bm25FromPostings(spark, p, st, qs, k = 10).collect().toSeq
+    val (dp, dst) = TextOps2.buildBm25Postings(
+      corpus.filter($"doc_id" <= 3), $"doc_id", $"text")
+    val direct = TextOps2.bm25FromPostings(spark, dp, dst, qs, k = 10).collect().toSeq
+    assert(asOf == direct && asOf.nonEmpty)
+    assert(st.head().getLong(0) == 3L, "stats re-sum only the included batches")
+  }
+
+  test("as-of read prunes the excluded batch partitions at the scan") {
+    val root = tmp()
+    Bm25State.commitDocBatch(spark, root, "a",
+      corpus.filter($"doc_id" <= 3), $"doc_id", $"text")
+    Bm25State.commitDocBatch(spark, root, "b",
+      corpus.filter($"doc_id" > 3), $"doc_id", $"text")
+    val (p, _) = Bm25State.readIndexAsOf(spark, root, Seq("a"))
+    val plan = p.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ingest"), plan)
+    // the pruned scan must expose only the included partition's files
+    val scanned = p.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("ingest=b") || scanned.contains("ingest=a"), scanned)
+  }
 }
