@@ -178,7 +178,57 @@ object TextOps2 {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (SURVEY.md §2 row 190)
+    * — the RM3-family trick: assume the top-k BM25 hits are relevant,
+    * mine the terms that characterize that feedback set, and expand
+    * the query with them (Lavrenko & Croft 2001; Lucene's MoreLikeThis
+    * is the same move). Vocabulary-mismatch repair without any model:
+    * a query about "scan" learns the corpus says "filter" too.
+    *
+    * Expansion scoring is the integer core: per (query, term), score =
+    * Σ tf over the feedback docs (the RM1 estimate's numerator on a
+    * uniform feedback prior — exact, order-free), original query terms
+    * excluded; top-m by (score DESC, term ASC). The probabilistic
+    * normalizations are per-query positive constants — display-time.
+    *
+    * Scale shape: feedback docs are k-bounded per query, so the
+    * tf join fans out |queries|·k·doc-length — corpus-independent;
+    * the postings side arrives keyed on doc_id (one equi-join against
+    * the k-row broadcast feedback list); the per-query rank window
+    * rides a feedback-vocabulary-bounded frame. */
+  def prfExpansion(s: SparkSession, postings: DataFrame, stats: DataFrame,
+                   queriesSeq: Seq[(Long, String)], k: Int, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val fb = bm25FromPostings(s, postings, stats, queriesSeq, k)
+      .select(col("qid"), col("doc_id"))
+    val qterms = queriesSeq.toDF("qid", "qtext")
+      .select(col("qid"), explode(regexp_extract_all(lower(col("qtext")),
+        lit(TokenPattern), lit(0))).as("token"))
+      .distinct()
+    val scores = postings
+      .join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("qid"), col("token"))
+      .agg(sum(col("tf")).as("score"), count(lit(1)).as("df_fb"))
+      .join(broadcast(qterms), Seq("qid", "token"), "left_anti")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("token"))
+    scores.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= m)
+      .select(col("qid"), col("token"), col("score"), col("df_fb"), col("rn"))
+  }
+
+  /** §2 row 190 — top-5 expansion terms from 10 feedback docs for the
+    * standard query workload. */
+  def prfQ(s: SparkSession, d: String): DataFrame = {
+    val (postings, stats) =
+      buildBm25Postings(Tables.documents(s, d), col("doc_id"), col("text"))
+    prfExpansion(s, postings, stats, Bm25Queries, k = 10, m = 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prf_expand" -> (prfQ _),
     "q_tfidf"  -> (tfidfQ _),
     "q_redact" -> (redactQ _),
     "q_bm25"   -> (bm25Q _),
@@ -254,6 +304,28 @@ object TextOps2 {
         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n) t
         |WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+
+    // the bm25rank CTEs verbatim → k-bounded feedback sets → Σtf per
+    // (query, term) minus the query's own terms → ROW_NUMBER top-m
+    "q_prf_expand" ->
+      s"""WITH $bm25RankCtes,
+         |fb AS (SELECT qid, doc_id FROM bm25rank),
+         |scored AS (
+         |  SELECT fb.qid, tf.token,
+         |    CAST(SUM(tf.tf) AS BIGINT) AS score,
+         |    CAST(COUNT(*) AS BIGINT) AS df_fb
+         |  FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+         |  GROUP BY 1, 2),
+         |kept AS (
+         |  SELECT s.* FROM scored s
+         |  LEFT JOIN qt ON qt.qid = s.qid AND qt.token = s.token
+         |  WHERE qt.qid IS NULL)
+         |SELECT qid, token, score, df_fb, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, token) AS BIGINT) AS rn
+         |  FROM kept) t
+         |WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
 
     // expression shape mirrors bm25Q op-for-op: every double step is a
     // single IEEE-754 operation on identical inputs, floored to the
