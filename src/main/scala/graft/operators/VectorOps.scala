@@ -193,6 +193,47 @@ object VectorOps {
         (col("isum_a") + col("isum_b")).as("margin_den"))
   }
 
+  /** Johnson–Lindenstrauss random projection (SURVEY.md §2 row 191) —
+    * reduce embedding dimensionality with a DATA-INDEPENDENT random
+    * matrix: JL guarantees pairwise distances survive to (1±ε) at
+    * outDim = O(log n / ε²) regardless of the data, which makes it the
+    * zero-training, zero-state companion to row 168's PCA (PCA needs a
+    * corpus pass and a model; JL needs a seed — the right tool when
+    * the corpus streams or the model must not depend on it). The
+    * standard pre-step before ANN indexing at 100 TB: distance math on
+    * 16 dims costs 1/4 of 64.
+    *
+    * Exactness: the projection matrix derives from the splitmix64
+    * hyperplane generator (deterministic, seed-keyed) QUANTIZED to
+    * integer literals at 1e3 — the same constants enter both engines
+    * (the Bm25Queries constant-workload rule), vectors ride the
+    * library-standard 1e6 integer image, so every projected coordinate
+    * is an exact integer dot (headroom: 64 dims · 1e3 · ~5e6 ≈ 3e11).
+    * A scaled-integer projection is still a JL projection — the
+    * distortion bound cares about the distribution shape, not the
+    * scale.
+    *
+    * Scale shape: pure per-row projection (outDim codegen'd dot
+    * kernels against literal arrays), zero shuffles beyond the
+    * caller's sink; emitted long form (id, dim, value). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                inDim: Int, outDim: Int, seed: Long = 7L): DataFrame = {
+    require(outDim >= 1 && inDim >= 1, "dims must be >= 1")
+    val r = jlMatrix(inDim, outDim, seed)
+    val qv = quantize(col(vecCol))
+    val coords = r.map { row =>
+      graft.plans.VectorKernels.dot_long(qv, array(row.map(lit): _*)) }
+    df.select(col(idCol).as("id"),
+        posexplode(array(coords: _*)).as(Seq("dim", "value")))
+      .select(col("id"), col("dim").cast(LongType).as("dim"), col("value"))
+  }
+
+  /** The integer projection matrix (outDim rows × inDim cols) — shared
+    * verbatim with the oracle's VALUES table. */
+  private[graft] def jlMatrix(inDim: Int, outDim: Int, seed: Long): Seq[Seq[Long]] =
+    hyperplanes(outDim, inDim, seed)
+      .map(_.map(d => math.floor(d * 1000).toLong))
+
   // ---- LSH (random hyperplanes) ----------------------------------------
 
   /** Deterministic pseudo-random hyperplanes (splitmix64-derived,

@@ -75,7 +75,14 @@ object VectorQueries {
     "q_knn_ivf"        -> (knnIvfQ _),
     "q_dedup_groups"   -> (dedupGroupsQ _),
     "q_mutual_knn"     -> (mutualKnnQ _),
+    "q_jl_project"     -> (jlProjectQ _),
   )
+
+  /** §2 row 191 — the 64→16 JL projection of every embedding. */
+  def jlProjectQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.jlProject(Tables.embeddings(s, d), "vec_id", "embedding",
+        inDim = 64, outDim = 16, seed = 7L)
+      .orderBy(col("id"), col("dim"))
 
   /** §2 row 186 — mutual-3NN pairs with margin scores, label-blocked. */
   def mutualKnnQ(s: SparkSession, d: String): DataFrame =
@@ -106,6 +113,25 @@ object VectorQueries {
     // identical to brute force (see knnIvfQ), so both queries share the
     // exact quantized-dot top-k replay
     "q_knn_ivf" -> knnExactSql,
+
+    // the SAME integer matrix as literal VALUES rows; vectors on the
+    // 1e6 image; every coordinate one exact integer dot
+    "q_jl_project" -> {
+      val rows = VectorOps.jlMatrix(64, 16, 7L).zipWithIndex.flatMap {
+        case (row, j) => row.zipWithIndex.map { case (v, i) => s"($j, $i, $v)" }
+      }.mkString(", ")
+      s"""WITH r(j, i, v) AS (VALUES $rows),
+         |q AS (
+         |  SELECT vec_id, i.i AS i,
+         |    CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(range(0, len(embedding))) AS i) i)
+         |SELECT q.vec_id AS id, CAST(r.j AS BIGINT) AS dim,
+         |  CAST(SUM(r.v * q.qv) AS BIGINT) AS value
+         |FROM q JOIN r ON q.i = r.i
+         |GROUP BY q.vec_id, r.j
+         |ORDER BY id, dim""".stripMargin
+    },
 
     // label-blocked directed pairs on the quantized-dot cosine floored
     // to the 1e12 integer image; ROW_NUMBER (icos DESC, dst) == the
