@@ -48,7 +48,7 @@ object SparkEntry {
     Dq.queries ++ Assembly.queries ++ Cep.queries ++ Privacy.queries ++ Hygiene.queries ++
     SpanCorrupt.queries ++ Regression.queries ++ PcaOps.queries ++ Bm25State.queries ++
     Agreement.queries ++ PhraseSearch.queries ++ Rake.queries ++ AssocRules.queries ++
-    Percolate.queries ++ CodeSwitch.queries ++
+    Percolate.queries ++ CodeSwitch.queries ++ Stitch.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -233,6 +233,6 @@ object SparkEntry {
     Dq.oracles ++ Assembly.oracles ++ Cep.oracles ++ Privacy.oracles ++ Hygiene.oracles ++
     SpanCorrupt.oracles ++ Regression.oracles ++ PcaOps.oracles ++ Bm25State.oracles ++
     Agreement.oracles ++ PhraseSearch.oracles ++ Rake.oracles ++ AssocRules.oracles ++
-    Percolate.oracles ++ CodeSwitch.oracles ++
+    Percolate.oracles ++ CodeSwitch.oracles ++ Stitch.oracles ++
     graft.sources.ExtractClient.oracles
 }
