@@ -458,7 +458,73 @@ object TrainingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Stratified split with EXACT quotas (SURVEY.md §2 row 193) — the
+    * companion [[assignSplit]] (hash thresholding) deliberately is
+    * not: hash splits are only proportional in expectation, and on a
+    * small or skewed stratum the dev set can land 30% off its target;
+    * when the contract is "exactly 80/10/10 WITHIN every (lang,
+    * source) stratum" (eval sets that must not drift between
+    * re-runs), the quotas must be apportioned and the assignment must
+    * count. Per stratum: largest-remainder (Hamilton) quotas over the
+    * split percentages (the row-165 arithmetic, inlined over the
+    * 3-row-per-stratum frame: base = floor(n·pct/100), deficit
+    * distributed by remainder DESC then split order), then documents
+    * rank WITHIN the stratum by the domain-prefixed hash ("ssplit|" —
+    * deterministic, independent of every other hash stream) and fill
+    * the ranges train → dev → test.
+    *
+    * The honest scale cost: exactness needs ONE per-stratum rank
+    * window (a sort bounded by the largest stratum) — that is the
+    * price of counted quotas over hash thresholding's zero-exchange
+    * approximation; the quota frame itself is strata×splits rows and
+    * broadcasts. */
+  def stratifiedSplit(df: DataFrame, strataCols: Seq[String], idCol: Column,
+                      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percentages must sum to 100, got $splits")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val sk = strataCols.map(col)
+    val sizes = df.groupBy(sk: _*).agg(count(lit(1)).as("n"))
+    // fixed fill order = the caller's split order
+    val spec = splits.zipWithIndex
+      .map { case ((nm, pct), i) => (nm, pct.toLong, i.toLong) }
+      .toDF("split", "pct", "ord")
+    val wRem = Window.partitionBy(sk: _*)
+      .orderBy(col("rem").desc, col("ord"))
+    val wCum = Window.partitionBy(sk: _*).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val quotas = sizes.crossJoin(broadcast(spec))
+      .withColumn("base", GraphOps.fdiv(col("n") * col("pct"), lit(100L)))
+      .withColumn("rem", pmod(col("n") * col("pct"), lit(100L)))
+      .withColumn("deficit",
+        col("n") - sum(col("base")).over(Window.partitionBy(sk: _*)))
+      .withColumn("bonus",
+        when(row_number().over(wRem) <= col("deficit"), 1L).otherwise(0L))
+      .withColumn("quota", col("base") + col("bonus"))
+      .withColumn("hi", sum(col("quota")).over(wCum))
+      .select(sk :+ col("split") :+ col("ord") :+
+        (col("hi") - col("quota")).as("lo") :+ col("hi"): _*)
+    val ranked = df.withColumn("__h",
+        graft.plans.PolyHash64.poly_hash64(
+          concat(lit("ssplit|"), idCol.cast(StringType))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(sk: _*).orderBy(col("__h"), idCol)).cast(LongType))
+    ranked.join(broadcast(quotas),
+        strataCols.map(c => ranked(c) === quotas(c)).reduce(_ && _) &&
+          col("__rn") > col("lo") && col("__rn") <= col("hi"))
+      .select(strataCols.map(ranked(_)) ++ Seq(idCol, col("split")): _*)
+  }
+
+  /** §2 row 193 — exact 80/10/10 within every (lang, source) stratum. */
+  def stratSplitQ(s: SparkSession, d: String): DataFrame =
+    stratifiedSplit(Tables.documents(s, d), Seq("lang", "source"),
+        col("doc_id"), Seq("train" -> 80, "dev" -> 10, "test" -> 10))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_strat_split"    -> (stratSplitQ _),
     "q_split_assign"   -> (splitAssignQ _),
     "q_kfold"          -> (kfoldQ _),
     "q_decontaminate"  -> (decontaminateQ _),
@@ -554,6 +620,39 @@ object TrainingOps {
   val oracles: Map[String, String] = Map(
     "q_split_assign" ->
       s"""SELECT doc_id, bucket, split FROM ($splitSql) s ORDER BY doc_id""".stripMargin,
+
+    // per-stratum Hamilton quotas (floor + remainder-ranked bonus),
+    // cumulative ranges in fill order, per-stratum hash rank join
+    "q_strat_split" ->
+      s"""WITH hs AS (${polyHashSql("ssplit|")}),
+         |sz AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+         |spec(split, pct, ord) AS (VALUES ('train', 80, 0), ('dev', 10, 1), ('test', 10, 2)),
+         |qa AS (
+         |  SELECT sz.lang, sz.source, sz.n, sp.split, sp.pct, sp.ord,
+         |    (sz.n * sp.pct - ((sz.n * sp.pct % 100 + 100) % 100)) // 100 AS base,
+         |    (sz.n * sp.pct % 100 + 100) % 100 AS rem
+         |  FROM sz CROSS JOIN spec sp),
+         |qb AS (SELECT *,
+         |    n - SUM(base) OVER (PARTITION BY lang, source) AS deficit,
+         |    ROW_NUMBER() OVER (PARTITION BY lang, source
+         |      ORDER BY rem DESC, ord) AS rr
+         |  FROM qa),
+         |qc AS (SELECT *,
+         |    base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS quota
+         |  FROM qb),
+         |qd AS (SELECT *,
+         |    SUM(quota) OVER (PARTITION BY lang, source ORDER BY ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+         |  FROM qc),
+         |rk AS (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |    ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
+         |      ORDER BY hs.h, d.doc_id) AS rn
+         |  FROM documents d JOIN hs ON d.doc_id = hs.doc_id)
+         |SELECT rk.lang, rk.source, rk.doc_id, qd.split
+         |FROM rk JOIN qd ON rk.lang = qd.lang AND rk.source = qd.source
+         |  AND rk.rn > qd.hi - qd.quota AND rk.rn <= qd.hi
+         |ORDER BY rk.doc_id""".stripMargin,
 
     "q_kfold" ->
       s"""SELECT doc_id, (h % 5 + 5) % 5 AS fold
