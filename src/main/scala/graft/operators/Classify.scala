@@ -127,6 +127,66 @@ object Classify {
       .select(col("bin"), col("n"), col("n_pos"), col("lo"), col("hi"))
   }
 
+  /** Exact ROC-AUC (SURVEY.md §2 row 194) — the Mann–Whitney U
+    * statistic with midrank tie handling: AUC = P(score⁺ > score⁻) +
+    * ½·P(score⁺ = score⁻), the THRESHOLD-FREE companion to row 181's
+    * calibration table (calibration asks "is the positive rate per
+    * band honest?", AUC asks "does the classifier rank ANY positive
+    * above ANY negative?" — a filter can be well-calibrated and still
+    * rank garbage above gold). Reported as the exact integer pair
+    * (auc_num, auc_den) = (2·Σ_pairs [s⁺>s⁻] + ties, 2·n_pos·n_neg) —
+    * the ×2 absorbs the midrank halves so both wires stay BIGINT —
+    * plus the single pinned division as a display double (the BM25
+    * pinned-IEEE-shape rule; NULL when one class is absent, the kappa
+    * empty-denominator posture).
+    *
+    * Scale shape (100 TB): NOT the naive pos×neg self-join (quadratic)
+    * and NOT a global rank over the corpus — scores collapse first
+    * into ONE map-side-combined (score → n_pos, n_neg) frame bounded
+    * by |distinct scores|, the cumulative-negatives window rides that
+    * bounded frame, and the pair counts fall out of one 1-row
+    * aggregate: concordant = Σ_s pos_s·negBelow_s, ties = Σ_s
+    * pos_s·neg_s. Rows with NULL score or label are excluded (an
+    * unscored doc is no evidence either way). OVERFLOW CONTRACT:
+    * n_pos·n_neg < 2^62 (~4.6e18 pairs) — beyond that, stratified
+    * subsampling before the call. */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(coalesce(sum(when(col(labelCol) === 1L, 1L)), lit(0L)).as("pos"),
+        coalesce(sum(when(col(labelCol) =!= 1L, 1L)), lit(0L)).as("neg"))
+    // cumulative negatives strictly below each score: the distinct-score
+    // frame is value-bounded, so the global window never sees the corpus
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(coalesce(sum(col("pos")), lit(0L)).as("n_pos_sum"),
+        coalesce(sum(col("neg")), lit(0L)).as("n_neg_sum"),
+        coalesce(sum(col("pos") * col("neg_below") * 2L +
+          col("pos") * col("neg")), lit(0L)).as("num"))
+      .select(col("n_pos_sum").as("n_pos"), col("n_neg_sum").as("n_neg"),
+        col("num").as("auc_num"),
+        (col("n_pos_sum") * col("n_neg_sum") * 2L).as("auc_den"),
+        when(col("n_pos_sum") === 0L || col("n_neg_sum") === 0L, lit(null))
+          .otherwise(col("num").cast(DoubleType) /
+            (col("n_pos_sum") * col("n_neg_sum") * 2L).cast(DoubleType))
+          .as("auc"))
+  }
+
+  /** §2 row 194 — exact AUC of the row-118 perceptron margin against
+    * the lang == 'en' label it was trained on. */
+  def aucQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val feats = charFeatures(col("text"))
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val w = trainPerceptron(docs, feats, label, iters = 3)
+    val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    rocAuc(docs.select(margin.as("score"), label.as("y")), "score", "y")
+  }
+
   /** §2 row 181 — 10-bin calibration of the row-118 perceptron's raw
     * margin against the lang == 'en' label it was trained on. */
   def calibrationQ(s: SparkSession, d: String): DataFrame = {
@@ -143,6 +203,7 @@ object Classify {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_perceptron"  -> (perceptronQ _),
     "q_calibration" -> (calibrationQ _),
+    "q_auc"         -> (aucQ _),
   )
 
   /** Feature SQL shared by every iteration (x0..x4 + label y). */
@@ -216,5 +277,37 @@ object Classify {
          |GROUP BY bin
          |ORDER BY bin""".stripMargin
     },
+
+    // the same training unroll, then the distinct-margin collapse, the
+    // strictly-below cumulative-negatives window and the doubled
+    // Mann-Whitney pair count; single pinned division for the display
+    // double; HUGEINT sums/products → BIGINT at every output wire
+    "q_auc" ->
+      s"""WITH $featSql,
+         |w0 AS (SELECT ${dims.map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+         |${stepSql(1, 0)},
+         |${stepSql(2, 1)},
+         |${stepSql(3, 2)},
+         |marg AS (SELECT y, ${dotSql("w")} AS m FROM f CROSS JOIN w3 w),
+         |bys AS (
+         |  SELECT m AS s,
+         |    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS pos,
+         |    CAST(COALESCE(SUM(CASE WHEN y <> 1 THEN 1 END), 0) AS BIGINT) AS neg
+         |  FROM marg GROUP BY m),
+         |cum AS (
+         |  SELECT pos, neg,
+         |    CAST(COALESCE(SUM(neg) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+         |  FROM bys),
+         |agg AS (
+         |  SELECT CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
+         |    CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS n_neg,
+         |    CAST(COALESCE(SUM(pos * neg_below * 2 + pos * neg), 0) AS BIGINT) AS num
+         |  FROM cum)
+         |SELECT n_pos, n_neg, num AS auc_num,
+         |  CAST(n_pos * n_neg * 2 AS BIGINT) AS auc_den,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |       ELSE CAST(num AS DOUBLE) / CAST(n_pos * n_neg * 2 AS DOUBLE) END AS auc
+         |FROM agg""".stripMargin,
   )
 }
