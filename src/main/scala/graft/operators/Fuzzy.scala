@@ -119,6 +119,7 @@ object Fuzzy {
     "q_fuzzy_match" -> (fuzzyMatchQ _),
     "q_jaro_pairs" -> (jaroPairsQ _),
     "q_entity_resolution" -> (entityResolveQ _),
+    "q_snm_pairs" -> (snmQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,7 +171,97 @@ object Fuzzy {
          |FROM m JOIN wc ON m.nm = wc.nm
          |       JOIN canon ON wc.entity = canon.entity
          |ORDER BY m.id""".stripMargin,
+
+    // both passes in one long frame, the same first-char bucketed
+    // (key, id) sort, w-1 = 3 LEADs, canonical pair orientation and
+    // the levenshtein verify; per-pass pairs are unique by rank
+    // construction so DISTINCT == the engine's per-pass dedup
+    "q_snm_pairs" ->
+      """WITH k0 AS (
+        |  SELECT doc_id AS id,
+        |    substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 24) AS k1
+        |  FROM documents WHERE text IS NOT NULL),
+        |ks AS (SELECT id, 1 AS pass, k1 AS k FROM k0
+        |       UNION ALL SELECT id, 2, reverse(k1) FROM k0),
+        |nb AS (
+        |  SELECT pass, id, k,
+        |    LEAD(id, 1) OVER wnd AS n1, LEAD(k, 1) OVER wnd AS nk1,
+        |    LEAD(id, 2) OVER wnd AS n2, LEAD(k, 2) OVER wnd AS nk2,
+        |    LEAD(id, 3) OVER wnd AS n3, LEAD(k, 3) OVER wnd AS nk3
+        |  FROM ks
+        |  WINDOW wnd AS (PARTITION BY pass, substr(k, 1, 1) ORDER BY k, id)),
+        |cand AS (
+        |  SELECT pass, id, n1 AS nid, k, nk1 AS nk FROM nb WHERE n1 IS NOT NULL
+        |  UNION ALL SELECT pass, id, n2, k, nk2 FROM nb WHERE n2 IS NOT NULL
+        |  UNION ALL SELECT pass, id, n3, k, nk3 FROM nb WHERE n3 IS NOT NULL)
+        |SELECT DISTINCT CAST(pass AS BIGINT) AS pass,
+        |  LEAST(id, nid) AS id_a, GREATEST(id, nid) AS id_b,
+        |  CAST(levenshtein(k, nk) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(k, nk) <= 10
+        |ORDER BY pass, id_a, id_b""".stripMargin,
   )
+
+  // ---- Sorted-neighborhood blocking (SURVEY.md §2 row 196) ----------------
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo,
+    * SIGMOD 1995) — the third blocking family next to length bands
+    * (above) and MinHash/SimHash buckets: sort the corpus by a cheap
+    * key, pair each record with its next w−1 neighbors in sort order.
+    * What it uniquely catches: records whose keys are LEXICALLY close
+    * without sharing a band or a shingle bucket (common-prefix typos,
+    * serial-numbered variants); what it structurally misses a FIRST-
+    * character divergence the multi-pass design answers — each pass
+    * sorts by a different key (here the normalized prefix and its
+    * reverse), and a true pair need only co-locate in ONE pass.
+    *
+    * Scale shape (100 TB): neighbors come from ONE window of w−1
+    * `lead`s per pass — no self-join, no rank materialization, output
+    * ≤ (w−1)·n per pass by construction. The window partitions by the
+    * key's FIRST CHARACTER — a deterministic, data-independent bucket
+    * (not a sampled range boundary), so the plan is a per-bucket sort,
+    * not a global one, and the oracle can replay the bucketing
+    * exactly. Pairs never cross a bucket boundary: by contract —
+    * records differing in the leading character are lexically distant
+    * in THIS pass's order, and the other pass re-examines them. The
+    * verify (levenshtein ≤ maxDist on the pass key) runs only on the
+    * ≤ (w−1)·n candidates. Pairs canonicalized (id_a < id_b); a pair
+    * may surface in both passes — band semantics, deduped per pass. */
+  def snmCandidates(df: DataFrame, idCol: Column, keys: Seq[Column],
+                    w: Int, maxDist: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    require(keys.nonEmpty, "need at least one sort-key pass")
+    import org.apache.spark.sql.expressions.Window
+    keys.zipWithIndex.map { case (key, p) =>
+      val base = df.select(idCol.as("id"), key.as("k")).filter(col("k").isNotNull)
+      val wnd = Window.partitionBy(substring(col("k"), 1, 1))
+        .orderBy(col("k"), col("id"))
+      // leads materialize as plain columns first — Spark disallows
+      // window expressions inside a generator
+      val withLeads = (1 until w).foldLeft(base) { (acc, j) =>
+        acc.withColumn(s"nid_$j", lead(col("id"), j).over(wnd))
+          .withColumn(s"nk_$j", lead(col("k"), j).over(wnd))
+      }
+      val neighbors = (1 until w).map(j =>
+        struct(col(s"nid_$j").as("nid"), col(s"nk_$j").as("nk")))
+      withLeads.withColumn("nb", explode(array(neighbors: _*)))
+        .filter(col("nb.nid").isNotNull)
+        .select(lit(p.toLong + 1L).as("pass"),
+          least(col("id"), col("nb.nid")).as("id_a"),
+          greatest(col("id"), col("nb.nid")).as("id_b"),
+          levenshtein(col("k"), col("nb.nk")).cast(LongType).as("dist"))
+        .filter(col("dist") <= maxDist)
+        .dropDuplicates("pass", "id_a", "id_b")
+    }.reduce(_ unionByName _)
+  }
+
+  /** §2 row 196 — two-pass SNM over documents: the 24-char normalized
+    * prefix and its reverse, window 4, verify at edit distance 10. */
+  def snmQ(s: SparkSession, d: String): DataFrame = {
+    val key = substring(graft.functions.TextFunctions.normalize(col("text")), 1, 24)
+    Fuzzy.snmCandidates(Tables.documents(s, d), col("doc_id"),
+        Seq(key, reverse(key)), w = 4, maxDist = 10)
+      .orderBy(col("pass"), col("id_a"), col("id_b"))
+  }
 
   /** Mention CTE shared by both ER oracles — must mirror [[mentions]]
     * exactly (CASE arms keyed on p_partkey mod 11). A def, not a val:
