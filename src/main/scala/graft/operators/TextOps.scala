@@ -339,6 +339,61 @@ object TextOps {
     keepBestPerCluster(cc, dq).orderBy(col("comp"))
   }
 
+  /** Golden-record survivorship (SURVEY.md §2 row 197) — the MDM
+    * field-merge step AFTER clustering: row 140's keep-best selects
+    * one whole RECORD per duplicate cluster, but the canonical
+    * metadata is a per-FIELD vote (three crawls of the same page may
+    * each carry the right value for a different field — pick the
+    * record and you inherit its wrong fields too). Per (cluster,
+    * field): the most frequent non-NULL value survives, frequency
+    * ties break to the SMALLEST value (total-order deterministic);
+    * NULLs don't vote (absent evidence, the kappa posture) and a
+    * field with zero non-NULL votes emits NO row. Each survivor
+    * carries its support count, the distinct-value count (the field's
+    * intra-cluster DISAGREEMENT — the data-quality signal
+    * survivorship normally hides) and the cluster size. Singleton
+    * docs are already golden and are excluded by contract: the
+    * operator's domain is the duplicate clusters.
+    *
+    * Scale shape (100 TB): records join the O(dups) component map
+    * first, so everything downstream is cluster-bounded; ONE explode
+    * melts the fixed field list (rows = members × |fields|); one
+    * map-side-combined (comp, field, value) count; the winner is a
+    * min(struct(-cnt, value)) argmax — no window, no sort; members
+    * and distinct counts ride the same bounded frames. */
+  def goldenRecords(records: DataFrame, idCol: String, cc: DataFrame,
+                    fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one survivorship field")
+    val mem = records.join(cc, records(idCol) === cc("id"))
+      .select(col("comp") +: fields.map(f => col(f).cast(StringType).as(f)): _*)
+    val members = cc.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+    val melted = mem.select(col("comp"), explode(array(fields.map(f =>
+        struct(lit(f).as("field"), col(f).as("value"))): _*)).as("fv"))
+      .select(col("comp"), col("fv.field").as("field"), col("fv.value").as("value"))
+      .filter(col("value").isNotNull)
+    val counts = melted.groupBy(col("comp"), col("field"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("comp"), col("field"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("value").as("v"))).as("m"),
+        count(lit(1)).as("n_distinct"))
+      .join(members, Seq("comp"))
+      .select(col("comp"), col("field"), col("m.v").as("value"),
+        (-col("m.nc")).as("n_support"), col("n_distinct"), col("n_members"))
+  }
+
+  /** §2 row 197 — survivorship over the minhash duplicate clusters:
+    * lang, source and the 100-char length bucket as voted fields. */
+  def goldenQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numPerm = 32, bands = 16)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val recs = docs.select(col("doc_id"), col("lang"), col("source"),
+      floor(col("n_chars") / lit(100)).cast(LongType).cast(StringType).as("len_bucket"))
+    goldenRecords(recs, "doc_id", cc, Seq("lang", "source", "len_bucket"))
+      .orderBy(col("comp"), col("field"))
+  }
+
   /** §2.12 (SURVEY.md §2 row 143) — leakage-safe train/val/test split:
     * hash the near-dup CLUSTER id, not the document id. A doc-level
     * deterministic split (row 73) lets two near-duplicates land in
@@ -421,6 +476,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keep_best"       -> (keepBestQ _),
+    "q_golden_record"   -> (goldenQ _),
     "q_cluster_split"   -> (clusterSplitQ _),
     "q_novelty"         -> (noveltyQ _),
     "q_token_count"     -> (tokenCountQ _),
@@ -666,6 +722,36 @@ object TextOps {
     // HUGEINT — collisions collapse identically), first occurrence =
     // min doc_id per hash, floor-div percentage
     "q_novelty" -> noveltySql(),
+
+    // the shared component map, fields melted by a 3-arm UNION ALL,
+    // NULL votes dropped, and the (cnt DESC, value ASC) ROW_NUMBER
+    // argmax — identical to the engine's min(struct(-cnt, value));
+    // n_distinct via COUNT OVER the same frame
+    "q_golden_record" ->
+      s"""WITH RECURSIVE $componentMapSql,
+         |mem AS (
+         |  SELECT cm.comp, d.lang, d.source,
+         |    CAST(d.n_chars // 100 AS VARCHAR) AS len_bucket
+         |  FROM cm JOIN documents d ON cm.id = d.doc_id),
+         |members AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members
+         |            FROM cm GROUP BY comp),
+         |melted AS (
+         |  SELECT comp, 'lang' AS field, lang AS value FROM mem
+         |  UNION ALL SELECT comp, 'source', source FROM mem
+         |  UNION ALL SELECT comp, 'len_bucket', len_bucket FROM mem),
+         |counts AS (
+         |  SELECT comp, field, value, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM melted WHERE value IS NOT NULL
+         |  GROUP BY comp, field, value),
+         |ranked AS (
+         |  SELECT comp, field, value, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY comp, field ORDER BY cnt DESC, value ASC) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY comp, field) AS BIGINT) AS n_distinct
+         |  FROM counts)
+         |SELECT r.comp, r.field, r.value, r.cnt AS n_support, r.n_distinct, m.n_members
+         |FROM ranked r JOIN members m ON r.comp = m.comp
+         |WHERE r.rn = 1
+         |ORDER BY r.comp, r.field""".stripMargin,
 
     // the keep_best component map, completed with singleton comps
     // (doc_id itself), then the split-hash replay over the DISTINCT
