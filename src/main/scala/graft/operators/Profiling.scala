@@ -43,6 +43,52 @@ object Profiling {
       .orderBy(col("column_name"))
   }
 
+  /** Class-balance / diversity audit (SURVEY.md §2 row 198) — the
+    * dataset-card composition table: per categorical dimension the
+    * class count, majority and minority classes, and the exact Gini
+    * impurity as the integer fraction (n² − Σnᵢ²)/n² — whose
+    * complement's inverse n²/Σnᵢ² is the inverse-Simpson "effective
+    * number of classes", the standard diversity index (a corpus that
+    * is 95% one language has ~1.1 effective languages no matter how
+    * many it nominally contains; mixture weights and sampling
+    * temperatures are chosen off exactly this table). Entropy is
+    * deliberately NOT emitted — ln is not cross-engine-replayable
+    * (the row-91 trade); Gini/Simpson carry the same ordering for
+    * balance decisions and stay integer-exact. NULL is a CLASS (the
+    * kanon posture — "field missing" is itself observable to a
+    * sampler), folded to the '__null__' sentinel in both engines.
+    * Majority ties break to the LARGEST value, minority ties to the
+    * SMALLEST (max/min struct order, total-order deterministic).
+    *
+    * Scale shape (100 TB): ONE explode melts the fixed dimension
+    * list, one map-side-combined (dim, value) count (value-domain-
+    * bounded), one |dims|-row final aggregate with struct argmax/
+    * argmin — no windows, no joins. OVERFLOW: Σnᵢ² needs n < ~3e9
+    * per class; beyond that, pre-bucket the dimension. */
+  def classBalance(df: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val melted = df.select(explode(array(dims.map(d =>
+        struct(lit(d).as("dim"),
+          coalesce(col(d).cast(StringType), lit("__null__")).as("value"))): _*)).as("dv"))
+      .select(col("dv.dim").as("dim"), col("dv.value").as("value"))
+    melted.groupBy(col("dim"), col("value")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dim"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        max(struct(col("c"), col("value"))).as("maj"),
+        min(struct(col("c"), col("value"))).as("mnr"),
+        sum(col("c") * col("c")).as("sq"))
+      .select(col("dim"), col("n"), col("k"),
+        col("maj.value").as("majority_value"), col("maj.c").as("majority_n"),
+        col("mnr.value").as("minority_value"), col("mnr.c").as("minority_n"),
+        (col("n") * col("n") - col("sq")).as("gini_num"),
+        (col("n") * col("n")).as("gini_den"))
+  }
+
+  /** §2 row 198 — composition of documents over lang and source. */
+  def balanceQ(s: SparkSession, d: String): DataFrame =
+    classBalance(Tables.documents(s, d), Seq("lang", "source"))
+      .orderBy(col("dim"))
+
   /** q_histogram — fixed-width value histogram (width 25). */
   def histogramQ(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -600,9 +646,40 @@ object Profiling {
     "q_forward_fill"  -> (forwardFillQ _),
     "q_outliers_mad"  -> (outliersMadQ _),
     "q_corr_matrix"   -> (corrMatrixQ _),
+    "q_balance_audit" -> (balanceQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // 2-arm melt with the '__null__' fold, one (dim, value) count,
+    // max/min struct argmax replayed as (c, value) DESC/ASC picks via
+    // ROW_NUMBER; Gini as the integer fraction (n²-Σc²)/n²
+    "q_balance_audit" ->
+      """WITH melted AS (
+        |  SELECT 'lang' AS dim, COALESCE(lang, '__null__') AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COALESCE(source, '__null__') FROM documents),
+        |counts AS (
+        |  SELECT dim, value, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM melted GROUP BY dim, value),
+        |ranked AS (
+        |  SELECT dim, value, c,
+        |    ROW_NUMBER() OVER (PARTITION BY dim ORDER BY c DESC, value DESC) AS rmaj,
+        |    ROW_NUMBER() OVER (PARTITION BY dim ORDER BY c ASC, value ASC) AS rmin
+        |  FROM counts),
+        |agg AS (
+        |  SELECT dim, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(c * c) AS BIGINT) AS sq
+        |  FROM counts GROUP BY dim)
+        |SELECT a.dim, a.n, a.k,
+        |  mj.value AS majority_value, mj.c AS majority_n,
+        |  mn.value AS minority_value, mn.c AS minority_n,
+        |  CAST(a.n * a.n - a.sq AS BIGINT) AS gini_num,
+        |  CAST(a.n * a.n AS BIGINT) AS gini_den
+        |FROM agg a
+        |JOIN ranked mj ON mj.dim = a.dim AND mj.rmaj = 1
+        |JOIN ranked mn ON mn.dim = a.dim AND mn.rmin = 1
+        |ORDER BY a.dim""".stripMargin,
+
     // poly_hash64 replayed once per DISTINCT key then joined back;
     // bucket = pmod(h, 32); ROW_NUMBER (nr DESC, k DESC) == the
     // engine's max(struct(nr, k)) argmax; HUGEINT sums → BIGINT
