@@ -517,6 +517,57 @@ object TrainingOps {
       .select(strataCols.map(ranked(_)) ++ Seq(idCol, col("split")): _*)
   }
 
+  /** Walk-forward CV folds with embargo (SURVEY.md §2 row 199) — the
+    * TIME-series split rows 73/193 must not be used for: hash and
+    * stratified splits scatter a user's events across train and test,
+    * so any temporally-autocorrelated signal (sessions, trends, the
+    * label horizon itself) leaks backwards. Walk-forward evaluates
+    * like production trains: fold i trains on everything before its
+    * boundary and tests on the next time slice, and an EMBARGO gap
+    * ahead of each test slice drops the training events whose label
+    * window would overlap the test period (the purge+embargo of
+    * López de Prado, 2018 — embargo width = the label horizon is the
+    * standard choice). Boundaries are equal TIME slices of the
+    * observed [min, max] span — a pure integer function of two
+    * scalars, not data-dependent sampling, so both engines derive
+    * them identically.
+    *
+    * Scale shape (100 TB): one 1-row min/max aggregate (the
+    * watermark-scalar posture), a k-row boundary literal frame
+    * crossed with the corpus BROADCAST, and ONE map-side-combined
+    * conditional aggregate per event×fold — no sort, no window, no
+    * shuffle of the event stream; output is 1 row per fold. */
+  def walkForwardFolds(events: DataFrame, tsCol: Column, k: Int,
+                       embargoMicros: Long): DataFrame = {
+    require(k >= 1, s"need k >= 1 folds, got $k")
+    require(embargoMicros >= 0, s"embargo must be >= 0, got $embargoMicros")
+    val mm = events.agg(min(unix_micros(tsCol)).as("mn"),
+      max(unix_micros(tsCol)).as("mx"))
+    val folds = events.sparkSession.range(1, k + 1L).select(col("id").as("fold"))
+    val bounds = folds.crossJoin(broadcast(mm))
+      .withColumn("seg", col("mx") - col("mn") + 1L)
+      .withColumn("test_start",
+        col("mn") + GraphOps.fdiv(col("seg") * col("fold"), lit(k + 1L)))
+      .withColumn("test_end",
+        col("mn") + GraphOps.fdiv(col("seg") * (col("fold") + 1L), lit(k + 1L)))
+      .withColumn("train_end", col("test_start") - lit(embargoMicros))
+      .select(col("fold"), col("train_end"), col("test_start"), col("test_end"))
+    def cnt(p: Column) = coalesce(sum(when(p, 1L)), lit(0L))
+    events.select(unix_micros(tsCol).as("tu")).crossJoin(broadcast(bounds))
+      .groupBy(col("fold"), col("train_end"), col("test_start"), col("test_end"))
+      .agg(cnt(col("tu") < col("train_end")).as("n_train"),
+        cnt(col("tu") >= col("train_end") && col("tu") < col("test_start"))
+          .as("n_embargo"),
+        cnt(col("tu") >= col("test_start") && col("tu") < col("test_end"))
+          .as("n_test"))
+  }
+
+  /** §2 row 199 — 5 folds over events with a 3-day embargo. */
+  def walkForwardQ(s: SparkSession, d: String): DataFrame =
+    walkForwardFolds(Tables.events(s, d), col("ts"), k = 5,
+        embargoMicros = 3L * 86400L * 1000000L)
+      .orderBy(col("fold"))
+
   /** §2 row 193 — exact 80/10/10 within every (lang, source) stratum. */
   def stratSplitQ(s: SparkSession, d: String): DataFrame =
     stratifiedSplit(Tables.documents(s, d), Seq("lang", "source"),
@@ -525,6 +576,7 @@ object TrainingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_strat_split"    -> (stratSplitQ _),
+    "q_walk_forward"   -> (walkForwardQ _),
     "q_split_assign"   -> (splitAssignQ _),
     "q_kfold"          -> (kfoldQ _),
     "q_decontaminate"  -> (decontaminateQ _),
@@ -623,6 +675,29 @@ object TrainingOps {
 
     // per-stratum Hamilton quotas (floor + remainder-ranked bonus),
     // cumulative ranges in fill order, per-stratum hash rank join
+    // the 1-row min/max scalar, 5 equal time slices of [mn, mx] by
+    // pure integer division (all operands nonnegative so // == floor
+    // division), the 3-day embargo subtraction, and one conditional
+    // aggregate per fold; HUGEINT sums → BIGINT
+    "q_walk_forward" ->
+      """WITH mm AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
+        |b AS (
+        |  SELECT CAST(f.fold AS BIGINT) AS fold,
+        |    mn + ((mx - mn + 1) * f.fold) // 6 - 259200000000 AS train_end,
+        |    mn + ((mx - mn + 1) * f.fold) // 6 AS test_start,
+        |    mn + ((mx - mn + 1) * (f.fold + 1)) // 6 AS test_end
+        |  FROM range(1, 6) f(fold) CROSS JOIN mm)
+        |SELECT b.fold, b.train_end, b.test_start, b.test_end,
+        |  CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) < b.train_end THEN 1 END), 0) AS BIGINT) AS n_train,
+        |  CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) >= b.train_end
+        |                          AND epoch_us(e.ts) < b.test_start THEN 1 END), 0) AS BIGINT) AS n_embargo,
+        |  CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) >= b.test_start
+        |                          AND epoch_us(e.ts) < b.test_end THEN 1 END), 0) AS BIGINT) AS n_test
+        |FROM b CROSS JOIN events e
+        |GROUP BY b.fold, b.train_end, b.test_start, b.test_end
+        |ORDER BY b.fold""".stripMargin,
+
     "q_strat_split" ->
       s"""WITH hs AS (${polyHashSql("ssplit|")}),
          |sz AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
