@@ -89,6 +89,54 @@ object Profiling {
     classBalance(Tables.documents(s, d), Seq("lang", "source"))
       .orderBy(col("dim"))
 
+  /** Join fan-out pre-flight (SURVEY.md §2 row 200) — the EXACT output
+    * size of an equi-join computed WITHOUT executing it: |A ⋈ B| =
+    * Σ_k cnt_A(k)·cnt_B(k), the companion to row 185's partition-skew
+    * audit (that one asks "do rows balance over buckets?", this one
+    * "does the join EXPLODE, and on which keys?"). At 100 TB the
+    * difference between a 1e9-row and a 1e13-row join output is
+    * discovered here in one aggregation pass per side, not three
+    * hours into the shuffle it stalls — and the per-key products name
+    * the celebrity keys that need salting, pre-aggregation, or a
+    * different join key altogether. Both count frames are key-domain-
+    * bounded; ONLY THEY are joined (inner — a key absent from either
+    * side contributes zero rows; NULL keys never match in an equi-join
+    * and are excluded by contract). Output: the top-k exploding keys
+    * plus a '__total__' row (Σ matched counts and the exact output
+    * size). The top-k rank window rides the matched-key-bounded
+    * frame, never the data. OVERFLOW: Σ products < 2^63 — an audit
+    * reporting its own overflow would be useless; products are per-key
+    * long multiplications (document cnt_A·cnt_B < 2^63 per key). */
+  def joinFanout(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                 topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val ca = a.filter(aKey.isNotNull)
+      .groupBy(aKey.cast(StringType).as("key")).agg(count(lit(1)).as("n_left"))
+    val cb = b.filter(bKey.isNotNull)
+      .groupBy(bKey.cast(StringType).as("key")).agg(count(lit(1)).as("n_right"))
+    val j = ca.join(cb, Seq("key"))
+      .withColumn("n_out", col("n_left") * col("n_right"))
+    val top = j.withColumn("rn", row_number().over(
+        Window.orderBy(col("n_out").desc, col("key"))))
+      .filter(col("rn") <= topK)
+      .select(col("key"), col("n_left"), col("n_right"), col("n_out"))
+    val total = j.agg(coalesce(sum(col("n_left")), lit(0L)).as("n_left"),
+        coalesce(sum(col("n_right")), lit(0L)).as("n_right"),
+        coalesce(sum(col("n_out")), lit(0L)).as("n_out"))
+      .select(lit("__total__").as("key"), col("n_left"), col("n_right"),
+        col("n_out"))
+    top.unionByName(total)
+  }
+
+  /** §2 row 200 — fan-out of the events-to-events self-join on
+    * user_id (the sessionization pair blow-up pre-flight). */
+  def joinFanoutQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    joinFanout(ev, col("user_id"), ev, col("user_id"), topK = 10)
+      .orderBy(col("n_out").desc, col("key"))
+  }
+
   /** q_histogram — fixed-width value histogram (width 25). */
   def histogramQ(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -647,9 +695,36 @@ object Profiling {
     "q_outliers_mad"  -> (outliersMadQ _),
     "q_corr_matrix"   -> (corrMatrixQ _),
     "q_balance_audit" -> (balanceQ _),
+    "q_join_fanout"   -> (joinFanoutQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // per-side key counts, matched-key products, ROW_NUMBER top-k and
+    // the '__total__' summary row; HUGEINT sums/products → BIGINT
+    "q_join_fanout" ->
+      """WITH ca AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n_left
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n_right
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT ca.key, ca.n_left, cb.n_right,
+        |    CAST(ca.n_left * cb.n_right AS BIGINT) AS n_out
+        |  FROM ca JOIN cb ON ca.key = cb.key),
+        |top AS (
+        |  SELECT key, n_left, n_right, n_out
+        |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_out DESC, key) AS rn FROM j) t
+        |  WHERE rn <= 10),
+        |tot AS (
+        |  SELECT '__total__' AS key,
+        |    CAST(COALESCE(SUM(n_left), 0) AS BIGINT) AS n_left,
+        |    CAST(COALESCE(SUM(n_right), 0) AS BIGINT) AS n_right,
+        |    CAST(COALESCE(SUM(n_out), 0) AS BIGINT) AS n_out
+        |  FROM j)
+        |SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM tot) u
+        |ORDER BY n_out DESC, key""".stripMargin,
+
     // 2-arm melt with the '__null__' fold, one (dim, value) count,
     // max/min struct argmax replayed as (c, value) DESC/ASC picks via
     // ROW_NUMBER; Gini as the integer fraction (n²-Σc²)/n²
