@@ -137,6 +137,46 @@ object Profiling {
       .orderBy(col("n_out").desc, col("key"))
   }
 
+  /** Exact equi-depth histogram (SURVEY.md §2 row 201) — the
+    * database-statistics companion to q_histogram's equi-WIDTH bins:
+    * equal-ROW-COUNT buckets are what optimizers and range-partition
+    * planners actually need (equi-width tells you nothing useful on a
+    * skewed column — one bin holds 90% of rows). NOT a quantile
+    * sketch: boundaries are exact, by the lower-quantile rule the
+    * weighted-median row established. Each distinct value v is
+    * assigned wholly to bucket floor((cum(v)−1)·B / n) where cum(v)
+    * is the inclusive cumulative row count at v in value order — a
+    * heavy value can inflate its bucket beyond n/B; equi-depth
+    * CANNOT split a value across buckets, and the per-bucket counts
+    * REPORT that distortion rather than hiding it (the classic
+    * heavy-hitter caveat of equi-depth stats). NULLs hold no rank
+    * and are excluded by contract.
+    *
+    * Scale shape (100 TB): the corpus collapses to ONE map-side-
+    * combined distinct-value count frame; the cumulative window and
+    * the total both ride that value-bounded frame (never the rows);
+    * one bucket groupBy ends it. */
+  def equiDepthHistogram(df: DataFrame, valCol: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(valCol.isNotNull)
+      .groupBy(valCol.as("v")).agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("bucket",
+        GraphOps.fdiv((col("cum") - 1L) * buckets, col("n")))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c")).as("n_rows"), count(lit(1)).as("n_distinct"))
+  }
+
+  /** §2 row 201 — 10 equal-depth buckets over document lengths. */
+  def equiDepthQ(s: SparkSession, d: String): DataFrame =
+    equiDepthHistogram(Tables.documents(s, d), col("n_chars"), buckets = 10)
+      .orderBy(col("bucket"))
+
   /** q_histogram — fixed-width value histogram (width 25). */
   def histogramQ(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -696,9 +736,31 @@ object Profiling {
     "q_corr_matrix"   -> (corrMatrixQ _),
     "q_balance_audit" -> (balanceQ _),
     "q_join_fanout"   -> (joinFanoutQ _),
+    "q_equidepth"     -> (equiDepthQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // distinct-value counts, the inclusive cumulative window in value
+    // order, the lower-quantile bucket rule (all operands nonnegative
+    // so // == floor), one bucket groupBy; HUGEINT → BIGINT
+    "q_equidepth" ->
+      """WITH counts AS (
+        |  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars),
+        |cum AS (
+        |  SELECT v, c,
+        |    CAST(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        |  FROM counts),
+        |tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM counts)
+        |SELECT CAST((cm - 1) * 10 // n AS BIGINT) AS bucket,
+        |  MIN(v) AS lo, MAX(v) AS hi,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |FROM cum CROSS JOIN tot
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
     // per-side key counts, matched-key products, ROW_NUMBER top-k and
     // the '__total__' summary row; HUGEINT sums/products → BIGINT
     "q_join_fanout" ->
