@@ -49,7 +49,7 @@ object SparkEntry {
     SpanCorrupt.queries ++ Regression.queries ++ PcaOps.queries ++ Bm25State.queries ++
     Agreement.queries ++ PhraseSearch.queries ++ Rake.queries ++ AssocRules.queries ++
     Percolate.queries ++ CodeSwitch.queries ++ Stitch.queries ++
-    Weak.queries ++
+    Weak.queries ++ Placement.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -235,6 +235,6 @@ object SparkEntry {
     SpanCorrupt.oracles ++ Regression.oracles ++ PcaOps.oracles ++ Bm25State.oracles ++
     Agreement.oracles ++ PhraseSearch.oracles ++ Rake.oracles ++ AssocRules.oracles ++
     Percolate.oracles ++ CodeSwitch.oracles ++ Stitch.oracles ++
-    Weak.oracles ++
+    Weak.oracles ++ Placement.oracles ++
     graft.sources.ExtractClient.oracles
 }
