@@ -152,9 +152,67 @@ object Dq {
       .orderBy(col("ord"))
       .select(col("rule"), col("n_rows"), col("n_viol"), col("viol_pct"))
 
+  // ---- Benford first-digit audit (SURVEY.md §2 row 203) -------------------
+
+  /** log10(1 + 1/d) · 1e6, d = 1..9 — the Benford proportions as
+    * FIXED integer parts-per-million literals (they sum to exactly
+    * 1_000_000), the dcgWeights pattern: transcendentals enter both
+    * engines as the same constants, never as computed doubles. */
+  private[graft] val BenfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** Benford first-digit audit — the synthetic-data / fraud detector
+    * for naturally-grown numeric columns (sizes, amounts, counts that
+    * span orders of magnitude follow log10(1+1/d); fabricated or
+    * template-generated values don't — Benford's law is standard
+    * forensic-accounting and data-plausibility tooling). Per digit
+    * 1-9: observed count, observed ppm (exact floor division),
+    * expected Benford ppm, and the signed deviation numerator
+    * n_d·1e6 − N·ppm_d (positive = over-represented; zero-sum across
+    * digits by construction). The leading digit comes from the
+    * integer's STRING head — exact in both engines (BIGINT never
+    * prints scientific notation); values ≤ 0 carry no leading digit
+    * and are excluded by contract. Digits with zero observations
+    * still report (the absence IS the finding). OVERFLOW: N < 9.2e12.
+    *
+    * Scale shape: one pure projection + one map-side-combined 9-key
+    * groupBy, joined to a 9-row literal frame — no windows, no sort
+    * beyond the 9-row output. */
+  def benfordAudit(df: DataFrame, valCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bf = BenfordPpm.zipWithIndex
+      .map { case (p, i) => (i.toLong + 1L, p) }.toDF("digit", "benford_ppm")
+    val obs = df.filter(valCol.isNotNull && valCol > 0)
+      .select(substring(valCol.cast(org.apache.spark.sql.types.LongType)
+        .cast(org.apache.spark.sql.types.StringType), 1, 1)
+        .cast(org.apache.spark.sql.types.LongType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(coalesce(sum(col("n_obs")), lit(0L)).as("n_total"))
+    broadcast(bf).join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        GraphOps.fdiv(coalesce(col("n_obs"), lit(0L)) * 1000000L,
+          greatest(col("n_total"), lit(1L))).as("obs_ppm"),
+        col("benford_ppm"),
+        (coalesce(col("n_obs"), lit(0L)) * 1000000L -
+          col("n_total") * col("benford_ppm")).as("dev_num"),
+        col("n_total"))
+  }
+
+  /** §2 row 203 — Benford audit of the lineitem extended price (cast
+    * to whole currency units; a price×quantity product is the classic
+    * Benford-distributed population). */
+  def benfordQ(s: SparkSession, dir: String): DataFrame =
+    benfordAudit(Tables.lineitem(s, dir),
+        floor(col("l_extendedprice")).cast(org.apache.spark.sql.types.LongType))
+      .orderBy(col("digit"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_quarantine" -> (quarantineQ _),
-    "q_dq_summary"    -> (summaryQ _))
+    "q_dq_summary"    -> (summaryQ _),
+    "q_benford"       -> (benfordQ _))
 
   private def langList   = AllowedLangs.map(l => s"'$l'").mkString(", ")
   private def sourceList = AllowedSources.map(s => s"'$s'").mkString(", ")
@@ -172,6 +230,33 @@ object Dq {
   ).map { case (n, pred) => n -> s"NOT COALESCE($pred, FALSE)" }
 
   val oracles: Map[String, String] = Map(
+    // the same floor-cast leading-digit string head, the shared ppm
+    // literals (generated from BenfordPpm — policy edits cannot
+    // de-sync the oracle), nonneg floor division, LEFT join so zero
+    // digits still report; HUGEINT → BIGINT
+    "q_benford" -> {
+      val bfRows = BenfordPpm.zipWithIndex
+        .map { case (p, i) => s"(CAST(${i + 1} AS BIGINT), CAST($p AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH v AS (
+         |  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS x FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL
+         |    AND CAST(FLOOR(l_extendedprice) AS BIGINT) > 0),
+         |obs AS (
+         |  SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    CAST(COUNT(*) AS BIGINT) AS n_obs
+         |  FROM v GROUP BY 1),
+         |tot AS (SELECT CAST(COALESCE(SUM(n_obs), 0) AS BIGINT) AS n_total FROM obs),
+         |bf(digit, benford_ppm) AS (VALUES $bfRows)
+         |SELECT bf.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+         |  CAST(COALESCE(obs.n_obs, 0) * 1000000 // greatest(tot.n_total, 1) AS BIGINT) AS obs_ppm,
+         |  bf.benford_ppm,
+         |  CAST(COALESCE(obs.n_obs, 0) * 1000000 - tot.n_total * bf.benford_ppm AS BIGINT) AS dev_num,
+         |  tot.n_total
+         |FROM bf LEFT JOIN obs ON bf.digit = obs.digit CROSS JOIN tot
+         |ORDER BY bf.digit""".stripMargin
+    },
+
     "q_dq_quarantine" ->
       s"""WITH flg AS (
          |  SELECT doc_id, concat_ws(',',
