@@ -111,11 +111,98 @@ object Regression {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Spearman rank correlation, exact rational form (SURVEY.md §2 row
+    * 204) — the monotone-association companion to Pearson (row 152's
+    * corr matrix): Pearson sees only LINEAR association and one heavy
+    * outlier owns it; Spearman on ranks is what data-audit monotonicity
+    * checks ("does quality score rise with length?") actually want.
+    * Permutation-rank variant: ranks are distinct by the (value, id)
+    * total order — the id tiebreak makes them a pure function of data
+    * (with heavy ties this deviates from the midrank variant; the
+    * contract is documented, determinism is what the gate buys). Then
+    * ρ = 1 − 6Σd²/(n(n²−1)), emitted as the exact integer pair
+    * (rho_num, rho_den) = (n(n²−1) − 6Σd², n(n²−1)) plus ONE pinned
+    * division (NULL at n < 2 — the kappa posture). Rows with NULL in
+    * either column are excluded.
+    *
+    * Scale shape (100 TB): NOT a global single-partition rank window.
+    * rank(row) = cumBefore(value) + intra-tie index: the cumulative
+    * frame is the distinct-VALUE count frame (value-bounded window),
+    * the intra-tie ROW_NUMBER partitions BY value (bounded by the
+    * largest tie group), and the per-row work is two equi-joins
+    * against value-bounded frames. Σd² < 2^63 needs n ≲ 2e6 ranks
+    * apart at worst — n³ < 2^63 ⇒ n < 2.1e6 — documented; beyond
+    * that, correlate on a stratified sample or pre-bucketed values. */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column, idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(idCol.as("id"), xCol.as("x"), yCol.as("y"))
+    def ranked(c: String, out: String) = {
+      val counts = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("before", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("v"), col("before"))
+      base.join(counts, base(c) === counts("v"))
+        .withColumn(out, col("before") + row_number().over(
+          Window.partitionBy(col(c)).orderBy(col("id"))).cast(LongType))
+        .select(col("id"), col(out))
+    }
+    ranked("x", "rx").join(ranked("y", "ry"), Seq("id"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum((col("rx") - col("ry")) * (col("rx") - col("ry"))), lit(0L))
+          .as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        (col("n") * (col("n") * col("n") - 1L) - lit(6L) * col("sum_d2")).as("rho_num"),
+        (col("n") * (col("n") * col("n") - 1L)).as("rho_den"),
+        when(col("n") < 2L, lit(null)).otherwise(
+          (col("n") * (col("n") * col("n") - 1L) - lit(6L) * col("sum_d2"))
+            .cast(DoubleType) /
+            (col("n") * (col("n") * col("n") - 1L)).cast(DoubleType))
+          .as("rho"))
+  }
+
+  /** §2 row 204 — monotone association between document length and
+    * token count. */
+  def spearmanQ(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    spearman(doc, col("n_chars"),
+      size(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).cast(LongType),
+      col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_normal_eq" -> (normalEqQ _),
+    "q_spearman"  -> (spearmanQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the same (value, id) permutation ranks — ROW_NUMBER() OVER
+    // (ORDER BY v, id) equals cumBefore + intra-tie index exactly —
+    // then the rational rho identity; HUGEINT → BIGINT; NULL at n<2
+    "q_spearman" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |rk AS (
+        |  SELECT id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY x, id) AS BIGINT) AS rx,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY y, id) AS BIGINT) AS ry
+        |  FROM base),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM((rx - ry) * (rx - ry)), 0) AS BIGINT) AS sum_d2
+        |  FROM rk)
+        |SELECT n, sum_d2,
+        |  CAST(n * (n * n - 1) - 6 * sum_d2 AS BIGINT) AS rho_num,
+        |  CAST(n * (n * n - 1) AS BIGINT) AS rho_den,
+        |  CASE WHEN n < 2 THEN NULL
+        |       ELSE CAST(n * (n * n - 1) - 6 * sum_d2 AS DOUBLE)
+        |            / CAST(n * (n * n - 1) AS DOUBLE) END AS rho
+        |FROM agg""".stripMargin,
+
     // the same integer products summed in HUGEINT, unpivoted by a
     // UNION ALL of the k(k+1)/2 + k single-row aggregates
     "q_normal_eq" -> {
