@@ -653,6 +653,52 @@ object Profiling {
           / (col("c1") + col("c2")).cast(DoubleType)).as("chi2"))
   }
 
+  /** Categorical independence audit (SURVEY.md §2 row 205) — the
+    * chi-square contingency test between two categorical columns, the
+    * GENERAL-independence companion to row 182's two-snapshot
+    * homogeneity: "is source independent of language?" decides whether
+    * per-source quotas implicitly skew the language mixture (and any
+    * other pair of stratification keys that secretly co-vary — the
+    * classic sampling confounder). Per cell of the FULL row-domain ×
+    * col-domain cross product (an absent combination is o = 0 and
+    * still contributes — omitting it biases the statistic):
+    *   term = (o·n − r·c)² / (n·r·c)
+    * with the difference in BIGINT (o·n < 2^63 ⇒ n < ~3e9, the kappa
+    * contract), then ONE cast and three pinned single divisions — the
+    * row-182 recipe, doubles replay bit-exactly. Per-CELL terms only,
+    * no Σχ² row: summing doubles across cells is reduction-order-
+    * dependent; the reader sums display-side (df = (R−1)(C−1)). NULL
+    * is a class ('__null__', the row-198 posture).
+    *
+    * Scale shape: ONE map-side-combined (a, b) cell count; marginals
+    * and the total are aggregations of that cell frame (domain-
+    * bounded); the cross product joins two marginal BROADCASTS. The
+    * corpus is read once. */
+  def independenceAudit(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(
+      coalesce(col(aCol).cast(StringType), lit("__null__")).as("a"),
+      coalesce(col(bCol).cast(StringType), lit("__null__")).as("b"))
+    val cells = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("a")).agg(sum(col("o")).as("row_n"))
+    val cols = cells.groupBy(col("b")).agg(sum(col("o")).as("col_n"))
+    val tot = cells.agg(coalesce(sum(col("o")), lit(0L)).as("n"))
+    broadcast(rows).crossJoin(broadcast(cols))
+      .join(cells, Seq("a", "b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("d", (col("o") * col("n") - col("row_n") * col("col_n"))
+        .cast(DoubleType))
+      .select(col("a"), col("b"), col("o"), col("row_n"), col("col_n"), col("n"),
+        (col("d") * col("d") / col("n").cast(DoubleType)
+          / col("row_n").cast(DoubleType)
+          / col("col_n").cast(DoubleType)).as("term"))
+  }
+
+  /** §2 row 205 — is document source independent of language? */
+  def independenceQ(s: SparkSession, d: String): DataFrame =
+    independenceAudit(Tables.documents(s, d), "lang", "source")
+      .orderBy(col("a"), col("b"))
+
   /** §2 row 182 — drift between the even- and odd-doc_id snapshot
     * halves (the version-diff split convention), minCount 10. */
   def tokenDriftQ(s: SparkSession, d: String): DataFrame =
@@ -737,9 +783,35 @@ object Profiling {
     "q_balance_audit" -> (balanceQ _),
     "q_join_fanout"   -> (joinFanoutQ _),
     "q_equidepth"     -> (equiDepthQ _),
+    "q_independence"  -> (independenceQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the same '__null__' fold, cell counts, marginals from the cell
+    // frame, the full cross product LEFT-joined to observed cells,
+    // BIGINT difference then one cast + three pinned divisions in the
+    // identical order (n, row, col) — the row-182 bit-exact recipe
+    "q_independence" ->
+      """WITH base AS (
+        |  SELECT COALESCE(lang, '__null__') AS a,
+        |    COALESCE(source, '__null__') AS b
+        |  FROM documents),
+        |cells AS (
+        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY a, b),
+        |rws AS (SELECT a, CAST(SUM(o) AS BIGINT) AS row_n FROM cells GROUP BY a),
+        |cls AS (SELECT b, CAST(SUM(o) AS BIGINT) AS col_n FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n FROM cells)
+        |SELECT rws.a, cls.b, COALESCE(cells.o, 0) AS o,
+        |  rws.row_n, cls.col_n, tot.n,
+        |  CAST(COALESCE(cells.o, 0) * tot.n - rws.row_n * cls.col_n AS DOUBLE)
+        |    * CAST(COALESCE(cells.o, 0) * tot.n - rws.row_n * cls.col_n AS DOUBLE)
+        |    / CAST(tot.n AS DOUBLE) / CAST(rws.row_n AS DOUBLE)
+        |    / CAST(cls.col_n AS DOUBLE) AS term
+        |FROM rws CROSS JOIN cls
+        |LEFT JOIN cells ON cells.a = rws.a AND cells.b = cls.b
+        |CROSS JOIN tot
+        |ORDER BY rws.a, cls.b""".stripMargin,
+
     // distinct-value counts, the inclusive cumulative window in value
     // order, the lower-quantile bucket rule (all operands nonnegative
     // so // == floor), one bucket groupBy; HUGEINT → BIGINT
