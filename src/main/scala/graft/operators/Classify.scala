@@ -187,6 +187,68 @@ object Classify {
     rocAuc(docs.select(margin.as("score"), label.as("y")), "score", "y")
   }
 
+  /** Gains / lift table (SURVEY.md §2 row 206) — the third eval view
+    * next to row 181 (calibration: "is the rate per score band
+    * honest?") and row 194 (AUC: "is the ranking right overall?"):
+    * the gains table answers the OPERATING question "if I keep only
+    * the top decile by score, what fraction of all positives do I
+    * capture, and at what lift over random?" — precisely how a
+    * curation filter's threshold is chosen against a token budget.
+    * Deciles are equal-ROW-COUNT buckets in score-DESC order using
+    * the row-201 equi-depth rule (distinct score → bucket of its
+    * last row; heavy score ties inflate their decile and the counts
+    * report it). Per decile: rows, positives, the CUMULATIVE counts
+    * through that decile, exact capture ppm (floor division), and
+    * lift as ONE pinned division of two BIGINT products
+    * (cum_pos·n)/(n_pos·cum_n); NULL when the corpus has no
+    * positives (kappa posture).
+    *
+    * Scale shape: the corpus collapses to the distinct-score count
+    * frame (map-side combined); the decile assignment and both
+    * cumulative windows ride value-bounded / 10-row frames, never the
+    * rows. */
+  def gainsTable(scored: DataFrame, scoreCol: String, labelCol: String,
+                 buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("c"),
+        coalesce(sum(when(col(labelCol) === 1L, 1L)), lit(0L)).as("p"))
+    val cum = byScore.withColumn("cm", sum(col("c")).over(
+      Window.orderBy(col("s").desc).rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = byScore.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+      coalesce(sum(col("p")), lit(0L)).as("n_pos"))
+    val dec = cum.crossJoin(broadcast(tot))
+      .withColumn("decile", GraphOps.fdiv((col("cm") - 1L) * buckets, col("n")))
+      .groupBy(col("decile"))
+      .agg(sum(col("c")).as("n_rows"), sum(col("p")).as("d_pos"),
+        max(col("n")).as("n"), max(col("n_pos")).as("t_pos"))
+    val w10 = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dec.withColumn("cum_n", sum(col("n_rows")).over(w10))
+      .withColumn("cum_pos", sum(col("d_pos")).over(w10))
+      .select(col("decile"), col("n_rows"), col("d_pos").as("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        GraphOps.fdiv(col("cum_pos") * 1000000L, greatest(col("t_pos"), lit(1L)))
+          .as("capture_ppm"),
+        when(col("t_pos") === 0L, lit(null)).otherwise(
+          (col("cum_pos") * col("n")).cast(DoubleType) /
+            (col("t_pos") * col("cum_n")).cast(DoubleType)).as("lift"))
+  }
+
+  /** §2 row 206 — decile gains of the row-118 perceptron margin. */
+  def gainsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val feats = charFeatures(col("text"))
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val w = trainPerceptron(docs, feats, label, iters = 3)
+    val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    gainsTable(docs.select(margin.as("score"), label.as("y")), "score", "y")
+      .orderBy(col("decile"))
+  }
+
   /** §2 row 181 — 10-bin calibration of the row-118 perceptron's raw
     * margin against the lang == 'en' label it was trained on. */
   def calibrationQ(s: SparkSession, d: String): DataFrame = {
@@ -204,6 +266,7 @@ object Classify {
     "q_perceptron"  -> (perceptronQ _),
     "q_calibration" -> (calibrationQ _),
     "q_auc"         -> (aucQ _),
+    "q_gains"       -> (gainsQ _),
   )
 
   /** Feature SQL shared by every iteration (x0..x4 + label y). */
@@ -309,5 +372,46 @@ object Classify {
          |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
          |       ELSE CAST(num AS DOUBLE) / CAST(n_pos * n_neg * 2 AS DOUBLE) END AS auc
          |FROM agg""".stripMargin,
+
+    // the same unroll, distinct-margin counts, the score-DESC
+    // inclusive cumsum, the equi-depth decile rule (nonneg // ==
+    // floor), the 10-row cumulative window, exact capture ppm and the
+    // single pinned lift division; HUGEINT → BIGINT everywhere
+    "q_gains" ->
+      s"""WITH $featSql,
+         |w0 AS (SELECT ${dims.map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+         |${stepSql(1, 0)},
+         |${stepSql(2, 1)},
+         |${stepSql(3, 2)},
+         |marg AS (SELECT y, ${dotSql("w")} AS m FROM f CROSS JOIN w3 w),
+         |bys AS (
+         |  SELECT m AS s, CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS p
+         |  FROM marg GROUP BY m),
+         |cum AS (
+         |  SELECT s, c, p,
+         |    CAST(SUM(c) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+         |  FROM bys),
+         |tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+         |               CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos FROM bys),
+         |dec AS (
+         |  SELECT CAST((cm - 1) * 10 // n AS BIGINT) AS decile,
+         |    CAST(SUM(c) AS BIGINT) AS n_rows, CAST(SUM(p) AS BIGINT) AS d_pos,
+         |    CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(n_pos) AS BIGINT) AS t_pos
+         |  FROM cum CROSS JOIN tot GROUP BY 1),
+         |g AS (
+         |  SELECT decile, n_rows, d_pos, n, t_pos,
+         |    CAST(SUM(n_rows) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         |    CAST(SUM(d_pos) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+         |  FROM dec)
+         |SELECT decile, n_rows, d_pos AS n_pos, cum_n, cum_pos,
+         |  CAST(cum_pos * 1000000 // greatest(t_pos, 1) AS BIGINT) AS capture_ppm,
+         |  CASE WHEN t_pos = 0 THEN NULL
+         |       ELSE CAST(cum_pos * n AS DOUBLE) / CAST(t_pos * cum_n AS DOUBLE)
+         |  END AS lift
+         |FROM g ORDER BY decile""".stripMargin,
   )
 }
