@@ -193,6 +193,54 @@ object VectorOps {
         (col("isum_a") + col("isum_b")).as("margin_den"))
   }
 
+  /** kNN label-noise audit (SURVEY.md §2 row 207) — the confident-
+    * learning screen (Northcutt et al. 2021's intuition in its
+    * non-parametric form): a vector whose nearest neighbors
+    * overwhelmingly carry a DIFFERENT label is either mislabeled or
+    * sits on a class boundary — either way it is exactly what a label-
+    * quality pass reviews before the labels train a filter. Per
+    * audited vector: its k nearest pool neighbors by the exact 1e12-
+    * floored integer cosine (the row-186 image — ranking and counts
+    * replay bit-exactly), the disagreement count, and the neighbor-
+    * MAJORITY label (count ties → smallest label) as the suggested
+    * relabel. The audited set is a caller predicate — auditing is
+    * cheap on a sample and the suspects, not the corpus.
+    *
+    * Scale shape: this is the BRUTE path (audited × pool via one
+    * broadcast nested-loop of the audited side) — correct-by-
+    * construction and right for audit-sized samples; at corpus scale
+    * swap the pair source for the row-41/163 IVF/LSH bucketed
+    * candidates, the downstream (rank window per audited id, two
+    * k-bounded aggregations) is unchanged. */
+  def labelNoiseAudit(df: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, auditPred: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = df.select(col(idCol).as("id"), col(labelCol).cast(LongType).as("lbl"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("nsq", dotQuantized(col("qv"), col("qv")).cast(DoubleType))
+    val a = df.filter(auditPred)
+      .select(col(idCol).as("src"), col(labelCol).cast(LongType).as("lbl_a"),
+        quantize(col(vecCol)).as("qv_a"))
+      .withColumn("nsq_a", dotQuantized(col("qv_a"), col("qv_a")).cast(DoubleType))
+    val w = Window.partitionBy(col("src")).orderBy(col("icos").desc, col("dst"))
+    val edges = v.join(broadcast(a), col("src") =!= col("id"))
+      .withColumn("icos", floor(cosineFrom(
+        dotQuantized(col("qv_a"), col("qv")).cast(DoubleType),
+        col("nsq_a"), col("nsq")) * 1000000000000L).cast(LongType))
+      .select(col("src"), col("lbl_a"), col("id").as("dst"), col("lbl"), col("icos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    edges.groupBy(col("src"), col("lbl_a"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("src"), col("lbl_a"))
+      .agg(sum(col("cnt")).as("n_nb"),
+        coalesce(sum(when(col("lbl") =!= col("lbl_a"), col("cnt"))), lit(0L))
+          .as("n_disagree"),
+        min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+      .select(col("src").as("vec_id"), col("lbl_a").as("label"),
+        col("n_nb"), col("n_disagree"), col("m.l").as("nb_majority"))
+  }
+
   /** Johnson–Lindenstrauss random projection (SURVEY.md §2 row 191) —
     * reduce embedding dimensionality with a DATA-INDEPENDENT random
     * matrix: JL guarantees pairwise distances survive to (1±ε) at

@@ -76,6 +76,7 @@ object VectorQueries {
     "q_dedup_groups"   -> (dedupGroupsQ _),
     "q_mutual_knn"     -> (mutualKnnQ _),
     "q_jl_project"     -> (jlProjectQ _),
+    "q_label_noise"    -> (labelNoiseQ _),
   )
 
   /** §2 row 191 — the 64→16 JL projection of every embedding. */
@@ -83,6 +84,12 @@ object VectorQueries {
     VectorOps.jlProject(Tables.embeddings(s, d), "vec_id", "embedding",
         inDim = 64, outDim = 16, seed = 7L)
       .orderBy(col("id"), col("dim"))
+
+  /** §2 row 207 — 5-NN label-noise audit of every fifth vector. */
+  def labelNoiseQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.labelNoiseAudit(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", pmod(col("vec_id"), lit(5)) === 0, k = 5)
+      .orderBy(col("vec_id"))
 
   /** §2 row 186 — mutual-3NN pairs with margin scores, label-blocked. */
   def mutualKnnQ(s: SparkSession, d: String): DataFrame =
@@ -137,6 +144,40 @@ object VectorQueries {
     // to the 1e12 integer image; ROW_NUMBER (icos DESC, dst) == the
     // engine's window; mutuality via the k-bounded self-join; margin
     // as the integer pair
+    // the mutual-knn icos image over audited×pool pairs, the same
+    // (icos DESC, dst) top-k, then the neighbor-label contingency:
+    // disagree sum + (cnt DESC, label ASC) majority argmax
+    "q_label_noise" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |a AS (SELECT vec_id AS src, label AS lbl_a, embedding AS ea, nsq AS na
+         |      FROM v WHERE vec_id % 5 = 0),
+         |p AS (
+         |  SELECT a.src, a.lbl_a, b.vec_id AS dst, b.label AS lbl,
+         |    CAST(floor((${dotSql("a.ea", "b.embedding")}
+         |      / greatest(sqrt(a.na) * sqrt(b.nsq), 1e-9)) * 1000000000000) AS BIGINT) AS icos
+         |  FROM a JOIN v b ON a.src <> b.vec_id),
+         |e AS (
+         |  SELECT src, lbl_a, dst, lbl FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY icos DESC, dst) AS rn FROM p) t
+         |  WHERE rn <= 5),
+         |g AS (SELECT src, lbl_a, lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM e GROUP BY 1, 2, 3),
+         |f AS (
+         |  SELECT src, lbl_a,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_nb,
+         |    CAST(COALESCE(SUM(CASE WHEN lbl <> lbl_a THEN cnt END), 0) AS BIGINT) AS n_disagree
+         |  FROM g GROUP BY 1, 2),
+         |mj AS (
+         |  SELECT src, lbl AS maj FROM (
+         |    SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cnt DESC, lbl ASC) AS rn FROM g) t
+         |  WHERE rn = 1)
+         |SELECT f.src AS vec_id, CAST(f.lbl_a AS BIGINT) AS label,
+         |  f.n_nb, f.n_disagree, CAST(mj.maj AS BIGINT) AS nb_majority
+         |FROM f JOIN mj ON f.src = mj.src
+         |ORDER BY vec_id""".stripMargin,
+
     "q_mutual_knn" ->
       s"""WITH v AS (SELECT label, vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
          |p AS (
