@@ -381,6 +381,48 @@ object TextOps {
         (-col("m.nc")).as("n_support"), col("n_distinct"), col("n_members"))
   }
 
+  /** Dedup savings report (SURVEY.md §2 row 208) — the capacity-
+    * planning view of the duplicate clusters rows 36/140/197 operate
+    * on: BEFORE running a destructive dedup at 100 TB, the operative
+    * numbers are "how many clusters of each size, how many redundant
+    * documents, how many bytes does keeping one canonical per cluster
+    * actually reclaim?" (cluster-size distributions are heavy-tailed;
+    * one 10k-member template cluster dominates the savings and this
+    * table is where it shows). Canonical = the min-id member (the
+    * component id itself — the deterministic choice every CC consumer
+    * here shares); saved chars = Σ chars − canonical's chars per
+    * cluster, rolled up by cluster SIZE. Singletons are not clusters
+    * and never enter (component maps only materialize paired docs).
+    *
+    * Scale shape: documents join the O(dups) component map first;
+    * ONE per-cluster aggregate (count, Σ chars, min(struct(id,
+    * chars)) argmin — no window), ONE size rollup over the cluster-
+    * bounded frame. */
+  def dedupSavings(records: DataFrame, idCol: String, charsCol: String,
+                   cc: DataFrame): DataFrame = {
+    val mem = records.join(cc, records(idCol) === cc("id"))
+      .select(cc("comp"), records(idCol).as("__id"),
+        records(charsCol).cast(LongType).as("__chars"))
+    mem.groupBy(col("comp"))
+      .agg(count(lit(1)).as("size"), sum(col("__chars")).as("chars_total"),
+        min(struct(col("__id").as("i"), col("__chars").as("c"))).as("keep"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum(col("size"))).as("n_docs"),
+        sum(col("size") - 1L).as("n_redundant"),
+        sum(col("chars_total")).as("chars_total"),
+        sum(col("chars_total") - col("keep.c")).as("chars_saved"))
+  }
+
+  /** §2 row 208 — savings over the minhash duplicate clusters. */
+  def dedupSavingsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numPerm = 32, bands = 16)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    dedupSavings(docs, "doc_id", "n_chars", cc).orderBy(col("size"))
+  }
+
   /** §2 row 197 — survivorship over the minhash duplicate clusters:
     * lang, source and the 100-char length bucket as voted fields. */
   def goldenQ(s: SparkSession, d: String): DataFrame = {
@@ -477,6 +519,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keep_best"       -> (keepBestQ _),
     "q_golden_record"   -> (goldenQ _),
+    "q_dedup_savings"   -> (dedupSavingsQ _),
     "q_cluster_split"   -> (clusterSplitQ _),
     "q_novelty"         -> (noveltyQ _),
     "q_token_count"     -> (tokenCountQ _),
@@ -722,6 +765,27 @@ object TextOps {
     // HUGEINT — collisions collapse identically), first occurrence =
     // min doc_id per hash, floor-div percentage
     "q_novelty" -> noveltySql(),
+
+    // the shared component map, per-cluster count/Σchars/min-id-argmin
+    // (ROW_NUMBER BY (id) == min(struct(id, chars))), then the size
+    // rollup; HUGEINT → BIGINT
+    "q_dedup_savings" ->
+      s"""WITH RECURSIVE $componentMapSql,
+         |mem AS (
+         |  SELECT cm.comp, d.doc_id, CAST(d.n_chars AS BIGINT) AS chars
+         |  FROM cm JOIN documents d ON cm.id = d.doc_id),
+         |cl AS (
+         |  SELECT comp, CAST(COUNT(*) AS BIGINT) AS size,
+         |    CAST(SUM(chars) AS BIGINT) AS chars_total,
+         |    CAST(MIN(CASE WHEN doc_id = comp THEN chars END) AS BIGINT) AS keep_chars
+         |  FROM mem GROUP BY comp)
+         |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(size) AS BIGINT) AS n_docs,
+         |  CAST(SUM(size - 1) AS BIGINT) AS n_redundant,
+         |  CAST(SUM(chars_total) AS BIGINT) AS chars_total,
+         |  CAST(SUM(chars_total - keep_chars) AS BIGINT) AS chars_saved
+         |FROM cl GROUP BY size
+         |ORDER BY size""".stripMargin,
 
     // the shared component map, fields melted by a 3-arm UNION ALL,
     // NULL votes dropped, and the (cnt DESC, value ASC) ROW_NUMBER
