@@ -106,14 +106,84 @@ object Analytics {
     frequentPaths(Tables.events(s, d), col("user_id"), col("ts"),
       col("event_id"), col("event_type"), n = 3, k = 10)
 
+  /** First-order Markov transition audit (SURVEY.md §2 row 209) —
+    * the GENERATIVE view row 184's path mining is not: frequent-path
+    * counts answer "which 3-step sequences happen?"; the transition
+    * matrix answers "given a user just did X, what happens next and
+    * with what exact probability?" — the model behind next-event
+    * prediction baselines, funnel design, and anomaly scoring
+    * (row-out-of-distribution transitions). Per (from, to): the exact
+    * transition count, the from-state total, the probability as the
+    * integer pair (n, n_from) + ONE pinned division, and is_top
+    * marking each state's modal successor (count ties → smallest
+    * successor, struct-order deterministic). Transitions never cross
+    * users; the terminal event of each user has no successor and
+    * contributes nothing (documented — row counts are transitions,
+    * not events).
+    *
+    * Scale shape: ONE per-user (ts, event_id)-ordered lead window
+    * (user-bounded partitions — the row-184 frame, shared shape), one
+    * map-side-combined (from, to) count whose key space is |types|²,
+    * and from-totals + the modal argmax as aggregations of that
+    * bounded frame. No corpus-sized joins. */
+  def transitionMatrix(events: DataFrame, userCol: Column, tsCol: Column,
+                       idCol: Column, typeCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(tsCol, idCol)
+    val pairs = events
+      .select(typeCol.as("from_type"), lead(typeCol, 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val froms = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"),
+        min(struct((-col("n")).as("nc"), col("to_type").as("t"))).as("top"))
+    counts.join(broadcast(froms), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)).as("p"),
+        (col("to_type") === col("top.t")).as("is_top"))
+  }
+
+  /** §2 row 209 — the event-type transition matrix. */
+  def transitionsQ(s: SparkSession, d: String): DataFrame =
+    transitionMatrix(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .orderBy(col("from_type"), col("to_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"        -> (funnelQ _),
     "q_retention"     -> (retentionQ _),
     "q_interval_join" -> (intervalJoinQ _),
     "q_event_paths"   -> (pathsQ _),
+    "q_transitions"   -> (transitionsQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the same per-user lead window, (from, to) counts, from-totals,
+    // the (n DESC, to ASC) modal argmax and one pinned division
+    "q_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |froms AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM counts GROUP BY 1),
+        |tops AS (
+        |  SELECT from_type, to_type AS top_to FROM (
+        |    SELECT from_type, to_type,
+        |      ROW_NUMBER() OVER (PARTITION BY from_type ORDER BY n DESC, to_type ASC) AS rn
+        |    FROM counts) t WHERE rn = 1)
+        |SELECT c.from_type, c.to_type, c.n, f.n_from,
+        |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p,
+        |  c.to_type = t.top_to AS is_top
+        |FROM counts c
+        |JOIN froms f ON c.from_type = f.from_type
+        |JOIN tops t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+
     // same (ts, event_id)-ordered lead window; complete trigrams only;
     // top-10 by (count DESC, path ASC)
     "q_event_paths" ->
