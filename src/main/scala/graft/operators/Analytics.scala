@@ -144,6 +144,56 @@ object Analytics {
         (col("to_type") === col("top.t")).as("is_top"))
   }
 
+  /** Timing-regularity bot audit (SURVEY.md §2 row 210) — the
+    * behavioral counterpart to content-level spam filters: scripted
+    * traffic fires on a CLOCK, so the variance of a user's inter-event
+    * gaps separates bots (near-zero variance at high volume) from
+    * humans (bursty, heavy-tailed gaps) — the standard first-pass bot
+    * screen on clickstream corpora before their text enters training.
+    * Exact integer core per user: gaps in whole SECONDS (floor of the
+    * micros difference — consecutive by (ts, event_id), so gaps are
+    * nonnegative), n, Σg, Σg², min/max gap, and the variance as the
+    * integer pair (n·Σg² − (Σg)², n²) + ONE pinned division; the bot
+    * flag is the integer cross-multiplication var_num < n²·4 AND
+    * n ≥ 20 (variance below 4 s² at volume — thresholds are part of
+    * the operator contract, spec-pinned). Σg² accumulates in
+    * DECIMAL(38,0) (the row-167 posture) with the BIGINT output
+    * contract Σg² < 2^63 — gaps are session-scale seconds, not epochs.
+    *
+    * Scale shape: ONE per-user lag window (user-bounded partitions,
+    * the row-47 sessionize frame) + ONE map-side-combined per-user
+    * aggregate. No joins, no corpus-wide state. */
+  def timingRegularity(events: DataFrame, userCol: Column, tsCol: Column,
+                       idCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(tsCol, idCol)
+    val gaps = events
+      .withColumn("__us", unix_micros(tsCol))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(userCol.as("user_id"),
+        GraphOps.fdiv(col("__us") - col("__prev"), lit(1000000L)).as("g"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sum_g"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).cast(LongType).as("sum_g2"),
+        min(col("g")).as("min_g"), max(col("g")).as("max_g"))
+      .select(col("user_id"), col("n_gaps"), col("sum_g"), col("sum_g2"),
+        col("min_g"), col("max_g"),
+        (col("n_gaps") * col("sum_g2") - col("sum_g") * col("sum_g"))
+          .as("var_num"),
+        (col("n_gaps") * col("n_gaps")).as("var_den"),
+        ((col("n_gaps") * col("sum_g2") - col("sum_g") * col("sum_g")) <
+          col("n_gaps") * col("n_gaps") * 4L && col("n_gaps") >= 20L)
+          .as("bot_flag"))
+  }
+
+  /** §2 row 210 — per-user timing regularity over events. */
+  def timingQ(s: SparkSession, d: String): DataFrame =
+    timingRegularity(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_id"))
+      .orderBy(col("user_id"))
+
   /** §2 row 209 — the event-type transition matrix. */
   def transitionsQ(s: SparkSession, d: String): DataFrame =
     transitionMatrix(Tables.events(s, d), col("user_id"), col("ts"),
@@ -156,9 +206,32 @@ object Analytics {
     "q_interval_join" -> (intervalJoinQ _),
     "q_event_paths"   -> (pathsQ _),
     "q_transitions"   -> (transitionsQ _),
+    "q_bot_timing"    -> (timingQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the same per-user lag window in whole seconds (epoch_us diff //
+    // 1e6, nonneg), HUGEINT sums → BIGINT, the integer variance pair
+    // and the cross-multiplied flag
+    "q_bot_timing" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(g) AS BIGINT) AS sum_g,
+        |    CAST(SUM(g * g) AS BIGINT) AS sum_g2,
+        |    CAST(MIN(g) AS BIGINT) AS min_g, CAST(MAX(g) AS BIGINT) AS max_g
+        |  FROM g WHERE g IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps, sum_g, sum_g2, min_g, max_g,
+        |  CAST(n_gaps * sum_g2 - sum_g * sum_g AS BIGINT) AS var_num,
+        |  CAST(n_gaps * n_gaps AS BIGINT) AS var_den,
+        |  (n_gaps * sum_g2 - sum_g * sum_g) < n_gaps * n_gaps * 4
+        |    AND n_gaps >= 20 AS bot_flag
+        |FROM a ORDER BY user_id""".stripMargin,
+
     // the same per-user lead window, (from, to) counts, from-totals,
     // the (n DESC, to ASC) modal argmax and one pinned division
     "q_transitions" ->
