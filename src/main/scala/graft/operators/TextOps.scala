@@ -414,6 +414,49 @@ object TextOps {
         sum(col("chars_total") - col("keep.c")).as("chars_saved"))
   }
 
+  /** Cluster-density audit (SURVEY.md §2 row 211) — the connected-
+    * components OVERMERGE detector: CC is transitive, so one borderline
+    * pair chains two genuinely-distinct near-dup groups into a single
+    * cluster, and a destructive dedup then deletes documents that were
+    * never duplicates of the kept canonical. Density separates the
+    * cases — a true duplicate group is near-clique (every member pairs
+    * with every member), a chain-merge is near-tree (m ≈ n−1, the
+    * MINIMUM that keeps it connected). Per cluster: nodes, distinct
+    * verified edges, density as the integer pair (2m, n(n−1)), is_tree
+    * (m = n−1 — review before deleting) and is_clique flags. Size-2
+    * clusters are trees AND cliques — both flags true, the honest
+    * degenerate.
+    *
+    * Scale shape: edges carry their component via ONE equi-join on an
+    * endpoint (both endpoints share the comp by construction); one
+    * map-side edge count + one node count per comp; one comp-bounded
+    * join. */
+  def clusterDensity(pairs: DataFrame, aCol: String, bCol: String,
+                     cc: DataFrame): DataFrame = {
+    val e = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .dropDuplicates("__a", "__b")
+    val ec = e.join(cc, e("__a") === cc("id"))
+      .groupBy(col("comp")).agg(count(lit(1)).as("n_edges"))
+    val nc = cc.groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
+    nc.join(ec, Seq("comp"), "left")
+      .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+      .select(col("comp"), col("n_nodes"), col("n_edges"),
+        (col("n_edges") * 2L).as("density_num"),
+        (col("n_nodes") * (col("n_nodes") - 1L)).as("density_den"),
+        (col("n_edges") === col("n_nodes") - 1L).as("is_tree"),
+        (col("n_edges") * 2L === col("n_nodes") * (col("n_nodes") - 1L))
+          .as("is_clique"))
+  }
+
+  /** §2 row 211 — density of the minhash duplicate clusters. */
+  def clusterDensityQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numPerm = 32, bands = 16)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    clusterDensity(pairs, "id_a", "id_b", cc).orderBy(col("comp"))
+  }
+
   /** §2 row 208 — savings over the minhash duplicate clusters. */
   def dedupSavingsQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -520,6 +563,7 @@ object TextOps {
     "q_keep_best"       -> (keepBestQ _),
     "q_golden_record"   -> (goldenQ _),
     "q_dedup_savings"   -> (dedupSavingsQ _),
+    "q_cluster_density" -> (clusterDensityQ _),
     "q_cluster_split"   -> (clusterSplitQ _),
     "q_novelty"         -> (noveltyQ _),
     "q_token_count"     -> (tokenCountQ _),
@@ -765,6 +809,23 @@ object TextOps {
     // HUGEINT — collisions collapse identically), first occurrence =
     // min doc_id per hash, floor-div percentage
     "q_novelty" -> noveltySql(),
+
+    // the shared component map WITH its pr edge relation: per-comp
+    // node and edge counts, the integer density pair and both flags
+    "q_cluster_density" ->
+      s"""WITH RECURSIVE $componentMapSql,
+         |ec AS (
+         |  SELECT cm.comp, CAST(COUNT(*) AS BIGINT) AS n_edges
+         |  FROM pr JOIN cm ON pr.id_a = cm.id GROUP BY cm.comp),
+         |nc AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |       FROM cm GROUP BY comp)
+         |SELECT nc.comp, nc.n_nodes, COALESCE(ec.n_edges, 0) AS n_edges,
+         |  CAST(COALESCE(ec.n_edges, 0) * 2 AS BIGINT) AS density_num,
+         |  CAST(nc.n_nodes * (nc.n_nodes - 1) AS BIGINT) AS density_den,
+         |  COALESCE(ec.n_edges, 0) = nc.n_nodes - 1 AS is_tree,
+         |  COALESCE(ec.n_edges, 0) * 2 = nc.n_nodes * (nc.n_nodes - 1) AS is_clique
+         |FROM nc LEFT JOIN ec ON nc.comp = ec.comp
+         |ORDER BY nc.comp""".stripMargin,
 
     // the shared component map, per-cluster count/Σchars/min-id-argmin
     // (ROW_NUMBER BY (id) == min(struct(id, chars))), then the size
