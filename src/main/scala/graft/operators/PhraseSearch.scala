@@ -89,10 +89,98 @@ object PhraseSearch {
     phraseMatch(Tables.documents(s, d), "doc_id", "text", Phrases)
       .orderBy(col("phrase_id"), col("doc_id"))
 
+  // ---- Character-trigram substring search (SURVEY.md §2 row 212) ----------
+
+  /** Fixed substring-search workload: literal patterns present in the
+    * generated corpus vocabulary. */
+  private[graft] val Substrings = Seq("scan merge", "query row data")
+
+  /** Distinct character trigrams of `s` — the query-side derivation,
+    * shared by the engine (driver literals) and the spec. */
+  private[graft] def trigramsOf(s: String): Seq[String] =
+    (0 to s.length - 3).map(i => s.substring(i, i + 3)).distinct
+
+  /** Substring search over an inverted character-trigram index — the
+    * Google-Code-Search / Zoekt trick (Cox 2012): "grep at 100 TB"
+    * cannot scan text, but ANY substring match of a pattern p implies
+    * the document contains EVERY character trigram of p — so the
+    * trigram postings index answers the containment question with an
+    * AND-of-trigrams candidate set (the row-173/183 vote pattern on
+    * character space), and the exact `contains` verify runs ONLY on
+    * candidates. Unlike token-aligned phrase search (row 173) this
+    * matches substrings ANYWHERE — across token boundaries,
+    * punctuation, partial words. False candidates (all trigrams
+    * present but scattered) are removed by the verify; false
+    * negatives are impossible by the implication above. Patterns
+    * must be ≥ 3 chars (shorter ones have no trigram evidence).
+    *
+    * Scale shape: the postings build is one linear explode +
+    * DISTINCT (ids+3-char keys through the shuffle, never text); the
+    * query trigram table is a broadcast literal, so non-query
+    * trigrams drop MAP-SIDE; the vote groupBy is (pattern ×
+    * candidate)-bounded; the verify joins text back for candidates
+    * only. The postings table is the persistable artifact — serving
+    * a new pattern reads ZERO corpus text. */
+  def substringSearch(docs: DataFrame, idCol: String, textCol: String,
+                      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.length >= 3),
+      "patterns must be non-empty and >= 3 chars")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = docs.filter(length(col(textCol)) >= 3)
+      .select(col(idCol).as("__id"),
+        explode(expr(s"sequence(1, length($textCol) - 2)")).as("__i"),
+        col(textCol).as("__t"))
+      .select(col("__id"), expr("substring(__t, __i, 3)").as("tri"))
+      .distinct()
+    val qt = patterns.flatMap(p => trigramsOf(p).map(t =>
+      (p, t, trigramsOf(p).size.toLong))).toDF("query", "tri", "n_tri")
+    val cand = post.join(broadcast(qt), Seq("tri"))
+      .groupBy(col("query"), col("__id"), col("n_tri"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === col("n_tri"))
+      .select(col("query"), col("__id"))
+    cand.join(docs.select(col(idCol).as("__id"), col(textCol).as("__t")), Seq("__id"))
+      .filter(expr("contains(__t, query)"))
+      .select(col("query"), col("__id").as("doc_id"))
+  }
+
+  /** §2 row 212 — the fixed substring workload over documents. */
+  def substringQ(s: SparkSession, d: String): DataFrame =
+    substringSearch(Tables.documents(s, d), "doc_id", "text", Substrings)
+      .orderBy(col("query"), col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_phrase_search" -> (phraseQ _))
+    "q_phrase_search" -> (phraseQ _),
+    "q_substring_search" -> (substringQ _))
 
   val oracles: Map[String, String] = Map(
+    // the same trigram explode (range is end-exclusive: [1, len-1) ==
+    // 1..len-2), distinct postings, broadcast query trigrams, the
+    // AND-of-trigrams vote and the contains verify
+    "q_substring_search" -> {
+      val pats = Substrings.map(p => s"('$p')").mkString(", ")
+      s"""WITH pat(query) AS (VALUES $pats),
+         |qt AS (
+         |  SELECT DISTINCT query, substr(query, CAST(i AS INTEGER), 3) AS tri
+         |  FROM pat, LATERAL (SELECT unnest(range(1, length(query) - 1)) AS i) r),
+         |qn AS (SELECT query, CAST(COUNT(*) AS BIGINT) AS n_tri FROM qt GROUP BY query),
+         |post AS (
+         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
+         |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) r
+         |  WHERE length(text) >= 3),
+         |cand AS (
+         |  SELECT qt.query, post.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM post JOIN qt ON post.tri = qt.tri
+         |  GROUP BY qt.query, post.doc_id)
+         |SELECT c.query, c.doc_id
+         |FROM cand c
+         |JOIN qn ON c.query = qn.query AND c.hits = qn.n_tri
+         |JOIN documents d ON c.doc_id = d.doc_id
+         |WHERE contains(d.text, c.query)
+         |ORDER BY c.query, c.doc_id""".stripMargin
+    },
+
     // same vote construction: positional tokens via LATERAL range
     // unnest, the phrase table as literal VALUES rows (generated from
     // the same constants), votes grouped to full occurrences
