@@ -127,11 +127,18 @@ object PhraseSearch {
       "patterns must be non-empty and >= 3 chars")
     val spark = docs.sparkSession
     import spark.implicits._
+    // the query-trigram prune runs MAP-SIDE, before the distinct's
+    // shuffle — only rows whose trigram appears in some pattern ever
+    // leave the scan stage (an isin literal list, codegen'd; a
+    // persisted index deployment prunes the same way via partition
+    // keys on tri)
+    val tris = patterns.flatMap(trigramsOf).distinct
     val post = docs.filter(length(col(textCol)) >= 3)
       .select(col(idCol).as("__id"),
         explode(expr(s"sequence(1, length($textCol) - 2)")).as("__i"),
         col(textCol).as("__t"))
       .select(col("__id"), expr("substring(__t, __i, 3)").as("tri"))
+      .filter(col("tri").isin(tris: _*))
       .distinct()
     val qt = patterns.flatMap(p => trigramsOf(p).map(t =>
       (p, t, trigramsOf(p).size.toLong))).toDF("query", "tri", "n_tri")
