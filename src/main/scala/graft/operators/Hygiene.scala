@@ -298,7 +298,29 @@ object Hygiene {
         col("__m2").as("n_distinct"))
       .orderBy(col("doc_id"))
 
+  // ---- Character-run spam gate (row 213; expression in plans.MaxCharRun) --
+
+  /** §2 row 213 — longest identical-code-point run per document, with
+    * deterministic run damage seeded IN BOTH ENGINES (every 7th doc
+    * gets a '!' run of length doc_id%13+3 appended) so real runs
+    * exercise the flag; flagged at run ≥ 8 (the key-mash/separator-art
+    * gate; token-level repetition filters can't see a run — it is ONE
+    * token). Pure per-row codegen'd projection, zero shuffles. */
+  def charRunsQ(s: SparkSession, d: String): DataFrame = {
+    val seeded = Tables.documents(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"),
+          repeat(lit("!"), (pmod(col("doc_id"), lit(13)) + 3)
+            .cast(org.apache.spark.sql.types.IntegerType))))
+        .otherwise(col("text")).as("t"))
+    seeded.select(col("doc_id"),
+        graft.plans.MaxCharRun.max_char_run(col("t")).as("max_run"))
+      .withColumn("flagged", col("max_run") >= 8L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_char_runs"     -> (charRunsQ _),
     "q_unicode_norm"  -> (unicodeNormQ _),
     "q_dedup_lines"   -> (dedupLinesQ _),
     "q_pareto_select" -> (paretoSelectQ _),
@@ -307,6 +329,32 @@ object Hygiene {
     "q_template_prefix" -> (templatePrefixQ _))
 
   val oracles: Map[String, String] = Map(
+    // same '!'-run seeding; runs replayed WITHOUT regex backreferences
+    // (RE2 has none): run starts are positions whose char differs from
+    // the previous one, run lengths are gaps between consecutive
+    // starts (L+1 sentinel), max over the list; chars == code points
+    // in DuckDB substr, matching MaxCharRun's counting unit
+    "q_char_runs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || repeat('!', CAST(doc_id % 13 + 3 AS INTEGER))
+        |      ELSE text END AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT) ELSE (
+        |      SELECT CAST(MAX(COALESCE(starts[CAST(k + 1 AS INTEGER)], length(t) + 1)
+        |                      - starts[CAST(k AS INTEGER)]) AS BIGINT)
+        |      FROM (SELECT list_filter(range(1, length(t) + 1),
+        |              i -> i = 1 OR substr(t, CAST(i AS INTEGER), 1)
+        |                     <> substr(t, CAST(i - 1 AS INTEGER), 1)) AS starts) s,
+        |           LATERAL (SELECT unnest(range(1, len(starts) + 1)) AS k) ks
+        |    ) END AS max_run
+        |  FROM d)
+        |SELECT doc_id, max_run, max_run >= 8 AS flagged
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // same damage seeding (Cyrillic homoglyph swap / BEL injection);
     // length = chars, strlen = bytes in DuckDB; control/replacement
     // counts via the double-expansion trick (replace each hit with
