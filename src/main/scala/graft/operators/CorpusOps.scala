@@ -481,7 +481,35 @@ object CorpusOps {
     vocabGrowth(Tables.documents(s, d), "doc_id", "text", steps = 10)
       .orderBy(col("pct"))
 
+  /** Token frequency spectrum (SURVEY.md §2 row 214) — the count-of-
+    * counts table (r, n_r) = "how many distinct tokens occur exactly r
+    * times": the input of Good–Turing smoothing (unseen-mass estimate
+    * P₀ = n₁/N — the hapax share IS the probability the next token is
+    * new), the Zipf-tail audit (is the corpus template-y? then the
+    * spectrum collapses to few r values), and the companion to row
+    * 179's Heaps curve (that: vocabulary vs corpus SIZE; this: the
+    * shape of the frequency distribution itself). Per r: n_r and the
+    * exact mass r·n_r (Σ mass = N — the conservation identity the
+    * spec pins); derived ratios are display-time integer pairs already
+    * on the wire.
+    *
+    * Scale shape: one map-side-combined token count (the row-111
+    * tokenizer), one count-of-counts groupBy riding the vocabulary-
+    * bounded frame, output bounded by |distinct r| ≤ √(2N). */
+  def frequencySpectrum(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(textCol),
+        lit("[a-z0-9]+"), lit(0))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .select(col("r"), col("n_r"), (col("r") * col("n_r")).as("mass"))
+
+  /** §2 row 214 — the spectrum of the documents corpus. */
+  def spectrumQ(s: SparkSession, d: String): DataFrame =
+    frequencySpectrum(Tables.documents(s, d), col("text"))
+      .orderBy(col("r"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_freq_spectrum" -> (spectrumQ _),
     "q_vocab_growth" -> (vocabGrowthQ _),
     "q_repetition_filter"   -> (repetitionFilterQ _),
     "q_token_budget_sample" -> (tokenBudgetSampleQ _),
@@ -501,6 +529,17 @@ object CorpusOps {
       |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same tokenizer, token counts, count-of-counts, exact r·n_r mass
+    "q_freq_spectrum" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+        |  FROM documents),
+        |tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY token)
+        |SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r,
+        |  CAST(r * COUNT(*) AS BIGINT) AS mass
+        |FROM tc GROUP BY r
+        |ORDER BY r""".stripMargin,
+
     // first-doc per token + per-doc counts, each range-joined to the
     // 10 percentile cutoffs ((pct*max) floor-div 100, exact); sums in
     // HUGEINT emitted BIGINT; LEFT joins keep early empty checkpoints
