@@ -97,6 +97,66 @@ object Curation {
       .select(col("source"), col("doc_id"), col("quality"), col("q_rank"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** Quantile normalization onto the pooled distribution (SURVEY.md
+    * §2 row 215) — the batch-effect correction [[calibrateQuality]]
+    * stops short of: q_rank makes scores comparable as PERCENTILES,
+    * but downstream consumers that need VALUES in the original unit
+    * (token budgets from harmonized lengths, thresholds in score
+    * units) need each source's distribution MAPPED ONTO the pooled
+    * one — the bioinformatics quantile-normalization step, applied to
+    * source batches. Rule: a doc at within-source permutation rank r
+    * of n_s (the (value, id) total order — row 204's convention) maps
+    * to the smallest pooled value v with cum(v)·n_s ≥ r·N — the
+    * lower-quantile rule, cross-multiplied so no division exists on
+    * either wire. Identity contract: with a single source the mapping
+    * is the identity (spec-pinned); a singleton source maps to the
+    * pooled maximum (rank 1 of 1 IS its top — the honest degenerate).
+    *
+    * Scale shape: ranks via the row-204 construction (distinct-value
+    * cumBefore per source + intra-tie window bounded by the largest
+    * tie group — no global single-partition sort); the pooled
+    * cumulative frame is value-domain-bounded and BROADCASTS; the
+    * min-qualifying search is a broadcast non-equi join + min
+    * aggregate (per row it is a binary search over the pooled
+    * quantile function; the broadcast value-domain frame is the
+    * operative bound at 100 TB — pre-bucket heavy-cardinality values
+    * first). */
+  def quantileNormalize(df: DataFrame, grpCol: Column, valCol: Column,
+                        idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(valCol.isNotNull)
+      .select(grpCol.as("g"), idCol.as("id"), valCol.as("v"))
+    val sv = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wsv = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col("g"))
+    val cum = sv
+      .withColumn("before", coalesce(sum(col("c")).over(wsv), lit(0L)))
+      .withColumn("n_s", sum(col("c")).over(wn))
+      .select(col("g"), col("v"), col("before"), col("n_s"))
+    val wj = Window.partitionBy(col("g"), col("v")).orderBy(col("id"))
+    val ranked = base.join(cum, Seq("g", "v"))
+      .withColumn("r", col("before") + row_number().over(wj).cast(LongType))
+    val gcum = base.groupBy(col("v").as("gv")).agg(count(lit(1)).as("gc"))
+      .withColumn("gcum", sum(col("gc")).over(
+        Window.orderBy(col("gv")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("gv"), col("gcum"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(tot))
+      .join(broadcast(gcum),
+        col("gcum") * col("n_s") >= col("r") * col("n_total"))
+      .groupBy(col("g"), col("id"), col("v"), col("r"), col("n_s"))
+      .agg(min(col("gv")).as("v_norm"))
+      .select(col("id"), col("g"), col("v"), col("r"), col("n_s"), col("v_norm"))
+  }
+
+  /** §2 row 215 — document lengths harmonized across sources. */
+  def quantileNormQ(s: SparkSession, d: String): DataFrame =
+    quantileNormalize(Tables.documents(s, d), col("source"),
+        col("n_chars"), col("doc_id"))
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("g", "source")
+      .orderBy(col("doc_id"))
+
   /** The full pipeline over `documents`. */
   def curateQ(s: SparkSession, d: String): DataFrame = {
     val scored = score(Tables.documents(s, d), col("text"))
@@ -110,9 +170,34 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation"           -> (curateQ _),
     "q_quality_calibrated" -> (calibrateQualityQ _),
+    "q_quantile_norm"      -> (quantileNormQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // per-source (v, id) permutation ranks, the pooled inclusive
+    // cumulative frame, and the cross-multiplied min-qualifying pooled
+    // value; all counts BIGINT, no division on either wire
+    "q_quantile_norm" ->
+      """WITH base AS (
+        |  SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |rk AS (
+        |  SELECT g, id, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_s
+        |  FROM base),
+        |gcum AS (
+        |  SELECT v AS gv, CAST(SUM(COUNT(*)) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gcum
+        |  FROM base GROUP BY v),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM base)
+        |SELECT rk.id AS doc_id, rk.g AS source, rk.v, rk.r, rk.n_s,
+        |  MIN(gcum.gv) AS v_norm
+        |FROM rk CROSS JOIN tot
+        |JOIN gcum ON gcum.gcum * rk.n_s >= rk.r * tot.n_total
+        |GROUP BY rk.id, rk.g, rk.v, rk.r, rk.n_s
+        |ORDER BY doc_id""".stripMargin,
+
     // the oracle replays the SINGLE-window per-source percent rank over
     // the integer score image; the engine's bucketed decomposition must
     // reproduce it bit-exactly (integer rank, then one double division)
