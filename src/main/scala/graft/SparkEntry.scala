@@ -33,6 +33,7 @@ object SparkEntry {
     "q_pivot_events"      -> (Relational.pivotEvents _),
     "q_hourly_events"     -> (Relational.hourlyEvents _),
     "q_sessionize"        -> (Relational.sessionize _),
+    "q_session_window"    -> (Relational.sessionWindow _),
     "q_asof_join"         -> (Relational.asofJoin _),
     "q_union_types"       -> (Relational.unionTypes _),
   ) ++ Relational2.queries ++ Etl.queries ++ TextOps.queries ++
@@ -198,6 +199,33 @@ object SparkEntry {
         |FROM s
         |GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin,
+
+    // the built-in session_window's boundary convention: sessions are
+    // [start, last+gap) and merge while they overlap OR TOUCH, so the
+    // break is strictly gap > 30 min (same as q_sessionize — pinned by
+    // SessionWindowSpec's exact-gap case); end = last event + gap;
+    // ts-only ordering (boundaries don't need the event_id tiebreak —
+    // equal ts always co-sessions)
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, value, ts,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, value, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS sess_id
+        |  FROM g)
+        |SELECT user_id,
+        |  MIN(ts) AS sess_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
+        |FROM s
+        |GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id, asof_orderkey,

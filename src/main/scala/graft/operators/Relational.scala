@@ -232,6 +232,33 @@ object Relational {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Native session-window aggregation (SURVEY.md §2 row 217) — the
+    * same gap-sessionization semantics as [[sessionize]], expressed
+    * through Spark's BUILT-IN `session_window` grouping (the §4
+    * preference order's first rung: compose existing operators before
+    * hand-rolling). The built-in carries planner knowledge the manual
+    * lag/cumsum formulation cannot: it feeds Structured Streaming's
+    * native session-window state store unchanged (the batch and
+    * streaming plans share the operator), and it needs NO window
+    * function — one groupBy with a session key. Boundary contract:
+    * Spark merges an event into the session while ts − last < gap
+    * (break at ≥), one tick stricter than [[sessionize]]'s break at >;
+    * both are valid conventions — this row pins the BUILT-IN's.
+    * Session end = last event + gap by definition (the streaming-
+    * compatible end, known at watermark time).
+    *
+    * Scale shape: one shuffle on user_id, sessions assembled inside
+    * the aggregation — no per-user sort window, map-side partial
+    * session merge. */
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast(DoubleType).as("sess_value"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"), col("sess_value"))
+      .orderBy(col("user_id"), col("sess_start"))
+
   /** §2.2#32 — as-of join: each event picks the latest order of the same
     * customer with o_orderdate <= ts.
     *
