@@ -227,7 +227,48 @@ object TextOps2 {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Exact-rational readability scoring (SURVEY.md §2 row 218) — the
+    * Automated Readability Index as an integer fraction: ARI was
+    * DESIGNED integer-computable (Senter & Smith 1967 — characters
+    * per word + words per sentence, no syllable counting), which
+    * makes it the readability member that fits the repo's exactness
+    * contract: ARI = 4.71·C/W + 0.5·W/S − 21.43 becomes the pair
+    *   ari_num = 471·C·S + 50·W² − 2143·W·S,  ari_den = 100·W·S
+    * with ONE pinned division for the display double. Readability is
+    * a standing curation feature (too-low = fragment soup, too-high =
+    * generated/boilerplate legalese). C counts letters+digits (the
+    * ARI definition), W the row-111 tokens, S the [.!?]+ terminator
+    * groups with the DOCUMENTED punctuation-less fallback S = 1 (a
+    * fragment corpus is one long sentence, not NULL). W = 0 → NULL
+    * (kappa posture). Pure per-row codegen'd projection, zero
+    * shuffles; overflow needs C·S < 2^63/471 — per-document scale,
+    * unreachable. */
+  def readability(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val c = (length(textCol) -
+      length(regexp_replace(textCol, "[A-Za-z0-9]", ""))).cast(LongType)
+    val w = size(regexp_extract_all(textCol, lit("[A-Za-z0-9]+"), lit(0)))
+      .cast(LongType)
+    val s0 = size(regexp_extract_all(textCol, lit("[.!?]+"), lit(0))).cast(LongType)
+    val sct = greatest(s0, lit(1L))
+    docs.select(idCol.as("doc_id"), c.as("n_chars_ari"), w.as("n_words"),
+        sct.as("n_sentences"))
+      .withColumn("ari_num",
+        lit(471L) * col("n_chars_ari") * col("n_sentences") +
+          lit(50L) * col("n_words") * col("n_words") -
+          lit(2143L) * col("n_words") * col("n_sentences"))
+      .withColumn("ari_den", lit(100L) * col("n_words") * col("n_sentences"))
+      .withColumn("ari", when(col("n_words") === 0L, lit(null))
+        .otherwise(col("ari_num").cast(DoubleType) /
+          col("ari_den").cast(DoubleType)))
+  }
+
+  /** §2 row 218 — ARI over documents. */
+  def readabilityQ(s: SparkSession, d: String): DataFrame =
+    readability(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (readabilityQ _),
     "q_prf_expand" -> (prfQ _),
     "q_tfidf"  -> (tfidfQ _),
     "q_redact" -> (redactQ _),
@@ -288,6 +329,23 @@ object TextOps2 {
   private[operators] val bm25RankCtes = bm25RankCtesOver("documents")
 
   val oracles: Map[String, String] = Map(
+    // the same three counts (letters+digits, tokens, [.!?]+ groups with
+    // the S=1 fallback), the integer ARI pair and one pinned division
+    "q_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS BIGINT) AS c,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS w,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT) AS s
+        |  FROM documents)
+        |SELECT doc_id, c AS n_chars_ari, w AS n_words, s AS n_sentences,
+        |  CAST(471 * c * s + 50 * w * w - 2143 * w * s AS BIGINT) AS ari_num,
+        |  CAST(100 * w * s AS BIGINT) AS ari_den,
+        |  CASE WHEN w = 0 THEN NULL
+        |       ELSE CAST(471 * c * s + 50 * w * w - 2143 * w * s AS DOUBLE)
+        |            / CAST(100 * w * s AS DOUBLE) END AS ari
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "q_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
