@@ -34,6 +34,7 @@ object SparkEntry {
     "q_hourly_events"     -> (Relational.hourlyEvents _),
     "q_sessionize"        -> (Relational.sessionize _),
     "q_session_window"    -> (Relational.sessionWindow _),
+    "q_sliding_rates"     -> (Relational.slidingRates _),
     "q_asof_join"         -> (Relational.asofJoin _),
     "q_union_types"       -> (Relational.unionTypes _),
   ) ++ Relational2.queries ++ Etl.queries ++ TextOps.queries ++
@@ -226,6 +227,21 @@ object SparkEntry {
         |FROM s
         |GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    // each event's 4 covering windows: epoch-aligned floor to the
+    // 15-min slide minus j slides, j = 0..3 (every one satisfies
+    // ws > ts - 1h by construction at l/s = 4); micros on the wire
+    "q_sliding_rates" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    (us // 900000000) * 900000000 - j.j * 900000000 AS ws
+        |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS j) j)
+        |SELECT ws AS win_start_us,
+        |  CAST(ws + 3600000000 AS BIGINT) AS win_end_us,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY win_start_us, event_type""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id, asof_orderkey,

@@ -259,6 +259,31 @@ object Relational {
         col("sw.end").as("sess_end"), col("n_events"), col("sess_value"))
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** Sliding-window event rates via the native `window()` grouping
+    * (SURVEY.md §2 row 219) — the OVERLAPPING-window companion to the
+    * tumbling hourly rollup (row 30): monitoring and rate-limiting
+    * read "events in the last hour, updated every 15 minutes", and the
+    * tumbling bucket systematically under-reports bursts that straddle
+    * a boundary. The built-in generates each event's l/s covering
+    * windows (4 here) inside the aggregation — the same operator
+    * Structured Streaming uses with a watermark, so the batch query
+    * IS the streaming query's semantics on a bounded prefix. Window
+    * origin is epoch-aligned (pinned by the oracle's floor-div
+    * replay).
+    *
+    * Scale shape: one groupBy whose key fan-out is the fixed l/s
+    * factor (map-side combined); no self-joins, no per-event explode
+    * in user space. */
+  def slidingRates(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        unix_micros(col("w.end")).as("win_end_us"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
   /** §2.2#32 — as-of join: each event picks the latest order of the same
     * customer with o_orderdate <= ts.
     *
