@@ -448,6 +448,41 @@ object TextOps {
           .as("is_clique"))
   }
 
+  /** Cross-source duplication matrix (SURVEY.md §2 row 220) — the
+    * PROVENANCE view of the near-dup pair relation: which sources copy
+    * from which. A heavy off-diagonal cell means one source mirrors
+    * another (keep one, or weight the mixture down); a heavy diagonal
+    * means a source re-publishes itself (template churn). This is the
+    * table that decides whether dedup should run per-source or
+    * globally — per-source dedup is cheaper but silently keeps every
+    * cross-source copy the off-diagonal counts here. Pairs are
+    * unordered: the cell key is (min, max) by source name, so A→B and
+    * B→A accumulate together.
+    *
+    * Scale shape: the verified pair relation (ids only) joins the
+    * (id → source) projection twice — both joins key on doc id;
+    * the matrix groupBy rides a \|sources\|²-bounded space. */
+  def crossSourceDups(pairs: DataFrame, aCol: String, bCol: String,
+                      docs: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    val m = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(m.select(col("__id").as("__a"), col("__src").as("sa")), Seq("__a"))
+      .join(m.select(col("__id").as("__b"), col("__src").as("sb")), Seq("__b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** §2 row 220 — the minhash pair relation by source pair. */
+  def crossSourceDupsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numPerm = 32, bands = 16)
+    crossSourceDups(pairs, "id_a", "id_b", docs, "doc_id", "source")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** §2 row 211 — density of the minhash duplicate clusters. */
   def clusterDensityQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -564,6 +599,7 @@ object TextOps {
     "q_golden_record"   -> (goldenQ _),
     "q_dedup_savings"   -> (dedupSavingsQ _),
     "q_cluster_density" -> (clusterDensityQ _),
+    "q_cross_source_dups" -> (crossSourceDupsQ _),
     "q_cluster_split"   -> (clusterSplitQ _),
     "q_novelty"         -> (noveltyQ _),
     "q_token_count"     -> (tokenCountQ _),
@@ -809,6 +845,20 @@ object TextOps {
     // HUGEINT — collisions collapse identically), first occurrence =
     // min doc_id per hash, floor-div percentage
     "q_novelty" -> noveltySql(),
+
+    // the pr pair relation joined to sources twice, unordered cell key
+    // by LEAST/GREATEST on the source name
+    "q_cross_source_dups" ->
+      s"""WITH RECURSIVE $componentMapSql,
+         |j AS (
+         |  SELECT LEAST(da.source, db.source) AS source_a,
+         |    GREATEST(da.source, db.source) AS source_b
+         |  FROM pr
+         |  JOIN documents da ON pr.id_a = da.doc_id
+         |  JOIN documents db ON pr.id_b = db.doc_id)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // the shared component map WITH its pr edge relation: per-comp
     // node and edge counts, the integer density pair and both flags
