@@ -503,6 +503,53 @@ object CorpusOps {
       .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
       .select(col("r"), col("n_r"), (col("r") * col("n_r")).as("mass"))
 
+  /** Vocabulary-coverage (OOV) audit (SURVEY.md §2 row 221) — per
+    * document, the fraction of token OCCURRENCES outside the corpus
+    * top-k vocabulary: the gibberish/foreign-content signal word-level
+    * models and fixed-vocab tokenizers feel directly (high OOV docs
+    * tokenize into garbage or byte-fallback soup), and the standing
+    * complement to row 42's language ID (a doc can be confidently
+    * "en" and still 60% OOV — product codes, hashes, minified text).
+    * Vocabulary = top `vocabSize` tokens by (count DESC, token ASC) —
+    * deterministic; coverage is the exact ppm pair (n_oov·1e6 //
+    * n_tokens). Token-free docs report zero counts with NULL ppm
+    * (kappa posture).
+    *
+    * Scale shape: one map-side token count builds the vocab (bounded
+    * frame + a k-row rank window on it); the per-doc pass LEFT-joins
+    * exploded tokens against the BROADCAST vocab and re-aggregates by
+    * doc — ids+tokens through the shuffle, text never. */
+  def oovAudit(docs: DataFrame, idCol: Column, textCol: Column,
+               vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(idCol.as("__id"),
+      explode(regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("token"))))
+      .filter(col("rn") <= vocabSize)
+      .select(col("token"), lit(true).as("in_vocab"))
+    val perDoc = tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("in_vocab").isNull, 1L)), lit(0L)).as("n_oov"))
+    docs.select(idCol.as("__id")).join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(null))
+          .otherwise(GraphOps.fdiv(coalesce(col("n_oov"), lit(0L)) * 1000000L,
+            coalesce(col("n_tokens"), lit(1L)))).as("oov_ppm"))
+  }
+
+  /** §2 row 221 — OOV against the corpus top-200 vocabulary. */
+  def oovQ(s: SparkSession, d: String): DataFrame =
+    oovAudit(Tables.documents(s, d), col("doc_id"), col("text"),
+        vocabSize = 200)
+      .orderBy(col("doc_id"))
+
   /** §2 row 214 — the spectrum of the documents corpus. */
   def spectrumQ(s: SparkSession, d: String): DataFrame =
     frequencySpectrum(Tables.documents(s, d), col("text"))
@@ -510,6 +557,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_freq_spectrum" -> (spectrumQ _),
+    "q_oov_audit"     -> (oovQ _),
     "q_vocab_growth" -> (vocabGrowthQ _),
     "q_repetition_filter"   -> (repetitionFilterQ _),
     "q_token_budget_sample" -> (tokenBudgetSampleQ _),
@@ -529,6 +577,33 @@ object CorpusOps {
       |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the top-200 vocab by (count DESC, token ASC) ROW_NUMBER, the
+    // LEFT-join OOV count per doc, nonneg floor-div ppm, and the
+    // token-free NULL; docs spine keeps empty docs
+    "q_oov_audit" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+        |    FROM tok GROUP BY token) t
+        |  WHERE rn <= 200),
+        |pd AS (
+        |  SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(SUM(CASE WHEN vocab.token IS NULL THEN 1 END), 0) AS BIGINT) AS n_oov
+        |  FROM tok LEFT JOIN vocab ON tok.token = vocab.token
+        |  GROUP BY tok.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(pd.n_tokens, 0) AS n_tokens,
+        |  COALESCE(pd.n_oov, 0) AS n_oov,
+        |  CASE WHEN COALESCE(pd.n_tokens, 0) = 0 THEN NULL
+        |       ELSE CAST(COALESCE(pd.n_oov, 0) * 1000000
+        |                 // COALESCE(pd.n_tokens, 1) AS BIGINT) END AS oov_ppm
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // same tokenizer, token counts, count-of-counts, exact r·n_r mass
     "q_freq_spectrum" ->
       """WITH tok AS (
