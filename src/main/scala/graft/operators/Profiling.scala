@@ -177,6 +177,50 @@ object Profiling {
     equiDepthHistogram(Tables.documents(s, d), col("n_chars"), buckets = 10)
       .orderBy(col("bucket"))
 
+  /** Exact per-group quantile bands (SURVEY.md §2 row 223) — p25/p50/
+    * p75 (any cut list) per group by the LOWER-QUANTILE rule (row
+    * 146's): value = min v with cum(v)·100 ≥ q·n, cross-multiplied so
+    * no division exists on either wire. The per-group spread summary
+    * q_profile's min/max can't give (max is one outlier; the IQR is
+    * the distribution) — and exact, unlike the approx-sketch row 33k
+    * deliberately is not: percentile_approx's error bound is a
+    * parameter, this is the statistic itself. Empty groups cannot
+    * occur (groups are defined by their rows); NULL values hold no
+    * rank.
+    *
+    * Scale shape: the corpus collapses to the (group, value) count
+    * frame; the cumulative window partitions per group over that
+    * value-bounded frame; the cut list is a literal broadcast; the
+    * min-qualifying pick is a groupBy-min over a frame bounded by
+    * \|groups\|·\|values\|·\|cuts\| — never the rows. */
+  def quantileBands(df: DataFrame, grpCol: Column, valCol: Column,
+                    cuts: Seq[Int]): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(c => c >= 1 && c <= 100),
+      s"cuts must be percentages in [1,100], got $cuts")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(valCol.isNotNull)
+      .groupBy(grpCol.as("g"), valCol.as("v")).agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val qs = cuts.map(_.toLong).toDF("q")
+    cum.crossJoin(broadcast(qs))
+      .filter(col("cum") * 100L >= col("q") * col("n"))
+      .groupBy(col("g"), col("q"), col("n"))
+      .agg(min(col("v")).as("value"))
+      .select(col("g"), col("q"), col("value"), col("n"))
+  }
+
+  /** §2 row 223 — per-language length quartiles over documents. */
+  def quantileBandsQ(s: SparkSession, d: String): DataFrame =
+    quantileBands(Tables.documents(s, d), col("lang"), col("n_chars"),
+        Seq(25, 50, 75))
+      .orderBy(col("g"), col("q"))
+
   /** q_histogram — fixed-width value histogram (width 25). */
   def histogramQ(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -784,9 +828,30 @@ object Profiling {
     "q_join_fanout"   -> (joinFanoutQ _),
     "q_equidepth"     -> (equiDepthQ _),
     "q_independence"  -> (independenceQ _),
+    "q_quantile_bands" -> (quantileBandsQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // (group, value) counts, per-group inclusive cumsum, the VALUES
+    // cut list and the cross-multiplied min-qualifying pick
+    "q_quantile_bands" ->
+      """WITH counts AS (
+        |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM counts),
+        |qs(q) AS (VALUES (CAST(25 AS BIGINT)), (CAST(50 AS BIGINT)), (CAST(75 AS BIGINT)))
+        |SELECT g, q, CAST(MIN(v) AS BIGINT) AS value, n
+        |FROM cum CROSS JOIN qs
+        |WHERE cum * 100 >= q * n
+        |GROUP BY g, q, n
+        |ORDER BY g, q""".stripMargin,
+
     // the same '__null__' fold, cell counts, marginals from the cell
     // frame, the full cross product LEFT-joined to observed cells,
     // BIGINT difference then one cast + three pinned divisions in the

@@ -241,6 +241,37 @@ object VectorOps {
         col("n_nb"), col("n_disagree"), col("m.l").as("nb_majority"))
   }
 
+  /** Embedding snapshot drift, per dimension (SURVEY.md §2 row 222) —
+    * the VECTOR-space companion to row 182's token drift: two corpus
+    * snapshots (or an old vs re-run encoder) can agree on every token
+    * statistic while the embedding distribution moves — and a moved
+    * centroid silently invalidates every IVF/PQ index and cached
+    * nearest-neighbor result trained on the old geometry. Per
+    * dimension: the two snapshots' vector counts and exact integer
+    * coordinate sums (the 1e6 quantized image — order-free addition),
+    * and the mean difference as the cross-multiplied integer pair
+    * (sum_a·n_b − sum_b·n_a, n_a·n_b) — the per-dimension drift
+    * localization a single cosine number can't give (which dims
+    * moved → which subspace the re-index must care about). Overflow:
+    * |Σq| ≤ n·1e6 ⇒ cross products need n_a·n_b·1e6 < 2^63 — n ≲ 3e6
+    * per snapshot at full precision, pre-scale beyond.
+    *
+    * Scale shape: one posexplode to (snap, dim, q) — map-side combined
+    * into a |dims|-bounded frame; zero joins, zero windows. */
+  def snapshotDrift(df: DataFrame, idCol: Column, vecCol: String,
+                    snapCol: Column): DataFrame =
+    df.select(snapCol.cast(LongType).as("snap"),
+        posexplode(quantize(col(vecCol))).as(Seq("dim", "q")))
+      .groupBy(col("dim"))
+      .agg(coalesce(sum(when(col("snap") === 0L, 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("snap") =!= 0L, 1L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("snap") === 0L, col("q"))), lit(0L)).as("sum_a"),
+        coalesce(sum(when(col("snap") =!= 0L, col("q"))), lit(0L)).as("sum_b"))
+      .select(col("dim").cast(LongType).as("dim"), col("n_a"), col("n_b"),
+        col("sum_a"), col("sum_b"),
+        (col("sum_a") * col("n_b") - col("sum_b") * col("n_a")).as("drift_num"),
+        (col("n_a") * col("n_b")).as("drift_den"))
+
   /** Johnson–Lindenstrauss random projection (SURVEY.md §2 row 191) —
     * reduce embedding dimensionality with a DATA-INDEPENDENT random
     * matrix: JL guarantees pairwise distances survive to (1±ε) at

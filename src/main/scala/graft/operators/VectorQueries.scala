@@ -77,6 +77,7 @@ object VectorQueries {
     "q_mutual_knn"     -> (mutualKnnQ _),
     "q_jl_project"     -> (jlProjectQ _),
     "q_label_noise"    -> (labelNoiseQ _),
+    "q_embed_drift"    -> (snapshotDriftQ _),
   )
 
   /** §2 row 191 — the 64→16 JL projection of every embedding. */
@@ -90,6 +91,13 @@ object VectorQueries {
     VectorOps.labelNoiseAudit(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", pmod(col("vec_id"), lit(5)) === 0, k = 5)
       .orderBy(col("vec_id"))
+
+  /** §2 row 222 — drift between the even/odd vec_id snapshot halves
+    * (the version-diff split convention). */
+  def snapshotDriftQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.snapshotDrift(Tables.embeddings(s, d), col("vec_id"),
+        "embedding", pmod(col("vec_id"), lit(2)))
+      .orderBy(col("dim"))
 
   /** §2 row 186 — mutual-3NN pairs with margin scores, label-blocked. */
   def mutualKnnQ(s: SparkSession, d: String): DataFrame =
@@ -144,6 +152,29 @@ object VectorQueries {
     // to the 1e12 integer image; ROW_NUMBER (icos DESC, dst) == the
     // engine's window; mutuality via the k-bounded self-join; margin
     // as the integer pair
+    // the 1e6-floored coordinate image per (snapshot, dim), exact
+    // integer sums and the cross-multiplied mean-difference pair;
+    // dims are 1-based in DuckDB lists → i-1 on the wire
+    "q_embed_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id % 2 AS snap, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r)
+        |SELECT dim,
+        |  CAST(COALESCE(SUM(CASE WHEN snap = 0 THEN 1 END), 0) AS BIGINT) AS n_a,
+        |  CAST(COALESCE(SUM(CASE WHEN snap <> 0 THEN 1 END), 0) AS BIGINT) AS n_b,
+        |  CAST(COALESCE(SUM(CASE WHEN snap = 0 THEN q END), 0) AS BIGINT) AS sum_a,
+        |  CAST(COALESCE(SUM(CASE WHEN snap <> 0 THEN q END), 0) AS BIGINT) AS sum_b,
+        |  CAST(COALESCE(SUM(CASE WHEN snap = 0 THEN q END), 0)
+        |       * COALESCE(SUM(CASE WHEN snap <> 0 THEN 1 END), 0)
+        |     - COALESCE(SUM(CASE WHEN snap <> 0 THEN q END), 0)
+        |       * COALESCE(SUM(CASE WHEN snap = 0 THEN 1 END), 0) AS BIGINT) AS drift_num,
+        |  CAST(COALESCE(SUM(CASE WHEN snap = 0 THEN 1 END), 0)
+        |       * COALESCE(SUM(CASE WHEN snap <> 0 THEN 1 END), 0) AS BIGINT) AS drift_den
+        |FROM q GROUP BY dim
+        |ORDER BY dim""".stripMargin,
+
     // the mutual-knn icos image over audited×pool pairs, the same
     // (icos DESC, dst) top-k, then the neighbor-label contingency:
     // disagree sum + (cnt DESC, label ASC) majority argmax
