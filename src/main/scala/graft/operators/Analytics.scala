@@ -188,6 +188,56 @@ object Analytics {
           .as("bot_flag"))
   }
 
+  /** Interval union / coverage (SURVEY.md §2 row 224) — merge each
+    * user's overlapping activity intervals and report covered time:
+    * the attention/engagement measure raw event counts inflate (100
+    * events in one minute is one minute of activity) and the generic
+    * interval-algebra primitive behind uptime, SLA windows and
+    * double-booking checks. Each event opens a fixed activity window
+    * [ts, ts+w); a NEW merged interval starts where an event's start
+    * exceeds the RUNNING MAX of all previous ends (the sweep-line
+    * rule — plain lag is wrong when an earlier long interval swallows
+    * a later short one); merged-interval ids are the running sum of
+    * those breaks. Per user: merged count, covered micros (Σ per
+    * merged interval of max end − min start), and the largest gap
+    * between consecutive merged intervals (0 when none).
+    *
+    * Scale shape: two windows over the same per-user (ts, event_id)
+    * frame (running max + break cumsum — user-bounded partitions, the
+    * sessionize posture), one merged-interval aggregate, one per-user
+    * aggregate with a lag over the per-user merged-interval frame. */
+  def intervalCoverage(events: DataFrame, userCol: Column, tsCol: Column,
+                       idCol: Column, windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u")).orderBy(col("s"), col("id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val base = events.select(userCol.as("u"), idCol.as("id"),
+        unix_micros(tsCol).as("s"))
+      .withColumn("e", col("s") + windowMicros)
+    val marked = base
+      .withColumn("max_prev_end", max(col("e")).over(wPrev))
+      .withColumn("brk",
+        when(col("max_prev_end").isNull || col("s") > col("max_prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("iid", sum(col("brk")).over(w))
+    val merged = marked.groupBy(col("u"), col("iid"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    val wi = Window.partitionBy(col("u")).orderBy(col("iid"))
+    merged
+      .withColumn("gap", col("ms") - lag(col("me"), 1).over(wi))
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("me") - col("ms")).as("covered_us"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_us"))
+  }
+
+  /** §2 row 224 — 5-minute activity windows over events. */
+  def coverageQ(s: SparkSession, d: String): DataFrame =
+    intervalCoverage(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_id"), windowMicros = 5L * 60 * 1000000)
+      .orderBy(col("user_id"))
+
   /** §2 row 210 — per-user timing regularity over events. */
   def timingQ(s: SparkSession, d: String): DataFrame =
     timingRegularity(Tables.events(s, d), col("user_id"), col("ts"),
@@ -207,9 +257,46 @@ object Analytics {
     "q_event_paths"   -> (pathsQ _),
     "q_transitions"   -> (transitionsQ _),
     "q_bot_timing"    -> (timingQ _),
+    "q_interval_cover" -> (coverageQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the same sweep-line: running MAX of previous ends (plain lag is
+    // wrong under swallowed intervals), break cumsum, merged-interval
+    // agg, per-user rollup with the merged-frame lag
+    "q_interval_cover" ->
+      """WITH base AS (
+        |  SELECT user_id AS u, event_id AS id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300000000 AS e
+        |  FROM events),
+        |marked AS (
+        |  SELECT u, id, s, e,
+        |    MAX(e) OVER (PARTITION BY u ORDER BY s, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mpe
+        |  FROM base),
+        |brk AS (
+        |  SELECT u, s, e,
+        |    CASE WHEN mpe IS NULL OR s > mpe THEN 1 ELSE 0 END AS brk,
+        |    id
+        |  FROM marked),
+        |iid AS (
+        |  SELECT u, s, e,
+        |    CAST(SUM(brk) OVER (PARTITION BY u ORDER BY s, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS iid
+        |  FROM brk),
+        |merged AS (
+        |  SELECT u, iid, MIN(s) AS ms, MAX(e) AS me
+        |  FROM iid GROUP BY u, iid),
+        |gaps AS (
+        |  SELECT u, ms, me,
+        |    ms - LAG(me) OVER (PARTITION BY u ORDER BY iid) AS gap
+        |  FROM merged)
+        |SELECT u AS user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+        |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+        |FROM gaps GROUP BY u
+        |ORDER BY user_id""".stripMargin,
+
     // the same per-user lag window in whole seconds (epoch_us diff //
     // 1e6, nonneg), HUGEINT sums → BIGINT, the integer variance pair
     // and the cross-multiplied flag
