@@ -345,4 +345,79 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  // ---- rows 194-224 (round-10 second continuation) ----
+
+  test("lf report: one pass — no join, no window, a single wide aggregate") {
+    val p = plan(graft.operators.Weak.lfReportQ(spark, TestSpark.sf))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("balance audit: melt + two aggregations, no join, no window") {
+    val p = plan(graft.operators.Profiling.balanceQ(spark, TestSpark.sf))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("auc: distinct-score collapse happens before the rank window") {
+    val p = plan(graft.operators.Classify.aucQ(spark, TestSpark.sf))
+    // the one global window rides the collapsed frame — a partial_sum
+    // (map-side combine of the score groupBy) must appear below it
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("golden record: winners via min(struct) aggregation, never a rank window") {
+    val p = plan(graft.operators.TextOps.goldenQ(spark, TestSpark.sf))
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("join fanout: only the count frames join; the rank window rides them") {
+    val p = plan(graft.operators.Profiling.joinFanoutQ(spark, TestSpark.sf))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("transitions: the from-state frame broadcasts back") {
+    val p = plan(graft.operators.Analytics.transitionsQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("oov audit: the vocab broadcasts; tokens never sort-merge join") {
+    val p = plan(graft.operators.CorpusOps.oovQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("substring search: query trigrams prune map-side before the distinct") {
+    val p = plan(graft.operators.PhraseSearch.substringQ(spark, TestSpark.sf))
+    // the isin literal filter must sit below the first exchange
+    assert(p.contains("tri") && p.contains("INSET") || p.contains("IN ("), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("label noise: the audited side broadcasts into the pair join") {
+    val p = plan(graft.operators.VectorQueries.labelNoiseQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("quantile norm: the pooled cumulative frame broadcasts into the non-equi pick") {
+    val p = plan(graft.operators.Curation.quantileNormQ(spark, TestSpark.sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("benford + char runs + readability: pure projections/aggregations, no window") {
+    Seq(graft.operators.Dq.benfordQ(spark, TestSpark.sf),
+      graft.operators.Hygiene.charRunsQ(spark, TestSpark.sf),
+      graft.operators.TextOps2.readabilityQ(spark, TestSpark.sf))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("windowspecdefinition"), p)
+      }
+  }
+
+  test("embed drift: one posexplode pass, no join, no window") {
+    val p = plan(graft.operators.VectorQueries.snapshotDriftQ(spark, TestSpark.sf))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
