@@ -232,6 +232,53 @@ object Analytics {
         coalesce(max(col("gap")), lit(0L)).as("max_gap_us"))
   }
 
+  /** RFM scoring (SURVEY.md §2 row 225) — the canonical behavioral
+    * feature block (recency / frequency / monetary) with EXACT
+    * equi-depth quintiles: per user the last-event micros, event
+    * count, and exact cents total (DECIMAL(12,2)·100 — no float
+    * money), each mapped to a 1-5 score by the row-201 lower-quantile
+    * bucket rule over the USER-level distinct-value frame (NOT NTILE:
+    * NTILE splits equal-rank runs of TIED values across buckets —
+    * two users with identical totals could score differently, which
+    * is indefensible for a feature; the value-rule gives ties the
+    * same score by construction, the distortion visible in bucket
+    * sizes). Higher = more recent / more active / more spend.
+    *
+    * Scale shape: one per-user aggregate off the event stream; each
+    * score is a distinct-value cum frame (bounded by distinct metric
+    * values ≤ users — the USER frame, orders of magnitude under the
+    * event stream) broadcast-joined back. */
+  def rfmScores(events: DataFrame, userCol: Column, tsCol: Column,
+                valCol: Column, buckets: Int = 5): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val users = events.groupBy(userCol.as("user_id"))
+      .agg(max(unix_micros(tsCol)).as("last_us"),
+        count(lit(1)).as("freq"),
+        (sum(valCol.cast(DecimalType(12, 2))) * 100).cast(LongType)
+          .as("monetary_cents"))
+    def scoreOf(metric: String, out: String)(df: DataFrame): DataFrame = {
+      val cum = df.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = cum.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
+      val m = cum.crossJoin(broadcast(tot))
+        .select(col("__v").as(metric),
+          (GraphOps.fdiv((col("__cum") - 1L) * buckets, col("__n")) + 1L).as(out))
+      df.join(broadcast(m), Seq(metric))
+    }
+    val scored = Seq(("last_us", "r_score"), ("freq", "f_score"),
+      ("monetary_cents", "m_score"))
+      .foldLeft(users) { case (df, (m, o)) => scoreOf(m, o)(df) }
+    scored.select(col("user_id"), col("last_us"), col("freq"),
+      col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** §2 row 225 — RFM quintiles over events. */
+  def rfmQ(s: SparkSession, d: String): DataFrame =
+    rfmScores(Tables.events(s, d), col("user_id"), col("ts"), col("value"))
+      .orderBy(col("user_id"))
+
   /** §2 row 224 — 5-minute activity windows over events. */
   def coverageQ(s: SparkSession, d: String): DataFrame =
     intervalCoverage(Tables.events(s, d), col("user_id"), col("ts"),
@@ -258,9 +305,42 @@ object Analytics {
     "q_transitions"   -> (transitionsQ _),
     "q_bot_timing"    -> (timingQ _),
     "q_interval_cover" -> (coverageQ _),
+    "q_rfm" -> (rfmQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // per-user RFM aggregates (exact cents via DECIMAL*100), then per
+    // metric the distinct-value inclusive cumsum and the +1'd
+    // lower-quantile bucket joined back — ties share a score by
+    // construction (NOT NTILE)
+    "q_rfm" -> {
+      def scoreCte(name: String, metric: String) =
+        s"""$name AS (
+           |  SELECT __v AS $metric, CAST((__cum - 1) * 5 // __n AS BIGINT) + 1 AS s
+           |  FROM (
+           |    SELECT $metric AS __v,
+           |      CAST(SUM(COUNT(*)) OVER (ORDER BY $metric
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS __cum
+           |    FROM users GROUP BY $metric) _c
+           |  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS __n FROM users) _t)"""
+          .stripMargin
+      s"""WITH users AS (
+         |  SELECT user_id, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+         |    CAST(COUNT(*) AS BIGINT) AS freq,
+         |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS monetary_cents
+         |  FROM events GROUP BY user_id),
+         |${scoreCte("rs", "last_us")},
+         |${scoreCte("fs", "freq")},
+         |${scoreCte("ms", "monetary_cents")}
+         |SELECT u.user_id, u.last_us, u.freq, u.monetary_cents,
+         |  rs.s AS r_score, fs.s AS f_score, ms.s AS m_score
+         |FROM users u
+         |JOIN rs ON u.last_us = rs.last_us
+         |JOIN fs ON u.freq = fs.freq
+         |JOIN ms ON u.monetary_cents = ms.monetary_cents
+         |ORDER BY u.user_id""".stripMargin
+    },
+
     // the same sweep-line: running MAX of previous ends (plain lag is
     // wrong under swallowed intervals), break cumsum, merged-interval
     // agg, per-user rollup with the merged-frame lag
