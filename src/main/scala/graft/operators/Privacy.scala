@@ -265,7 +265,48 @@ object Privacy {
     dpCountRelease(Tables.documents(s, dir), Seq("lang", "source"), "r10")
       .orderBy(col("lang"), col("source"))
 
+  /** Pseudonymization with collision audit (SURVEY.md §2 row 226) —
+    * the identifier-replacement step that precedes any data sharing:
+    * user ids map to domain-salted hash pseudonyms (deterministic —
+    * the same user pseudonymizes identically across tables, which is
+    * the point: joins survive, identities don't), truncated to a
+    * configurable bit width because SHORT pseudonyms are what
+    * downstream schemas want — and truncation is where the silent
+    * failure lives: two users sharing a pseudonym MERGE in every
+    * downstream join (corrupted analytics, and a privacy defect in
+    * reverse — one user's data attributed to another). The audit
+    * reports every colliding pseudonym with its id count and member
+    * ids BEFORE the release ships; the birthday bound (~n²/2^{bits+1}
+    * expected collisions) says how wide to go.
+    *
+    * Scale shape: distinct ids → one hash projection → one map-side
+    * pseudonym groupBy; output bounded by the collision count.
+    * Members are collected per colliding pseudonym SORTED (array
+    * equality both engines) — collision groups are tiny by
+    * construction or the width is wrong anyway. */
+  def pseudonymCollisions(df: DataFrame, idCol: Column, salt: String,
+                          bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    val ids = df.select(idCol.cast(org.apache.spark.sql.types.StringType)
+      .as("id")).filter(col("id").isNotNull).distinct()
+    ids.withColumn("pseudonym",
+        pmod(graft.plans.PolyHash64.poly_hash64(
+          concat(lit(s"$salt|"), col("id"))), lit(1L << bits)))
+      .groupBy(col("pseudonym"))
+      .agg(count(lit(1)).as("n_ids"),
+        array_join(sort_array(collect_list(col("id"))), ",").as("ids"))
+      .filter(col("n_ids") >= 2L)
+      .select(col("pseudonym"), col("n_ids"), col("ids"))
+  }
+
+  /** §2 row 226 — event user ids pseudonymized into 10 bits (narrow on
+    * purpose so the audit fires on the test corpus). */
+  def pseudonymQ(s: SparkSession, dir: String): DataFrame =
+    pseudonymCollisions(Tables.events(s, dir), col("user_id"), "pseud", bits = 10)
+      .orderBy(col("pseudonym"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pseudonym"        -> (pseudonymQ _),
     "q_kanon_audit"      -> (kanonAuditQ _),
     "q_kanon_suppress"   -> (kanonSuppressQ _),
     "q_ldiv_audit"       -> (ldivAuditQ _),
@@ -274,6 +315,23 @@ object Privacy {
     "q_dp_counts"        -> (dpCountsQ _))
 
   val oracles: Map[String, String] = Map(
+    // distinct ids, the shared salted poly_hash64, Java floor-mod to
+    // the 10-bit space, and the sorted comma-joined collision members
+    "q_pseudonym" -> {
+      val hs = TrainingOps.polyHashOverSql("id",
+        """SELECT id, 'pseud|' || id AS t FROM (
+          |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS id
+          |  FROM events WHERE user_id IS NOT NULL) _d""".stripMargin)
+      s"""WITH hs AS ($hs),
+         |p AS (SELECT id, CAST((h % 1024 + 1024) % 1024 AS BIGINT) AS pseudonym
+         |      FROM hs)
+         |SELECT pseudonym, CAST(COUNT(*) AS BIGINT) AS n_ids,
+         |  string_agg(id, ',' ORDER BY id) AS ids
+         |FROM p GROUP BY pseudonym
+         |HAVING COUNT(*) >= 2
+         |ORDER BY pseudonym""".stripMargin
+    },
+
     "q_kanon_audit" ->
       s"""WITH q AS (
          |  SELECT doc_id, lang, source,
