@@ -162,7 +162,46 @@ object Relational2 {
               col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** ABC (Pareto revenue) classification (SURVEY.md §2 row 227) — the
+    * inventory-management standard applied to customers: class A =
+    * the customers whose DESC-cumulative revenue covers the first 80%
+    * of total, B the next 15%, C the tail — the "which 20% of
+    * customers are 80% of revenue" answer, and the exact-arithmetic
+    * cousin of the gains table (row 206 ranks by a MODEL score; ABC
+    * ranks by the value itself). Money in exact cents
+    * (DECIMAL(12,2)·100); class assignment by cross-multiplied
+    * cumulative thresholds (cum·100 ≤ 80·total → 'A', ≤ 95 → 'B',
+    * else 'C') with the boundary customer assigned to the class its
+    * cumulative FIRST reaches (lower-quantile posture); ties in
+    * revenue order by custkey — a total order, so the classes are a
+    * pure function of the data.
+    *
+    * Scale shape: one map-side revenue aggregate off orders; the
+    * cumulative window rides the CUSTOMER frame (orders collapse
+    * first — bounded by customers, not orders); one 3-row class
+    * rollup. */
+  def abcClasses(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+    val tot = rev.agg(coalesce(sum(col("cents")), lit(0L)).as("total"))
+    val cum = rev.withColumn("cum", sum(col("cents")).over(
+      Window.orderBy(col("cents").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 100L <= col("total") * 80L, "A")
+          .when(col("cum") * 100L <= col("total") * 95L, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("revenue_cents"))
+      .select(col("cls"), col("n_customers"), col("revenue_cents"))
+      .orderBy(col("cls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_abc_classes"     -> (abcClasses _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q12_priority_lines" -> (q12PriorityLines _),
     "q14_promo_share"   -> (q14PromoShare _),
@@ -177,6 +216,30 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact cents, the (cents DESC, custkey) cumulative over the
+    // customer frame, cross-multiplied 80/95 thresholds, 3-row rollup
+    "q_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total FROM rev),
+        |cum AS (
+        |  SELECT cents,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM rev),
+        |cls AS (
+        |  SELECT cents,
+        |    CASE WHEN cum * 100 <= tot.total * 80 THEN 'A'
+        |         WHEN cum * 100 <= tot.total * 95 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM cum CROSS JOIN tot)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM cls GROUP BY cls
+        |ORDER BY cls""".stripMargin,
+
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders
