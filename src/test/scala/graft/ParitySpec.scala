@@ -22,7 +22,10 @@ class ParitySpec extends AnyFunSuite {
       "q_ngram_jaccard", "q_dedup_minhash", "q_embed_neardup", "q_gap_days",
       // sf0.001's sparse near-dup graph has no triangles (2 appear at
       // sf0.01, 33 at sf0.1)
-      "q_triangles")
+      "q_triangles",
+      // ~15 distinct users into 2^10 pseudonym buckets: the birthday
+      // bound expects ~0.1 collisions (13 rows at sf0.01, 450 at sf0.1)
+      "q_pseudonym")
     SparkEntry.queries.keys.filterNot(expectEmptyOk).foreach { name =>
       withClue(name) {
         assert(SparkEntry.queries(name)(spark, TestSpark.sf).count() > 0)
