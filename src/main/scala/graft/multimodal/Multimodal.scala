@@ -286,6 +286,36 @@ object Multimodal {
     }
   }
 
+  /** Uniform k-frame sampling SCHEDULE (SURVEY.md §2 row 228) — the
+    * deterministic plan a video featurizer executes: k frames at
+    * maximally even spacing, idx_i = floor(i·(n−1)/(k−1)) for
+    * i = 0..k−1 (first and last frames always included — the CLIP-
+    * style uniform sampling convention), collapsing to DISTINCT
+    * indices when the clip has fewer than k frames (a 3-frame clip
+    * yields 3 rows, not k duplicates). The schedule is pure integer
+    * arithmetic over the metadata (n_frames — here the stubbed
+    * 1-frame-per-KB rule), so unlike the decode it is ORACLE-EXACT:
+    * the plan ships to the decode stage ([[frameSample]]'s
+    * mapPartitions shape) which seeks exactly these indices. At
+    * 100 TB the schedule is what the planner prunes and budgets on —
+    * k·|videos| rows, independent of media bytes.
+    *
+    * Shape: one metadata projection + one bounded explode (≤ k rows
+    * per video); zero shuffles. */
+  def frameSchedule(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 sampled frames, got $k")
+    val n = greatest(octet_length(col(textCol).cast(BinaryType))
+      .cast(LongType) / 1024L, lit(1L)).cast(LongType)
+    df.select(col(idCol).as("doc_id"), n.as("n_frames"))
+      .withColumn("slot", explode(array((0 until k).map(i => lit(i.toLong)): _*)))
+      // plain integer division == floor here (both operands nonneg)
+      .withColumn("frame_idx",
+        expr(s"(slot * (n_frames - 1)) div ${k - 1}").cast(LongType))
+      .dropDuplicates("doc_id", "frame_idx")
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"))
+  }
+
   /** Resize metadata: fit the (stubbed) decoded dims into a square box,
     * aspect preserved — pure double arithmetic, identical across
     * engines (oracle-checked). */

@@ -616,6 +616,9 @@ object TextOps {
     "q_dedup_simhash"   -> (dedupSimhashQ _),
     "q_multimodal_meta" -> (multimodalMetaQ _),
     "q_multimodal_resize" -> (multimodalResizeQ _),
+    "q_frame_schedule" -> ((s: SparkSession, d: String) =>
+      Multimodal.frameSchedule(Tables.documents(s, d), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("frame_idx"))),
   )
 
   private val shingleSql =
@@ -1041,5 +1044,20 @@ object TextOps {
         |  CAST(floor(h0 * least(224.0 / w0, 224.0 / h0)) AS BIGINT) AS out_h
         |FROM g
         |ORDER BY doc_id""".stripMargin,
+
+    // the 1-frame-per-KB stub metadata, 8 uniform slots, integer
+    // floor-div indices (nonneg), DISTINCT for short clips
+    "q_frame_schedule" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    greatest(octet_length(encode(text)) // 1024, 1) AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_frames,
+        |    CAST((j.j * (n_frames - 1)) // 7 AS BIGINT) AS frame_idx
+        |  FROM m, LATERAL (SELECT unnest(range(0, 8)) AS j) j)
+        |SELECT DISTINCT doc_id, CAST(n_frames AS BIGINT) AS n_frames, frame_idx
+        |FROM s
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
