@@ -274,6 +274,43 @@ object Analytics {
       col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Diurnal concentration audit (SURVEY.md §2 row 229) — per event
+    * type, the hour-of-day activity shape folded to three exact
+    * numbers: peak and trough hours with their counts, and the
+    * concentration pair (Σc_h², n²) whose inverse is the
+    * "effective active hours" (the row-198 inverse-Simpson applied to
+    * the 24-hour fold): organic human traffic spreads over ~12-16
+    * effective hours, a cron job concentrates in 1-2 — the diurnal
+    * companion to row 210's gap-variance bot screen (which sees
+    * REGULARITY; this sees SCHEDULE). Peak ties break to the LATER
+    * hour, trough ties to the EARLIER (max/min struct order,
+    * deterministic); the trough is the lightest OBSERVED hour —
+    * completely silent hours show up in the concentration (effective
+    * hours < 24), not as a zero-count trough row. Hours in the
+    * session timezone (UTC both engines).
+    *
+    * Scale shape: one map-side (type, hour) count on a 24·|types|-
+    * bounded space; one per-type aggregate with struct argmax/argmin;
+    * no windows, no joins. */
+  def diurnalConcentration(events: DataFrame, typeCol: Column,
+                           tsCol: Column): DataFrame =
+    events.select(typeCol.as("event_type"), hour(tsCol).cast(LongType).as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        max(struct(col("c"), col("h"))).as("pk"),
+        min(struct(col("c"), col("h"))).as("tr"),
+        sum(col("c") * col("c")).as("sq"))
+      .select(col("event_type"), col("n"),
+        col("pk.h").as("peak_hour"), col("pk.c").as("peak_n"),
+        col("tr.h").as("trough_hour"), col("tr.c").as("trough_n"),
+        col("sq").as("conc_num"), (col("n") * col("n")).as("conc_den"))
+
+  /** §2 row 229 — the diurnal shape of each event type. */
+  def diurnalQ(s: SparkSession, d: String): DataFrame =
+    diurnalConcentration(Tables.events(s, d), col("event_type"), col("ts"))
+      .orderBy(col("event_type"))
+
   /** §2 row 225 — RFM quintiles over events. */
   def rfmQ(s: SparkSession, d: String): DataFrame =
     rfmScores(Tables.events(s, d), col("user_id"), col("ts"), col("value"))
@@ -306,9 +343,38 @@ object Analytics {
     "q_bot_timing"    -> (timingQ _),
     "q_interval_cover" -> (coverageQ _),
     "q_rfm" -> (rfmQ _),
+    "q_diurnal" -> (diurnalQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the same (type, hour) count with UTC hour(), (c, h) struct
+    // argmax/argmin replayed as (c DESC, h DESC) / (c ASC, h ASC)
+    // ROW_NUMBER picks, HUGEINT sums → BIGINT
+    "q_diurnal" ->
+      """WITH hc AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pk AS (
+        |  SELECT event_type, h AS peak_hour, c AS peak_n FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, h DESC) AS rn FROM hc) t WHERE rn = 1),
+        |tr AS (
+        |  SELECT event_type, h AS trough_hour, c AS trough_n FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY c ASC, h ASC) AS rn FROM hc) t WHERE rn = 1),
+        |ag AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(c * c) AS BIGINT) AS conc_num
+        |  FROM hc GROUP BY event_type)
+        |SELECT ag.event_type, ag.n, pk.peak_hour, pk.peak_n,
+        |  tr.trough_hour, tr.trough_n, ag.conc_num,
+        |  CAST(ag.n * ag.n AS BIGINT) AS conc_den
+        |FROM ag
+        |JOIN pk ON ag.event_type = pk.event_type
+        |JOIN tr ON ag.event_type = tr.event_type
+        |ORDER BY ag.event_type""".stripMargin,
+
     // per-user RFM aggregates (exact cents via DECIMAL*100), then per
     // metric the distinct-value inclusive cumsum and the +1'd
     // lower-quantile bucket joined back — ties share a score by
