@@ -306,6 +306,45 @@ object Analytics {
         col("tr.h").as("trough_hour"), col("tr.c").as("trough_n"),
         col("sq").as("conc_num"), (col("n") * col("n")).as("conc_den"))
 
+  /** Daily OHLC bars (SURVEY.md §2 row 230) — the time-series
+    * compaction every metrics store ships: per (series, day) the
+    * open/high/low/close of the value stream, the lossy-but-
+    * sufficient summary that replaces N events with 4 numbers for
+    * charting, alerting bands and day-over-day diffs. Exact: values
+    * in cents (DECIMAL(12,2)·100), open/close as struct-argmin/argmax
+    * over the (ts_us, event_id) total order (the id tiebreak makes
+    * same-instant opens deterministic — financial tick data has
+    * those), high/low plain min/max. NO window: open and close come
+    * from min/max(struct) inside the same aggregate as high/low —
+    * one map-side-combined pass, the day key bounds nothing by the
+    * stream.
+    *
+    * Scale shape: one groupBy on (series, day); no sort, no window,
+    * no self-join — the pattern a naive "first_value/last_value OVER"
+    * formulation turns into a per-day sort for no reason. */
+  def dailyOhlc(events: DataFrame, seriesCol: Column, tsCol: Column,
+                idCol: Column, valCol: Column): DataFrame = {
+    val cents = (valCol.cast(DecimalType(12, 2)) * 100).cast(LongType)
+    events
+      .select(seriesCol.as("series"), to_date(tsCol).as("day"),
+        unix_micros(tsCol).as("tu"), idCol.as("id"), cents.as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("series"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("tu"), col("id"), col("v"))).as("o"),
+        max(struct(col("tu"), col("id"), col("v"))).as("c"),
+        max(col("v")).as("high_cents"), min(col("v")).as("low_cents"))
+      .select(col("series"), col("day").cast(StringType).as("day"), col("n"),
+        col("o.v").as("open_cents"), col("high_cents"), col("low_cents"),
+        col("c.v").as("close_cents"))
+  }
+
+  /** §2 row 230 — daily bars per event type. */
+  def ohlcQ(s: SparkSession, d: String): DataFrame =
+    dailyOhlc(Tables.events(s, d), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .orderBy(col("series"), col("day"))
+
   /** §2 row 229 — the diurnal shape of each event type. */
   def diurnalQ(s: SparkSession, d: String): DataFrame =
     diurnalConcentration(Tables.events(s, d), col("event_type"), col("ts"))
@@ -344,9 +383,34 @@ object Analytics {
     "q_interval_cover" -> (coverageQ _),
     "q_rfm" -> (rfmQ _),
     "q_diurnal" -> (diurnalQ _),
+    "q_ohlc" -> (ohlcQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // exact cents, (ts_us, event_id) struct argmin/argmax replayed as
+    // ROW_NUMBER picks, ISO day strings (the repo day convention)
+    "q_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type AS series, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    epoch_us(ts) AS tu, event_id AS id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |oc AS (
+        |  SELECT series, day, v,
+        |    ROW_NUMBER() OVER (PARTITION BY series, day ORDER BY tu, id) AS ro,
+        |    ROW_NUMBER() OVER (PARTITION BY series, day ORDER BY tu DESC, id DESC) AS rc
+        |  FROM b),
+        |ag AS (
+        |  SELECT series, day, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MAX(v) AS BIGINT) AS high_cents, CAST(MIN(v) AS BIGINT) AS low_cents
+        |  FROM b GROUP BY series, day)
+        |SELECT ag.series, ag.day, ag.n,
+        |  o.v AS open_cents, ag.high_cents, ag.low_cents, c.v AS close_cents
+        |FROM ag
+        |JOIN oc o ON o.series = ag.series AND o.day = ag.day AND o.ro = 1
+        |JOIN oc c ON c.series = ag.series AND c.day = ag.day AND c.rc = 1
+        |ORDER BY ag.series, ag.day""".stripMargin,
+
     // the same (type, hour) count with UTC hour(), (c, h) struct
     // argmax/argmin replayed as (c DESC, h DESC) / (c ASC, h ASC)
     // ROW_NUMBER picks, HUGEINT sums → BIGINT
