@@ -107,15 +107,45 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // A subset run must be self-identifying: if the env var ever leaks
     // into the driver environment, the output says so instead of
     // silently posing as a full bench.
     val filtered = only.fold("")(names =>
       s""","filtered":[${names.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filtered}""")
+    def line(qs: Map[String, Double], extra: String): String = {
+      val m = qs.toSeq.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m,"sf":"$sfDir"$filtered$extra}"""
+    }
+    // The harness retains only the TAIL of stdout (~2000 chars), and
+    // sbt appends its own success line after ours — a full 230-query
+    // map (~6 KB) is truncated mid-line there and parses as nothing.
+    // So the full map always goes to a FILE (lossless artifact), and
+    // stdout carries exactly ONE JSON line sized to survive the tail:
+    // the full map when it fits, else the slowest-first subset that
+    // does (slowest-first because the regression signal lives in the
+    // head of that ordering; the file keeps the rest).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full.json")
+    val full = line(results.toMap, s""","n_queries":${results.size}""")
+    try {
+      val p = java.nio.file.Paths.get(fullPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    val budget = 1800
+    val out = if (full.length <= budget) full else {
+      val sorted = results.toSeq.sortBy(-_._2)
+      // largest prefix of the slowest-first ordering whose line fits
+      val keep = Iterator.range(sorted.size, 0, -1).map { k =>
+        line(sorted.take(k).toMap,
+          s""","n_queries":${results.size},"truncated_to":$k,"full":"$fullPath"""")
+      }.find(_.length <= budget).getOrElse(
+        line(Map.empty, s""","n_queries":${results.size},"full":"$fullPath""""))
+      keep
+    }
+    println(out)
     spark.stop()
   }
 }
