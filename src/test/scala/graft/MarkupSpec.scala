@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Markup
+
+/** HTML→text extraction (SURVEY.md §2 row 231): tag stripping, head/
+  * script/style/comment removal with content, entity decoding order,
+  * block segmentation, the link-density boilerplate gate, and
+  * adversarial nesting/entity cases. */
+class MarkupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def extract(docs: Seq[(Long, String)], pct: Int = 50) =
+    Markup.htmlToText(docs.toDF("doc_id", "html"), "doc_id", "html", pct)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("plain paragraph survives; head content is dropped") {
+    val got = extract(Seq((1L,
+      "<html><head><title>T</title></head><body><p>Hello world</p></body></html>")))
+    assert(got == Seq((1L, 1L, 1L, "Hello world")))
+  }
+
+  test("script and style bodies are removed WITH their content") {
+    val got = extract(Seq((1L,
+      "<body><p>keep</p><script>var x = 1; if (x < 2) { x++; }</script>" +
+        "<style>p { color: red }</style><p>also</p></body>")))
+    assert(got.head._4 == "keep\nalso")
+  }
+
+  test("two script blocks stay separate (lazy match, not greedy)") {
+    // greedy .* would eat the paragraph between the two scripts
+    val got = extract(Seq((1L,
+      "<p>a</p><script>1</script><p>middle</p><script>2</script><p>b</p>")))
+    assert(got.head._4 == "a\nmiddle\nb")
+  }
+
+  test("entities decode in safe order: &amp;lt; stays literal <") {
+    // the double-escaped form must decode to the TEXT "&lt;", not to "<"
+    val got = extract(Seq(
+      (1L, "<p>&lt;tag&gt; &quot;q&quot; &#39;a&#39; x&nbsp;y &amp; z</p>"),
+      (2L, "<p>A &amp;lt; B</p>")))
+    assert(got(0)._4 == "<tag> \"q\" 'a' x y & z")
+    assert(got(1)._4 == "A &lt; B")
+  }
+
+  test("nav and link-heavy footer are dropped, content kept") {
+    val got = extract(Seq((1L,
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+        "<h1>Title</h1><p>Body text with one <a href=\"x\">link</a> inside.</p>" +
+        "<div><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></div>")))
+    val (_, nBlocks, nKept, txt) = got.head
+    assert(nBlocks == 4 && nKept == 2)
+    assert(txt == "Title\nBody text with one link inside.")
+  }
+
+  test("link-density threshold is tunable and cross-multiplied") {
+    // "Home About" = 10 chars text, 9 link chars → 90% density
+    val html = "<div><a>Home</a> <a>About</a></div>"
+    assert(extract(Seq((1L, html)), pct = 95).head._3 == 1L)
+    assert(extract(Seq((1L, html)), pct = 50).head._3 == 0L)
+  }
+
+  test("nested inline tags inside a block are stripped, text joined") {
+    val got = extract(Seq((1L,
+      "<p>A <b>bold <i>and italic</i></b> run<br>next line</p>")))
+    // <br> is a block separator: the paragraph splits there
+    assert(got.head._4 == "A bold and italic run\nnext line")
+  }
+
+  test("adversarial: unclosed tag eats only to the next '>'") {
+    val got = extract(Seq((1L, "<p>ok <span class=\"x\" >fine</span></p>")))
+    assert(got.head._4 == "ok fine")
+  }
+
+  test("comment containing a fake tag is removed whole") {
+    val got = extract(Seq((1L, "<p>a</p><!-- <p>ghost</p> --><p>b</p>")))
+    assert(got.head == (1L, 2L, 2L, "a\nb"))
+  }
+
+  test("all-boilerplate document survives as empty row (spine rule)") {
+    val got = extract(Seq((1L, "<nav><a>x</a> <a>y</a></nav>"), (2L, "<p>z</p>")))
+    assert(got(0) == (1L, 1L, 0L, ""))
+    assert(got(1) == (2L, 1L, 1L, "z"))
+  }
+
+  test("whitespace collapses; blank blocks don't count") {
+    val got = extract(Seq((1L, "<div>  </div><p>a   b\t c </p>")))
+    assert(got.head == (1L, 1L, 1L, "a b c"))
+  }
+
+  test("case-insensitive tags: <SCRIPT>, <P>, </P>") {
+    val got = extract(Seq((1L, "<SCRIPT>no</SCRIPT><P>Yes</P>")))
+    assert(got.head._4 == "Yes")
+  }
+}
