@@ -51,7 +51,7 @@ object SparkEntry {
     SpanCorrupt.queries ++ Regression.queries ++ PcaOps.queries ++ Bm25State.queries ++
     Agreement.queries ++ PhraseSearch.queries ++ Rake.queries ++ AssocRules.queries ++
     Percolate.queries ++ CodeSwitch.queries ++ Stitch.queries ++
-    Weak.queries ++ Placement.queries ++ Markup.queries ++
+    Weak.queries ++ Placement.queries ++ Markup.queries ++ Urls.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -279,6 +279,6 @@ object SparkEntry {
     SpanCorrupt.oracles ++ Regression.oracles ++ PcaOps.oracles ++ Bm25State.oracles ++
     Agreement.oracles ++ PhraseSearch.oracles ++ Rake.oracles ++ AssocRules.oracles ++
     Percolate.oracles ++ CodeSwitch.oracles ++ Stitch.oracles ++
-    Weak.oracles ++ Placement.oracles ++ Markup.oracles ++
+    Weak.oracles ++ Placement.oracles ++ Markup.oracles ++ Urls.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** URL canonicalization + registered-domain extraction (SURVEY.md §2
+  * row 232) — the gate that turns a crawl's raw URLs into the
+  * `domain` key every domain-keyed operator downstream already uses
+  * (MixtureOps temperature mixing row 99, chi² tokens row 121,
+  * PageRank row 114). Two pieces:
+  *
+  *  - [[canonicalUrl]]: lowercase scheme+host, strip default ports
+  *    (http:80 / https:443), drop the fragment, drop tracking params
+  *    (`utm_*`, `gclid`, `fbclid`) and SORT the survivors (param
+  *    order is transport noise), normalize the path (`/./` removal,
+  *    `//` collapse, bounded `..` resolution — two passes, depth-2,
+  *    documented: crawl frontiers cap traversal depth the same way).
+  *    Path CASE is preserved — only scheme/host are case-insensitive
+  *    per RFC 3986.
+  *  - [[registeredDomain]]: longest-suffix match of the host against
+  *    a bundled static public-suffix subset (the PSL pattern:
+  *    "registered domain" = one label + the longest matching public
+  *    suffix, so `a.b.github.io` groups as `b.github.io`, not
+  *    `github.io`). NULL when no suffix matches (unknown TLD) or the
+  *    host IS a bare suffix.
+  *
+  * Scale shape: both are pure per-row codegen'd column pipelines —
+  * regex decomposition, array ops over ≤ label-count elements, a
+  * literal-array suffix probe (the suffix table is static and tiny:
+  * it rides the plan, not a broadcast). Zero shuffles, zero UDFs. */
+object Urls {
+
+  /** Bundled public-suffix subset (static; the full PSL is a config
+    * swap — same longest-match semantics). Multi-label suffixes make
+    * the longest-match real: `co.uk` must beat `uk`. */
+  val publicSuffixes: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai", "dev",
+    "app", "info", "biz", "co", "us", "uk", "de", "fr", "jp", "cn",
+    "ru", "br", "in", "au", "ca", "nl", "se", "es", "it", "eu", "ch",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "co.in",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com")
+
+  private def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  private def afterScheme(url: Column): Column =
+    regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+
+  /** Lowercased host (no port, no userinfo handling — crawl URLs). */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(regexp_extract(afterScheme(url), "^([^/?#]*)", 1),
+      "^([^:]*)", 1))
+
+  /** Canonical form; see object doc for the exact rule set. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val hostport = regexp_extract(afterScheme(url), "^([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = when(
+      (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443") || port === "", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathqf = regexp_replace(afterScheme(url), "^[^/?#]*", "")
+    val rawPath = regexp_extract(pathqf, "^([^?#]*)", 1)
+    // /./ removal, // collapse, then two bounded ../ passes (depth-2).
+    // Consuming-separator form (the captured `(/|$)` survives), NOT a
+    // lookahead — RE2 has no lookahead, and the consuming form keeps
+    // Java and RE2 replacement semantics identical on adjacent hits.
+    val p1 = regexp_replace(regexp_replace(regexp_replace(
+      rawPath, "/\\.(/|$)", "$1"), "//+", "/"), "/\\.(/|$)", "$1")
+    val p2 = regexp_replace(regexp_replace(
+      p1, "/[^/.][^/]*/\\.\\.(/|$)", "$1"), "/[^/.][^/]*/\\.\\.(/|$)", "$1")
+    val path = when(p2 === "", lit("/")).otherwise(p2)
+    val query = regexp_extract(pathqf, "\\?([^#]*)", 1)
+    val params = sort_array(filter(split(query, "&"),
+      x => x =!= "" && !x.rlike("^(utm_[^=]*|gclid|fbclid)=")))
+    val qpart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, keepPort, path, qpart)
+  }
+
+  /** Longest public-suffix match + one label; NULL if no suffix
+    * matches or the host is a bare suffix. */
+  def registeredDomain(host: Column): Column = {
+    val suffixLit = typedLit(publicSuffixes)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val matchedKs = filter(
+      transform(sequence(lit(1), n),
+        k => when(array_contains(suffixLit,
+          array_join(slice(labels, -k, k), ".")), k)),
+      x => x.isNotNull)
+    val mk = array_max(matchedKs)
+    when(mk.isNotNull && mk < n,
+      array_join(slice(labels, -(mk + lit(1)), mk + lit(1)), "."))
+  }
+
+  /** Registered query: deterministic raw URLs seeded from documents
+    * IN BOTH ENGINES — shouting-case scheme/host, default and
+    * non-default ports, `/./` + `..` path noise, tracking params out
+    * of order, a fragment, and a TLD rotation (com / co.uk /
+    * github.io / an unknown `.example`) so the longest-suffix match
+    * and its NULL branch are all exercised. */
+  def urlCanonQ(s: SparkSession, dir: String): DataFrame = {
+    val tld = when(pmod(col("doc_id"), lit(4)) === 0, ".COM")
+      .when(pmod(col("doc_id"), lit(4)) === 1, ".Co.UK")
+      .when(pmod(col("doc_id"), lit(4)) === 2, ".GitHub.IO")
+      .otherwise(".Example")
+    val scheme = when(pmod(col("doc_id"), lit(2)) === 0, "HTTPS").otherwise("HTTP")
+    val port = when(pmod(col("doc_id"), lit(3)) === 0,
+        when(pmod(col("doc_id"), lit(2)) === 0, ":443").otherwise(":80"))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit(":8080"))
+      .otherwise(lit(""))
+    val url = concat(scheme, lit("://WWW."), upper(col("source")), tld, port,
+      lit("/Dir/./sub/"), pmod(col("doc_id"), lit(5)).cast("string"),
+      lit("/../Page.Html?utm_source=feed&id="), col("doc_id").cast("string"),
+      lit("&b=2&a=1&gclid=xyz#frag"))
+    val base = Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+    base.select(col("doc_id"), col("url"),
+        canonicalUrl(col("url")).as("url_canon"),
+        hostOf(col("url")).as("host"))
+      .withColumn("registered_domain", registeredDomain(col("host")))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canon" -> (urlCanonQ _))
+
+  val oracles: Map[String, String] = Map(
+    // same seeding; decomposition/normalization replayed with the
+    // same regexes (RE2 lacks lookahead — (?=/|$) becomes the
+    // equivalent two-alternative form with a kept separator), params
+    // via list_filter + list_sort (binary order both engines), the
+    // suffix longest-match via a LATERAL k-range join against the
+    // same literal suffix list, MAX(k) per host
+    "q_url_canon" -> {
+      val sx = publicSuffixes.map(s => s"('$s')").mkString(", ")
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+         |    || '://WWW.' || upper(source)
+         |    || (CASE WHEN doc_id % 4 = 0 THEN '.COM'
+         |             WHEN doc_id % 4 = 1 THEN '.Co.UK'
+         |             WHEN doc_id % 4 = 2 THEN '.GitHub.IO'
+         |             ELSE '.Example' END)
+         |    || (CASE WHEN doc_id % 3 = 0 THEN
+         |               (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+         |             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+         |    || '/Dir/./sub/' || CAST(doc_id % 5 AS VARCHAR)
+         |    || '/../Page.Html?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+         |    || '&b=2&a=1&gclid=xyz#frag' AS url
+         |  FROM documents),
+         |parts AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1) AS hostport,
+         |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*', '') AS pathqf
+         |  FROM raw),
+         |comp AS (
+         |  SELECT doc_id, url, scheme,
+         |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+         |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+         |    regexp_extract(pathqf, '^([^?#]*)', 1) AS rawpath,
+         |    regexp_extract(pathqf, '\\?([^#]*)', 1) AS query
+         |  FROM parts),
+         |norm AS (
+         |  SELECT doc_id, url, scheme, host, port, query,
+         |    regexp_replace(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(
+         |        rawpath, '/\\.(/|$$)', '\\1', 'g'), '//+', '/', 'g'),
+         |        '/\\.(/|$$)', '\\1', 'g'),
+         |      '/[^/.][^/]*/\\.\\.(/|$$)', '\\1', 'g'),
+         |      '/[^/.][^/]*/\\.\\.(/|$$)', '\\1', 'g') AS p2
+         |  FROM comp),
+         |canon AS (
+         |  SELECT doc_id, url, host,
+         |    scheme || '://' || host
+         |    || (CASE WHEN (scheme = 'http' AND port = '80')
+         |              OR (scheme = 'https' AND port = '443')
+         |              OR port = '' THEN '' ELSE ':' || port END)
+         |    || (CASE WHEN p2 = '' THEN '/' ELSE p2 END)
+         |    || (CASE WHEN len(pk) > 0 THEN '?' || array_to_string(pk, '&') ELSE '' END)
+         |    AS url_canon
+         |  FROM (SELECT *,
+         |    list_sort(list_filter(string_split(query, '&'),
+         |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)='))) AS pk
+         |    FROM norm) n),
+         |sx(s) AS (VALUES $sx),
+         |hl AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM canon),
+         |mk AS (
+         |  SELECT c.doc_id, MAX(c.k) AS mk
+         |  FROM (SELECT doc_id, host, ls, CAST(k.k AS INT) AS k
+         |        FROM hl, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS k) k) c
+         |  JOIN sx ON array_to_string(c.ls[len(c.ls) - c.k + 1:], '.') = sx.s
+         |  GROUP BY c.doc_id),
+         |reg AS (
+         |  SELECT hl.doc_id,
+         |    CASE WHEN mk.mk IS NOT NULL AND mk.mk < len(hl.ls)
+         |      THEN array_to_string(hl.ls[len(hl.ls) - mk.mk:], '.') END AS registered_domain
+         |  FROM hl LEFT JOIN mk ON hl.doc_id = mk.doc_id)
+         |SELECT c.doc_id, c.url, c.url_canon, c.host, r.registered_domain
+         |FROM canon c JOIN reg r ON c.doc_id = r.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+    })
+}
