@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HeavyHitters, TextOps, TrainingOps, TrainingPipeline}
+import graft.operators.{Dedup, HeavyHitters, SkewJoin, TextOps, TrainingOps, TrainingPipeline}
 import graft.sources.Tables
 
 /** Dedup-family scaling probe (SURVEY.md §6): measures how the three
@@ -451,6 +451,22 @@ object ScaleProbe {
         }
         time("full_pipeline", k) {
           TrainingPipeline.run(corpusK.unionByName(batch)).count()
+        }
+      }
+      // round-11: hot-key salted join under a Zipf key. Half the fact
+      // rows land on ONE celebrity key, the rest spread over 1000 —
+      // the shape where an unsalted shuffle join single-tasks. Output
+      // grows linearly with k (join semantics); the probe verifies the
+      // salted plan's RUNTIME tracks that linear output rather than
+      // the quadratic stall a one-partition hot key would produce.
+      locally {
+        val h = pmod(xxhash64(col("doc_id")), lit(2000L))
+        val fact = docs.select(
+          when(h < 1000L, 0L).otherwise(h - 999L).as("k"),
+          col("doc_id").as("v"))
+        val dim = spark.range(1001).select(col("id").as("k"), (col("id") * 7).as("w"))
+        time("salted_join", k) {
+          SkewJoin.salted(fact, dim, "k", minRows = 1000L, salt = 16).count()
         }
       }
     }

@@ -25,6 +25,44 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("hot-key salted join: parity, detection, and cold-path passthrough") {
+    // Zipf-ish: one celebrity key (10k rows), a warm key (900), a
+    // uniform tail over 50 keys, plus keys missing from the dim side
+    val large = spark.range(10000).select(lit(1L).as("k"), col("id").as("v"))
+      .union(spark.range(900).select(lit(2L).as("k"), (col("id") + 20000).as("v")))
+      .union(spark.range(2000).select((col("id") % 50 + 3).as("k"), (col("id") + 50000).as("v")))
+    val small = spark.range(40).select(col("id").as("k"), (col("id") * 100).as("w"))
+
+    val hot = SkewJoin.hotKeys(large, "k", minRows = 500L)
+    assert(hot.toSet == Set(1L, 2L), "exactly the two celebrity keys detected")
+
+    val plain = large.join(small, "k")
+    val salted = SkewJoin.saltedHotJoin(large, small, "k", hot, salt = 8)
+    assert(salted.count() == plain.count())
+    assert(plain.select("k", "v", "w").exceptAll(salted.select("k", "v", "w")).count() == 0)
+
+    // detect-then-salt convenience = same result
+    val auto = SkewJoin.salted(large, small, "k", minRows = 500L, salt = 8)
+    assert(plain.select("k", "v", "w").exceptAll(auto.select("k", "v", "w")).count() == 0)
+
+    // no hot keys -> exact plain-join degradation (same result, and
+    // the salting machinery never enters the plan)
+    val none = SkewJoin.saltedHotJoin(large, small, "k", Seq.empty, 8)
+    assert(none.queryExecution.analyzed.toString ==
+      large.join(small, Seq("k")).queryExecution.analyzed.toString)
+  }
+
+  test("post-salt balance: no salt cell exceeds 2x the fair share") {
+    // the pin measures the operator's own salt expression over a
+    // 10k-row hot key: fair share 1250/cell at salt=8; hash spread
+    // must keep every cell under 2x that
+    val hotRows = spark.range(10000).select(lit(1L).as("k"))
+    val cells = hotRows.withColumn("__salt", SkewJoin.saltExpr(8))
+      .groupBy("__salt").count().as[(Long, Long)].collect()
+    assert(cells.length == 8, "all 8 salt cells populated")
+    assert(cells.map(_._2).max <= 2500, s"max cell ${cells.map(_._2).max} > 2x fair share")
+  }
+
   test("SpaceSavingTopK finds the heavy hitter even at tiny capacity") {
     val data = (Seq.fill(500)("heavy") ++ (1 to 200).map(i => s"rare$i")).toDF("s")
     val top = data.agg(SpaceSavingTopK.topk_freq(col("s"), 1, 4).as("t"))
