@@ -149,7 +149,17 @@ object Classify {
     * pos_s·neg_s. Rows with NULL score or label are excluded (an
     * unscored doc is no evidence either way). OVERFLOW CONTRACT:
     * n_pos·n_neg < 2^62 (~4.6e18 pairs) — beyond that, stratified
-    * subsampling before the call. */
+    * subsampling before the call.
+    *
+    * The distinct-score frame is NOT assumed bounded: a continuous
+    * double score makes it corpus-sized, so the cumulative-negatives
+    * prefix runs on the bucketed decomposition ([[withScoreBucket]]:
+    * ≤64 order-compatible range cells from approx-quantile cuts) —
+    * per-cell sums, an exclusive cell prefix over the ≤64-row cut
+    * frame (the only unpartitioned window), and a within-cell window
+    * partitioned by the cell. Bit-identical to the single-window form
+    * (integer sums reassociate exactly); pinned by PlanSpec + the
+    * continuous-score parity case in AucSpec. */
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScore = scored
@@ -157,12 +167,17 @@ object Classify {
       .groupBy(col(scoreCol).as("s"))
       .agg(coalesce(sum(when(col(labelCol) === 1L, 1L)), lit(0L)).as("pos"),
         coalesce(sum(when(col(labelCol) =!= 1L, 1L)), lit(0L)).as("neg"))
-    // cumulative negatives strictly below each score: the distinct-score
-    // frame is value-bounded, so the global window never sees the corpus
-    val w = Window.orderBy(col("s"))
+    val withB = withScoreBucket(byScore)
+    val bpre = withB.groupBy(col("__b")).agg(sum(col("neg")).as("__bn"))
+      .withColumn("__pre", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__bn")
+    val wj = Window.partitionBy(col("__b")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    byScore
-      .withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+    withB.join(broadcast(bpre), Seq("__b"))
+      .withColumn("neg_below",
+        col("__pre") + coalesce(sum(col("neg")).over(wj), lit(0L)))
       .agg(coalesce(sum(col("pos")), lit(0L)).as("n_pos_sum"),
         coalesce(sum(col("neg")), lit(0L)).as("n_neg_sum"),
         coalesce(sum(col("pos") * col("neg_below") * 2L +
@@ -174,6 +189,27 @@ object Classify {
           .otherwise(col("num").cast(DoubleType) /
             (col("n_pos_sum") * col("n_neg_sum") * 2L).cast(DoubleType))
           .as("auc"))
+  }
+
+  /** Range-bucket the distinct-score frame into ≤`buckets`
+    * order-compatible cells (approx-quantile cuts — a bounded driver
+    * model of ≤63 doubles, the perceptron-weights posture). The
+    * double cast is monotone though possibly non-injective: ties
+    * collapse INTO one cell, never across the order, so cell-asc ==
+    * score-asc and prefix sums decompose exactly. Input must carry
+    * the distinct score as `s`; adds `__b` and persists (two
+    * downstream passes: cuts + main). */
+  private def withScoreBucket(byScore: DataFrame, buckets: Int = 64): DataFrame = {
+    val persisted = byScore.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = persisted.select(col("s").cast(DoubleType).as("__sd"))
+      .stat.approxQuantile("__sd", probs, 0.01)
+      .filter(d => !d.isNaN).distinct.sorted
+    val sd = col("s").cast(DoubleType)
+    val b = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(sd > lit(c), 1).otherwise(0)
+    }
+    persisted.withColumn("__b", b)
   }
 
   /** §2 row 194 — exact AUC of the row-118 perceptron margin against
@@ -204,9 +240,12 @@ object Classify {
     * positives (kappa posture).
     *
     * Scale shape: the corpus collapses to the distinct-score count
-    * frame (map-side combined); the decile assignment and both
-    * cumulative windows ride value-bounded / 10-row frames, never the
-    * rows. */
+    * frame (map-side combined); the decile assignment runs on the
+    * bucketed decomposition ([[withScoreBucket]], descending) so a
+    * CONTINUOUS score — corpus-sized distinct frame — never rides an
+    * unpartitioned window: per-cell counts, an exclusive cell prefix
+    * over the ≤64-row cut frame, a within-cell cumsum partitioned by
+    * cell. The decile windows ride the `buckets`-row frame. */
   def gainsTable(scored: DataFrame, scoreCol: String, labelCol: String,
                  buckets: Int = 10): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
@@ -216,9 +255,17 @@ object Classify {
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("c"),
         coalesce(sum(when(col(labelCol) === 1L, 1L)), lit(0L)).as("p"))
-    val cum = byScore.withColumn("cm", sum(col("c")).over(
-      Window.orderBy(col("s").desc).rowsBetween(Window.unboundedPreceding, 0)))
-    val tot = byScore.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+    val withB = withScoreBucket(byScore)
+    val bpre = withB.groupBy(col("__b")).agg(sum(col("c")).as("__bc"))
+      .withColumn("__pre", coalesce(sum(col("__bc")).over(
+        Window.orderBy(col("__b").desc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__bc")
+    val wj = Window.partitionBy(col("__b")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = withB.join(broadcast(bpre), Seq("__b"))
+      .withColumn("cm", col("__pre") + sum(col("c")).over(wj))
+    val tot = withB.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
       coalesce(sum(col("p")), lit(0L)).as("n_pos"))
     val dec = cum.crossJoin(broadcast(tot))
       .withColumn("decile", GraphOps.fdiv((col("cm") - 1L) * buckets, col("n")))

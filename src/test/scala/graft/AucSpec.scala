@@ -58,6 +58,38 @@ class AucSpec extends AnyFunSuite {
     assert(auc(withNulls) == ((2L, 2L, 7L, 8L, Some(7d / 8d))))
   }
 
+  test("continuous double scores: exact vs the single-window form, and no corpus-wide window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 50k DISTINCT doubles (hash-derived, deterministic): the shape
+    // that used to ride ONE unpartitioned window task
+    val scored = spark.range(50000).select(
+      (xxhash64(col("id")).cast("double") / 1e18).as("score"),
+      when(pmod(col("id"), lit(3)) === 0, 1L).otherwise(-1L).as("y"))
+    val got = Classify.rocAuc(scored, "score", "y")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+
+    // reference: the plain single-window formulation, computed inline
+    val byScore = scored.groupBy(col("score").as("s"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y") =!= 1L, 1L).otherwise(0L)).as("neg"))
+    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    val ref = byScore
+      .withColumn("nb", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(sum(col("pos")).as("np"), sum(col("neg")).as("nn"),
+        sum(col("pos") * col("nb") * 2L + col("pos") * col("neg")).as("num"))
+      .as[(Long, Long, Long)].collect().head
+    assert((got._1, got._2, got._3) == ref && got._4 == 2L * ref._1 * ref._2)
+
+    // plan pin: every window key is engine-internal (__b) — no window
+    // orders the raw score frame globally; the per-score cumsum is
+    // partitioned by the bucket
+    val p = Classify.rocAuc(scored, "score", "y")
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\((?!__)".r.findFirstIn(p).isEmpty, p)
+    assert("windowspecdefinition\\(__b#\\d+[^,]*, s#".r.findFirstIn(p).nonEmpty, p)
+  }
+
   test("partitioning invariance") {
     val rows = (1L to 500L).map(i =>
       (((i * 37) % 91): java.lang.Long, (if (i % 3 == 0) 1L else -1L): java.lang.Long))

@@ -51,6 +51,28 @@ class GainsSpec extends AnyFunSuite {
     assert(got.exists(_._2 >= 8L))
   }
 
+  test("continuous double scores: conservation holds and no corpus-wide window") {
+    import org.apache.spark.sql.functions._
+    // 50k distinct doubles — the corpus-sized distinct-score frame
+    val scored = spark.range(50000).select(
+      (xxhash64(col("id")).cast("double") / 1e18).as("score"),
+      when(pmod(col("id"), lit(4)) === 0, 1L).otherwise(0L).as("y"))
+    val t = Classify.gainsTable(scored, "score", "y", 10)
+      .orderBy(col("decile"))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(t.map(_._2).sum == 50000L, "row conservation")
+    assert(t.map(_._3).sum == 12500L, "positive conservation")
+    assert(t.last._4 == 50000L && t.last._5 == 12500L, "cumulative tail")
+    assert(t.map(_._2).forall(n => n > 4000 && n < 6000),
+      s"deciles stay near-equi-depth on distinct scores: ${t.map(_._2)}")
+    val p = Classify.gainsTable(scored, "score", "y", 10)
+      .queryExecution.executedPlan.toString
+    // the only windows over the score frame are bucket-partitioned;
+    // decile-keyed windows ride the 10-row frame
+    assert("windowspecdefinition\\((?!__|decile)".r.findFirstIn(p).isEmpty, p)
+    assert("windowspecdefinition\\(__b#\\d+[^,]*, s#".r.findFirstIn(p).nonEmpty, p)
+  }
+
   test("partitioning invariance") {
     val rows = (1L to 400L).map(i => ((i * 37) % 91, if (i % 4 == 0) 1L else -1L))
     assert(gains(rows, parts = 1) == gains(rows, parts = 13))
