@@ -88,6 +88,68 @@ object SubstringDedup {
       .select(col("__id"), col("span_start"), col("span_end"))
   }
 
+  /** Multi-length dup-span cascade (SURVEY.md §2 row 235) — Lee et
+    * al.'s longest-match refinement over the fixed-n [[dupSpans]]:
+    * run the duplicated-gram detection at every length in `ns`
+    * (default 8/16/32), merge ALL occurrences (variable-length
+    * intervals) into maximal per-doc spans, and attribute each span
+    * with `max_gram` = the longest gram length that fired inside it.
+    * A span carrying max_gram=32 is verbatim long duplication (the
+    * memorization signal); max_gram=8-only spans are short shared
+    * boilerplate a long-gram pass would miss. The union span set ==
+    * the smallest-n span set (any long dup contains short dups); the
+    * cascade's value is the attribution.
+    *
+    * Scale shape: ONE lead-window pass per doc builds every length
+    * (leads to max(ns)−1 computed once, per-length hashes projected
+    * from the same row — NOT one sorted pass per length); per-length
+    * counts collapse map-side keyed (n, hash); the dup-key join back
+    * is AQE-broadcast-shaped; the merge windows only over dup
+    * occurrences. Same ids+hash row-width discipline as dupSpans. */
+  def dupSpansCascade(docs: DataFrame, idCol: String, textCol: String,
+                      ns: Seq[Int] = Seq(8, 16, 32),
+                      minCount: Int = 2): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"gram lengths must be >= 2: $ns")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val nMax = ns.max
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val base = docs.select(col(idCol).as("__id"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
+      .select(Seq(col("__id"), col("__pos").cast(LongType).as("__pos"), col("__w")) ++
+        (1 until nMax).map(i => lead(col("__w"), i).over(w).as(s"__l$i")): _*)
+    val perLen = array(ns.sorted.map { n =>
+      struct(lit(n.toLong).as("n"),
+        when(col(s"__l${n - 1}").isNotNull,
+          xxhash64(concat_ws(" ",
+            (col("__w") +: (1 until n).map(i => col(s"__l$i"))): _*))).as("h"))
+    }: _*)
+    val grams = base
+      .select(col("__id"), col("__pos"), explode(perLen).as("__e"))
+      .select(col("__id"), col("__pos"),
+        col("__e.n").as("__n"), col("__e.h").as("__h"))
+      .filter(col("__h").isNotNull)
+    val dupKeys = grams.groupBy(col("__n"), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("__n"), col("__h"))
+    val occ = grams.join(dupKeys, Seq("__n", "__h"))
+      .select(col("__id"), col("__pos"),
+        (col("__pos") + col("__n")).as("__end"), col("__n"))
+    // variable-length interval merge: (pos, end) is unique per doc
+    // (end encodes the length), so the ROWS window order is total
+    val mw = Window.partitionBy(col("__id")).orderBy(col("__pos"), col("__end"))
+    val prevEnd = max(col("__end"))
+      .over(mw.rowsBetween(Window.unboundedPreceding, -1))
+    occ
+      .withColumn("__brk",
+        when(col("__pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("__gid", sum(col("__brk")).over(mw))
+      .groupBy(col("__id"), col("__gid"))
+      .agg(min(col("__pos")).as("span_start"), max(col("__end")).as("span_end"),
+        max(col("__n")).as("max_gram"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_words"), col("max_gram"))
+  }
+
   /** Within-document repetition spans (keep-first): occurrences of an
     * n-gram strictly AFTER its first occurrence in the SAME document,
     * merged into maximal spans — the "truncate looped/self-repeating
@@ -168,10 +230,16 @@ object SubstringDedup {
     selfRepeatScrub(Tables.documents(s, d), "doc_id", "text", n = 2)
       .orderBy(col("doc_id"))
 
+  /** §2 row 235 — the 8/16/32 cascade over `documents`. */
+  def dupSpansMultiQ(s: SparkSession, d: String): DataFrame =
+    dupSpansCascade(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"), col("span_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_spans"        -> (dupSpansQ _),
     "q_dup_scrub"        -> (dupScrubQ _),
     "q_self_repeat_scrub" -> (selfRepeatScrubQ _),
+    "q_dup_spans_multi"  -> (dupSpansMultiQ _),
   )
 
   /** 0-based gram positions to mirror posexplode; gram strings instead
@@ -259,5 +327,36 @@ object SubstringDedup {
     "q_dup_scrub" ->
       s"""${spansSql(10)},
          |$scrubSqlTail""".stripMargin,
+
+    // per-length gram streams replayed as STRINGS (the collision-check
+    // side of the parity argument), unioned as variable-length
+    // intervals, merged with the shared running-max-end rule ((pos,
+    // end) unique per doc -> the ROWS order is total), MAX(n) per
+    // merged group = the longest-match attribution
+    "q_dup_spans_multi" -> {
+      def occN(n: Int) =
+        s"""(SELECT doc_id, pos, pos + $n AS e, CAST($n AS BIGINT) AS n
+           |FROM g$n WHERE sh IN (
+           |  SELECT sh FROM g$n GROUP BY sh HAVING COUNT(*) >= 2))""".stripMargin
+      s"""WITH g8 AS (${gramSql(8)}),
+         |g16 AS (${gramSql(16)}),
+         |g32 AS (${gramSql(32)}),
+         |occ AS (${occN(8)} UNION ALL ${occN(16)} UNION ALL ${occN(32)}),
+         |b AS (
+         |  SELECT doc_id, pos, e, n,
+         |    CASE WHEN pos > COALESCE(MAX(e) OVER (
+         |        PARTITION BY doc_id ORDER BY pos, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM occ),
+         |gr AS (SELECT doc_id, pos, e, n,
+         |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+         |       FROM b)
+         |SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+         |  MAX(e) - MIN(pos) AS n_words, MAX(n) AS max_gram
+         |FROM gr GROUP BY doc_id, gid
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
   )
 }

@@ -76,6 +76,57 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(corpusWide.forall { case (_, t, r) => t == "" && r == 6L })
   }
 
+  test("cascade attributes each merged span with its longest firing gram") {
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val longBlock = words("L", 12)   // 12 words: fires at n=4 and n=8, not n=12+
+    val shortBlock = words("S", 4)   // 4 words: fires at n=4 only
+    val cdocs = Seq(
+      (1L, s"$longBlock ${words("u", 3)} $shortBlock"),
+      (2L, s"${words("v", 3)} $longBlock ${words("w", 2)} $shortBlock")
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.dupSpansCascade(cdocs, "doc_id", "text",
+        ns = Seq(4, 8), minCount = 2)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: long block [0,12) max_gram 8, short block [15,19) max_gram 4
+    // doc 2: long block [3,15) max_gram 8, short block [17,21) max_gram 4
+    assert(spans == Seq(
+      (1L, 0L, 12L, 12L, 8L),
+      (1L, 15L, 19L, 4L, 4L),
+      (2L, 3L, 15L, 12L, 8L),
+      (2L, 17L, 21L, 4L, 4L)))
+
+    // union semantics: the cascade's span SET equals the smallest-n
+    // fixed run (long dups contain short dups); only max_gram is new
+    val fixed = SubstringDedup.dupSpans(cdocs, "doc_id", "text", n = 4)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fixed == spans.map(s => (s._1, s._2, s._3, s._4)))
+  }
+
+  test("cascade merges across lengths and is partitioning-invariant") {
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // an 8-word dup block immediately followed by a different 4-word
+    // dup block: adjacent intervals of DIFFERENT lengths must merge
+    // into one span attributed with the longer gram
+    val a = words("A", 8); val b = words("B", 4)
+    val cdocs = Seq(
+      (1L, s"$a $b"),
+      (2L, s"${words("x", 5)} $a ${words("y", 5)} $b")
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.dupSpansCascade(cdocs, "doc_id", "text",
+        ns = Seq(4, 8), minCount = 2)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans.head == ((1L, 0L, 12L, 12L, 8L)), s"adjacent blocks merge: $spans")
+
+    val re = SubstringDedup.dupSpansCascade(
+        cdocs.repartition(7), "doc_id", "text", ns = Seq(4, 8), minCount = 2)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(re == spans)
+  }
+
   test("corpus query finds real duplicated spans at sf0.001") {
     val spans = SubstringDedup.dupSpansQ(spark, TestSpark.sf).collect()
     // every span is at least the gram length and within its doc
