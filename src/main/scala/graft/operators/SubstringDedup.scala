@@ -59,7 +59,11 @@ object SubstringDedup {
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 10, minCount: Int = 2): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    // persisted: the gram stream feeds BOTH the count pass and the
+    // occurrence join — without the cache the per-doc lead-window sort
+    // (the operator's dominant cost) runs twice
     val grams = gramRows(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // counts collapse map-side; the surviving dup-hash set is small, so
     // AQE broadcasts it into the occurrence join
     val dupH = grams.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
@@ -123,11 +127,14 @@ object SubstringDedup {
           xxhash64(concat_ws(" ",
             (col("__w") +: (1 until n).map(i => col(s"__l$i"))): _*))).as("h"))
     }: _*)
+    // persisted for the same two-consumer reason as dupSpans — the
+    // single fused lead-window pass must not run once per consumer
     val grams = base
       .select(col("__id"), col("__pos"), explode(perLen).as("__e"))
       .select(col("__id"), col("__pos"),
         col("__e.n").as("__n"), col("__e.h").as("__h"))
       .filter(col("__h").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupKeys = grams.groupBy(col("__n"), col("__h"))
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select(col("__n"), col("__h"))

@@ -420,4 +420,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("url canonicalization is a zero-shuffle per-row projection") {
+    val p = plan(graft.operators.Urls.urlCanonQ(spark, TestSpark.sf))
+    // only the orderBy sink exchanges; no join, window or aggregate —
+    // the suffix table rides the plan as a literal
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("html extraction shuffles once: the per-doc reassembly only") {
+    val p = plan(graft.operators.Markup.htmlExtractQ(spark, TestSpark.sf))
+    assert(!p.contains("windowspecdefinition"), p)
+    // the doc spine join is broadcast/AQE-shaped, never cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("dup-span cascade: the fused gram pass is cached, not re-sorted per consumer") {
+    val p = plan(graft.operators.SubstringDedup.dupSpansCascade(
+      graft.sources.Tables.documents(spark, TestSpark.sf), "doc_id", "text"))
+    // both consumers (count pass, occurrence join) read the cache;
+    // the gram lead-window sort lives INSIDE the cached relation
+    // (printed once per scan), so outside the cache only the
+    // interval-merge sort remains
+    val scans = "InMemoryTableScan".r.findAllIn(p).size
+    val cachedPlans = "InMemoryRelation".r.findAllIn(p).size
+    val sorts = "Sort \\[__id".r.findAllIn(p).size
+    assert(scans == 2, s"expected both consumers on the cache, got $scans scans")
+    assert(sorts - cachedPlans <= 1,
+      s"extra uncached per-doc sort: $sorts sorts vs $cachedPlans cached plans")
+  }
 }
