@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -339,6 +340,78 @@ object Analytics {
         col("c.v").as("close_cents"))
   }
 
+  /** Per-event out-of-orderness (SURVEY.md §2 row 237): lateness_us =
+    * max(0, max event-time among earlier ARRIVALS − own event time),
+    * arrival order = the id sequence, one logical stream per
+    * `typeCol`. THE measurement behind choosing a Structured
+    * Streaming watermark delay: `withWatermark` is a blind guess
+    * until the stream's actual p95/p99 disorder is known.
+    *
+    * Scale shape: the running max NEVER rides a per-type corpus-wide
+    * window — ids cut into 2^bucketShift-wide range cells (order-
+    * compatible by construction): per-cell max from one map-side
+    * aggregation, an exclusive cell prefix over the id-domain/2^shift
+    * cut frame, a within-cell window partitioned by (type, cell).
+    * Bit-identical to the single-window form (max reassociates). */
+  def eventLateness(events: DataFrame, typeCol: Column, tsCol: Column,
+                    idCol: Column, bucketShift: Int = 12): DataFrame = {
+    require(bucketShift >= 4 && bucketShift <= 30,
+      s"bucketShift must be in [4, 30], got $bucketShift")
+    val e = events.select(typeCol.as("event_type"), idCol.as("id"),
+      unix_micros(tsCol).as("us"),
+      shiftright(idCol.cast(LongType), bucketShift).as("__b"))
+    val cells = e.groupBy(col("event_type"), col("__b"))
+      .agg(max(col("us")).as("__cm"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = cells.withColumn("__pre", max(col("__cm")).over(wb))
+      .drop("__cm")
+    val wi = Window.partitionBy(col("event_type"), col("__b")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.join(broadcast(pre), Seq("event_type", "__b"))
+      .withColumn("__prior", greatest(max(col("us")).over(wi), col("__pre")))
+      .select(col("event_type"), col("id"), col("us"),
+        greatest(lit(0L), coalesce(col("__prior"), col("us")) - col("us"))
+          .as("late_us"))
+  }
+
+  /** The per-stream watermark profile: event counts, how many arrive
+    * late, the worst case, and exact p50/p95/p99 lateness in whole
+    * seconds (smallest value v with 100·cum ≥ q·n — the row-146
+    * integer percentile rule over the VALUE-bounded seconds frame).
+    * p99_s is the number `withWatermark` wants. */
+  def latenessAudit(events: DataFrame, typeCol: Column, tsCol: Column,
+                    idCol: Column, bucketShift: Int = 12): DataFrame = {
+    val late = eventLateness(events, typeCol, tsCol, idCol, bucketShift)
+      .select(col("event_type"), col("late_us"),
+        GraphOps.fdiv(col("late_us"), lit(1000000L)).as("late_s"))
+    val stats = late.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+    val byVal = late.groupBy(col("event_type"), col("late_s"))
+      .agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("late_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byVal.withColumn("__cum", sum(col("__c")).over(wv))
+    val pct = cum.join(broadcast(stats.select(col("event_type"), col("n_events"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("__cum") * 100 >= col("n_events") * 50, col("late_s"))).as("p50_s"),
+        min(when(col("__cum") * 100 >= col("n_events") * 95, col("late_s"))).as("p95_s"),
+        min(when(col("__cum") * 100 >= col("n_events") * 99, col("late_s"))).as("p99_s"))
+    stats.join(pct, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        col("max_late_us"), col("p50_s"), col("p95_s"), col("p99_s"))
+  }
+
+  /** §2 row 237 — the watermark-delay audit over events. */
+  def latenessQ(s: SparkSession, d: String): DataFrame =
+    latenessAudit(Tables.events(s, d), col("event_type"), col("ts"),
+        col("event_id"))
+      .orderBy(col("event_type"))
+
   /** §2 row 230 — daily bars per event type. */
   def ohlcQ(s: SparkSession, d: String): DataFrame =
     dailyOhlc(Tables.events(s, d), col("event_type"), col("ts"),
@@ -384,9 +457,48 @@ object Analytics {
     "q_rfm" -> (rfmQ _),
     "q_diurnal" -> (diurnalQ _),
     "q_ohlc" -> (ohlcQ _),
+    "q_lateness" -> (latenessQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle keeps the plain single-window running max (the
+    // bucketed engine decomposition is bit-identical by max
+    // reassociation); integer floor-div seconds, the row-146
+    // percentile rule replayed verbatim
+    "q_lateness" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id AS id, epoch_us(ts) AS us FROM events),
+        |r AS (
+        |  SELECT event_type, id, us,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      COALESCE(MAX(us) OVER (PARTITION BY event_type ORDER BY id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us)
+        |      AS late_us
+        |  FROM e),
+        |l AS (SELECT event_type, late_us, late_us // 1000000 AS late_s FROM r),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |    MAX(late_us) AS max_late_us
+        |  FROM l GROUP BY 1),
+        |c AS (SELECT event_type, late_s, COUNT(*) AS c FROM l GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT event_type, late_s,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY late_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |p AS (
+        |  SELECT cc.event_type,
+        |    MIN(CASE WHEN cum * 100 >= st.n_events * 50 THEN late_s END) AS p50_s,
+        |    MIN(CASE WHEN cum * 100 >= st.n_events * 95 THEN late_s END) AS p95_s,
+        |    MIN(CASE WHEN cum * 100 >= st.n_events * 99 THEN late_s END) AS p99_s
+        |  FROM cc JOIN st ON cc.event_type = st.event_type
+        |  GROUP BY 1)
+        |SELECT st.event_type, st.n_events, st.n_late, st.max_late_us,
+        |  p.p50_s, p.p95_s, p.p99_s
+        |FROM st JOIN p ON st.event_type = p.event_type
+        |ORDER BY st.event_type""".stripMargin,
+
     // exact cents, (ts_us, event_id) struct argmin/argmax replayed as
     // ROW_NUMBER picks, ISO day strings (the repo day convention)
     "q_ohlc" ->
