@@ -114,7 +114,7 @@ object BpeOps {
 
   // ---- registered queries --------------------------------------------------
 
-  private val NumMerges = 6
+  private[operators] val NumMerges = 6
 
   /** Iteration-0 pair statistics: top-20 weighted adjacent char pairs. */
   def bpePairsQ(s: SparkSession, d: String): DataFrame = {
@@ -158,7 +158,7 @@ object BpeOps {
 
   /** Normalized non-empty words of `documents` (the shingle oracle's
     * derivation + the trainer's empty-word filter). */
-  private val wordsSql =
+  private[operators] val wordsSql =
     """SELECT doc_id, u.pos AS pos, u.w AS w
       |FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
       |        i -> struct_pack(pos := i, w := ws[CAST(i AS INT)]))) AS u
@@ -170,7 +170,7 @@ object BpeOps {
   /** Greedy merge replay: list_reduce merge-or-append over
     * singleton-wrapped symbols (see BpeMergePair scaladoc). `m` must
     * be a 1-row relation in scope providing a/b. */
-  private def mergeSql(syms: String, m: String) =
+  private[operators] def mergeSql(syms: String, m: String) =
     s"""list_reduce(
        |  list_prepend(CAST([] AS VARCHAR[]), list_transform($syms, s -> [s])),
        |  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $m.a AND x[1] = $m.b
@@ -208,7 +208,7 @@ object BpeOps {
 
   /** Shared trainer prefix: words → word freqs → char symbols → 6
     * unrolled merge iterations. */
-  private def trainerSql: String =
+  private[operators] def trainerSql: String =
     s"""w0 AS (SELECT w FROM ($wordsSql) _all),
        |wf AS (SELECT w, COUNT(*) AS freq FROM w0 GROUP BY w),
        |s0 AS MATERIALIZED (SELECT freq, regexp_extract_all(w, '(?s).') AS syms FROM wf),

@@ -208,7 +208,7 @@ object UnigramTok {
 
   // ---- oracle --------------------------------------------------------------
 
-  private val P = DefaultMaxPiece
+  private[operators] val P = DefaultMaxPiece
   private val W = OracleMaxWordLen
 
   /** Candidate list for DP step t under map column `m`: the SQL twin
@@ -225,7 +225,7 @@ object UnigramTok {
 
   /** Unrolled backward DP + forward walk under map CTE `vm`, over the
     * word CTE `wf(w, freq)`; emits CTE `$out(w, freq, ps)`. */
-  private def segSql(tag: String, vmCte: String, out: String): String = {
+  private[operators] def segSql(tag: String, vmCte: String, out: String): String = {
     val dp = (1 to W).map { t =>
       s"""${tag}d$t AS (
          |  SELECT w, freq, len, CASE WHEN $t > len THEN dp
@@ -259,7 +259,7 @@ object UnigramTok {
 
   /** Shared front: normalized word stream, freqs, seed vocab, EM
     * round, final vocab CTE `vocab1(piece, cnt, sc)`. */
-  private val trainSql: String =
+  private[operators] val trainSql: String =
     s"""ws AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, wl[i+1] AS w
        |  FROM (SELECT doc_id,
