@@ -453,6 +453,22 @@ object ScaleProbe {
           TrainingPipeline.run(corpusK.unionByName(batch)).count()
         }
       }
+      // round-11: the HTML front gate (pure projection + one
+      // reassembly shuffle — must track corpus size linearly) and the
+      // unigram tokenizer (distinct-word-frame work: replicate()'s
+      // per-copy word suffixes grow the vocab ~k×, the realistic
+      // scaling for a tokenizer trainer)
+      time("html_extract", k) {
+        val html = concat(lit("<html><head><title>D</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/d\">Docs</a></nav><p>"),
+          col("text"), lit("</p><div><a href=\"/t\">Terms</a> <a href=\"/p\">Priv</a></div></body></html>"))
+        graft.operators.Markup.htmlToText(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html").count()
+      }
+      time("unigram_encode", k) {
+        graft.operators.UnigramTok.encode(docs, "doc_id", "text",
+          graft.operators.UnigramTok.train(docs, "text", iters = 1)).count()
+      }
       // round-11: hot-key salted join under a Zipf key. Half the fact
       // rows land on ONE celebrity key, the rest spread over 1000 —
       // the shape where an unsalted shuffle join single-tasks. Output
