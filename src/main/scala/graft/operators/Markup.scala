@@ -86,6 +86,53 @@ object Markup {
         coalesce(col("text_extract"), lit("")).as("text_extract"))
   }
 
+  /** Link extraction (SURVEY.md §2 row 239) — the web-GRAPH front
+    * gate next to [[htmlToText]]'s text gate: pull every `<a href>`
+    * out of a page (scripts/styles/comments stripped FIRST so code-
+    * embedded markup doesn't count), clean the anchor text (tag
+    * strip + entity decode + collapse), resolve relative hrefs
+    * against the page's base URL (absolute / root-relative /
+    * path-relative), canonicalize ([[Urls.canonicalUrl]]) and key by
+    * registered domain — the edge list PageRank (row 114), domain
+    * mixture (row 99) and chi² (row 121) consume. Pure per-row
+    * codegen'd projection; the only shuffle is the caller's sink. */
+  def extractLinks(docs: DataFrame, idCol: String, htmlCol: String,
+                   baseUrlCol: Column): DataFrame = {
+    val pat = "(?is)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val pre = docs.select(col(idCol).cast(LongType).as("doc_id"),
+        baseUrlCol.as("base"),
+        regexp_replace(regexp_replace(regexp_replace(col(htmlCol),
+          "(?is)<script\\b[^>]*>.*?</script>", " "),
+          "(?is)<style\\b[^>]*>.*?</style>", " "),
+          "(?s)<!--.*?-->", " ").as("h"))
+    val links = pre
+      .withColumn("__hs", regexp_extract_all(col("h"), lit(pat), lit(1)))
+      .withColumn("__as", regexp_extract_all(col("h"), lit(pat), lit(2)))
+      .select(col("doc_id"), col("base"),
+        posexplode(zip_with(col("__hs"), col("__as"),
+          (h, a) => struct(h.as("href"), a.as("anchor")))).as(Seq("pos", "l")))
+      .select(col("doc_id"), col("base"), col("pos").cast(LongType).as("pos"),
+        col("l.href").as("href"),
+        trim(regexp_replace(
+          decodeEntities(regexp_replace(col("l.anchor"), "<[^>]*>", "")),
+          "\\s+", " ")).as("anchor"))
+    val origin = regexp_extract(col("base"), "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val basePath = regexp_extract(col("base"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    val dir = when(baseDir === "", lit("/")).otherwise(baseDir)
+    val abs = when(col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), col("href"))
+      .when(col("href").startsWith("/"), concat(origin, col("href")))
+      .otherwise(concat(origin, dir, col("href")))
+    links
+      .withColumn("url_canon", Urls.canonicalUrl(abs))
+      .withColumn("host", Urls.hostOf(abs))
+      .withColumn("registered_domain", Urls.registeredDomain(col("host")))
+      .withColumn("is_external", col("host") =!= Urls.hostOf(col("base")))
+      .select(col("doc_id"), col("pos"), col("href"), col("anchor"),
+        col("url_canon"), col("host"), col("registered_domain"),
+        col("is_external"))
+  }
+
   /** Registered query: deterministic synthetic HTML built from the
     * documents table IN BOTH ENGINES (the truecase damage-seeding
     * precedent) — head with title/style, a body script with a `<`
@@ -110,8 +157,32 @@ object Markup {
       .orderBy(col("doc_id"))
   }
 
+  /** §2 row 239 — the link edge list of a synthetic crawl: per doc an
+    * absolute external link (shouting case, default port, path noise,
+    * tracking params), a root-relative and a path-relative internal
+    * link, a script-embedded decoy that must NOT count, and anchors
+    * with inner tags / entities. */
+  def linkGraphQ(s: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("https://www."), lower(col("source")), lit(".com/dir/page.html"))
+    val html = concat(
+      lit("<html><body><script>var s = '<a href=\"/junk\">x</a>';</script>" +
+        "<p><a href=\"HTTPS://Ext"), pmod(col("doc_id"), lit(5)).cast("string"),
+      lit(".Example.ORG:443/a/./x/"), col("doc_id").cast("string"),
+      lit("?utm_source=z&q=1#f\">Ext <b>Site</b></a> and " +
+        "<a href=\"/local/"), pmod(col("doc_id"), lit(3)).cast("string"),
+      lit("\">Local&nbsp;page</a> and " +
+        "<a href=\"sub/p"), pmod(col("doc_id"), lit(2)).cast("string"),
+      lit(".html\">rel</a></p></body></html>"))
+    extractLinks(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          html.as("html"), base.as("base")),
+        "doc_id", "html", col("base"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_html_extract" -> (htmlExtractQ _))
+    "q_html_extract" -> (htmlExtractQ _),
+    "q_link_graph"   -> (linkGraphQ _))
 
   val oracles: Map[String, String] = Map(
     // same synthesis, same strip/segment/decode/gate pipeline on
@@ -172,5 +243,68 @@ object Markup {
         |  COALESCE(a.n_kept, 0) AS n_kept,
         |  COALESCE(a.text_extract, '') AS text_extract
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same synthesis; script strip first (the decoy link must not
+    // count), href/anchor group extraction zipped by parallel unnest,
+    // anchor tag-strip + entity decode, the absolute/root-relative/
+    // path-relative resolution CASE, then Urls.canonSql keyed
+    // (doc_id, pos). Composed by concatenation (the stripMargin
+    // re-strip hazard, see q_url_canon).
+    "q_link_graph" ->
+      ("""WITH h AS (
+          |  SELECT doc_id,
+          |    'https://www.' || lower(source) || '.com/dir/page.html' AS base,
+          |    '<html><body><script>var s = ''<a href="/junk">x</a>'';</script>'
+          |    || '<p><a href="HTTPS://Ext' || CAST(doc_id % 5 AS VARCHAR)
+          |    || '.Example.ORG:443/a/./x/' || CAST(doc_id AS VARCHAR)
+          |    || '?utm_source=z&q=1#f">Ext <b>Site</b></a> and '
+          |    || '<a href="/local/' || CAST(doc_id % 3 AS VARCHAR)
+          |    || '">Local&nbsp;page</a> and '
+          |    || '<a href="sub/p' || CAST(doc_id % 2 AS VARCHAR)
+          |    || '.html">rel</a></p></body></html>' AS html
+          |  FROM documents),
+          |pre AS (
+          |  SELECT doc_id, base,
+          |    regexp_replace(regexp_replace(regexp_replace(html,
+          |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+          |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+          |      '(?s)<!--.*?-->', ' ', 'g') AS hh
+          |  FROM h),
+          |lx AS (
+          |  SELECT doc_id, base,
+          |    unnest(regexp_extract_all(hh, '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)) AS href,
+          |    unnest(regexp_extract_all(hh, '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2)) AS anchor0,
+          |    unnest(range(0, len(regexp_extract_all(hh, '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)))) AS pos
+          |  FROM pre),
+          |lnk AS (
+          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, href,
+          |    trim(regexp_replace(
+          |      replace(replace(replace(replace(replace(replace(
+          |        regexp_replace(anchor0, '<[^>]*>', '', 'g'),
+          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          |      '\s+', ' ', 'g')) AS anchor,
+          |    CASE
+          |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+          |      WHEN href LIKE '/%' THEN
+          |        regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+          |      ELSE
+          |        regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+          |        || (CASE WHEN regexp_replace(
+          |              regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          |              '[^/]*$', '') = '' THEN '/'
+          |            ELSE regexp_replace(
+          |              regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          |              '[^/]*$', '') END)
+          |        || href END AS url,
+          |    'www.' || lower((SELECT source FROM documents d2 WHERE d2.doc_id = lx.doc_id)) || '.com' AS bhost
+          |  FROM lx),
+          |""".stripMargin
+        + Urls.canonSql("lnk", Seq("doc_id", "pos"))
+        + """
+          |SELECT c.doc_id, c.pos, l.href, l.anchor, c.url_canon, c.host,
+          |  c.registered_domain, c.host <> l.bhost AS is_external
+          |FROM canonized c JOIN lnk l ON c.doc_id = l.doc_id AND c.pos = l.pos
+          |ORDER BY c.doc_id, c.pos""".stripMargin))
 }

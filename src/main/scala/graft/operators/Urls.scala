@@ -130,80 +130,99 @@ object Urls {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canon" -> (urlCanonQ _))
 
+  /** Reusable SQL replay of [[canonicalUrl]] + [[registeredDomain]]:
+    * emits a CTE chain turning `inRel(keys..., url)` into
+    * `canonized(keys..., url, url_canon, host, registered_domain)` —
+    * same regexes as the engine (RE2 has no lookahead, so the bounded
+    * path passes keep the consumed separator via `\1`), params via
+    * list_filter + list_sort (binary order both engines), the suffix
+    * longest-match as a LATERAL k-range join against the same literal
+    * suffix list. Keyed by `keys` so link-level callers (one row per
+    * (doc, link)) compose it too. */
+  private[operators] def canonSql(inRel: String, keys: Seq[String]): String = {
+    val sx = publicSuffixes.map(s => s"('$s')").mkString(", ")
+    val k = keys.mkString(", ")
+    def kq(a: String) = keys.map(x => s"$a.$x").mkString(", ")
+    val joinOn = keys.map(x => s"chl.$x = cmk.$x").mkString(" AND ")
+    val joinOn2 = keys.map(x => s"cc.$x = creg.$x").mkString(" AND ")
+    s"""cparts AS (
+       |  SELECT $k, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1) AS hostport,
+       |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*', '') AS pathqf
+       |  FROM $inRel),
+       |ccomp AS (
+       |  SELECT $k, url, scheme,
+       |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+       |    regexp_extract(pathqf, '^([^?#]*)', 1) AS rawpath,
+       |    regexp_extract(pathqf, '\\?([^#]*)', 1) AS query
+       |  FROM cparts),
+       |cnorm AS (
+       |  SELECT $k, url, scheme, host, port, query,
+       |    regexp_replace(regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace(
+       |        rawpath, '/\\.(/|$$)', '\\1', 'g'), '//+', '/', 'g'),
+       |        '/\\.(/|$$)', '\\1', 'g'),
+       |      '/[^/.][^/]*/\\.\\.(/|$$)', '\\1', 'g'),
+       |      '/[^/.][^/]*/\\.\\.(/|$$)', '\\1', 'g') AS p2
+       |  FROM ccomp),
+       |ccanon AS (
+       |  SELECT $k, url, host,
+       |    scheme || '://' || host
+       |    || (CASE WHEN (scheme = 'http' AND port = '80')
+       |              OR (scheme = 'https' AND port = '443')
+       |              OR port = '' THEN '' ELSE ':' || port END)
+       |    || (CASE WHEN p2 = '' THEN '/' ELSE p2 END)
+       |    || (CASE WHEN len(pk) > 0 THEN '?' || array_to_string(pk, '&') ELSE '' END)
+       |    AS url_canon
+       |  FROM (SELECT *,
+       |    list_sort(list_filter(string_split(query, '&'),
+       |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)='))) AS pk
+       |    FROM cnorm) n),
+       |csx(s) AS (VALUES $sx),
+       |chl AS (SELECT $k, host, string_split(host, '.') AS ls FROM ccanon),
+       |cmk AS (
+       |  SELECT ${kq("c")}, MAX(c.k) AS mk
+       |  FROM (SELECT $k, host, ls, CAST(kk.k AS INT) AS k
+       |        FROM chl, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS k) kk) c
+       |  JOIN csx ON array_to_string(c.ls[len(c.ls) - c.k + 1:], '.') = csx.s
+       |  GROUP BY ${kq("c")}),
+       |creg AS (
+       |  SELECT ${kq("chl")},
+       |    CASE WHEN cmk.mk IS NOT NULL AND cmk.mk < len(chl.ls)
+       |      THEN array_to_string(chl.ls[len(chl.ls) - cmk.mk:], '.') END AS registered_domain
+       |  FROM chl LEFT JOIN cmk ON $joinOn),
+       |canonized AS (
+       |  SELECT ${kq("cc")}, cc.url, cc.url_canon, cc.host, creg.registered_domain
+       |  FROM ccanon cc JOIN creg ON $joinOn2)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    // same seeding; decomposition/normalization replayed with the
-    // same regexes (RE2 lacks lookahead — (?=/|$) becomes the
-    // equivalent two-alternative form with a kept separator), params
-    // via list_filter + list_sort (binary order both engines), the
-    // suffix longest-match via a LATERAL k-range join against the
-    // same literal suffix list, MAX(k) per host
-    "q_url_canon" -> {
-      val sx = publicSuffixes.map(s => s"('$s')").mkString(", ")
-      s"""WITH raw AS (
-         |  SELECT doc_id,
-         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
-         |    || '://WWW.' || upper(source)
-         |    || (CASE WHEN doc_id % 4 = 0 THEN '.COM'
-         |             WHEN doc_id % 4 = 1 THEN '.Co.UK'
-         |             WHEN doc_id % 4 = 2 THEN '.GitHub.IO'
-         |             ELSE '.Example' END)
-         |    || (CASE WHEN doc_id % 3 = 0 THEN
-         |               (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
-         |             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
-         |    || '/Dir/./sub/' || CAST(doc_id % 5 AS VARCHAR)
-         |    || '/../Page.Html?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
-         |    || '&b=2&a=1&gclid=xyz#frag' AS url
-         |  FROM documents),
-         |parts AS (
-         |  SELECT doc_id, url,
-         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |    regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1) AS hostport,
-         |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*', '') AS pathqf
-         |  FROM raw),
-         |comp AS (
-         |  SELECT doc_id, url, scheme,
-         |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-         |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-         |    regexp_extract(pathqf, '^([^?#]*)', 1) AS rawpath,
-         |    regexp_extract(pathqf, '\\?([^#]*)', 1) AS query
-         |  FROM parts),
-         |norm AS (
-         |  SELECT doc_id, url, scheme, host, port, query,
-         |    regexp_replace(regexp_replace(
-         |      regexp_replace(regexp_replace(regexp_replace(
-         |        rawpath, '/\\.(/|$$)', '\\1', 'g'), '//+', '/', 'g'),
-         |        '/\\.(/|$$)', '\\1', 'g'),
-         |      '/[^/.][^/]*/\\.\\.(/|$$)', '\\1', 'g'),
-         |      '/[^/.][^/]*/\\.\\.(/|$$)', '\\1', 'g') AS p2
-         |  FROM comp),
-         |canon AS (
-         |  SELECT doc_id, url, host,
-         |    scheme || '://' || host
-         |    || (CASE WHEN (scheme = 'http' AND port = '80')
-         |              OR (scheme = 'https' AND port = '443')
-         |              OR port = '' THEN '' ELSE ':' || port END)
-         |    || (CASE WHEN p2 = '' THEN '/' ELSE p2 END)
-         |    || (CASE WHEN len(pk) > 0 THEN '?' || array_to_string(pk, '&') ELSE '' END)
-         |    AS url_canon
-         |  FROM (SELECT *,
-         |    list_sort(list_filter(string_split(query, '&'),
-         |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)='))) AS pk
-         |    FROM norm) n),
-         |sx(s) AS (VALUES $sx),
-         |hl AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM canon),
-         |mk AS (
-         |  SELECT c.doc_id, MAX(c.k) AS mk
-         |  FROM (SELECT doc_id, host, ls, CAST(k.k AS INT) AS k
-         |        FROM hl, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS k) k) c
-         |  JOIN sx ON array_to_string(c.ls[len(c.ls) - c.k + 1:], '.') = sx.s
-         |  GROUP BY c.doc_id),
-         |reg AS (
-         |  SELECT hl.doc_id,
-         |    CASE WHEN mk.mk IS NOT NULL AND mk.mk < len(hl.ls)
-         |      THEN array_to_string(hl.ls[len(hl.ls) - mk.mk:], '.') END AS registered_domain
-         |  FROM hl LEFT JOIN mk ON hl.doc_id = mk.doc_id)
-         |SELECT c.doc_id, c.url, c.url_canon, c.host, r.registered_domain
-         |FROM canon c JOIN reg r ON c.doc_id = r.doc_id
-         |ORDER BY c.doc_id""".stripMargin
-    })
+    // same seeding; the canonSql fragment replays the full rule set.
+    // Composed by CONCATENATION — embedding an already-stripped
+    // fragment inside another stripMargin would re-strip its
+    // `|| (CASE` continuation lines into bare `|` operators.
+    "q_url_canon" ->
+      (s"""WITH raw AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+          |    || '://WWW.' || upper(source)
+          |    || (CASE WHEN doc_id % 4 = 0 THEN '.COM'
+          |             WHEN doc_id % 4 = 1 THEN '.Co.UK'
+          |             WHEN doc_id % 4 = 2 THEN '.GitHub.IO'
+          |             ELSE '.Example' END)
+          |    || (CASE WHEN doc_id % 3 = 0 THEN
+          |               (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+          |             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+          |    || '/Dir/./sub/' || CAST(doc_id % 5 AS VARCHAR)
+          |    || '/../Page.Html?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+          |    || '&b=2&a=1&gclid=xyz#frag' AS url
+          |  FROM documents),
+          |""".stripMargin
+        + canonSql("raw", Seq("doc_id"))
+        + """
+          |SELECT doc_id, url, url_canon, host, registered_domain
+          |FROM canonized
+          |ORDER BY doc_id""".stripMargin))
 }

@@ -95,4 +95,39 @@ class MarkupSpec extends AnyFunSuite {
     val got = extract(Seq((1L, "<SCRIPT>no</SCRIPT><P>Yes</P>")))
     assert(got.head._4 == "Yes")
   }
+
+  // ---- link extraction (row 239) ----
+
+  private def links(html: String, base: String = "https://www.me.com/dir/page.html") =
+    Markup.extractLinks(
+        Seq((1L, html, base)).toDF("doc_id", "html", "base"),
+        "doc_id", "html", org.apache.spark.sql.functions.col("base"))
+      .orderBy($"pos")
+      .as[(Long, Long, String, String, String, String, Option[String], Boolean)]
+      .collect().toSeq
+
+  test("links: absolute, root-relative and path-relative all resolve") {
+    val got = links(
+      "<a href=\"HTTP://Other.ORG:80/x\">ext</a>" +
+        "<a href=\"/top\">root</a><a href=\"sub/p.html\">rel</a>")
+    assert(got.map(_._5) == Seq(
+      "http://other.org/x",
+      "https://www.me.com/top",
+      "https://www.me.com/dir/sub/p.html"))
+    assert(got.map(_._8) == Seq(true, false, false))
+    assert(got.head._7 == Some("other.org"))
+  }
+
+  test("links: script-embedded decoys don't count; anchors clean up") {
+    val got = links(
+      "<script>var a = '<a href=\"/junk\">x</a>';</script>" +
+        "<a href=\"/real\">A <b>bold</b>&nbsp;&amp; real</a>")
+    assert(got.size == 1)
+    assert(got.head._4 == "A bold & real")
+  }
+
+  test("links: base at domain root resolves path-relative against /") {
+    val got = links("<a href=\"p.html\">x</a>", base = "https://www.me.com")
+    assert(got.head._5 == "https://www.me.com/p.html")
+  }
 }
