@@ -43,6 +43,57 @@ object Fuzzy {
     matchPairs(Tables.part(s, d), "p_name", maxDist = 2)
       .orderBy(col("name_a"), col("name_b"))
 
+  /** Phonetic blocking key (SURVEY.md §2 row 240) — the third
+    * blocking family next to band-blocked edit distance and SNM:
+    * sounds-alike candidates that char-edit blocking misses or
+    * over-pays for ("Robert"/"Rupert" are edit distance 3 — past any
+    * affordable maxDist; their phonetic keys are both R163). Soundex
+    * on pure column ops so both engines compute the identical key by
+    * construction (RE2 has no backreferences, so the run collapse is
+    * a per-digit regex chain; the vowel marker is collapsed WITH the
+    * runs — vowel-separated repeats also merge, the documented
+    * difference from archival Soundex): letters only, uppercase, the
+    * classic digit map (B F P V→1, C G J K Q S X Z→2, D T→3, L→4,
+    * M N→5, R→6, vowels+H W Y→0), adjacent-run collapse, zeros
+    * dropped after the first letter, first letter + 3 digits
+    * zero-padded. NULL for letterless input. Zero shuffles. */
+  def phoneticKey(w: Column): Column = {
+    val u = upper(regexp_replace(w, "[^A-Za-z]", ""))
+    val codes = translate(u,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    val collapsed = (0 to 6).map(_.toString).foldLeft(codes) {
+      (c, d) => regexp_replace(c, d + d + "+", d)
+    }
+    val digits = regexp_replace(substring(collapsed, 2, Int.MaxValue), "0", "")
+    when(length(u) > 0,
+      concat(substring(u, 1, 1), rpad(substring(digits, 1, 3), 3, "0")))
+  }
+
+  /** q_phonetic_block — sounds-alike blocks over the part-name
+    * vocabulary plus deterministic misspelling variants seeded IN
+    * BOTH ENGINES (the truecase damage-seeding precedent): an
+    * all-vowel swap (e→a) and a doubled second letter — both
+    * soundex-invariant by construction, so every damaged word must
+    * land in its original's block. Output: every key holding >= 2
+    * distinct words with its members (the candidate set an ER pass
+    * scores pairwise — block sizes bound the quadratic work). */
+  def phoneticBlockQ(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.part(s, d)
+      .select(explode(split(lower(col("p_name")), " ")).as("w"))
+      .filter(length(col("w")) > 1)
+    val vowelSwap = base.select(regexp_replace(col("w"), "e", "a").as("w"))
+    val doubled = base.select(concat(substring(col("w"), 1, 2),
+      substring(col("w"), 2, Int.MaxValue)).as("w"))
+    base.unionByName(vowelSwap).unionByName(doubled).distinct()
+      .withColumn("key", phoneticKey(col("w")))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_words"),
+        array_join(sort_array(collect_list(col("w"))), " ").as("words"))
+      .filter(col("n_words") >= 2)
+      .orderBy(col("key"))
+  }
+
   // ---- Jaro-Winkler entity resolution (§2 rows 161/162) ----
 
   /** Mention frame for the registered ER queries: part names with a
@@ -120,9 +171,46 @@ object Fuzzy {
     "q_jaro_pairs" -> (jaroPairsQ _),
     "q_entity_resolution" -> (entityResolveQ _),
     "q_snm_pairs" -> (snmQ _),
+    "q_phonetic_block" -> (phoneticBlockQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // identical key construction: letters-only upper, the same
+    // translate digit map, the per-digit run-collapse chain, zero
+    // drop, first letter + rpad-3
+    "q_phonetic_block" -> {
+      val collapse = (0 to 6).foldLeft("c0") {
+        (acc, d) => s"regexp_replace($acc, '$d$d+', '$d', 'g')"
+      }
+      s"""WITH b AS (
+         |  SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part),
+         |b2 AS (SELECT w FROM b WHERE length(w) > 1),
+         |w AS (
+         |  SELECT DISTINCT w FROM (
+         |    SELECT w FROM b2
+         |    UNION ALL SELECT replace(w, 'e', 'a') FROM b2
+         |    UNION ALL SELECT substr(w, 1, 2) || substr(w, 2) FROM b2)),
+         |u AS (
+         |  SELECT w, upper(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS u
+         |  FROM w),
+         |c AS (
+         |  SELECT w, u,
+         |    translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+         |                 '01230120022455012623010202') AS c0
+         |  FROM u),
+         |k AS (
+         |  SELECT w,
+         |    CASE WHEN length(u) > 0 THEN
+         |      substr(u, 1, 1) ||
+         |      rpad(substr(replace(substr($collapse, 2), '0', ''), 1, 3), 3, '0')
+         |    END AS key
+         |  FROM c)
+         |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  string_agg(w, ' ' ORDER BY w) AS words
+         |FROM k WHERE key IS NOT NULL
+         |GROUP BY key HAVING COUNT(*) >= 2
+         |ORDER BY key""".stripMargin
+    },
     "q_fuzzy_match" ->
       """WITH p AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,

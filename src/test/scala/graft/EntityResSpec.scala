@@ -59,6 +59,24 @@ class EntityResSpec extends AnyFunSuite {
       (30L, 30L, "green gear"), (31L, 30L, "green gear")))
   }
 
+  test("phonetic keys: classic pairs collide, distinct sounds don't") {
+    def key(ws: String*): Seq[Option[String]] =
+      ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("i", "w")
+        .select(Fuzzy.phoneticKey(col("w")).as("k"))
+        .as[Option[String]].collect().toSeq
+    // the classic Soundex anchor pair
+    assert(key("Robert", "Rupert") == Seq(Some("R163"), Some("R163")))
+    // vowel swaps and doubled letters are key-invariant by design
+    assert(key("lavender", "lavandar", "llavender").distinct.size == 1)
+    // different leading sound -> different key; short words pad with 0
+    assert(key("smith", "zmith").distinct.size == 2)
+    assert(key("lee") == Seq(Some("L000")))
+    // letterless input -> NULL
+    assert(key("123", "") == Seq(None, None))
+    // punctuation is stripped before coding
+    assert(key("o'brien") == key("obrien"))
+  }
+
   test("pairs are scored on the distinct-name frame only") {
     // 4 mentions, 2 distinct names, same block -> exactly one scored pair
     val m = Seq((1L, "alpha beta"), (2L, "alpha beta"),
