@@ -52,7 +52,7 @@ object SparkEntry {
     Agreement.queries ++ PhraseSearch.queries ++ Rake.queries ++ AssocRules.queries ++
     Percolate.queries ++ CodeSwitch.queries ++ Stitch.queries ++
     Weak.queries ++ Placement.queries ++ Markup.queries ++ Urls.queries ++
-    UnigramTok.queries ++ TokEval.queries ++
+    UnigramTok.queries ++ TokEval.queries ++ Robots.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -281,6 +281,6 @@ object SparkEntry {
     Agreement.oracles ++ PhraseSearch.oracles ++ Rake.oracles ++ AssocRules.oracles ++
     Percolate.oracles ++ CodeSwitch.oracles ++ Stitch.oracles ++
     Weak.oracles ++ Placement.oracles ++ Markup.oracles ++ Urls.oracles ++
-    UnigramTok.oracles ++ TokEval.oracles ++
+    UnigramTok.oracles ++ TokEval.oracles ++ Robots.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** robots.txt politeness engine (SURVEY.md §2 row 241) — the crawl-
+  * side gate the reference's extract client (extract.py) would sit
+  * behind in production: parse per-host robots.txt into agent groups,
+  * select the group for a crawler name, and decide each URL by the
+  * longest-path-match rule with Allow winning length ties (the
+  * Google/RFC 9309 precedence). Deterministic subset, documented:
+  * agent matching is exact-name-or-`*` (no prefix tokens), rule paths
+  * are literal prefixes (no `*`/`$` wildcards).
+  *
+  * Scale shape: parsing is posexplode + one per-host line window
+  * (robots files are KB-bounded — the window frame is the FILE, never
+  * a corpus); the decision is one equi-join of URLs against the
+  * selected rule set on host plus an argmax over the matching rules
+  * via max(struct(len, allow, …)) — map-side combined, no window over
+  * URL rows, no driver state. */
+object Robots {
+
+  /** Parse robots bodies into (host, grp, ua_set, allow, path) rules.
+    * Group = a run of User-agent lines followed by its rules; a UA
+    * line whose PREVIOUS non-blank line was not a UA line starts a
+    * new group. Unknown fields are ignored (per spec). */
+  def parseRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("pos", "raw")))
+      .select(col("host"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .withColumn("field", lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value", trim(regexp_replace(col("line"), "^[A-Za-z-]+\\s*:", "")))
+      .filter(col("field").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("host")).orderBy(col("pos"))
+    val grouped = lines
+      .withColumn("prevField", lag(col("field"), 1).over(w))
+      .withColumn("newGrp",
+        when(col("field") === "user-agent" &&
+          (col("prevField").isNull || col("prevField") =!= "user-agent"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("newGrp")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val uas = grouped.filter(col("field") === "user-agent")
+      .groupBy(col("host"), col("grp"))
+      .agg(collect_set(lower(col("value"))).as("ua_set"))
+    grouped.filter(col("field") =!= "user-agent")
+      .join(uas, Seq("host", "grp"))
+      .select(col("host"), col("grp"), col("ua_set"),
+        (col("field") === "allow").as("allow"), col("value").as("path"))
+  }
+
+  /** Rules applying to `agent`: exact-name groups if any exist for
+    * the host, else the `*` groups. An empty-path Disallow means
+    * "allow all" and is dropped (it can never match more specifically
+    * than any real rule; no rules → allowed by default anyway). */
+  def rulesFor(rules: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val tagged = rules
+      .withColumn("exact", array_contains(col("ua_set"), a))
+      .withColumn("star", array_contains(col("ua_set"), "*"))
+      .filter(col("exact") || col("star"))
+    val hostHasExact = tagged.groupBy(col("host"))
+      .agg(max(when(col("exact"), 1L).otherwise(0L)).as("has_exact"))
+    tagged.join(hostHasExact, Seq("host"))
+      .filter((col("has_exact") === 1L && col("exact")) ||
+        (col("has_exact") === 0L && col("star")))
+      .filter(col("path") =!= "")
+      .select(col("host"), col("allow"), col("path"))
+  }
+
+  /** Per-URL verdict under `agent`: longest matching rule path wins,
+    * Allow wins exact length ties; no matching rule (or no rules for
+    * the host) → allowed. Output: (host, path, allowed, rule_path). */
+  def decide(urls: DataFrame, rules: DataFrame, agent: String): DataFrame = {
+    val rs = rulesFor(rules, agent)
+    // left join keeps every URL; non-matching rules become NULL
+    // candidates (not filtered rows) so a rule-bearing host's
+    // unmatched URLs still default to allowed
+    val matches = urls.select(col("host"), col("path"))
+      .join(rs.withColumnRenamed("path", "rpath"), Seq("host"), "left")
+      .groupBy(col("host"), col("path"))
+      .agg(max(when(
+        col("rpath").isNotNull && col("path").startsWith(col("rpath")),
+        struct(length(col("rpath")).as("l"), col("allow").as("a"),
+          col("rpath").as("p")))).as("m"))
+    matches.select(col("host"), col("path"),
+      coalesce(col("m.a"), lit(true)).as("allowed"),
+      col("m.p").as("rule_path"))
+  }
+
+  /** §2 row 241 — per-host robots bodies with agent groups seeded
+    * from the documents table in both engines, decisions for the
+    * `graftbot` agent over seeded URL paths. Hosts rotate through
+    * three robots shapes: a `*`-only policy, a policy with a
+    * graftbot-specific group (which must SHADOW the `*` group), and
+    * no rules at all (comment-only file). */
+  def robotsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val host = concat(lit("www."), lower(col("source")), lit(".com"))
+    val robotsTxt =
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(
+        "# star only\nUser-agent: *\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /tmp"))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit(
+        "User-agent: *\nDisallow: /\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /private/\nAllow: /private/ok/"))
+      .otherwise(lit("# no rules here\n# just comments"))
+    // one robots body per host: the doc with the minimal id on that
+    // host defines it (deterministic pick, replayed in SQL)
+    val robots = docs.select(host.as("host"), col("doc_id"), robotsTxt.as("txt"))
+      .groupBy(col("host")).agg(min(struct(col("doc_id"), col("txt"))).as("m"))
+      .select(col("host"), col("m.txt").as("txt"))
+    val urls = docs.select(host.as("host"),
+      concat(
+        when(pmod(col("doc_id"), lit(4)) === 0, "/private/")
+          .when(pmod(col("doc_id"), lit(4)) === 1, "/private/ok/")
+          .when(pmod(col("doc_id"), lit(4)) === 2, "/tmp")
+          .otherwise("/public/"),
+        lit("page"), pmod(col("doc_id"), lit(7)).cast("string")).as("path"))
+      .distinct()
+    decide(urls, parseRules(robots, "host", "txt"), "GraftBot")
+      .orderBy(col("host"), col("path"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robots" -> (robotsQ _))
+
+  val oracles: Map[String, String] = Map(
+    // same synthesis (min-id robots body per host via ROW_NUMBER),
+    // line parse + the lag-based group assignment, exact-beats-star
+    // selection, and the longest-match/Allow-ties argmax replayed as
+    // a (len, allow, path) ROW_NUMBER pick; unmatched URLs default
+    // allowed via the LEFT JOIN
+    "q_robots" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'www.' || lower(source) || '.com' AS host,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '# star only' || chr(10) || 'User-agent: *' || chr(10)
+        |      || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
+        |      || chr(10) || 'Disallow: /tmp'
+        |    WHEN doc_id % 3 = 1 THEN
+        |      'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
+        |      || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot'
+        |      || chr(10) || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
+        |    ELSE '# no rules here' || chr(10) || '# just comments' END AS txt
+        |  FROM documents),
+        |robots AS (
+        |  SELECT host, txt FROM (
+        |    SELECT host, txt, ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+        |    FROM d) r WHERE rn = 1),
+        |lns AS (
+        |  SELECT host, pos, trim(regexp_replace(raw, '#.*$', '')) AS line
+        |  FROM (SELECT host,
+        |          unnest(string_split(txt, chr(10))) AS raw,
+        |          unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos
+        |        FROM robots) t),
+        |fl AS (
+        |  SELECT host, pos,
+        |    lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS field,
+        |    trim(regexp_replace(line, '^[A-Za-z-]+\s*:', '')) AS value
+        |  FROM lns WHERE line <> ''),
+        |fk AS (SELECT * FROM fl WHERE field IN ('user-agent', 'allow', 'disallow')),
+        |grp AS (
+        |  SELECT host, pos, field, value,
+        |    SUM(CASE WHEN field = 'user-agent'
+        |          AND (prevField IS NULL OR prevField <> 'user-agent')
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY host ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM (SELECT *, LAG(field) OVER (PARTITION BY host ORDER BY pos) AS prevField
+        |        FROM fk) p),
+        |uas AS (
+        |  SELECT host, grp, list(DISTINCT lower(value)) AS ua_set
+        |  FROM grp WHERE field = 'user-agent' GROUP BY host, grp),
+        |rules AS (
+        |  SELECT g.host, g.grp,
+        |    list_contains(u.ua_set, 'graftbot') AS exact,
+        |    list_contains(u.ua_set, '*') AS star,
+        |    g.field = 'allow' AS allow, g.value AS path
+        |  FROM grp g JOIN uas u ON g.host = u.host AND g.grp = u.grp
+        |  WHERE g.field <> 'user-agent'),
+        |sel AS (
+        |  SELECT r.host, r.allow, r.path FROM rules r
+        |  JOIN (SELECT host, MAX(CASE WHEN exact THEN 1 ELSE 0 END) AS he
+        |        FROM rules WHERE exact OR star GROUP BY host) h
+        |    ON r.host = h.host
+        |  WHERE ((h.he = 1 AND r.exact) OR (h.he = 0 AND r.star))
+        |    AND r.path <> ''),
+        |urls AS (
+        |  SELECT DISTINCT 'www.' || lower(source) || '.com' AS host,
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/private/'
+        |          WHEN doc_id % 4 = 1 THEN '/private/ok/'
+        |          WHEN doc_id % 4 = 2 THEN '/tmp'
+        |          ELSE '/public/' END)
+        |    || 'page' || CAST(doc_id % 7 AS VARCHAR) AS path
+        |  FROM documents),
+        |m AS (
+        |  SELECT u.host, u.path, s.allow, s.path AS rpath,
+        |    ROW_NUMBER() OVER (PARTITION BY u.host, u.path
+        |      ORDER BY length(s.path) DESC,
+        |        CASE WHEN s.allow THEN 1 ELSE 0 END DESC, s.path DESC) AS rn
+        |  FROM urls u
+        |  LEFT JOIN sel s ON u.host = s.host
+        |    AND u.path LIKE s.path || '%'),
+        |v AS (SELECT host, path, allow, rpath FROM m WHERE rn = 1)
+        |SELECT host, path,
+        |  COALESCE(allow, TRUE) AS allowed,
+        |  rpath AS rule_path
+        |FROM v
+        |ORDER BY host, path""".stripMargin)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Robots
+
+/** robots.txt engine (SURVEY.md §2 row 241): RFC 9309 longest-match
+  * precedence, Allow tie wins, exact-agent group shadowing, defaults
+  * and parser hygiene. */
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def verdicts(txt: String, paths: Seq[String],
+                       agent: String = "bot"): Map[String, (Boolean, Option[String])] = {
+    val robots = Seq(("h", txt)).toDF("host", "txt")
+    val urls = paths.map(p => ("h", p)).toDF("host", "path")
+    Robots.decide(urls, Robots.parseRules(robots, "host", "txt"), agent)
+      .as[(String, String, Boolean, Option[String])].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+  }
+
+  test("longest matching rule wins; Allow beats Disallow on ties") {
+    val txt = "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /private/ok/"
+    val v = verdicts(txt, Seq("/private/x", "/private/ok/x", "/public/y"))
+    assert(v("/private/x") == ((false, Some("/private/"))))
+    assert(v("/private/ok/x") == ((true, Some("/private/ok/"))),
+      "equal-length Allow and Disallow: Allow wins")
+    assert(v("/public/y") == ((true, None)), "no rule matches -> allowed")
+  }
+
+  test("exact agent group shadows the star group completely") {
+    val txt = "User-agent: *\nDisallow: /\nUser-agent: bot\nDisallow: /private/"
+    val v = verdicts(txt, Seq("/anything", "/private/x"))
+    assert(v("/anything") == ((true, None)),
+      "the star group's Disallow / must NOT leak into the exact group")
+    assert(v("/private/x")._1 == false)
+    // an agent with no exact group falls back to star
+    val v2 = verdicts(txt, Seq("/anything"), agent = "stranger")
+    assert(v2("/anything")._1 == false)
+  }
+
+  test("stacked User-agent lines share one group") {
+    val txt = "User-agent: alpha\nUser-agent: bot\nDisallow: /x"
+    assert(verdicts(txt, Seq("/x/1"))("/x/1")._1 == false)
+    assert(verdicts(txt, Seq("/x/1"), agent = "alpha")("/x/1")._1 == false)
+  }
+
+  test("comments, blanks, unknown fields and empty Disallow are inert") {
+    val txt = "# header\nUser-agent: * # inline\n\nCrawl-delay: 10\nDisallow:\nDisallow: /tmp # why"
+    val v = verdicts(txt, Seq("/tmp/x", "/ok"))
+    assert(v("/tmp/x")._1 == false)
+    assert(v("/ok") == ((true, None)), "empty Disallow allows everything")
+  }
+
+  test("agent matching is case-insensitive") {
+    val txt = "User-agent: GraftBot\nDisallow: /a"
+    assert(verdicts(txt, Seq("/a/x"), agent = "graftbot")("/a/x")._1 == false)
+  }
+
+  test("a host with no robots rules allows everything") {
+    val v = verdicts("# nothing here", Seq("/any"))
+    assert(v("/any") == ((true, None)))
+  }
+}
