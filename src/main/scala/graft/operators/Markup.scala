@@ -140,8 +140,9 @@ object Markup {
     * boilerplate the gate must drop), a heading and a paragraph
     * carrying the corpus text behind entity escapes (the content it
     * must keep and decode). */
-  def htmlExtractQ(s: SparkSession, dir: String): DataFrame = {
-    val html = concat(
+  /** Shared synthetic-HTML seeding (both registered markup queries
+    * and their oracles build this byte-identically). */
+  private def htmlSynth: Column = concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
       lit("</title></head><body>" +
         "<nav><a href=\"/\">Home</a> <a href=\"/d\">Docs</a> <a href=\"/m\">More</a></nav>" +
@@ -152,8 +153,30 @@ object Markup {
       lit("</p><!-- hidden < comment -->" +
         "<div><a href=\"/tos\">Terms</a> &amp; <a href=\"/priv\">Privacy</a></div>" +
         "</body></html>"))
-    htmlToText(Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
+
+  def htmlExtractQ(s: SparkSession, dir: String): DataFrame =
+    htmlToText(Tables.documents(s, dir).select(col("doc_id"), htmlSynth.as("html")),
         "doc_id", "html")
+      .orderBy(col("doc_id"))
+
+  /** §2 row 242 — the web-curation capstone: seeded HTML through the
+    * row-231 extractor, then the row-187 charset gate, row-44 token
+    * count and row-42 langid over the EXTRACTED text, with the keep
+    * verdict (enough tokens, nothing suspect) a curation pass acts
+    * on. Everything after the extractor is per-row codegen'd. */
+  def webGateQ(s: SparkSession, dir: String): DataFrame = {
+    val extracted = htmlToText(
+        Tables.documents(s, dir).select(col("doc_id"), htmlSynth.as("html")),
+        "doc_id", "html")
+      .select(col("doc_id"), col("text_extract").as("text"))
+    val cs = Hygiene.charsetAnomalies(extracted, "doc_id", "text", pctMax = 5)
+      .select(col("doc_id"), col("suspect"))
+    extracted.join(cs, Seq("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        graft.functions.TextFunctions.langId(col("text")).as("predicted_lang"),
+        col("suspect"))
+      .withColumn("keep", col("n_tokens") >= 10 && !col("suspect"))
       .orderBy(col("doc_id"))
   }
 
@@ -182,7 +205,58 @@ object Markup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (htmlExtractQ _),
-    "q_link_graph"   -> (linkGraphQ _))
+    "q_link_graph"   -> (linkGraphQ _),
+    "q_web_gate"     -> (webGateQ _))
+
+  /** Shared extractor CTE chain (synthesis through the per-doc
+    * `agg` frame) reused by q_html_extract and q_web_gate. */
+  private[operators] val htmlGateCtes: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title></head><body>'
+      |    || '<nav><a href="/">Home</a> <a href="/d">Docs</a> <a href="/m">More</a></nav>'
+      |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</h1><script>if (2 < 3) { nav(); }</script>'
+      |    || '<style>.f { color: blue; }</style>'
+      |    || '<p>A &quot;sample&quot; &lt;page&gt; &amp; text: ' || text
+      |    || '</p><!-- hidden < comment -->'
+      |    || '<div><a href="/tos">Terms</a> &amp; <a href="/priv">Privacy</a></div>'
+      |    || '</body></html>' AS html
+      |  FROM documents),
+      |pre AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
+      |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g') AS h
+      |  FROM h),
+      |blk AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(h, '(?i)</?(p|div|h[1-6]|nav|ul|ol|li|table|tr|td|br|section|article|header|footer|blockquote)\b[^>]*>')) AS b,
+      |    unnest(generate_series(1, len(string_split_regex(h, '(?i)</?(p|div|h[1-6]|nav|ul|ol|li|table|tr|td|br|section|article|header|footer|blockquote)\b[^>]*>')))) AS pos
+      |  FROM pre),
+      |ex AS (
+      |  SELECT doc_id, pos,
+      |    CAST(COALESCE(length(array_to_string(regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1), '')), 0) AS BIGINT) AS link_chars,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(b, '<[^>]*>', '', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS txt
+      |  FROM blk),
+      |nb AS (
+      |  SELECT doc_id, pos, txt,
+      |    CAST(length(txt) AS BIGINT) AS n_chars, link_chars,
+      |    link_chars * 100 <= CAST(length(txt) AS BIGINT) * 50 AS keep
+      |  FROM ex WHERE txt <> ''),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    COALESCE(string_agg(CASE WHEN keep THEN txt END, chr(10) ORDER BY pos), '') AS text_extract
+      |  FROM nb GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // same synthesis, same strip/segment/decode/gate pipeline on
@@ -192,59 +266,46 @@ object Markup {
     // array_to_string([]) is NULL, Spark's array_join([]) is ''), the
     // density gate cross-multiplied — identical to the engine
     "q_html_extract" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-        |    || '</title></head><body>'
-        |    || '<nav><a href="/">Home</a> <a href="/d">Docs</a> <a href="/m">More</a></nav>'
-        |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR)
-        |    || '</h1><script>if (2 < 3) { nav(); }</script>'
-        |    || '<style>.f { color: blue; }</style>'
-        |    || '<p>A &quot;sample&quot; &lt;page&gt; &amp; text: ' || text
-        |    || '</p><!-- hidden < comment -->'
-        |    || '<div><a href="/tos">Terms</a> &amp; <a href="/priv">Privacy</a></div>'
-        |    || '</body></html>' AS html
-        |  FROM documents),
-        |pre AS (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
-        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g') AS h
-        |  FROM h),
-        |blk AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(h, '(?i)</?(p|div|h[1-6]|nav|ul|ol|li|table|tr|td|br|section|article|header|footer|blockquote)\b[^>]*>')) AS b,
-        |    unnest(generate_series(1, len(string_split_regex(h, '(?i)</?(p|div|h[1-6]|nav|ul|ol|li|table|tr|td|br|section|article|header|footer|blockquote)\b[^>]*>')))) AS pos
-        |  FROM pre),
-        |ex AS (
-        |  SELECT doc_id, pos,
-        |    CAST(COALESCE(length(array_to_string(regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1), '')), 0) AS BIGINT) AS link_chars,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(replace(
-        |        regexp_replace(b, '<[^>]*>', '', 'g'),
-        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
-        |      '\s+', ' ', 'g')) AS txt
-        |  FROM blk),
-        |nb AS (
-        |  SELECT doc_id, pos, txt,
-        |    CAST(length(txt) AS BIGINT) AS n_chars, link_chars,
-        |    link_chars * 100 <= CAST(length(txt) AS BIGINT) * 50 AS keep
-        |  FROM ex WHERE txt <> ''),
-        |agg AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
-        |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |    COALESCE(string_agg(CASE WHEN keep THEN txt END, chr(10) ORDER BY pos), '') AS text_extract
-        |  FROM nb GROUP BY doc_id)
+      ("WITH " + htmlGateCtes + """
         |SELECT d.doc_id,
         |  COALESCE(a.n_blocks, 0) AS n_blocks,
         |  COALESCE(a.n_kept, 0) AS n_kept,
         |  COALESCE(a.text_extract, '') AS text_extract
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
 
+    // the capstone: extracted text through the charset gate, token
+    // count and langid CASE (shared verbatim with q_charset /
+    // q_token_count / q_lang_id forms), then the keep verdict
+    "q_web_gate" ->
+      ("WITH " + htmlGateCtes + """,
+        |ex2 AS (
+        |  SELECT d.doc_id, COALESCE(a.text_extract, '') AS t
+        |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+        |m AS (
+        |  SELECT doc_id, t,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens,
+        |    len(regexp_extract_all(lower(t), '\b(the|and|of|to|a|in)\b', 0)) AS c_en,
+        |    len(regexp_extract_all(lower(t), '\b(el|la|de|que|y|en)\b', 0)) AS c_es,
+        |    len(regexp_extract_all(lower(t), '\b(der|die|und|ist|das)\b', 0)) AS c_de,
+        |    len(regexp_extract_all(lower(t), '\b(le|les|des|et|dans)\b', 0)) AS c_fr,
+        |    CAST(length(t) AS BIGINT) AS n_chars,
+        |    CAST(length(t) - length(regexp_replace(t, '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_nonascii,
+        |    CAST(length(regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', 'XX', 'g')) - length(t) AS BIGINT) AS n_ctl,
+        |    CAST(length(regexp_replace(t, '_REPL_', 'XX', 'g')) - length(t) AS BIGINT) AS n_repl
+        |  FROM ex2)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |       WHEN c_de >= c_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted_lang,
+        |  (n_ctl > 0 OR n_repl > 0 OR n_nonascii * 100 > n_chars * 5) AS suspect,
+        |  (n_tokens >= 10 AND NOT
+        |    (n_ctl > 0 OR n_repl > 0 OR n_nonascii * 100 > n_chars * 5)) AS keep
+        |FROM m
+        |ORDER BY doc_id""".stripMargin.replace("_REPL_", "\ufffd")),
+
+    
     // same synthesis; script strip first (the decoy link must not
     // count), href/anchor group extraction zipped by parallel unnest,
     // anchor tag-strip + entity decode, the absolute/root-relative/
