@@ -218,6 +218,62 @@ object Hygiene {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Mojibake repair (row 243) ----
+
+  /** ftfy-lite double-encoding repair (SURVEY.md §2 row 243) — the
+    * REPAIR companion to the row-187 charset detector: text whose
+    * UTF-8 bytes were once read as Latin-1 shows the signature pair
+    * pattern (a char in U+00C2–U+00DF — a UTF-8 lead byte misread as
+    * Latin-1 — followed by a continuation-range char U+0080–U+00BF:
+    * "café" arrives as "cafÃ©"). The fix is the inverse read:
+    * re-encode as Latin-1 and decode as UTF-8. Guarded twice, because
+    * Spark 4's decode THROWS on malformed bytes: the signature must
+    * be present AND `is_valid_utf8` must hold on the re-encoded
+    * bytes — a lone 'Ã' before ASCII (not mojibake) fails the
+    * signature, a genuinely mixed page fails the validity check, and
+    * both keep their original text. Covers the dominant 2-byte
+    * (Latin/extended) mojibake class; pure per-row projection, zero
+    * shuffles. */
+  def mojibakeRepair(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = col(textCol)
+    val sigPat = "[\u00C2-\u00DF][\u0080-\u00BF]"
+    val bytes = encode(s, "ISO-8859-1")
+    // three guards: the signature pair must appear; every char must be
+    // Latin-1-mappable (encode substitutes '?' for anything above
+    // U+00FF BEFORE validity could notice \u2014 a mixed mojibake+emoji
+    // page must stay untouched, not half-repaired); and the re-read
+    // bytes must be valid UTF-8 (Spark 4's decode throws otherwise)
+    val fixable = s.rlike(sigPat) && !s.rlike("[\u0100-\uFFFF]") &&
+      is_valid_utf8(bytes)
+    val repaired = when(fixable, decode(bytes, "UTF-8")).otherwise(s)
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+      size(regexp_extract_all(s, lit(sigPat), lit(0))).cast(LongType).as("n_seqs"),
+      (repaired =!= s).as("changed"),
+      repaired.as("text_fixed"))
+  }
+
+  /** Registered query: four deterministic seedings IN BOTH ENGINES —
+    * real mojibake ('a'→"Ã¡", 'o'→"Ã¶": must repair to á/ö), a real
+    * accent ('e'→é: no signature, untouched), a signature trap
+    * ("Ãx": lead char before ASCII, untouched), and clean rows. The
+    * oracle replays the OUTCOME via the literal seed map (ASCII base
+    * text ⇒ the generic roundtrip equals the map); the generic-path
+    * equivalence on non-seeded inputs is spec-pinned. */
+  def mojibakeQ(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+            regexp_replace(col("text"), "a", "Ã¡"))
+          .when(pmod(col("doc_id"), lit(6)) === 1,
+            regexp_replace(col("text"), "e", "é"))
+          .when(pmod(col("doc_id"), lit(6)) === 2,
+            concat(col("text"), lit(" Ãx")))
+          .when(pmod(col("doc_id"), lit(6)) === 3,
+            regexp_replace(col("text"), "o", "Ã¶"))
+          .otherwise(col("text")).as("text"))
+    mojibakeRepair(seeded, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
   // ---- Group-LCP template detection (row 178) ----
 
   /** Longest common prefix per group (SURVEY.md §2 row 178) — the
@@ -320,6 +376,7 @@ object Hygiene {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mojibake"      -> (mojibakeQ _),
     "q_char_runs"     -> (charRunsQ _),
     "q_unicode_norm"  -> (unicodeNormQ _),
     "q_dedup_lines"   -> (dedupLinesQ _),
@@ -329,6 +386,34 @@ object Hygiene {
     "q_template_prefix" -> (templatePrefixQ _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle replays the OUTCOME of the roundtrip via the literal
+    // seed map — sound because the base text is ASCII, so the generic
+    // Latin-1→UTF-8 re-read touches exactly the seeded pairs; n_seqs
+    // counts signature pairs = seeded replacements (1 char each in
+    // the source text); the trap and real-accent rows change nothing
+    "q_mojibake" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 6 = 0 THEN regexp_replace(text, 'a', 'Ã¡', 'g')
+        |         WHEN doc_id % 6 = 1 THEN regexp_replace(text, 'e', 'é', 'g')
+        |         WHEN doc_id % 6 = 2 THEN text || ' Ãx'
+        |         WHEN doc_id % 6 = 3 THEN regexp_replace(text, 'o', 'Ã¶', 'g')
+        |         ELSE text END AS seeded,
+        |    CASE WHEN doc_id % 6 = 0 THEN regexp_replace(text, 'a', 'á', 'g')
+        |         WHEN doc_id % 6 = 1 THEN regexp_replace(text, 'e', 'é', 'g')
+        |         WHEN doc_id % 6 = 2 THEN text || ' Ãx'
+        |         WHEN doc_id % 6 = 3 THEN regexp_replace(text, 'o', 'ö', 'g')
+        |         ELSE text END AS fixed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 6 = 0
+        |         THEN length(text) - length(replace(text, 'a', ''))
+        |       WHEN doc_id % 6 = 3
+        |         THEN length(text) - length(replace(text, 'o', ''))
+        |       ELSE 0 END AS BIGINT) AS n_seqs,
+        |  fixed <> seeded AS changed,
+        |  fixed AS text_fixed
+        |FROM s ORDER BY doc_id""".stripMargin,
     // same '!'-run seeding; runs replayed WITHOUT regex backreferences
     // (RE2 has none): run starts are positions whose char differs from
     // the previous one, run lengths are gaps between consecutive

@@ -16,6 +16,30 @@ class CharsetSpec extends AnyFunSuite {
       .orderBy($"doc_id")
       .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
 
+  private def repair(texts: String*): Seq[(Long, Long, Boolean, String)] =
+    Hygiene.mojibakeRepair(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Boolean, String)].collect().toSeq
+
+  test("mojibake repairs: double-encoded accents come back") {
+    val got = repair("cafÃ© bar", "naÃ¯ve tÃ©lÃ©")
+    assert(got(0) == ((0L, 1L, true, "café bar")))
+    assert(got(1)._4 == "naïve télé" && got(1)._2 == 3L)
+  }
+
+  test("mojibake guards: real accents, traps and mixed pages untouched") {
+    val got = repair(
+      "café real",                 // genuine é — no signature
+      "Ãx not continuation",       // lead char before ASCII
+      "cafÃ© and €")     // mojibake + euro: NOT Latin-1-mappable
+    assert(got.forall(r => !r._3), s"nothing may change: $got")
+    assert(got(0)._4 == "café real")
+    assert(got(2)._4 == "cafÃ© and €",
+      "a mixed page must not be half-repaired")
+  }
+
   test("clean ASCII: bytes == chars, nothing suspect") {
     val got = scan(Seq((1L, "plain ascii text")))
     val (_, nc, nb, na, ctl, rep, sus) = got.head
