@@ -70,6 +70,47 @@ class AgreementSpec extends AnyFunSuite {
     assert((n, agree, e, num, den) == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  private def alpha(rows: Seq[(Long, String)], maxRaters: Int = 4) =
+    Agreement.krippendorffAlpha(
+        spark.createDataFrame(rows.map { case (u, v) => (u, Option(v)) })
+          .toDF("u", "v"),
+        "u", "v", maxRaters)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Double])].head()
+
+  test("alpha hand cases: perfect 1, chance-level 0, systematic -1/2") {
+    // perfect: two units, each internally unanimous
+    val p = alpha(Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")), maxRaters = 2)
+    assert(p._8 == Some(1.0) && p._3 == 0L)
+    // u1 {a,a}, u2 {a,b}: DoL=2, n=4, De'=6 -> alpha = (6-3*2)/6 = 0
+    val c = alpha(Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b")), maxRaters = 2)
+    assert(c._6 == 0L && c._8 == Some(0.0))
+    // both units split {a,b}: alpha = (8-3*4)/8 = -0.5
+    val w = alpha(Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")), maxRaters = 2)
+    assert(w._8 == Some(-0.5))
+  }
+
+  test("alpha: singleton units and NULL ratings are excluded everywhere") {
+    val base = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+    val withNoise = base ++ Seq((3L, "b"), (4L, null.asInstanceOf[String]))
+    val (b, n) = (alpha(base, 2), alpha(withNoise, 2))
+    assert(b == n, "a 1-rating unit and a NULL rating must change nothing")
+    assert(b._1 == 2L, "n_units counts only m>=2 units")
+  }
+
+  test("alpha: one label value everywhere -> NULL (no chance disagreement)") {
+    val r = alpha(Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")), maxRaters = 2)
+    assert(r._5 == 0L && r._8.isEmpty)
+  }
+
+  test("alpha is invariant to the maxRaters LCM scale") {
+    val rows = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"))
+    val a4 = alpha(rows, maxRaters = 4)
+    val a8 = alpha(rows, maxRaters = 8)
+    assert(a4._8 == a8._8)
+    assert(a4._6 * a8._7 == a8._6 * a4._7, "the (num, den) ratio is L-invariant")
+  }
+
   test("partitioning invariance") {
     val rows = (1 to 97).map(i => (s"l${i % 3}", s"l${i % 4 % 3}"))
     assert(kappa(rows, 1) == kappa(rows, 13))
