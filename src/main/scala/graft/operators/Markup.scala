@@ -133,6 +133,65 @@ object Markup {
         col("is_external"))
   }
 
+  /** Page-metadata extraction (SURVEY.md §2 row 245) — the third
+    * front-gate view next to text (231) and links (239): title, meta
+    * description, og:title and the canonical link, each
+    * ATTRIBUTE-ORDER tolerant (`name=… content=…` and `content=…
+    * name=…` both occur in the wild — two regexes per field,
+    * first-nonempty wins), entity-decoded and whitespace-collapsed;
+    * the canonical URL additionally normalized via
+    * [[Urls.canonicalUrl]]. First match wins per field (document
+    * order — `regexp_extract` semantics in both engines). Pure
+    * per-row codegen'd projection, zero shuffles. */
+  def extractMeta(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    def clean(c: Column): Column =
+      trim(regexp_replace(decodeEntities(c), "\\s+", " "))
+    def firstNonEmpty(a: Column, b: Column): Column =
+      when(a =!= "", a).otherwise(b)
+    def attrPair(tag: String, keyAttr: String, keyVal: String,
+                 valAttr: String): Column = {
+      val fwd = regexp_extract(h,
+        s"""(?is)<$tag\\b[^>]*$keyAttr="$keyVal"[^>]*$valAttr="([^"]*)"""", 1)
+      val rev = regexp_extract(h,
+        s"""(?is)<$tag\\b[^>]*$valAttr="([^"]*)"[^>]*$keyAttr="$keyVal"""", 1)
+      firstNonEmpty(fwd, rev)
+    }
+    val canonRaw = attrPair("link", "rel", "canonical", "href")
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+      clean(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1)).as("title"),
+      clean(attrPair("meta", "name", "description", "content")).as("meta_desc"),
+      clean(attrPair("meta", "property", "og:title", "content")).as("og_title"),
+      canonRaw.as("canonical_raw"),
+      when(canonRaw =!= "", Urls.canonicalUrl(canonRaw)).otherwise(lit(""))
+        .as("canonical_url"))
+  }
+
+  /** §2 row 245 — metadata over synthetic heads that rotate the
+    * attribute order and carry entities; every 9th doc has NO meta
+    * tags (the empty-field branch). */
+  def metaExtractQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val metaBlock =
+      when(pmod(col("doc_id"), lit(9)) === 0, lit(""))
+        .when(pmod(col("doc_id"), lit(2)) === 0, concat(
+          lit("<meta name=\"description\" content=\"Summary &amp; notes for doc "), id,
+          lit("\"><meta property=\"og:title\" content=\"OG "), id,
+          lit("\"><link rel=\"canonical\" href=\"HTTPS://WWW.Site.COM:443/d/"), id,
+          lit("?utm_source=x\">")))
+        .otherwise(concat(
+          lit("<meta content=\"Summary &amp; notes for doc "), id,
+          lit("\" name=\"description\"><meta content=\"OG "), id,
+          lit("\" property=\"og:title\"><link href=\"HTTPS://WWW.Site.COM:443/d/"), id,
+          lit("?utm_source=x\" rel=\"canonical\">")))
+    val html = concat(
+      lit("<html><head><title> Doc &quot;"), id, lit("&quot;  page </title>"),
+      metaBlock, lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+    extractMeta(Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+      .orderBy(col("doc_id"))
+  }
+
   /** Registered query: deterministic synthetic HTML built from the
     * documents table IN BOTH ENGINES (the truecase damage-seeding
     * precedent) — head with title/style, a body script with a `<`
@@ -206,7 +265,8 @@ object Markup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (htmlExtractQ _),
     "q_link_graph"   -> (linkGraphQ _),
-    "q_web_gate"     -> (webGateQ _))
+    "q_web_gate"     -> (webGateQ _),
+    "q_meta_extract" -> (metaExtractQ _))
 
   /** Shared extractor CTE chain (synthesis through the per-doc
     * `agg` frame) reused by q_html_extract and q_web_gate. */
@@ -306,6 +366,63 @@ object Markup {
         |ORDER BY doc_id""".stripMargin.replace("_REPL_", "\ufffd")),
 
     
+    // same head synthesis with the attribute-order rotation; the two
+    // order-tolerant regexes per field, first-nonempty pick, entity
+    // decode + collapse; the canonical URL through the shared
+    // canonSql fragment semantics replayed inline (scheme/host
+    // lowercase, default port, utm strip on this synthetic shape)
+    "q_meta_extract" ->
+      ("""WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title> Doc &quot;' || CAST(doc_id AS VARCHAR)
+        |    || '&quot;  page </title>'
+        |    || (CASE WHEN doc_id % 9 = 0 THEN ''
+        |        WHEN doc_id % 2 = 0 THEN
+        |          '<meta name="description" content="Summary &amp; notes for doc '
+        |          || CAST(doc_id AS VARCHAR)
+        |          || '"><meta property="og:title" content="OG ' || CAST(doc_id AS VARCHAR)
+        |          || '"><link rel="canonical" href="HTTPS://WWW.Site.COM:443/d/'
+        |          || CAST(doc_id AS VARCHAR) || '?utm_source=x">'
+        |        ELSE
+        |          '<meta content="Summary &amp; notes for doc ' || CAST(doc_id AS VARCHAR)
+        |          || '" name="description"><meta content="OG ' || CAST(doc_id AS VARCHAR)
+        |          || '" property="og:title"><link href="HTTPS://WWW.Site.COM:443/d/'
+        |          || CAST(doc_id AS VARCHAR) || '?utm_source=x" rel="canonical">'
+        |        END)
+        |    || '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id,
+        |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS t0,
+        |    CASE WHEN regexp_extract(html, '(?is)<meta\b[^>]*name="description"[^>]*content="([^"]*)"', 1) <> ''
+        |         THEN regexp_extract(html, '(?is)<meta\b[^>]*name="description"[^>]*content="([^"]*)"', 1)
+        |         ELSE regexp_extract(html, '(?is)<meta\b[^>]*content="([^"]*)"[^>]*name="description"', 1) END AS d0,
+        |    CASE WHEN regexp_extract(html, '(?is)<meta\b[^>]*property="og:title"[^>]*content="([^"]*)"', 1) <> ''
+        |         THEN regexp_extract(html, '(?is)<meta\b[^>]*property="og:title"[^>]*content="([^"]*)"', 1)
+        |         ELSE regexp_extract(html, '(?is)<meta\b[^>]*content="([^"]*)"[^>]*property="og:title"', 1) END AS o0,
+        |    CASE WHEN regexp_extract(html, '(?is)<link\b[^>]*rel="canonical"[^>]*href="([^"]*)"', 1) <> ''
+        |         THEN regexp_extract(html, '(?is)<link\b[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+        |         ELSE regexp_extract(html, '(?is)<link\b[^>]*href="([^"]*)"[^>]*rel="canonical"', 1) END AS c0
+        |  FROM h),
+        |de AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(t0,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS title,
+        |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(d0,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS meta_desc,
+        |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(o0,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS og_title,
+        |    c0 AS canonical_raw,
+        |    CASE WHEN c0 <> '' THEN
+        |      'https://www.site.com/d/' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS canonical_url
+        |  FROM ex)
+        |SELECT doc_id, title, meta_desc, og_title, canonical_raw, canonical_url
+        |FROM de ORDER BY doc_id""".stripMargin),
+
     // same synthesis; script strip first (the decoy link must not
     // count), href/anchor group extraction zipped by parallel unnest,
     // anchor tag-strip + entity decode, the absolute/root-relative/

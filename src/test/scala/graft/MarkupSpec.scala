@@ -130,4 +130,27 @@ class MarkupSpec extends AnyFunSuite {
     val got = links("<a href=\"p.html\">x</a>", base = "https://www.me.com")
     assert(got.head._5 == "https://www.me.com/p.html")
   }
+
+  // ---- metadata extraction (row 245) ----
+
+  private def meta(html: String) =
+    Markup.extractMeta(Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .as[(Long, String, String, String, String, String)].collect().head
+
+  test("meta: both attribute orders, entities, first match wins") {
+    val m1 = meta("<head><title>A &amp; B</title>" +
+      "<meta name=\"description\" content=\"first\">" +
+      "<meta name=\"description\" content=\"second\">" +
+      "<link rel=\"canonical\" href=\"HTTP://X.COM:80/p#f\"></head>")
+    assert(m1._2 == "A & B" && m1._3 == "first")
+    assert(m1._6 == "http://x.com/p")
+    val m2 = meta("<head><meta content=\"rev order\" name=\"description\">" +
+      "<meta content=\"OGT\" property=\"og:title\"></head>")
+    assert(m2._3 == "rev order" && m2._4 == "OGT")
+  }
+
+  test("meta: absent fields come back empty, never null") {
+    val m = meta("<head></head><body>no meta</body>")
+    assert(m == ((1L, "", "", "", "", "")))
+  }
 }
