@@ -59,6 +59,64 @@ object TextOps2 {
     regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Luhn checksum over a digit string (SURVEY.md §2 row 246) — pure
+    * column ops: right-to-left positional doubling with the >9
+    * subtract-9 fold, mod 10. */
+  def luhnValid(s: Column): Column = {
+    val L = length(s)
+    val total = aggregate(
+      sequence(lit(1), L),
+      lit(0),
+      (acc, i) => {
+        val d = s.substr(i, lit(1)).cast(IntegerType)
+        val dd = when(pmod(L - i, lit(2)) === 1,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+          .otherwise(d)
+        acc + dd
+      })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** Checksum-validated card redaction — the precision upgrade over
+    * the row-60 regex scrub: a bare 13–19-digit regex redacts every
+    * order id and tracking number it meets; the Luhn gate keeps only
+    * candidates that are arithmetically POSSIBLE card numbers (all
+    * real card schemes are Luhn-valid), cutting the false-positive
+    * rate ~10× (a random digit run passes 1-in-10). Candidates are
+    * contiguous digit runs (documented; separator-tolerant matching
+    * is a pattern swap); replacement folds the VALID list over the
+    * text — per-row arrays, zero shuffles, no UDF. */
+  def luhnRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit("[0-9]{13,19}"), lit(0))
+    val valid = filter(cands, c => luhnValid(c))
+    // digit-only candidates are regex-safe; [CARD] is literal in a
+    // replacement (no $ or backslash)
+    val redacted = aggregate(valid, col(textCol),
+      (acc, c) => regexp_replace(acc, c, lit("[CARD]")))
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+      size(cands).cast(LongType).as("n_candidates"),
+      size(valid).cast(LongType).as("n_valid"),
+      redacted.as("text_redacted"))
+  }
+
+  /** §2 row 246 — four seedings in both engines: a valid Visa test
+    * number (redacted), a one-digit-off invalid twin (kept — the
+    * gate's whole point), a valid 15-digit Amex (redacted), and an
+    * 11-digit Luhn-valid run (too short — never a candidate). */
+  def luhnRedactQ(s: SparkSession, d: String): DataFrame = {
+    val seeded = Tables.documents(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(8)) === 0,
+          concat(col("text"), lit(" card 4111111111111111 on file")))
+        .when(pmod(col("doc_id"), lit(8)) === 1,
+          concat(col("text"), lit(" order 4111111111111112 shipped")))
+        .when(pmod(col("doc_id"), lit(8)) === 2,
+          concat(col("text"), lit(" amex 371449635398431 ok")))
+        .when(pmod(col("doc_id"), lit(8)) === 3,
+          concat(col("text"), lit(" ref 79927398713 short")))
+        .otherwise(col("text")).as("text"))
+    luhnRedact(seeded, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
   /** q_redact — redacted length + change flag per doc (the corpus is
     * synthetic prose, so most rows are unchanged — the oracle still
     * pins the regex semantics end-to-end). */
@@ -272,6 +330,7 @@ object TextOps2 {
     "q_prf_expand" -> (prfQ _),
     "q_tfidf"  -> (tfidfQ _),
     "q_redact" -> (redactQ _),
+    "q_luhn_redact" -> (luhnRedactQ _),
     "q_bm25"   -> (bm25Q _),
   )
 
@@ -329,6 +388,35 @@ object TextOps2 {
   private[operators] val bm25RankCtes = bm25RankCtesOver("documents")
 
   val oracles: Map[String, String] = Map(
+    // same seeding; candidates via the same regex, the Luhn fold as a
+    // per-candidate list comprehension, redaction as the
+    // list_prepend/list_reduce fold (the BpeOps mergeSql trick)
+    "q_luhn_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 0 THEN text || ' card 4111111111111111 on file'
+        |         WHEN doc_id % 8 = 1 THEN text || ' order 4111111111111112 shipped'
+        |         WHEN doc_id % 8 = 2 THEN text || ' amex 371449635398431 ok'
+        |         WHEN doc_id % 8 = 3 THEN text || ' ref 79927398713 short'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, '[0-9]{13,19}', 0) AS cands,
+        |    list_filter(regexp_extract_all(text, '[0-9]{13,19}', 0),
+        |      c -> list_sum([CASE WHEN (length(c) - i) % 2 = 1
+        |             THEN CASE WHEN 2 * CAST(substr(c, CAST(i AS INT), 1) AS INT) > 9
+        |                       THEN 2 * CAST(substr(c, CAST(i AS INT), 1) AS INT) - 9
+        |                       ELSE 2 * CAST(substr(c, CAST(i AS INT), 1) AS INT) END
+        |             ELSE CAST(substr(c, CAST(i AS INT), 1) AS INT) END
+        |           FOR i IN range(1, length(c) + 1)]) % 10 = 0) AS valids
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(len(valids) AS BIGINT) AS n_valid,
+        |  list_reduce(list_prepend(text, valids),
+        |    (acc, x) -> replace(acc, x, '[CARD]')) AS text_redacted
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the same three counts (letters+digits, tokens, [.!?]+ groups with
     // the S=1 fallback), the integer ARI pair and one pinned division
     "q_readability" ->

@@ -76,6 +76,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       "nothing sensitive here"))
   }
 
+  test("luhn redaction: valid cards go, invalid twins and short runs stay") {
+    val df = Seq(
+      (1L, "pay 4111111111111111 now"),          // valid Visa test number
+      (2L, "order 4111111111111112 shipped"),     // checksum off by one
+      (3L, "amex 371449635398431 and visa 4012888888881881 both"),
+      (4L, "ref 79927398713 is Luhn-valid but 11 digits"),
+      (5L, "plain text")).toDF("doc_id", "text")
+    val out = TextOps2.luhnRedact(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 1L, 1L, "pay [CARD] now")))
+    assert(out(1) == ((2L, 1L, 0L, "order 4111111111111112 shipped")))
+    assert(out(2) == ((3L, 2L, 2L, "amex [CARD] and visa [CARD] both")))
+    assert(out(3)._2 == 0L && !out(3)._4.contains("[CARD]"))
+    assert(out(4) == ((5L, 0L, 0L, "plain text")))
+  }
+
   test("connected components resolves chains and keeps islands apart (both paths)") {
     // 1-2-3-4-5 is a 4-hop chain (needs >1 propagation round); 10-11 is
     // a separate island; 20 pairs with itself never appears (no pairs).
