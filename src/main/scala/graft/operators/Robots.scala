@@ -127,10 +127,120 @@ object Robots {
       .orderBy(col("host"), col("path"))
   }
 
+  // ---- sitemap discovery (row 247) ----
+
+  /** Sitemap parsing + recrawl selection (SURVEY.md §2 row 247) —
+    * robots' DISCOVERY companion: `<url>` entries pulled from a
+    * sitemap body (loc required; lastmod/priority optional), loc
+    * canonicalized via row 232, priority carried as exact ppm
+    * (priority="0.8" → 800000 — no doubles on the wire), and the
+    * recrawl verdict lastmod > cutoff that an incremental fetcher
+    * acts on (the row-2 watermark idea applied to the crawl
+    * frontier). Per-row projection + one posexplode; order within a
+    * sitemap is document order. */
+  def parseSitemap(maps: DataFrame, hostCol: String, xmlCol: String,
+                   recrawlAfter: String): DataFrame = {
+    val entryPat = "(?is)<url>(.*?)</url>"
+    val entries = maps
+      .select(col(hostCol).as("host"),
+        posexplode(regexp_extract_all(col(xmlCol), lit(entryPat), lit(1)))
+          .as(Seq("pos", "e")))
+    entries.select(col("host"), col("pos").cast(LongType).as("pos"),
+        regexp_extract(col("e"), "(?is)<loc>(.*?)</loc>", 1).as("loc"),
+        regexp_extract(col("e"), "(?is)<lastmod>(.*?)</lastmod>", 1).as("lastmod"),
+        regexp_extract(col("e"), "(?is)<priority>0?\\.([0-9]+)</priority>", 1).as("p"))
+      .filter(col("loc") =!= "")
+      .select(col("host"), col("pos"), col("loc"),
+        Urls.canonicalUrl(col("loc")).as("loc_canon"),
+        col("lastmod"),
+        when(col("p") =!= "",
+          (rpad(col("p"), 6, "0").substr(1, 6)).cast(LongType))
+          .otherwise(lit(500000L)).as("priority_ppm"),
+        (col("lastmod") =!= "" && col("lastmod") > recrawlAfter).as("recrawl"))
+  }
+
+  /** §2 row 247 — one synthetic sitemap per host assembled by
+    * aggregation from the documents on that host (ordered string_agg
+    * == sorted-collect join — pinned by the round trip), then parsed
+    * back: loc with tracking params to canonicalize, rotating lastmod
+    * dates around the recrawl cutoff, priority present on every 2nd
+    * entry. */
+  def sitemapQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val host = concat(lit("www."), lower(col("source")), lit(".com"))
+    val lastmod = when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
+      .otherwise(concat(lit("2025-01-"),
+        lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")))
+    val prio = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("<priority>0."), (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
+        lit("</priority>"))).otherwise(lit(""))
+    val entry = concat(lit("<url><loc>HTTPS://WWW."), upper(col("source")),
+      lit(".COM:443/p/"), col("doc_id").cast("string"),
+      lit("?utm_source=map&v=1</loc>"),
+      when(lastmod =!= "", concat(lit("<lastmod>"), lastmod, lit("</lastmod>")))
+        .otherwise(lit("")),
+      prio, lit("</url>"))
+    val maps = docs.select(host.as("host"), col("doc_id"), entry.as("entry"))
+      .groupBy(col("host"))
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(sort_array(collect_list(
+            struct(col("doc_id"), col("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("xml"))
+    parseSitemap(maps, "host", "xml", recrawlAfter = "2025-01-15")
+      .orderBy(col("host"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_robots" -> (robotsQ _))
+    "q_robots" -> (robotsQ _),
+    "q_sitemap" -> (sitemapQ _))
 
   val oracles: Map[String, String] = Map(
+    // same per-host assembly (ordered string_agg == the sorted-collect
+    // join), entry extraction with parallel unnest, field regexes,
+    // ppm rpad, the shared canonSql fragment keyed (site, pos) — the
+    // key is renamed because canonSql itself emits a `host` column
+    "q_sitemap" ->
+      ("""WITH e0 AS (
+         |  SELECT doc_id, 'www.' || lower(source) || '.com' AS host,
+         |    '<url><loc>HTTPS://WWW.' || upper(source) || '.COM:443/p/'
+         |    || CAST(doc_id AS VARCHAR) || '?utm_source=map&v=1</loc>'
+         |    || (CASE WHEN doc_id % 3 = 0 THEN ''
+         |        ELSE '<lastmod>2025-01-'
+         |          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         |          || '</lastmod>' END)
+         |    || (CASE WHEN doc_id % 2 = 0 THEN
+         |          '<priority>0.' || CAST(doc_id % 9 + 1 AS VARCHAR) || '</priority>'
+         |        ELSE '' END)
+         |    || '</url>' AS entry
+         |  FROM documents),
+         |xml AS (
+         |  SELECT host, '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
+         |    || '</urlset>' AS xml
+         |  FROM e0 GROUP BY host),
+         |ent AS (
+         |  SELECT host,
+         |    unnest(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)) AS e,
+         |    unnest(range(0, len(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)))) AS pos
+         |  FROM xml),
+         |lnk AS (
+         |  SELECT host AS site, CAST(pos AS BIGINT) AS pos,
+         |    regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) AS loc,
+         |    regexp_extract(e, '(?is)<lastmod>(.*?)</lastmod>', 1) AS lastmod,
+         |    regexp_extract(e, '(?is)<priority>0?\.([0-9]+)</priority>', 1) AS p,
+         |    regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) AS url
+         |  FROM ent
+         |  WHERE regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) <> ''),
+         |""".stripMargin
+        + Urls.canonSql("lnk", Seq("site", "pos"))
+        + """
+          |SELECT l.site AS host, l.pos, l.loc, c.url_canon AS loc_canon,
+          |  l.lastmod,
+          |  CAST(CASE WHEN l.p <> '' THEN substr(rpad(l.p, 6, '0'), 1, 6)
+          |       ELSE '500000' END AS BIGINT) AS priority_ppm,
+          |  (l.lastmod <> '' AND l.lastmod > '2025-01-15') AS recrawl
+          |FROM lnk l JOIN canonized c ON l.site = c.site AND l.pos = c.pos
+          |ORDER BY host, l.pos""".stripMargin),
     // same synthesis (min-id robots body per host via ROW_NUMBER),
     // line parse + the lag-based group assignment, exact-beats-star
     // selection, and the longest-match/Allow-ties argmax replayed as

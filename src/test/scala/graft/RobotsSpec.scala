@@ -62,4 +62,22 @@ class RobotsSpec extends AnyFunSuite {
     val v = verdicts("# nothing here", Seq("/any"))
     assert(v("/any") == ((true, None)))
   }
+
+  test("sitemap: loc canonicalized, optional fields defaulted, recrawl cutoff") {
+    val xml = "<urlset>" +
+      "<url><loc>HTTP://A.COM:80/x?utm_source=m&id=2</loc>" +
+      "<lastmod>2025-02-01</lastmod><priority>0.8</priority></url>" +
+      "<url><loc>https://a.com/old</loc><lastmod>2025-01-01</lastmod></url>" +
+      "<url><loc>https://a.com/nodate</loc></url>" +
+      "<url><lastmod>2025-03-01</lastmod></url>" + // no loc -> dropped
+      "</urlset>"
+    val got = Robots.parseSitemap(
+        Seq(("h", xml)).toDF("host", "xml"), "host", "xml", "2025-01-15")
+      .orderBy($"pos")
+      .as[(String, Long, String, String, String, Long, Boolean)].collect().toSeq
+    assert(got.size == 3)
+    assert(got(0)._4 == "http://a.com/x?id=2" && got(0)._6 == 800000L && got(0)._7)
+    assert(got(1)._6 == 500000L && !got(1)._7, "old lastmod: no recrawl")
+    assert(got(2)._5 == "" && !got(2)._7, "no lastmod: no recrawl")
+  }
 }
