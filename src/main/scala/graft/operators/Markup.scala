@@ -133,6 +133,56 @@ object Markup {
         col("is_external"))
   }
 
+  /** HTML table extraction (SURVEY.md §2 row 248) — the STRUCTURED
+    * fourth front-gate view (text 231 / links 239 / metadata 245):
+    * `<table>` → `<tr>` → `<th>/<td>` parsed into one row per CELL
+    * with (table, row, col) coordinates and a header flag, cell text
+    * cleaned (inner tags stripped, entities decoded, whitespace
+    * collapsed). The shape a table-to-text linearizer or a
+    * column-type profiler consumes. Three positional explosions, all
+    * per-row column ops (regex groups zipped like extractLinks);
+    * zero shuffles beyond the caller's sink. */
+  def extractTables(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val tablePat = "(?is)<table\\b[^>]*>(.*?)</table>"
+    val rowPat = "(?is)<tr\\b[^>]*>(.*?)</tr>"
+    val cellPat = "(?is)<(t[hd])\\b[^>]*>(.*?)</t[hd]>"
+    val tables = docs.select(col(idCol).cast(LongType).as("doc_id"),
+        posexplode(regexp_extract_all(col(htmlCol), lit(tablePat), lit(1)))
+          .as(Seq("table_idx", "t")))
+    val rows = tables.select(col("doc_id"), col("table_idx").cast(LongType).as("table_idx"),
+        posexplode(regexp_extract_all(col("t"), lit(rowPat), lit(1)))
+          .as(Seq("row_idx", "r")))
+    rows.select(col("doc_id"), col("table_idx"), col("row_idx").cast(LongType).as("row_idx"),
+        posexplode(zip_with(
+          regexp_extract_all(col("r"), lit(cellPat), lit(1)),
+          regexp_extract_all(col("r"), lit(cellPat), lit(2)),
+          (tag, c) => struct(tag.as("tag"), c.as("c")))).as(Seq("col_idx", "cell")))
+      .select(col("doc_id"), col("table_idx"), col("row_idx"),
+        col("col_idx").cast(LongType).as("col_idx"),
+        (lower(col("cell.tag")) === "th").as("is_header"),
+        trim(regexp_replace(
+          decodeEntities(regexp_replace(col("cell.c"), "<[^>]*>", "")),
+          "\\s+", " ")).as("cell_text"))
+  }
+
+  /** §2 row 248 — cells of two seeded tables per doc: a 2×3 table
+    * with a `<th>` header row, an entity cell and a nested inline
+    * tag, plus a single-cell table; every 7th doc has no tables. */
+  def tablesQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")))
+      .otherwise(concat(
+        lit("<html><body><table><tr><th>Name</th><th>Qty &amp; unit</th><th>Id</th></tr>" +
+          "<tr><td>Part <b>alpha</b></td><td> 4 &lt;kg&gt; </td><td>"), id,
+        lit("</td></tr></table><p>between</p>" +
+          "<table id=\"x\"><tr><td>only "), id,
+        lit("</td></tr></table></body></html>")))
+    extractTables(Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+      .orderBy(col("doc_id"), col("table_idx"), col("row_idx"), col("col_idx"))
+  }
+
   /** Page-metadata extraction (SURVEY.md §2 row 245) — the third
     * front-gate view next to text (231) and links (239): title, meta
     * description, og:title and the canonical link, each
@@ -266,7 +316,8 @@ object Markup {
     "q_html_extract" -> (htmlExtractQ _),
     "q_link_graph"   -> (linkGraphQ _),
     "q_web_gate"     -> (webGateQ _),
-    "q_meta_extract" -> (metaExtractQ _))
+    "q_meta_extract" -> (metaExtractQ _),
+    "q_html_tables"  -> (tablesQ _))
 
   /** Shared extractor CTE chain (synthesis through the per-doc
     * `agg` frame) reused by q_html_extract and q_web_gate. */
@@ -366,6 +417,49 @@ object Markup {
         |ORDER BY doc_id""".stripMargin.replace("_REPL_", "\ufffd")),
 
     
+    // same synthesis; three chained parallel unnests (tables, rows,
+    // cells) with the tag/content groups zipped, cell cleanup via the
+    // shared strip/decode/collapse chain
+    "q_html_tables" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      '<html><body><p>' || text || '</p></body></html>'
+        |    ELSE
+        |      '<html><body><table><tr><th>Name</th><th>Qty &amp; unit</th><th>Id</th></tr>'
+        |      || '<tr><td>Part <b>alpha</b></td><td> 4 &lt;kg&gt; </td><td>'
+        |      || CAST(doc_id AS VARCHAR)
+        |      || '</td></tr></table><p>between</p>'
+        |      || '<table id="x"><tr><td>only ' || CAST(doc_id AS VARCHAR)
+        |      || '</td></tr></table></body></html>' END AS html
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '(?is)<table\b[^>]*>(.*?)</table>', 1)) AS t,
+        |    unnest(range(0, len(regexp_extract_all(html, '(?is)<table\b[^>]*>(.*?)</table>', 1)))) AS table_idx
+        |  FROM h),
+        |rw AS (
+        |  SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+        |    unnest(regexp_extract_all(t, '(?is)<tr\b[^>]*>(.*?)</tr>', 1)) AS r,
+        |    unnest(range(0, len(regexp_extract_all(t, '(?is)<tr\b[^>]*>(.*?)</tr>', 1)))) AS row_idx
+        |  FROM tb),
+        |cl AS (
+        |  SELECT doc_id, table_idx, CAST(row_idx AS BIGINT) AS row_idx,
+        |    unnest(regexp_extract_all(r, '(?is)<(t[hd])\b[^>]*>(.*?)</t[hd]>', 1)) AS tag,
+        |    unnest(regexp_extract_all(r, '(?is)<(t[hd])\b[^>]*>(.*?)</t[hd]>', 2)) AS c,
+        |    unnest(range(0, len(regexp_extract_all(r, '(?is)<(t[hd])\b[^>]*>(.*?)</t[hd]>', 1)))) AS col_idx
+        |  FROM rw)
+        |SELECT doc_id, table_idx, row_idx, CAST(col_idx AS BIGINT) AS col_idx,
+        |  lower(tag) = 'th' AS is_header,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(c, '<[^>]*>', '', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS cell_text
+        |FROM cl
+        |ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin,
+
     // same head synthesis with the attribute-order rotation; the two
     // order-tolerant regexes per field, first-nonempty pick, entity
     // decode + collapse; the canonical URL through the shared

@@ -153,4 +153,28 @@ class MarkupSpec extends AnyFunSuite {
     val m = meta("<head></head><body>no meta</body>")
     assert(m == ((1L, "", "", "", "", "")))
   }
+
+  // ---- table extraction (row 248) ----
+
+  test("tables: coordinates, header flags, cleanup, multiple tables") {
+    val html = "<table><tr><th>H1</th><th>H &amp; 2</th></tr>" +
+      "<tr><td>a <b>b</b></td><td> c  d </td></tr></table>" +
+      "<p>x</p><table><tr><td>solo</td></tr></table>"
+    val got = Markup.extractTables(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .orderBy($"table_idx", $"row_idx", $"col_idx")
+      .as[(Long, Long, Long, Long, Boolean, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, true, "H1"),
+      (1L, 0L, 0L, 1L, true, "H & 2"),
+      (1L, 0L, 1L, 0L, false, "a b"),
+      (1L, 0L, 1L, 1L, false, "c d"),
+      (1L, 1L, 0L, 0L, false, "solo")))
+  }
+
+  test("tables: a page without tables yields no rows") {
+    val got = Markup.extractTables(
+      Seq((1L, "<p>nothing tabular</p>")).toDF("doc_id", "html"), "doc_id", "html")
+    assert(got.count() == 0)
+  }
 }
