@@ -191,15 +191,160 @@ object Robots {
       .orderBy(col("host"), col("pos"))
   }
 
+  /** §2 row 249 — the crawl capstone: sitemap discovery (247)
+    * through the robots gate (241): per discovered URL the canonical
+    * loc, its robots verdict for `graftbot`, the recrawl flag, and
+    * fetch = allowed ∧ due. The frontier a polite incremental fetcher
+    * executes. */
+  def crawlPlanQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val host = concat(lit("www."), lower(col("source")), lit(".com"))
+    // sitemap whose paths exercise the robots rule set
+    val lastmod = when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
+      .otherwise(concat(lit("2025-01-"),
+        lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")))
+    val prio = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("<priority>0."), (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
+        lit("</priority>"))).otherwise(lit(""))
+    val pathPart = when(pmod(col("doc_id"), lit(4)) === 0, "/private/")
+      .when(pmod(col("doc_id"), lit(4)) === 1, "/private/ok/")
+      .when(pmod(col("doc_id"), lit(4)) === 2, "/tmp")
+      .otherwise("/public/")
+    val entry = concat(lit("<url><loc>HTTPS://WWW."), upper(col("source")),
+      lit(".COM:443"), pathPart, lit("page"),
+      pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("?utm_source=map</loc>"),
+      when(lastmod =!= "", concat(lit("<lastmod>"), lastmod, lit("</lastmod>")))
+        .otherwise(lit("")),
+      prio, lit("</url>"))
+    val maps = docs.select(host.as("host"), col("doc_id"), entry.as("entry"))
+      .groupBy(col("host"))
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(sort_array(collect_list(
+            struct(col("doc_id"), col("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("xml"))
+    val sm = parseSitemap(maps, "host", "xml", recrawlAfter = "2025-01-15")
+      .withColumn("path",
+        regexp_extract(col("loc_canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))
+    // robots: the same three seeded shapes as robotsQ
+    val robotsTxt =
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(
+        "# star only\nUser-agent: *\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /tmp"))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit(
+        "User-agent: *\nDisallow: /\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /private/\nAllow: /private/ok/"))
+      .otherwise(lit("# no rules here\n# just comments"))
+    val robots = docs.select(host.as("host"), col("doc_id"), robotsTxt.as("txt"))
+      .groupBy(col("host")).agg(min(struct(col("doc_id"), col("txt"))).as("m"))
+      .select(col("host"), col("m.txt").as("txt"))
+    val verdicts = decide(sm.select(col("host"), col("path")).distinct(),
+        parseRules(robots, "host", "txt"), "GraftBot")
+      .select(col("host"), col("path"), col("allowed"))
+    sm.join(verdicts, Seq("host", "path"))
+      .select(col("host"), col("pos"), col("path"), col("loc_canon"),
+        col("priority_ppm"), col("recrawl"), col("allowed"),
+        (col("allowed") && col("recrawl")).as("fetch"))
+      .orderBy(col("host"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_robots" -> (robotsQ _),
-    "q_sitemap" -> (sitemapQ _))
+    "q_sitemap" -> (sitemapQ _),
+    "q_crawl_plan" -> (crawlPlanQ _))
+
+  /** Robots parse/select replay reading CTE `robots(host, txt)`:
+    * emits lns…sel with `sel(host, allow, path)` = the rules applying
+    * to `agent` (exact groups shadow `*`). Shared by q_robots and
+    * q_crawl_plan so the replays cannot drift. */
+  private[operators] def robotsSelSql(agent: String): String =
+    s"""lns AS (
+       |  SELECT host, pos, trim(regexp_replace(raw, '#.*$$', '')) AS line
+       |  FROM (SELECT host,
+       |          unnest(string_split(txt, chr(10))) AS raw,
+       |          unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos
+       |        FROM robots) t),
+       |fl AS (
+       |  SELECT host, pos,
+       |    lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS field,
+       |    trim(regexp_replace(line, '^[A-Za-z-]+\\s*:', '')) AS value
+       |  FROM lns WHERE line <> ''),
+       |fk AS (SELECT * FROM fl WHERE field IN ('user-agent', 'allow', 'disallow')),
+       |grp AS (
+       |  SELECT host, pos, field, value,
+       |    SUM(CASE WHEN field = 'user-agent'
+       |          AND (prevField IS NULL OR prevField <> 'user-agent')
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY host ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM (SELECT *, LAG(field) OVER (PARTITION BY host ORDER BY pos) AS prevField
+       |        FROM fk) p),
+       |uas AS (
+       |  SELECT host, grp, list(DISTINCT lower(value)) AS ua_set
+       |  FROM grp WHERE field = 'user-agent' GROUP BY host, grp),
+       |rules AS (
+       |  SELECT g.host, g.grp,
+       |    list_contains(u.ua_set, '$agent') AS exact,
+       |    list_contains(u.ua_set, '*') AS star,
+       |    g.field = 'allow' AS allow, g.value AS path
+       |  FROM grp g JOIN uas u ON g.host = u.host AND g.grp = u.grp
+       |  WHERE g.field <> 'user-agent'),
+       |sel AS (
+       |  SELECT r.host, r.allow, r.path FROM rules r
+       |  JOIN (SELECT host, MAX(CASE WHEN exact THEN 1 ELSE 0 END) AS he
+       |        FROM rules WHERE exact OR star GROUP BY host) h
+       |    ON r.host = h.host
+       |  WHERE ((h.he = 1 AND r.exact) OR (h.he = 0 AND r.star))
+       |    AND r.path <> '')""".stripMargin
+
+  /** The seeded per-host robots bodies (three shapes), CTE `robots`. */
+  private[operators] val robotsBodiesSql: String =
+    """d AS (
+      |  SELECT doc_id, 'www.' || lower(source) || '.com' AS host,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      '# star only' || chr(10) || 'User-agent: *' || chr(10)
+      |      || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
+      |      || chr(10) || 'Disallow: /tmp'
+      |    WHEN doc_id % 3 = 1 THEN
+      |      'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
+      |      || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot'
+      |      || chr(10) || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
+      |    ELSE '# no rules here' || chr(10) || '# just comments' END AS txt
+      |  FROM documents),
+      |robots AS (
+      |  SELECT host, txt FROM (
+      |    SELECT host, txt, ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+      |    FROM d) r WHERE rn = 1)""".stripMargin
+
+  /** Sitemap parse replay reading CTE `xml(host, xml)`: entry unnest,
+    * field regexes, canonSql keyed (site, pos), emits
+    * `smap(site, pos, loc, loc_canon, lastmod, priority_ppm, recrawl)`.
+    * Shared by q_sitemap and q_crawl_plan. */
+  private[operators] def sitemapParseSql(cutoff: String): String =
+    ("""ent AS (
+      |  SELECT host,
+      |    unnest(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)) AS e,
+      |    unnest(range(0, len(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)))) AS pos
+      |  FROM xml),
+      |lnk AS (
+      |  SELECT host AS site, CAST(pos AS BIGINT) AS pos,
+      |    regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) AS loc,
+      |    regexp_extract(e, '(?is)<lastmod>(.*?)</lastmod>', 1) AS lastmod,
+      |    regexp_extract(e, '(?is)<priority>0?\.([0-9]+)</priority>', 1) AS p,
+      |    regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) AS url
+      |  FROM ent
+      |  WHERE regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) <> ''),
+      |""".stripMargin
+      + Urls.canonSql("lnk", Seq("site", "pos")) + ",\n"
+      + s"""smap AS (
+         |  SELECT l.site, l.pos, l.loc, c.url_canon AS loc_canon, l.lastmod,
+         |    CAST(CASE WHEN l.p <> '' THEN substr(rpad(l.p, 6, '0'), 1, 6)
+         |         ELSE '500000' END AS BIGINT) AS priority_ppm,
+         |    (l.lastmod <> '' AND l.lastmod > '$cutoff') AS recrawl
+         |  FROM lnk l JOIN canonized c ON l.site = c.site AND l.pos = c.pos)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
-    // same per-host assembly (ordered string_agg == the sorted-collect
-    // join), entry extraction with parallel unnest, field regexes,
-    // ppm rpad, the shared canonSql fragment keyed (site, pos) — the
-    // key is renamed because canonSql itself emits a `host` column
+    // per-host assembly (ordered string_agg == the sorted-collect
+    // join) + the shared sitemapParseSql fragment
     "q_sitemap" ->
       ("""WITH e0 AS (
          |  SELECT doc_id, 'www.' || lower(source) || '.com' AS host,
@@ -218,89 +363,18 @@ object Robots {
          |  SELECT host, '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
          |    || '</urlset>' AS xml
          |  FROM e0 GROUP BY host),
-         |ent AS (
-         |  SELECT host,
-         |    unnest(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)) AS e,
-         |    unnest(range(0, len(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)))) AS pos
-         |  FROM xml),
-         |lnk AS (
-         |  SELECT host AS site, CAST(pos AS BIGINT) AS pos,
-         |    regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) AS loc,
-         |    regexp_extract(e, '(?is)<lastmod>(.*?)</lastmod>', 1) AS lastmod,
-         |    regexp_extract(e, '(?is)<priority>0?\.([0-9]+)</priority>', 1) AS p,
-         |    regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) AS url
-         |  FROM ent
-         |  WHERE regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) <> ''),
          |""".stripMargin
-        + Urls.canonSql("lnk", Seq("site", "pos"))
+        + sitemapParseSql("2025-01-15")
         + """
-          |SELECT l.site AS host, l.pos, l.loc, c.url_canon AS loc_canon,
-          |  l.lastmod,
-          |  CAST(CASE WHEN l.p <> '' THEN substr(rpad(l.p, 6, '0'), 1, 6)
-          |       ELSE '500000' END AS BIGINT) AS priority_ppm,
-          |  (l.lastmod <> '' AND l.lastmod > '2025-01-15') AS recrawl
-          |FROM lnk l JOIN canonized c ON l.site = c.site AND l.pos = c.pos
-          |ORDER BY host, l.pos""".stripMargin),
-    // same synthesis (min-id robots body per host via ROW_NUMBER),
-    // line parse + the lag-based group assignment, exact-beats-star
-    // selection, and the longest-match/Allow-ties argmax replayed as
-    // a (len, allow, path) ROW_NUMBER pick; unmatched URLs default
-    // allowed via the LEFT JOIN
+          |SELECT site AS host, pos, loc, loc_canon, lastmod, priority_ppm, recrawl
+          |FROM smap
+          |ORDER BY host, pos""".stripMargin),
+
+    // seeded bodies + the shared robotsSelSql fragment; URL verdicts
+    // via the (len, allow, path) ROW_NUMBER argmax; unmatched URLs
+    // default allowed through the LEFT JOIN
     "q_robots" ->
-      """WITH d AS (
-        |  SELECT doc_id, 'www.' || lower(source) || '.com' AS host,
-        |    CASE WHEN doc_id % 3 = 0 THEN
-        |      '# star only' || chr(10) || 'User-agent: *' || chr(10)
-        |      || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
-        |      || chr(10) || 'Disallow: /tmp'
-        |    WHEN doc_id % 3 = 1 THEN
-        |      'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
-        |      || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot'
-        |      || chr(10) || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
-        |    ELSE '# no rules here' || chr(10) || '# just comments' END AS txt
-        |  FROM documents),
-        |robots AS (
-        |  SELECT host, txt FROM (
-        |    SELECT host, txt, ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
-        |    FROM d) r WHERE rn = 1),
-        |lns AS (
-        |  SELECT host, pos, trim(regexp_replace(raw, '#.*$', '')) AS line
-        |  FROM (SELECT host,
-        |          unnest(string_split(txt, chr(10))) AS raw,
-        |          unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos
-        |        FROM robots) t),
-        |fl AS (
-        |  SELECT host, pos,
-        |    lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS field,
-        |    trim(regexp_replace(line, '^[A-Za-z-]+\s*:', '')) AS value
-        |  FROM lns WHERE line <> ''),
-        |fk AS (SELECT * FROM fl WHERE field IN ('user-agent', 'allow', 'disallow')),
-        |grp AS (
-        |  SELECT host, pos, field, value,
-        |    SUM(CASE WHEN field = 'user-agent'
-        |          AND (prevField IS NULL OR prevField <> 'user-agent')
-        |        THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY host ORDER BY pos
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-        |  FROM (SELECT *, LAG(field) OVER (PARTITION BY host ORDER BY pos) AS prevField
-        |        FROM fk) p),
-        |uas AS (
-        |  SELECT host, grp, list(DISTINCT lower(value)) AS ua_set
-        |  FROM grp WHERE field = 'user-agent' GROUP BY host, grp),
-        |rules AS (
-        |  SELECT g.host, g.grp,
-        |    list_contains(u.ua_set, 'graftbot') AS exact,
-        |    list_contains(u.ua_set, '*') AS star,
-        |    g.field = 'allow' AS allow, g.value AS path
-        |  FROM grp g JOIN uas u ON g.host = u.host AND g.grp = u.grp
-        |  WHERE g.field <> 'user-agent'),
-        |sel AS (
-        |  SELECT r.host, r.allow, r.path FROM rules r
-        |  JOIN (SELECT host, MAX(CASE WHEN exact THEN 1 ELSE 0 END) AS he
-        |        FROM rules WHERE exact OR star GROUP BY host) h
-        |    ON r.host = h.host
-        |  WHERE ((h.he = 1 AND r.exact) OR (h.he = 0 AND r.star))
-        |    AND r.path <> ''),
+      ("WITH " + robotsBodiesSql + ",\n" + robotsSelSql("graftbot") + """,
         |urls AS (
         |  SELECT DISTINCT 'www.' || lower(source) || '.com' AS host,
         |    (CASE WHEN doc_id % 4 = 0 THEN '/private/'
@@ -322,5 +396,51 @@ object Robots {
         |  COALESCE(allow, TRUE) AS allowed,
         |  rpath AS rule_path
         |FROM v
-        |ORDER BY host, path""".stripMargin)
+        |ORDER BY host, path""".stripMargin),
+
+    // the crawl capstone: sitemap discovery through the robots gate —
+    // both fragments shared verbatim with their own green queries
+    "q_crawl_plan" ->
+      ("""WITH e0 AS (
+         |  SELECT doc_id, 'www.' || lower(source) || '.com' AS host,
+         |    '<url><loc>HTTPS://WWW.' || upper(source) || '.COM:443'
+         |    || (CASE WHEN doc_id % 4 = 0 THEN '/private/'
+         |             WHEN doc_id % 4 = 1 THEN '/private/ok/'
+         |             WHEN doc_id % 4 = 2 THEN '/tmp'
+         |             ELSE '/public/' END)
+         |    || 'page' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=map</loc>'
+         |    || (CASE WHEN doc_id % 3 = 0 THEN ''
+         |        ELSE '<lastmod>2025-01-'
+         |          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         |          || '</lastmod>' END)
+         |    || (CASE WHEN doc_id % 2 = 0 THEN
+         |          '<priority>0.' || CAST(doc_id % 9 + 1 AS VARCHAR) || '</priority>'
+         |        ELSE '' END)
+         |    || '</url>' AS entry
+         |  FROM documents),
+         |xml AS (
+         |  SELECT host, '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
+         |    || '</urlset>' AS xml
+         |  FROM e0 GROUP BY host),
+         |""".stripMargin
+        + sitemapParseSql("2025-01-15") + ",\n"
+        + robotsBodiesSql + ",\n" + robotsSelSql("graftbot") + """,
+        |sp AS (
+        |  SELECT site, pos, loc_canon, priority_ppm, recrawl,
+        |    regexp_extract(loc_canon, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)$', 1) AS path
+        |  FROM smap),
+        |m AS (
+        |  SELECT u.site, u.path, s.allow,
+        |    ROW_NUMBER() OVER (PARTITION BY u.site, u.path
+        |      ORDER BY length(s.path) DESC,
+        |        CASE WHEN s.allow THEN 1 ELSE 0 END DESC, s.path DESC) AS rn
+        |  FROM (SELECT DISTINCT site, path FROM sp) u
+        |  LEFT JOIN sel s ON u.site = s.host
+        |    AND u.path LIKE s.path || '%'),
+        |v AS (SELECT site, path, COALESCE(allow, TRUE) AS allowed FROM m WHERE rn = 1)
+        |SELECT sp.site AS host, sp.pos, sp.path, sp.loc_canon,
+        |  sp.priority_ppm, sp.recrawl, v.allowed,
+        |  (v.allowed AND sp.recrawl) AS fetch
+        |FROM sp JOIN v ON sp.site = v.site AND sp.path = v.path
+        |ORDER BY host, sp.pos""".stripMargin))
 }
