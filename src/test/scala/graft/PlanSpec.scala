@@ -438,8 +438,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dup-span cascade: the fused gram pass is cached, not re-sorted per consumer") {
+    // a UNIQUE literal input: the shared corpus plan may already sit in
+    // the session cache from another suite (CacheManager matches by
+    // logical plan), which would swap our fresh InMemoryRelation for a
+    // stale one with a different printed shape
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plan pin alpha beta gamma delta " * 8),
+      (2L, "plan pin alpha beta gamma delta " * 8)).toDF("doc_id", "text")
     val p = plan(graft.operators.SubstringDedup.dupSpansCascade(
-      graft.sources.Tables.documents(spark, TestSpark.sf), "doc_id", "text"))
+      docs, "doc_id", "text"))
     // both consumers (count pass, occurrence join) read the cache;
     // the gram lead-window sort lives INSIDE the cached relation
     // (printed once per scan), so outside the cache only the
