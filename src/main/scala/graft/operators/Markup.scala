@@ -165,6 +165,38 @@ object Markup {
           "\\s+", " ")).as("cell_text"))
   }
 
+  /** Table linearization (SURVEY.md §2 row 250) — the table-to-TEXT
+    * transform pretraining pipelines run on [[extractTables]] output:
+    * each data row serialized as "Header: value | Header: value" with
+    * headers taken from row 0 when EVERY row-0 cell is a `<th>`
+    * (otherwise positional `c<i>` names and row 0 stays data). One
+    * (doc, table) header aggregate + one equi-join + the per-row
+    * reassembly aggregation. */
+  def linearizeTables(cells: DataFrame): DataFrame = {
+    val keys = Seq("doc_id", "table_idx")
+    val hh = cells.filter(col("row_idx") === 0L)
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("is_header"), 1L).otherwise(0L)).as("__hh"))
+    val withH = cells.join(hh, keys)
+    val headers = withH.filter(col("row_idx") === 0L && col("__hh") === 1L)
+      .select(col("doc_id"), col("table_idx"), col("col_idx"),
+        col("cell_text").as("__hname"))
+    withH.filter(col("row_idx") >= col("__hh"))
+      .join(headers, keys :+ "col_idx", "left")
+      .withColumn("__kv", concat(
+        coalesce(col("__hname"), concat(lit("c"), col("col_idx"))),
+        lit(": "), col("cell_text")))
+      .groupBy(col("doc_id"), col("table_idx"), col("row_idx"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("col_idx"), col("__kv")))),
+        x => x.getField("__kv")), " | ").as("row_text"))
+  }
+
+  /** §2 row 250 — linearized rows of the row-248 seeded tables. */
+  def tableRowsQ(s: SparkSession, dir: String): DataFrame =
+    linearizeTables(tablesQ(s, dir))
+      .orderBy(col("doc_id"), col("table_idx"), col("row_idx"))
+
   /** §2 row 248 — cells of two seeded tables per doc: a 2×3 table
     * with a `<th>` header row, an entity cell and a nested inline
     * tag, plus a single-cell table; every 7th doc has no tables. */
@@ -317,7 +349,8 @@ object Markup {
     "q_link_graph"   -> (linkGraphQ _),
     "q_web_gate"     -> (webGateQ _),
     "q_meta_extract" -> (metaExtractQ _),
-    "q_html_tables"  -> (tablesQ _))
+    "q_html_tables"  -> (tablesQ _),
+    "q_table_rows"   -> (tableRowsQ _))
 
   /** Shared extractor CTE chain (synthesis through the per-doc
     * `agg` frame) reused by q_html_extract and q_web_gate. */
@@ -417,6 +450,69 @@ object Markup {
         |ORDER BY doc_id""".stripMargin.replace("_REPL_", "\ufffd")),
 
     
+    // the cell frame (q_html_tables chain verbatim) + the header rule
+    // (row 0 all-th), positional fallback, and the ordered kv join
+    "q_table_rows" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      '<html><body><p>' || text || '</p></body></html>'
+        |    ELSE
+        |      '<html><body><table><tr><th>Name</th><th>Qty &amp; unit</th><th>Id</th></tr>'
+        |      || '<tr><td>Part <b>alpha</b></td><td> 4 &lt;kg&gt; </td><td>'
+        |      || CAST(doc_id AS VARCHAR)
+        |      || '</td></tr></table><p>between</p>'
+        |      || '<table id="x"><tr><td>only ' || CAST(doc_id AS VARCHAR)
+        |      || '</td></tr></table></body></html>' END AS html
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '(?is)<table\b[^>]*>(.*?)</table>', 1)) AS t,
+        |    unnest(range(0, len(regexp_extract_all(html, '(?is)<table\b[^>]*>(.*?)</table>', 1)))) AS table_idx
+        |  FROM h),
+        |rw AS (
+        |  SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+        |    unnest(regexp_extract_all(t, '(?is)<tr\b[^>]*>(.*?)</tr>', 1)) AS r,
+        |    unnest(range(0, len(regexp_extract_all(t, '(?is)<tr\b[^>]*>(.*?)</tr>', 1)))) AS row_idx
+        |  FROM tb),
+        |cl AS (
+        |  SELECT doc_id, table_idx, CAST(row_idx AS BIGINT) AS row_idx,
+        |    unnest(regexp_extract_all(r, '(?is)<(t[hd])\b[^>]*>(.*?)</t[hd]>', 1)) AS tag,
+        |    unnest(regexp_extract_all(r, '(?is)<(t[hd])\b[^>]*>(.*?)</t[hd]>', 2)) AS c,
+        |    unnest(range(0, len(regexp_extract_all(r, '(?is)<(t[hd])\b[^>]*>(.*?)</t[hd]>', 1)))) AS col_idx
+        |  FROM rw),
+        |cells AS (
+        |  SELECT doc_id, table_idx, row_idx, CAST(col_idx AS BIGINT) AS col_idx,
+        |    lower(tag) = 'th' AS is_header,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(c, '<[^>]*>', '', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS cell_text
+        |  FROM cl),
+        |hh AS (
+        |  SELECT doc_id, table_idx,
+        |    MIN(CASE WHEN is_header THEN 1 ELSE 0 END) AS hh
+        |  FROM cells WHERE row_idx = 0 GROUP BY doc_id, table_idx),
+        |hd AS (
+        |  SELECT c.doc_id, c.table_idx, c.col_idx, c.cell_text AS hname
+        |  FROM cells c JOIN hh ON c.doc_id = hh.doc_id AND c.table_idx = hh.table_idx
+        |  WHERE c.row_idx = 0 AND hh.hh = 1),
+        |dt AS (
+        |  SELECT c.doc_id, c.table_idx, c.row_idx, c.col_idx,
+        |    COALESCE(hd.hname, 'c' || CAST(c.col_idx AS VARCHAR))
+        |      || ': ' || c.cell_text AS kv
+        |  FROM cells c
+        |  JOIN hh ON c.doc_id = hh.doc_id AND c.table_idx = hh.table_idx
+        |  LEFT JOIN hd ON c.doc_id = hd.doc_id AND c.table_idx = hd.table_idx
+        |    AND c.col_idx = hd.col_idx
+        |  WHERE c.row_idx >= hh.hh)
+        |SELECT doc_id, table_idx, row_idx,
+        |  string_agg(kv, ' | ' ORDER BY col_idx) AS row_text
+        |FROM dt GROUP BY doc_id, table_idx, row_idx
+        |ORDER BY doc_id, table_idx, row_idx""".stripMargin,
+
     // same synthesis; three chained parallel unnests (tables, rows,
     // cells) with the tag/content groups zipped, cell cleanup via the
     // shared strip/decode/collapse chain

@@ -172,6 +172,22 @@ class MarkupSpec extends AnyFunSuite {
       (1L, 1L, 0L, 0L, false, "solo")))
   }
 
+  test("linearize: header-keyed rows, positional fallback, header row skipped") {
+    val html = "<table><tr><th>Name</th><th>Qty</th></tr>" +
+      "<tr><td>alpha</td><td>4</td></tr><tr><td>beta</td><td>7</td></tr></table>" +
+      "<table><tr><td>no</td><td>header</td></tr></table>" +
+      "<table><tr><th>H</th><td>mixed</td></tr></table>" // mixed row 0 = data
+    val got = Markup.linearizeTables(Markup.extractTables(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html"))
+      .orderBy($"table_idx", $"row_idx")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 1L, "Name: alpha | Qty: 4"),
+      (1L, 0L, 2L, "Name: beta | Qty: 7"),
+      (1L, 1L, 0L, "c0: no | c1: header"),
+      (1L, 2L, 0L, "c0: H | c1: mixed")))
+  }
+
   test("tables: a page without tables yields no rows") {
     val got = Markup.extractTables(
       Seq((1L, "<p>nothing tabular</p>")).toDF("doc_id", "html"), "doc_id", "html")
