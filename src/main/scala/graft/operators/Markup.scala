@@ -165,6 +165,52 @@ object Markup {
           "\\s+", " ")).as("cell_text"))
   }
 
+  /** JSON-LD extraction (SURVEY.md §2 row 251) — the STRUCTURED
+    * metadata channel row 245's meta tags don't carry: script blocks
+    * typed `application/ld+json` pulled per page and the core
+    * schema.org fields (`@type`, name, headline, datePublished) read
+    * with JSON-path extraction (`get_json_object` — bracket syntax
+    * for the `@`-prefixed key), NULL-safe on absent fields and
+    * malformed JSON. The reference's own transform layer is JSON
+    * flattening (transform.py:38-52) — this is that idea pointed at
+    * embedded page metadata. Per-row projection + one posexplode. */
+  def extractJsonLd(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val blockPat =
+      "(?is)<script\\b[^>]*type=\"application/ld\\+json\"[^>]*>(.*?)</script>"
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        posexplode(regexp_extract_all(col(htmlCol), lit(blockPat), lit(1)))
+          .as(Seq("block_idx", "j")))
+      .select(col("doc_id"), col("block_idx").cast(LongType).as("block_idx"),
+        get_json_object(col("j"), "$['@type']").as("ld_type"),
+        get_json_object(col("j"), "$.name").as("name"),
+        get_json_object(col("j"), "$.headline").as("headline"),
+        get_json_object(col("j"), "$.datePublished").as("date_published"))
+  }
+
+  /** §2 row 251 — JSON-LD blocks over synthetic pages: an Article
+    * block (headline + datePublished), a second Product block on
+    * every 2nd page (name only), none on every 5th page. */
+  def jsonLdQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val art = concat(
+      lit("<script type=\"application/ld+json\">{\"@type\":\"Article\",\"headline\":\"Doc "),
+      id, lit(" headline\",\"datePublished\":\"2025-01-"),
+      lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+      lit("\"}</script>"))
+    val prod = when(pmod(col("doc_id"), lit(2)) === 0, concat(
+        lit("<script type=\"application/ld+json\">{\"@type\":\"Product\",\"name\":\"P"),
+        id, lit("\"}</script>")))
+      .otherwise(lit(""))
+    val html = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")))
+      .otherwise(concat(lit("<html><head>"), art, prod,
+        lit("</head><body><script>var x = 1;</script><p>"), col("text"),
+        lit("</p></body></html>")))
+    extractJsonLd(Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+      .orderBy(col("doc_id"), col("block_idx"))
+  }
+
   /** Table linearization (SURVEY.md §2 row 250) — the table-to-TEXT
     * transform pretraining pipelines run on [[extractTables]] output:
     * each data row serialized as "Header: value | Header: value" with
@@ -350,7 +396,8 @@ object Markup {
     "q_web_gate"     -> (webGateQ _),
     "q_meta_extract" -> (metaExtractQ _),
     "q_html_tables"  -> (tablesQ _),
-    "q_table_rows"   -> (tableRowsQ _))
+    "q_table_rows"   -> (tableRowsQ _),
+    "q_jsonld"       -> (jsonLdQ _))
 
   /** Shared extractor CTE chain (synthesis through the per-doc
     * `agg` frame) reused by q_html_extract and q_web_gate. */
@@ -450,6 +497,38 @@ object Markup {
         |ORDER BY doc_id""".stripMargin.replace("_REPL_", "\ufffd")),
 
     
+    // same synthesis; typed-script block extraction (the plain <script>
+    // decoy never matches), DuckDB's json_extract_string with the
+    // quoted-key path for @type, NULLs on absent fields
+    "q_jsonld" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      '<html><body><p>' || text || '</p></body></html>'
+        |    ELSE
+        |      '<html><head><script type="application/ld+json">{"@type":"Article","headline":"Doc '
+        |      || CAST(doc_id AS VARCHAR) || ' headline","datePublished":"2025-01-'
+        |      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '"}</script>'
+        |      || (CASE WHEN doc_id % 2 = 0 THEN
+        |            '<script type="application/ld+json">{"@type":"Product","name":"P'
+        |            || CAST(doc_id AS VARCHAR) || '"}</script>'
+        |          ELSE '' END)
+        |      || '</head><body><script>var x = 1;</script><p>' || text
+        |      || '</p></body></html>' END AS html
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '(?is)<script\b[^>]*type="application/ld\+json"[^>]*>(.*?)</script>', 1)) AS j,
+        |    unnest(range(0, len(regexp_extract_all(html, '(?is)<script\b[^>]*type="application/ld\+json"[^>]*>(.*?)</script>', 1)))) AS block_idx
+        |  FROM h)
+        |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx,
+        |  json_extract_string(j, '$."@type"') AS ld_type,
+        |  json_extract_string(j, '$.name') AS name,
+        |  json_extract_string(j, '$.headline') AS headline,
+        |  json_extract_string(j, '$.datePublished') AS date_published
+        |FROM b
+        |ORDER BY doc_id, block_idx""".stripMargin,
+
     // the cell frame (q_html_tables chain verbatim) + the header rule
     // (row 0 all-th), positional fallback, and the ordered kv join
     "q_table_rows" ->

@@ -193,4 +193,20 @@ class MarkupSpec extends AnyFunSuite {
       Seq((1L, "<p>nothing tabular</p>")).toDF("doc_id", "html"), "doc_id", "html")
     assert(got.count() == 0)
   }
+
+  // ---- JSON-LD extraction (row 251) ----
+
+  test("jsonld: typed blocks only, fields NULL-safe, malformed tolerated") {
+    val html = "<script>var a = '{\"@type\":\"Decoy\"}';</script>" +
+      "<script type=\"application/ld+json\">{\"@type\":\"Article\",\"headline\":\"H1\"}</script>" +
+      "<script type=\"application/ld+json\">not json at all</script>"
+    val got = Markup.extractJsonLd(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .orderBy($"block_idx")
+      .as[(Long, Long, Option[String], Option[String], Option[String], Option[String])]
+      .collect().toSeq
+    assert(got.size == 2, "the untyped decoy script must not count")
+    assert(got(0)._3 == Some("Article") && got(0)._5 == Some("H1") && got(0)._4.isEmpty)
+    assert(got(1)._3.isEmpty && got(1)._4.isEmpty, "malformed JSON yields NULLs, not errors")
+  }
 }
