@@ -247,10 +247,35 @@ object Robots {
       .orderBy(col("host"), col("pos"))
   }
 
+  /** Per-host politeness scheduling (SURVEY.md §2 row 252) — the
+    * third crawl stage after discovery (247) and permission (241):
+    * fetchable URLs get per-host fetch slots in (priority DESC, pos)
+    * order and exact offsets fetch_at_us = slot · (10⁶/qps). The
+    * per-host rank window is the SEMANTICALLY required shape — a
+    * polite fetcher is serial per host by definition, so the frame is
+    * bounded by one host's frontier, never the corpus; hosts are the
+    * parallel unit. Integer micros throughout (qps must divide 10⁶). */
+  def schedulePlan(plan: DataFrame, qps: Int): DataFrame = {
+    require(qps >= 1 && 1000000 % qps == 0,
+      s"qps must divide 1e6 for exact integer offsets, got $qps")
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority_ppm").desc, col("pos"))
+    plan.filter(col("fetch"))
+      .withColumn("slot", (row_number().over(w) - 1).cast(LongType))
+      .select(col("host"), col("pos"), col("loc_canon"), col("priority_ppm"),
+        col("slot"), (col("slot") * (1000000L / qps)).as("fetch_at_us"))
+  }
+
+  /** §2 row 252 — the row-249 plan scheduled at 4 fetches/second. */
+  def scheduleQ(s: SparkSession, d: String): DataFrame =
+    schedulePlan(crawlPlanQ(s, d), qps = 4)
+      .orderBy(col("host"), col("slot"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_robots" -> (robotsQ _),
     "q_sitemap" -> (sitemapQ _),
-    "q_crawl_plan" -> (crawlPlanQ _))
+    "q_crawl_plan" -> (crawlPlanQ _),
+    "q_crawl_schedule" -> (scheduleQ _))
 
   /** Robots parse/select replay reading CTE `robots(host, txt)`:
     * emits lns…sel with `sel(host, allow, path)` = the rules applying
@@ -342,6 +367,52 @@ object Robots {
          |    (l.lastmod <> '' AND l.lastmod > '$cutoff') AS recrawl
          |  FROM lnk l JOIN canonized c ON l.site = c.site AND l.pos = c.pos)""".stripMargin)
 
+  /** The full crawl-plan replay, shared by q_crawl_plan and the
+    * schedule oracle that ranks its output. */
+  private[operators] lazy val crawlPlanOracle: String =
+    ("""WITH e0 AS (
+         |  SELECT doc_id, 'www.' || lower(source) || '.com' AS host,
+         |    '<url><loc>HTTPS://WWW.' || upper(source) || '.COM:443'
+         |    || (CASE WHEN doc_id % 4 = 0 THEN '/private/'
+         |             WHEN doc_id % 4 = 1 THEN '/private/ok/'
+         |             WHEN doc_id % 4 = 2 THEN '/tmp'
+         |             ELSE '/public/' END)
+         |    || 'page' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=map</loc>'
+         |    || (CASE WHEN doc_id % 3 = 0 THEN ''
+         |        ELSE '<lastmod>2025-01-'
+         |          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         |          || '</lastmod>' END)
+         |    || (CASE WHEN doc_id % 2 = 0 THEN
+         |          '<priority>0.' || CAST(doc_id % 9 + 1 AS VARCHAR) || '</priority>'
+         |        ELSE '' END)
+         |    || '</url>' AS entry
+         |  FROM documents),
+         |xml AS (
+         |  SELECT host, '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
+         |    || '</urlset>' AS xml
+         |  FROM e0 GROUP BY host),
+         |""".stripMargin
+        + sitemapParseSql("2025-01-15") + ",\n"
+        + robotsBodiesSql + ",\n" + robotsSelSql("graftbot") + """,
+        |sp AS (
+        |  SELECT site, pos, loc_canon, priority_ppm, recrawl,
+        |    regexp_extract(loc_canon, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)$', 1) AS path
+        |  FROM smap),
+        |m AS (
+        |  SELECT u.site, u.path, s.allow,
+        |    ROW_NUMBER() OVER (PARTITION BY u.site, u.path
+        |      ORDER BY length(s.path) DESC,
+        |        CASE WHEN s.allow THEN 1 ELSE 0 END DESC, s.path DESC) AS rn
+        |  FROM (SELECT DISTINCT site, path FROM sp) u
+        |  LEFT JOIN sel s ON u.site = s.host
+        |    AND u.path LIKE s.path || '%'),
+        |v AS (SELECT site, path, COALESCE(allow, TRUE) AS allowed FROM m WHERE rn = 1)
+        |SELECT sp.site AS host, sp.pos, sp.path, sp.loc_canon,
+        |  sp.priority_ppm, sp.recrawl, v.allowed,
+        |  (v.allowed AND sp.recrawl) AS fetch
+        |FROM sp JOIN v ON sp.site = v.site AND sp.path = v.path
+        |ORDER BY host, sp.pos""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     // per-host assembly (ordered string_agg == the sorted-collect
     // join) + the shared sitemapParseSql fragment
@@ -400,47 +471,18 @@ object Robots {
 
     // the crawl capstone: sitemap discovery through the robots gate —
     // both fragments shared verbatim with their own green queries
-    "q_crawl_plan" ->
-      ("""WITH e0 AS (
-         |  SELECT doc_id, 'www.' || lower(source) || '.com' AS host,
-         |    '<url><loc>HTTPS://WWW.' || upper(source) || '.COM:443'
-         |    || (CASE WHEN doc_id % 4 = 0 THEN '/private/'
-         |             WHEN doc_id % 4 = 1 THEN '/private/ok/'
-         |             WHEN doc_id % 4 = 2 THEN '/tmp'
-         |             ELSE '/public/' END)
-         |    || 'page' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=map</loc>'
-         |    || (CASE WHEN doc_id % 3 = 0 THEN ''
-         |        ELSE '<lastmod>2025-01-'
-         |          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
-         |          || '</lastmod>' END)
-         |    || (CASE WHEN doc_id % 2 = 0 THEN
-         |          '<priority>0.' || CAST(doc_id % 9 + 1 AS VARCHAR) || '</priority>'
-         |        ELSE '' END)
-         |    || '</url>' AS entry
-         |  FROM documents),
-         |xml AS (
-         |  SELECT host, '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
-         |    || '</urlset>' AS xml
-         |  FROM e0 GROUP BY host),
-         |""".stripMargin
-        + sitemapParseSql("2025-01-15") + ",\n"
-        + robotsBodiesSql + ",\n" + robotsSelSql("graftbot") + """,
-        |sp AS (
-        |  SELECT site, pos, loc_canon, priority_ppm, recrawl,
-        |    regexp_extract(loc_canon, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)$', 1) AS path
-        |  FROM smap),
-        |m AS (
-        |  SELECT u.site, u.path, s.allow,
-        |    ROW_NUMBER() OVER (PARTITION BY u.site, u.path
-        |      ORDER BY length(s.path) DESC,
-        |        CASE WHEN s.allow THEN 1 ELSE 0 END DESC, s.path DESC) AS rn
-        |  FROM (SELECT DISTINCT site, path FROM sp) u
-        |  LEFT JOIN sel s ON u.site = s.host
-        |    AND u.path LIKE s.path || '%'),
-        |v AS (SELECT site, path, COALESCE(allow, TRUE) AS allowed FROM m WHERE rn = 1)
-        |SELECT sp.site AS host, sp.pos, sp.path, sp.loc_canon,
-        |  sp.priority_ppm, sp.recrawl, v.allowed,
-        |  (v.allowed AND sp.recrawl) AS fetch
-        |FROM sp JOIN v ON sp.site = v.site AND sp.path = v.path
-        |ORDER BY host, sp.pos""".stripMargin))
+    "q_crawl_plan" -> crawlPlanOracle,
+
+    // the plan replay as a subquery, ranked per host by
+    // (priority DESC, pos); 4 qps -> 250000 us slots
+    "q_crawl_schedule" ->
+      ("""SELECT host, pos, loc_canon, priority_ppm,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY host
+         |    ORDER BY priority_ppm DESC, pos) - 1 AS BIGINT) AS slot,
+         |  CAST((ROW_NUMBER() OVER (PARTITION BY host
+         |    ORDER BY priority_ppm DESC, pos) - 1) * 250000 AS BIGINT) AS fetch_at_us
+         |FROM (
+         |""".stripMargin + crawlPlanOracle + """
+         |) t WHERE t.fetch
+         |ORDER BY host, slot""".stripMargin))
 }

@@ -63,6 +63,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(v("/any") == ((true, None)))
   }
 
+  test("schedule: per-host slots in priority order at exact qps offsets") {
+    val plan = Seq(
+      ("h1", 0L, "u0", 500000L, true, true, true),
+      ("h1", 1L, "u1", 900000L, true, true, true),
+      ("h1", 2L, "u2", 900000L, true, false, false), // not fetchable
+      ("h2", 0L, "u3", 100000L, true, true, true))
+      .toDF("host", "pos", "loc_canon", "priority_ppm", "recrawl", "allowed", "fetch")
+    val got = Robots.schedulePlan(plan, qps = 4)
+      .orderBy($"host", $"slot")
+      .as[(String, Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("h1", 1L, "u1", 900000L, 0L, 0L),        // highest priority first
+      ("h1", 0L, "u0", 500000L, 1L, 250000L),
+      ("h2", 0L, "u3", 100000L, 0L, 0L)))       // hosts schedule independently
+    intercept[IllegalArgumentException](Robots.schedulePlan(plan, qps = 3))
+  }
+
   test("sitemap: loc canonicalized, optional fields defaulted, recrawl cutoff") {
     val xml = "<urlset>" +
       "<url><loc>HTTP://A.COM:80/x?utm_source=m&id=2</loc>" +
