@@ -25,6 +25,30 @@ object TextOps {
            count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** Stopword induction by document-frequency saturation (SURVEY.md
+    * §2 row 253) — the corpus-derived stopword list quality scoring,
+    * RAKE-style keyword extraction and BM25 pruning consume: a token
+    * is a stopword when it appears in at least `minDfPct`% of
+    * documents (doc-frequency saturation, NOT raw token counts — a
+    * word repeated thousandfold in one doc is jargon, a word in 60%
+    * of docs is glue). Cross-multiplied integer gate; one per-doc
+    * distinct-token explode + one map-side-combined df aggregation +
+    * a 1-row broadcast doc count. */
+  def stopwords(docs: DataFrame, textCol: String, minDfPct: Int = 60): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(explode(array_distinct(
+        graft.functions.TextFunctions.tokens(lower(col(textCol))))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 100 >= col("n_docs") * minDfPct)
+      .select(col("token"), col("df"), col("n_docs"),
+        GraphOps.fdiv(col("df") * 1000000L, col("n_docs")).as("df_ppm"))
+  }
+
+  /** §2 row 253 — the corpus's own stopword list at 60% saturation. */
+  def stopwordsQ(s: SparkSession, d: String): DataFrame =
+    stopwords(Tables.documents(s, d), "text").orderBy(col("token"))
+
   /** §2.3#43 — per-document quality components + score. */
   def qualityScoreQ(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -595,6 +619,7 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stopwords"       -> (stopwordsQ _),
     "q_keep_best"       -> (keepBestQ _),
     "q_golden_record"   -> (goldenQ _),
     "q_dedup_savings"   -> (dedupSavingsQ _),
@@ -678,6 +703,21 @@ object TextOps {
        |cm AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // distinct tokens per doc (list_distinct over the shared token
+    // regex), df aggregation, the cross-multiplied saturation gate,
+    // ppm floor division
+    "q_stopwords" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    regexp_extract_all(lower(text), '[A-Za-z0-9]+', 0))) AS token
+        |  FROM documents),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token)
+        |SELECT token, df, n.n_docs, df * 1000000 // n.n_docs AS df_ppm
+        |FROM df, n
+        |WHERE df * 100 >= n.n_docs * 60
+        |ORDER BY token""".stripMargin,
+
     "q_token_count" ->
       """SELECT lang,
         |  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
