@@ -114,8 +114,12 @@ object Bench {
     val filtered = only.fold("")(names =>
       s""","filtered":[${names.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     def line(qs: Map[String, Double], extra: String): String = {
+      // explicit ROOT locale: the default-locale f"" interpolator
+      // emits "1,234" under comma-decimal locales, breaking the JSON
       val m = qs.toSeq.sortBy(-_._2)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+        .map { case (k, v) => "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$m,"sf":"$sfDir"$filtered$extra}"""
     }
     // The harness retains only the TAIL of stdout (~2000 chars), and

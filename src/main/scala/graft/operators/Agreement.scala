@@ -106,9 +106,19 @@ object Agreement {
     val perUnit = uv.groupBy(col("u"))
       .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("s2"))
       .filter(col("m") >= 2L)
+    // the maxRaters contract is ENFORCED, not assumed: L = lcm(1..
+    // maxRaters-1) makes L/(m-1) exact only while m <= maxRaters —
+    // beyond that the division truncates silently and alpha is wrong
+    // with no error, so a violating unit raises instead
     val doL = perUnit
-      .select(((col("m") * col("m") - col("s2")) *
-        (lit(L) / (col("m") - 1L)).cast("long")).as("d"))
+      .select((when(col("m") <= lit(maxRaters.toLong),
+          (col("m") * col("m") - col("s2")) *
+            (lit(L) / (col("m") - 1L)).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"krippendorffAlpha: unit "), col("u").cast("string"),
+          lit(s" has m > maxRaters=$maxRaters ratings (m="),
+          col("m").cast("string"),
+          lit(") - raise maxRaters to cover the data"))))).as("d"))
       .agg(coalesce(sum(col("d")), lit(0L)).as("do_l"),
         count(lit(1)).as("n_units"))
     val marg = uv.join(perUnit.select(col("u")), Seq("u"))

@@ -246,27 +246,32 @@ object Analytics {
     * sizes). Higher = more recent / more active / more spend.
     *
     * Scale shape: one per-user aggregate off the event stream; each
-    * score is a distinct-value cum frame (bounded by distinct metric
-    * values ≤ users — the USER frame, orders of magnitude under the
-    * event stream) broadcast-joined back. */
+    * score runs over the distinct-metric-value frame, which for
+    * `last_us` and `monetary_cents` is ≈ the USER frame — data-scaled,
+    * so the cumulative-count prefix runs on the bucketed decomposition
+    * ([[Prefix.cumSumBucketed]]: ≤64 range cells, exclusive cell
+    * prefix over the bounded cut frame, within-cell cumsum partitioned
+    * by cell — bit-identical to the single-window form), then the
+    * value→score map joins back on the metric value. The score-map
+    * join is NOT broadcast (the map is data-scaled too); it's a plain
+    * shuffle equi-join on the metric value. */
   def rfmScores(events: DataFrame, userCol: Column, tsCol: Column,
                 valCol: Column, buckets: Int = 5): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    import org.apache.spark.sql.expressions.Window
     val users = events.groupBy(userCol.as("user_id"))
       .agg(max(unix_micros(tsCol)).as("last_us"),
         count(lit(1)).as("freq"),
         (sum(valCol.cast(DecimalType(12, 2))) * 100).cast(LongType)
           .as("monetary_cents"))
     def scoreOf(metric: String, out: String)(df: DataFrame): DataFrame = {
-      val cum = df.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("__c"))
-        .withColumn("__cum", sum(col("__c")).over(
-          Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)))
-      val tot = cum.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
+      val counts = df.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("__c"))
+      val cum = Prefix.cumSumBucketed(counts, "__v", descending = false,
+        tieCols = Nil, valueCol = "__c", out = "__cum")
+      val tot = counts.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
       val m = cum.crossJoin(broadcast(tot))
         .select(col("__v").as(metric),
           (GraphOps.fdiv((col("__cum") - 1L) * buckets, col("__n")) + 1L).as(out))
-      df.join(broadcast(m), Seq(metric))
+      df.join(m, Seq(metric))
     }
     val scored = Seq(("last_us", "r_score"), ("freq", "f_score"),
       ("monetary_cents", "m_score"))

@@ -241,9 +241,13 @@ object Hygiene {
     // three guards: the signature pair must appear; every char must be
     // Latin-1-mappable (encode substitutes '?' for anything above
     // U+00FF BEFORE validity could notice \u2014 a mixed mojibake+emoji
-    // page must stay untouched, not half-repaired); and the re-read
-    // bytes must be valid UTF-8 (Spark 4's decode throws otherwise)
-    val fixable = s.rlike(sigPat) && !s.rlike("[\u0100-\uFFFF]") &&
+    // page must stay untouched, not half-repaired \u2014 the negated class
+    // [^\x00-\xFF] catches supplementary-plane code points too,
+    // which a [\u0100-\uFFFF] range would miss since Java regex
+    // classes match by CODE POINT and U+1F600 sits above U+FFFF); and
+    // the re-read bytes must be valid UTF-8 (Spark 4's decode throws
+    // otherwise)
+    val fixable = s.rlike(sigPat) && !s.rlike("[^\\x00-\\xFF]") &&
       is_valid_utf8(bytes)
     val repaired = when(fixable, decode(bytes, "UTF-8")).otherwise(s)
     docs.select(col(idCol).cast(LongType).as("doc_id"),

@@ -110,16 +110,16 @@ object Profiling {
   def joinFanout(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
                  topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    import org.apache.spark.sql.expressions.Window
     val ca = a.filter(aKey.isNotNull)
       .groupBy(aKey.cast(StringType).as("key")).agg(count(lit(1)).as("n_left"))
     val cb = b.filter(bKey.isNotNull)
       .groupBy(bKey.cast(StringType).as("key")).agg(count(lit(1)).as("n_right"))
     val j = ca.join(cb, Seq("key"))
       .withColumn("n_out", col("n_left") * col("n_right"))
-    val top = j.withColumn("rn", row_number().over(
-        Window.orderBy(col("n_out").desc, col("key"))))
-      .filter(col("rn") <= topK)
+    // top-k via orderBy+limit — Spark plans TakeOrderedAndProject
+    // (per-partition heaps + a k-row driver merge), never a global
+    // sort or a single-task rank window over the matched-key frame
+    val top = j.orderBy(col("n_out").desc, col("key")).limit(topK)
       .select(col("key"), col("n_left"), col("n_right"), col("n_out"))
     val total = j.agg(coalesce(sum(col("n_left")), lit(0L)).as("n_left"),
         coalesce(sum(col("n_right")), lit(0L)).as("n_right"),

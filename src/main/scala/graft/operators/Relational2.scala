@@ -177,18 +177,20 @@ object Relational2 {
     * pure function of the data.
     *
     * Scale shape: one map-side revenue aggregate off orders; the
-    * cumulative window rides the CUSTOMER frame (orders collapse
-    * first — bounded by customers, not orders); one 3-row class
+    * customer frame GROWS with the data (billions at 100 TB), so the
+    * DESC-cumulative runs on the bucketed prefix decomposition
+    * ([[Prefix.cumSumBucketed]]: ≤64 range cells on the cents image,
+    * exclusive cell prefix over the ≤64-row cut frame, within-cell
+    * cumsum partitioned by cell) — bit-identical to the single-window
+    * form, no unpartitioned window over customers; one 3-row class
     * rollup. */
   def abcClasses(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
     val tot = rev.agg(coalesce(sum(col("cents")), lit(0L)).as("total"))
-    val cum = rev.withColumn("cum", sum(col("cents")).over(
-      Window.orderBy(col("cents").desc, col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
+    val cum = Prefix.cumSumBucketed(rev, "cents", descending = true,
+      tieCols = Seq("o_custkey"), valueCol = "cents", out = "cum")
     cum.crossJoin(broadcast(tot))
       .withColumn("cls",
         when(col("cum") * 100L <= col("total") * 80L, "A")

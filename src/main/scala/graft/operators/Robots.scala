@@ -148,13 +148,20 @@ object Robots {
     entries.select(col("host"), col("pos").cast(LongType).as("pos"),
         regexp_extract(col("e"), "(?is)<loc>(.*?)</loc>", 1).as("loc"),
         regexp_extract(col("e"), "(?is)<lastmod>(.*?)</lastmod>", 1).as("lastmod"),
-        regexp_extract(col("e"), "(?is)<priority>0?\\.([0-9]+)</priority>", 1).as("p"))
+        regexp_extract(col("e"), "(?is)<priority>\\s*([0-9]*\\.?[0-9]*)\\s*</priority>", 1).as("p"))
       .filter(col("loc") =!= "")
       .select(col("host"), col("pos"), col("loc"),
         Urls.canonicalUrl(col("loc")).as("loc_canon"),
         col("lastmod"),
+        // integer part (the spec's valid max "1" / "1.0" → 1000000 —
+        // a fraction-only pattern would silently default it to
+        // 500000) + the first 6 fraction digits zero-padded; the "0"
+        // concat keeps the cast total when the integer part is absent
         when(col("p") =!= "",
-          (rpad(col("p"), 6, "0").substr(1, 6)).cast(LongType))
+          concat(lit("0"), regexp_extract(col("p"), "^([0-9]+)", 1))
+            .cast(LongType) * 1000000L +
+          rpad(regexp_extract(col("p"), "\\.([0-9]+)", 1), 6, "0")
+            .substr(1, 6).cast(LongType))
           .otherwise(lit(500000L)).as("priority_ppm"),
         (col("lastmod") =!= "" && col("lastmod") > recrawlAfter).as("recrawl"))
   }
@@ -171,9 +178,11 @@ object Robots {
     val lastmod = when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
       .otherwise(concat(lit("2025-01-"),
         lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")))
+    val prioVal = when(pmod(col("doc_id"), lit(18)) === 0, lit("1.0"))
+      .when(pmod(col("doc_id"), lit(18)) === 6, lit("1"))
+      .otherwise(concat(lit("0."), (pmod(col("doc_id"), lit(9)) + 1).cast("string")))
     val prio = when(pmod(col("doc_id"), lit(2)) === 0,
-      concat(lit("<priority>0."), (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
-        lit("</priority>"))).otherwise(lit(""))
+      concat(lit("<priority>"), prioVal, lit("</priority>"))).otherwise(lit(""))
     val entry = concat(lit("<url><loc>HTTPS://WWW."), upper(col("source")),
       lit(".COM:443/p/"), col("doc_id").cast("string"),
       lit("?utm_source=map&v=1</loc>"),
@@ -203,9 +212,11 @@ object Robots {
     val lastmod = when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
       .otherwise(concat(lit("2025-01-"),
         lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")))
+    val prioVal = when(pmod(col("doc_id"), lit(18)) === 0, lit("1.0"))
+      .when(pmod(col("doc_id"), lit(18)) === 6, lit("1"))
+      .otherwise(concat(lit("0."), (pmod(col("doc_id"), lit(9)) + 1).cast("string")))
     val prio = when(pmod(col("doc_id"), lit(2)) === 0,
-      concat(lit("<priority>0."), (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
-        lit("</priority>"))).otherwise(lit(""))
+      concat(lit("<priority>"), prioVal, lit("</priority>"))).otherwise(lit(""))
     val pathPart = when(pmod(col("doc_id"), lit(4)) === 0, "/private/")
       .when(pmod(col("doc_id"), lit(4)) === 1, "/private/ok/")
       .when(pmod(col("doc_id"), lit(4)) === 2, "/tmp")
@@ -354,7 +365,7 @@ object Robots {
       |  SELECT host AS site, CAST(pos AS BIGINT) AS pos,
       |    regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) AS loc,
       |    regexp_extract(e, '(?is)<lastmod>(.*?)</lastmod>', 1) AS lastmod,
-      |    regexp_extract(e, '(?is)<priority>0?\.([0-9]+)</priority>', 1) AS p,
+      |    regexp_extract(e, '(?is)<priority>\s*([0-9]*\.?[0-9]*)\s*</priority>', 1) AS p,
       |    regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) AS url
       |  FROM ent
       |  WHERE regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) <> ''),
@@ -362,8 +373,10 @@ object Robots {
       + Urls.canonSql("lnk", Seq("site", "pos")) + ",\n"
       + s"""smap AS (
          |  SELECT l.site, l.pos, l.loc, c.url_canon AS loc_canon, l.lastmod,
-         |    CAST(CASE WHEN l.p <> '' THEN substr(rpad(l.p, 6, '0'), 1, 6)
-         |         ELSE '500000' END AS BIGINT) AS priority_ppm,
+         |    CASE WHEN l.p <> '' THEN
+         |      CAST('0' || regexp_extract(l.p, '^([0-9]+)', 1) AS BIGINT) * 1000000
+         |      + CAST(substr(rpad(regexp_extract(l.p, '\\.([0-9]+)', 1), 6, '0'), 1, 6) AS BIGINT)
+         |    ELSE 500000 END AS priority_ppm,
          |    (l.lastmod <> '' AND l.lastmod > '$cutoff') AS recrawl
          |  FROM lnk l JOIN canonized c ON l.site = c.site AND l.pos = c.pos)""".stripMargin)
 
@@ -383,7 +396,11 @@ object Robots {
          |          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
          |          || '</lastmod>' END)
          |    || (CASE WHEN doc_id % 2 = 0 THEN
-         |          '<priority>0.' || CAST(doc_id % 9 + 1 AS VARCHAR) || '</priority>'
+         |          '<priority>'
+         |          || (CASE WHEN doc_id % 18 = 0 THEN '1.0'
+         |              WHEN doc_id % 18 = 6 THEN '1'
+         |              ELSE '0.' || CAST(doc_id % 9 + 1 AS VARCHAR) END)
+         |          || '</priority>'
          |        ELSE '' END)
          |    || '</url>' AS entry
          |  FROM documents),
@@ -426,7 +443,11 @@ object Robots {
          |          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
          |          || '</lastmod>' END)
          |    || (CASE WHEN doc_id % 2 = 0 THEN
-         |          '<priority>0.' || CAST(doc_id % 9 + 1 AS VARCHAR) || '</priority>'
+         |          '<priority>'
+         |          || (CASE WHEN doc_id % 18 = 0 THEN '1.0'
+         |              WHEN doc_id % 18 = 6 THEN '1'
+         |              ELSE '0.' || CAST(doc_id % 9 + 1 AS VARCHAR) END)
+         |          || '</priority>'
          |        ELSE '' END)
          |    || '</url>' AS entry
          |  FROM documents),

@@ -241,16 +241,26 @@ object TextOps {
     * is one map-side-combined groupBy of the corpus, the shared-token
     * intersection is two equi-joins keyed (doc, token) whose fan-out
     * is bounded by |pairs| × doc length, and the num aggregation
-    * combines map-side. tf persists across its three consumers (len
-    * totals + both pair sides) — the rareFirstSets pattern. */
+    * combines map-side. The tf witness is restricted to PAIR-
+    * PARTICIPATING docs before it is built (semi-join on the pair id
+    * set): only candidates are ever scored, so only their term
+    * vectors belong in the persisted frame — at 100 TB the candidate
+    * set is a small fraction of the corpus, and persisting corpus-
+    * wide tf was the memory-pressure cliff the round-11 driver bench
+    * exposed (28 s vs 2.7 s on the same commit). pairs persists too
+    * (three consumers: the id set + the join spine + the left join). */
   def weightedJaccard(docs: DataFrame, idCol: String, textCol: String,
                       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val tf = docs.select(col(idCol).as("__id"),
+    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = p.select(col("doc_a").as("__id"))
+      .unionByName(p.select(col("doc_b").as("__id"))).distinct()
+    val tf = docs.join(ids, col(idCol) === ids("__id"), "left_semi")
+      .select(col(idCol).as("__id"),
         explode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))).as("token"))
       .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = tf.groupBy(col("__id")).agg(sum(col("c")).as("l"))
-    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
     val inter = p
       .join(tf.select(col("__id").as("doc_a"), col("token"), col("c").as("ca")), "doc_a")
       .join(tf.select(col("__id").as("doc_b"), col("token"), col("c").as("cb")),

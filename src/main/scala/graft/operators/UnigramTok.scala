@@ -43,7 +43,10 @@ object UnigramTok {
   val DefaultMaxPiece = 4
 
   /** Word-length bound the SQL oracle unrolls to (engine itself is
-    * unbounded). */
+    * unbounded). Enforced LOUDLY in the oracle: a corpus word longer
+    * than this makes the oracle's wf CTE raise a cast error naming
+    * the breach, instead of returning NULL pieces that would surface
+    * as a confusing value mismatch. */
   val OracleMaxWordLen = 12
 
   /** Corpus word frequencies over the normalized word stream. */
@@ -267,7 +270,12 @@ object UnigramTok {
        |        FROM documents) t,
        |    LATERAL (SELECT unnest(range(0, len(wl))) AS i) _i
        |  WHERE len(wl[i+1]) > 0),
-       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM ws GROUP BY w),
+       |wf0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM ws GROUP BY w),
+       |wf AS (
+       |  SELECT w, freq FROM wf0
+       |  WHERE (SELECT CASE WHEN COALESCE(max(len(w)), 0) <= $W THEN 1
+       |         ELSE CAST('ORACLE BOUND BREACH: corpus word longer than OracleMaxWordLen=$W chars - the unrolled DP cannot replay it' AS BIGINT)
+       |         END FROM wf0) = 1),
        |subs AS (
        |  SELECT substr(w, CAST(i + 1 AS INT), CAST(d AS INT)) AS piece,
        |    SUM(freq) AS cnt

@@ -44,4 +44,14 @@ class AbcSpec extends AnyFunSuite {
     val ab = got.filter(r => r._1 == "A" || r._1 == "B").map(_._3).sum
     assert(ab * 100 <= total * 95)
   }
+
+  test("plan pin: no unpartitioned window over the customer frame") {
+    val p = graft.operators.Relational2.abcClasses(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the DESC-cumulative runs on the bucketed prefix engine: the only
+    // unpartitioned window rides the bounded __b cut frame, the
+    // customer-frame cumsum is partitioned by __b
+    assert("windowspecdefinition\\((?!__)".r.findFirstIn(p).isEmpty, p)
+    assert("windowspecdefinition\\(__b#\\d+[^,]*, cents#".r.findFirstIn(p).nonEmpty, p)
+  }
 }

@@ -55,4 +55,15 @@ class JoinFanoutSpec extends AnyFunSuite {
     val bs = (1 to 200).map(i => Some(i % 23))
     assert(fan(as, bs, 5, parts = 1) == fan(as, bs, 5, parts = 13))
   }
+
+  test("plan pin: top-k is TakeOrderedAndProject, no rank window") {
+    val p = Profiling.joinFanout(
+        (1 to 100).map(i => i % 7).toDF("k"), col("k"),
+        (1 to 100).map(i => i % 5).toDF("k"), col("k"), 3)
+      .queryExecution.executedPlan.toString
+    // a pre-flight audit must stay cheap: per-partition heaps + a
+    // k-row driver merge, never a single-task global rank window
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
 }
