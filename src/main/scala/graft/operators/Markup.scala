@@ -399,30 +399,20 @@ object Markup {
     "q_table_rows"   -> (tableRowsQ _),
     "q_jsonld"       -> (jsonLdQ _))
 
-  /** Shared extractor CTE chain (synthesis through the per-doc
-    * `agg` frame) reused by q_html_extract and q_web_gate. */
-  private[operators] val htmlGateCtes: String =
-    """h AS (
-      |  SELECT doc_id,
-      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-      |    || '</title></head><body>'
-      |    || '<nav><a href="/">Home</a> <a href="/d">Docs</a> <a href="/m">More</a></nav>'
-      |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR)
-      |    || '</h1><script>if (2 < 3) { nav(); }</script>'
-      |    || '<style>.f { color: blue; }</style>'
-      |    || '<p>A &quot;sample&quot; &lt;page&gt; &amp; text: ' || text
-      |    || '</p><!-- hidden < comment -->'
-      |    || '<div><a href="/tos">Terms</a> &amp; <a href="/priv">Privacy</a></div>'
-      |    || '</body></html>' AS html
-      |  FROM documents),
-      |pre AS (
+  /** The extractor pipeline CTEs (strip → segment → decode → gate →
+    * per-doc `agg` frame) over any CTE `in` providing (doc_id, html) —
+    * the SQL twin of [[htmlToText]], shared VERBATIM by
+    * q_html_extract, q_web_gate and q_warc_extract so the replays
+    * cannot drift. */
+  private[operators] def htmlGatePipelineCtes(in: String): String =
+    """pre AS (
       |  SELECT doc_id,
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
       |      '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
       |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
       |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
       |      '(?s)<!--.*?-->', ' ', 'g') AS h
-      |  FROM h),
+      |  FROM __IN__),
       |blk AS (
       |  SELECT doc_id,
       |    unnest(string_split_regex(h, '(?i)</?(p|div|h[1-6]|nav|ul|ol|li|table|tr|td|br|section|article|header|footer|blockquote)\b[^>]*>')) AS b,
@@ -447,7 +437,25 @@ object Markup {
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |    COALESCE(string_agg(CASE WHEN keep THEN txt END, chr(10) ORDER BY pos), '') AS text_extract
-      |  FROM nb GROUP BY doc_id)""".stripMargin
+      |  FROM nb GROUP BY doc_id)""".stripMargin.replace("__IN__", in)
+
+  /** Shared synthesis + pipeline for the two markup queries that seed
+    * HTML straight from the documents table. */
+  private[operators] val htmlGateCtes: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title></head><body>'
+      |    || '<nav><a href="/">Home</a> <a href="/d">Docs</a> <a href="/m">More</a></nav>'
+      |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</h1><script>if (2 < 3) { nav(); }</script>'
+      |    || '<style>.f { color: blue; }</style>'
+      |    || '<p>A &quot;sample&quot; &lt;page&gt; &amp; text: ' || text
+      |    || '</p><!-- hidden < comment -->'
+      |    || '<div><a href="/tos">Terms</a> &amp; <a href="/priv">Privacy</a></div>'
+      |    || '</body></html>' AS html
+      |  FROM documents),
+      |""".stripMargin + htmlGatePipelineCtes("h")
 
   val oracles: Map[String, String] = Map(
     // same synthesis, same strip/segment/decode/gate pipeline on

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.{Tables, Warc}
+
+/** Registered query + oracle for the WARC container reader
+  * ([[graft.sources.Warc]], SURVEY.md §2 row 254): per-host WARC
+  * files are assembled from the documents table IN BOTH ENGINES (the
+  * q_sitemap assembly precedent) — a warcinfo lead record plus one
+  * response record per document whose payload is synthetic HTML —
+  * then the engine splits records honoring Content-Length, routes
+  * response payloads through the row-231 Markup gate and the row-232
+  * URL canonicalizer. Every 5th payload embeds a VERBATIM fake WARC
+  * record (marker, headers, blank line, body) inside its HTML: a
+  * parser that splits on the marker without honoring Content-Length
+  * invents a phantom record there and fails the oracle. The oracle
+  * replays the expected rows from the seeds directly (parsing a
+  * well-formed archive is identity — the round trip is the check;
+  * malformed-record tolerance is spec-pinned in WarcSpec). */
+object WarcOps {
+
+  private val CRLF = "\r\n"
+
+  /** The in-payload trap: a complete fake record, verbatim. */
+  private val trapText =
+    "Trap: WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+      "Content-Length: 3" + CRLF + CRLF + "xyz"
+
+  def warcExtractQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val file = concat(lit("www."), lower(col("source")), lit(".com.warc"))
+    val uri = concat(lit("HTTPS://WWW."), upper(col("source")),
+      lit(".COM:443/d/"), col("doc_id").cast("string"), lit("?utm_source=w"))
+    val bodyHtml = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("<html><body><p>" + trapText + "</p><p>"), col("text"),
+          lit("</p></body></html>")))
+      .otherwise(concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/d\">Docs</a></nav><p>"),
+        col("text"), lit("</p></body></html>")))
+    val rec = concat(lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+        "WARC-Target-URI: "), uri,
+      lit(CRLF + "Content-Length: "), length(bodyHtml).cast("string"),
+      lit(CRLF + CRLF), bodyHtml, lit(CRLF + CRLF))
+    val files = docs.select(file.as("file"), col("doc_id"), rec.as("rec"))
+      .groupBy(col("file"))
+      .agg(concat(
+        lit("WARC/1.0" + CRLF + "WARC-Type: warcinfo" + CRLF +
+          "Content-Length: 0" + CRLF + CRLF + CRLF + CRLF),
+        array_join(transform(sort_array(collect_list(
+            struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "")).as("warc"))
+    val recs = Warc.records(files, "file", "warc")
+      .withColumn("doc_id",
+        when(col("rec_type") === "response",
+          regexp_extract(col("uri"), "/d/([0-9]+)", 1).cast(LongType)))
+    val gate = Markup.htmlToText(
+      recs.filter(col("rec_type") === "response")
+        .select(col("doc_id"), col("body")), "doc_id", "body")
+    recs.join(gate, Seq("doc_id"), "left")
+      .select(col("file"), col("rec_pos"), col("rec_type"),
+        when(col("uri") === "", lit(""))
+          .otherwise(Urls.canonicalUrl(col("uri"))).as("uri_canon"),
+        col("content_length"), col("ok"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_extract"), lit("")).as("text_extract"))
+      .orderBy(col("file"), col("rec_pos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_warc_extract" -> (warcExtractQ _))
+
+  // CRLF for SQL string building
+  private val NL = "chr(13) || chr(10)"
+
+  val oracles: Map[String, String] = Map(
+    // the seeds rebuilt verbatim; uri through the shared canonSql
+    // fragment, payload through the shared Markup gate pipeline —
+    // expected rows constructed directly (round-trip-is-identity)
+    "q_warc_extract" ->
+      (s"""WITH resp AS (
+         |  SELECT doc_id,
+         |    'www.' || lower(source) || '.com.warc' AS file,
+         |    'HTTPS://WWW.' || upper(source) || '.COM:443/d/'
+         |      || CAST(doc_id AS VARCHAR) || '?utm_source=w' AS url,
+         |    (CASE WHEN doc_id % 5 = 0 THEN
+         |       '<html><body><p>Trap: WARC/1.0' || $NL
+         |       || 'WARC-Type: response' || $NL
+         |       || 'Content-Length: 3' || $NL || $NL
+         |       || 'xyz</p><p>' || text || '</p></body></html>'
+         |     ELSE '<html><body><nav><a href="/">Home</a> <a href="/d">Docs</a></nav><p>'
+         |       || text || '</p></body></html>' END) AS html
+         |  FROM documents),
+         |rp AS (
+         |  SELECT doc_id, file, url, html,
+         |    ROW_NUMBER() OVER (PARTITION BY file ORDER BY doc_id) AS rec_pos
+         |  FROM resp),
+         |""".stripMargin
+        + Urls.canonSql("rp", Seq("doc_id")) + ",\n"
+        + "h AS (SELECT doc_id, html FROM resp),\n"
+        + Markup.htmlGatePipelineCtes("h") + s""",
+         |info AS (SELECT DISTINCT 'www.' || lower(source) || '.com.warc' AS file
+         |         FROM documents)
+         |SELECT file, CAST(0 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
+         |  '' AS uri_canon, CAST(0 AS BIGINT) AS content_length, TRUE AS ok,
+         |  CAST(0 AS BIGINT) AS n_blocks, CAST(0 AS BIGINT) AS n_kept,
+         |  '' AS text_extract
+         |FROM info
+         |UNION ALL
+         |SELECT p.file, CAST(p.rec_pos AS BIGINT) AS rec_pos,
+         |  'response' AS rec_type, c.url_canon AS uri_canon,
+         |  CAST(length(p.html) AS BIGINT) AS content_length, TRUE AS ok,
+         |  COALESCE(a.n_blocks, 0) AS n_blocks,
+         |  COALESCE(a.n_kept, 0) AS n_kept,
+         |  COALESCE(a.text_extract, '') AS text_extract
+         |FROM rp p JOIN canonized c ON p.doc_id = c.doc_id
+         |LEFT JOIN agg a ON p.doc_id = a.doc_id
+         |ORDER BY file, rec_pos""".stripMargin))
+}
