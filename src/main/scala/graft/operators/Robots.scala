@@ -24,12 +24,11 @@ import graft.sources.Tables
   * URL rows, no driver state. */
 object Robots {
 
-  /** Parse robots bodies into (host, grp, ua_set, allow, path) rules.
-    * Group = a run of User-agent lines followed by its rules; a UA
-    * line whose PREVIOUS non-blank line was not a UA line starts a
-    * new group. Unknown fields are ignored (per spec). */
-  def parseRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
-    val lines = robots
+  /** (host, pos, field, value) for every `Field: value` line,
+    * comments stripped — the shared front of rule parsing, crawl-
+    * delay extraction and sitemap discovery. */
+  private def fieldLines(robots: DataFrame, hostCol: String, txtCol: String): DataFrame =
+    robots
       .select(col(hostCol).as("host"),
         posexplode(split(col(txtCol), "\n")).as(Seq("pos", "raw")))
       .select(col("host"), col("pos"),
@@ -37,9 +36,19 @@ object Robots {
       .filter(col("line") =!= "")
       .withColumn("field", lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
       .withColumn("value", trim(regexp_replace(col("line"), "^[A-Za-z-]+\\s*:", "")))
-      .filter(col("field").isin("user-agent", "allow", "disallow"))
+
+  /** Group-scoped directive lines with group ids + per-group UA sets.
+    * Group = a run of User-agent lines followed by its directives; a
+    * UA line whose PREVIOUS group-scoped line was not a UA line
+    * starts a new group. Crawl-delay is GROUP-scoped (it ends a UA
+    * run, like allow/disallow); Sitemap is HOST-wide and transparent
+    * to grouping; unknown fields are ignored (per spec). */
+  private def grouped(robots: DataFrame, hostCol: String,
+                      txtCol: String): (DataFrame, DataFrame) = {
+    val lines = fieldLines(robots, hostCol, txtCol)
+      .filter(col("field").isin("user-agent", "allow", "disallow", "crawl-delay"))
     val w = Window.partitionBy(col("host")).orderBy(col("pos"))
-    val grouped = lines
+    val g = lines
       .withColumn("prevField", lag(col("field"), 1).over(w))
       .withColumn("newGrp",
         when(col("field") === "user-agent" &&
@@ -47,14 +56,61 @@ object Robots {
           .otherwise(0L))
       .withColumn("grp", sum(col("newGrp")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
-    val uas = grouped.filter(col("field") === "user-agent")
+    val uas = g.filter(col("field") === "user-agent")
       .groupBy(col("host"), col("grp"))
       .agg(collect_set(lower(col("value"))).as("ua_set"))
-    grouped.filter(col("field") =!= "user-agent")
+    (g, uas)
+  }
+
+  /** Parse robots bodies into (host, grp, ua_set, allow, path) rules. */
+  def parseRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val (g, uas) = grouped(robots, hostCol, txtCol)
+    g.filter(col("field").isin("allow", "disallow"))
       .join(uas, Seq("host", "grp"))
       .select(col("host"), col("grp"), col("ua_set"),
         (col("field") === "allow").as("allow"), col("value").as("path"))
   }
+
+  /** Per-host Crawl-delay selected for `agent` under the same
+    * exact-shadows-star rule as rules (RFC 9309 group selection):
+    * (host, crawl_delay_us) for hosts that declare one. Fractional
+    * seconds parse exactly (integer part + first 6 fraction digits —
+    * the priority-ppm pattern); non-numeric values are ignored;
+    * multiple delays in the selected groups take the MAX (the politer
+    * bound). */
+  def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String,
+                  agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val (g, uas) = grouped(robots, hostCol, txtCol)
+    val ds = g.filter(col("field") === "crawl-delay" &&
+        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .join(uas, Seq("host", "grp"))
+      .withColumn("exact", array_contains(col("ua_set"), a))
+      .withColumn("star", array_contains(col("ua_set"), "*"))
+      .filter(col("exact") || col("star"))
+    val hostHasExact = ds.groupBy(col("host"))
+      .agg(max(when(col("exact"), 1L).otherwise(0L)).as("has_exact"))
+    ds.join(hostHasExact, Seq("host"))
+      .filter((col("has_exact") === 1L && col("exact")) ||
+        (col("has_exact") === 0L && col("star")))
+      .withColumn("delay_us",
+        concat(lit("0"), regexp_extract(col("value"), "^([0-9]+)", 1))
+          .cast(LongType) * 1000000L +
+        rpad(regexp_extract(col("value"), "\\.([0-9]+)", 1), 6, "0")
+          .substr(1, 6).cast(LongType))
+      .groupBy(col("host"))
+      .agg(max(col("delay_us")).as("crawl_delay_us"))
+  }
+
+  /** Host-wide `Sitemap:` directives in declaration order —
+    * (host, sm_pos, sitemap_url): the discovery hand-off from the
+    * permission artifact to the row-247 sitemap stage. */
+  def sitemapsDeclared(robots: DataFrame, hostCol: String,
+                       txtCol: String): DataFrame =
+    fieldLines(robots, hostCol, txtCol)
+      .filter(col("field") === "sitemap" && col("value") =!= "")
+      .select(col("host"), col("pos").cast(LongType).as("sm_pos"),
+        col("value").as("sitemap_url"))
 
   /** Rules applying to `agent`: exact-name groups if any exist for
     * the host, else the `*` groups. An empty-path Disallow means
@@ -95,26 +151,37 @@ object Robots {
       col("m.p").as("rule_path"))
   }
 
+  /** The seeded per-host robots bodies shared by q_robots, q_crawl_plan
+    * and q_crawl_schedule (one body per host, from the doc with the
+    * minimal id — deterministic pick, replayed in SQL). Three shapes:
+    * a `*`-only policy with a fractional Crawl-delay and one Sitemap,
+    * a graftbot group (which must SHADOW the `*` group, delay
+    * included: 1 s vs the star group's 10 s) with two Sitemaps, and a
+    * comment-only file (no delay, no sitemap — the defaults case). */
+  private def seededRobots(docs: DataFrame): DataFrame = {
+    val host = concat(lit("www."), lower(col("source")), lit(".com"))
+    val robotsTxt =
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(lit(
+        "# star only\nUser-agent: *\nCrawl-delay: 2.5\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /tmp\nSitemap: https://"),
+        host, lit("/sitemap.xml")))
+      .when(pmod(col("doc_id"), lit(3)) === 1, concat(lit(
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /\nUser-agent: graftbot\nUser-agent: otherbot\nCrawl-delay: 1\nDisallow: /private/\nAllow: /private/ok/\nSitemap: https://"),
+        host, lit("/a.xml\nSitemap: https://"), host, lit("/b.xml")))
+      .otherwise(lit("# no rules here\n# just comments"))
+    docs.select(host.as("host"), col("doc_id"), robotsTxt.as("txt"))
+      .groupBy(col("host")).agg(min(struct(col("doc_id"), col("txt"))).as("m"))
+      .select(col("host"), col("m.txt").as("txt"))
+  }
+
   /** §2 row 241 — per-host robots bodies with agent groups seeded
     * from the documents table in both engines, decisions for the
-    * `graftbot` agent over seeded URL paths. Hosts rotate through
-    * three robots shapes: a `*`-only policy, a policy with a
-    * graftbot-specific group (which must SHADOW the `*` group), and
-    * no rules at all (comment-only file). */
+    * `graftbot` agent over seeded URL paths, plus the host-level
+    * directives: the selected Crawl-delay (micros; NULL where
+    * undeclared) and the first declared Sitemap ('' where none). */
   def robotsQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val host = concat(lit("www."), lower(col("source")), lit(".com"))
-    val robotsTxt =
-      when(pmod(col("doc_id"), lit(3)) === 0, lit(
-        "# star only\nUser-agent: *\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /tmp"))
-      .when(pmod(col("doc_id"), lit(3)) === 1, lit(
-        "User-agent: *\nDisallow: /\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /private/\nAllow: /private/ok/"))
-      .otherwise(lit("# no rules here\n# just comments"))
-    // one robots body per host: the doc with the minimal id on that
-    // host defines it (deterministic pick, replayed in SQL)
-    val robots = docs.select(host.as("host"), col("doc_id"), robotsTxt.as("txt"))
-      .groupBy(col("host")).agg(min(struct(col("doc_id"), col("txt"))).as("m"))
-      .select(col("host"), col("m.txt").as("txt"))
+    val robots = seededRobots(docs)
     val urls = docs.select(host.as("host"),
       concat(
         when(pmod(col("doc_id"), lit(4)) === 0, "/private/")
@@ -123,7 +190,16 @@ object Robots {
           .otherwise("/public/"),
         lit("page"), pmod(col("doc_id"), lit(7)).cast("string")).as("path"))
       .distinct()
+    val firstSitemap = sitemapsDeclared(robots, "host", "txt")
+      .groupBy(col("host"))
+      .agg(min(struct(col("sm_pos"), col("sitemap_url"))).as("sm"))
+      .select(col("host"), col("sm.sitemap_url").as("sitemap_url"))
     decide(urls, parseRules(robots, "host", "txt"), "GraftBot")
+      .join(crawlDelays(robots, "host", "txt", "GraftBot"), Seq("host"), "left")
+      .join(firstSitemap, Seq("host"), "left")
+      .select(col("host"), col("path"), col("allowed"), col("rule_path"),
+        col("crawl_delay_us"),
+        coalesce(col("sitemap_url"), lit("")).as("sitemap_url"))
       .orderBy(col("host"), col("path"))
   }
 
@@ -239,15 +315,7 @@ object Robots {
       .withColumn("path",
         regexp_extract(col("loc_canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))
     // robots: the same three seeded shapes as robotsQ
-    val robotsTxt =
-      when(pmod(col("doc_id"), lit(3)) === 0, lit(
-        "# star only\nUser-agent: *\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /tmp"))
-      .when(pmod(col("doc_id"), lit(3)) === 1, lit(
-        "User-agent: *\nDisallow: /\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /private/\nAllow: /private/ok/"))
-      .otherwise(lit("# no rules here\n# just comments"))
-    val robots = docs.select(host.as("host"), col("doc_id"), robotsTxt.as("txt"))
-      .groupBy(col("host")).agg(min(struct(col("doc_id"), col("txt"))).as("m"))
-      .select(col("host"), col("m.txt").as("txt"))
+    val robots = seededRobots(docs)
     val verdicts = decide(sm.select(col("host"), col("path")).distinct(),
         parseRules(robots, "host", "txt"), "GraftBot")
       .select(col("host"), col("path"), col("allowed"))
@@ -265,22 +333,39 @@ object Robots {
     * per-host rank window is the SEMANTICALLY required shape — a
     * polite fetcher is serial per host by definition, so the frame is
     * bounded by one host's frontier, never the corpus; hosts are the
-    * parallel unit. Integer micros throughout (qps must divide 10⁶). */
-  def schedulePlan(plan: DataFrame, qps: Int): DataFrame = {
+    * parallel unit. Integer micros throughout (qps must divide 10⁶).
+    * `delays` is the [[crawlDelays]] frame: a host's declared
+    * Crawl-delay overrides the default 10⁶/qps slot interval, so the
+    * robots artifact closes discover→permit→plan→schedule by itself. */
+  def schedulePlan(plan: DataFrame, qps: Int, delays: DataFrame): DataFrame = {
     require(qps >= 1 && 1000000 % qps == 0,
       s"qps must divide 1e6 for exact integer offsets, got $qps")
     val w = Window.partitionBy(col("host"))
       .orderBy(col("priority_ppm").desc, col("pos"))
     plan.filter(col("fetch"))
+      .join(delays.select(col("host"), col("crawl_delay_us")), Seq("host"), "left")
+      .withColumn("interval_us",
+        coalesce(col("crawl_delay_us"), lit(1000000L / qps)))
       .withColumn("slot", (row_number().over(w) - 1).cast(LongType))
       .select(col("host"), col("pos"), col("loc_canon"), col("priority_ppm"),
-        col("slot"), (col("slot") * (1000000L / qps)).as("fetch_at_us"))
+        col("slot"), col("interval_us"),
+        (col("slot") * col("interval_us")).as("fetch_at_us"))
   }
 
-  /** §2 row 252 — the row-249 plan scheduled at 4 fetches/second. */
-  def scheduleQ(s: SparkSession, d: String): DataFrame =
-    schedulePlan(crawlPlanQ(s, d), qps = 4)
+  /** Uniform-qps scheduling (no per-host Crawl-delay overrides). */
+  def schedulePlan(plan: DataFrame, qps: Int): DataFrame =
+    schedulePlan(plan, qps,
+      plan.select(col("host")).limit(0).withColumn("crawl_delay_us", lit(0L)))
+
+  /** §2 row 252 — the row-249 plan scheduled at 4 fetches/second,
+    * with each host's declared Crawl-delay overriding the default
+    * 250 ms slot interval. */
+  def scheduleQ(s: SparkSession, d: String): DataFrame = {
+    val robots = seededRobots(Tables.documents(s, d))
+    schedulePlan(crawlPlanQ(s, d), qps = 4,
+        crawlDelays(robots, "host", "txt", "GraftBot"))
       .orderBy(col("host"), col("slot"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_robots" -> (robotsQ _),
@@ -304,7 +389,8 @@ object Robots {
        |    lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS field,
        |    trim(regexp_replace(line, '^[A-Za-z-]+\\s*:', '')) AS value
        |  FROM lns WHERE line <> ''),
-       |fk AS (SELECT * FROM fl WHERE field IN ('user-agent', 'allow', 'disallow')),
+       |fk AS (SELECT * FROM fl
+       |       WHERE field IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
        |grp AS (
        |  SELECT host, pos, field, value,
        |    SUM(CASE WHEN field = 'user-agent'
@@ -323,14 +409,37 @@ object Robots {
        |    list_contains(u.ua_set, '*') AS star,
        |    g.field = 'allow' AS allow, g.value AS path
        |  FROM grp g JOIN uas u ON g.host = u.host AND g.grp = u.grp
-       |  WHERE g.field <> 'user-agent'),
+       |  WHERE g.field IN ('allow', 'disallow')),
        |sel AS (
        |  SELECT r.host, r.allow, r.path FROM rules r
        |  JOIN (SELECT host, MAX(CASE WHEN exact THEN 1 ELSE 0 END) AS he
        |        FROM rules WHERE exact OR star GROUP BY host) h
        |    ON r.host = h.host
        |  WHERE ((h.he = 1 AND r.exact) OR (h.he = 0 AND r.star))
-       |    AND r.path <> '')""".stripMargin
+       |    AND r.path <> ''),
+       |cds AS (
+       |  SELECT g.host,
+       |    list_contains(u.ua_set, '$agent') AS exact,
+       |    list_contains(u.ua_set, '*') AS star,
+       |    g.value AS v
+       |  FROM grp g JOIN uas u ON g.host = u.host AND g.grp = u.grp
+       |  WHERE g.field = 'crawl-delay'
+       |    AND regexp_matches(g.value, '^[0-9]+(\\.[0-9]+)?$$')),
+       |cdsel AS (
+       |  SELECT c.host,
+       |    MAX(CAST('0' || regexp_extract(c.v, '^([0-9]+)', 1) AS BIGINT) * 1000000
+       |      + CAST(substr(rpad(regexp_extract(c.v, '\\.([0-9]+)', 1), 6, '0'), 1, 6) AS BIGINT))
+       |      AS crawl_delay_us
+       |  FROM cds c
+       |  JOIN (SELECT host, MAX(CASE WHEN exact THEN 1 ELSE 0 END) AS he
+       |        FROM cds WHERE exact OR star GROUP BY host) hh
+       |    ON c.host = hh.host
+       |  WHERE (hh.he = 1 AND c.exact) OR (hh.he = 0 AND c.star)
+       |  GROUP BY c.host),
+       |smf AS (
+       |  SELECT host, value AS sitemap_url,
+       |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY pos) AS rn
+       |  FROM fl WHERE field = 'sitemap' AND value <> '')""".stripMargin
 
   /** The seeded per-host robots bodies (three shapes), CTE `robots`. */
   private[operators] val robotsBodiesSql: String =
@@ -338,12 +447,18 @@ object Robots {
       |  SELECT doc_id, 'www.' || lower(source) || '.com' AS host,
       |    CASE WHEN doc_id % 3 = 0 THEN
       |      '# star only' || chr(10) || 'User-agent: *' || chr(10)
+      |      || 'Crawl-delay: 2.5' || chr(10)
       |      || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
-      |      || chr(10) || 'Disallow: /tmp'
+      |      || chr(10) || 'Disallow: /tmp' || chr(10)
+      |      || 'Sitemap: https://www.' || lower(source) || '.com/sitemap.xml'
       |    WHEN doc_id % 3 = 1 THEN
-      |      'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
+      |      'User-agent: *' || chr(10) || 'Crawl-delay: 10' || chr(10)
+      |      || 'Disallow: /' || chr(10)
       |      || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot'
-      |      || chr(10) || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
+      |      || chr(10) || 'Crawl-delay: 1' || chr(10)
+      |      || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
+      |      || chr(10) || 'Sitemap: https://www.' || lower(source) || '.com/a.xml'
+      |      || chr(10) || 'Sitemap: https://www.' || lower(source) || '.com/b.xml'
       |    ELSE '# no rules here' || chr(10) || '# just comments' END AS txt
       |  FROM documents),
       |robots AS (
@@ -484,26 +599,37 @@ object Robots {
         |  LEFT JOIN sel s ON u.host = s.host
         |    AND u.path LIKE s.path || '%'),
         |v AS (SELECT host, path, allow, rpath FROM m WHERE rn = 1)
-        |SELECT host, path,
-        |  COALESCE(allow, TRUE) AS allowed,
-        |  rpath AS rule_path
+        |SELECT v.host, v.path,
+        |  COALESCE(v.allow, TRUE) AS allowed,
+        |  v.rpath AS rule_path,
+        |  cd.crawl_delay_us,
+        |  COALESCE(sm.sitemap_url, '') AS sitemap_url
         |FROM v
-        |ORDER BY host, path""".stripMargin),
+        |LEFT JOIN cdsel cd ON v.host = cd.host
+        |LEFT JOIN (SELECT host, sitemap_url FROM smf WHERE rn = 1) sm
+        |  ON v.host = sm.host
+        |ORDER BY v.host, v.path""".stripMargin),
 
     // the crawl capstone: sitemap discovery through the robots gate —
     // both fragments shared verbatim with their own green queries
     "q_crawl_plan" -> crawlPlanOracle,
 
     // the plan replay as a subquery, ranked per host by
-    // (priority DESC, pos); 4 qps -> 250000 us slots
+    // (priority DESC, pos); each host's declared Crawl-delay (the
+    // outer robots/cdsel CTEs) overrides the 4 qps -> 250000 us slots
     "q_crawl_schedule" ->
-      ("""SELECT host, pos, loc_canon, priority_ppm,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY host
-         |    ORDER BY priority_ppm DESC, pos) - 1 AS BIGINT) AS slot,
-         |  CAST((ROW_NUMBER() OVER (PARTITION BY host
-         |    ORDER BY priority_ppm DESC, pos) - 1) * 250000 AS BIGINT) AS fetch_at_us
+      ("WITH " + robotsBodiesSql + ",\n" + robotsSelSql("graftbot") + """
+         |SELECT t.host, t.pos, t.loc_canon, t.priority_ppm,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY t.host
+         |    ORDER BY t.priority_ppm DESC, t.pos) - 1 AS BIGINT) AS slot,
+         |  CAST(COALESCE(cd.crawl_delay_us, 250000) AS BIGINT) AS interval_us,
+         |  CAST((ROW_NUMBER() OVER (PARTITION BY t.host
+         |    ORDER BY t.priority_ppm DESC, t.pos) - 1)
+         |    * COALESCE(cd.crawl_delay_us, 250000) AS BIGINT) AS fetch_at_us
          |FROM (
          |""".stripMargin + crawlPlanOracle + """
-         |) t WHERE t.fetch
-         |ORDER BY host, slot""".stripMargin))
+         |) t
+         |LEFT JOIN cdsel cd ON t.host = cd.host
+         |WHERE t.fetch
+         |ORDER BY t.host, slot""".stripMargin))
 }

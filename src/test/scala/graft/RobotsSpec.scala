@@ -72,12 +72,73 @@ class RobotsSpec extends AnyFunSuite {
       .toDF("host", "pos", "loc_canon", "priority_ppm", "recrawl", "allowed", "fetch")
     val got = Robots.schedulePlan(plan, qps = 4)
       .orderBy($"host", $"slot")
-      .as[(String, Long, String, Long, Long, Long)].collect().toSeq
+      .as[(String, Long, String, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
-      ("h1", 1L, "u1", 900000L, 0L, 0L),        // highest priority first
-      ("h1", 0L, "u0", 500000L, 1L, 250000L),
-      ("h2", 0L, "u3", 100000L, 0L, 0L)))       // hosts schedule independently
+      ("h1", 1L, "u1", 900000L, 0L, 250000L, 0L), // highest priority first
+      ("h1", 0L, "u0", 500000L, 1L, 250000L, 250000L),
+      ("h2", 0L, "u3", 100000L, 0L, 250000L, 0L))) // hosts independent
     intercept[IllegalArgumentException](Robots.schedulePlan(plan, qps = 3))
+  }
+
+  test("schedule: a declared Crawl-delay overrides the default interval per host") {
+    val plan = Seq(
+      ("h1", 0L, "u0", 500000L, true, true, true),
+      ("h1", 1L, "u1", 900000L, true, true, true),
+      ("h2", 0L, "u3", 100000L, true, true, true))
+      .toDF("host", "pos", "loc_canon", "priority_ppm", "recrawl", "allowed", "fetch")
+    val delays = Seq(("h1", 2500000L)).toDF("host", "crawl_delay_us")
+    val got = Robots.schedulePlan(plan, qps = 4, delays)
+      .orderBy($"host", $"slot")
+      .as[(String, Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("h1", 1L, "u1", 900000L, 0L, 2500000L, 0L),
+      ("h1", 0L, "u0", 500000L, 1L, 2500000L, 2500000L),
+      ("h2", 0L, "u3", 100000L, 0L, 250000L, 0L))) // undeclared -> default
+  }
+
+  test("crawl-delay: exact group shadows star, fractional parses, max of group wins") {
+    val robots = Seq(
+      // star 10s, graftbot group 1s then 3s (max 3s wins), fractional star elsewhere
+      ("h1", "User-agent: *\nCrawl-delay: 10\nDisallow: /\n" +
+        "User-agent: graftbot\nCrawl-delay: 1\nDisallow: /x\nCrawl-delay: 3"),
+      ("h2", "User-agent: *\nCrawl-delay: 0.5\nDisallow: /y"),
+      ("h3", "User-agent: *\nCrawl-delay: soon\nDisallow: /z"), // non-numeric ignored
+      ("h4", "User-agent: *\nDisallow: /w")) // none declared
+      .toDF("host", "txt")
+    val got = Robots.crawlDelays(robots, "host", "txt", "GraftBot")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("h1" -> 3000000L, "h2" -> 500000L))
+  }
+
+  test("sitemap directives surface host-wide in declaration order") {
+    val robots = Seq(
+      ("h1", "Sitemap: https://h1/a.xml\nUser-agent: *\nDisallow: /\n" +
+        "Sitemap: https://h1/b.xml"),
+      ("h2", "# comments only"))
+      .toDF("host", "txt")
+    val got = Robots.sitemapsDeclared(robots, "host", "txt")
+      .orderBy($"host", $"sm_pos")
+      .as[(String, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._3)) ==
+      Seq(("h1", "https://h1/a.xml"), ("h1", "https://h1/b.xml")))
+  }
+
+  test("sitemap lines are transparent to grouping; crawl-delay ends a UA run") {
+    // the Sitemap line sits BETWEEN two User-agent lines: grouping must
+    // treat them as ONE stacked run (sitemap is host-wide, not a rule)
+    val robots = Seq(("h1",
+      "User-agent: a\nSitemap: https://h1/s.xml\nUser-agent: b\nDisallow: /x"))
+      .toDF("host", "txt")
+    val rules = Robots.parseRules(robots, "host", "txt")
+      .select($"ua_set", $"path").as[(Seq[String], String)].collect().toSeq
+    assert(rules.size == 1 && rules.head._1.toSet == Set("a", "b"))
+    // but a crawl-delay DOES end the run: the second UA starts a new group
+    val robots2 = Seq(("h1",
+      "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x"))
+      .toDF("host", "txt")
+    val rules2 = Robots.parseRules(robots2, "host", "txt")
+      .select($"ua_set", $"path").as[(Seq[String], String)].collect().toSeq
+    assert(rules2.size == 1 && rules2.head._1.toSet == Set("b"))
   }
 
   test("sitemap: loc canonicalized, optional fields defaulted, recrawl cutoff") {
