@@ -298,6 +298,13 @@ object ShardStore {
     * count of the new version. Legacy bare roots are healed
     * ([[DirSwap.recover]]) and migrated: their files are deleted only
     * AFTER v0 is complete and the pointer names it. */
+  /** Claim file fencing version `v` against a CONCURRENT compactor:
+    * created atomically (create-if-absent) OUTSIDE the version dir —
+    * the rewrite's overwrite would delete an in-dir sentinel. Deleted
+    * after the pointer flips (a flipped pointer makes the claim
+    * moot: the next compaction targets v+1). */
+  private def claimPath(root: String, v: Long) = new Path(s"$root/_claim_v$v")
+
   def compact(spark: SparkSession, root: String,
               maxRecordsPerFile: Long = 0L): Int = {
     val f = fs(spark, root)
@@ -305,6 +312,30 @@ object ShardStore {
     val cur = dataDir(spark, root)
     val curVer = versionOf(root, cur)
     val next = s"$root/v${curVer + 1}"
+    // conditional commit: claim v<N+1> atomically; exactly one
+    // compactor may rewrite toward a version number. A lost claim
+    // either converged already (the pointer advanced — return the
+    // winner's outcome) or is IN FLIGHT (fail loudly; callers retry
+    // after the winner finishes — ShardRaceSpec pins both paths). A
+    // claim whose version dir is complete (_SUCCESS) but whose writer
+    // died before the flip is healed by finishing the flip here.
+    val claimed = try {
+      f.create(claimPath(root, curVer + 1), false).close(); true
+    } catch { case _: java.io.IOException => false }
+    if (!claimed) {
+      val advanced = versionOf(root, dataDir(spark, root)) > curVer
+      if (advanced)
+        return spark.read.parquet(dataDir(spark, root)).inputFiles.length
+      if (f.exists(new Path(s"$next/_SUCCESS"))) { // dead winner: heal the flip
+        flipCurrent(spark, root, s"v${curVer + 1}")
+        f.delete(claimPath(root, curVer + 1), false)
+        return spark.read.parquet(next).inputFiles.length
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"compaction toward v${curVer + 1} is in flight under $root — " +
+          "retry after it completes (or delete its _claim file if the " +
+          "compactor is known dead)")
+    }
     // read() is lazy — the rewrite job below is the only
     // materialization, and it completes before the pointer moves
     read(spark, root)
@@ -315,6 +346,7 @@ object ShardStore {
       .partitionBy("split", "lang").parquet(next)
     markCommitted(f, next)
     flipCurrent(spark, root, s"v${curVer + 1}")
+    f.delete(claimPath(root, curVer + 1), false) // flipped: the claim is moot
     if (curVer < 0L) {
       // one-time legacy migration: drop the bare-layout data now that
       // the pointer names v0 (split=*/ partition dirs + side table)

@@ -85,16 +85,33 @@ object StateStore {
   // means the markers of a REAL corpus were lost — loud corruption.
   private def initSentinel(root: String) = new Path(s"$root/commits/.init")
 
-  /** Latest committed version. A missing LATEST with commit markers
-    * present is recovered (and the pointer healed); state tables with
-    * no markers at all fail loudly — silently treating a damaged root
-    * as an empty corpus would re-admit every shipped doc downstream. */
+  /** Latest committed version — the COMMIT MARKERS are the truth,
+    * LATEST is a healed-forward cache. A missing LATEST with markers
+    * present is recovered; a STALE LATEST behind a newer marker (an
+    * optimistic commit that crashed between claim and pointer flip)
+    * is healed forward after materializing that version's staged
+    * artifacts; state tables with no markers at all fail loudly —
+    * silently treating a damaged root as an empty corpus would
+    * re-admit every shipped doc downstream. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
     if (f.exists(latestPath(root))) {
       val in = f.open(latestPath(root))
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
+      val l = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      val commitsDir = new Path(s"$root/commits")
+      val maxMarker =
+        if (!f.exists(commitsDir)) None
+        else f.listStatus(commitsDir).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("v"))
+          .map(_.drop(1).toLong).sorted.lastOption
+      maxMarker.filter(_ > l) match {
+        case Some(m) => // claimed + marked but the flip crashed: heal forward
+          (l + 1L to m).foreach(v => materializePending(spark, root, v))
+          writeLatest(spark, root, m)
+          Some(m)
+        case None => Some(l)
+      }
     } else {
       val commitsDir = new Path(s"$root/commits")
       val recovered =
@@ -103,7 +120,9 @@ object StateStore {
           .map(_.getPath.getName).filter(_.startsWith("v"))
           .map(_.drop(1).toLong).sorted.lastOption
       recovered match {
-        case Some(v) => writeLatest(spark, root, v); Some(v) // heal the pointer
+        case Some(v) => // heal the pointer (+ any staged artifacts)
+          (0L to v).foreach(x => materializePending(spark, root, x))
+          writeLatest(spark, root, v); Some(v)
         case None =>
           // No markers. Distinguish an interrupted commit (the `.init`
           // sentinel lands before any artifact and is deleted only
@@ -180,6 +199,104 @@ object StateStore {
       manifest = delta.accepted,
       dead = delta.tombstones.select(col("doc_id")),
       labels = delta.state.labels)
+  }
+
+  // ---- optimistic concurrency (the rows-90/93 Delta-story close) ----
+
+  private def stagingDir(root: String, token: String) = s"$root/staging/$token"
+
+  /** Atomically claim version `v` for the writer holding `token`:
+    * create the commit marker with overwrite = false — exactly one
+    * writer wins (the filesystem's create-if-absent is the fence; on
+    * HDFS and precondition-capable object stores it is atomic, on a
+    * raw local FS it is the strongest primitive available). The
+    * marker body carries the winner's staging token so a crash
+    * between claim and materialization is completed by any later
+    * reader ([[materializePending]]). */
+  private def claim(spark: SparkSession, root: String, v: Long,
+                    token: String): Boolean = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/commits"))
+    try {
+      val out = f.create(markerPath(root, v), false)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Finish a claimed-but-unmaterialized commit: rename the staged
+    * artifact dirs named by marker v's token into their final
+    * homes. Idempotent (renames only missing targets); a no-op for
+    * legacy empty-body markers and already-finished commits. */
+  private def materializePending(spark: SparkSession, root: String, v: Long): Unit = {
+    val f = fs(spark, root)
+    val mp = markerPath(root, v)
+    if (!f.exists(mp)) return
+    val in = f.open(mp)
+    val token = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    if (token.isEmpty) return // legacy single-writer marker
+    val stage = new Path(stagingDir(root, token))
+    if (!f.exists(stage)) return // already materialized
+    (Tables :+ "labels").foreach { t =>
+      val src = new Path(s"${stagingDir(root, token)}/$t")
+      val dst = new Path(
+        if (t == "labels") s"$root/labels/v=$v" else s"$root/$t/ingest=$v")
+      if (f.exists(src) && !f.exists(dst)) {
+        f.mkdirs(dst.getParent)
+        require(f.rename(src, dst), s"could not materialize $src -> $dst")
+      }
+    }
+    f.delete(stage, true)
+  }
+
+  /** Optimistic conditional commit: compute the delta against the
+    * freshest state, stage its artifacts under a writer-private dir,
+    * then CLAIM latest+1 atomically — if another writer advanced the
+    * corpus first, the claim fails, the staging is discarded, and the
+    * delta is RECOMPUTED from the new state (`deltaOf` receives the
+    * freshly loaded state each attempt, None for an empty root). Lost
+    * updates are impossible by construction: a version number is
+    * committed by exactly one writer, and every retry re-reads the
+    * winner's state before recomputing. Returns the committed
+    * version; fails after `maxAttempts` lost races. */
+  def commitDeltaOptimistic(spark: SparkSession, root: String,
+                            maxAttempts: Int = 5)
+                           (deltaOf: Option[CorpusState] => IngestDelta): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val f = fs(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = latestVersion(spark, root)
+      val target = cur.getOrElse(-1L) + 1L
+      val delta = deltaOf(cur.map(v => loadVersion(spark, root, v)))
+      val token = java.util.UUID.randomUUID().toString
+      val stage = stagingDir(root, token)
+      delta.stateDelta.newHashes.select(col("h"))
+        .write.mode("overwrite").parquet(s"$stage/hashes")
+      delta.stateDelta.newSigs.select(col("id"), col("hs"), col("sig"))
+        .write.mode("overwrite").parquet(s"$stage/sigs")
+      delta.stateDelta.newShingles.select(col("doc_id"), col("split"), col("h"))
+        .write.mode("overwrite").parquet(s"$stage/shingles")
+      delta.accepted
+        .select(col("split"), col("lang"), col("bin"), col("doc_id"), col("n_tokens"))
+        .write.mode("overwrite").parquet(s"$stage/manifest")
+      delta.tombstones.select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/dead")
+      delta.state.labels.select(col("id"), col("comp"))
+        .write.mode("overwrite").parquet(s"$stage/labels")
+      if (claim(spark, root, target, token)) {
+        Tables.foreach(t => DirSwap.recover(f, s"$root/$t"))
+        materializePending(spark, root, target)
+        writeLatest(spark, root, target)
+        return target
+      }
+      // lost the race: discard the staging, reload, recompute
+      f.delete(new Path(stage), true)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the commit race $maxAttempts times under $root")
   }
 
   /** Commit a freshly bootstrapped corpus as the first version: the
