@@ -258,11 +258,15 @@ object Analytics {
   def rfmScores(events: DataFrame, userCol: Column, tsCol: Column,
                 valCol: Column, buckets: Int = 5): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // persisted: the event stream collapses ONCE — the three metric
+    // passes (each a quantile probe + counts + join-back) and the
+    // final chain all ride the user frame, never events again
     val users = events.groupBy(userCol.as("user_id"))
       .agg(max(unix_micros(tsCol)).as("last_us"),
         count(lit(1)).as("freq"),
         (sum(valCol.cast(DecimalType(12, 2))) * 100).cast(LongType)
           .as("monetary_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def scoreOf(metric: String, out: String)(df: DataFrame): DataFrame = {
       val counts = df.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("__c"))
       val cum = Prefix.cumSumBucketed(counts, "__v", descending = false,

@@ -485,6 +485,34 @@ object ScaleProbe {
           SkewJoin.salted(fact, dim, "k", minRows = 1000L, salt = 16).count()
         }
       }
+      // round-12: the WARC container fold (per-file projection — one
+      // archive per 50 docs so file COUNT grows with k, the Common
+      // Crawl parallel unit), the suffix-order longest-dup pass (the
+      // position frame is corpus-char-sized; bucketed sort + lag must
+      // track it linearly), and the KMV overlap (k-bounded sketches:
+      // the curve should be the SCAN, flat algebra)
+      time("warc_extract", k) {
+        val body = concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+        val rec = concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+            "https://x/d/"), col("doc_id").cast("string"),
+          lit("\r\nContent-Length: "), length(body).cast("string"),
+          lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+        val files = docs.select((col("doc_id") % 50L).as("file"), col("doc_id"), rec.as("rec"))
+          .groupBy(col("file"))
+          .agg(concat_ws("", transform(sort_array(collect_list(
+            struct(col("doc_id"), col("rec")))), x => x.getField("rec"))).as("warc"))
+        graft.sources.Warc.records(files, "file", "warc").count()
+      }
+      time("longest_dup", k) {
+        graft.operators.SuffixOps.longestDupSpans(docs, "doc_id", "text").count()
+      }
+      time("kmv_overlap", k) {
+        val hashed = docs.select(col("doc_id"),
+          graft.plans.PolyHash64.poly_hash64(col("text")).as("h"))
+        graft.operators.CorpusOverlap.overlap(
+          hashed.filter(col("doc_id") % 2 === 0),
+          hashed.filter(col("doc_id") % 3 === 0), "h").count()
+      }
     }
     spark.stop()
   }
