@@ -12,9 +12,10 @@ import graft.sources.Tables
   * behind in production: parse per-host robots.txt into agent groups,
   * select the group for a crawler name, and decide each URL by the
   * longest-path-match rule with Allow winning length ties (the
-  * Google/RFC 9309 precedence). Deterministic subset, documented:
-  * agent matching is exact-name-or-`*` (no prefix tokens), rule paths
-  * are literal prefixes (no `*`/`$` wildcards).
+  * Google/RFC 9309 precedence), with the RFC's path wildcards: `*`
+  * matches any char run and a trailing `$` anchors the end.
+  * Deterministic subset, documented: agent matching is
+  * exact-name-or-`*` (no prefix tokens).
   *
   * Scale shape: parsing is posexplode + one per-host line window
   * (robots files are KB-bounded — the window frame is the FILE, never
@@ -131,9 +132,33 @@ object Robots {
       .select(col("host"), col("allow"), col("path"))
   }
 
-  /** Per-URL verdict under `agent`: longest matching rule path wins,
-    * Allow wins exact length ties; no matching rule (or no rules for
-    * the host) → allowed. Output: (host, path, allowed, rule_path). */
+  /** Compile a robots rule path into its RFC 9309 match regex:
+    * `*` matches any char run, a TRAILING `$` anchors the end, every
+    * other char is literal (regex metachars escaped — an INNER `$` is
+    * a literal). Shared by [[decide]]; the SQL twin lives in
+    * [[robotsSelSql]]'s `selx` CTE. */
+  private def rulePattern(rpath: Column): Column = {
+    val anchored = rpath.endsWith("$")
+    val body = when(anchored, rpath.substr(lit(1), length(rpath) - 1))
+      .otherwise(rpath)
+    // literal replace chain (backslash FIRST), mirrored verbatim in
+    // the SQL selx CTE — a regex-based escape would need a second
+    // layer of escaping in each engine's string dialect
+    val esc = Seq("\\", ".", "^", "$", "+", "?", "(", ")", "[", "]", "{", "}", "|")
+      .foldLeft(body)((c, ch) => replace(c, lit(ch), lit("\\" + ch)))
+    concat(lit("^"), replace(esc, lit("*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Per-URL verdict under `agent`: longest matching rule path wins
+    * (specificity = the RULE's literal length, wildcards included —
+    * the Google/RFC tiebreak), Allow wins exact length ties; no
+    * matching rule (or no rules for the host) → allowed. Rule paths
+    * support the RFC 9309 wildcards: `*` (any run) and a trailing
+    * `$` (end anchor); the per-candidate regex is compiled from a
+    * COLUMN (robots rules are KB-bounded per host, so the
+    * non-foldable pattern rides a rule-bounded frame, never the
+    * corpus). Output: (host, path, allowed, rule_path). */
   def decide(urls: DataFrame, rules: DataFrame, agent: String): DataFrame = {
     val rs = rulesFor(rules, agent)
     // left join keeps every URL; non-matching rules become NULL
@@ -143,7 +168,8 @@ object Robots {
       .join(rs.withColumnRenamed("path", "rpath"), Seq("host"), "left")
       .groupBy(col("host"), col("path"))
       .agg(max(when(
-        col("rpath").isNotNull && col("path").startsWith(col("rpath")),
+        col("rpath").isNotNull &&
+          regexp_like(col("path"), rulePattern(col("rpath"))),
         struct(length(col("rpath")).as("l"), col("allow").as("a"),
           col("rpath").as("p")))).as("m"))
     matches.select(col("host"), col("path"),
@@ -162,10 +188,10 @@ object Robots {
     val host = concat(lit("www."), lower(col("source")), lit(".com"))
     val robotsTxt =
       when(pmod(col("doc_id"), lit(3)) === 0, concat(lit(
-        "# star only\nUser-agent: *\nCrawl-delay: 2.5\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /tmp\nSitemap: https://"),
+        "# star only\nUser-agent: *\nCrawl-delay: 2.5\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /tmp\nDisallow: /*.tmp$\nSitemap: https://"),
         host, lit("/sitemap.xml")))
       .when(pmod(col("doc_id"), lit(3)) === 1, concat(lit(
-        "User-agent: *\nCrawl-delay: 10\nDisallow: /\nUser-agent: graftbot\nUser-agent: otherbot\nCrawl-delay: 1\nDisallow: /private/\nAllow: /private/ok/\nSitemap: https://"),
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /\nUser-agent: graftbot\nUser-agent: otherbot\nCrawl-delay: 1\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /*.tmp$\nSitemap: https://"),
         host, lit("/a.xml\nSitemap: https://"), host, lit("/b.xml")))
       .otherwise(lit("# no rules here\n# just comments"))
     docs.select(host.as("host"), col("doc_id"), robotsTxt.as("txt"))
@@ -188,7 +214,8 @@ object Robots {
           .when(pmod(col("doc_id"), lit(4)) === 1, "/private/ok/")
           .when(pmod(col("doc_id"), lit(4)) === 2, "/tmp")
           .otherwise("/public/"),
-        lit("page"), pmod(col("doc_id"), lit(7)).cast("string")).as("path"))
+        lit("page"), pmod(col("doc_id"), lit(7)).cast("string"),
+        when(pmod(col("doc_id"), lit(5)) === 0, ".tmp").otherwise("")).as("path"))
       .distinct()
     val firstSitemap = sitemapsDeclared(robots, "host", "txt")
       .groupBy(col("host"))
@@ -300,6 +327,7 @@ object Robots {
     val entry = concat(lit("<url><loc>HTTPS://WWW."), upper(col("source")),
       lit(".COM:443"), pathPart, lit("page"),
       pmod(col("doc_id"), lit(7)).cast("string"),
+      when(pmod(col("doc_id"), lit(5)) === 0, ".tmp").otherwise(""),
       lit("?utm_source=map</loc>"),
       when(lastmod =!= "", concat(lit("<lastmod>"), lastmod, lit("</lastmod>")))
         .otherwise(lit("")),
@@ -439,7 +467,18 @@ object Robots {
        |smf AS (
        |  SELECT host, value AS sitemap_url,
        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY pos) AS rn
-       |  FROM fl WHERE field = 'sitemap' AND value <> '')""".stripMargin
+       |  FROM fl WHERE field = 'sitemap' AND value <> ''),
+       |selx AS (
+       |  SELECT host, allow, path,
+       |    '^' || replace(replace(replace(replace(replace(replace(replace(
+       |      replace(replace(replace(replace(replace(replace(replace(
+       |      CASE WHEN path LIKE '%$$' THEN substr(path, 1, length(path) - 1)
+       |           ELSE path END,
+       |      '\\', '\\\\'), '.', '\\.'), '^', '\\^'), '$$', '\\$$'), '+', '\\+'),
+       |      '?', '\\?'), '(', '\\('), ')', '\\)'), '[', '\\['), ']', '\\]'),
+       |      '{', '\\{'), '}', '\\}'), '|', '\\|'), '*', '.*')
+       |    || (CASE WHEN path LIKE '%$$' THEN '$$' ELSE '' END) AS pat
+       |  FROM sel)""".stripMargin
 
   /** The seeded per-host robots bodies (three shapes), CTE `robots`. */
   private[operators] val robotsBodiesSql: String =
@@ -450,6 +489,7 @@ object Robots {
       |      || 'Crawl-delay: 2.5' || chr(10)
       |      || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
       |      || chr(10) || 'Disallow: /tmp' || chr(10)
+      |      || 'Disallow: /*.tmp$' || chr(10)
       |      || 'Sitemap: https://www.' || lower(source) || '.com/sitemap.xml'
       |    WHEN doc_id % 3 = 1 THEN
       |      'User-agent: *' || chr(10) || 'Crawl-delay: 10' || chr(10)
@@ -457,7 +497,8 @@ object Robots {
       |      || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot'
       |      || chr(10) || 'Crawl-delay: 1' || chr(10)
       |      || 'Disallow: /private/' || chr(10) || 'Allow: /private/ok/'
-      |      || chr(10) || 'Sitemap: https://www.' || lower(source) || '.com/a.xml'
+      |      || chr(10) || 'Disallow: /*.tmp$' || chr(10)
+      |      || 'Sitemap: https://www.' || lower(source) || '.com/a.xml'
       |      || chr(10) || 'Sitemap: https://www.' || lower(source) || '.com/b.xml'
       |    ELSE '# no rules here' || chr(10) || '# just comments' END AS txt
       |  FROM documents),
@@ -505,7 +546,9 @@ object Robots {
          |             WHEN doc_id % 4 = 1 THEN '/private/ok/'
          |             WHEN doc_id % 4 = 2 THEN '/tmp'
          |             ELSE '/public/' END)
-         |    || 'page' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=map</loc>'
+         |    || 'page' || CAST(doc_id % 7 AS VARCHAR)
+         |    || (CASE WHEN doc_id % 5 = 0 THEN '.tmp' ELSE '' END)
+         |    || '?utm_source=map</loc>'
          |    || (CASE WHEN doc_id % 3 = 0 THEN ''
          |        ELSE '<lastmod>2025-01-'
          |          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
@@ -536,8 +579,8 @@ object Robots {
         |      ORDER BY length(s.path) DESC,
         |        CASE WHEN s.allow THEN 1 ELSE 0 END DESC, s.path DESC) AS rn
         |  FROM (SELECT DISTINCT site, path FROM sp) u
-        |  LEFT JOIN sel s ON u.site = s.host
-        |    AND u.path LIKE s.path || '%'),
+        |  LEFT JOIN selx s ON u.site = s.host
+        |    AND regexp_matches(u.path, s.pat)),
         |v AS (SELECT site, path, COALESCE(allow, TRUE) AS allowed FROM m WHERE rn = 1)
         |SELECT sp.site AS host, sp.pos, sp.path, sp.loc_canon,
         |  sp.priority_ppm, sp.recrawl, v.allowed,
@@ -588,7 +631,8 @@ object Robots {
         |          WHEN doc_id % 4 = 1 THEN '/private/ok/'
         |          WHEN doc_id % 4 = 2 THEN '/tmp'
         |          ELSE '/public/' END)
-        |    || 'page' || CAST(doc_id % 7 AS VARCHAR) AS path
+        |    || 'page' || CAST(doc_id % 7 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '.tmp' ELSE '' END) AS path
         |  FROM documents),
         |m AS (
         |  SELECT u.host, u.path, s.allow, s.path AS rpath,
@@ -596,8 +640,8 @@ object Robots {
         |      ORDER BY length(s.path) DESC,
         |        CASE WHEN s.allow THEN 1 ELSE 0 END DESC, s.path DESC) AS rn
         |  FROM urls u
-        |  LEFT JOIN sel s ON u.host = s.host
-        |    AND u.path LIKE s.path || '%'),
+        |  LEFT JOIN selx s ON u.host = s.host
+        |    AND regexp_matches(u.path, s.pat)),
         |v AS (SELECT host, path, allow, rpath FROM m WHERE rn = 1)
         |SELECT v.host, v.path,
         |  COALESCE(v.allow, TRUE) AS allowed,

@@ -29,6 +29,29 @@ class RobotsSpec extends AnyFunSuite {
     assert(v("/public/y") == ((true, None)), "no rule matches -> allowed")
   }
 
+  test("wildcards: * spans any run, trailing $ anchors, specificity by rule length") {
+    val txt = "User-agent: *\nDisallow: /*.tmp$\nAllow: /private/ok/\nDisallow: /private/"
+    val v = verdicts(txt, Seq(
+      "/notes.tmp", "/deep/dir/x.tmp", "/x.tmpy",
+      "/private/ok/keep.tmp", "/private/drop.tmp"))
+    assert(v("/notes.tmp") == ((false, Some("/*.tmp$"))))
+    assert(v("/deep/dir/x.tmp") == ((false, Some("/*.tmp$"))), "* spans slashes")
+    assert(v("/x.tmpy") == ((true, None)), "trailing $ anchors the end")
+    // /private/ok/ (12 chars) beats /*.tmp$ (7): rule LENGTH decides
+    assert(v("/private/ok/keep.tmp") == ((true, Some("/private/ok/"))))
+    assert(v("/private/drop.tmp") == ((false, Some("/private/"))))
+  }
+
+  test("wildcards: regex metachars in rule paths stay literal") {
+    val txt = "User-agent: *\nDisallow: /a.b\nDisallow: /p(q)\nDisallow: /d$e"
+    val v = verdicts(txt, Seq("/a.b", "/aXb", "/p(q)", "/d$e", "/d"))
+    assert(v("/a.b") == ((false, Some("/a.b"))))
+    assert(v("/aXb") == ((true, None)), "'.' in a rule is a literal dot")
+    assert(v("/p(q)") == ((false, Some("/p(q)"))))
+    assert(v("/d$e") == ((false, Some("/d$e"))), "inner $ is a literal")
+    assert(v("/d") == ((true, None)))
+  }
+
   test("exact agent group shadows the star group completely") {
     val txt = "User-agent: *\nDisallow: /\nUser-agent: bot\nDisallow: /private/"
     val v = verdicts(txt, Seq("/anything", "/private/x"))
