@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scheduled-run ledger + retry semantics (SURVEY.md §2 row 259) —
+  * the engine-side analog of what the reference delegates to Airflow
+  * (oura_dag.py:18 `retries=1`, :26 daily schedule, catchup;
+  * health_check_dag.py:14 liveness). No Airflow exists in this
+  * environment, so the DETERMINISTIC core is built here and the
+  * process-level trigger (a cron daemon, a Composer, a k8s CronJob)
+  * stays a deploy concern:
+  *
+  *  - **catch-up**: due windows = the cron's firings in
+  *    (lastObservedWindow, now] minus windows already succeeded —
+  *    the row-2 watermark idea lifted to the orchestration level;
+  *  - **retries**: each window gets up to 1 + maxRetries attempts in
+  *    THIS invocation; every attempt lands in the ledger with its
+  *    error text; a window that exhausted its attempts stays
+  *    `failed` and is NOT silently retried on later invocations
+  *    (Airflow's cleared-manually posture) unless `retryFailed`;
+  *  - **idempotence**: succeeded windows never re-run — re-invoking
+  *    with the same `now` is a no-op;
+  *  - **liveness**: [[healthReport]] compares the last success
+  *    against the last expected firing — the health-check DAG as a
+  *    one-row frame.
+  *
+  * The ledger is an append-only parquet table under `root/ledger`
+  * (window, attempt, status, error, seq) — restart-safe, queryable
+  * with the rest of the warehouse, and ordered by an explicit `seq`
+  * (max seq + 1 per append; never a wall clock, so replays are
+  * bit-stable). Scale: the ledger is runs × attempts — orchestration
+  * metadata, not data; one small read + appends per invocation. */
+object Runner {
+
+  private val Fmt = DateTimeFormatter.ISO_LOCAL_DATE_TIME
+
+  private val ledgerSchema = StructType(Seq(
+    StructField("window", StringType),
+    StructField("attempt", LongType),
+    StructField("status", StringType),
+    StructField("error", StringType),
+    StructField("seq", LongType)))
+
+  private def ledgerDir(root: String) = s"$root/ledger"
+
+  def readLedger(spark: SparkSession, root: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(ledgerDir(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(ledgerSchema).parquet(ledgerDir(root))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ledgerSchema)
+  }
+
+  private def append(spark: SparkSession, root: String, window: String,
+                     attempt: Long, status: String, error: String,
+                     seq: Long): Unit = {
+    import spark.implicits._
+    Seq((window, attempt, status, error, seq))
+      .toDF("window", "attempt", "status", "error", "seq")
+      .write.mode("append").parquet(ledgerDir(root))
+  }
+
+  /** Windows of `cron` due in (`since`, `now`]: fired, minus already
+    * succeeded, minus (unless `retryFailed`) already exhausted. */
+  def dueWindows(spark: SparkSession, root: String, cron: String,
+                 since: LocalDateTime, now: LocalDateTime,
+                 retryFailed: Boolean = false): Seq[String] = {
+    val fired = CronSpec.parse(cron).firings(since, now).map(Fmt.format)
+    val ledger = readLedger(spark, root)
+      .groupBy(col("window"))
+      .agg(max(when(col("status") === "success", 1L).otherwise(0L)).as("ok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1) == 1L)).toMap
+    fired.filter { w =>
+      ledger.get(w) match {
+        case Some(true) => false            // succeeded: idempotent skip
+        case Some(false) => retryFailed     // exhausted: manual-clear posture
+        case None => true
+      }
+    }
+  }
+
+  final case class RunResult(window: String, attempts: Int, status: String)
+
+  /** Run every due window in order with retry semantics; returns one
+    * result per window actually attempted. `task` is the per-window
+    * job (typically: extract the window's range, transform, append —
+    * the reference's whole DAG body); a thrown exception is one
+    * failed attempt. */
+  def runDue(spark: SparkSession, root: String, cron: String,
+             since: LocalDateTime, now: LocalDateTime,
+             maxRetries: Int = 1, retryFailed: Boolean = false)
+            (task: String => Unit): Seq[RunResult] = {
+    require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
+    var seq = readLedger(spark, root)
+      .agg(coalesce(max(col("seq")), lit(-1L))).head().getLong(0)
+    dueWindows(spark, root, cron, since, now, retryFailed).map { w =>
+      var attempt = 0
+      var done = false
+      var status = "failed"
+      while (!done && attempt <= maxRetries) {
+        attempt += 1
+        seq += 1
+        try {
+          task(w)
+          status = "success"; done = true
+          append(spark, root, w, attempt.toLong, "success", "", seq)
+        } catch {
+          case e: Exception =>
+            val s = if (attempt > maxRetries) "failed" else "retrying"
+            append(spark, root, w, attempt.toLong, s,
+              String.valueOf(e.getMessage), seq)
+        }
+      }
+      RunResult(w, attempt, status)
+    }
+  }
+
+  /** One-row liveness frame: the last succeeded window vs the last
+    * firing expected by `now` — `healthy` iff they agree (or nothing
+    * was expected yet). The health-check DAG as data. */
+  def healthReport(spark: SparkSession, root: String, cron: String,
+                   since: LocalDateTime, now: LocalDateTime): DataFrame = {
+    import spark.implicits._
+    val expected = CronSpec.parse(cron).firings(since, now).map(Fmt.format)
+    val lastExpected = expected.lastOption.getOrElse("")
+    val lastSuccess = readLedger(spark, root)
+      .filter(col("status") === "success")
+      .agg(max(col("window"))).head().getString(0)
+    Seq((Option(lastSuccess).getOrElse(""), lastExpected,
+        lastExpected.isEmpty || Option(lastSuccess).contains(lastExpected),
+        expected.count(w => Option(lastSuccess).forall(_ < w)).toLong))
+      .toDF("last_success", "last_expected", "healthy", "missed_windows")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{CronSpec, Runner}
+
+/** Orchestration layer (SURVEY.md §2 row 259): cron-subset parsing
+  * and firing, catch-up window computation, retry/ledger semantics,
+  * idempotence, the manual-clear posture for exhausted windows, and
+  * the liveness report. Everything runs on explicit times — no wall
+  * clock anywhere. */
+class SchedulerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def t(s: String) = LocalDateTime.parse(s)
+
+  test("the reference's daily schedule fires once per day at 04:00") {
+    val c = CronSpec.parse("0 4 * * *")
+    val f = c.firings(t("2026-08-01T00:00"), t("2026-08-04T12:00"))
+    assert(f.map(_.toString) ==
+      Seq("2026-08-01T04:00", "2026-08-02T04:00", "2026-08-03T04:00", "2026-08-04T04:00"))
+  }
+
+  test("steps, lists, ranges, dow; from is exclusive") {
+    val q = CronSpec.parse("*/15 * * * *")
+    assert(q.firings(t("2026-08-01T10:00"), t("2026-08-01T11:00"))
+      .map(_.getMinute) == Seq(15, 30, 45, 0))
+    val lst = CronSpec.parse("0 9,17 * * 1-5") // weekdays 9 and 17
+    val f = lst.firings(t("2026-08-07T00:00"), t("2026-08-10T23:59")) // Fri..Mon
+    assert(f.map(_.toString) ==
+      Seq("2026-08-07T09:00", "2026-08-07T17:00", "2026-08-10T09:00", "2026-08-10T17:00"))
+    // dow 7 == Sunday == 0
+    assert(CronSpec.parse("0 0 * * 7").matches(t("2026-08-09T00:00"))) // a Sunday
+  }
+
+  test("POSIX union rule: restricted dom OR restricted dow") {
+    val c = CronSpec.parse("0 0 15 * 1") // the 15th OR any Monday
+    assert(c.matches(t("2026-08-15T00:00")))  // Saturday the 15th
+    assert(c.matches(t("2026-08-10T00:00")))  // Monday the 10th
+    assert(!c.matches(t("2026-08-11T00:00"))) // Tuesday the 11th
+  }
+
+  test("catch-up + retries + idempotence + manual-clear posture") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sched").toString
+    val failures = scala.collection.mutable.Map[String, Int]()
+    def flaky(failFirst: Set[String])(w: String): Unit = {
+      val n = failures.getOrElse(w, 0)
+      if (failFirst.contains(w) && n == 0) {
+        failures(w) = n + 1
+        throw new RuntimeException(s"transient $w")
+      }
+      if (w.contains("03T04")) throw new RuntimeException("permanently broken")
+    }
+    // three days due; day 1 flakes once then succeeds, day 3 always fails
+    val r1 = Runner.runDue(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-03T12:00"), maxRetries = 1)(
+      flaky(Set("2026-08-01T04:00:00")))
+    assert(r1.map(r => (r.window, r.attempts, r.status)) == Seq(
+      ("2026-08-01T04:00:00", 2, "success"),
+      ("2026-08-02T04:00:00", 1, "success"),
+      ("2026-08-03T04:00:00", 2, "failed")))
+
+    // same now again: succeeded windows are idempotent, the exhausted
+    // window stays failed (manual-clear posture)
+    val r2 = Runner.runDue(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-03T12:00"), maxRetries = 1)(_ => ())
+    assert(r2.isEmpty)
+
+    // retryFailed reruns ONLY the exhausted window, and it heals
+    val r3 = Runner.runDue(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-03T12:00"), maxRetries = 1,
+      retryFailed = true)(_ => ())
+    assert(r3.map(r => (r.window, r.status)) == Seq(("2026-08-03T04:00:00", "success")))
+
+    // the ledger carries the full attempt history with error text
+    val ledger = Runner.readLedger(spark, root)
+      .orderBy(org.apache.spark.sql.functions.col("seq"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(ledger.count(_._3 == "retrying") == 2) // day-1 flake + day-3 first try
+    assert(ledger.count(_._3 == "failed") == 1)
+    assert(ledger.count(_._3 == "success") == 3)
+  }
+
+  test("health report: healthy when the last expected window succeeded") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sched2").toString
+    Runner.runDue(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-02T12:00"))(_ => ())
+    val ok = Runner.healthReport(spark, root, "0 4 * * *",
+        t("2026-07-31T12:00"), t("2026-08-02T12:00"))
+      .collect().head
+    assert(ok.getBoolean(2) && ok.getLong(3) == 0L)
+    // advance time a day without running: unhealthy, one missed window
+    val late = Runner.healthReport(spark, root, "0 4 * * *",
+        t("2026-07-31T12:00"), t("2026-08-03T12:00"))
+      .collect().head
+    assert(!late.getBoolean(2) && late.getLong(3) == 1L)
+  }
+}
