@@ -303,6 +303,79 @@ object Robots {
       .orderBy(col("host"), col("pos"))
   }
 
+  // ---- sitemap INDEX files (row 260) ----
+
+  /** Sitemap index parsing (SURVEY.md §2 row 260) — the one level of
+    * recursion the sitemap protocol defines: big sites ship a
+    * `<sitemapindex>` of child `<sitemap><loc>` entries (each child a
+    * plain urlset), so discovery is index → children → row-247 parse.
+    * Same shape discipline as [[parseSitemap]]: pure projection + one
+    * posexplode, loc required, lastmod optional, document order. */
+  def parseSitemapIndex(maps: DataFrame, hostCol: String,
+                        xmlCol: String): DataFrame = {
+    val entryPat = "(?is)<sitemap>(.*?)</sitemap>"
+    maps.select(col(hostCol).as("host"),
+        posexplode(regexp_extract_all(col(xmlCol), lit(entryPat), lit(1)))
+          .as(Seq("pos", "e")))
+      .select(col("host"), col("pos").cast(LongType).as("idx_pos"),
+        regexp_extract(col("e"), "(?is)<loc>(.*?)</loc>", 1).as("child_loc"),
+        regexp_extract(col("e"), "(?is)<lastmod>(.*?)</lastmod>", 1)
+          .as("idx_lastmod"))
+      .filter(col("child_loc") =!= "")
+  }
+
+  /** §2 row 260 — index → children → urls, end to end: per host a
+    * seeded index of two child sitemaps (docs split by id parity),
+    * child bodies fetched by (host, child_loc) equi-join, each child
+    * urlset through the row-247 parser keyed by the composite
+    * `host|child_loc` (split back after). */
+  def sitemapIndexQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val host = concat(lit("www."), lower(col("source")), lit(".com"))
+    val g = pmod(col("doc_id"), lit(2))
+    val childLoc = concat(lit("https://"), host, lit("/sm/"),
+      g.cast("string"), lit(".xml"))
+    // the index: one <sitemap> entry per DISTINCT child on the host
+    val idxXml = docs
+      .select(host.as("host"), childLoc.as("child_loc"), g.as("g"))
+      .distinct()
+      .groupBy(col("host"))
+      .agg(concat(lit("<sitemapindex>"),
+        array_join(transform(sort_array(collect_list(
+            struct(col("g"), col("child_loc")))),
+          x => concat(lit("<sitemap><loc>"), x.getField("child_loc"),
+            lit("</loc><lastmod>2025-01-10</lastmod></sitemap>"))), ""),
+        lit("</sitemapindex>")).as("xml"))
+    // child bodies: the docs of that parity on that host
+    val entry = concat(lit("<url><loc>HTTPS://WWW."), upper(col("source")),
+      lit(".COM:443/p/"), col("doc_id").cast("string"),
+      lit("?utm_source=map</loc>"),
+      when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit("<lastmod>2025-01-"),
+          lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+          lit("</lastmod>"))).otherwise(lit("")),
+      lit("</url>"))
+    val bodies = docs
+      .select(host.as("host"), childLoc.as("child_loc"), col("doc_id"),
+        entry.as("entry"))
+      .groupBy(col("host"), col("child_loc"))
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(sort_array(collect_list(
+            struct(col("doc_id"), col("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("xml"))
+    val idx = parseSitemapIndex(idxXml, "host", "xml")
+    val fetched = idx.join(bodies, Seq("host", "child_loc"))
+      .select(concat(col("host"), lit("|"), col("child_loc")).as("ck"),
+        col("idx_pos"), col("xml"))
+    parseSitemap(fetched, "ck", "xml", recrawlAfter = "2025-01-15")
+      // parseSitemap names its key 'host' = our composite ck
+      .select(split(col("host"), "\\|").getItem(0).as("host"),
+        split(col("host"), "\\|").getItem(1).as("child_loc"),
+        col("pos"), col("loc_canon"), col("lastmod"), col("recrawl"))
+      .orderBy(col("host"), col("child_loc"), col("pos"))
+  }
+
   /** §2 row 249 — the crawl capstone: sitemap discovery (247)
     * through the robots gate (241): per discovered URL the canonical
     * loc, its robots verdict for `graftbot`, the recrawl flag, and
@@ -399,6 +472,7 @@ object Robots {
     "q_robots" -> (robotsQ _),
     "q_sitemap" -> (sitemapQ _),
     "q_crawl_plan" -> (crawlPlanQ _),
+    "q_sitemap_index" -> (sitemapIndexQ _),
     "q_crawl_schedule" -> (scheduleQ _))
 
   /** Robots parse/select replay reading CTE `robots(host, txt)`:
@@ -619,6 +693,37 @@ object Robots {
           |SELECT site AS host, pos, loc, loc_canon, lastmod, priority_ppm, recrawl
           |FROM smap
           |ORDER BY host, pos""".stripMargin),
+
+    // index -> children -> urls: the child urlsets keyed by the
+    // composite host|child_loc run the shared sitemapParseSql; the
+    // index parse is checked behaviorally (a dropped/garbled index
+    // entry loses its child's rows on the engine side)
+    "q_sitemap_index" ->
+      ("""WITH e0 AS (
+         |  SELECT doc_id,
+         |    'www.' || lower(source) || '.com' AS h,
+         |    'https://www.' || lower(source) || '.com/sm/'
+         |      || CAST(doc_id % 2 AS VARCHAR) || '.xml' AS child_loc,
+         |    '<url><loc>HTTPS://WWW.' || upper(source) || '.COM:443/p/'
+         |    || CAST(doc_id AS VARCHAR) || '?utm_source=map</loc>'
+         |    || (CASE WHEN doc_id % 3 <> 0 THEN '<lastmod>2025-01-'
+         |          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         |          || '</lastmod>' ELSE '' END)
+         |    || '</url>' AS entry
+         |  FROM documents),
+         |xml AS (
+         |  SELECT h || '|' || child_loc AS host,
+         |    '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
+         |      || '</urlset>' AS xml
+         |  FROM e0 GROUP BY 1),
+         |""".stripMargin
+        + sitemapParseSql("2025-01-15")
+        + """
+          |SELECT string_split(site, '|')[1] AS host,
+          |  string_split(site, '|')[2] AS child_loc,
+          |  pos, loc_canon, lastmod, recrawl
+          |FROM smap
+          |ORDER BY host, child_loc, pos""".stripMargin),
 
     // seeded bodies + the shared robotsSelSql fragment; URL verdicts
     // via the (len, allow, path) ROW_NUMBER argmax; unmatched URLs

@@ -133,6 +133,21 @@ class RobotsSpec extends AnyFunSuite {
     assert(got == Map("h1" -> 3000000L, "h2" -> 500000L))
   }
 
+  test("sitemap index: children in document order, loc required, lastmod optional") {
+    val xml = "<sitemapindex>" +
+      "<sitemap><loc>https://h/a.xml</loc><lastmod>2025-01-02</lastmod></sitemap>" +
+      "<sitemap><lastmod>2025-01-03</lastmod></sitemap>" + // no loc: dropped
+      "<sitemap><loc>https://h/b.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    val got = graft.operators.Robots.parseSitemapIndex(
+        Seq(("h", xml)).toDF("host", "xml"), "host", "xml")
+      .orderBy($"idx_pos")
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("h", 0L, "https://h/a.xml", "2025-01-02"),
+      ("h", 2L, "https://h/b.xml", "")))
+  }
+
   test("sitemap directives surface host-wide in declaration order") {
     val robots = Seq(
       ("h1", "Sitemap: https://h1/a.xml\nUser-agent: *\nDisallow: /\n" +
