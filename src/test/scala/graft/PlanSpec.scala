@@ -459,4 +459,36 @@ class PlanSpec extends AnyFunSuite {
     assert(sorts - cachedPlans <= 1,
       s"extra uncached per-doc sort: $sorts sorts vs $cachedPlans cached plans")
   }
+
+  test("WARC record parse is a pure projection: no exchange, no window") {
+    import spark.implicits._
+    val p = plan(graft.sources.Warc.records(
+      Seq(("f", "WARC/1.0\r\nContent-Length: 1\r\n\r\nx\r\n\r\n"))
+        .toDF("file", "warc"), "file", "warc"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("longest-dup: the suffix window partitions by the prefix bucket, top-k is TakeOrdered") {
+    import spark.implicits._
+    val docs = Seq((1L, "suffix pin body " * 4)).toDF("doc_id", "text")
+    val p = plan(graft.operators.SuffixOps.longestDupSpans(docs, "doc_id", "text"))
+    // no window orders the position frame globally — every window key
+    // leads with the engine-internal __b bucket
+    assert("windowspecdefinition\\((?!__b)".r.findFirstIn(p).isEmpty, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("KMV overlap: k-bounded partial aggregation, no distinct exchange on values") {
+    import spark.implicits._
+    val a = (1L to 500L).toDF("h")
+    val b = (200L to 700L).toDF("h")
+    val df = graft.operators.CorpusOverlap.overlap(a, b, "h", 64)
+    df.collect()
+    val p = plan(df)
+    // the KmvLong aggregator dedups inside its buffer: the plan has
+    // partial ObjectHashAggregate stages, never HashAggregate(keys=[h])
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("HashAggregate(keys=[h"), p)
+  }
 }
