@@ -70,8 +70,38 @@ object WarcOps {
       .orderBy(col("file"), col("rec_pos"))
   }
 
+  /** §2 row 254 (WET half) — text-conversion records: per-host WET
+    * files (one `conversion` record per doc, payload = the PLAIN
+    * text), parsed and run through the row-44 token count and row-42
+    * langid — the exact consumer path of a Common Crawl WET segment.
+    * Oracle = the metrics computed on the seed text directly
+    * (round-trip-is-identity, the q_warc_extract posture). */
+  def wetTextQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val file = concat(lit("www."), lower(col("source")), lit(".com.wet"))
+    val uri = concat(lit("https://www."), lower(col("source")),
+      lit(".com/d/"), col("doc_id").cast("string"))
+    val rec = concat(lit("WARC/1.0" + CRLF + "WARC-Type: conversion" + CRLF +
+        "WARC-Target-URI: "), uri,
+      lit(CRLF + "Content-Length: "), length(col("text")).cast("string"),
+      lit(CRLF + CRLF), col("text"), lit(CRLF + CRLF))
+    val files = docs.select(file.as("file"), col("doc_id"), rec.as("rec"))
+      .groupBy(col("file"))
+      .agg(array_join(transform(sort_array(collect_list(
+          struct(col("doc_id"), col("rec")))),
+        x => x.getField("rec")), "").as("warc"))
+    Warc.records(files, "file", "warc")
+      .filter(col("rec_type") === "conversion")
+      .select(regexp_extract(col("uri"), "/d/([0-9]+)", 1).cast(LongType).as("doc_id"),
+        col("content_length"), col("ok"),
+        graft.functions.TextFunctions.tokenCount(col("body")).as("n_tokens"),
+        graft.functions.TextFunctions.langId(col("body")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_warc_extract" -> (warcExtractQ _))
+    "q_warc_extract" -> (warcExtractQ _),
+    "q_wet_text" -> (wetTextQ _))
 
   // CRLF for SQL string building
   private val NL = "chr(13) || chr(10)"
@@ -118,5 +148,26 @@ object WarcOps {
          |  COALESCE(a.text_extract, '') AS text_extract
          |FROM rp p JOIN canonized c ON p.doc_id = c.doc_id
          |LEFT JOIN agg a ON p.doc_id = a.doc_id
-         |ORDER BY file, rec_pos""".stripMargin))
+         |ORDER BY file, rec_pos""".stripMargin),
+
+    // the WET metrics computed on the seed text directly; langid CASE
+    // and the token pattern shared verbatim with q_lang_id/q_web_gate
+    "q_wet_text" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in)\b', 0)) AS c_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b', 0)) AS c_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das)\b', 0)) AS c_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|dans)\b', 0)) AS c_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS content_length,
+        |  TRUE AS ok,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens,
+        |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |       WHEN c_de >= c_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted_lang
+        |FROM c
+        |ORDER BY doc_id""".stripMargin)
 }
