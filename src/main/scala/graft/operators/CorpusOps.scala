@@ -526,10 +526,11 @@ object CorpusOps {
     val tok = docs.select(idCol.as("__id"),
       explode(regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)))
         .as("token"))
+    // top-k via orderBy+limit (TakeOrderedAndProject): the vocabulary
+    // frame grows with the corpus (Heaps), so a global rank window
+    // over it would single-task — the joinFanout cure
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("c").desc, col("token"))))
-      .filter(col("rn") <= vocabSize)
+      .orderBy(col("c").desc, col("token")).limit(vocabSize)
       .select(col("token"), lit(true).as("in_vocab"))
     val perDoc = tok.join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("__id"))
