@@ -40,10 +40,16 @@ object WarcOps {
       .otherwise(concat(
         lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/d\">Docs</a></nav><p>"),
         col("text"), lit("</p></body></html>")))
+    // the record block is a FULL HTTP response (status line + headers
+    // + blank line + entity) -- the real WARC response shape; the
+    // engine must strip the HTTP header block before the markup gate
+    val httpHdr = "HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html; charset=UTF-8" + CRLF + CRLF
+    val payload = concat(lit(httpHdr), bodyHtml)
     val rec = concat(lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
         "WARC-Target-URI: "), uri,
-      lit(CRLF + "Content-Length: "), length(bodyHtml).cast("string"),
-      lit(CRLF + CRLF), bodyHtml, lit(CRLF + CRLF))
+      lit(CRLF + "Content-Length: "), length(payload).cast("string"),
+      lit(CRLF + CRLF), payload, lit(CRLF + CRLF))
     val files = docs.select(file.as("file"), col("doc_id"), rec.as("rec"))
       .groupBy(col("file"))
       .agg(concat(
@@ -58,7 +64,8 @@ object WarcOps {
           regexp_extract(col("uri"), "/d/([0-9]+)", 1).cast(LongType)))
     val gate = Markup.htmlToText(
       recs.filter(col("rec_type") === "response")
-        .select(col("doc_id"), col("body")), "doc_id", "body")
+        .select(col("doc_id"), Warc.httpBody(col("body")).as("body")),
+      "doc_id", "body")
     recs.join(gate, Seq("doc_id"), "left")
       .select(col("file"), col("rec_pos"), col("rec_type"),
         when(col("uri") === "", lit(""))
@@ -142,7 +149,10 @@ object WarcOps {
          |UNION ALL
          |SELECT p.file, CAST(p.rec_pos AS BIGINT) AS rec_pos,
          |  'response' AS rec_type, c.url_canon AS uri_canon,
-         |  CAST(length(p.html) AS BIGINT) AS content_length, TRUE AS ok,
+         |  CAST(length(p.html)
+         |    + length('HTTP/1.1 200 OK' || $NL
+         |      || 'Content-Type: text/html; charset=UTF-8' || $NL || $NL)
+         |    AS BIGINT) AS content_length, TRUE AS ok,
          |  COALESCE(a.n_blocks, 0) AS n_blocks,
          |  COALESCE(a.n_kept, 0) AS n_kept,
          |  COALESCE(a.text_extract, '') AS text_extract

@@ -113,6 +113,19 @@ object Warc {
     aggregate(segs, init, (acc, s) => step(acc, s), acc => finish(acc))
   }
 
+  /** The entity body of an HTTP-message payload: a WARC `response`
+    * record's block is the FULL HTTP response (status line + headers
+    * + blank line + entity), so consumers strip the header block
+    * before the markup gate. Payloads that don't start with `HTTP/`
+    * (WET conversions, resource records) pass through unchanged; a
+    * headers-only payload yields "". */
+  def httpBody(payload: Column): Column = {
+    val he = instr(payload, "\r\n\r\n")
+    when(payload.startsWith("HTTP/") && he > 0,
+      payload.substr(he + lit(4), length(payload)))
+      .otherwise(payload)
+  }
+
   /** One row per record: (file, rec_pos, rec_type, uri,
     * content_length, body, ok), rec_pos = 0-based order in the file. */
   def records(files: DataFrame, fileCol: String, warcCol: String): DataFrame =

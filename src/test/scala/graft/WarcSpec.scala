@@ -95,6 +95,19 @@ class WarcSpec extends AnyFunSuite {
     assert(parse("no records here at all").isEmpty)
   }
 
+  test("httpBody strips the HTTP message headers, passes non-HTTP payloads through") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("HTTP/1.1 200 OK" + NL + "Content-Type: text/html" + NL + NL + "<p>x</p>",
+        "<p>x</p>"),                       // response: entity after the blank line
+      ("HTTP/1.1 204 No Content" + NL + NL, ""), // headers only
+      ("plain WET text, no message", "plain WET text, no message"),
+      ("HTTP/1.1 broken, no blank line", "HTTP/1.1 broken, no blank line"))
+    val got = rows.map(_._1).toDF("p")
+      .select(Warc.httpBody(col("p"))).as[String].collect().toSeq
+    assert(got == rows.map(_._2))
+  }
+
   test("multi-file frame keys records by file") {
     val df = Seq(
         ("f1", rec("response", "u1", "a")),
