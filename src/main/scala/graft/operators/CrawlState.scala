@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Incremental crawl-frontier state (SURVEY.md §2 row 262) — the
+  * crawl family's entry into the "incremental everything" story
+  * (GraphState/NoveltyState posture): a persisted per-URL fetch
+  * ledger, advanced by delta commits, that turns discovery output
+  * (rows 247/260/239) into the NEXT cycle's frontier: a discovered
+  * URL is `new` (never fetched), `recrawl` (stale beyond the recrawl
+  * horizon — the row-2 watermark idea keyed by URL), or `fresh`
+  * (skip). This is the state a continuous crawler carries between
+  * cycles; without it every cycle refetches the world.
+  *
+  * Layout: `root/fetched/v=<n>` — the merged ledger per version
+  * (url_canon, host, last_fetch_day), advanced by
+  * [[commitFetched]]'s max-day merge. The merge is ONE map-side-
+  * combined groupBy on url_canon; the rewrite is bounded by the URL
+  * universe (the ranks posture — a delta layout via
+  * [[graft.sources.StateStore]] is the graduation if the universe
+  * outgrows rewrites). [[frontier]] is one equi-join of discovery
+  * against the ledger — no window, no driver state; day arithmetic
+  * on DATE, never string math. */
+object CrawlState {
+
+  private def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/fetched")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted.lastOption
+  }
+
+  /** The ledger at the latest version (empty-schema frame for an
+    * untouched root). */
+  def ledger(spark: SparkSession, root: String): DataFrame =
+    latestVersion(spark, root) match {
+      case Some(v) => spark.read.parquet(s"$root/fetched/v=$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url_canon",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("host",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("last_fetch_day",
+            org.apache.spark.sql.types.StringType))))
+    }
+
+  /** Merge one cycle's fetch records (url_canon, host, day — ISO
+    * strings) into the ledger as the next version: per URL the MAX
+    * fetch day survives (re-fetches advance, replays are idempotent). */
+  def commitFetched(spark: SparkSession, fetched: DataFrame,
+                    root: String): Long = {
+    val merged = ledger(spark, root)
+      .unionByName(fetched.select(col("url_canon"), col("host"),
+        col("day").as("last_fetch_day")))
+      .groupBy(col("url_canon"))
+      .agg(max(col("host")).as("host"),
+        max(col("last_fetch_day")).as("last_fetch_day"))
+    val v = latestVersion(spark, root).getOrElse(-1L) + 1L
+    merged.select(col("url_canon"), col("host"), col("last_fetch_day"))
+      .write.mode("overwrite").parquet(s"$root/fetched/v=$v")
+    v
+  }
+
+  /** The next cycle's frontier: discovery (host, url_canon,
+    * priority_ppm) against the ledger — status and the due verdict a
+    * scheduler (row 252) consumes. A URL is stale once
+    * last_fetch_day + recrawlDays <= today. */
+  def frontier(spark: SparkSession, discovered: DataFrame, root: String,
+               today: String, recrawlDays: Int): DataFrame = {
+    require(recrawlDays >= 1, s"recrawlDays must be >= 1, got $recrawlDays")
+    val led = ledger(spark, root).select(col("url_canon"), col("last_fetch_day"))
+    discovered.join(led, Seq("url_canon"), "left")
+      .withColumn("status",
+        when(col("last_fetch_day").isNull, "new")
+          .when(date_add(to_date(col("last_fetch_day")), recrawlDays) <=
+            to_date(lit(today)), "recrawl")
+          .otherwise("fresh"))
+      .select(col("host"), col("url_canon"),
+        coalesce(col("last_fetch_day"), lit("")).as("last_fetch_day"),
+        col("status"), (col("status") =!= "fresh").as("due"))
+  }
+
+  /** §2 row 262 — two real on-disk fetch deltas (even ids day
+    * 2025-01-10, odd ids day 2025-01-20; doc 0's URL refetched in the
+    * second delta so max-day merge is exercised), then the cycle-2
+    * frontier at 2025-01-25 with a 10-day horizon: evens are stale →
+    * recrawl, odds fresh → skip, and every 7th doc discovers an
+    * /extra/ URL never fetched → new. */
+  def crawlFrontierQ(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_crawl_state").toString
+    val docs = Tables.documents(s, d)
+    val host = concat(lit("www."), lower(col("source")), lit(".com"))
+    val url = concat(lit("https://"), host, lit("/d/"), col("doc_id").cast("string"))
+    val base = docs.select(host.as("host"), url.as("url_canon"), col("doc_id"))
+    commitFetched(s, base.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("url_canon"), col("host"), lit("2025-01-10").as("day")), root)
+    commitFetched(s, base.filter(pmod(col("doc_id"), lit(2)) === 1 ||
+        col("doc_id") === 0L) // doc 0 refetched: max-day merge on a live key
+      .select(col("url_canon"), col("host"), lit("2025-01-20").as("day")), root)
+    val discovered = base.select(col("host"), col("url_canon"))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("host"),
+          concat(lit("https://"), col("host"), lit("/extra/"),
+            col("doc_id").cast("string")).as("url_canon")))
+    frontier(s, discovered, root, today = "2025-01-25", recrawlDays = 10)
+      .orderBy(col("host"), col("url_canon"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crawl_frontier" -> (crawlFrontierQ _))
+
+  val oracles: Map[String, String] = Map(
+    // the two-delta merge replayed inline: per-URL max fetch day is a
+    // pure function of doc parity (doc 0 takes the LATER day), the
+    // staleness CASE in DATE arithmetic
+    "q_crawl_frontier" ->
+      """WITH base AS (
+        |  SELECT 'www.' || lower(source) || '.com' AS host,
+        |    'https://www.' || lower(source) || '.com/d/'
+        |      || CAST(doc_id AS VARCHAR) AS url_canon,
+        |    doc_id
+        |  FROM documents),
+        |led AS (
+        |  SELECT url_canon, host,
+        |    CASE WHEN doc_id % 2 = 1 OR doc_id = 0
+        |         THEN '2025-01-20' ELSE '2025-01-10' END AS last_fetch_day
+        |  FROM base),
+        |disc AS (
+        |  SELECT host, url_canon FROM base
+        |  UNION ALL
+        |  SELECT host,
+        |    'https://' || host || '/extra/' || CAST(doc_id AS VARCHAR)
+        |  FROM base WHERE doc_id % 7 = 0)
+        |SELECT d.host, d.url_canon,
+        |  COALESCE(l.last_fetch_day, '') AS last_fetch_day,
+        |  CASE WHEN l.last_fetch_day IS NULL THEN 'new'
+        |       WHEN CAST(l.last_fetch_day AS DATE) + INTERVAL 10 DAY
+        |            <= DATE '2025-01-25' THEN 'recrawl'
+        |       ELSE 'fresh' END AS status,
+        |  (l.last_fetch_day IS NULL OR
+        |   CAST(l.last_fetch_day AS DATE) + INTERVAL 10 DAY
+        |     <= DATE '2025-01-25') AS due
+        |FROM disc d LEFT JOIN led l ON d.url_canon = l.url_canon
+        |ORDER BY d.host, d.url_canon""".stripMargin)
+}
