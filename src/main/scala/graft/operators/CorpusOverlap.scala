@@ -38,17 +38,18 @@ object CorpusOverlap {
 
   val DefaultK = 128
 
-  /** The bottom-k distinct sketch of a long column, as one array row
-    * (empty input → empty frame; callers own that edge). */
+  /** The bottom-k distinct sketch of a long column, as EXACTLY one
+    * array row — a GLOBAL typed aggregation, so an empty corpus
+    * yields an empty-array row (not an empty frame): the overlap
+    * report below stays one-row for any input, matching its oracle's
+    * scalar subqueries. */
   def kmvSketch(df: DataFrame, hCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val agg = new KmvLong(k).toColumn
     df.select(col(hCol)).as[Long]
-      .groupByKey(_ => 0)
-      .agg(agg.name("sk"))
-      .toDF("__g", "sk")
-      .select(col("sk"))
+      .select(agg.name("sk"))
+      .toDF("sk")
   }
 
   /** One-row overlap report between two hash frames. */

@@ -27,12 +27,21 @@ import graft.sources.Tables
   * on DATE, never string math. */
 object CrawlState {
 
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Only COMMITTED versions count: a version dir is committed once
+    * its `_SUCCESS` marker exists — a committer that died mid-write
+    * leaves a half dir readers never resolve. */
   private def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/fetched")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, root)
     if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted.lastOption
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(d => d.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .map(_.getName.drop(2).toLong).sorted.lastOption
   }
 
   /** The ledger at the latest version (empty-schema frame for an
@@ -53,38 +62,57 @@ object CrawlState {
 
   /** Merge one cycle's fetch records (url_canon, host, day — ISO
     * strings) into the ledger as the next version: per URL the MAX
-    * fetch day survives (re-fetches advance, replays are idempotent). */
+    * fetch day survives (re-fetches advance, replays are idempotent).
+    * Version numbers are FENCED (the ShardStore claim posture): the
+    * next version is claimed atomically before the merge is written,
+    * so two overlapping cycles cannot both overwrite `v=<n>` and
+    * silently drop one delta — the loser fails loudly and retries
+    * from the advanced ledger. */
   def commitFetched(spark: SparkSession, fetched: DataFrame,
                     root: String): Long = {
+    val fs = fsOf(spark, root)
+    val v = latestVersion(spark, root).getOrElse(-1L) + 1L
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val claim = new org.apache.hadoop.fs.Path(s"$root/_claim_v$v")
+    val claimed = try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed)
+      throw new java.util.ConcurrentModificationException(
+        s"ledger commit toward v$v is in flight under $root — retry " +
+          "after it completes (or delete its _claim file if the " +
+          "committer is known dead)")
     val merged = ledger(spark, root)
       .unionByName(fetched.select(col("url_canon"), col("host"),
         col("day").as("last_fetch_day")))
       .groupBy(col("url_canon"))
       .agg(max(col("host")).as("host"),
         max(col("last_fetch_day")).as("last_fetch_day"))
-    val v = latestVersion(spark, root).getOrElse(-1L) + 1L
     merged.select(col("url_canon"), col("host"), col("last_fetch_day"))
       .write.mode("overwrite").parquet(s"$root/fetched/v=$v")
+    fs.delete(claim, false) // committed (_SUCCESS in place): claim is moot
     v
   }
 
-  /** The next cycle's frontier: discovery (host, url_canon,
-    * priority_ppm) against the ledger — status and the due verdict a
-    * scheduler (row 252) consumes. A URL is stale once
+  /** The next cycle's frontier: discovery rows against the ledger —
+    * every DISCOVERY column passes through (url_canon required;
+    * priority_ppm/pos/loc_canon ride along untouched so the output
+    * feeds [[Robots.schedulePlan]] directly), plus last_fetch_day,
+    * status and the due verdict. A URL is stale once
     * last_fetch_day + recrawlDays <= today. */
   def frontier(spark: SparkSession, discovered: DataFrame, root: String,
                today: String, recrawlDays: Int): DataFrame = {
     require(recrawlDays >= 1, s"recrawlDays must be >= 1, got $recrawlDays")
     val led = ledger(spark, root).select(col("url_canon"), col("last_fetch_day"))
+    val passthrough = discovered.columns.map(col).toSeq
     discovered.join(led, Seq("url_canon"), "left")
       .withColumn("status",
         when(col("last_fetch_day").isNull, "new")
           .when(date_add(to_date(col("last_fetch_day")), recrawlDays) <=
             to_date(lit(today)), "recrawl")
           .otherwise("fresh"))
-      .select(col("host"), col("url_canon"),
+      .select(passthrough ++ Seq(
         coalesce(col("last_fetch_day"), lit("")).as("last_fetch_day"),
-        col("status"), (col("status") =!= "fresh").as("due"))
+        col("status"), (col("status") =!= "fresh").as("due")): _*)
   }
 
   /** §2 row 262 — two real on-disk fetch deltas (even ids day

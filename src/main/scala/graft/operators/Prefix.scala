@@ -49,11 +49,19 @@ object Prefix {
       .filter(d => !d.isNaN).distinct.sorted
     val v = col(orderCol).cast(DoubleType)
     // cell index ascends WITH the requested order: asc → count of cuts
-    // strictly below the value; desc → count strictly above
-    val b = cuts.foldLeft(lit(0)) { (acc, c) =>
+    // strictly below the value; desc → count strictly above. NULL keys
+    // get their own EDGE cell matching the window's null placement
+    // (Spark sorts nulls FIRST ascending, LAST descending) — without
+    // it a null lands in cell 0 under desc, ahead of every real value,
+    // and the "bit-identical to the single-window form" contract
+    // breaks for any caller with null keys
+    val nonNull = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + (if (descending) when(v < lit(c), 1).otherwise(0)
              else when(v > lit(c), 1).otherwise(0))
     }
+    val b = when(v.isNull,
+        if (descending) lit(cuts.length + 1) else lit(-1))
+      .otherwise(nonNull)
     val withB = persisted.withColumn("__b", b)
     val bpre = withB.groupBy(col("__b")).agg(sum(col(valueCol)).as("__bs"))
       .withColumn("__pre", coalesce(sum(col("__bs")).over(

@@ -72,33 +72,47 @@ object Robots {
         (col("field") === "allow").as("allow"), col("value").as("path"))
   }
 
-  /** Per-host Crawl-delay selected for `agent` under the same
-    * exact-shadows-star rule as rules (RFC 9309 group selection):
-    * (host, crawl_delay_us) for hosts that declare one. Fractional
-    * seconds parse exactly (integer part + first 6 fraction digits —
-    * the priority-ppm pattern); non-numeric values are ignored;
-    * multiple delays in the selected groups take the MAX (the politer
-    * bound). */
+  /** Exact (integer + first-6-fraction-digits) millionths of a
+    * decimal-string column — shared by the sitemap priority (ppm) and
+    * Crawl-delay (micros) parses so the two cannot drift; the "0"
+    * concat keeps the cast total when the integer part is absent. */
+  private def millionthsOf(v: Column): Column =
+    concat(lit("0"), regexp_extract(v, "^([0-9]+)", 1))
+      .cast(LongType) * 1000000L +
+    rpad(regexp_extract(v, "\\.([0-9]+)", 1), 6, "0")
+      .substr(1, 6).cast(LongType)
+
+  /** Per-host Crawl-delay selected for `agent` under RFC 9309 group
+    * selection: the SELECTED groups govern ENTIRELY — if the host has
+    * any exact-match group for the agent, only those groups' delays
+    * count, even when they declare none and a `*` group does (an
+    * exact group without a delay means NO delay, not the star
+    * group's). (host, crawl_delay_us) for hosts whose selected groups
+    * declare one. Fractional seconds parse exactly (integer part +
+    * first 6 fraction digits — the priority-ppm pattern); non-numeric
+    * values are ignored; multiple delays in the selected groups take
+    * the MAX (the politer bound). */
   def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String,
                   agent: String): DataFrame = {
     val a = agent.toLowerCase
     val (g, uas) = grouped(robots, hostCol, txtCol)
-    val ds = g.filter(col("field") === "crawl-delay" &&
+    // group selection is decided by the GROUPS, not by which of them
+    // happen to declare a delay — deciding on delay-bearing rows only
+    // would hand an exact-matched agent the star group's delay
+    // whenever its own group omits one
+    val hostHasExact = uas
+      .groupBy(col("host"))
+      .agg(max(when(array_contains(col("ua_set"), a), 1L).otherwise(0L))
+        .as("has_exact"))
+    g.filter(col("field") === "crawl-delay" &&
         col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .join(uas, Seq("host", "grp"))
       .withColumn("exact", array_contains(col("ua_set"), a))
       .withColumn("star", array_contains(col("ua_set"), "*"))
-      .filter(col("exact") || col("star"))
-    val hostHasExact = ds.groupBy(col("host"))
-      .agg(max(when(col("exact"), 1L).otherwise(0L)).as("has_exact"))
-    ds.join(hostHasExact, Seq("host"))
+      .join(hostHasExact, Seq("host"))
       .filter((col("has_exact") === 1L && col("exact")) ||
         (col("has_exact") === 0L && col("star")))
-      .withColumn("delay_us",
-        concat(lit("0"), regexp_extract(col("value"), "^([0-9]+)", 1))
-          .cast(LongType) * 1000000L +
-        rpad(regexp_extract(col("value"), "\\.([0-9]+)", 1), 6, "0")
-          .substr(1, 6).cast(LongType))
+      .withColumn("delay_us", millionthsOf(col("value")))
       .groupBy(col("host"))
       .agg(max(col("delay_us")).as("crawl_delay_us"))
   }
@@ -116,7 +130,12 @@ object Robots {
   /** Rules applying to `agent`: exact-name groups if any exist for
     * the host, else the `*` groups. An empty-path Disallow means
     * "allow all" and is dropped (it can never match more specifically
-    * than any real rule; no rules → allowed by default anyway). */
+    * than any real rule; no rules → allowed by default anyway).
+    * DOCUMENTED SUBSET: selection here is decided over rule-BEARING
+    * groups — an exact group with zero allow/disallow lines does not
+    * shadow `*` (under a strict RFC 9309 reading it would, meaning
+    * allow-everything); [[crawlDelays]] already selects over ALL
+    * groups because delays made the divergence observable there. */
   def rulesFor(rules: DataFrame, agent: String): DataFrame = {
     val a = agent.toLowerCase
     val tagged = rules
@@ -260,11 +279,7 @@ object Robots {
         // a fraction-only pattern would silently default it to
         // 500000) + the first 6 fraction digits zero-padded; the "0"
         // concat keeps the cast total when the integer part is absent
-        when(col("p") =!= "",
-          concat(lit("0"), regexp_extract(col("p"), "^([0-9]+)", 1))
-            .cast(LongType) * 1000000L +
-          rpad(regexp_extract(col("p"), "\\.([0-9]+)", 1), 6, "0")
-            .substr(1, 6).cast(LongType))
+        when(col("p") =!= "", millionthsOf(col("p")))
           .otherwise(lit(500000L)).as("priority_ppm"),
         (col("lastmod") =!= "" && col("lastmod") > recrawlAfter).as("recrawl"))
   }
@@ -475,6 +490,12 @@ object Robots {
     "q_sitemap_index" -> (sitemapIndexQ _),
     "q_crawl_schedule" -> (scheduleQ _))
 
+  /** SQL twin of [[millionthsOf]] over column expression `v`. */
+  private[operators] def millionthsSql(v: String): String =
+    s"""(CAST('0' || regexp_extract($v, '^([0-9]+)', 1) AS BIGINT) * 1000000
+       |      + CAST(substr(rpad(regexp_extract($v, '\\.([0-9]+)', 1), 6, '0'), 1, 6) AS BIGINT))"""
+      .stripMargin.replace("\n", " ")
+
   /** Robots parse/select replay reading CTE `robots(host, txt)`:
     * emits lns…sel with `sel(host, allow, path)` = the rules applying
     * to `agent` (exact groups shadow `*`). Shared by q_robots and
@@ -529,12 +550,11 @@ object Robots {
        |    AND regexp_matches(g.value, '^[0-9]+(\\.[0-9]+)?$$')),
        |cdsel AS (
        |  SELECT c.host,
-       |    MAX(CAST('0' || regexp_extract(c.v, '^([0-9]+)', 1) AS BIGINT) * 1000000
-       |      + CAST(substr(rpad(regexp_extract(c.v, '\\.([0-9]+)', 1), 6, '0'), 1, 6) AS BIGINT))
-       |      AS crawl_delay_us
+       |    MAX(${millionthsSql("c.v")}) AS crawl_delay_us
        |  FROM cds c
-       |  JOIN (SELECT host, MAX(CASE WHEN exact THEN 1 ELSE 0 END) AS he
-       |        FROM cds WHERE exact OR star GROUP BY host) hh
+       |  JOIN (SELECT host,
+       |          MAX(CASE WHEN list_contains(ua_set, '$agent') THEN 1 ELSE 0 END) AS he
+       |        FROM uas GROUP BY host) hh
        |    ON c.host = hh.host
        |  WHERE (hh.he = 1 AND c.exact) OR (hh.he = 0 AND c.star)
        |  GROUP BY c.host),
@@ -603,9 +623,7 @@ object Robots {
       + Urls.canonSql("lnk", Seq("site", "pos")) + ",\n"
       + s"""smap AS (
          |  SELECT l.site, l.pos, l.loc, c.url_canon AS loc_canon, l.lastmod,
-         |    CASE WHEN l.p <> '' THEN
-         |      CAST('0' || regexp_extract(l.p, '^([0-9]+)', 1) AS BIGINT) * 1000000
-         |      + CAST(substr(rpad(regexp_extract(l.p, '\\.([0-9]+)', 1), 6, '0'), 1, 6) AS BIGINT)
+         |    CASE WHEN l.p <> '' THEN ${millionthsSql("l.p")}
          |    ELSE 500000 END AS priority_ppm,
          |    (l.lastmod <> '' AND l.lastmod > '$cutoff') AS recrawl
          |  FROM lnk l JOIN canonized c ON l.site = c.site AND l.pos = c.pos)""".stripMargin)

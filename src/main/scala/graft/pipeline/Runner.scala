@@ -70,14 +70,22 @@ object Runner {
                  since: LocalDateTime, now: LocalDateTime,
                  retryFailed: Boolean = false): Seq[String] = {
     val fired = CronSpec.parse(cron).firings(since, now).map(Fmt.format)
+    // exhausted = a TERMINAL 'failed' row exists — a window whose
+    // ledger holds only 'retrying' rows was interrupted mid-retry (a
+    // crash between attempts) and must RESUME, not silently enter the
+    // manual-clear posture it never earned
     val ledger = readLedger(spark, root)
       .groupBy(col("window"))
-      .agg(max(when(col("status") === "success", 1L).otherwise(0L)).as("ok"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1) == 1L)).toMap
+      .agg(max(when(col("status") === "success", 1L).otherwise(0L)).as("ok"),
+        max(when(col("status") === "failed", 1L).otherwise(0L)).as("exhausted"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1) == 1L, r.getLong(2) == 1L)))
+      .toMap
     fired.filter { w =>
       ledger.get(w) match {
-        case Some(true) => false            // succeeded: idempotent skip
-        case Some(false) => retryFailed     // exhausted: manual-clear posture
+        case Some((true, _)) => false           // succeeded: idempotent skip
+        case Some((false, true)) => retryFailed // exhausted: manual clear
+        case Some((false, false)) => true       // interrupted mid-retry: resume
         case None => true
       }
     }

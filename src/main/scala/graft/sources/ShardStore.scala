@@ -322,6 +322,15 @@ object ShardStore {
     val claimed = try {
       f.create(claimPath(root, curVer + 1), false).close(); true
     } catch { case _: java.io.IOException => false }
+    if (claimed &&
+        versionOf(root, dataDir(spark, root)) != curVer) {
+      // stale claimant: another compactor flipped (and released its
+      // claim) between our curVer read and our claim — rewriting
+      // toward curVer+1 would overwrite the LIVE version dir. Release
+      // and converge on the winner's outcome.
+      f.delete(claimPath(root, curVer + 1), false)
+      return spark.read.parquet(dataDir(spark, root)).inputFiles.length
+    }
     if (!claimed) {
       val advanced = versionOf(root, dataDir(spark, root)) > curVer
       if (advanced)

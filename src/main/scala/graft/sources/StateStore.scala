@@ -217,11 +217,20 @@ object StateStore {
                     token: String): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/commits"))
-    try {
-      val out = f.create(markerPath(root, v), false)
-      try out.write(token.getBytes("UTF-8")) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+    // token written to a writer-private tmp, then RENAMED into place:
+    // the marker becomes visible with its body complete (a created-
+    // then-written marker has a window where a concurrent reader sees
+    // an EMPTY body, misreads it as a legacy marker, and heals LATEST
+    // past a version whose artifacts are still staged). Hadoop rename
+    // refuses an existing destination, so the rename IS the fence.
+    val tmp = new Path(s"$root/commits/.claim.$token")
+    val out = f.create(tmp, true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    val won = try !f.exists(markerPath(root, v)) &&
+      f.rename(tmp, markerPath(root, v))
+    catch { case _: java.io.IOException => false }
+    if (!won) f.delete(tmp, false)
+    won
   }
 
   /** Finish a claimed-but-unmaterialized commit: rename the staged

@@ -54,6 +54,38 @@ class CrawlStateSpec extends AnyFunSuite {
     assert(got == Seq(("h", "u1", "", "new", true)))
   }
 
+  test("a live claim fences concurrent commits; half-written versions stay invisible") {
+    val root = newRoot()
+    CrawlState.commitFetched(spark, fetched(("u1", "h", "2025-01-10")), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_claim_v1"), false).close()
+    intercept[java.util.ConcurrentModificationException] {
+      CrawlState.commitFetched(spark, fetched(("u2", "h", "2025-01-11")), root)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_claim_v1"), false)
+    // a version dir without _SUCCESS (a died committer) never resolves
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/fetched/v=1"))
+    assert(CrawlState.ledger(spark, root).count() == 1L) // still v=0
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/fetched/v=1"), true)
+    assert(CrawlState.commitFetched(spark,
+      fetched(("u2", "h", "2025-01-11")), root) == 1L)
+    assert(CrawlState.ledger(spark, root).count() == 2L)
+  }
+
+  test("frontier passes discovery columns through for the scheduler") {
+    val root = newRoot()
+    CrawlState.commitFetched(spark, fetched(("u1", "h", "2025-01-10")), root)
+    val disc = Seq(("h", "u1", 800000L, 3L)).toDF(
+      "host", "url_canon", "priority_ppm", "pos")
+    val got = CrawlState.frontier(spark, disc, root, "2025-01-25", 10)
+    assert(got.columns.toSeq ==
+      Seq("host", "url_canon", "priority_ppm", "pos",
+        "last_fetch_day", "status", "due"))
+    assert(got.as[(String, String, Long, Long, String, String, Boolean)]
+      .collect().head == (("h", "u1", 800000L, 3L, "2025-01-10", "recrawl", true)))
+  }
+
   test("partitioning invariance of the merge") {
     val rows = (1 to 300).map(i =>
       (s"u${i % 40}", "h", f"2025-01-${i % 28 + 1}%02d"))

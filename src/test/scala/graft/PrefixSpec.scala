@@ -59,6 +59,26 @@ class PrefixSpec extends AnyFunSuite {
     assert(got((5L, 2L)) == 111L)
   }
 
+  test("null order keys match the single-window null placement, both directions") {
+    import org.apache.spark.sql.expressions.Window
+    val rows: Seq[(java.lang.Long, Long, Long)] =
+      (1L to 2000L).map(i => (java.lang.Long.valueOf(i % 97), i, i % 7 + 1L)) ++
+        Seq((null.asInstanceOf[java.lang.Long], 9001L, 100L),
+          (null.asInstanceOf[java.lang.Long], 9002L, 200L))
+    val df = rows.toDF("k", "tie", "v")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) Seq(col("k").desc, col("tie").asc)
+                else Seq(col("k").asc, col("tie").asc)
+      val want = df.withColumn("cum", sum(col("v")).over(
+          Window.orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("tie"), col("cum")).as[(Long, Long)].collect().toSet
+      val got = Prefix.cumSumBucketed(df, "k", descending = desc,
+          tieCols = Seq("tie"), valueCol = "v", out = "cum")
+        .select(col("tie"), col("cum")).as[(Long, Long)].collect().toSet
+      assert(got == want, s"desc=$desc")
+    }
+  }
+
   test("plan pin: every window key is engine-internal (__b)") {
     val p = Prefix.cumSumBucketed(big, "k", descending = false,
         tieCols = Seq("tie"), valueCol = "v", out = "cum")

@@ -148,6 +148,20 @@ class RobotsSpec extends AnyFunSuite {
       ("h", 2L, "https://h/b.xml", "")))
   }
 
+  test("an exact group WITHOUT a delay shadows the star group's delay entirely") {
+    // RFC 9309 group selection: the selected group governs even what
+    // it does NOT declare — graftbot's group has no Crawl-delay, so
+    // none applies (not the star group's 10s)
+    val robots = Seq(
+      ("h1", "User-agent: *\nCrawl-delay: 10\nDisallow: /\n" +
+        "User-agent: graftbot\nDisallow: /private/"),
+      ("h2", "User-agent: *\nCrawl-delay: 10\nDisallow: /"))
+      .toDF("host", "txt")
+    val got = Robots.crawlDelays(robots, "host", "txt", "GraftBot")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("h2" -> 10000000L))
+  }
+
   test("sitemap directives surface host-wide in declaration order") {
     val robots = Seq(
       ("h1", "Sitemap: https://h1/a.xml\nUser-agent: *\nDisallow: /\n" +

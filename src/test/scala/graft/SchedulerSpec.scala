@@ -83,6 +83,20 @@ class SchedulerSpec extends AnyFunSuite {
     assert(ledger.count(_._3 == "success") == 3)
   }
 
+  test("a window interrupted mid-retry resumes; only terminal failures need clearing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sched3").toString
+    // simulate a crash between attempts: one 'retrying' ledger row,
+    // NO terminal row for the window
+    import spark.implicits._
+    Seq(("2026-08-01T04:00:00", 1L, "retrying", "transient", 0L))
+      .toDF("window", "attempt", "status", "error", "seq")
+      .write.mode("append").parquet(s"$root/ledger")
+    val r = Runner.runDue(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-01T12:00"), maxRetries = 1)(_ => ())
+    assert(r.map(x => (x.window, x.status)) ==
+      Seq(("2026-08-01T04:00:00", "success")))
+  }
+
   test("health report: healthy when the last expected window succeeded") {
     val root = java.nio.file.Files.createTempDirectory("graft_sched2").toString
     Runner.runDue(spark, root, "0 4 * * *",
