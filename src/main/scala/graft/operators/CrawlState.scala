@@ -104,9 +104,20 @@ object CrawlState {
     require(recrawlDays >= 1, s"recrawlDays must be >= 1, got $recrawlDays")
     val led = ledger(spark, root).select(col("url_canon"), col("last_fetch_day"))
     val passthrough = discovered.columns.map(col).toSeq
+    // a discovery `lastmod` column (the row-247 sitemap field) adds
+    // the CHANGED verdict: the source declares content newer than our
+    // fetch — due immediately, ahead of the staleness horizon (checked
+    // before recrawl: a changed-AND-stale URL reports the stronger
+    // reason)
+    val changed =
+      if (discovered.columns.contains("lastmod"))
+        col("lastmod") =!= "" &&
+          to_date(col("lastmod")) > to_date(col("last_fetch_day"))
+      else lit(false)
     discovered.join(led, Seq("url_canon"), "left")
       .withColumn("status",
         when(col("last_fetch_day").isNull, "new")
+          .when(changed, "changed")
           .when(date_add(to_date(col("last_fetch_day")), recrawlDays) <=
             to_date(lit(today)), "recrawl")
           .otherwise("fresh"))
@@ -118,9 +129,11 @@ object CrawlState {
   /** §2 row 262 — two real on-disk fetch deltas (even ids day
     * 2025-01-10, odd ids day 2025-01-20; doc 0's URL refetched in the
     * second delta so max-day merge is exercised), then the cycle-2
-    * frontier at 2025-01-25 with a 10-day horizon: evens are stale →
-    * recrawl, odds fresh → skip, and every 7th doc discovers an
-    * /extra/ URL never fetched → new. */
+    * frontier at 2025-01-25 with a 10-day horizon: every 3rd doc's
+    * sitemap declares lastmod 2025-01-22 → `changed` (for doc 0:
+    * changed but NOT stale — the lastmod path alone makes it due),
+    * other evens are stale → recrawl, other odds fresh → skip, and
+    * every 7th doc discovers an /extra/ URL never fetched → new. */
   def crawlFrontierQ(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_crawl_state").toString
     val docs = Tables.documents(s, d)
@@ -132,11 +145,15 @@ object CrawlState {
     commitFetched(s, base.filter(pmod(col("doc_id"), lit(2)) === 1 ||
         col("doc_id") === 0L) // doc 0 refetched: max-day merge on a live key
       .select(col("url_canon"), col("host"), lit("2025-01-20").as("day")), root)
-    val discovered = base.select(col("host"), col("url_canon"))
+    val lastmod = when(pmod(col("doc_id"), lit(3)) === 0, "2025-01-22")
+      .otherwise("")
+    val discovered = base.select(col("host"), col("url_canon"),
+        lastmod.as("lastmod"))
       .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select(col("host"),
           concat(lit("https://"), col("host"), lit("/extra/"),
-            col("doc_id").cast("string")).as("url_canon")))
+            col("doc_id").cast("string")).as("url_canon"),
+          lit("").as("lastmod")))
     frontier(s, discovered, root, today = "2025-01-25", recrawlDays = 10)
       .orderBy(col("host"), col("url_canon"))
   }
@@ -161,20 +178,30 @@ object CrawlState {
         |         THEN '2025-01-20' ELSE '2025-01-10' END AS last_fetch_day
         |  FROM base),
         |disc AS (
-        |  SELECT host, url_canon FROM base
+        |  SELECT host, url_canon,
+        |    CASE WHEN doc_id % 3 = 0 THEN '2025-01-22' ELSE '' END AS lastmod
+        |  FROM base
         |  UNION ALL
         |  SELECT host,
-        |    'https://' || host || '/extra/' || CAST(doc_id AS VARCHAR)
+        |    'https://' || host || '/extra/' || CAST(doc_id AS VARCHAR),
+        |    ''
         |  FROM base WHERE doc_id % 7 = 0)
-        |SELECT d.host, d.url_canon,
+        |SELECT d.host, d.url_canon, d.lastmod,
         |  COALESCE(l.last_fetch_day, '') AS last_fetch_day,
+  -- TRY_CAST: DuckDB's AND does not short-circuit, so a plain CAST
+        |  -- of the '' lastmod sentinel would error before the guard runs
         |  CASE WHEN l.last_fetch_day IS NULL THEN 'new'
-        |       WHEN CAST(l.last_fetch_day AS DATE) + INTERVAL 10 DAY
+        |       WHEN COALESCE(TRY_CAST(d.lastmod AS DATE)
+        |            > TRY_CAST(l.last_fetch_day AS DATE), FALSE)
+        |            THEN 'changed'
+        |       WHEN TRY_CAST(l.last_fetch_day AS DATE) + INTERVAL 10 DAY
         |            <= DATE '2025-01-25' THEN 'recrawl'
         |       ELSE 'fresh' END AS status,
-        |  (l.last_fetch_day IS NULL OR
-        |   CAST(l.last_fetch_day AS DATE) + INTERVAL 10 DAY
-        |     <= DATE '2025-01-25') AS due
+        |  (l.last_fetch_day IS NULL
+        |   OR COALESCE(TRY_CAST(d.lastmod AS DATE)
+        |        > TRY_CAST(l.last_fetch_day AS DATE), FALSE)
+        |   OR COALESCE(TRY_CAST(l.last_fetch_day AS DATE) + INTERVAL 10 DAY
+        |     <= DATE '2025-01-25', FALSE)) AS due
         |FROM disc d LEFT JOIN led l ON d.url_canon = l.url_canon
         |ORDER BY d.host, d.url_canon""".stripMargin)
 }

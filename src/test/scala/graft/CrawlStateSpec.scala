@@ -47,6 +47,29 @@ class CrawlStateSpec extends AnyFunSuite {
       "fresh" -> (("fresh", false)), "never" -> (("new", true))))
   }
 
+  test("a sitemap lastmod newer than the fetch makes a URL changed, ahead of staleness") {
+    val root = newRoot()
+    CrawlState.commitFetched(spark, fetched(
+      ("changed_fresh", "h", "2025-01-20"),  // lastmod after: changed, NOT stale
+      ("changed_stale", "h", "2025-01-05"),  // changed AND stale: changed wins
+      ("unchanged", "h", "2025-01-20"),      // lastmod BEFORE the fetch: fresh
+      ("nolastmod", "h", "2025-01-20")), root)
+    val disc = Seq(
+      ("h", "changed_fresh", "2025-01-22"),
+      ("h", "changed_stale", "2025-01-22"),
+      ("h", "unchanged", "2025-01-15"),
+      ("h", "nolastmod", ""))
+      .toDF("host", "url_canon", "lastmod")
+    val got = CrawlState.frontier(spark, disc, root, "2025-01-25", 10)
+      .as[(String, String, String, String, String, Boolean)].collect()
+      .map(r => r._2 -> ((r._5, r._6))).toMap
+    assert(got == Map(
+      "changed_fresh" -> (("changed", true)),
+      "changed_stale" -> (("changed", true)),
+      "unchanged" -> (("fresh", false)),
+      "nolastmod" -> (("fresh", false))))
+  }
+
   test("an untouched root makes every discovery new") {
     val got = CrawlState.frontier(spark,
         Seq(("h", "u1")).toDF("host", "url_canon"), newRoot(), "2025-01-25", 10)

@@ -513,6 +513,21 @@ object ScaleProbe {
           hashed.filter(col("doc_id") % 2 === 0),
           hashed.filter(col("doc_id") % 3 === 0), "h").count()
       }
+      // round-12: the bucketed-prefix engine under a USER frame that
+      // grows k× with near-distinct metric values — the exact shape
+      // whose single-window form single-tasks; the probe is the
+      // evidence behind accepting q_rfm/q_abc's fixed decomposition
+      // overhead
+      time("rfm_scores", k) {
+        val events = docs.select(
+          col("doc_id").as("user_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(xxhash64(col("doc_id")), lit(10000000L)) * 1000000L).as("ts"),
+          (pmod(xxhash64(col("doc_id"), lit(3)), lit(1000000L)).cast("double") / 100.0)
+            .as("value"))
+        graft.operators.Analytics.rfmScores(
+          events, col("user_id"), col("ts"), col("value")).count()
+      }
     }
     spark.stop()
   }
