@@ -203,7 +203,7 @@ object Robots {
     * a graftbot group (which must SHADOW the `*` group, delay
     * included: 1 s vs the star group's 10 s) with two Sitemaps, and a
     * comment-only file (no delay, no sitemap — the defaults case). */
-  private def seededRobots(docs: DataFrame): DataFrame = {
+  private[operators] def seededRobots(docs: DataFrame): DataFrame = {
     val host = concat(lit("www."), lower(col("source")), lit(".com"))
     val robotsTxt =
       when(pmod(col("doc_id"), lit(3)) === 0, concat(lit(
