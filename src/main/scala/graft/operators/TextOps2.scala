@@ -325,7 +325,34 @@ object TextOps2 {
     readability(Tables.documents(s, d), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Type-token-ratio lexical-diversity gate (SURVEY.md §2 row 270) —
+    * the cheapest member of the Gopher-style repetition family (its
+    * heavy siblings are rows 76/135): n_types/n_tokens in ppm over
+    * the lowercased whitespace tokens, computed per row with
+    * array_distinct (NO shuffle — the whole gate is a codegen'd
+    * projection, unlike the corpus-keyed rows 44/76). Low TTR =
+    * keyword stuffing / template loops / boilerplate; the flag is
+    * ttr_ppm < minPpm. Empty docs yield NULL ratio + NULL flag (the
+    * kappa empty-denominator posture). */
+  def ttrGate(docs: DataFrame, idCol: Column, textCol: Column,
+              minPpm: Long): DataFrame = {
+    val toks = filter(split(lower(textCol), "\\s+"), x => x =!= "")
+    docs.select(idCol.as("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_types"))
+      .withColumn("ttr_ppm", when(col("n_tokens") === 0L, lit(null))
+        .otherwise(GraphOps.fdiv(col("n_types") * 1000000L, col("n_tokens"))))
+      .withColumn("low_diversity", col("ttr_ppm") < minPpm) // NULL propagates
+  }
+
+  /** §2 row 270 — TTR gate at 450000 ppm (splits the synthetic corpus
+    * near the median, so both verdicts are populated). */
+  def ttrQ(s: SparkSession, d: String): DataFrame =
+    ttrGate(Tables.documents(s, d), col("doc_id"), col("text"), minPpm = 450000L)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ttr" -> (ttrQ _),
     "q_readability" -> (readabilityQ _),
     "q_prf_expand" -> (prfQ _),
     "q_tfidf"  -> (tfidfQ _),
@@ -388,6 +415,23 @@ object TextOps2 {
   private[operators] val bm25RankCtes = bm25RankCtesOver("documents")
 
   val oracles: Map[String, String] = Map(
+    // same lowercase+whitespace tokenization; list_distinct for the
+    // type count; all-nonnegative so // == the engine's floor div
+    "q_ttr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+        |  CAST(CASE WHEN len(ws) = 0 THEN NULL
+        |       ELSE (len(list_distinct(ws)) * 1000000) // len(ws) END AS BIGINT) AS ttr_ppm,
+        |  CASE WHEN len(ws) = 0 THEN NULL
+        |       ELSE (len(list_distinct(ws)) * 1000000) // len(ws) < 450000 END AS low_diversity
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
     // same seeding; candidates via the same regex, the Luhn fold as a
     // per-candidate list comprehension, redaction as the
     // list_prepend/list_reduce fold (the BpeOps mergeSql trick)

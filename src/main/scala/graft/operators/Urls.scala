@@ -83,6 +83,39 @@ object Urls {
     concat(scheme, lit("://"), host, keepPort, path, qpart)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the Heritrix/
+    * CDX ordering key) of a CANONICAL url ([[canonicalUrl]] output):
+    * host labels reversed and comma-joined so one domain's pages sort
+    * contiguously (`com,example)/a` then `com,example,sub)/b`), the
+    * scheme dropped (canonical-search form), a leading `www.`
+    * stripped, a non-default port kept as `:port`, then `)` + the
+    * canonical path?query. Pure per-row codegen'd string ops. */
+  def surtKey(canon: Column): Column = {
+    val after = regexp_replace(canon, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(after, "^([^/?#]*)", 1)
+    val host = regexp_extract(hostport, "^([^:]*)", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val noWww = regexp_replace(host, "^www\\.", "")
+    val rev = array_join(reverse(split(noWww, "\\.")), ",")
+    val pathq = regexp_replace(after, "^[^/?#]*", "")
+    concat(rev,
+      when(port === "", lit("")).otherwise(concat(lit(":"), port)),
+      lit(")"), pathq)
+  }
+
+  /** DuckDB twin of [[surtKey]] over a canonical-url SQL expression.
+    * Single-line on purpose: callers embed it inside stripMargin
+    * blocks, where a margined fragment would be re-stripped. */
+  private[operators] def surtSql(canonCol: String): String = {
+    val after = s"regexp_replace($canonCol, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    val hostport = s"regexp_extract($after, '^([^/?#]*)', 1)"
+    val host = s"regexp_extract($hostport, '^([^:]*)', 1)"
+    val port = s"regexp_extract($hostport, ':([0-9]+)$$', 1)"
+    s"array_to_string(list_reverse(string_split(regexp_replace($host, '^www\\.', ''), '.')), ',')" +
+      s" || (CASE WHEN $port = '' THEN '' ELSE ':' || $port END)" +
+      s" || ')' || regexp_replace($after, '^[^/?#]*', '')"
+  }
+
   /** Longest public-suffix match + one label; NULL if no suffix
     * matches or the host is a bare suffix. */
   def registeredDomain(host: Column): Column = {

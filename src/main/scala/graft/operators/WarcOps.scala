@@ -106,9 +106,62 @@ object WarcOps {
       .orderBy(col("doc_id"))
   }
 
+  /** §2 row 265 — CDX-style archive index (the lookup companion of
+    * the row-254 reader: Common Crawl publishes exactly this shape,
+    * cdx-00xxx.gz): one index row per archived capture keyed by the
+    * SURT of the canonical URI ([[Urls.surtKey]] — domain-contiguous
+    * sort order), carrying (warc_date, url_canon, rec_offset,
+    * content_length, digest) — offset+length are the random-access
+    * handle into the .warc file, the digest ([[graft.plans.PolyHash64]]
+    * over the payload) the dedup/fixity key. Seeds are per-host WARC
+    * files assembled from documents IN BOTH ENGINES (resource records
+    * with case/port/param noise on the URI and a WARC-Date header);
+    * the oracle reconstructs the expected offsets ARITHMETICALLY
+    * (warcinfo lead + running sum of record lengths), so the reader's
+    * offset accounting — including its glue path — is value-checked,
+    * not round-tripped. Scale shape: parallel by file, per-row
+    * projections, one sort at the sink (a real CDX build's terminal
+    * total-order write). */
+  def cdxIndexQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val file = concat(lit("www."), lower(col("source")), lit(".com.warc"))
+    val port = when(pmod(col("doc_id"), lit(7)) === 0, lit(":8080")).otherwise(lit(""))
+    val uri = concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM"), port,
+      lit("/Archive/"), pmod(col("doc_id"), lit(5)).cast("string"),
+      lit("/p"), col("doc_id").cast("string"), lit(".html?b=2&a=1&utm_campaign=x"))
+    val date = concat(lit("2024-02-"),
+      lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+      lit("T"), lpad(pmod(col("doc_id"), lit(24)).cast("string"), 2, "0"),
+      lit(":00:00Z"))
+    val payload = concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+    val rec = concat(lit("WARC/1.0" + CRLF + "WARC-Type: resource" + CRLF +
+        "WARC-Target-URI: "), uri,
+      lit(CRLF + "WARC-Date: "), date,
+      lit(CRLF + "Content-Length: "), length(payload).cast("string"),
+      lit(CRLF + CRLF), payload, lit(CRLF + CRLF))
+    val files = docs.select(file.as("file"), col("doc_id"), rec.as("rec"))
+      .groupBy(col("file"))
+      .agg(concat(
+        lit("WARC/1.0" + CRLF + "WARC-Type: warcinfo" + CRLF +
+          "Content-Length: 0" + CRLF + CRLF + CRLF + CRLF),
+        array_join(transform(sort_array(collect_list(
+            struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "")).as("warc"))
+    val canon = Urls.canonicalUrl(col("uri"))
+    Warc.records(files, "file", "warc")
+      .filter(col("rec_type") === "resource")
+      .select(col("file"),
+        Urls.surtKey(canon).as("surt"),
+        col("warc_date"), canon.as("url_canon"),
+        col("rec_offset"), col("content_length"),
+        graft.plans.PolyHash64.poly_hash64(col("body")).as("digest"))
+      .orderBy(col("surt"), col("warc_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_extract" -> (warcExtractQ _),
-    "q_wet_text" -> (wetTextQ _))
+    "q_wet_text" -> (wetTextQ _),
+    "q_cdx_index" -> (cdxIndexQ _))
 
   // CRLF for SQL string building
   private val NL = "chr(13) || chr(10)"
@@ -179,5 +232,52 @@ object WarcOps {
         |       WHEN c_de >= c_fr THEN 'de'
         |       ELSE 'fr' END AS predicted_lang
         |FROM c
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // seeds rebuilt verbatim; the expected offset is computed
+    // ARITHMETICALLY (warcinfo lead length + running sum of record
+    // lengths in doc_id assembly order) so the reader's offset
+    // accounting is value-checked; uri through the shared canonSql,
+    // surt through the shared surtSql, digest through the shared
+    // poly-hash replay
+    "q_cdx_index" ->
+      (s"""WITH seeds AS (
+         |  SELECT doc_id, text,
+         |    'www.' || lower(source) || '.com.warc' AS file,
+         |    'HTTPS://WWW.' || upper(source) || '.COM'
+         |      || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+         |      || '/Archive/' || CAST(doc_id % 5 AS VARCHAR)
+         |      || '/p' || CAST(doc_id AS VARCHAR) || '.html?b=2&a=1&utm_campaign=x' AS url,
+         |    '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         |      || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00Z' AS wdate,
+         |    '<html><body><p>' || text || '</p></body></html>' AS payload
+         |  FROM documents),
+         |recs AS (
+         |  SELECT *,
+         |    'WARC/1.0' || $NL || 'WARC-Type: resource' || $NL
+         |      || 'WARC-Target-URI: ' || url || $NL
+         |      || 'WARC-Date: ' || wdate || $NL
+         |      || 'Content-Length: ' || CAST(length(payload) AS VARCHAR)
+         |      || $NL || $NL || payload || $NL || $NL AS rec
+         |  FROM seeds),
+         |offs AS (
+         |  SELECT doc_id, file, url, wdate,
+         |    CAST(length(payload) AS BIGINT) AS content_length,
+         |    CAST(length('WARC/1.0' || $NL || 'WARC-Type: warcinfo' || $NL
+         |        || 'Content-Length: 0' || $NL || $NL || $NL || $NL)
+         |      + COALESCE(SUM(length(rec)) OVER (PARTITION BY file ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset
+         |  FROM recs),
+         |""".stripMargin
+        + Urls.canonSql("offs", Seq("doc_id")) + ",\n"
+        + "dig AS (\n"
+        + TrainingOps.polyHashOverSql("doc_id",
+            "SELECT doc_id, payload AS t FROM recs") + ")\n"
+        + s"""SELECT o.file, ${Urls.surtSql("c.url_canon")} AS surt,
+         |  o.wdate AS warc_date, c.url_canon, o.rec_offset, o.content_length,
+         |  d.h AS digest
+         |FROM offs o
+         |JOIN canonized c ON o.doc_id = c.doc_id
+         |JOIN dig d ON o.doc_id = d.doc_id
+         |ORDER BY surt, warc_date""".stripMargin))
 }

@@ -294,4 +294,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     val direct = TextOps2.bm25Q(spark, TestSpark.sf).collect().toSeq
     assert(fed.nonEmpty && fed == direct)
   }
+
+  test("ttr gate: exact ppm ratio, flag threshold, NULL on empty, case-folds") {
+    val df = Seq(
+      (1L, "a b c d"),             // 4 types / 4 tokens = 1000000
+      (2L, "spam spam spam spam"), // 1/4 = 250000
+      (3L, "The the THE cat"),     // case-folds: 2/4 = 500000
+      (4L, ""),                    // empty -> NULLs
+      (5L, "  x   y  x ")          // ragged whitespace: 2/3
+    ).toDF("doc_id", "text")
+    val got = TextOps2.ttrGate(df, $"doc_id", $"text", minPpm = 450000L)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Option[Long], Option[Boolean])].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 4L, Some(1000000L), Some(false)),
+      (2L, 4L, 1L, Some(250000L), Some(true)),
+      (3L, 4L, 2L, Some(500000L), Some(false)),
+      (4L, 0L, 0L, None, None),
+      (5L, 3L, 2L, Some(666666L), Some(false))))
+  }
 }

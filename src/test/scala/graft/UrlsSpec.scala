@@ -67,4 +67,31 @@ class UrlsSpec extends AnyFunSuite {
     // 'uk' alone is in the list too — k=2 must win
     assert(reg("shop.example.co.uk") == Seq(Some("example.co.uk")))
   }
+
+  test("surt key: reversed labels, www stripped, port kept, path?query verbatim") {
+    import graft.operators.Urls
+    val got = Seq(
+        "https://www.example.com/a/B.html?x=1",
+        "https://sub.example.co.uk/",
+        "https://www.example.com:8080/p",
+        "https://example.com/p?b=2&a=1")
+      .toDF("u").select(Urls.surtKey(col("u"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "com,example)/a/B.html?x=1",
+      "uk,co,example,sub)/",
+      "com,example:8080)/p",
+      "com,example)/p?b=2&a=1"))
+  }
+
+  test("surt keys sort one domain's captures contiguously, subdomains after") {
+    import graft.operators.Urls
+    val keys = Seq("https://www.example.com/z", "https://example.com/a",
+        "https://sub.example.com/a", "https://examplf.com/a")
+      .toDF("u").select(Urls.surtKey(col("u"))).as[String].collect().toSeq
+    val sorted = keys.sorted
+    // example.com's two hosts (www-stripped == apex) group before the
+    // subdomain, and the lexicographic neighbor domain lands after
+    assert(sorted == Seq("com,example)/a", "com,example)/z",
+      "com,example,sub)/a", "com,examplf)/a"))
+  }
 }

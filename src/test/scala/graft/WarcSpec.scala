@@ -21,8 +21,14 @@ class WarcSpec extends AnyFunSuite {
 
   private def parse(warc: String) =
     Warc.records(Seq(("f", warc)).toDF("file", "warc"), "file", "warc")
+      .select("file", "rec_pos", "rec_type", "uri", "content_length", "body", "ok")
       .as[(String, Long, String, String, Long, String, Boolean)]
       .collect().toSeq.sortBy(_._2)
+
+  private def offsets(warc: String) =
+    Warc.records(Seq(("f", warc)).toDF("file", "warc"), "file", "warc")
+      .select("rec_pos", "rec_offset", "warc_date")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
 
   test("well-formed records parse in order with exact payloads") {
     val w = rec("warcinfo", "", "") +
@@ -108,12 +114,38 @@ class WarcSpec extends AnyFunSuite {
     assert(got == rows.map(_._2))
   }
 
+  test("record offsets are exact, including across a glued in-payload marker") {
+    val trap = "x WARC/1.0" + NL + "y"
+    val r1 = rec("response", "http://a/1", "hello")
+    val r2 = rec("response", "http://a/2", trap) // split glues this one back
+    val r3 = rec("response", "http://a/3", "z")
+    val got = offsets(r1 + r2 + r3)
+    assert(got.map(_._2) == Seq(0L, r1.length.toLong, (r1 + r2).length.toLong))
+  }
+
+  test("offsets skip a junk prefix; a dated record carries WARC-Date") {
+    val r1 = "WARC/1.0" + NL + "WARC-Type: response" + NL +
+      "WARC-Date: 2024-03-04T05:06:07Z" + NL +
+      "Content-Length: 2" + NL + NL + "ab" + NL + NL
+    val got = offsets("junk!" + r1 + rec("response", "http://a/2", "c"))
+    assert(got.map(_._2) == Seq(5L, 5L + r1.length.toLong))
+    assert(got.map(_._3) == Seq("2024-03-04T05:06:07Z", ""))
+  }
+
+  test("a truncated trailing record still reports its marker offset") {
+    val r1 = rec("response", "http://a/1", "ok")
+    val w = r1 + "WARC/1.0" + NL + "Content-Length: 100" + NL + NL + "short"
+    val got = offsets(w)
+    assert(got.map(_._2) == Seq(0L, r1.length.toLong))
+  }
+
   test("multi-file frame keys records by file") {
     val df = Seq(
         ("f1", rec("response", "u1", "a")),
         ("f2", rec("response", "u2", "bb") + rec("response", "u3", "ccc")))
       .toDF("file", "warc")
     val got = Warc.records(df, "file", "warc")
+      .select("file", "rec_pos", "rec_type", "uri", "content_length", "body", "ok")
       .as[(String, Long, String, String, Long, String, Boolean)]
       .collect().toSeq
     assert(got.count(_._1 == "f1") == 1)
