@@ -455,7 +455,53 @@ object Analytics {
         col("event_id"), col("event_type"))
       .orderBy(col("from_type"), col("to_type"))
 
+  /** Linear multi-touch attribution (SURVEY.md §2 row 273) — the
+    * classic marketing-warehouse op the row-39 as-of join only solves
+    * for LAST-touch: every conversion's credit splits across the
+    * touches in its lookback window. Integer image: each of a
+    * conversion's k touches gets floor(10⁶/k) ppm and the LAST touch
+    * (max (ts, event_id)) absorbs the remainder, so per-conversion
+    * credit sums to EXACTLY 10⁶ (spec-pinned invariant). A touch can
+    * serve several conversions (standard semantics — each conversion
+    * attributes independently).
+    *
+    * Scale shape: one user-keyed equi-join with the window predicate
+    * as a post-join filter (the row-57 interval-join shape; per-user
+    * event counts bound the fan-out), one conversion-keyed aggregate
+    * for (k, last), one co-partitioned join back. No window function,
+    * no global sort before the sink. */
+  def linearAttribution(events: DataFrame, convType: String,
+                        touchTypes: Seq[String], lookbackUs: Long): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("event_id").as("touch_id"), col("user_id"),
+        col("ts").as("touch_ts"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        unix_micros(col("touch_ts")) > unix_micros(col("conv_ts")) - lookbackUs)
+    val per = joined.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        max(struct(col("touch_ts"), col("touch_id"))).as("__last"))
+    joined.join(per, Seq("conv_id"))
+      .select(col("conv_id"), col("touch_id"), col("n_touches"),
+        when(struct(col("touch_ts"), col("touch_id")) === col("__last"),
+          lit(1000000L) - (col("n_touches") - 1L) *
+            GraphOps.fdiv(lit(1000000L), col("n_touches")))
+          .otherwise(GraphOps.fdiv(lit(1000000L), col("n_touches")))
+          .as("credit_ppm"))
+  }
+
+  /** §2 row 273 — purchases attributed linearly across the click/view
+    * touches of the preceding 48 hours. */
+  def attributionQ(s: SparkSession, d: String): DataFrame =
+    linearAttribution(Tables.events(s, d), "purchase",
+        Seq("click", "view"), lookbackUs = 48L * 3600 * 1000000)
+      .orderBy(col("conv_id"), col("touch_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution"   -> (attributionQ _),
     "q_funnel"        -> (funnelQ _),
     "q_retention"     -> (retentionQ _),
     "q_interval_join" -> (intervalJoinQ _),
@@ -471,6 +517,36 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     // the oracle keeps the plain single-window running max (the
+    // same join + window predicate; the last touch via ROW_NUMBER
+    // (ts DESC, id DESC) == the engine's max(struct); floor-div ppm
+    // with the remainder on the last touch
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT event_id AS touch_id, user_id, ts AS touch_ts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT c.conv_id, t.touch_id, t.touch_ts
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |  WHERE t.touch_ts <= c.conv_ts
+        |    AND epoch_us(t.touch_ts) > epoch_us(c.conv_ts) - 172800000000),
+        |per AS (
+        |  SELECT conv_id, COUNT(*) AS n_touches FROM j GROUP BY conv_id),
+        |r AS (
+        |  SELECT conv_id, touch_id,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts DESC, touch_id DESC) AS rn
+        |  FROM j)
+        |SELECT j.conv_id, j.touch_id, CAST(p.n_touches AS BIGINT) AS n_touches,
+        |  CAST(CASE WHEN r.rn = 1
+        |       THEN 1000000 - (p.n_touches - 1) * (1000000 // p.n_touches)
+        |       ELSE 1000000 // p.n_touches END AS BIGINT) AS credit_ppm
+        |FROM j JOIN per p ON j.conv_id = p.conv_id
+        |JOIN r ON j.conv_id = r.conv_id AND j.touch_id = r.touch_id
+        |ORDER BY j.conv_id, j.touch_id""".stripMargin,
+
     // bucketed engine decomposition is bit-identical by max
     // reassociation); integer floor-div seconds, the row-146
     // percentile rule replayed verbatim

@@ -199,7 +199,7 @@ object Classify {
     * score-asc and prefix sums decompose exactly. Input must carry
     * the distinct score as `s`; adds `__b` and persists (two
     * downstream passes: cuts + main). */
-  private def withScoreBucket(byScore: DataFrame, buckets: Int = 64): DataFrame = {
+  private[operators] def withScoreBucket(byScore: DataFrame, buckets: Int = 64): DataFrame = {
     val persisted = byScore.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val cuts = persisted.select(col("s").cast(DoubleType).as("__sd"))

@@ -167,10 +167,72 @@ object Curation {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Per-domain curation report (SURVEY.md §2 row 274) — the
+    * dashboard row a web-corpus curator reads per REGISTERED DOMAIN
+    * (the row-232 key), deciding domain-level keeps/drops the way
+    * RefinedWeb-style pipelines do (a domain whose docs are 80%
+    * exact dups is a mirror farm; a single-language domain with long
+    * docs is a keeper): doc count, total/mean tokens, exact-dup doc
+    * share in ppm (corpus-WIDE dup check — a mirror of another
+    * domain's page counts), distinct languages and the mode language
+    * (deterministic count DESC, lang ASC tie-break).
+    *
+    * Scale shape: one corpus-wide normalized-text dup aggregation
+    * (map-side combined, ids never leave their partition until the
+    * count frame joins back), then domain-keyed aggregations + the
+    * bounded per-domain lang window. */
+  def domainReport(docs: DataFrame, urlCol: Column, textCol: Column,
+                   langCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      coalesce(Urls.registeredDomain(Urls.hostOf(urlCol)), lit("unknown"))
+        .as("domain"),
+      graft.functions.TextFunctions.tokenCount(textCol).as("n_tokens"),
+      lower(trim(regexp_replace(textCol, "\\s+", " "))).as("__norm"),
+      langCol.as("lang"))
+    val dupCounts = base.groupBy(col("__norm")).agg(count(lit(1)).as("__c"))
+    val flagged = base.join(dupCounts, Seq("__norm"))
+      .withColumn("__dup", (col("__c") > 1L).cast("long"))
+    val tot = flagged.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("__dup")).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("tokens_per_doc",
+        GraphOps.fdiv(col("total_tokens"), col("n_docs")))
+      .withColumn("dup_ppm",
+        GraphOps.fdiv(col("n_dup_docs") * 1000000L, col("n_docs")))
+    val perLang = flagged.groupBy(col("domain"), col("lang"))
+      .agg(count(lit(1)).as("__lc"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("__lc").desc, col("lang").asc)
+    val topLang = perLang.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("domain"), col("lang").as("top_lang"))
+    tot.join(topLang, Seq("domain"))
+      .select(col("domain"), col("n_docs"), col("total_tokens"),
+        col("tokens_per_doc"), col("n_dup_docs"), col("dup_ppm"),
+        col("n_langs"), col("top_lang"))
+  }
+
+  /** §2 row 274 — domains seeded with the q_url_canon TLD rotation
+    * (com / co.uk / github.io / unknown-TLD → 'unknown' bucket). */
+  def domainReportQ(s: SparkSession, d: String): DataFrame = {
+    val tld = when(pmod(col("doc_id"), lit(4)) === 0, ".com")
+      .when(pmod(col("doc_id"), lit(4)) === 1, ".co.uk")
+      .when(pmod(col("doc_id"), lit(4)) === 2, ".github.io")
+      .otherwise(".example")
+    val url = concat(lit("https://www."), lower(col("source")), tld, lit("/p"))
+    domainReport(Tables.documents(s, d).withColumn("__u", url),
+        col("__u"), col("text"), col("lang"))
+      .orderBy(col("domain"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation"           -> (curateQ _),
     "q_quality_calibrated" -> (calibrateQualityQ _),
     "q_quantile_norm"      -> (quantileNormQ _),
+    "q_domain_report"      -> (domainReportQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +302,50 @@ object Curation {
         |FROM sampled
         |WHERE rn <= 3
         |ORDER BY lang, rn""".stripMargin,
+
+    // same seeding; registered domain through the shared canonSql
+    // fragment (concatenated, the q_url_canon precedent); mode lang
+    // via ROW_NUMBER == the engine's row_number window
+    "q_domain_report" ->
+      ("""WITH seeded AS (
+         |  SELECT doc_id, text, lang,
+         |    'https://www.' || lower(source) ||
+         |      (CASE WHEN doc_id % 4 = 0 THEN '.com'
+         |            WHEN doc_id % 4 = 1 THEN '.co.uk'
+         |            WHEN doc_id % 4 = 2 THEN '.github.io'
+         |            ELSE '.example' END) || '/p' AS url
+         |  FROM documents),
+         |""".stripMargin
+        + Urls.canonSql("seeded", Seq("doc_id")) + ",\n"
+        + """base AS (
+         |  SELECT COALESCE(c.registered_domain, 'unknown') AS domain,
+         |    CAST(len(regexp_extract_all(s.text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_tokens,
+         |    lower(trim(regexp_replace(s.text, '\s+', ' ', 'g'))) AS norm,
+         |    s.lang
+         |  FROM seeded s JOIN canonized c ON s.doc_id = c.doc_id),
+         |dupc AS (SELECT norm, COUNT(*) AS c FROM base GROUP BY norm),
+         |fl AS (
+         |  SELECT b.*, (CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS dup
+         |  FROM base b JOIN dupc d ON b.norm = d.norm),
+         |tot AS (
+         |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+         |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM fl GROUP BY domain),
+         |pl AS (SELECT domain, lang, COUNT(*) AS lc FROM fl GROUP BY domain, lang),
+         |top AS (
+         |  SELECT domain, lang AS top_lang FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY lc DESC, lang ASC) AS rn
+         |    FROM pl) t
+         |  WHERE rn = 1)
+         |SELECT t.domain, t.n_docs, t.total_tokens,
+         |  CAST(t.total_tokens // t.n_docs AS BIGINT) AS tokens_per_doc,
+         |  t.n_dup_docs,
+         |  CAST((t.n_dup_docs * 1000000) // t.n_docs AS BIGINT) AS dup_ppm,
+         |  t.n_langs, p.top_lang
+         |FROM tot t JOIN top p ON t.domain = p.domain
+         |ORDER BY t.domain""".stripMargin),
   )
 }

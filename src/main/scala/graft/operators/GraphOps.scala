@@ -146,6 +146,81 @@ object GraphOps {
     pageRank(nationFlowEdges(s, d), "src", "dst", "w", iters = 3)
       .select(col("node"), col("rank")).orderBy(col("node"))
 
+  /** Personalized PageRank (SURVEY.md §2 row 272) — the row-114 kernel
+    * with teleport AND dangling mass returned to a SEED set instead of
+    * uniformly: rank mass concentrates around the seeds, scoring every
+    * node by its link-proximity to them. The seed-expansion /
+    * focused-crawl primitive (given known-good domains, rank the rest
+    * of the frontier) and the graph twin of row-156's hard-negative
+    * mining. Same integer image (floor-div damping at `scale`),
+    * same per-iteration shape as pageRank: one contribution shuffle,
+    * a 1-row dangling broadcast, an O(nodes) seed-flag join (the seed
+    * frame is node-bounded and usually tiny — broadcast). Seeds not
+    * in the graph are dropped; mass conservation up to floor
+    * truncation holds exactly as in pageRank. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, seeds: DataFrame, seedCol: String,
+                           iters: Int, scale: Long = 1000000000000L,
+                           dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
+    val w = col(wCol).cast(LongType)
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"),
+      when(w > 0, w).otherwise(raise_error(
+        lit("personalizedPageRank: edge weights must be positive"))).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ew = e.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col(seedCol).cast(LongType).as("node")).distinct()
+      .join(nodes, Seq("node")) // seeds outside the graph carry no mass
+      .select(col("node"), lit(true).as("__seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ns = sd.count()
+      require(ns > 0, "personalizedPageRank: no seed is a graph node")
+      val teleport = Math.floorDiv((dampDen - dampNum) * scale, dampDen * ns)
+      val flagged = nodes.join(broadcast(sd), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val start = flagged.select(col("node"), col("__seed"),
+        when(col("__seed"), lit(Math.floorDiv(scale, ns))).otherwise(0L).as("rank"))
+      val last = (1 to iters).foldLeft(start) { (ranks, _) =>
+        val contrib = ew.join(ranks, ew("src") === ranks("node"))
+          .select(col("dst"), fdiv(col("rank") * col("w"), col("ow")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+        val dangling = ranks.join(outw, ranks("node") === outw("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+        flagged
+          .join(contrib, flagged("node") === contrib("dst"), "left")
+          .crossJoin(broadcast(dangling)) // 1-row aggregate
+          .select(flagged("node"), flagged("__seed"),
+            (when(col("__seed"), lit(teleport)).otherwise(0L) +
+              fdiv(lit(dampNum) * (coalesce(col("inc"), lit(0L)) +
+                when(col("__seed"), fdiv(col("dm"), lit(ns))).otherwise(0L)),
+                lit(dampDen))).as("rank"))
+          .localCheckpoint() // two consumers next round (the pageRank posture)
+      }
+      last.select(col("node"), col("rank"))
+    } finally { sd.unpersist(); ew.unpersist(); outw.unpersist(); nodes.unpersist(); () }
+  }
+
+  /** §2 row 272 — 3 PPR iterations over the nation-flow graph, seeded
+    * by the ASIA nations (the focused-crawl shape: rank every trading
+    * partner by proximity to a trusted region). */
+  def pprQ(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("seed"))
+    personalizedPageRank(nationFlowEdges(s, d), "src", "dst", "w",
+        seeds, "seed", iters = 3)
+      .orderBy(col("node"))
+  }
+
   /** Exact per-node triangle counts by degree-oriented wedge closure
     * (the compact-forward algorithm): canonicalize the undirected edge
     * set, orient every edge from its lower-(degree, id) endpoint to the
@@ -414,11 +489,33 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"      -> (pageRankQ _),
+    "q_ppr"           -> (pprQ _),
     "q_triangles"     -> (trianglesQ _),
     "q_label_prop"    -> (labelPropQ _),
     "q_seed_distance" -> (seedDistanceQ _),
     "q_kcore"         -> (kCoreQ _),
   )
+
+  /** One unrolled PPR iteration — the iterSql twin with teleport and
+    * dangling mass gated on seed membership. */
+  private def pprIterSql(i: Int, p: Int): String =
+    s"""c$i AS (
+       |  SELECT e.dst AS node, SUM(${fd("r.rank * e.w", "e.ow")}) AS inc
+       |  FROM ew e JOIN pk$p r ON e.src = r.node
+       |  GROUP BY e.dst),
+       |d$i AS (
+       |  SELECT COALESCE(SUM(r.rank), 0) AS dm
+       |  FROM pk$p r LEFT JOIN outw ow ON r.node = ow.src
+       |  WHERE ow.src IS NULL),
+       |pk$i AS MATERIALIZED (
+       |  SELECT n.node,
+       |    (CASE WHEN sd.node IS NOT NULL
+       |          THEN ${fd("(100 - 85) * 1000000000000", "100 * ns.k")}
+       |          ELSE 0 END)
+       |    + ${fd(s"85 * (COALESCE(c.inc, 0) + (CASE WHEN sd.node IS NOT NULL THEN ${fd("d.dm", "ns.k")} ELSE 0 END))", "100")} AS rank
+       |  FROM nodes n CROSS JOIN ns1 ns CROSS JOIN d$i d
+       |  LEFT JOIN seeds sd ON n.node = sd.node
+       |  LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
 
   /** Textual floor-div macro for the oracle (b > 0). */
   private def fd(a: String, b: String) =
@@ -514,6 +611,38 @@ object GraphOps {
          |${iterSql(2, 1)},
          |${iterSql(3, 2)}
          |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM rk3
+         |ORDER BY node""".stripMargin,
+
+    // same edge derivation; seeds = ASIA nations; teleport + dangling
+    // mass land on seeds only, replayed by the gated unroll
+    "q_ppr" ->
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |    1 + ${fd("COUNT(*) - 1", "1024")} AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |seeds AS (
+         |  SELECT DISTINCT n.n_nationkey AS node
+         |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name = 'ASIA'
+         |    AND n.n_nationkey IN (SELECT node FROM nodes)),
+         |ns1 AS (SELECT COUNT(*) AS k FROM seeds),
+         |outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.src),
+         |pk0 AS (
+         |  SELECT n.node,
+         |    (CASE WHEN sd.node IS NOT NULL THEN ${fd("1000000000000", "ns.k")}
+         |          ELSE 0 END) AS rank
+         |  FROM nodes n CROSS JOIN ns1 ns
+         |  LEFT JOIN seeds sd ON n.node = sd.node),
+         |${pprIterSql(1, 0)},
+         |${pprIterSql(2, 1)},
+         |${pprIterSql(3, 2)}
+         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM pk3
          |ORDER BY node""".stripMargin,
 
     // exact unroll of the 6 capped peel rounds; every CTE MATERIALIZED

@@ -171,12 +171,108 @@ object Regression {
       col("doc_id"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic (SURVEY.md §2 row 271) —
+    * the distribution-shift detector next to row 204 (Spearman asks
+    * "do two COLUMNS co-move?"; KS asks "did one column's DISTRIBUTION
+    * change between two slices?" — the canonical drift test between a
+    * reference and a candidate corpus, or two sources' quality
+    * scores). D = max_v |F_A(v) − F_B(v)| carried as the EXACT integer
+    * pair d_num = max_v |n_B·C_A(v) − n_A·C_B(v)|, d_den = n_A·n_B
+    * (both ECDFs over a common denominator), plus d_at = the SMALLEST
+    * value attaining the max (deterministic argmax) and the single
+    * pinned display double.
+    *
+    * Scale shape (the rocAuc recipe): values collapse first into one
+    * map-side-combined (value → count_A, count_B) frame bounded by
+    * |distinct values|; the inclusive cumulative rides the row-194
+    * bucketed decomposition ([[Classify.withScoreBucket]] — per-cell
+    * prefix over the ≤64-row cut frame is the only unpartitioned
+    * window), totals and the max come back as 1-row broadcasts.
+    * OVERFLOW CONTRACT: n_A·n_B < 2^63 (the AUC posture — subsample a
+    * slice first beyond ~3e9 rows a side). */
+  def ksTest(df: DataFrame, valueCol: Column, groupCol: Column,
+             groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = df.filter(groupCol.isin(groupA, groupB) && valueCol.isNotNull)
+      .groupBy(valueCol.as("s"))
+      .agg(coalesce(sum(when(groupCol === groupA, 1L)), lit(0L)).as("ca"),
+        coalesce(sum(when(groupCol === groupB, 1L)), lit(0L)).as("cb"))
+    val withB = Classify.withScoreBucket(byV)
+    val bpre = withB.groupBy(col("__b"))
+      .agg(sum(col("ca")).as("__sa"), sum(col("cb")).as("__sb"))
+      .withColumn("__pa", coalesce(sum(col("__sa")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__pb", coalesce(sum(col("__sb")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__sa", "__sb")
+    // INCLUSIVE within-cell prefix: F(v) counts values <= v
+    val wj = Window.partitionBy(col("__b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = byV.agg(coalesce(sum(col("ca")), lit(0L)).as("na"),
+      coalesce(sum(col("cb")), lit(0L)).as("nb"))
+    val scored = withB.join(broadcast(bpre), Seq("__b"))
+      .withColumn("cuma", col("__pa") + sum(col("ca")).over(wj))
+      .withColumn("cumb", col("__pb") + sum(col("cb")).over(wj))
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("dnum", abs(col("nb") * col("cuma") - col("na") * col("cumb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = scored.agg(max(col("dnum")).as("m"))
+    scored.crossJoin(broadcast(mx)) // 1-row max
+      .filter(col("dnum") === col("m"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        first(col("m")).as("d_num"), min(col("s")).as("d_at"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("n_a") * col("n_b")).as("d_den"), col("d_at"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise(col("d_num").cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType)).as("ks_d"))
+  }
+
+  /** §2 row 271 — KS drift between the click and error event-value
+    * distributions. */
+  def ksTestQ(s: SparkSession, d: String): DataFrame =
+    ksTest(Tables.events(s, d), col("value"), col("event_type"),
+      "click", "error")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_normal_eq" -> (normalEqQ _),
     "q_spearman"  -> (spearmanQ _),
+    "q_ks_test"   -> (ksTestQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle's single global cumulative window equals the engine's
+    // bucketed decomposition exactly (integer sums reassociate); the
+    // argmax ties break to MIN(s) on both sides
+    "q_ks_test" ->
+      """WITH f AS (
+        |  SELECT value AS s, event_type AS g FROM events
+        |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+        |byv AS (
+        |  SELECT s,
+        |    SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS cb
+        |  FROM f GROUP BY s),
+        |cums AS (
+        |  SELECT s,
+        |    SUM(ca) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM byv),
+        |tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM byv),
+        |scored AS (
+        |  SELECT c.s, abs(t.nb * c.cuma - t.na * c.cumb) AS dnum
+        |  FROM cums c, tot t),
+        |mx AS (SELECT MAX(dnum) AS m FROM scored)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST(m.m AS BIGINT) AS d_num,
+        |  CAST(t.na * t.nb AS BIGINT) AS d_den,
+        |  (SELECT MIN(s) FROM scored, mx WHERE dnum = m) AS d_at,
+        |  CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+        |       ELSE CAST(m.m AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) END AS ks_d
+        |FROM tot t, mx m""".stripMargin,
+
     // the same (value, id) permutation ranks — ROW_NUMBER() OVER
     // (ORDER BY v, id) equals cumBefore + intra-tie index exactly —
     // then the rational rho identity; HUGEINT → BIGINT; NULL at n<2

@@ -58,6 +58,52 @@ class GraphSpec extends AnyFunSuite {
       ex.getCause != null && ex.getCause.getMessage.contains("positive"), ex.getMessage)
   }
 
+  test("ppr: mass conserved; proximity to the seed decides rank") {
+    // chain 1 -> 2 -> 3 plus a back-edge 3 -> 1; seed = {1}
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("seed")
+    val r = GraphOps.personalizedPageRank(e, "src", "dst", "w", seeds, "seed",
+        iters = 6).orderBy($"node").as[(Long, Long)].collect().toMap
+    assert(math.abs(r.values.sum - Scale) < Scale / 1000L, r.toString)
+    // the seed holds the most mass; its direct successor beats the 2-hop node
+    assert(r(1L) > r(2L) && r(2L) > r(3L), r.toString)
+  }
+
+  test("ppr: dangling mass returns to the seeds, not uniformly") {
+    // 1 -> 2, 2 dangling; seed = {1}: node 2 only ever gets damped
+    // pass-through mass, node 1 keeps teleport + dangling return
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val r = GraphOps.personalizedPageRank(e, "src", "dst", "w",
+        Seq(1L).toDF("seed"), "seed", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L), r.toString)
+    assert(math.abs(r.values.sum - Scale) < Scale / 1000L, r.toString)
+  }
+
+  test("ppr: seeds outside the graph are dropped; all-outside rejects") {
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val r = GraphOps.personalizedPageRank(e, "src", "dst", "w",
+        Seq(1L, 99L).toDF("seed"), "seed", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r.keySet == Set(1L, 2L)) // 99 carries no mass and emits no row
+    val ex = intercept[Exception] {
+      GraphOps.personalizedPageRank(e, "src", "dst", "w",
+        Seq(99L).toDF("seed"), "seed", iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("seed"), ex.getMessage)
+  }
+
+  test("ppr is invariant to edge partitioning") {
+    val e = GraphOps.nationFlowEdges(spark, TestSpark.sf)
+    val seeds = Seq(0L, 1L, 2L).toDF("seed")
+    val a = GraphOps.personalizedPageRank(e, "src", "dst", "w", seeds, "seed", iters = 2)
+      .orderBy($"node").collect().toSeq
+    val b = GraphOps.personalizedPageRank(e.repartition(13, $"dst"), "src", "dst", "w",
+        seeds, "seed", iters = 2)
+      .orderBy($"node").collect().toSeq
+    assert(a == b)
+  }
+
   test("triangles: K4 has four, each node in three; pendant nodes in none") {
     // K4 on 1..4 plus a pendant edge 4-5 and duplicate/reversed noise
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),

@@ -295,6 +295,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fed.nonEmpty && fed == direct)
   }
 
+  test("attribution: per-conversion credit sums to exactly 1e6; last touch takes the remainder") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 0.0),
+      (2L, ts(5), 7L, "view", 0.0),
+      (3L, ts(9), 7L, "click", 0.0),
+      (4L, ts(10), 7L, "purchase", 0.0), // 3 touches: 333333+333333+333334
+      (5L, ts(30), 8L, "view", 0.0),
+      (6L, ts(31), 8L, "purchase", 0.0), // 1 touch: full 1e6
+      (7L, ts(40), 9L, "purchase", 0.0)) // 0 touches: no rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.linearAttribution(events, "purchase",
+        Seq("click", "view"), lookbackUs = 48L * 3600 * 1000000)
+      .orderBy($"conv_id", $"touch_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (4L, 1L, 3L, 333333L), (4L, 2L, 3L, 333333L), (4L, 3L, 3L, 333334L),
+      (6L, 5L, 1L, 1000000L)))
+    assert(got.groupBy(_._1).values.forall(_.map(_._4).sum == 1000000L))
+  }
+
+  test("attribution window boundaries: at conv_ts included, at the lookback edge excluded") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val atEdge = Timestamp.valueOf("2024-01-01 00:00:00")   // exactly 24h before
+    val inside = Timestamp.valueOf("2024-01-01 00:00:01")
+    val events = Seq(
+      (1L, atEdge, 7L, "click", 0.0),
+      (2L, inside, 7L, "click", 0.0),
+      (3L, t0, 7L, "click", 0.0),          // same instant as the conversion
+      (4L, t0, 7L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.linearAttribution(events, "purchase",
+        Seq("click"), lookbackUs = 24L * 3600 * 1000000)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._2) == Seq(2L, 3L)) // edge touch excluded (strict >)
+  }
+
+  test("domain report: cross-domain mirrors count as dups; lang mode tie-breaks lexicographically") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "https://a.example.com/x", "same words here", "en"),
+      (2L, "https://b.example.org/y", "Same  words HERE", "de"), // normalized dup of 1
+      (3L, "https://a.example.com/z", "unique text one", "de"),
+      (4L, "https://a.example.com/w", "unique text two", "de"),
+      (5L, "https://weird.invalidtld/q", "unique text three", "fr"))
+      .toDF("doc_id", "url", "text", "lang")
+    val got = Curation.domainReport(docs, $"url", $"text", $"lang")
+      .orderBy($"domain")
+      .as[(String, Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    val byDom = got.map(r => r._1 -> r).toMap
+    assert(byDom.keySet == Set("example.com", "example.org", "unknown"))
+    val a = byDom("example.com")
+    assert(a._2 == 3L && a._5 == 1L && a._6 == 333333L) // one mirror doc of three
+    assert(a._8 == "de") // de count 2 beats en 1
+    assert(byDom("example.org")._5 == 1L) // the mirror's other side flags too
+    assert(byDom("unknown")._2 == 1L && byDom("unknown")._8 == "fr")
+  }
+
   test("ttr gate: exact ppm ratio, flag threshold, NULL on empty, case-folds") {
     val df = Seq(
       (1L, "a b c d"),             // 4 types / 4 tokens = 1000000

@@ -479,6 +479,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("anchor aggregation: every window partitions by the url key, no cartesian") {
+    import spark.implicits._
+    val links = Seq((1L, "u1", "a"), (2L, "u1", "b"), (1L, "u2", "a"))
+      .toDF("src", "url", "anchor")
+    val p = plan(graft.operators.WebIr.anchorAggregate(links, "url", "anchor", "src"))
+    assert("windowspecdefinition\\((?!url)".r.findFirstIn(p).isEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cdx index: per-row carving, no window, no cartesian") {
+    val p = plan(graft.operators.WarcOps.cdxIndexQ(spark, TestSpark.sf))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("redirect resolution: hash equi-joins only — no cartesian, no window") {
+    import spark.implicits._
+    val r = Seq(("a", "b"), ("b", "c")).toDF("f", "t")
+    val p = plan(graft.operators.WebIr.resolveRedirects(r, "f", "t", maxHops = 4))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("ttr gate is a zero-shuffle per-row projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = plan(graft.operators.TextOps2.ttrGate(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), col("doc_id"), col("text"), 450000L))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("KMV overlap: k-bounded partial aggregation, no distinct exchange on values") {
     import spark.implicits._
     val a = (1L to 500L).toDF("h")

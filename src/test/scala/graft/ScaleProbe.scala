@@ -528,6 +528,32 @@ object ScaleProbe {
         graft.operators.Analytics.rfmScores(
           events, col("user_id"), col("ts"), col("value")).count()
       }
+      // round-12 continuation: the web-IR link kernels and the KS
+      // drift test. hits: edge count grows k× into a fixed 1000-node
+      // authority side (per-iteration shuffles must track edges
+      // linearly). ks_test: near-distinct doubles make the
+      // distinct-value frame corpus-sized — the bucketed cumulative
+      // must track it, never a single-task window. anchor_agg:
+      // url-keyed aggs with constant per-url fan-in.
+      time("hits", k) {
+        val e = docs.select(col("doc_id").as("s"),
+          pmod(xxhash64(col("doc_id")), lit(1000L)).as("d"))
+        graft.operators.WebIr.hits(e, "s", "d", iters = 2).count()
+      }
+      time("ks_test", k) {
+        val vals = docs.select(
+          (pmod(xxhash64(col("doc_id"), lit(5)), lit(1000000000L)).cast("double") / 1000.0)
+            .as("value"),
+          when(col("doc_id") % 2 === 0, "a").otherwise("b").as("g"))
+        graft.operators.Regression.ksTest(
+          vals, col("value"), col("g"), "a", "b").count()
+      }
+      time("anchor_agg", k) {
+        val links = docs.select(col("doc_id").as("src"),
+          concat(lit("https://h/"), pmod(col("doc_id"), lit(5000L)).cast("string")).as("url"),
+          concat(lit("anchor "), pmod(xxhash64(col("doc_id")), lit(3L)).cast("string")).as("anchor"))
+        graft.operators.WebIr.anchorAggregate(links, "url", "anchor", "src").count()
+      }
     }
     spark.stop()
   }
