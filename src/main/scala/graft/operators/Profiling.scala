@@ -481,9 +481,16 @@ object Profiling {
     * shifted; this says the RATE). One aggregation pass: n, Σx, Σy,
     * Σxy, Σx² accumulate as EXACT decimals (map-side partials,
     * order-independent), and only the final formula runs in double —
-    * identical formula text both engines, slope rounded to 12 decimals
-    * (the corrPairs convention), and the intercept computed FROM the
-    * rounded slope so both engines feed identical inputs. */
+    * identical formula text both engines, slope rounded to 6 decimals,
+    * and the intercept computed FROM the rounded slope so both engines
+    * feed identical inputs. SIX decimals, not corrPairs' 12: the
+    * intercept's magnitude is data-scaled (~1e4 here), and a round
+    * grid at 1e-12 sits ON the double's ulp at that magnitude — the
+    * two engines' round implementations (decimal-expansion vs
+    * float-multiply) then legitimately disagree by one ulp on
+    * boundary values (observed once at sf0.001). corrPairs keeps 12
+    * because correlations are ≤1 in magnitude, four orders above
+    * their ulp. */
   def trendPerGroup(df: DataFrame, grpCol: Column, xCol: Column,
                     yCol: Column): DataFrame = {
     val D0 = DecimalType(18, 0)
@@ -499,10 +506,10 @@ object Profiling {
         expr("""round((cast(n as double) * cast(sxy as double)
                | - cast(sx as double) * cast(sy as double))
                | / (cast(n as double) * cast(sxx as double)
-               |    - cast(sx as double) * cast(sx as double)), 12)""".stripMargin))
+               |    - cast(sx as double) * cast(sx as double)), 6)""".stripMargin))
       .withColumn("intercept",
         expr("""round((cast(sy as double) - slope * cast(sx as double))
-               | / cast(n as double), 12)""".stripMargin))
+               | / cast(n as double), 6)""".stripMargin))
       .select(col("__g"), col("n"), col("slope"), col("intercept"))
   }
 
@@ -1123,11 +1130,11 @@ object Profiling {
         |    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12) AS slope
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
         |  FROM a)
         |SELECT g AS event_type, n, slope,
         |  ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-        |   / CAST(n AS DOUBLE), 12) AS intercept
+        |   / CAST(n AS DOUBLE), 6) AS intercept
         |FROM sl
         |ORDER BY event_type""".stripMargin,
 

@@ -158,10 +158,50 @@ object WarcOps {
       .orderBy(col("surt"), col("warc_date"))
   }
 
+  /** CDX snapshot diff (SURVEY.md §2 row 275) — the crawl-archive
+    * delta two row-265 indexes answer without touching either archive
+    * (the Common Crawl month-over-month question, and the crawl twin
+    * of row 144's snapshot diff): per surt, `new` (absent before),
+    * `gone` (absent now), `changed` (digest differs — a refetch saw
+    * different bytes), `same`. One full-outer equi-join on the surt
+    * key; digests are the row-265 payload PolyHash64, so `changed`
+    * costs no byte comparison (collision odds 2⁻⁶⁴ per pair,
+    * documented). */
+  def cdxDiff(oldIdx: DataFrame, newIdx: DataFrame): DataFrame =
+    oldIdx.select(col("surt"), col("digest").as("__od"))
+      .join(newIdx.select(col("surt"), col("digest").as("__nd")),
+        Seq("surt"), "full_outer")
+      .select(col("surt"),
+        when(col("__od").isNull, "new")
+          .when(col("__nd").isNull, "gone")
+          .when(col("__od") =!= col("__nd"), "changed")
+          .otherwise("same").as("verdict"))
+
+  /** §2 row 275 — two seeded snapshots: every 11th-mod-3 URI is new,
+    * every 9th-mod-7 gone, every 4th-mod-0 surviving URI refetched
+    * with different bytes. The oracle constructs the expected surt
+    * LITERALLY (an independent end-to-end check of surtKey) and the
+    * verdicts from the seed arithmetic. */
+  def cdxDiffQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val url = concat(lit("https://www."), lower(col("source")),
+      lit(".com/a/"), col("doc_id").cast("string"))
+    val surt = Urls.surtKey(Urls.canonicalUrl(url))
+    val h = graft.plans.PolyHash64.poly_hash64 _
+    val oldIdx = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(surt.as("surt"), h(col("text")).as("digest"))
+    val newIdx = docs.filter(pmod(col("doc_id"), lit(9)) =!= 7)
+      .select(surt.as("surt"),
+        h(when(pmod(col("doc_id"), lit(4)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("digest"))
+    cdxDiff(oldIdx, newIdx).orderBy(col("surt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_extract" -> (warcExtractQ _),
     "q_wet_text" -> (wetTextQ _),
-    "q_cdx_index" -> (cdxIndexQ _))
+    "q_cdx_index" -> (cdxIndexQ _),
+    "q_cdx_diff" -> (cdxDiffQ _))
 
   // CRLF for SQL string building
   private val NL = "chr(13) || chr(10)"
@@ -279,5 +319,24 @@ object WarcOps {
          |FROM offs o
          |JOIN canonized c ON o.doc_id = c.doc_id
          |JOIN dig d ON o.doc_id = d.doc_id
-         |ORDER BY surt, warc_date""".stripMargin))
+         |ORDER BY surt, warc_date""".stripMargin),
+
+    // the expected surt constructed LITERALLY from the seed (an
+    // independent check of surtKey) and verdicts from the seed
+    // arithmetic: a changed payload always differs in bytes, so the
+    // digest comparison must flag exactly the mod-4 survivors
+    "q_cdx_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'com,' || lower(source) || ')/a/' || CAST(doc_id AS VARCHAR) AS surt
+        |  FROM documents),
+        |o AS (SELECT doc_id, surt FROM d WHERE doc_id % 11 <> 3),
+        |n AS (SELECT doc_id, surt FROM d WHERE doc_id % 9 <> 7)
+        |SELECT COALESCE(o.surt, n.surt) AS surt,
+        |  CASE WHEN o.surt IS NULL THEN 'new'
+        |       WHEN n.surt IS NULL THEN 'gone'
+        |       WHEN n.doc_id % 4 = 0 THEN 'changed'
+        |       ELSE 'same' END AS verdict
+        |FROM o FULL OUTER JOIN n ON o.surt = n.surt
+        |ORDER BY surt""".stripMargin)
 }
