@@ -179,11 +179,12 @@ object GraphOps {
       .join(nodes, Seq("node")) // seeds outside the graph carry no mass
       .select(col("node"), lit(true).as("__seed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var flagged: DataFrame = null
     try {
       val ns = sd.count()
       require(ns > 0, "personalizedPageRank: no seed is a graph node")
       val teleport = Math.floorDiv((dampDen - dampNum) * scale, dampDen * ns)
-      val flagged = nodes.join(broadcast(sd), Seq("node"), "left")
+      flagged = nodes.join(broadcast(sd), Seq("node"), "left")
         .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val start = flagged.select(col("node"), col("__seed"),
@@ -205,7 +206,10 @@ object GraphOps {
           .localCheckpoint() // two consumers next round (the pageRank posture)
       }
       last.select(col("node"), col("rank"))
-    } finally { sd.unpersist(); ew.unpersist(); outw.unpersist(); nodes.unpersist(); () }
+    } finally {
+      if (flagged != null) { flagged.unpersist(); () }
+      sd.unpersist(); ew.unpersist(); outw.unpersist(); nodes.unpersist(); ()
+    }
   }
 
   /** §2 row 272 — 3 PPR iterations over the nation-flow graph, seeded

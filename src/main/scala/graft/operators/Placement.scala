@@ -55,8 +55,68 @@ object Placement {
     rendezvousMovement(Tables.events(s, d), col("user_id"), nodes = 8)
       .orderBy(col("shard_old"), col("shard_new"))
 
+  /** Consistent-hash RING placement + movement audit (SURVEY.md §2
+    * row 278) — the OTHER classic minimal-movement scheme next to
+    * row-202 rendezvous (Karger et al. 1997; memcached/Dynamo-style
+    * rings): each shard owns `vnodesPer` pseudo-random ring positions
+    * (poly_hash64("ring|shard|v")), a key (poly_hash64("key|k"))
+    * belongs to the first vnode clockwise — the smallest position ≥
+    * the key's, wrapping to the globally smallest. Where rendezvous
+    * pays N hashes per key at lookup, the ring pays ONE hash + a
+    * search of a static table — the trade placement systems actually
+    * choose between; vnodes smooth the ring's load variance.
+    *
+    * Scale shape: the vnode tables are DATA-INDEPENDENT constants
+    * (shards·vnodesPer longs), computed driver-side and shipped as
+    * plan literals — no broadcast, no join; per key the owner is a
+    * bounded filter-count over the sorted literal array (the
+    * registeredDomain suffix-probe posture). Keys dedupe first; the
+    * movement matrix is one map-side-combined groupBy. Growing S→S+1
+    * may move a key ONLY to the new shard's vnode arcs — surviving
+    * shards never trade keys (spec-pinned). */
+  def ringVnodes(shards: Int, vnodesPer: Int): Seq[(Long, Long)] =
+    (0 until shards).flatMap { sh =>
+      (0 until vnodesPer).map { v =>
+        (PolyHash64.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"ring|$sh|$v")),
+          sh.toLong)
+      }
+    }.sortBy(_._1)
+
+  private def ringOwner(kpos: Column, vnodes: Seq[(Long, Long)]): Column = {
+    val posArr = typedLit(vnodes.map(_._1))
+    val shardArr = typedLit(vnodes.map(_._2))
+    // index of the first position >= kpos in the sorted table ==
+    // count of positions below; past the end wraps to slot 0
+    val idx = size(filter(posArr, p => p < kpos))
+    val widx = when(idx === vnodes.size, lit(0)).otherwise(idx)
+    element_at(shardArr, widx + 1)
+  }
+
+  /** Movement matrix for growing `shards` → `shards + 1` under ring
+    * placement of the distinct values of `keyCol`. */
+  def ringMovement(df: DataFrame, keyCol: Column, shards: Int,
+                   vnodesPer: Int = 64): DataFrame = {
+    require(shards >= 1 && vnodesPer >= 1, s"bad ring: $shards x $vnodesPer")
+    val keys = df.select(keyCol.cast(StringType).as("k"))
+      .filter(col("k").isNotNull).distinct()
+      .withColumn("kpos", PolyHash64.poly_hash64(concat(lit("key|"), col("k"))))
+    keys
+      .withColumn("shard_old", ringOwner(col("kpos"), ringVnodes(shards, vnodesPer)))
+      .withColumn("shard_new", ringOwner(col("kpos"), ringVnodes(shards + 1, vnodesPer)))
+      .groupBy(col("shard_old"), col("shard_new"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** §2 row 278 — ring movement of the event user_id population,
+    * 8 shards × 64 vnodes growing to 9. */
+  def hashRingQ(s: SparkSession, d: String): DataFrame =
+    ringMovement(Tables.events(s, d), col("user_id"), shards = 8)
+      .orderBy(col("shard_old"), col("shard_new"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rendezvous" -> (rendezvousQ _))
+    "q_rendezvous" -> (rendezvousQ _),
+    "q_hash_ring" -> (hashRingQ _))
 
   val oracles: Map[String, String] = Map(
     // distinct keys × range(9) fan-out, the shared poly_hash64 HUGEINT
@@ -83,6 +143,39 @@ object Placement {
          |SELECT o.shard_old, n.shard_new, CAST(COUNT(*) AS BIGINT) AS n_keys
          |FROM old o JOIN new n ON o.k = n.k
          |GROUP BY o.shard_old, n.shard_new
+         |ORDER BY shard_old, shard_new""".stripMargin
+    },
+
+    // vnode tables re-derived in HUGEINT via the shared poly replay
+    // over 'ring|s|v'; per key the clockwise owner = min vnode pos >=
+    // kpos, wrapping to the global min — replayed as a conditional-min
+    // aggregate + a position lookback join
+    "q_hash_ring" -> {
+      def vn(name: String, shards: Int) =
+        name + " AS (" + TrainingOps.polyHashOverSql("s, v",
+          s"""SELECT CAST(r.i AS BIGINT) AS s, CAST(q.i AS BIGINT) AS v,
+             |  'ring|' || CAST(r.i AS VARCHAR) || '|' || CAST(q.i AS VARCHAR) AS t
+             |FROM range(0, $shards) r(i) CROSS JOIN range(0, 64) q(i)""".stripMargin) + ")"
+      val kp = TrainingOps.polyHashOverSql("k",
+        """SELECT k, 'key|' || k AS t
+          |FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+          |      FROM events WHERE user_id IS NOT NULL) keys""".stripMargin)
+      def own(name: String, vnRel: String) =
+        s"""agg_$name AS (
+           |  SELECT p.k, MIN(CASE WHEN v.h >= p.h THEN v.h END) AS mh, MIN(v.h) AS gm
+           |  FROM kp p CROSS JOIN $vnRel v GROUP BY p.k, p.h),
+           |own_$name AS (
+           |  SELECT a.k, v.s AS shard FROM agg_$name a
+           |  JOIN $vnRel v ON v.h = COALESCE(a.mh, a.gm))""".stripMargin
+      s"""WITH ${vn("vn8", 8)},
+         |${vn("vn9", 9)},
+         |kp AS ($kp),
+         |${own("old", "vn8")},
+         |${own("new", "vn9")}
+         |SELECT o.shard AS shard_old, n.shard AS shard_new,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys
+         |FROM own_old o JOIN own_new n ON o.k = n.k
+         |GROUP BY o.shard, n.shard
          |ORDER BY shard_old, shard_new""".stripMargin
     })
 }

@@ -121,8 +121,12 @@ object WarcOps {
     * offset accounting — including its glue path — is value-checked,
     * not round-tripped. Scale shape: parallel by file, per-row
     * projections, one sort at the sink (a real CDX build's terminal
-    * total-order write). */
-  def cdxIndexQ(s: SparkSession, d: String): DataFrame = {
+    * total-order write).
+    *
+    * The seed archives below (per-host (file, warc) content) are
+    * shared by q_cdx_index (in-plan carving) and q_warc_source (the
+    * row-277 DSv2 file reader — same bytes, different ingress). */
+  private def cdxSeedFiles(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val file = concat(lit("www."), lower(col("source")), lit(".com.warc"))
     val port = when(pmod(col("doc_id"), lit(7)) === 0, lit(":8080")).otherwise(lit(""))
@@ -139,7 +143,7 @@ object WarcOps {
       lit(CRLF + "WARC-Date: "), date,
       lit(CRLF + "Content-Length: "), length(payload).cast("string"),
       lit(CRLF + CRLF), payload, lit(CRLF + CRLF))
-    val files = docs.select(file.as("file"), col("doc_id"), rec.as("rec"))
+    docs.select(file.as("file"), col("doc_id"), rec.as("rec"))
       .groupBy(col("file"))
       .agg(concat(
         lit("WARC/1.0" + CRLF + "WARC-Type: warcinfo" + CRLF +
@@ -147,6 +151,10 @@ object WarcOps {
         array_join(transform(sort_array(collect_list(
             struct(col("doc_id"), col("rec")))),
           x => x.getField("rec")), "")).as("warc"))
+  }
+
+  def cdxIndexQ(s: SparkSession, d: String): DataFrame = {
+    val files = cdxSeedFiles(s, d)
     val canon = Urls.canonicalUrl(col("uri"))
     Warc.records(files, "file", "warc")
       .filter(col("rec_type") === "resource")
@@ -197,14 +205,70 @@ object WarcOps {
     cdxDiff(oldIdx, newIdx).orderBy(col("surt"))
   }
 
+  /** §2 row 277 — the DSv2 file reader over REAL archive files: the
+    * cdx seeds are written to a scratch dir (driver-side; the seed
+    * frame is host-bounded), read back through
+    * `graft.sources.v2.WarcSource` (one partition per file, ISO-8859-1
+    * byte==char decode), and projected WITHOUT the body column (the
+    * pruning path). The oracle replays the seeds arithmetically —
+    * rec_pos from assembly order, offsets from running record
+    * lengths — so the whole file-ingress path (write → list → split →
+    * carve → offsets) is value-checked end to end. */
+  def warcSourceQ(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcsrc")
+    cdxSeedFiles(s, d).collect().foreach { r =>
+      java.nio.file.Files.write(dir.resolve(r.getString(0)),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      ()
+    }
+    s.read.format("graft.sources.v2.WarcSource")
+      .option("path", dir.toString).load()
+      .select(col("file"), col("rec_pos"), col("rec_type"), col("uri"),
+        col("content_length"), col("ok"), col("rec_offset"), col("warc_date"))
+      .orderBy(col("file"), col("rec_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_extract" -> (warcExtractQ _),
     "q_wet_text" -> (wetTextQ _),
     "q_cdx_index" -> (cdxIndexQ _),
-    "q_cdx_diff" -> (cdxDiffQ _))
+    "q_cdx_diff" -> (cdxDiffQ _),
+    "q_warc_source" -> (warcSourceQ _))
 
   // CRLF for SQL string building
   private val NL = "chr(13) || chr(10)"
+
+  /** The cdx seed archives in SQL (seeds -> records -> arithmetic
+    * offsets), shared VERBATIM by the q_cdx_index and q_warc_source
+    * oracles so the two ingress paths replay identical bytes. */
+  private lazy val cdxSeedCtes: String =
+    s"""seeds AS (
+       |  SELECT doc_id, text,
+       |    'www.' || lower(source) || '.com.warc' AS file,
+       |    'HTTPS://WWW.' || upper(source) || '.COM'
+       |      || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+       |      || '/Archive/' || CAST(doc_id % 5 AS VARCHAR)
+       |      || '/p' || CAST(doc_id AS VARCHAR) || '.html?b=2&a=1&utm_campaign=x' AS url,
+       |    '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       |      || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00Z' AS wdate,
+       |    '<html><body><p>' || text || '</p></body></html>' AS payload
+       |  FROM documents),
+       |recs AS (
+       |  SELECT *,
+       |    'WARC/1.0' || $NL || 'WARC-Type: resource' || $NL
+       |      || 'WARC-Target-URI: ' || url || $NL
+       |      || 'WARC-Date: ' || wdate || $NL
+       |      || 'Content-Length: ' || CAST(length(payload) AS VARCHAR)
+       |      || $NL || $NL || payload || $NL || $NL AS rec
+       |  FROM seeds),
+       |offs AS (
+       |  SELECT doc_id, file, url, wdate,
+       |    CAST(length(payload) AS BIGINT) AS content_length,
+       |    CAST(length('WARC/1.0' || $NL || 'WARC-Type: warcinfo' || $NL
+       |        || 'Content-Length: 0' || $NL || $NL || $NL || $NL)
+       |      + COALESCE(SUM(length(rec)) OVER (PARTITION BY file ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset
+       |  FROM recs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the seeds rebuilt verbatim; uri through the shared canonSql
@@ -281,34 +345,7 @@ object WarcOps {
     // surt through the shared surtSql, digest through the shared
     // poly-hash replay
     "q_cdx_index" ->
-      (s"""WITH seeds AS (
-         |  SELECT doc_id, text,
-         |    'www.' || lower(source) || '.com.warc' AS file,
-         |    'HTTPS://WWW.' || upper(source) || '.COM'
-         |      || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
-         |      || '/Archive/' || CAST(doc_id % 5 AS VARCHAR)
-         |      || '/p' || CAST(doc_id AS VARCHAR) || '.html?b=2&a=1&utm_campaign=x' AS url,
-         |    '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
-         |      || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00Z' AS wdate,
-         |    '<html><body><p>' || text || '</p></body></html>' AS payload
-         |  FROM documents),
-         |recs AS (
-         |  SELECT *,
-         |    'WARC/1.0' || $NL || 'WARC-Type: resource' || $NL
-         |      || 'WARC-Target-URI: ' || url || $NL
-         |      || 'WARC-Date: ' || wdate || $NL
-         |      || 'Content-Length: ' || CAST(length(payload) AS VARCHAR)
-         |      || $NL || $NL || payload || $NL || $NL AS rec
-         |  FROM seeds),
-         |offs AS (
-         |  SELECT doc_id, file, url, wdate,
-         |    CAST(length(payload) AS BIGINT) AS content_length,
-         |    CAST(length('WARC/1.0' || $NL || 'WARC-Type: warcinfo' || $NL
-         |        || 'Content-Length: 0' || $NL || $NL || $NL || $NL)
-         |      + COALESCE(SUM(length(rec)) OVER (PARTITION BY file ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset
-         |  FROM recs),
-         |""".stripMargin
+      ("WITH " + cdxSeedCtes + ",\n"
         + Urls.canonSql("offs", Seq("doc_id")) + ",\n"
         + "dig AS (\n"
         + TrainingOps.polyHashOverSql("doc_id",
@@ -320,6 +357,23 @@ object WarcOps {
          |JOIN canonized c ON o.doc_id = c.doc_id
          |JOIN dig d ON o.doc_id = d.doc_id
          |ORDER BY surt, warc_date""".stripMargin),
+
+    // same seed CTEs verbatim; rec_pos from assembly order, offsets
+    // from the running record-length sum — the DSv2 file path
+    // (write -> list -> split -> carve -> offsets) is value-checked
+    "q_warc_source" ->
+      ("WITH " + cdxSeedCtes + s""",
+         |info AS (SELECT DISTINCT file FROM seeds)
+         |SELECT file, CAST(0 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
+         |  '' AS uri, CAST(0 AS BIGINT) AS content_length, TRUE AS ok,
+         |  CAST(0 AS BIGINT) AS rec_offset, '' AS warc_date
+         |FROM info
+         |UNION ALL
+         |SELECT o.file,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY o.file ORDER BY o.doc_id) AS BIGINT),
+         |  'resource', o.url, o.content_length, TRUE, o.rec_offset, o.wdate
+         |FROM offs o
+         |ORDER BY file, rec_pos""".stripMargin),
 
     // the expected surt constructed LITERALLY from the seed (an
     // independent check of surtKey) and verdicts from the seed

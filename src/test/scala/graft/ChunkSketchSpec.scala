@@ -55,4 +55,30 @@ class ChunkSketchSpec extends AnyFunSuite {
       assert(ids == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("text tiling: the topic shift is the valley; same-topic boundaries are not") {
+    // 40 words of vocabulary A, then 40 of vocabulary B, w = 20:
+    // boundaries at 20 (A|A), 40 (A|B), 60 (B|B) — 40 is the cut
+    val a = (1 to 40).map(i => s"alpha${i % 5}").mkString(" ")
+    val b = (1 to 40).map(i => s"beta${i % 5}").mkString(" ")
+    val got = Chunking.textTiling(
+        Seq((1L, s"$a $b")).toDF("doc_id", "text"), "doc_id", "text", w = 20)
+      .orderBy($"boundary_pos")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._2) == Seq(20L, 40L, 60L))
+    assert(got(0)._3 == 5L && got(1)._3 == 0L && got(2)._3 == 5L)
+    assert(got.map(_._4) == Seq(false, true, false)) // only the shift is a valley
+  }
+
+  test("text tiling: short docs emit no boundaries; exact 2w emits one non-valley") {
+    val short = Chunking.textTiling(
+      Seq((1L, (1 to 39).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", w = 20)
+    assert(short.count() == 0)
+    val exact = Chunking.textTiling(
+        Seq((1L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", w = 20)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(exact == Seq((1L, 20L, 0L, false))) // edge boundary can't be a valley
+  }
 }

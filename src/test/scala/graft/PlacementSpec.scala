@@ -46,4 +46,44 @@ class PlacementSpec extends AnyFunSuite {
   test("partitioning invariance") {
     assert(mv(keys, 8, parts = 1) == mv(keys, 8, parts = 13))
   }
+
+  private def ringMv(keys: Seq[Option[Long]], shards: Int, vper: Int = 64) =
+    Placement.ringMovement(keys.toDF("k"), col("k"), shards, vper)
+      .orderBy($"shard_old", $"shard_new")
+      .as[(Long, Long, Long)].collect().toSeq
+
+  test("ring: growing S -> S+1 only ever moves keys TO the new shard") {
+    val got = ringMv(keys, shards = 8)
+    assert(got.filter(r => r._1 != r._2).forall(_._2 == 8L), got.toString)
+    assert(got.map(_._3).sum == 2000L)
+  }
+
+  test("ring: movement fraction is near 1/(S+1) with 64 vnodes") {
+    val got = ringMv(keys, shards = 8)
+    val frac = got.filter(r => r._1 != r._2).map(_._3).sum.toDouble /
+      got.map(_._3).sum
+    // vnode load variance is wider than rendezvous' — accept 3x slack
+    assert(frac > 0.3 / 9 && frac < 3.0 / 9, s"moved fraction $frac")
+  }
+
+  test("ring: the vnode table is sorted and covers every shard") {
+    val vn = Placement.ringVnodes(8, 64)
+    assert(vn.size == 512)
+    assert(vn.map(_._1) == vn.map(_._1).sorted)
+    assert(vn.map(_._2).toSet == (0L until 8L).toSet)
+  }
+
+  test("ring: keys past the last vnode wrap to the globally first one") {
+    // single shard, single vnode: EVERY key maps to shard 0, wrapped
+    // or not; with 2 shards x 1 vnode each, keys beyond both
+    // positions must land on the globally smallest position's shard
+    val vn = Placement.ringVnodes(2, 1)
+    val firstShard = vn.head._2
+    val got = ringMv((1L to 400L).map(Some(_)), shards = 1, vper = 1)
+    // shards=1 -> old ring has one vnode; every key owned by shard 0
+    assert(got.forall(_._1 == 0L))
+    // and in the 2-shard ring, both shards own someone (wrap works)
+    val newOwners = got.map(_._2).toSet
+    assert(newOwners.contains(firstShard))
+  }
 }
