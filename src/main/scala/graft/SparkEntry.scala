@@ -53,7 +53,7 @@ object SparkEntry {
     Percolate.queries ++ CodeSwitch.queries ++ Stitch.queries ++
     Weak.queries ++ Placement.queries ++ Markup.queries ++ Urls.queries ++
     UnigramTok.queries ++ TokEval.queries ++ Robots.queries ++
-    WarcOps.queries ++ CorpusOverlap.queries ++ SuffixOps.queries ++ CrawlState.queries ++ CrawlCycle.queries ++ WebIr.queries ++ OverlapEval.queries ++
+    WarcOps.queries ++ CorpusOverlap.queries ++ SuffixOps.queries ++ CrawlState.queries ++ CrawlCycle.queries ++ WebIr.queries ++ OverlapEval.queries ++ WebIndex.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -283,6 +283,6 @@ object SparkEntry {
     Percolate.oracles ++ CodeSwitch.oracles ++ Stitch.oracles ++
     Weak.oracles ++ Placement.oracles ++ Markup.oracles ++ Urls.oracles ++
     UnigramTok.oracles ++ TokEval.oracles ++ Robots.oracles ++
-    WarcOps.oracles ++ CorpusOverlap.oracles ++ SuffixOps.oracles ++ CrawlState.oracles ++ CrawlCycle.oracles ++ WebIr.oracles ++ OverlapEval.oracles ++
+    WarcOps.oracles ++ CorpusOverlap.oracles ++ SuffixOps.oracles ++ CrawlState.oracles ++ CrawlCycle.oracles ++ WebIr.oracles ++ OverlapEval.oracles ++ WebIndex.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -335,7 +335,7 @@ object Fusion {
          |          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS BIGINT) AS irn
          |        FROM qrels) t
          |  GROUP BY qid),
-         |rankers AS (SELECT DISTINCT ranker FROM ranked)
+         |rankers(ranker) AS (VALUES ('bm25'), ('rrf'))
          |SELECT rk.ranker, i.qid, p.first_rel_rank,
          |  CAST(COALESCE(p.n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
          |  i.n_rel_total,

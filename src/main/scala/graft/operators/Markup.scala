@@ -719,47 +719,58 @@ object Markup {
           |    || '<a href="sub/p' || CAST(doc_id % 2 AS VARCHAR)
           |    || '.html">rel</a></p></body></html>' AS html
           |  FROM documents),
-          |pre AS (
-          |  SELECT doc_id, base,
-          |    regexp_replace(regexp_replace(regexp_replace(html,
-          |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-          |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-          |      '(?s)<!--.*?-->', ' ', 'g') AS hh
-          |  FROM h),
-          |lx AS (
-          |  SELECT doc_id, base,
-          |    unnest(regexp_extract_all(hh, '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)) AS href,
-          |    unnest(regexp_extract_all(hh, '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2)) AS anchor0,
-          |    unnest(range(0, len(regexp_extract_all(hh, '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)))) AS pos
-          |  FROM pre),
-          |lnk AS (
-          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, href,
-          |    trim(regexp_replace(
-          |      replace(replace(replace(replace(replace(replace(
-          |        regexp_replace(anchor0, '<[^>]*>', '', 'g'),
-          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-          |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
-          |      '\s+', ' ', 'g')) AS anchor,
-          |    CASE
-          |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
-          |      WHEN href LIKE '/%' THEN
-          |        regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
-          |      ELSE
-          |        regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
-          |        || (CASE WHEN regexp_replace(
-          |              regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-          |              '[^/]*$', '') = '' THEN '/'
-          |            ELSE regexp_replace(
-          |              regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-          |              '[^/]*$', '') END)
-          |        || href END AS url,
-          |    'www.' || lower((SELECT source FROM documents d2 WHERE d2.doc_id = lx.doc_id)) || '.com' AS bhost
-          |  FROM lx),
           |""".stripMargin
+        + linkExtractCtes("h") + ",\n"
         + Urls.canonSql("lnk", Seq("doc_id", "pos"))
         + """
           |SELECT c.doc_id, c.pos, l.href, l.anchor, c.url_canon, c.host,
-          |  c.registered_domain, c.host <> l.bhost AS is_external
+          |  c.registered_domain,
+          |  c.host <> ('www.' || lower((SELECT source FROM documents d2
+          |    WHERE d2.doc_id = c.doc_id)) || '.com') AS is_external
           |FROM canonized c JOIN lnk l ON c.doc_id = l.doc_id AND c.pos = l.pos
           |ORDER BY c.doc_id, c.pos""".stripMargin))
+
+  /** The link-extraction CTE chain over any CTE `inRel(doc_id, base,
+    * html)` — the SQL twin of [[extractLinks]] (script/style/comment
+    * strip, parallel href/anchor group unnest, anchor clean, the
+    * absolute/root-relative/path-relative resolution CASE), emitting
+    * `lnk(doc_id, pos, href, anchor, url)`. Shared VERBATIM by
+    * q_link_graph and q_web_index so the replays cannot drift. No
+    * line here may START with `||` (the stripMargin re-strip hazard). */
+  private[operators] def linkExtractCtes(inRel: String): String =
+    s"""pre2 AS (
+       |  SELECT doc_id, base,
+       |    regexp_replace(regexp_replace(regexp_replace(html,
+       |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?s)<!--.*?-->', ' ', 'g') AS hh
+       |  FROM $inRel),
+       |lx AS (
+       |  SELECT doc_id, base,
+       |    unnest(regexp_extract_all(hh, '(?is)<a\\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)) AS href,
+       |    unnest(regexp_extract_all(hh, '(?is)<a\\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2)) AS anchor0,
+       |    unnest(range(0, len(regexp_extract_all(hh, '(?is)<a\\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)))) AS pos
+       |  FROM pre2),
+       |lnk AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, href,
+       |    trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(replace(
+       |        regexp_replace(anchor0, '<[^>]*>', '', 'g'),
+       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+       |      '\\s+', ' ', 'g')) AS anchor,
+       |    CASE
+       |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+       |      WHEN href LIKE '/%' THEN
+       |        regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+       |      ELSE
+       |        regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+       |        || (CASE WHEN regexp_replace(
+       |              regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+       |              '[^/]*$$', '') = '' THEN '/'
+       |            ELSE regexp_replace(
+       |              regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+       |              '[^/]*$$', '') END)
+       |        || href END AS url
+       |  FROM lx)""".stripMargin
 }

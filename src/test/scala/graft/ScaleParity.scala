@@ -38,7 +38,11 @@ object ScaleParity {
     "q_novelty", "q_version_diff",
     // round-10 families
     "q_seed_distance", "q_apportion", "q_span_corrupt",
-    "q_normal_eq", "q_embed_moments", "q_retrieval_eval")
+    "q_normal_eq", "q_embed_moments", "q_retrieval_eval",
+    // round-12 continuation families (events-keyed ones stay out —
+    // the replica keeps `events` verbatim, the q_hll_registers rule)
+    "q_hits", "q_ppr", "q_anchor_text", "q_cocitation", "q_cdx_diff",
+    "q_ttr", "q_ngram_f1", "q_text_tiling", "q_domain_report")
 
   /** Write `df` as a SINGLE parquet file `<dir>/<table>.parquet` —
     * the driver-testdata shape both engines read. */
