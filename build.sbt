@@ -26,12 +26,34 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Cap the forked driver heap. Measured (round 12): a 110g heap makes the
+// many-job iterative queries (incremental pipeline, PageRank/HITS, BPE)
+// 4-10x slower via G1 pauses at job boundaries, while 8-16g runs them at
+// full speed — a LARGER heap is strictly worse for this workload, so an
+// inherited machine-sized SPARK_DRIVER_MEM must not leak into the fork.
+// Values parse as "<n>g"/"<n>m"; anything above the cap (or unparseable)
+// pins to the cap. -Xms matches -Xmx so G1 never resizes mid-run.
+val driverHeapMb: Long = {
+  val capMb = 16L * 1024
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val parsed = "^(\\d+)([gm]?)$".r.findFirstMatchIn(req).map { m =>
+    val n = m.group(1).toLong
+    if (m.group(2) == "m") n else n * 1024
+  }
+  math.min(parsed.getOrElse(capMb), capMb)
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${driverHeapMb}m",
+  s"-Xmx${driverHeapMb}m",
 )
 // The test fork runs every suite (incl. both full-pipeline compositions)
 // in one shared-session JVM in parallel; 8g thrashes and can abort a
-// suite under concurrent state caches. Last -Xmx wins.
-Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}"
+// suite under concurrent state caches. Last -Xms/-Xmx win, overriding the
+// run-scoped pair above (an inherited -Xms16g above a 12g -Xmx would
+// otherwise fail JVM startup).
+Test / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}",
+)
