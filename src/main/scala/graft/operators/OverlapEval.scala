@@ -28,8 +28,10 @@ import graft.sources.Tables
   * frame is document-bounded. */
 object OverlapEval {
 
+  // NULL text counts as an empty side (0 grams -> NULL precision/
+  // recall), not legacy size(NULL) = -1 denominators.
   private def words(c: Column): Column =
-    filter(split(lower(c), "\\s+"), w => w =!= "")
+    filter(split(lower(coalesce(c, lit(""))), "\\s+"), w => w =!= "")
 
   /** The token n-gram array (space-joined); [] when the text is
     * shorter than n. The sequence guard matters: Spark's

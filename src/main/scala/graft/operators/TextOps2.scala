@@ -336,7 +336,11 @@ object TextOps2 {
     * kappa empty-denominator posture). */
   def ttrGate(docs: DataFrame, idCol: Column, textCol: Column,
               minPpm: Long): DataFrame = {
-    val toks = filter(split(lower(textCol), "\\s+"), x => x =!= "")
+    // NULL text folds into the empty-doc posture (coalesce before
+    // split): otherwise legacy size(NULL) = -1 turns n_tokens/-1 into
+    // a 1000000-ppm phantom instead of the documented NULL ratio.
+    val toks = filter(split(lower(coalesce(textCol, lit(""))), "\\s+"),
+      x => x =!= "")
     docs.select(idCol.as("doc_id"),
         size(toks).cast(LongType).as("n_tokens"),
         size(array_distinct(toks)).cast(LongType).as("n_types"))

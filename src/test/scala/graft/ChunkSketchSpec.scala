@@ -80,5 +80,9 @@ class ChunkSketchSpec extends AnyFunSuite {
         "doc_id", "text", w = 20)
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(exact == Seq((1L, 20L, 0L, false))) // edge boundary can't be a valley
+    // NULL text == empty doc (no boundaries), not legacy size(NULL) = -1
+    val nul = Chunking.textTiling(
+      Seq((1L, null: String)).toDF("doc_id", "text"), "doc_id", "text", w = 20)
+    assert(nul.count() == 0)
   }
 }

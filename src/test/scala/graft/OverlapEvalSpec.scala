@@ -57,4 +57,10 @@ class OverlapEvalSpec extends AnyFunSuite {
     val got = score("The  CAT", "the cat", Seq(1, 2))
     assert(got.forall(_._8 == Some(1.0)))
   }
+
+  test("NULL text counts as an empty side, not legacy size(NULL) = -1") {
+    val got = score(null, "p q", Seq(1)).head
+    assert(got._3 == 0L && got._4 == 0L && got._5 == 2L)
+    assert(got._6.isEmpty && got._7 == Some(0.0) && got._8 == Some(0.0))
+  }
 }

@@ -361,7 +361,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, "spam spam spam spam"), // 1/4 = 250000
       (3L, "The the THE cat"),     // case-folds: 2/4 = 500000
       (4L, ""),                    // empty -> NULLs
-      (5L, "  x   y  x ")          // ragged whitespace: 2/3
+      (5L, "  x   y  x "),         // ragged whitespace: 2/3
+      (6L, null)                   // NULL text == empty, NOT legacy size(NULL) = -1
     ).toDF("doc_id", "text")
     val got = TextOps2.ttrGate(df, $"doc_id", $"text", minPpm = 450000L)
       .orderBy($"doc_id")
@@ -371,6 +372,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, 4L, 1L, Some(250000L), Some(true)),
       (3L, 4L, 2L, Some(500000L), Some(false)),
       (4L, 0L, 0L, None, None),
-      (5L, 3L, 2L, Some(666666L), Some(false))))
+      (5L, 3L, 2L, Some(666666L), Some(false)),
+      (6L, 0L, 0L, None, None)))
   }
 }
