@@ -215,14 +215,32 @@ object WarcOps {
     * lengths — so the whole file-ingress path (write → list → split →
     * carve → offsets) is value-checked end to end. */
   def warcSourceQ(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_warcsrc")
-    cdxSeedFiles(s, d).collect().foreach { r =>
-      java.nio.file.Files.write(dir.resolve(r.getString(0)),
-        r.getString(1).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-      ()
+    // Seed staging is EXECUTOR-side: the seed frame is collectively
+    // the whole documents corpus as ~25 host strings, so a driver
+    // collect() would be the one unbounded-driver path in a registered
+    // query (round-12 verdict item 2). Each task writes its own
+    // partition's archives through the Hadoop FS (scheme-agnostic,
+    // credentials ride the serialized session conf). The scratch dir
+    // is DETERMINISTIC and cleared at start — repeated bench/verify
+    // runs reuse it instead of leaking a fresh tempdir per call.
+    val dir = new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"), "graft_warcsrc_seed")
+    val conf = new graft.sources.v2.SerializableHadoopConf(
+      s.sessionState.newHadoopConf())
+    val fs = dir.getFileSystem(conf.value)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val dirStr = dir.toString
+    cdxSeedFiles(s, d).foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      val efs = new org.apache.hadoop.fs.Path(dirStr).getFileSystem(conf.value)
+      it.foreach { r =>
+        val out = efs.create(new org.apache.hadoop.fs.Path(dirStr, r.getString(0)), true)
+        try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        finally out.close()
+      }
     }
     s.read.format("graft.sources.v2.WarcSource")
-      .option("path", dir.toString).load()
+      .option("path", dirStr).load()
       .select(col("file"), col("rec_pos"), col("rec_type"), col("uri"),
         col("content_length"), col("ok"), col("rec_offset"), col("warc_date"))
       .orderBy(col("file"), col("rec_pos"))

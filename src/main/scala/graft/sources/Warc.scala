@@ -63,9 +63,14 @@ object Warc {
   private def headerFields(cand: Column, he: Column): (Column, Column, Column, Column) = {
     val headers = when(he === 0, cand).otherwise(cand.substr(lit(1), he - 1))
     val clStr = regexp_extract(headers, "(?mi)^Content-Length:\\s*([0-9]+)\\s*$", 1)
-    // "0" prefix keeps the cast total when the header is absent
+    // "0" prefix keeps the cast total when the header is absent; a
+    // declared length that overflows Long try_casts to NULL (a plain
+    // cast THROWS under ANSI) and normalizes to -1 — same "unparseable
+    // length" posture as a missing header, and the SAME value the
+    // sequential DSv2 parser emits (parity is spec-pinned on the
+    // overflow input)
     val cl = when(clStr === "", lit(-1L))
-      .otherwise(concat(lit("0"), clStr).cast(LongType))
+      .otherwise(coalesce(concat(lit("0"), clStr).try_cast(LongType), lit(-1L)))
     val uri = regexp_extract(headers, "(?mi)^WARC-Target-URI:\\s*(\\S+)\\s*$", 1)
     val typ = regexp_extract(headers, "(?mi)^WARC-Type:\\s*(\\S+)\\s*$", 1)
     val date = regexp_extract(headers, "(?mi)^WARC-Date:\\s*(\\S+)\\s*$", 1)

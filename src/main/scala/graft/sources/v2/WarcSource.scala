@@ -96,12 +96,13 @@ object WarcSource {
       val headers = if (he == 0) cand else cand.substring(0, he - 1)
       val clStr = re1(ClRe, headers)
       // an overflowing declared length must FLAG, never crash (the
-      // tolerance contract): Long.MaxValue always exceeds avail, so
-      // the record parks and the trailing-truncation path flags it
+      // tolerance contract). Normalized to -1 — the "unparseable
+      // length" branch (flag, consume to segment end) — matching the
+      // Column fold, whose overflowing cast yields NULL -> -1.
       val cl =
         if (clStr.isEmpty) -1L
         else try clStr.toLong
-        catch { case _: NumberFormatException => Long.MaxValue }
+        catch { case _: NumberFormatException => -1L }
       (re1(UriRe, headers), re1(TypRe, headers), cl, re1(DateRe, headers))
     }
     for (seg <- segs0.iterator.drop(1)) {
@@ -173,8 +174,32 @@ class WarcScanBuilder(path: String)
 final case class WarcFilePartition(filePath: String, fileName: String)
   extends InputPartition
 
+/** Java-serializable Hadoop Configuration carrier (Configuration itself
+  * is Writable, not Serializable). The session conf captured on the
+  * DRIVER must ride to executors: it carries spark.hadoop.* credentials
+  * and fs.* implementations, so an s3a/gcs/abfs path readable at
+  * planning time stays readable at read time. A bare
+  * `new Configuration()` on the executor would silently drop them. */
+final class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 class WarcScan(path: String, pushed: Array[Filter], required: StructType)
   extends Scan with Batch {
+
+  // Captured at scan build time on the DRIVER (where the session is
+  // live) and shipped to every reader — see SerializableHadoopConf.
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -190,8 +215,7 @@ class WarcScan(path: String, pushed: Array[Filter], required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(hadoopConf.value)
     fs.listStatus(p).filter(_.isFile)
       .map(s => (s.getPath.toString, s.getPath.getName))
       // Hadoop-convention hidden/marker files (_SUCCESS, .crc) are
@@ -203,21 +227,22 @@ class WarcScan(path: String, pushed: Array[Filter], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required)
+    new WarcReaderFactory(required, hadoopConf)
 }
 
-class WarcReaderFactory(required: StructType)
+class WarcReaderFactory(required: StructType, conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], required)
+    new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], required, conf)
 }
 
-class WarcPartitionReader(part: WarcFilePartition, required: StructType)
+class WarcPartitionReader(part: WarcFilePartition, required: StructType,
+                          conf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
   private lazy val recs: Vector[WarcSource.Rec] = {
     val p = new Path(part.filePath)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf.value)
     val in = fs.open(p)
     val bytes = try {
       val buf = new java.io.ByteArrayOutputStream()

@@ -126,6 +126,31 @@ class WarcSourceSpec extends AnyFunSuite {
       "Content-Length: 99999999999999999999999" + NL + NL + "tiny"
     val recs = WarcSource.parse(w)
     assert(recs.size == 1 && !recs.head.ok)
+    assert(recs.head.contentLength == -1L) // normalized, same as the fold
+  }
+
+  test("overflowing Content-Length: sequential parser and Column fold agree") {
+    // the overflow normalizes to -1 in BOTH paths (the Column fold's
+    // Long cast yields NULL -> coalesce -1; the sequential parser
+    // catches NumberFormatException -> -1), so the record flags and
+    // consumes to segment end, and the FOLLOWING record still parses
+    val contents = Map("ovf.warc" ->
+      ("WARC/1.0" + NL + "WARC-Type: response" + NL +
+        "WARC-Target-URI: http://o/1" + NL +
+        "Content-Length: 99999999999999999999999" + NL + NL + "tiny" + NL + NL +
+        rec("response", "http://o/2", "after")))
+    val dir = writeFiles(contents)
+    val cols = Seq("file", "rec_pos", "rec_type", "uri", "content_length",
+      "body", "ok", "rec_offset", "warc_date")
+    val v2 = readV2(dir).select(cols.head, cols.tail: _*)
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
+    val fold = Warc.records(
+        contents.toSeq.toDF("file", "warc"), "file", "warc")
+      .select(cols.head, cols.tail: _*)
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
+    assert(v2.size == 2 && v2 == fold)
+    assert(v2.head.getLong(4) == -1L && !v2.head.getBoolean(6))
+    assert(v2(1).getString(3) == "http://o/2" && v2(1).getBoolean(6))
   }
 
   test("parse is the fold: in-payload full fake record does not split") {
