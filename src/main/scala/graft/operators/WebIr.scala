@@ -62,11 +62,23 @@ object WebIr {
   /** Co-citation counts: distinct (src, url) edges self-joined on the
     * source, url_a < url_b canonical pair order. The join fans out
     * quadratically in a single doc's OUT-degree — bounded in a crawl
-    * (pages carry tens-to-hundreds of links; cap upstream if not),
-    * never in the corpus: the triangles wedge-bound argument. */
-  def coCitation(links: DataFrame, srcCol: String, urlCol: String): DataFrame = {
+    * (pages carry tens-to-hundreds of links), never in the corpus:
+    * the triangles wedge-bound argument. The bound is ENFORCED, not
+    * assumed: sources with more than `maxOutDegree` distinct targets
+    * are dropped before the self-join (one src-keyed count + a
+    * co-partitioned semi-join), so a link-farm page with 50k outlinks
+    * contributes ZERO pairs instead of 1.25e9 — standard IR practice
+    * (a page linking everything carries no co-citation signal) and
+    * the wedge bound becomes a hard maxOutDegree² per source. */
+  def coCitation(links: DataFrame, srcCol: String, urlCol: String,
+                 maxOutDegree: Int = 1000): DataFrame = {
+    require(maxOutDegree >= 2, s"maxOutDegree must be >= 2, got $maxOutDegree")
     val e = links.select(col(srcCol).as("src"), col(urlCol).as("url")).distinct()
-    e.as("a").join(e.as("b"),
+    val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") <= maxOutDegree)
+      .select(col("src"))
+    val ek = e.join(keep, Seq("src"), "left_semi")
+    ek.as("a").join(ek.as("b"),
         col("a.src") === col("b.src") && col("a.url") < col("b.url"))
       .groupBy(col("a.url").as("url_a"), col("b.url").as("url_b"))
       .agg(count(lit(1)).as("n_cocite"))
@@ -190,7 +202,10 @@ object WebIr {
     anchorAggregate(linkSeed(s, d), "url", "anchor", "doc_id")
       .orderBy(col("url"))
 
-  /** §2 row 267 — co-citation pairs over the same link table. */
+  /** §2 row 267 — co-citation pairs over the same link table. The
+    * seed's out-degree is exactly 2 per doc, far under the default
+    * maxOutDegree cap, so the oracle needs no degree filter; the
+    * link-farm exclusion itself is pinned by WebIrSpec. */
   def coCitationQ(s: SparkSession, d: String): DataFrame =
     coCitation(linkSeed(s, d), "doc_id", "url")
       .orderBy(col("url_a"), col("url_b"))

@@ -42,6 +42,21 @@ class WebIrSpec extends AnyFunSuite {
     assert(got == Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
   }
 
+  test("co-citation: a link-farm source past maxOutDegree contributes no pairs") {
+    // src 9 links 5 distinct urls (> cap 4) -> excluded ENTIRELY;
+    // srcs 1 and 2 (degree <= cap) still pair as before
+    val links = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")) ++
+      (0 until 5).map(i => (9L, s"farm$i"))
+    val got = WebIr.coCitation(links.toDF("src", "url"), "src", "url",
+        maxOutDegree = 4)
+      .orderBy("url_a", "url_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 2L)))
+    // at the default cap the farm is tiny and pairs normally
+    val all = WebIr.coCitation(links.toDF("src", "url"), "src", "url")
+    assert(all.count() == 1L + 10L) // (a,b) + C(5,2) farm pairs
+  }
+
   test("hits: symmetric bipartite graph gives equal hubs and equal authorities") {
     // 2 hubs each linking the same 2 authorities
     val e = Seq((0L, 1L), (0L, 3L), (2L, 1L), (2L, 3L)).toDF("s", "d")
