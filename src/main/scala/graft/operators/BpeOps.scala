@@ -70,6 +70,13 @@ object BpeOps {
     var wf = wordFreqs(docs, textCol)
       .select(col("freq"), charSymbols(col("w")).as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE job per merge, not two: iteration i's top-1 collect is also
+    // the job that materializes state i's persist (from state i-1's
+    // still-live cache); only THEN is state i-1 dropped. The previous
+    // shape ran a separate count() per iteration purely to materialize
+    // — at numMerges=256 that is 256 extra job boundaries, and job
+    // cadence is exactly what the round-12 bench regression punished.
+    var parent: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       var done = false
@@ -77,19 +84,23 @@ object BpeOps {
         val top = pairCounts(wf)
           .orderBy(col("cnt").desc, col("a"), col("b"))
           .limit(1).collect()
+        // wf is materialized now; its parent's cache is no longer read
+        if (parent != null) { parent.unpersist(); parent = null }
         if (top.isEmpty) done = true
         else {
           val (a, b) = (top(0).getString(0), top(0).getString(1))
           merges += ((a, b))
           val next = wf.withColumn("syms", bpe_merge_pair(col("syms"), a, b))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize BEFORE dropping the parent state
-          wf.unpersist()
+          parent = wf
           wf = next
         }
       }
       merges.toSeq
-    } finally { wf.unpersist(); () }
+    } finally {
+      if (parent != null) { parent.unpersist(); () }
+      wf.unpersist(); ()
+    }
   }
 
   /** Encode every document: (idCol, pieces: array<string>) — the
