@@ -39,12 +39,16 @@ object Runner {
 
   private val Fmt = DateTimeFormatter.ISO_LOCAL_DATE_TIME
 
+  // `stage` sits LAST: rows written before multi-stage support (and
+  // hand-built test fixtures) lack it and read back NULL, which every
+  // consumer folds to the single-stage name "task"
   private val ledgerSchema = StructType(Seq(
     StructField("window", StringType),
     StructField("attempt", LongType),
     StructField("status", StringType),
     StructField("error", StringType),
-    StructField("seq", LongType)))
+    StructField("seq", LongType),
+    StructField("stage", StringType)))
 
   private def ledgerDir(root: String) = s"$root/ledger"
 
@@ -57,26 +61,35 @@ object Runner {
 
   private def append(spark: SparkSession, root: String, window: String,
                      attempt: Long, status: String, error: String,
-                     seq: Long): Unit = {
+                     seq: Long, stage: String): Unit = {
     import spark.implicits._
-    Seq((window, attempt, status, error, seq))
-      .toDF("window", "attempt", "status", "error", "seq")
+    Seq((window, attempt, status, error, seq, stage))
+      .toDF("window", "attempt", "status", "error", "seq", "stage")
       .write.mode("append").parquet(ledgerDir(root))
   }
 
+  /** The single-stage name legacy ledger rows (stage = NULL) fold to. */
+  private val SoloStage = "task"
+
   /** Windows of `cron` due in (`since`, `now`]: fired, minus already
-    * succeeded, minus (unless `retryFailed`) already exhausted. */
+    * succeeded, minus (unless `retryFailed`) already exhausted. A
+    * window counts as succeeded only when its FINAL stage has a
+    * success row — mid-DAG progress leaves it due, so a crash between
+    * stages resumes. */
   def dueWindows(spark: SparkSession, root: String, cron: String,
                  since: LocalDateTime, now: LocalDateTime,
-                 retryFailed: Boolean = false): Seq[String] = {
+                 retryFailed: Boolean = false,
+                 finalStage: String = SoloStage): Seq[String] = {
     val fired = CronSpec.parse(cron).firings(since, now).map(Fmt.format)
-    // exhausted = a TERMINAL 'failed' row exists — a window whose
-    // ledger holds only 'retrying' rows was interrupted mid-retry (a
-    // crash between attempts) and must RESUME, not silently enter the
-    // manual-clear posture it never earned
+    // exhausted = a TERMINAL 'failed' row exists (on ANY stage) — a
+    // window whose ledger holds only 'retrying' rows was interrupted
+    // mid-retry (a crash between attempts) and must RESUME, not
+    // silently enter the manual-clear posture it never earned
     val ledger = readLedger(spark, root)
       .groupBy(col("window"))
-      .agg(max(when(col("status") === "success", 1L).otherwise(0L)).as("ok"),
+      .agg(max(when(col("status") === "success" &&
+          coalesce(col("stage"), lit(SoloStage)) === finalStage, 1L)
+          .otherwise(0L)).as("ok"),
         max(when(col("status") === "failed", 1L).otherwise(0L)).as("exhausted"))
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1) == 1L, r.getLong(2) == 1L)))
@@ -85,13 +98,15 @@ object Runner {
       ledger.get(w) match {
         case Some((true, _)) => false           // succeeded: idempotent skip
         case Some((false, true)) => retryFailed // exhausted: manual clear
-        case Some((false, false)) => true       // interrupted mid-retry: resume
+        case Some((false, false)) => true       // interrupted mid-stage/retry: resume
         case None => true
       }
     }
   }
 
   final case class RunResult(window: String, attempts: Int, status: String)
+  final case class StageResult(window: String, stage: String,
+                               attempts: Int, status: String)
 
   /** Run every due window in order with retry semantics; returns one
     * result per window actually attempted. `task` is the per-window
@@ -101,42 +116,94 @@ object Runner {
   def runDue(spark: SparkSession, root: String, cron: String,
              since: LocalDateTime, now: LocalDateTime,
              maxRetries: Int = 1, retryFailed: Boolean = false)
-            (task: String => Unit): Seq[RunResult] = {
+            (task: String => Unit): Seq[RunResult] =
+    runDueStages(spark, root, cron, since, now, maxRetries, retryFailed)(
+      Seq(SoloStage -> task))
+      .map(sr => RunResult(sr.window, sr.attempts, sr.status))
+
+  /** Multi-stage DAG body (SURVEY.md §2 row 259 extension; reference
+    * analog oura_dag.py:33-41 — extract → transform → load as chained
+    * Airflow tasks): `stages` run IN ORDER per due window, each stage
+    * with its own retry budget and its own stage-keyed ledger rows.
+    *
+    *  - **resume-from-failed-stage**: a stage that once succeeded for
+    *    a window is NEVER re-run — a crash (or terminal failure)
+    *    between stages resumes the window at its first non-succeeded
+    *    stage, on the next invocation or under `retryFailed`;
+    *  - **fail-stops-the-window**: a stage that exhausts its attempts
+    *    marks the window failed; later stages do not run (their
+    *    inputs don't exist);
+    *  - the window is succeeded only when its FINAL stage succeeds,
+    *    so `dueWindows` idempotence keys off end-to-end completion.
+    *
+    * Returns one StageResult per (window, stage) actually ATTEMPTED
+    * this invocation (resumed-past stages and stages after a failure
+    * are absent). */
+  def runDueStages(spark: SparkSession, root: String, cron: String,
+                   since: LocalDateTime, now: LocalDateTime,
+                   maxRetries: Int = 1, retryFailed: Boolean = false)
+                  (stages: Seq[(String, String => Unit)]): Seq[StageResult] = {
     require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
+    require(stages.nonEmpty, "at least one stage required")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"stage names must be unique: ${stages.map(_._1)}")
     var seq = readLedger(spark, root)
       .agg(coalesce(max(col("seq")), lit(-1L))).head().getLong(0)
-    dueWindows(spark, root, cron, since, now, retryFailed).map { w =>
-      var attempt = 0
-      var done = false
-      var status = "failed"
-      while (!done && attempt <= maxRetries) {
-        attempt += 1
-        seq += 1
-        try {
-          task(w)
-          status = "success"; done = true
-          append(spark, root, w, attempt.toLong, "success", "", seq)
-        } catch {
-          case e: Exception =>
-            val s = if (attempt > maxRetries) "failed" else "retrying"
-            append(spark, root, w, attempt.toLong, s,
-              String.valueOf(e.getMessage), seq)
+    val due = dueWindows(spark, root, cron, since, now, retryFailed,
+      finalStage = stages.last._1)
+    if (due.isEmpty) return Seq.empty
+    // stages already succeeded per window (the resume set) — one read
+    val doneStages: Map[String, Set[String]] = readLedger(spark, root)
+      .filter(col("status") === "success")
+      .select(col("window"), coalesce(col("stage"), lit(SoloStage)).as("stage"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rs) => w -> rs.map(_.getString(1)).toSet }
+    val out = Seq.newBuilder[StageResult]
+    due.foreach { w =>
+      val already = doneStages.getOrElse(w, Set.empty)
+      var windowLive = true
+      stages.foreach { case (name, task) =>
+        if (windowLive && !already.contains(name)) {
+          var attempt = 0
+          var done = false
+          var status = "failed"
+          while (!done && attempt <= maxRetries) {
+            attempt += 1
+            seq += 1
+            try {
+              task(w)
+              status = "success"; done = true
+              append(spark, root, w, attempt.toLong, "success", "", seq, name)
+            } catch {
+              case e: Exception =>
+                val s = if (attempt > maxRetries) "failed" else "retrying"
+                append(spark, root, w, attempt.toLong, s,
+                  String.valueOf(e.getMessage), seq, name)
+            }
+          }
+          out += StageResult(w, name, attempt, status)
+          if (status != "success") windowLive = false // later stages lack inputs
         }
       }
-      RunResult(w, attempt, status)
     }
+    out.result()
   }
 
   /** One-row liveness frame: the last succeeded window vs the last
     * firing expected by `now` — `healthy` iff they agree (or nothing
     * was expected yet). The health-check DAG as data. */
   def healthReport(spark: SparkSession, root: String, cron: String,
-                   since: LocalDateTime, now: LocalDateTime): DataFrame = {
+                   since: LocalDateTime, now: LocalDateTime,
+                   finalStage: String = SoloStage): DataFrame = {
     import spark.implicits._
     val expected = CronSpec.parse(cron).firings(since, now).map(Fmt.format)
     val lastExpected = expected.lastOption.getOrElse("")
+    // only end-to-end completion counts as alive: a staged window
+    // that died mid-DAG must not report healthy
     val lastSuccess = readLedger(spark, root)
-      .filter(col("status") === "success")
+      .filter(col("status") === "success" &&
+        coalesce(col("stage"), lit(SoloStage)) === finalStage)
       .agg(max(col("window"))).head().getString(0)
     Seq((Option(lastSuccess).getOrElse(""), lastExpected,
         lastExpected.isEmpty || Option(lastSuccess).contains(lastExpected),

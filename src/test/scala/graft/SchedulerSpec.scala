@@ -97,6 +97,77 @@ class SchedulerSpec extends AnyFunSuite {
       Seq(("2026-08-01T04:00:00", "success")))
   }
 
+  test("staged DAG: mid-DAG failure stops the window and resumes at the failed stage") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dag").toString
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    var transformBroken = true
+    def stage(n: String)(w: String): Unit = {
+      ran += s"$n:$w"
+      if (n == "transform" && transformBroken) throw new RuntimeException("boom")
+    }
+    val stages = Seq[(String, String => Unit)](
+      "extract" -> stage("extract"), "transform" -> stage("transform"),
+      "load" -> stage("load"))
+
+    // one due window; transform exhausts (1 + 1 retries), load never runs
+    val r1 = Runner.runDueStages(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-01T12:00"), maxRetries = 1)(stages)
+    assert(r1.map(s => (s.stage, s.attempts, s.status)) == Seq(
+      ("extract", 1, "success"), ("transform", 2, "failed")))
+    assert(!ran.exists(_.startsWith("load")))
+
+    // exhausted: not due without retryFailed (manual-clear posture)
+    assert(Runner.runDueStages(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-01T12:00"), maxRetries = 1)(stages).isEmpty)
+
+    // healed + retryFailed: resumes AT transform — extract is not re-run
+    transformBroken = false
+    ran.clear()
+    val r2 = Runner.runDueStages(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-01T12:00"), maxRetries = 1,
+      retryFailed = true)(stages)
+    assert(r2.map(s => (s.stage, s.status)) == Seq(
+      ("transform", "success"), ("load", "success")))
+    assert(!ran.exists(_.startsWith("extract")))
+
+    // now fully succeeded: idempotent no-op
+    assert(Runner.runDueStages(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-01T12:00"), maxRetries = 1,
+      retryFailed = true)(stages).isEmpty)
+
+    // the ledger carries stage-keyed rows; extract succeeded exactly once
+    val ledger = Runner.readLedger(spark, root).collect()
+      .map(r => (r.getString(5), r.getString(2)))
+    assert(ledger.count(_ == ("extract", "success")) == 1)
+    assert(ledger.count(_ == ("transform", "failed")) == 1)
+    assert(ledger.count(_ == ("load", "success")) == 1)
+  }
+
+  test("staged DAG: a crash BETWEEN stages (no terminal row) resumes next invocation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dag2").toString
+    // simulate: extract succeeded, then the process died — ledger has
+    // only the extract success row for the window
+    import spark.implicits._
+    Seq(("2026-08-01T04:00:00", 1L, "success", "", 0L, "extract"))
+      .toDF("window", "attempt", "status", "error", "seq", "stage")
+      .write.mode("append").parquet(s"$root/ledger")
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    val stages = Seq[(String, String => Unit)](
+      "extract" -> (w => { ran += s"extract:$w"; () }),
+      "load" -> (w => { ran += s"load:$w"; () }))
+    // a plain re-invocation (NOT retryFailed) picks the window up and
+    // runs only the missing stage
+    val r = Runner.runDueStages(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-01T12:00"), maxRetries = 1)(stages)
+    assert(r.map(s => (s.stage, s.status)) == Seq(("load", "success")))
+    assert(ran.toSeq == Seq("load:2026-08-01T04:00:00"))
+    // health keys off the FINAL stage
+    val hr = Runner.healthReport(spark, root, "0 4 * * *",
+        t("2026-07-31T12:00"), t("2026-08-01T12:00"), finalStage = "load")
+      .collect().head
+    assert(hr.getBoolean(2))
+  }
+
   test("health report: healthy when the last expected window succeeded") {
     val root = java.nio.file.Files.createTempDirectory("graft_sched2").toString
     Runner.runDue(spark, root, "0 4 * * *",
