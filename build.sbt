@@ -26,15 +26,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Cap the forked driver heap. Measured (round 12): a 110g heap makes the
-// many-job iterative queries (incremental pipeline, PageRank/HITS, BPE)
-// 4-10x slower via G1 pauses at job boundaries, while 8-16g runs them at
-// full speed — a LARGER heap is strictly worse for this workload, so an
+// Cap the forked driver heap. Measured (rounds 12-13): heap size is
+// MONOTONICALLY bad for the many-job iterative queries (incremental
+// pipeline, PageRank/HITS, BPE) via G1 pauses at job boundaries —
+// 110g runs them 4-10x slower, and even 16g vs 8g doubles q_pagerank
+// (7.5 vs 3.7 s) on the same commit. 8g is proven sufficient for the
+// full 274-query suite at sf0.1/local[32] (eleven full runs), so an
 // inherited machine-sized SPARK_DRIVER_MEM must not leak into the fork.
 // Values parse as "<n>g"/"<n>m"; anything above the cap (or unparseable)
 // pins to the cap. -Xms matches -Xmx so G1 never resizes mid-run.
 val driverHeapMb: Long = {
-  val capMb = 16L * 1024
+  val capMb = 8L * 1024
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
   val parsed = "^(\\d+)([gm]?)$".r.findFirstMatchIn(req).map { m =>
     val n = m.group(1).toLong

@@ -251,7 +251,14 @@ object StateStore {
       val src = new Path(s"${stagingDir(root, token)}/$t")
       val dst = new Path(
         if (t == "labels") s"$root/labels/v=$v" else s"$root/$t/ingest=$v")
-      if (f.exists(src) && !f.exists(dst)) {
+      if (f.exists(src)) {
+        // src AND dst both present = a rename-as-copy crashed mid-copy
+        // (a COMPLETED rename deletes its source, on any FS), so dst is
+        // partial — drop it and redo; skipping it because "dst exists"
+        // would commit a half-copied table. On atomic-rename FSs the
+        // both-exist state never arises and this stays the plain
+        // missing-target rename.
+        if (f.exists(dst)) f.delete(dst, true)
         f.mkdirs(dst.getParent)
         require(f.rename(src, dst), s"could not materialize $src -> $dst")
       }
