@@ -246,12 +246,39 @@ object WarcOps {
       .orderBy(col("file"), col("rec_pos"))
   }
 
+  /** §2 row 281 — the CDX index round-tripped through the DSv2 WRITE
+    * path ([[graft.sources.v2.CdxSource]]): the row-265 index frame,
+    * globally surt-ordered, lands as sorted plain-text cdx part files
+    * via the connector's staged-commit protocol, then reads back
+    * through the same connector (one partition per file). The oracle
+    * is q_cdx_index's VERBATIM — the round trip must be lossless —
+    * so this query value-checks the whole write→commit→list→parse
+    * loop, the write twin of q_warc_source's read-side check. */
+  def cdxSourceQ(s: SparkSession, d: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"), "graft_cdxsrc")
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(dir, true) // deterministic scratch, cleared at start
+    cdxIndexQ(s, d)
+      .select(col("surt"), col("warc_date"), col("file"), col("rec_offset"),
+        col("content_length"), col("digest"), col("url_canon"))
+      .orderBy(col("surt"), col("warc_date")) // range-partitioned: files stay sorted
+      .write.format("graft.sources.v2.CdxSource")
+      .option("path", dir.toString).mode("overwrite").save()
+    s.read.format("graft.sources.v2.CdxSource")
+      .option("path", dir.toString).load()
+      .select(col("file"), col("surt"), col("warc_date"), col("url_canon"),
+        col("rec_offset"), col("content_length"), col("digest"))
+      .orderBy(col("surt"), col("warc_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_extract" -> (warcExtractQ _),
     "q_wet_text" -> (wetTextQ _),
     "q_cdx_index" -> (cdxIndexQ _),
     "q_cdx_diff" -> (cdxDiffQ _),
-    "q_warc_source" -> (warcSourceQ _))
+    "q_warc_source" -> (warcSourceQ _),
+    "q_cdx_source" -> (cdxSourceQ _))
 
   // CRLF for SQL string building
   private val NL = "chr(13) || chr(10)"
@@ -363,6 +390,22 @@ object WarcOps {
     // surt through the shared surtSql, digest through the shared
     // poly-hash replay
     "q_cdx_index" ->
+      ("WITH " + cdxSeedCtes + ",\n"
+        + Urls.canonSql("offs", Seq("doc_id")) + ",\n"
+        + "dig AS (\n"
+        + TrainingOps.polyHashOverSql("doc_id",
+            "SELECT doc_id, payload AS t FROM recs") + ")\n"
+        + s"""SELECT o.file, ${Urls.surtSql("c.url_canon")} AS surt,
+         |  o.wdate AS warc_date, c.url_canon, o.rec_offset, o.content_length,
+         |  d.h AS digest
+         |FROM offs o
+         |JOIN canonized c ON o.doc_id = c.doc_id
+         |JOIN dig d ON o.doc_id = d.doc_id
+         |ORDER BY surt, warc_date""".stripMargin),
+
+    // the round trip is lossless, so the write-path oracle IS the
+    // index oracle verbatim
+    "q_cdx_source" ->
       ("WITH " + cdxSeedCtes + ",\n"
         + Urls.canonSql("offs", Seq("doc_id")) + ",\n"
         + "dig AS (\n"
