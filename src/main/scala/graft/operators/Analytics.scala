@@ -500,6 +500,64 @@ object Analytics {
         Seq("click", "view"), lookbackUs = 48L * 3600 * 1000000)
       .orderBy(col("conv_id"), col("touch_id"))
 
+  /** Dyadic EWMA (SURVEY.md §2 row 287) — the exponentially weighted
+    * moving average at α = 1/2 over a bounded W-step window, in the
+    * repo's EXACT-integer discipline: weights are powers of two
+    * (2^(W−1) for the newest sample, halving backwards), so
+    * ewma_num = Σ_j x_{t−j}·2^(W−1−j) and ewma_den = Σ_j 2^(W−1−j)
+    * = 2^W − 2^(W−m) are BIGINTs and the short-history head (m < W)
+    * normalizes itself — no NULL warm-up period, no double drift ever
+    * accumulating across a 100 TB history (the classic streaming-EWMA
+    * failure). The smoother a telemetry/quality monitor runs next to
+    * the row-137 CUSUM (CUSUM detects level shifts, EWMA tracks the
+    * level).
+    *
+    * Scale shape: one key-partitioned bounded window (rowsBetween
+    * −(W−1)..0 — per-key history, never corpus-wide) carrying a
+    * ≤W-element list, then a per-row O(W) integer fold. OVERFLOW
+    * CONTRACT: max|x|·2^W < 2^63/W — at W = 16, |x| up to ~3.5e13.
+    *
+    * The fold runs newest-first with a (num, den, pw) struct
+    * accumulator so the power-of-two weights stay in integer halvings
+    * — no variable-amount shiftleft exists in the Column DSL. */
+  def ewmaDyadic(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+                 valueCol: Column, w: Int = 16): DataFrame = {
+    require(w >= 1 && w <= 32, s"window must be in [1, 32], got $w")
+    val win = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(-(w - 1), 0)
+    val lags = collect_list(valueCol).over(win) // frame order: oldest..newest
+    val folded = aggregate(reverse(lags),
+      struct(lit(0L).as("num"), lit(0L).as("den"),
+        lit(1L << (w - 1)).as("pw")),
+      (acc, x) => struct(
+        (acc.getField("num") + x * acc.getField("pw")).as("num"),
+        (acc.getField("den") + acc.getField("pw")).as("den"),
+        GraphOps.fdiv(acc.getField("pw"), lit(2L)).as("pw")))
+    df.filter(valueCol.isNotNull)
+      .withColumn("__f", folded)
+      .withColumn("ewma_num", col("__f.num"))
+      .withColumn("ewma_den", col("__f.den"))
+      .withColumn("ewma", col("ewma_num").cast(DoubleType) /
+        col("ewma_den").cast(DoubleType))
+      .drop("__f")
+  }
+
+  /** §2 row 287 — per-user EWMA of event values (in exact cents) in
+    * (ts, event_id) order: per-user histories bound every partition.
+    * Cents via an EXPLICIT floor(x·100 + 0.5) — NOT round() (the
+    * engines' round() disagrees at representation boundaries) and NOT
+    * a bare cast (Spark's double→long cast truncates, DuckDB's
+    * ROUNDS); floor is the same IEEE op in both. */
+  def ewmaQ(s: SparkSession, d: String): DataFrame =
+    ewmaDyadic(
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100.0 + 0.5).cast(LongType).as("cents")),
+      col("user_id"), Seq(col("ts"), col("event_id")), col("cents"), w = 16)
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("ewma_num"), col("ewma_den"), col("ewma"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution"   -> (attributionQ _),
     "q_funnel"        -> (funnelQ _),
@@ -513,6 +571,7 @@ object Analytics {
     "q_diurnal" -> (diurnalQ _),
     "q_ohlc" -> (ohlcQ _),
     "q_lateness" -> (latenessQ _),
+    "q_ewma" -> (ewmaQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -586,6 +645,33 @@ object Analytics {
 
     // exact cents, (ts_us, event_id) struct argmin/argmax replayed as
     // ROW_NUMBER picks, ISO day strings (the repo day convention)
+    // the same bounded window list; weights by 1-based index i over a
+    // length-m list (newest i=m gets 2^15) equal the engine's
+    // newest-first halving fold; all-integer, division only on display
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, cents,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lags
+        |  FROM e),
+        |s AS (
+        |  SELECT event_id, user_id, cents,
+        |    CAST(list_sum(list_transform(lags,
+        |      (x, i) -> x * (CAST(1 AS BIGINT) << (15 - len(lags) + i)))) AS BIGINT)
+        |      AS ewma_num,
+        |    CAST(list_sum(list_transform(lags,
+        |      (x, i) -> (CAST(1 AS BIGINT) << (15 - len(lags) + i)))) AS BIGINT)
+        |      AS ewma_den
+        |  FROM l)
+        |SELECT event_id, user_id, cents, ewma_num, ewma_den,
+        |  CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma
+        |FROM s
+        |ORDER BY event_id""".stripMargin,
+
     "q_ohlc" ->
       """WITH b AS (
         |  SELECT event_type AS series, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

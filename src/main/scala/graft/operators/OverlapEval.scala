@@ -93,10 +93,94 @@ object OverlapEval {
       .orderBy(col("doc_id"), col("n"))
   }
 
+  /** pass@k — the unbiased estimator over n samples with c passes
+    * (SURVEY.md §2 row 285; Chen et al. 2021, the HumanEval metric):
+    * pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i<k} (n−c−i)/(n−i),
+    * THE eval number a code/agent training pipeline reports per task.
+    * Exact rational image: pass_num = den − Π max(n−c−i, 0) and
+    * pass_den = Π (n−i), both BIGINT products of k factors (the
+    * max(·, 0) clamp makes c > n−k collapse the numerator product to
+    * 0 ⇒ pass@k = 1 exactly); pass_ppm floors the ratio. Tasks with
+    * n < k emit NULLs — the estimator is undefined, not 0.
+    *
+    * Scale shape: ONE map-side-combined (task → n, c) aggregation;
+    * the k-factor products are per-row `aggregate` folds over a
+    * k-length sequence — no window, no join, cost O(tasks·k).
+    * OVERFLOW CONTRACT: Π_{i<k}(n−i) < 2^63 — at n ≤ 64 any k ≤ 10
+    * is safe; cap samples per task upstream (fixed n per task is the
+    * metric's own design). */
+  def passAtK(samples: DataFrame, taskCol: Column, passedCol: Column,
+              ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"k values must be >= 1: $ks")
+    val counts = samples.groupBy(taskCol.as("task_id"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(passedCol, 1L).otherwise(0L)), lit(0L)).as("c"))
+    ks.map { k =>
+      val miss = aggregate(sequence(lit(0L), lit(k - 1L)), lit(1L),
+        (acc, i) => acc * greatest(col("n") - col("c") - i, lit(0L)))
+      val den = aggregate(sequence(lit(0L), lit(k - 1L)), lit(1L),
+        (acc, i) => acc * (col("n") - i))
+      counts.select(col("task_id"), lit(k.toLong).as("k"), col("n"), col("c"),
+        when(col("n") < k, lit(null)).otherwise(den - miss).as("pass_num"),
+        when(col("n") < k, lit(null)).otherwise(den).as("pass_den"))
+        .withColumn("pass_ppm", when(col("pass_den").isNull, lit(null))
+          .otherwise(graft.operators.GraphOps.fdiv(
+            col("pass_num") * 1000000L, col("pass_den"))))
+    }.reduce(_ unionByName _)
+  }
+
+  /** §2 row 285 — pass@{1,4} over a seeded sample table: tasks are
+    * doc_id mod 97, at most 16 samples per task (the metric's fixed-n
+    * design; row_number over the task keeps the cut deterministic),
+    * passed = a mod-3 cut over (doc_id + n_chars) so c varies across
+    * tasks and both saturation edges (c = 0, c = n) are populated. */
+  def passAtKQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .select(pmod(col("doc_id"), lit(97)).as("task_id"), col("doc_id"),
+        (pmod(col("doc_id") + col("n_chars"), lit(3)) === 0).as("passed"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("task_id")).orderBy(col("doc_id"))))
+      .filter(col("__rn") <= 16)
+    passAtK(base, col("task_id"), col("passed"), ks = Seq(1, 4))
+      .orderBy(col("task_id"), col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ngram_f1" -> (ngramF1Q _))
+    "q_ngram_f1" -> (ngramF1Q _),
+    "q_pass_at_k" -> (passAtKQ _))
 
   val oracles: Map[String, String] = Map(
+    // the same k-factor products via list_reduce (BIGINT-exact —
+    // DuckDB's product() aggregate is DOUBLE and would not replay);
+    // range(0, k) is k-exclusive like the engine's sequence(0, k-1)
+    "q_pass_at_k" ->
+      """WITH s AS (
+        |  SELECT doc_id % 97 AS task_id, doc_id,
+        |    (doc_id + n_chars) % 3 = 0 AS passed,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |t AS (
+        |  SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM s WHERE rn <= 16 GROUP BY task_id),
+        |ks(k) AS (VALUES (CAST(1 AS BIGINT)), (CAST(4 AS BIGINT))),
+        |p AS (
+        |  SELECT task_id, k, n, c,
+        |    list_reduce(list_transform(range(0, k), i -> n - i),
+        |      (a, b) -> a * b) AS den,
+        |    list_reduce(list_transform(range(0, k),
+        |        i -> GREATEST(n - c - i, CAST(0 AS BIGINT))),
+        |      (a, b) -> a * b) AS miss
+        |  FROM t CROSS JOIN ks)
+        |SELECT task_id, k, n, c,
+        |  CASE WHEN n < k THEN NULL ELSE den - miss END AS pass_num,
+        |  CASE WHEN n < k THEN NULL ELSE den END AS pass_den,
+        |  CASE WHEN n < k THEN NULL
+        |       ELSE ((den - miss) * 1000000) // den END AS pass_ppm
+        |FROM p
+        |ORDER BY task_id, k""".stripMargin,
+
     // same corruption via range indexing (DuckDB range(a, b) is
     // b-EXCLUSIVE; list indexing 1-based), same clipped-count join
     "q_ngram_f1" ->

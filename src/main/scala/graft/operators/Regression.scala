@@ -236,10 +236,75 @@ object Regression {
     ksTest(Tables.events(s, d), col("value"), col("event_type"),
       "click", "error")
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test (SURVEY.md §2
+    * row 284) — the rank companion of [[ksTest]]: KS asks "do the
+    * distributions differ anywhere", MWU asks "does one sample
+    * stochastically dominate" — the standard pair for drift gates over
+    * ordinal scores where a mean shift matters more than shape.
+    *
+    * Exact integer image: 2·U_A = 2·#(a>b pairs) + #(ties), computed
+    * WITHOUT pair enumeration from the (value → count_A, count_B)
+    * frame — #(a>b) = Σ_v ca(v)·cumB(<v), ties = Σ_v ca(v)·cb(v) —
+    * so the cost is |distinct values|, not n·m. The normal
+    * approximation's z (tie-corrected) is emitted rounded to 6
+    * decimals; its integer ingredients (u2_a, u2_b, tie_cubes =
+    * Σ(t³−t)) ride along exact so the oracle replays them bit-for-bit.
+    *
+    * Scale shape = the ksTest recipe: one map-side-combined value
+    * collapse, the row-194 bucketed prefix (no unpartitioned window
+    * over distinct values), 1-row broadcasts for the totals. OVERFLOW
+    * CONTRACT: n_A·n_B < 2^62 and per-value tie count t < ~2.1e6
+    * (t³ < 2^63); subsample a slice first beyond that. */
+  def mannWhitneyU(df: DataFrame, valueCol: Column, groupCol: Column,
+                   groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = df.filter(groupCol.isin(groupA, groupB) && valueCol.isNotNull)
+      .groupBy(valueCol.as("s"))
+      .agg(coalesce(sum(when(groupCol === groupA, 1L)), lit(0L)).as("ca"),
+        coalesce(sum(when(groupCol === groupB, 1L)), lit(0L)).as("cb"))
+    val withB = Classify.withScoreBucket(byV)
+    val bpre = withB.groupBy(col("__b"))
+      .agg(sum(col("cb")).as("__sb"))
+      .withColumn("__pb", coalesce(sum(col("__sb")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__sb")
+    // EXCLUSIVE within-cell prefix: cumB(< v)
+    val wj = Window.partitionBy(col("__b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val parts = withB.join(broadcast(bpre), Seq("__b"))
+      .withColumn("cumb", col("__pb") + coalesce(sum(col("cb")).over(wj), lit(0L)))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * col("cumb")).as("gt"),
+        sum(col("ca") * col("cb")).as("ties"),
+        sum((col("ca") + col("cb")) * (col("ca") + col("cb")) *
+          (col("ca") + col("cb")) - (col("ca") + col("cb"))).as("tie_cubes"))
+    val n = col("n_a") + col("n_b")
+    val varD = col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType) / 12.0 *
+      ((n + 1L).cast(DoubleType) -
+        col("tie_cubes").cast(DoubleType) / (n * (n - 1L)).cast(DoubleType))
+    parts.select(col("n_a"), col("n_b"),
+        (col("gt") * 2L + col("ties")).as("u2_a"),
+        (col("n_a") * col("n_b") * 2L - col("gt") * 2L - col("ties")).as("u2_b"),
+        col("tie_cubes"))
+      .withColumn("z", when(col("n_a") === 0L || col("n_b") === 0L ||
+          (col("n_a") + col("n_b")) < 2L || varD <= 0.0, lit(null))
+        .otherwise(round(
+          (col("u2_a") - col("n_a") * col("n_b")).cast(DoubleType) /
+            (sqrt(varD) * 2.0), 6)))
+  }
+
+  /** §2 row 284 — MWU shift test on the same click-vs-error pair as
+    * q_ks_test (the two gates a drift monitor runs together). */
+  def mwuQ(s: SparkSession, d: String): DataFrame =
+    mannWhitneyU(Tables.events(s, d), col("value"), col("event_type"),
+      "click", "error")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_normal_eq" -> (normalEqQ _),
     "q_spearman"  -> (spearmanQ _),
     "q_ks_test"   -> (ksTestQ _),
+    "q_mwu"       -> (mwuQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,6 +337,48 @@ object Regression {
         |  CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
         |       ELSE CAST(m.m AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) END AS ks_d
         |FROM tot t, mx m""".stripMargin,
+
+    // the pair counts from the value-collapse identity (no pair
+    // enumeration); integer ingredients exact, z in the IDENTICAL
+    // double op order as the engine, rounded at 6 (the q_trend rule)
+    "q_mwu" ->
+      """WITH f AS (
+        |  SELECT value AS s, event_type AS g FROM events
+        |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+        |byv AS (
+        |  SELECT s,
+        |    SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS cb
+        |  FROM f GROUP BY s),
+        |cums AS (
+        |  SELECT s, ca, cb,
+        |    COALESCE(SUM(cb) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM byv),
+        |agg AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(ca * cumb) AS BIGINT) AS gt,
+        |    CAST(SUM(ca * cb) AS BIGINT) AS ties,
+        |    CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+        |      AS tie_cubes
+        |  FROM cums),
+        |u AS (
+        |  SELECT n_a, n_b, gt * 2 + ties AS u2_a,
+        |    n_a * n_b * 2 - gt * 2 - ties AS u2_b, tie_cubes,
+        |    n_a + n_b AS nn
+        |  FROM agg),
+        |v AS (
+        |  SELECT *, CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |    (CAST(nn + 1 AS DOUBLE) -
+        |      CAST(tie_cubes AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE)) AS vard
+        |  FROM u)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(u2_a AS BIGINT) AS u2_a, CAST(u2_b AS BIGINT) AS u2_b,
+        |  CAST(tie_cubes AS BIGINT) AS tie_cubes,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR nn < 2 OR vard <= 0 THEN NULL
+        |       ELSE ROUND(CAST(u2_a - n_a * n_b AS DOUBLE) / (sqrt(vard) * 2.0), 6)
+        |  END AS z
+        |FROM v""".stripMargin,
 
     // the same (value, id) permutation ranks — ROW_NUMBER() OVER
     // (ORDER BY v, id) equals cumBefore + intra-tie index exactly —

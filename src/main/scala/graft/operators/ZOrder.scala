@@ -109,4 +109,114 @@ object ZOrder {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Hilbert-curve index of two `bits`-bit ranks (SURVEY.md §2 row
+    * 288) — the locality-better sibling of [[interleave]]: EVERY
+    * consecutive pair of Hilbert cells is Manhattan-adjacent (the
+    * curve never jumps, unlike Morton's 2^k-sized seams), so files
+    * cut from a Hilbert sort cover tighter rectangles and min/max
+    * stats prune better on both columns — why Delta/Hudi offer
+    * hilbert next to zorder. Standard xy2d (Hamilton's iterative
+    * form): per level s = 2^i from the top, accumulate s²·((3·rx)⊕ry)
+    * and rotate the quadrant frame.
+    *
+    * Pure integer Column fold — the per-level constants ride in as an
+    * ARRAY LITERAL so the fold stays linear-size (an unrolled
+    * when-tree would duplicate the x/y subtrees 2^bits times), and no
+    * variable-amount shift is needed. Codegen'd, zero shuffles. */
+  def hilbertIndex(xRank: Column, yRank: Column, bits: Int = Bits): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val ss = array(((bits - 1) to 0 by -1).map(i => lit(1L << i)): _*)
+    aggregate(ss,
+      struct(xRank.cast(LongType).as("x"), yRank.cast(LongType).as("y"),
+        lit(0L).as("d")),
+      (acc, s) => {
+        val x = acc.getField("x"); val y = acc.getField("y")
+        val rx = when(x.bitwiseAND(s) > 0, 1L).otherwise(lit(0L))
+        val ry = when(y.bitwiseAND(s) > 0, 1L).otherwise(lit(0L))
+        struct(
+          when(ry === 0, when(rx === 1, s - 1L - y).otherwise(y)).otherwise(x).as("x"),
+          when(ry === 0, when(rx === 1, s - 1L - x).otherwise(x)).otherwise(y).as("y"),
+          (acc.getField("d") + s * s * (rx * 3L).bitwiseXOR(ry)).as("d"))
+      },
+      acc => acc.getField("d"))
+  }
+
+  /** Cluster and write along the Hilbert curve (uniform bucket ranks,
+    * the [[withZValue]] null/bounds discipline). */
+  def writeHilbert(df: DataFrame, colA: String, colB: String,
+                   path: String, numFiles: Int): Unit =
+    withRanks(df, colA, colB)
+      .withColumn("__h", hilbertIndex(col("__ra"), col("__rb")))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__ra", "__rb", "__h")
+      .write.mode("overwrite").parquet(path)
+
+  /** The uniform bucket ranks of [[withZValue]], exposed as columns. */
+  def withRanks(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val n = 1 << Bits
+    val bounds = df.agg(
+      min(col(colA)).cast(DoubleType).as("__mina"),
+      max(col(colA)).cast(DoubleType).as("__maxa"),
+      min(col(colB)).cast(DoubleType).as("__minb"),
+      max(col(colB)).cast(DoubleType).as("__maxb"))
+    def rank(c: String, lo: Column, hi: Column): Column =
+      least(lit(n.toLong - 1),
+        coalesce(
+          width_bucket(col(c).cast(DoubleType), lo, hi + 1d, lit(n)) - 1,
+          lit(0L)))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__ra", rank(colA, col("__mina"), col("__maxa")))
+      .withColumn("__rb", rank(colB, col("__minb"), col("__maxb")))
+      .drop("__mina", "__maxa", "__minb", "__maxb")
+  }
+
+  /** §2 row 288 — the Hilbert index over deterministic mod-256 ranks
+    * of (doc_id, n_chars): rank derivation stays integer so the
+    * oracle (a 8-level recursive CTE running the identical rotation
+    * arithmetic) replays bit-for-bit. */
+  def hilbertQ(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, d)
+    docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(256L)).as("x_rank"),
+        pmod(col("n_chars"), lit(256L)).as("y_rank"))
+      .withColumn("h", hilbertIndex(col("x_rank"), col("y_rank"), bits = 8))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q_hilbert" -> (hilbertQ _))
+
+  val oracles: Map[String, String] = Map(
+    // the identical xy2d rotation per level, i = 7..0, via a recursive
+    // CTE; xor() is DuckDB's bitwise xor, `&`/`<<` match the engine's
+    // bitwiseAND/constant shifts
+    "q_hilbert" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS x0,
+        |    CAST(n_chars % 256 AS BIGINT) AS y0
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d, 7 AS i FROM pts
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - y ELSE y END
+        |         ELSE x END,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - x ELSE x END
+        |         ELSE y END,
+        |    d + s * s * xor(rx * 3, ry),
+        |    i - 1
+        |  FROM (
+        |    SELECT doc_id, x, y, d, i,
+        |      (CAST(1 AS BIGINT) << i) AS s,
+        |      CASE WHEN (x & (CAST(1 AS BIGINT) << i)) > 0
+        |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rx,
+        |      CASE WHEN (y & (CAST(1 AS BIGINT) << i)) > 0
+        |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ry
+        |    FROM h WHERE i >= 0) t)
+        |SELECT p.doc_id, p.x0 AS x_rank, p.y0 AS y_rank, f.d AS h
+        |FROM pts p JOIN (SELECT doc_id, d FROM h WHERE i = -1) f
+        |  ON p.doc_id = f.doc_id
+        |ORDER BY p.doc_id""".stripMargin)
 }

@@ -78,4 +78,44 @@ class KsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(x == y)
   }
+
+  private def mwu(rows: Seq[(Double, String)]) =
+    Regression.mannWhitneyU(rows.toDF("value", "g"), col("value"), col("g"),
+        "a", "b")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+
+  test("mwu: hand-computed U with a tie; u2_a + u2_b = 2*n*m") {
+    // A = [1,2,3], B = [2,4]: #(a>b) = 1 (3>2), ties = 1 (2=2)
+    // 2U_A = 3; tie term: value 2 has t=2 -> t^3-t = 6
+    val r = mwu(Seq((1.0, "a"), (2.0, "a"), (3.0, "a"), (2.0, "b"), (4.0, "b")))
+    assert((r._1, r._2, r._3, r._4, r._5) == ((3L, 2L, 3L, 9L, 6L)))
+    assert(r._3 + r._4 == 2L * r._1 * r._2)
+  }
+
+  test("mwu: total dominance gives u2_a = 2*n*m and a positive z") {
+    val r = mwu(Seq((10.0, "a"), (11.0, "a"), (1.0, "b"), (2.0, "b")))
+    assert(r._3 == 8L && r._4 == 0L && r._5 == 0L)
+    assert(r._6.exists(_ > 0.0))
+  }
+
+  test("mwu: identical singletons are all ties -> zero variance -> NULL z") {
+    val r = mwu(Seq((5.0, "a"), (5.0, "b")))
+    assert(r._3 == 1L && r._4 == 1L && r._6.isEmpty)
+  }
+
+  test("mwu: symmetric samples give u2_a = u2_b = n*m and z = 0") {
+    val r = mwu(Seq((1.0, "a"), (4.0, "a"), (2.0, "b"), (3.0, "b")))
+    assert(r._3 == 4L && r._4 == 4L && r._6 == Some(0.0))
+  }
+
+  test("mwu is invariant to input partitioning") {
+    val df = (1 to 400).map(i =>
+      ((i * 37 % 101).toDouble / 7.0, if (i % 3 == 0) "a" else "b"))
+      .toDF("value", "g")
+    val x = Regression.mannWhitneyU(df, col("value"), col("g"), "a", "b")
+      .collect().toSeq
+    val y = Regression.mannWhitneyU(df.repartition(13), col("value"), col("g"),
+      "a", "b").collect().toSeq
+    assert(x == y)
+  }
 }

@@ -63,4 +63,40 @@ class OverlapEvalSpec extends AnyFunSuite {
     assert(got._3 == 0L && got._4 == 0L && got._5 == 2L)
     assert(got._6.isEmpty && got._7 == Some(0.0) && got._8 == Some(0.0))
   }
+
+  test("pass@k: exact rational against C(n-c,k)/C(n,k), both saturation edges") {
+    import org.apache.spark.sql.functions.col
+    // task 1: n=4, c=2, k=2 -> 1 - C(2,2)/C(4,2) = 1 - 1/6 = 5/6
+    // task 2: n=3, c=0 -> pass = 0;  task 3: n=3, c=3 -> pass = 1
+    // task 4: n=1 < k=2 -> NULL
+    val rows = Seq(
+      (1L, true), (1L, true), (1L, false), (1L, false),
+      (2L, false), (2L, false), (2L, false),
+      (3L, true), (3L, true), (3L, true),
+      (4L, true)).toDF("task_id", "passed")
+    val got = OverlapEval.passAtK(rows, col("task_id"), col("passed"), Seq(2))
+      .orderBy(col("task_id"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 4L, 2L, Some(10L), Some(12L), Some(833333L)),
+      (2L, 2L, 3L, 0L, Some(0L), Some(6L), Some(0L)),
+      (3L, 2L, 3L, 3L, Some(6L), Some(6L), Some(1000000L)),
+      (4L, 2L, 1L, 1L, None, None, None)))
+  }
+
+  test("pass@1 is the pass rate; c > n-k collapses the miss product to 0") {
+    import org.apache.spark.sql.functions.col
+    // n=5, c=3, k=1: pass@1 = 3/5 = 600000 ppm
+    val rows = (1 to 5).map(i => (1L, i <= 3)).toDF("task_id", "passed")
+    val one = OverlapEval.passAtK(rows, col("task_id"), col("passed"), Seq(1))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(one._7 == Some(600000L))
+    // k=3 with c=3 of n=5: miss = max(2,0)*max(1,0)*max(0,0) = 0 -> pass = 1
+    val three = OverlapEval.passAtK(rows, col("task_id"), col("passed"), Seq(3))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(three._5 == three._6 && three._7 == Some(1000000L))
+  }
 }

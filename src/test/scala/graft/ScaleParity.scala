@@ -42,7 +42,13 @@ object ScaleParity {
     // round-12 continuation families (events-keyed ones stay out —
     // the replica keeps `events` verbatim, the q_hll_registers rule)
     "q_hits", "q_ppr", "q_anchor_text", "q_cocitation", "q_cdx_diff",
-    "q_ttr", "q_ngram_f1", "q_text_tiling", "q_domain_report")
+    "q_ttr", "q_ngram_f1", "q_text_tiling", "q_domain_report",
+    // round-13: the WARC family — seed archives are assembled FROM
+    // documents in both engines, so they scale with the replica (per-
+    // host archive strings grow 10x; offsets, carving and the DSv2
+    // file/connector paths all re-verify at sf1-equivalent volume)
+    "q_warc_extract", "q_wet_text", "q_cdx_index", "q_warc_source",
+    "q_cdx_source")
 
   /** Write `df` as a SINGLE parquet file `<dir>/<table>.parquet` —
     * the driver-testdata shape both engines read. */

@@ -76,4 +76,51 @@ class ZOrderSpec extends AnyFunSuite {
     // the single-column sort leaves the second column unbounded (~full range)
     assert(zB < sB * 0.75, s"zB=$zB vs single-sort sB=$sB")
   }
+
+  /** Reference xy2d (Hamilton's iterative form) for cross-checking the
+    * Column fold. */
+  private def refHilbert(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        val (nx, ny) = if (rx == 1) (s - 1 - y, s - 1 - x) else (y, x)
+        x = nx; y = ny
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbert: order-1 quadrant order and equality with the reference impl") {
+    val pts = for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("h", ZOrder.hilbertIndex(col("x"), col("y"), bits = 4))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == refHilbert(4, x, y), s"mismatch at ($x,$y)")
+    }
+    // the classic order-1 U at bits=1: (0,0)=0 (0,1)=1 (1,1)=2 (1,0)=3
+    val u = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .withColumn("h", ZOrder.hilbertIndex(col("x"), col("y"), bits = 1))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(u == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+  }
+
+  test("hilbert: a bijection onto 0..n^2-1 whose consecutive cells are adjacent") {
+    val pts = for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("h", ZOrder.hilbertIndex(col("x"), col("y"), bits = 4))
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).toSet == (0L until 256L).toSet) // bijection
+    val byD = got.map(r => r._3 -> ((r._1, r._2))).toMap
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"Hilbert jumped between d=$d and ${d + 1}") // Morton would fail this
+    }
+  }
 }
