@@ -54,7 +54,7 @@ object SparkEntry {
     Weak.queries ++ Placement.queries ++ Markup.queries ++ Urls.queries ++
     UnigramTok.queries ++ TokEval.queries ++ Robots.queries ++
     WarcOps.queries ++ CorpusOverlap.queries ++ SuffixOps.queries ++ CrawlState.queries ++ CrawlCycle.queries ++ WebIr.queries ++ OverlapEval.queries ++ WebIndex.queries ++
-    HttpCache.queries ++ ZOrder.queries ++
+    HttpCache.queries ++ ZOrder.queries ++ Markdown.queries ++ BandJoin.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -285,6 +285,6 @@ object SparkEntry {
     Weak.oracles ++ Placement.oracles ++ Markup.oracles ++ Urls.oracles ++
     UnigramTok.oracles ++ TokEval.oracles ++ Robots.oracles ++
     WarcOps.oracles ++ CorpusOverlap.oracles ++ SuffixOps.oracles ++ CrawlState.oracles ++ CrawlCycle.oracles ++ WebIr.oracles ++ OverlapEval.oracles ++ WebIndex.oracles ++
-    HttpCache.oracles ++ ZOrder.oracles ++
+    HttpCache.oracles ++ ZOrder.oracles ++ Markdown.oracles ++ BandJoin.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -390,6 +390,67 @@ object Markup {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** Meta-robots / X-Robots-Tag indexability gate (SURVEY.md §2 row
+    * 292) — the per-PAGE opt-out that robots.txt (row 249, per-PATH)
+    * cannot express, and a gate an index pipeline must honor BEFORE
+    * row-280's index build: `noindex` pages may be crawled but not
+    * stored, `nofollow` pages contribute no row-239 link edges. RFC
+    * 9309-adjacent (Google/Bing semantics): directives come from the
+    * HTML `<meta name="robots">` tag (either attribute order) AND the
+    * `X-Robots-Tag` response header; the MOST RESTRICTIVE source wins
+    * (an allow in one place never overrides a deny in the other);
+    * `none` = `noindex, nofollow`. Pure per-row regex projection,
+    * zero shuffles. */
+  def robotsMeta(pages: DataFrame, idCol: Column, htmlCol: Column,
+                 headerCol: Column): DataFrame = {
+    val html = coalesce(htmlCol, lit(""))
+    // both attribute orders; RE2-safe (no lookaround)
+    val m1 = regexp_extract(html,
+      "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val m2 = regexp_extract(html,
+      "(?is)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']?robots[\"']?", 1)
+    val meta = when(m1 =!= "", m1).otherwise(m2)
+    val hdr = coalesce(headerCol, lit(""))
+    def has(c: Column, d: String): Column =
+      lower(c).rlike("(^|[,\\s])" + d + "($|[,\\s])")
+    def denyIndex(c: Column): Column = has(c, "noindex") || has(c, "none")
+    def denyFollow(c: Column): Column = has(c, "nofollow") || has(c, "none")
+    pages.select(idCol.as("doc_id"),
+      meta.as("meta_robots"),
+      (!denyIndex(meta) && !denyIndex(hdr)).as("indexable"),
+      (!denyFollow(meta) && !denyFollow(hdr)).as("followable"),
+      when(denyIndex(meta) || denyFollow(meta),
+          when(denyIndex(hdr) || denyFollow(hdr), "both").otherwise("meta"))
+        .when(denyIndex(hdr) || denyFollow(hdr), "header")
+        .otherwise("default").as("deny_source"))
+  }
+
+  /** §2 row 292 — the gate over seeded pages: a mod-7 rotation covers
+    * meta noindex / nofollow / none / reversed-attribute-order noindex
+    * / header-only noindex / conflicting meta-allow+header-deny /
+    * clean; 'noindexing' in prose must NOT match (word-boundary
+    * discipline). */
+  def robotsMetaQ(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(7))
+    val metaTag =
+      when(m === 0, "<meta name=\"robots\" content=\"noindex\">")
+        .when(m === 1, "<meta name=\"robots\" content=\"nofollow, noarchive\">")
+        .when(m === 2, "<meta name=\"robots\" content=\"none\">")
+        .when(m === 3, "<meta content=\"noindex\" name=\"robots\">")
+        .when(m === 5, "<meta name=\"robots\" content=\"all\">")
+        .otherwise("")
+    val html = concat(lit("<html><head>"), metaTag,
+      lit("</head><body><p>about noindexing practices in doc "),
+      col("doc_id").cast("string"), lit("</p></body></html>"))
+    val hdr = when(m === 4, lit("noindex"))
+      .when(m === 5, lit("noarchive, nofollow"))
+      .otherwise(lit(null).cast("string"))
+    robotsMeta(Tables.documents(s, dir).select(col("doc_id"),
+        html.as("html"), hdr.as("xrobots")),
+        col("doc_id"), col("html"), col("xrobots"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (htmlExtractQ _),
     "q_link_graph"   -> (linkGraphQ _),
@@ -397,7 +458,8 @@ object Markup {
     "q_meta_extract" -> (metaExtractQ _),
     "q_html_tables"  -> (tablesQ _),
     "q_table_rows"   -> (tableRowsQ _),
-    "q_jsonld"       -> (jsonLdQ _))
+    "q_jsonld"       -> (jsonLdQ _),
+    "q_robots_meta"  -> (robotsMetaQ _))
 
   /** The extractor pipeline CTEs (strip → segment → decode → gate →
     * per-doc `agg` frame) over any CTE `in` providing (doc_id, html) —
@@ -458,6 +520,59 @@ object Markup {
       |""".stripMargin + htmlGatePipelineCtes("h")
 
   val oracles: Map[String, String] = Map(
+    // same seeded rotation, both meta attribute orders with the same
+    // fallback, the same word-bounded directive regexes, and the same
+    // most-restrictive-wins combination
+    "q_robots_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN '<meta name="robots" content="noindex">'
+        |      WHEN 1 THEN '<meta name="robots" content="nofollow, noarchive">'
+        |      WHEN 2 THEN '<meta name="robots" content="none">'
+        |      WHEN 3 THEN '<meta content="noindex" name="robots">'
+        |      WHEN 5 THEN '<meta name="robots" content="all">'
+        |      ELSE '' END AS mt,
+        |    CASE doc_id % 7 WHEN 4 THEN 'noindex'
+        |      WHEN 5 THEN 'noarchive, nofollow' END AS hdr
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, hdr,
+        |    '<html><head>' || mt
+        |      || '</head><body><p>about noindexing practices in doc '
+        |      || CAST(doc_id AS VARCHAR) || '</p></body></html>' AS html
+        |  FROM f),
+        |x AS (
+        |  SELECT doc_id, hdr,
+        |    CASE WHEN regexp_extract(html,
+        |        '<meta[^>]*name\s*=\s*["'']?robots["'']?[^>]*content\s*=\s*["'']([^"'']*)["'']',
+        |        1, 'is') <> ''
+        |      THEN regexp_extract(html,
+        |        '<meta[^>]*name\s*=\s*["'']?robots["'']?[^>]*content\s*=\s*["'']([^"'']*)["'']',
+        |        1, 'is')
+        |      ELSE regexp_extract(html,
+        |        '<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*name\s*=\s*["'']?robots["'']?',
+        |        1, 'is') END AS meta
+        |  FROM g),
+        |d AS (
+        |  SELECT doc_id, meta,
+        |    regexp_matches(lower(meta), '(^|[,\s])(noindex|none)($|[,\s])') AS mdi,
+        |    regexp_matches(lower(meta), '(^|[,\s])(nofollow|none)($|[,\s])') AS mdf,
+        |    regexp_matches(lower(COALESCE(hdr, '')),
+        |      '(^|[,\s])(noindex|none)($|[,\s])') AS hdi,
+        |    regexp_matches(lower(COALESCE(hdr, '')),
+        |      '(^|[,\s])(nofollow|none)($|[,\s])') AS hdf
+        |  FROM x)
+        |SELECT doc_id, meta AS meta_robots,
+        |  NOT mdi AND NOT hdi AS indexable,
+        |  NOT mdf AND NOT hdf AS followable,
+        |  CASE WHEN (mdi OR mdf) AND (hdi OR hdf) THEN 'both'
+        |       WHEN mdi OR mdf THEN 'meta'
+        |       WHEN hdi OR hdf THEN 'header'
+        |       ELSE 'default' END AS deny_source
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
+
     // same synthesis, same strip/segment/decode/gate pipeline on
     // DuckDB's RE2 (inline (?is) flags, lazy quantifiers and
     // string_split_regex all verified); parallel unnest carries block

@@ -815,6 +815,42 @@ object Profiling {
         groupCols = Seq(col("source")))
       .orderBy(col("source"))
 
+  /** Gini coefficient of a non-negative value column (SURVEY.md §2
+    * row 291) — the concentration audit a data-mix owner reads next
+    * to row-133's skyline and row-215's frequency spectrum: "how
+    * unequal is token/byte mass across documents (or domains)?" —
+    * G near 0 = uniform corpus, near 1 = a few giants carry it.
+    *
+    * Exact rational image, ONE pass on the shared bucketed-prefix
+    * engine ([[Prefix.cumSumBucketed]] — no corpus-sized single-task
+    * window): with values ascending and S_j the inclusive prefix sum,
+    * Σ i·x_i = (n+1)·Σx − Σ_j S_j (swap the summation order), so
+    * gini_num = 2·Σ i·x_i − (n+1)·Σx = (n+1)·Σx − 2·Σ_j S_j and
+    * gini_den = n·Σx — BIGINTs, plus the floor-div ppm. Rank ties
+    * are harmless (permuting equal values leaves Σ i·x_i unchanged),
+    * so the statistic is deterministic under any tie order. OVERFLOW
+    * CONTRACT: n²·mean(x) < 2⁶³ — beyond ~10⁸ rows of 1e3-token docs,
+    * de-scale x (Gini is scale-invariant) or sample. */
+  def gini(df: DataFrame, valueCol: Column, tieCol: Column): DataFrame = {
+    val base = df.select(valueCol.cast(LongType).as("__v"),
+        tieCol.as("__t"))
+      .filter(col("__v").isNotNull && col("__v") >= 0L)
+    val cum = Prefix.cumSumBucketed(base, "__v", descending = false,
+      tieCols = Seq("__t"), valueCol = "__v", out = "__cs")
+    cum.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__v")), lit(0L)).as("total"),
+        coalesce(sum(col("__cs")), lit(0L)).as("__ss"))
+      .select(col("n"), col("total"),
+        ((col("n") + 1L) * col("total") - col("__ss") * 2L).as("gini_num"),
+        (col("n") * col("total")).as("gini_den"))
+      .withColumn("gini_ppm", when(col("gini_den") === 0L, lit(null))
+        .otherwise(GraphOps.fdiv(col("gini_num") * 1000000L, col("gini_den"))))
+  }
+
+  /** §2 row 291 — character-mass concentration across documents. */
+  def giniQ(s: SparkSession, d: String): DataFrame =
+    gini(Tables.documents(s, d), col("n_chars"), col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_cusum"   -> (driftCusumQ _),
     "q_token_drift"   -> (tokenDriftQ _),
@@ -836,9 +872,34 @@ object Profiling {
     "q_equidepth"     -> (equiDepthQ _),
     "q_independence"  -> (independenceQ _),
     "q_quantile_bands" -> (quantileBandsQ _),
+    "q_gini"          -> (giniQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // one global inclusive prefix window (integer sums reassociate, so
+    // it equals the engine's bucketed decomposition bit-for-bit), then
+    // the swapped-summation Gini identity
+    "q_gini" ->
+      """WITH v AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x, doc_id FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        |c AS (
+        |  SELECT x, SUM(x) OVER (ORDER BY x, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM v),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(x), 0) AS BIGINT) AS total,
+        |    CAST(COALESCE(SUM(cs), 0) AS BIGINT) AS ss
+        |  FROM c)
+        |SELECT n, total,
+        |  (n + 1) * total - ss * 2 AS gini_num,
+        |  n * total AS gini_den,
+        |  CASE WHEN n * total = 0 THEN NULL
+        |       ELSE (((n + 1) * total - ss * 2) * 1000000) // (n * total)
+        |  END AS gini_ppm
+        |FROM a""".stripMargin,
+
     // (group, value) counts, per-group inclusive cumsum, the VALUES
     // cut list and the cross-multiplied min-qualifying pick
     "q_quantile_bands" ->
