@@ -523,4 +523,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("HashAggregate(keys=[h"), p)
   }
+
+  test("band join plans as an EQUI join on the bucket key, never nested-loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val l = (1L to 2000L).map(i => i * 7 % 997).toDF("lv")
+    val r = (1L to 800L).map(i => i * 13 % 991).toDF("rv")
+    val df = graft.operators.BandJoin.bandJoin(l, r, col("lv"), col("rv"), eps = 10)
+    df.collect()
+    val p = plan(df)
+    // the whole point of the bucket blocking: the declarative form of
+    // |l-r| <= eps alone would plan BroadcastNestedLoopJoin (cartesian)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("hilbert index is a zero-shuffle per-row fold; ewma windows per key only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val h = Seq((1L, 3L, 5L)).toDF("id", "x", "y")
+      .withColumn("h", graft.operators.ZOrder.hilbertIndex(col("x"), col("y")))
+    assert(!plan(h).contains("Exchange"), plan(h))
+    val e = graft.operators.Analytics.ewmaDyadic(
+      Seq((1L, 1L, 10L)).toDF("k", "t", "v"), col("k"), Seq(col("t")), col("v"), 8)
+    val pe = plan(e)
+    // one hash-partitioned window on the key — never a global
+    // (empty-partition-spec) window
+    assert(pe.contains("windowspecdefinition(k"), pe)
+    // a global window's spec would LEAD with the order column
+    assert(!pe.contains("windowspecdefinition(t#"), pe)
+  }
+
+  test("revalidation plan and markdown linearization are zero-shuffle projections") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val f = Seq(("u", 10L, "max-age=60", "\"e\"", 5L)).toDF("u", "fa", "cc", "et", "lm")
+    val pr = plan(graft.operators.HttpCache.revalidatePlan(
+      f, col("u"), col("fa"), 100L, col("cc"), col("et"), col("lm")))
+    assert(!pr.contains("Exchange") && !pr.contains("windowspecdefinition"), pr)
+    val md = Seq((1L, "# t\n[a](b)")).toDF("id", "md")
+    val pm = plan(graft.operators.Markdown.linearize(md, col("id"), col("md")))
+    assert(!pm.contains("Exchange") && !pm.contains("windowspecdefinition"), pm)
+  }
 }

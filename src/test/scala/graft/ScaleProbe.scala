@@ -554,6 +554,26 @@ object ScaleProbe {
           concat(lit("anchor "), pmod(xxhash64(col("doc_id")), lit(3L)).cast("string")).as("anchor"))
         graft.operators.WebIr.anchorAggregate(links, "url", "anchor", "src").count()
       }
+      // round-13 additions: the band join's pair volume grows with k²
+      // over a FIXED value range if both sides replicate raw — keep the
+      // value space growing with k too (mod k·5000) so per-bucket
+      // occupancy stays constant and the probe measures the PLAN, k×
+      // rows → ~k× time; gini rides the shared bucketed-prefix engine
+      time("band_join", k) {
+        val l = docs.select(pmod(xxhash64(col("doc_id")), lit(k * 5000L)).as("lv"))
+        val r = docs.select(pmod(xxhash64(col("doc_id") + 7L), lit(k * 5000L)).as("rv"))
+        graft.operators.BandJoin.bandJoin(l, r, col("lv"), col("rv"), eps = 10).count()
+      }
+      time("gini", k) {
+        graft.operators.Profiling.gini(docs, length(col("text")), col("doc_id"))
+          .count()
+      }
+      time("mwu", k) {
+        graft.operators.Regression.mannWhitneyU(
+          docs.select(pmod(xxhash64(col("text")), lit(4096L)).as("v"),
+            when(col("doc_id") % 2 === 0, "a").otherwise("b").as("g")),
+          col("v"), col("g"), "a", "b").count()
+      }
     }
     spark.stop()
   }
