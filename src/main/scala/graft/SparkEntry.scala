@@ -37,7 +37,7 @@ object SparkEntry {
     "q_sliding_rates"     -> (Relational.slidingRates _),
     "q_asof_join"         -> (Relational.asofJoin _),
     "q_union_types"       -> (Relational.unionTypes _),
-  ) ++ Relational2.queries ++ Etl.queries ++ TextOps.queries ++
+  ) ++ Relational2.queries ++ Relational3.queries ++ Etl.queries ++ TextOps.queries ++
     VectorQueries.queries ++ CustomOps.queries ++ Curation.queries ++
     Chunking.queries ++ SketchOps.queries ++ AsOfJoinOp.queries ++
     Cdc.queries ++ Analytics.queries ++ Sampling.queries ++ TextOps2.queries ++
@@ -268,7 +268,7 @@ object SparkEntry {
         |  SELECT event_id, value, 'event' FROM events) u
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
-  ) ++ Relational2.oracles ++ Etl.oracles ++ TextOps.oracles ++
+  ) ++ Relational2.oracles ++ Relational3.oracles ++ Etl.oracles ++ TextOps.oracles ++
     VectorQueries.oracles ++ CustomOps.oracles ++ Curation.oracles ++
     Chunking.oracles ++ AsOfJoinOp.oracles ++
     Cdc.oracles ++ Analytics.oracles ++ Sampling.oracles ++ TextOps2.oracles ++
