@@ -79,6 +79,29 @@ object TrainingOps {
     assignFolds(Tables.documents(s, d), col("doc_id"), 5)
       .select(col("doc_id"), col("fold"))
 
+  /** Grouped k-fold (SURVEY.md §2 row 296) — the contamination-aware
+    * variant of [[assignFolds]]: the fold is a pure function of the
+    * GROUP (domain, author, dedup component), so near-duplicate or
+    * same-provenance rows can never straddle a train/validation cut —
+    * plain row-level k-fold leaks whenever sibling rows correlate
+    * (sklearn's GroupKFold, here with zero coordination: no group
+    * enumeration, no stored state, exact reproducibility). Same
+    * per-row projection shape; the "gfold|" domain prefix keeps the
+    * stream independent of the id-keyed fold/split/tier streams. */
+  def assignGroupFolds(df: DataFrame, groupCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"group k-fold needs k >= 2, got $k")
+    df.withColumn("fold",
+      pmod(PolyHash64.poly_hash64(
+        concat(lit("gfold|"), groupCol.cast(StringType))), lit(k.toLong)))
+  }
+
+  /** §2 row 296 — 5 folds keyed by source: all of a source's docs
+    * share a fold. */
+  def groupKfoldQ(s: SparkSession, d: String): DataFrame =
+    assignGroupFolds(Tables.documents(s, d), col("source"), 5)
+      .select(col("doc_id"), col("source"), col("fold"))
+      .orderBy(col("doc_id"))
+
   /** Nested ablation tiers (SURVEY.md §2 row 171) — the subset ladder
     * scaling-law and data-ablation experiments need: a 1% / 10% /
     * 100% corpus where every smaller tier is a STRICT SUBSET of every
@@ -579,6 +602,7 @@ object TrainingOps {
     "q_walk_forward"   -> (walkForwardQ _),
     "q_split_assign"   -> (splitAssignQ _),
     "q_kfold"          -> (kfoldQ _),
+    "q_group_kfold"    -> (groupKfoldQ _),
     "q_decontaminate"  -> (decontaminateQ _),
     "q_pack_sequences" -> (packSequencesQ _),
     "q_shuffle_order"  -> (shuffleOrderQ _),
@@ -733,6 +757,14 @@ object TrainingOps {
       s"""SELECT doc_id, (h % 5 + 5) % 5 AS fold
          |FROM (${polyHashSql("fold|")}) _h
          |ORDER BY doc_id""".stripMargin,
+
+    // the SAME hash replay, keyed by the group string instead of the id
+    "q_group_kfold" ->
+      s"""SELECT d.doc_id, d.source, (gh.h % 5 + 5) % 5 AS fold
+         |FROM (${polyHashOverSql("doc_id",
+                 "SELECT doc_id, 'gfold|' || source AS t FROM documents")}) gh
+         |JOIN documents d ON d.doc_id = gh.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // residue < first admitting ppm threshold; -1 never fires here
     // because the ladder ends at 1e6

@@ -84,6 +84,52 @@ object WebIr {
       .agg(count(lit(1)).as("n_cocite"))
   }
 
+  /** Bibliographic coupling (SURVEY.md §2 row 294) — the DUAL of
+    * [[coCitation]] (Kessler 1963): pairs of SOURCES that cite a
+    * common target, where co-citation pairs targets cited by a common
+    * source. Coupling is the similarity usable at CRAWL time (a page's
+    * outlinks are known the moment it's parsed; its inlinks need the
+    * whole graph), so it drives early related-page grouping and
+    * link-spam clustering. Same shape, dual key: the self-join is
+    * quadratic in a single TARGET's in-degree, so targets above
+    * `maxInDegree` are dropped first (a target half the web links —
+    * a CDN asset, a license page — carries no coupling signal, the
+    * stopword argument). */
+  def bibCoupling(links: DataFrame, srcCol: String, urlCol: String,
+                  maxInDegree: Int = 1000): DataFrame = {
+    require(maxInDegree >= 2, s"maxInDegree must be >= 2, got $maxInDegree")
+    val e = links.select(col(srcCol).as("src"), col(urlCol).as("url")).distinct()
+    val keep = e.groupBy(col("url")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") <= maxInDegree)
+      .select(col("url"))
+    val ek = e.join(keep, Seq("url"), "left_semi")
+    ek.as("a").join(ek.as("b"),
+        col("a.url") === col("b.url") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Host-graph collapse (SURVEY.md §2 row 295) — the page-level link
+    * table rolled up to a registered-domain graph: the granularity
+    * crawl policy actually operates at (domain reputation, politeness
+    * budgets, the row-114/268 link-scoring inputs — ranking 10⁹ pages
+    * starts from ranking 10⁶ domains). Each endpoint URL maps through
+    * the row-232 canonicalization to its registered domain (NULL —
+    * unparseable or unknown TLD — folds to 'unknown', the
+    * domain-report posture); INTRA-domain edges drop (site navigation
+    * is not an endorsement, the same rule PageRank-over-domains uses);
+    * the rest aggregate to (src_domain, dst_domain, n_links). One
+    * map-side-combined aggregation over per-row projections. */
+  def hostGraph(links: DataFrame, srcUrlCol: org.apache.spark.sql.Column,
+                dstUrlCol: org.apache.spark.sql.Column): DataFrame = {
+    def dom(u: org.apache.spark.sql.Column) =
+      coalesce(Urls.registeredDomain(Urls.hostOf(u)), lit("unknown"))
+    links.select(dom(srcUrlCol).as("src_domain"), dom(dstUrlCol).as("dst_domain"))
+      .filter(col("src_domain") =!= col("dst_domain"))
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
   private def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     GraphOps.fdiv(a, b)
 
@@ -233,11 +279,52 @@ object WebIr {
       .orderBy(col("url"))
   }
 
+  /** §2 row 294 — coupling over an SF-STABLE target space: each doc
+    * links targets ⌊id/2⌋ and ⌊id/2⌋+1, so every target's in-degree is
+    * ~4 at ANY corpus size (pair volume grows linearly, never
+    * quadratically — the seed itself must respect the operator's
+    * contract) and consecutive docs chain into coupled pairs. */
+  def bibCouplingQ(s: SparkSession, d: String): DataFrame = {
+    val links = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("j"))
+      .select(col("doc_id"),
+        concat(lit("https://t.example.com/p/"),
+          (GraphOps.fdiv(col("doc_id"), lit(2L)) + col("j")).cast("string"))
+          .as("url"))
+    bibCoupling(links, "doc_id", "url")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** §2 row 295 — the host graph over seeded page edges: source URLs
+    * ride the q_url_canon TLD rotation (the unknown-TLD branch folds
+    * to 'unknown'), destinations rotate hub hosts with a mixed-case
+    * known/unknown TLD split, and doc_id%6==0 edges point INSIDE the
+    * source's own domain (the intra-domain drop is exercised). */
+  def hostGraphQ(s: SparkSession, d: String): DataFrame = {
+    val m4 = pmod(col("doc_id"), lit(4))
+    val tld = when(m4 === 0, ".COM").when(m4 === 1, ".Co.UK")
+      .when(m4 === 2, ".GitHub.IO").otherwise(".Example")
+    val src = concat(lit("HTTPS://WWW."), upper(col("source")), tld,
+      lit("/a/"), col("doc_id").cast("string"))
+    val dst = when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(lit("https://www."), upper(col("source")), tld, lit("/b/1")))
+      .otherwise(concat(lit("HTTP://Hub"), pmod(col("doc_id"), lit(3)).cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(".example.COM"))
+          .otherwise(lit(".Example")),
+        lit("/p/"), pmod(col("doc_id"), lit(7)).cast("string")))
+    hostGraph(Tables.documents(s, d).select(col("doc_id"),
+        src.as("src_url"), dst.as("dst_url")),
+        col("src_url"), col("dst_url"))
+      .orderBy(col("src_domain"), col("dst_domain"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anchor_text"     -> (anchorTextQ _),
     "q_cocitation"      -> (coCitationQ _),
     "q_hits"            -> (hitsQ _),
-    "q_redirect_chains" -> (redirectChainsQ _))
+    "q_redirect_chains" -> (redirectChainsQ _),
+    "q_bib_coupling"    -> (bibCouplingQ _),
+    "q_host_graph"      -> (hostGraphQ _))
 
   /** Textual floor-div macro (b > 0), the GraphOps.iterSql twin. */
   private def fd(a: String, b: String) =
@@ -260,6 +347,58 @@ object WebIr {
        |  SELECT node, ${fd("hr * 1000000", "t")} AS s FROM hr$i, hs$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the in-degree cap never trips at the seed's constant ~4, so the
+    // oracle states the pure coupling semantics
+    "q_bib_coupling" ->
+      """WITH lnk AS (
+        |  SELECT doc_id,
+        |    'https://t.example.com/p/' || CAST(doc_id // 2 + j AS VARCHAR) AS url
+        |  FROM documents, (SELECT unnest([0, 1]) AS j) js),
+        |e AS (SELECT DISTINCT doc_id AS src, url FROM lnk)
+        |SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+        |FROM e a JOIN e b ON a.url = b.url AND a.src < b.src
+        |GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // both endpoints unpivot through ONE shared canonSql pass (keyed by
+    // (doc_id, side)), then re-pair; NULL registered domains fold to
+    // 'unknown' and intra-domain edges drop, exactly as the engine
+    "q_host_graph" ->
+      ("""WITH edges AS (
+         |  SELECT doc_id, 's' AS side,
+         |    'HTTPS://WWW.' || upper(source)
+         |      || (CASE WHEN doc_id % 4 = 0 THEN '.COM'
+         |               WHEN doc_id % 4 = 1 THEN '.Co.UK'
+         |               WHEN doc_id % 4 = 2 THEN '.GitHub.IO'
+         |               ELSE '.Example' END)
+         |      || '/a/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'd',
+         |    CASE WHEN doc_id % 6 = 0 THEN
+         |      'https://www.' || upper(source)
+         |        || (CASE WHEN doc_id % 4 = 0 THEN '.COM'
+         |                 WHEN doc_id % 4 = 1 THEN '.Co.UK'
+         |                 WHEN doc_id % 4 = 2 THEN '.GitHub.IO'
+         |                 ELSE '.Example' END) || '/b/1'
+         |    ELSE
+         |      'HTTP://Hub' || CAST(doc_id % 3 AS VARCHAR)
+         |        || (CASE WHEN doc_id % 2 = 0 THEN '.example.COM' ELSE '.Example' END)
+         |        || '/p/' || CAST(doc_id % 7 AS VARCHAR) END
+         |  FROM documents),
+         |""".stripMargin
+        + Urls.canonSql("edges", Seq("doc_id", "side")) + ",\n"
+        + """pairs AS (
+           |  SELECT COALESCE(s.registered_domain, 'unknown') AS src_domain,
+           |         COALESCE(d.registered_domain, 'unknown') AS dst_domain
+           |  FROM canonized s JOIN canonized d ON s.doc_id = d.doc_id
+           |  WHERE s.side = 's' AND d.side = 'd')
+           |SELECT src_domain, dst_domain, COUNT(*) AS n_links
+           |FROM pairs
+           |WHERE src_domain <> dst_domain
+           |GROUP BY 1, 2
+           |ORDER BY src_domain, dst_domain""".stripMargin),
+
     "q_anchor_text" ->
       s"""WITH $linkSeedSql,
          |tot AS (

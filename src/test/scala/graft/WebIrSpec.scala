@@ -57,6 +57,43 @@ class WebIrSpec extends AnyFunSuite {
     assert(all.count() == 1L + 10L) // (a,b) + C(5,2) farm pairs
   }
 
+  test("bib coupling: sources sharing targets pair; a mega-target past the cap is mute") {
+    val links = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "y")) ++
+      (1L to 6L).map(s => (s, "cdn-asset")) // in-degree 6 > cap 5
+    val got = WebIr.bibCoupling(links.toDF("src", "url"), "src", "url",
+        maxInDegree = 5)
+      .orderBy("src_a", "src_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // (1,2) share x and y; (1,3)/(2,3) share y; cdn-asset adds NOTHING
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("host graph: registered-domain rollup, intra-domain drop, unknown fold") {
+    import org.apache.spark.sql.functions.col
+    val edges = Seq(
+      ("https://www.a.com/p/1", "https://B.co.uk/x"),   // a.com -> b.co.uk
+      ("https://sub.a.com/p/2", "https://b.co.uk/y"),   // same collapsed edge
+      ("https://www.a.com/p/3", "https://a.com/nav"),   // intra-domain: dropped
+      ("https://a.com/p/4", "http://weird.invalidtld/z")) // unknown dst
+      .toDF("s", "t")
+    val got = WebIr.hostGraph(edges, col("s"), col("t"))
+      .orderBy("src_domain", "dst_domain")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a.com", "b.co.uk", 2L), ("a.com", "unknown", 1L)))
+  }
+
+  test("group k-fold: every group's rows land in exactly one fold") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 300).map(i => (i.toLong, s"g${i % 23}")).toDF("id", "g")
+    val folds = graft.operators.TrainingOps.assignGroupFolds(df, col("g"), 5)
+    val perGroup = folds.groupBy("g")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("fold")).as("nf"))
+      .as[(String, Long)].collect()
+    assert(perGroup.forall(_._2 == 1L))
+    // and the folds genuinely spread (not all groups in one fold)
+    assert(folds.select("fold").distinct().count() >= 3)
+  }
+
   test("hits: symmetric bipartite graph gives equal hubs and equal authorities") {
     // 2 hubs each linking the same 2 authorities
     val e = Seq((0L, 1L), (0L, 3L), (2L, 1L), (2L, 3L)).toDF("s", "d")
