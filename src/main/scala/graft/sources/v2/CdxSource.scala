@@ -163,28 +163,36 @@ class CdxDataWriter(stagingDir: String, queryId: String, partitionId: Int,
   // colliding in staging
   private val finalName = f"part-$partitionId%05d-$queryId.cdx"
   private val staged = new Path(s"$stagingDir/attempt-$taskId-$finalName")
-  private lazy val out = {
-    val f = staged.getFileSystem(conf.value)
-    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      f.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+  // opened lazily but TRACKED: abort on a writer that never wrote must
+  // not force-create the staged file just to close it
+  private var out: java.io.BufferedWriter = _
+  private def writer: java.io.BufferedWriter = {
+    if (out == null) {
+      val f = staged.getFileSystem(conf.value)
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        f.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+    }
+    out
   }
 
   override def write(r: InternalRow): Unit = {
-    out.write(CdxSource.formatLine(r.getUTF8String(0).toString,
+    writer.write(CdxSource.formatLine(r.getUTF8String(0).toString,
       r.getUTF8String(1).toString, r.getUTF8String(2).toString,
       r.getLong(3), r.getLong(4), r.getLong(5), r.getUTF8String(6).toString))
-    out.write('\n')
+    writer.write('\n')
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
+    writer.close() // an empty partition still commits its (empty) file
     CdxCommit(staged.toString, finalName)
   }
 
   override def abort(): Unit = {
-    out.close()
-    val f = staged.getFileSystem(conf.value)
-    f.delete(staged, false); ()
+    if (out != null) {
+      out.close()
+      val f = staged.getFileSystem(conf.value)
+      f.delete(staged, false); ()
+    }
   }
 
   override def close(): Unit = ()

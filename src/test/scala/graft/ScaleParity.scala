@@ -48,7 +48,16 @@ object ScaleParity {
     // host archive strings grow 10x; offsets, carving and the DSv2
     // file/connector paths all re-verify at sf1-equivalent volume)
     "q_warc_extract", "q_wet_text", "q_cdx_index", "q_warc_source",
-    "q_cdx_source")
+    "q_cdx_source",
+    // round-13 second wave: every doc-keyed new family (q_mwu/q_ewma
+    // stay out — events-keyed, the q_hll_registers rule) plus the
+    // lineitem/orders-keyed TPC-H completions (dims copy verbatim;
+    // both engines read the same replica files, so parity holds)
+    "q_md_linearize", "q_hilbert", "q_gini", "q_pass_at_k", "q_revalidate",
+    "q_bib_coupling", "q_host_graph", "q_group_kfold", "q_robots_meta",
+    "q_band_join", "q7_nation_volume", "q8_market_share", "q10_returned",
+    "q13_cust_dist", "q15_top_supplier", "q17_small_qty",
+    "q21_late_suppliers", "q22_global_sales")
 
   /** Write `df` as a SINGLE parquet file `<dir>/<table>.parquet` —
     * the driver-testdata shape both engines read. */
