@@ -205,9 +205,39 @@ object UnigramTok {
       .orderBy(col("doc_id"))
   }
 
+  /** The pinned WordPiece vocab for q_wordpiece (SURVEY.md §2 row
+    * 297): all [a-z0-9] single characters in both start and
+    * continuation forms (so corpus tokens never UNK — UNK itself is
+    * spec-pinned), plus multi-char start/## pieces chosen to segment
+    * the synthetic corpus's frequent words non-trivially. A LITERAL,
+    * not a learned table: the operator takes any vocab; the pinned
+    * one keeps both engines' derivation byte-identical. */
+  private[operators] val WordPieceVocab: Seq[String] = {
+    val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    chars ++ chars.map("##" + _) ++ Seq(
+      "ta", "##ble", "sc", "##an", "fa", "##st", "spark", "wind", "##ow",
+      "mer", "##ge", "ba", "##tch", "val", "##ue", "cust", "##omer",
+      "qu", "##ery", "the", "##er", "##s", "gr", "##oup", "fil", "##ter")
+  }
+
+  /** §2 row 297 — greedy WordPiece over the corpus's distinct regex
+    * tokens: (word, pieces, n_pieces), the MaxMatch complement of the
+    * BPE and Viterbi encoders. Distinct-word-bounded (the BPE trainer
+    * layout): the corpus never pays per-occurrence encoding. */
+  def wordPieceQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("w"))
+      .distinct()
+      .withColumn("pieces", graft.plans.WordPieceEncode.word_piece(
+        col("w"), WordPieceVocab))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .orderBy(col("w"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_vocab"  -> (unigramVocabQ _),
-    "q_unigram_encode" -> (unigramEncodeQ _))
+    "q_unigram_encode" -> (unigramEncodeQ _),
+    "q_wordpiece"      -> (wordPieceQ _))
 
   // ---- oracle --------------------------------------------------------------
 
@@ -303,6 +333,40 @@ object UnigramTok {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the greedy MaxMatch replayed as a recursive CTE: per step the
+    // longest vocab piece at pos is the first non-NULL of a
+    // descending-length probe (range(n, 0, -1)); a gap collapses the
+    // word to ['[UNK]'] and stops (pos := length). DuckDB length/
+    // substr are code-point based, matching the Expression exactly.
+    "q_wordpiece" -> {
+      val v = WordPieceVocab.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE words AS (
+         |  SELECT DISTINCT w FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w
+         |    FROM documents) u),
+         |h AS (
+         |  SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
+         |  UNION ALL
+         |  SELECT w,
+         |    CASE WHEN m IS NULL THEN length(w)
+         |         ELSE pos + length(m) - CASE WHEN pos > 0 THEN 2 ELSE 0 END END,
+         |    CASE WHEN m IS NULL THEN ['[UNK]'] ELSE list_append(pieces, m) END
+         |  FROM (
+         |    SELECT w, pos, pieces,
+         |      (list_filter(list_transform(range(LEAST(8, length(w) - pos), 0, -1),
+         |        L -> CASE WHEN list_contains($v,
+         |            (CASE WHEN pos > 0 THEN '##' ELSE '' END)
+         |              || substr(w, pos + 1, L))
+         |          THEN (CASE WHEN pos > 0 THEN '##' ELSE '' END)
+         |            || substr(w, pos + 1, L) END),
+         |        x -> x IS NOT NULL))[1] AS m
+         |    FROM h WHERE pos < length(w)) t)
+         |SELECT w, pieces, CAST(len(pieces) AS BIGINT) AS n_pieces
+         |FROM h
+         |WHERE pos >= length(w)
+         |ORDER BY w""".stripMargin
+    },
+
     "q_unigram_vocab" ->
       s"""WITH $trainSql
          |SELECT piece, cnt, sc FROM vocab1 ORDER BY piece""".stripMargin,
