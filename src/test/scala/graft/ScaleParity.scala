@@ -57,7 +57,8 @@ object ScaleParity {
     "q_bib_coupling", "q_host_graph", "q_group_kfold", "q_robots_meta",
     "q_band_join", "q7_nation_volume", "q8_market_share", "q10_returned",
     "q13_cust_dist", "q15_top_supplier", "q17_small_qty",
-    "q21_late_suppliers", "q22_global_sales")
+    "q21_late_suppliers", "q22_global_sales",
+    "q_wordpiece")
 
   /** Write `df` as a SINGLE parquet file `<dir>/<table>.parquet` —
     * the driver-testdata shape both engines read. */
