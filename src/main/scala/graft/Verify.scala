@@ -15,8 +15,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's pandas compare sorts every column; list values
+        // are unsortable there (q_wordpiece went red in round 13 this
+        // way). Reject ARRAY/MAP/STRUCT outputs loudly at dump time so
+        // a new query can never reach the gate with one.
+        val complex = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType  => true
+          case _: org.apache.spark.sql.types.MapType    => true
+          case _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        require(complex.isEmpty,
+          s"query $name emits non-scalar column(s) the gate harness " +
+          s"cannot sort: ${complex.map(f => s"${f.name}: ${f.dataType.sql}")
+            .mkString(", ")} — join arrays to strings (array_join)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

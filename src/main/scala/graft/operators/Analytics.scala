@@ -652,7 +652,7 @@ object Analytics {
       """WITH e AS (
         |  SELECT event_id, user_id, ts,
         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |l AS (
         |  SELECT event_id, user_id, cents,
         |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id

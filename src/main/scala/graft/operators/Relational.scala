@@ -73,7 +73,10 @@ object Relational {
   }
 
   /** §2.2#18 — five-way join, revenue by nation (TPC-H Q5 shape).
-    * region/nation/supplier are true dims → explicit broadcast. */
+    * region/nation are FIXED-cardinality dims → explicit broadcast;
+    * supplier grows with scale factor, so it is left to AQE (which
+    * broadcasts it at small SF and shuffles it at 100 TB — a forced
+    * hint would blow the build side past executor heap there). */
   def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
     val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val nat = Tables.nation(s, d)
@@ -85,7 +88,7 @@ object Relational {
     val li = Tables.lineitem(s, d)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))

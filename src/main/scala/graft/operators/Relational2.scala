@@ -54,7 +54,7 @@ object Relational2 {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
               col("l_shipdate") <  lit("1997-07-01").cast(TimestampType))
-      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType)
           / sum(rev).cast(DoubleType)).as("promo_share"),
@@ -82,7 +82,7 @@ object Relational2 {
       (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
       (col("p_brand") === "Brand#15" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15))
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
       .filter(cond)
       .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
              .cast(DoubleType).as("revenue"),

@@ -13,11 +13,16 @@ import graft.sources.Tables
   * (SURVEY.md §5): DECIMAL-exact sums cast to double ONCE at display,
   * explicit ORDER BY with tiebreakers, identical aliases both sides.
   *
-  * Scale postures are the classic ones: dims broadcast, the fact join
-  * shuffles on its key once, aggregates combine map-side; the two
-  * correlated-aggregate shapes (Q15's max-revenue join-back, Q17's
-  * per-part average) materialize the aggregate as a frame and join it
-  * back co-partitioned rather than re-scanning per row. */
+  * Scale postures are the classic ones: only FIXED-cardinality dims
+  * (nation = 25 rows, region = 5) carry an explicit `broadcast` hint;
+  * customer/supplier/part GROW with scale factor, so their joins are
+  * left unhinted — at sf0.1 AQE broadcasts them anyway (observe the
+  * plan), while at 100× a forced hint would OR the build side past
+  * the executor heap and kill the job where AQE would shuffle. This
+  * mirrors Relational.scala's round-1 posture (customer left to AQE).
+  * The two correlated-aggregate shapes (Q15's max-revenue join-back,
+  * Q17's per-part average) materialize the aggregate as a frame and
+  * join it back co-partitioned rather than re-scanning per row. */
 object Relational3 {
 
   import Relational.{dec2, revenueTerm}
@@ -26,7 +31,7 @@ object Relational3 {
 
   /** Q7 shape — volume shipping between two nations: revenue by
     * (supplier nation, customer nation, ship year) for the ordered
-    * pairs (A,B) and (B,A). Both dims broadcast twice under different
+    * pairs (A,B) and (B,A). The 25-row nation dim broadcasts twice under
     * aliases; the lineitem↔orders join is the only big shuffle. */
   def q7NationVolume(s: SparkSession, d: String): DataFrame = {
     val n1 = Tables.nation(s, d).select(col("n_nationkey").as("snk"),
@@ -37,8 +42,8 @@ object Relational3 {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
               col("l_shipdate") <  lit("1998-01-01").cast(TimestampType))
       .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
       .join(broadcast(n1), col("snk") === col("s_nationkey"))
       .join(broadcast(n2), col("cnk") === col("c_nationkey"))
       .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
@@ -60,12 +65,12 @@ object Relational3 {
     val suppNation = Tables.nation(s, d)
       .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
         col("p_partkey") === col("l_partkey"))
       .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
       .join(broadcast(euNations), col("cnk") === col("c_nationkey"), "left_semi")
-      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
       .join(broadcast(suppNation), col("snk") === col("s_nationkey"))
       .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
       .agg((sum(when(col("supp_nation") === "NATION_5", rev)
@@ -85,7 +90,7 @@ object Relational3 {
           .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
                   col("o_orderdate") <  lit("1996-07-01").cast(TimestampType)),
         col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(sum(rev).cast(DoubleType).as("revenue"), count(lit(1)).as("n_lines"))
@@ -116,7 +121,7 @@ object Relational3 {
     val mx = revenue.agg(max(col("__tr")).as("__mx"))
     revenue.crossJoin(broadcast(mx))
       .filter(col("__tr") === col("__mx"))
-      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("__tr").cast(DoubleType).as("total_revenue"))
       .orderBy(col("s_suppkey"))
@@ -131,11 +136,11 @@ object Relational3 {
     * decimal (qty·cnt·2 < sum·1 cross-multiplied). */
   def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")),
+      .join(Tables.part(s, d).filter(col("p_brand") === "Brand#23"),
         col("p_partkey") === col("l_partkey"))
     val avgq = li.groupBy(col("p_partkey").as("__pk"))
       .agg(sum(dec2(col("l_quantity"))).as("__sq"), count(lit(1)).as("__nq"))
-    li.join(broadcast(avgq), col("__pk") === col("p_partkey"))
+    li.join(avgq, col("__pk") === col("p_partkey"))
       // qty < 0.5 * avg  ==  qty * n * 2 < sum  (all exact decimals)
       .filter(dec2(col("l_quantity")) * col("__nq") * 2 < col("__sq"))
       .agg(sum(rev).cast(DoubleType).as("small_qty_revenue"),
@@ -163,7 +168,7 @@ object Relational3 {
       .join(perOrder, Seq("l_orderkey"))
       .filter(col("__n_supp") >= 2 && col("__n_late") === 1L &&
         col("__supp_late") === 1L)
-      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))

@@ -232,6 +232,11 @@ object UnigramTok {
       .withColumn("pieces", graft.plans.WordPieceEncode.word_piece(
         col("w"), WordPieceVocab))
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      // the gate harness sorts columns in pandas, which cannot order
+      // list values — emit the joined string, not the ARRAY (the
+      // q_unigram_encode output shape)
+      .withColumn("pieces_text", array_join(col("pieces"), " "))
+      .drop("pieces")
       .orderBy(col("w"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -361,7 +366,8 @@ object UnigramTok {
          |            || substr(w, pos + 1, L) END),
          |        x -> x IS NOT NULL))[1] AS m
          |    FROM h WHERE pos < length(w)) t)
-         |SELECT w, pieces, CAST(len(pieces) AS BIGINT) AS n_pieces
+         |SELECT w, CAST(len(pieces) AS BIGINT) AS n_pieces,
+         |  list_aggregate(pieces, 'string_agg', ' ') AS pieces_text
          |FROM h
          |WHERE pos >= length(w)
          |ORDER BY w""".stripMargin

@@ -22,6 +22,39 @@ import graft.sources.{Tables, Warc}
   * malformed-record tolerance is spec-pinned in WarcSpec). */
 object WarcOps {
 
+  /** Cluster-visible scratch dir for the two file-staging queries,
+    * unique per session. The round-13 advice hazard: a driver-resolved
+    * `java.io.tmpdir` path written via foreachPartition means each
+    * EXECUTOR writes its own local disk on a multi-node cluster with a
+    * `file:` default FS — the subsequent read silently sees a partial
+    * seed dir. So: a local master stages under java.io.tmpdir (one
+    * host, always visible); a non-local master REQUIRES a non-file
+    * default FS and stages under /tmp on it (override with
+    * spark.graft.scratch.dir). Suffixing the applicationId makes the
+    * dir session-unique — one session's delete-at-start can no longer
+    * clobber another's in-flight read — while repeated bench/verify
+    * calls in the SAME session still reuse (and re-clear) one dir
+    * instead of leaking a fresh tempdir per call. */
+  private[graft] def scratchDir(s: SparkSession, name: String)
+      : org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val conf = s.sessionState.newHadoopConf()
+    val scheme = FileSystem.getDefaultUri(conf).getScheme
+    val localFs = scheme == null || scheme == "file"
+    val base = s.conf.getOption("spark.graft.scratch.dir").getOrElse {
+      if (s.sparkContext.isLocal) sys.props("java.io.tmpdir")
+      else {
+        require(!localFs,
+          s"scratch dir '$name' needs a cluster-visible filesystem: the " +
+          "default FS is file:// but the master is non-local, so executor " +
+          "writes would land on per-host disks the read never sees - set " +
+          "fs.defaultFS to a shared FS or spark.graft.scratch.dir explicitly")
+        "/tmp"
+      }
+    }
+    new Path(new Path(base), s"${name}_${s.sparkContext.applicationId}")
+  }
+
   private val CRLF = "\r\n"
 
   /** The in-payload trap: a complete fake record, verbatim. */
@@ -221,10 +254,9 @@ object WarcOps {
     // query (round-12 verdict item 2). Each task writes its own
     // partition's archives through the Hadoop FS (scheme-agnostic,
     // credentials ride the serialized session conf). The scratch dir
-    // is DETERMINISTIC and cleared at start — repeated bench/verify
-    // runs reuse it instead of leaking a fresh tempdir per call.
-    val dir = new org.apache.hadoop.fs.Path(
-      sys.props("java.io.tmpdir"), "graft_warcsrc_seed")
+    // is session-unique, cluster-visible, and cleared at start — see
+    // [[scratchDir]] for the multi-node and cross-session hazards.
+    val dir = scratchDir(s, "graft_warcsrc_seed")
     val conf = new graft.sources.v2.SerializableHadoopConf(
       s.sessionState.newHadoopConf())
     val fs = dir.getFileSystem(conf.value)
@@ -255,10 +287,9 @@ object WarcOps {
     * so this query value-checks the whole write→commit→list→parse
     * loop, the write twin of q_warc_source's read-side check. */
   def cdxSourceQ(s: SparkSession, d: String): DataFrame = {
-    val dir = new org.apache.hadoop.fs.Path(
-      sys.props("java.io.tmpdir"), "graft_cdxsrc")
+    val dir = scratchDir(s, "graft_cdxsrc")
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(dir, true) // deterministic scratch, cleared at start
+    fs.delete(dir, true) // session-unique scratch, cleared at start
     cdxIndexQ(s, d)
       .select(col("surt"), col("warc_date"), col("file"), col("rec_offset"),
         col("content_length"), col("digest"), col("url_canon"))

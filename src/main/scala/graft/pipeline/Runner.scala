@@ -69,7 +69,33 @@ object Runner {
   }
 
   /** The single-stage name legacy ledger rows (stage = NULL) fold to. */
-  private val SoloStage = "task"
+  val SoloStage = "task"
+
+  /** Resolve an omitted `finalStage` (null = the caller took the
+    * default) against what the ledger actually contains. The silent
+    * failure this kills (round-13 advice): a caller who ran a
+    * multi-stage DAG via [[runDueStages]] and later calls
+    * [[dueWindows]]/[[healthReport]] WITHOUT `finalStage` would key
+    * success off the solo stage name, which no staged row carries —
+    * every window reads as never-succeeded, forever due and never
+    * healthy, silently re-running completed DAGs. So: defaulting is
+    * only legal when the ledger holds solo rows exclusively; a staged
+    * ledger demands the stage name (pass `stages.last._1`, or
+    * [[SoloStage]] explicitly to assert the solo reading). */
+  private def resolveFinalStage(ledger: DataFrame, finalStage: String): String =
+    if (finalStage != null) finalStage
+    else {
+      val foreign = ledger
+        .select(coalesce(col("stage"), lit(SoloStage)).as("stage"))
+        .filter(col("stage") =!= SoloStage)
+        .distinct().collect().map(_.getString(0))
+      require(foreign.isEmpty,
+        s"this ledger contains multi-stage rows (${foreign.mkString(", ")}); " +
+        "pass finalStage explicitly (the last stage name of your DAG) - " +
+        "defaulting to the solo stage would treat every completed window " +
+        "as never-succeeded and re-run it")
+      SoloStage
+    }
 
   /** Windows of `cron` due in (`since`, `now`]: fired, minus already
     * succeeded, minus (unless `retryFailed`) already exhausted. A
@@ -79,16 +105,18 @@ object Runner {
   def dueWindows(spark: SparkSession, root: String, cron: String,
                  since: LocalDateTime, now: LocalDateTime,
                  retryFailed: Boolean = false,
-                 finalStage: String = SoloStage): Seq[String] = {
+                 finalStage: String = null): Seq[String] = {
     val fired = CronSpec.parse(cron).firings(since, now).map(Fmt.format)
+    val raw = readLedger(spark, root)
+    val fin = resolveFinalStage(raw, finalStage)
     // exhausted = a TERMINAL 'failed' row exists (on ANY stage) — a
     // window whose ledger holds only 'retrying' rows was interrupted
     // mid-retry (a crash between attempts) and must RESUME, not
     // silently enter the manual-clear posture it never earned
-    val ledger = readLedger(spark, root)
+    val ledger = raw
       .groupBy(col("window"))
       .agg(max(when(col("status") === "success" &&
-          coalesce(col("stage"), lit(SoloStage)) === finalStage, 1L)
+          coalesce(col("stage"), lit(SoloStage)) === fin, 1L)
           .otherwise(0L)).as("ok"),
         max(when(col("status") === "failed", 1L).otherwise(0L)).as("exhausted"))
       .collect()
@@ -195,15 +223,17 @@ object Runner {
     * was expected yet). The health-check DAG as data. */
   def healthReport(spark: SparkSession, root: String, cron: String,
                    since: LocalDateTime, now: LocalDateTime,
-                   finalStage: String = SoloStage): DataFrame = {
+                   finalStage: String = null): DataFrame = {
     import spark.implicits._
     val expected = CronSpec.parse(cron).firings(since, now).map(Fmt.format)
     val lastExpected = expected.lastOption.getOrElse("")
+    val raw = readLedger(spark, root)
+    val fin = resolveFinalStage(raw, finalStage)
     // only end-to-end completion counts as alive: a staged window
     // that died mid-DAG must not report healthy
-    val lastSuccess = readLedger(spark, root)
+    val lastSuccess = raw
       .filter(col("status") === "success" &&
-        coalesce(col("stage"), lit(SoloStage)) === finalStage)
+        coalesce(col("stage"), lit(SoloStage)) === fin)
       .agg(max(col("window"))).head().getString(0)
     Seq((Option(lastSuccess).getOrElse(""), lastExpected,
         lastExpected.isEmpty || Option(lastSuccess).contains(lastExpected),

@@ -65,16 +65,132 @@ object CdxSource {
 
   def formatLine(surt: String, date: String, file: String, off: Long,
                  len: Long, digest: Long, url: String): String = {
-    require(!surt.contains(' ') && !date.contains(' ') &&
-      !file.contains(' ') && !url.contains(' '),
-      "CDX fields must be space-free (percent-encode upstream)")
+    // Write-time validation must match read-time parsing exactly: a
+    // space would shift fields, and an EMPTY field would vanish under
+    // a limit-less split (java's split drops trailing empties) — so
+    // both are rejected here, and parseLine splits with limit -1 so
+    // that even a hand-edited line with an empty field fails the
+    // 7-field check loudly instead of mis-parsing.
+    def ok(s: String) = s.nonEmpty && !s.contains(' ')
+    require(ok(surt) && ok(date) && ok(file) && ok(url),
+      "CDX fields must be non-empty and space-free (percent-encode upstream)")
     s"$surt $date $file $off $len $digest $url"
   }
 
   def parseLine(line: String): (String, String, String, Long, Long, Long, String) = {
-    val p = line.split(' ')
-    require(p.length == 7, s"malformed CDX line (${p.length} fields): $line")
+    val p = line.split(" ", -1)
+    require(p.length == 7 && p.forall(_.nonEmpty),
+      s"malformed CDX line (${p.length} fields): $line")
     (p(0), p(1), p(2), p(3).toLong, p(4).toLong, p(5).toLong, p(6))
+  }
+
+  /** (queryId, partitionIndex) from a connector-written file name, or
+    * None for a foreign file. Used by the scan to order partitions
+    * NUMERICALLY — a lexicographic sort on the full path would break
+    * at 100k partitions (part-100000 < part-99999) and interleave
+    * append jobs' files by queryId mid-range. */
+  private[v2] val FileName = """part-(\d+)-(.+)\.cdx""".r
+  private[v2] def fileKey(name: String): Option[(String, Long)] = name match {
+    case FileName(idx, qid) => Some((qid, idx.toLong))
+    case _ => None
+  }
+}
+
+/** The commit LOG that makes the table transition atomic on object
+  * stores. Promoting staged part files is one RENAME PER FILE there
+  * (rename-as-copy — no atomic directory move exists), so a crash
+  * mid-promote would leave a partial set of new files visible if the
+  * scan trusted directory listings. Instead, visibility is gated by a
+  * manifest: the LAST step of a commit is creating ONE small file
+  * (`_manifests/m%08d-<queryId>.list`) naming the job's part files —
+  * a single-object PUT, atomic on every store. Crash before it:
+  * promoted files are invisible orphans; the retried job simply
+  * commits its own files once (append idempotence). Crash after it:
+  * the commit is durable and only best-effort cleanup remains.
+  *
+  * Replay: manifests sort by version; a `truncate` manifest resets
+  * the visible set (overwrite mode), an `append` one extends it.
+  * Versions are claimed with create-no-overwrite (the StateStore
+  * optimistic-concurrency pattern) so concurrent committers can
+  * never share one. Truncate does NOT delete old data before its
+  * manifest lands — the old table stays fully readable up to the
+  * atomic flip; the superseded files are deleted after, best-effort
+  * (failures leave invisible garbage, never a broken table).
+  *
+  * A table with NO manifest dir (hand-assembled cdx files, or one
+  * written before this log existed) falls back to listing — the
+  * plain-text interop contract is unchanged. */
+private[v2] object CdxManifest {
+  import org.apache.hadoop.fs.FileSystem
+
+  private def dir(root: Path) = new Path(root, "_manifests")
+  private val Name = """m(\d{8})-.*\.list""".r
+
+  private def versionOf(name: String): Option[Long] = name match {
+    case Name(v) => Some(v.toLong)
+    case _ => None
+  }
+
+  private def listManifests(fs: FileSystem, root: Path): Seq[(Long, Path)] = {
+    val d = dir(root)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.flatMap(s =>
+      versionOf(s.getPath.getName).map(_ -> s.getPath)).sortBy(_._1)
+  }
+
+  /** Visible part-file names in commit order, or None when the table
+    * has no manifest log (foreign/legacy dir → caller falls back to
+    * directory listing). */
+  def visibleFiles(fs: FileSystem, root: Path): Option[Seq[String]] = {
+    val ms = listManifests(fs, root)
+    if (ms.isEmpty) None
+    else Some(ms.foldLeft(Vector.empty[String]) { case (acc, (_, p)) =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        val mode = in.readLine()
+        val files = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).toVector
+        if (mode == "truncate") files else acc ++ files
+      } finally in.close()
+    })
+  }
+
+  /** Land `files` as one atomic commit; returns the claimed version.
+    * The create(overwrite = false) is the linearization point. */
+  def commit(fs: FileSystem, root: Path, queryId: String,
+             files: Seq[String], truncate: Boolean): Long = {
+    fs.mkdirs(dir(root))
+    var v = listManifests(fs, root).lastOption.map(_._1 + 1).getOrElse(1L)
+    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    while (out == null) {
+      val p = new Path(dir(root), f"m$v%08d-$queryId.list")
+      try out = fs.create(p, false)
+      catch { case _: java.io.IOException => v += 1 } // version raced: next
+    }
+    try {
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        out, java.nio.charset.StandardCharsets.UTF_8))
+      w.write(if (truncate) "truncate" else "append"); w.write('\n')
+      files.foreach { f => w.write(f); w.write('\n') }
+      w.flush(); w.close()
+    } finally out.close()
+    v
+  }
+
+  /** Best-effort post-truncate GC: drop manifests below `version` and
+    * data files the new manifest does not name. Runs strictly AFTER
+    * the atomic flip — any failure leaves invisible garbage only. */
+  def pruneBelow(fs: FileSystem, root: Path, version: Long,
+                 keep: Set[String]): Unit = {
+    try {
+      listManifests(fs, root).filter(_._1 < version)
+        .foreach { case (_, p) => fs.delete(p, false) }
+      fs.listStatus(root)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !keep.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    } catch { case _: java.io.IOException => () }
   }
 }
 
@@ -123,26 +239,45 @@ class CdxBatchWrite(path: String, queryId: String, truncate: Boolean,
   /** Only files named by committed tasks become visible; Spark
     * guarantees one commit message per successful task, so speculative
     * or retried attempts (which staged under distinct taskIds) are
-    * simply never promoted. */
+    * simply never promoted.
+    *
+    * Object-store crash discipline (proven in CdxSourceSpec over the
+    * `graftoss:` rename-as-copy FS): the per-file promotes can die at
+    * any point and the table never shows a partial — promoted files
+    * stay INVISIBLE until the manifest write, which is one atomic
+    * single-file create ([[CdxManifest.commit]], the linearization
+    * point). Truncate deletes nothing up front; superseded data is
+    * pruned best-effort only after the flip. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val f = root.getFileSystem(conf.value)
-    if (truncate) {
-      Option(f.listStatus(root)).getOrElse(Array.empty)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-        .foreach(s => f.delete(s.getPath, false))
-    }
     f.mkdirs(root)
-    messages.foreach { case CdxCommit(staged, name) =>
+    // partition order, so the manifest preserves a sorted write's order
+    val ordered = messages.map { case c: CdxCommit => c }
+      .sortBy(c => CdxSource.fileKey(c.finalName).map(_._2).getOrElse(0L))
+    ordered.foreach { case CdxCommit(staged, name) =>
       val dst = new Path(root, name)
       if (f.exists(dst)) f.delete(dst, false) // idempotent re-commit
       require(f.rename(new Path(staged), dst), s"could not commit $staged -> $dst")
     }
+    val names = ordered.map(_.finalName).toSeq
+    val v = CdxManifest.commit(f, root, queryId, names, truncate)
+    if (truncate) CdxManifest.pruneBelow(f, root, v, names.toSet)
     f.delete(new Path(stagingDir), true)
   }
 
+  /** Drop the staging dir AND any files this job already promoted —
+    * they carry no manifest, so they were never visible; deleting them
+    * just keeps a crashed job from leaving orphans for the GC. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val f = new Path(path).getFileSystem(conf.value)
+    val root = new Path(path)
+    val f = root.getFileSystem(conf.value)
+    messages.foreach {
+      case CdxCommit(_, name) =>
+        try f.delete(new Path(root, name), false)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
     f.delete(new Path(stagingDir), true)
   }
 }
@@ -214,15 +349,35 @@ class CdxScan(path: String) extends Scan with Batch {
   override def toBatch: Batch = this
   override def description(): String = s"CdxScan path=$path"
 
+  /** Partition order: a manifest-logged table reads its files in
+    * COMMIT order (each job's files contiguous, in partition order —
+    * [[CdxManifest]]); files promoted by a crashed commit carry no
+    * manifest and are never read. A manifest-less dir (hand-assembled
+    * cdx files, pre-log tables) falls back to listing, ordered by
+    * (queryId, NUMERIC partition index) — numeric so the ordering
+    * survives >99,999 partitions (a lexicographic path sort would put
+    * part-100000 before part-99999). Either way "file order == surt
+    * order" holds GLOBALLY only for a single overwrite job's output
+    * (the q_cdx_source shape); under append mode it holds per-job,
+    * which is the CDX merge-shard contract. Foreign file names sort
+    * after, lexicographically. */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf.value)
-    fs.listStatus(p).filter(_.isFile)
-      .map(_.getPath.toString)
-      .filterNot(s => new Path(s).getName.startsWith(".") ||
-        new Path(s).getName.startsWith("_"))
-      .sorted // file order == surt order for a range-partitioned write
-      .map(CdxFilePartition(_): InputPartition)
+    val files: Seq[Path] = CdxManifest.visibleFiles(fs, p) match {
+      case Some(names) => names.map(new Path(p, _))
+      case None =>
+        fs.listStatus(p).filter(_.isFile)
+          .map(_.getPath)
+          .filterNot(q => q.getName.startsWith(".") || q.getName.startsWith("_"))
+          .sortBy { q =>
+            CdxSource.fileKey(q.getName) match {
+              case Some((qid, idx)) => (0, qid, idx, q.toString)
+              case None             => (1, "", 0L, q.toString)
+            }
+          }.toSeq
+    }
+    files.map(q => CdxFilePartition(q.toString): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -104,4 +104,90 @@ class CdxSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  // ---- staged commit vs rename-as-copy object stores (graftoss:) ----------
+  // The promote step is one rename PER FILE on an object store, so the
+  // atomicity claim lives or dies on the manifest gate: these cases run
+  // the real write path over ObjectStoreFs (CloudRenameSpec's fixture —
+  // copy-then-delete renames with an armable crash budget) and prove
+  // that no crash window ever shows a partial table.
+
+  private def newOssDir(): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftoss.impl", classOf[ObjectStoreFs].getName)
+    "graftoss:" + newDir()
+  }
+
+  private def writeTo(dir: String, df: org.apache.spark.sql.DataFrame,
+                      mode: String): Unit =
+    df.repartitionByRange(4, $"surt").sortWithinPartitions($"surt")
+      .write.format("graft.sources.v2.CdxSource")
+      .option("path", dir).mode(mode).save()
+
+  private def readBack(dir: String) =
+    spark.read.format("graft.sources.v2.CdxSource").option("path", dir).load()
+
+  test("graftoss: lifecycle — overwrite, append, truncate, all lossless") {
+    val dir = newOssDir()
+    writeTo(dir, sample(40), "overwrite")
+    writeTo(dir, sample(40), "append")
+    assert(readBack(dir).count() == 80)
+    writeTo(dir, sample(25), "overwrite") // truncate resets the manifest log
+    assert(readBack(dir).orderBy($"surt").collect().toSeq ==
+      sample(25).orderBy($"surt").collect().toSeq)
+  }
+
+  test("graftoss: crash mid-promote on APPEND — prior table intact, retry lands rows exactly once") {
+    val dir = newOssDir()
+    writeTo(dir, sample(10), "overwrite")
+    ObjectStoreFs.armCrash(afterFiles = 2) // third promoted file dies mid-copy
+    try intercept[Exception] { writeTo(dir, sample(10), "append") }
+    finally ObjectStoreFs.disarm()
+    // the crashed job promoted some files but never wrote its manifest:
+    // nothing of it is visible, the prior table reads whole
+    assert(readBack(dir).orderBy($"surt").collect().toSeq ==
+      sample(10).orderBy($"surt").collect().toSeq)
+    writeTo(dir, sample(10), "append") // the retry
+    assert(readBack(dir).count() == 20)
+  }
+
+  test("graftoss: crash mid-promote on OVERWRITE — old table stays fully readable") {
+    val dir = newOssDir()
+    writeTo(dir, sample(12), "overwrite")
+    ObjectStoreFs.armCrash(afterFiles = 1)
+    try intercept[Exception] { writeTo(dir, sample(30), "overwrite") }
+    finally ObjectStoreFs.disarm()
+    // truncate must not delete ANY old data before the manifest flip
+    assert(readBack(dir).orderBy($"surt").collect().toSeq ==
+      sample(12).orderBy($"surt").collect().toSeq)
+    writeTo(dir, sample(30), "overwrite")
+    assert(readBack(dir).count() == 30)
+  }
+
+  test("promoted-but-unmanifested files are invisible (hard-death window, no abort ran)") {
+    val dir = newDir()
+    writeTo(dir, sample(8), "overwrite")
+    // simulate a process that died between promoting a file and writing
+    // its manifest — the file sits in the root with a valid name
+    val orphan = new java.io.File(dir, "part-00000-deadbeef.cdx")
+    val w = new java.io.PrintWriter(orphan)
+    w.println(CdxSource.formatLine("zz,orphan)/x", "2024-01-01T00:00:00Z",
+      "o.warc", 0L, 1L, 2L, "https://orphan/x"))
+    w.close()
+    assert(readBack(dir).filter($"surt".startsWith("zz,orphan")).count() == 0)
+    assert(readBack(dir).count() == 8)
+  }
+
+  test("a manifest-less dir of hand-written cdx files still reads (interop fallback)") {
+    val dir = newDir()
+    val f = new java.io.File(dir, "hand.cdx")
+    val w = new java.io.PrintWriter(f)
+    w.println(CdxSource.formatLine("com,hand)/a", "2024-01-01T00:00:00Z",
+      "h.warc", 10L, 20L, 30L, "https://hand/a"))
+    w.println(CdxSource.formatLine("com,hand)/b", "2024-01-02T00:00:00Z",
+      "h.warc", 40L, 50L, 60L, "https://hand/b"))
+    w.close()
+    val back = readBack(dir).orderBy($"surt").collect()
+    assert(back.length == 2 && back(0).getString(0) == "com,hand)/a")
+  }
 }

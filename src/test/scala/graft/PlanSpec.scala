@@ -566,4 +566,42 @@ class PlanSpec extends AnyFunSuite {
     val pm = plan(graft.operators.Markdown.linearize(md, col("id"), col("md")))
     assert(!pm.contains("Exchange") && !pm.contains("windowspecdefinition"), pm)
   }
+
+  /** The 100x broadcast rule (round-13 verdict): a `broadcast()` HINT is
+    * an unconditional order — AQE cannot undo it — so it is only safe on
+    * frames whose cardinality does not grow with scale factor. Fixed dims
+    * (nation = 25 rows, region = 5) qualify; customer/supplier/part/
+    * orders/lineitem grow, and a forced build side over them ORs past the
+    * executor heap at 100x where unhinted + AQE would simply shuffle
+    * (and still broadcasts at small SF — observe any sf0.1 plan). This
+    * pin walks every relational query's ANALYZED plan (hints survive
+    * analysis; the optimizer folds them into joins) and rejects any
+    * broadcast hint whose subtree is a bare scan of a growing table.
+    * Hinted AGGREGATE frames are allowed: each hinted aggregate in the
+    * suite is bounded by construction (a global max, a 5-bucket mean). */
+  test("relational suite never force-broadcasts a scale-growing bare scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val fixedDims = Set("nation", "region")
+    val qs: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] =
+      Map("q3_top_orders" -> (Relational.q3TopOrders _),
+          "q5_nation_revenue" -> (Relational.q5NationRevenue _)) ++
+      Relational2.queries ++ graft.operators.Relational3.queries
+    for ((name, fn) <- qs) {
+      val analyzed = fn(spark, TestSpark.sf).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.isDefined =>
+          val bounded = h.child.find(_.isInstanceOf[Aggregate]).isDefined
+          val leafTables = h.child.collectLeaves()
+            .map(_.simpleString(500))
+            .flatMap(l => "([a-z_]+)\\.parquet".r.findAllMatchIn(l)
+              .map(_.group(1)))
+            .toSet
+          assert(bounded || leafTables.subsetOf(fixedDims),
+            s"$name force-broadcasts a bare scan of $leafTables - at 100x " +
+            "this hint kills the job; drop it and let AQE decide")
+        case _ => ()
+      }
+    }
+  }
 }
