@@ -93,4 +93,160 @@ class ExtractClientSpec extends AnyFunSuite {
     // and the next run does not re-request the empty window
     assert(ExtractClient.extractToRaw(spark, spec, emptyFetcher, root, day("2025-06-10"), historicalDays = 5).isEmpty)
   }
+
+  // ---- real-socket seam: HttpPageFetcher vs a flaky loopback server --------
+  // The JDK's com.sun.net.httpserver stands in for the reference API
+  // (extract.py:24-48): bearer-auth GETs over real sockets, with the
+  // fixture injecting 500s, rate limits, pagination cursors, and auth
+  // checks. Everything below extract.py delegates to requests/Airflow
+  // (connection handling, retry) runs for real here.
+
+  /** Loopback fixture: scripted per-path failure budgets, request log,
+    * bearer check, cursor pagination. */
+  private class FlakyServer {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val requests = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    private val failuresLeft = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    val server: HttpServer = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+    def failFirst(path: String, n: Int): Unit =
+      failuresLeft.put(path, new java.util.concurrent.atomic.AtomicInteger(n))
+
+    private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    }
+
+    /** `pages(token)` = (body). Route every path through the script. */
+    def handle(path: String)(pages: Map[String, String]): Unit =
+      server.createContext(path, (x: HttpExchange) => {
+        val q = Option(x.getRequestURI.getQuery).getOrElse("")
+        requests.add(s"$path?$q")
+        if (Option(x.getRequestHeaders.getFirst("Authorization"))
+            .forall(_ != "Bearer tok-123")) respond(x, 401, "no auth")
+        else {
+          val budget = failuresLeft.get(path)
+          if (budget != null && budget.getAndDecrement() > 0)
+            respond(x, if (budget.get() % 2 == 0) 500 else 429, "flaky")
+          else {
+            val tok = q.split("&").find(_.startsWith("next_token="))
+              .map(_.drop("next_token=".length)).getOrElse("")
+            respond(x, 200, pages.getOrElse(tok, """{"data":[]}"""))
+          }
+        }
+      })
+
+    server.start()
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def req(endpoint: String, pStart: String, pEnd: String) =
+    ExtractClient.PageRequest("t", endpoint, 0, "2025-01-01", "2025-01-02",
+      pStart, pEnd)
+
+  test("http fetcher: retries 500/429 with doubling backoff, then succeeds") {
+    val srv = new FlakyServer
+    try {
+      srv.handle("/flaky")(Map("" -> """{"data":[{"day":"2025-01-01","metric":"m","value":1.0}]}"""))
+      srv.failFirst("/flaky", 2)
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val f = new graft.sources.HttpPageFetcher(srv.base, "tok-123",
+        maxRetries = 3, backoffMs = 10, sleeper = sleeps += _)
+      val body = f.fetch(req("/flaky", "2025-01-01", "2025-01-03"))
+      assert(body.contains("\"value\":1.0"))
+      assert(sleeps.toSeq == Seq(10L, 20L)) // exact doubling schedule
+      assert(srv.requests.size == 3)        // 2 failures + 1 success
+    } finally srv.stop()
+  }
+
+  test("http fetcher: exhausting the retry budget throws with the attempt count") {
+    val srv = new FlakyServer
+    try {
+      srv.handle("/down")(Map("" -> """{"data":[]}"""))
+      srv.failFirst("/down", 99)
+      val f = new graft.sources.HttpPageFetcher(srv.base, "tok-123",
+        maxRetries = 2, backoffMs = 1, sleeper = _ => ())
+      val e = intercept[java.io.IOException] {
+        f.fetch(req("/down", "2025-01-01", "2025-01-03"))
+      }
+      assert(e.getMessage.contains("after 3 attempts"))
+      assert(srv.requests.size == 3)
+    } finally srv.stop()
+  }
+
+  test("http fetcher: a 404 fails immediately — no retry on caller bugs") {
+    val srv = new FlakyServer
+    try {
+      srv.handle("/ok")(Map("" -> """{"data":[]}"""))
+      val f = new graft.sources.HttpPageFetcher(srv.base, "tok-123",
+        maxRetries = 5, backoffMs = 1, sleeper = _ => fail("must not sleep"))
+      intercept[graft.sources.HttpPageFetcher.ClientError] {
+        f.fetch(req("/missing", "2025-01-01", "2025-01-03"))
+      }
+      // no handler path logged: the server's default 404 answered once
+      // and the fetcher never slept (the sleeper would have failed)
+      assert(srv.requests.isEmpty)
+    } finally srv.stop()
+  }
+
+  test("http fetcher: follows next_token cursors and merges all pages' data") {
+    val srv = new FlakyServer
+    try {
+      srv.handle("/paged")(Map(
+        "" -> """{"data":[{"day":"2025-01-01","metric":"a","value":1.0}],"next_token":"p2"}""",
+        "p2" -> """{"data":[{"day":"2025-01-02","metric":"b","value":2.0}],"next_token":"p3"}""",
+        "p3" -> """{"data":[{"day":"2025-01-03","metric":"c","value":3.0}]}"""))
+      val f = new graft.sources.HttpPageFetcher(srv.base, "tok-123",
+        maxRetries = 0, backoffMs = 1, sleeper = _ => ())
+      val body = f.fetch(req("/paged", "2025-01-01", "2025-01-04"))
+      assert(Seq("\"metric\":\"a\"", "\"metric\":\"b\"", "\"metric\":\"c\"")
+        .forall(body.contains))
+      assert(srv.requests.size == 3)
+      // param names: a date request sends start_date/end_date...
+      assert(srv.requests.get(0).contains("start_date=2025-01-01"))
+      // ...and cursor follow-ups re-send them plus the token
+      assert(srv.requests.get(1).contains("next_token=p2"))
+    } finally srv.stop()
+  }
+
+  test("http fetcher: datetime requests send RFC-3339 start_datetime/end_datetime") {
+    val srv = new FlakyServer
+    try {
+      srv.handle("/dt")(Map("" -> """{"data":[]}"""))
+      val f = new graft.sources.HttpPageFetcher(srv.base, "tok-123",
+        maxRetries = 0, backoffMs = 1, sleeper = _ => ())
+      f.fetch(req("/dt", "2025-01-01T00:00:00Z", "2025-01-03T23:59:59Z"))
+      val q = srv.requests.get(0) // getQuery logs DECODED params
+      assert(q.contains("start_datetime=2025-01-01T00:00:00Z"), q)
+      assert(q.contains("end_datetime=2025-01-03T23:59:59Z"), q)
+    } finally srv.stop()
+  }
+
+  test("end-to-end over real sockets: flaky server, retry inside executor tasks, raw-zone resume") {
+    val srv = new FlakyServer
+    try {
+      val mk = (day: String, v: Double) =>
+        s"""{"day":"$day","metric":"hr","value":$v}"""
+      srv.handle("/hr")(Map("" -> s"""{"data":[${mk("2025-06-09", 7.0)}]}"""))
+      srv.failFirst("/hr", 2) // both fetch attempts of the first window flake
+      val root = Files.createTempDirectory("graft_extract_http").toString
+      val specs = Seq(EndpointSpec("heartrate", "/hr", DateParams))
+      val f = new graft.sources.HttpPageFetcher(srv.base, "tok-123",
+        maxRetries = 3, backoffMs = 5)
+      val dirs = ExtractClient.extractToRaw(spark, specs, f, root,
+        day("2025-06-10"), historicalDays = 5)
+      assert(dirs.size == 1)
+      val landed = spark.read.json(dirs.head) // the raw zone lands JSON
+      assert(landed.count() == 1 &&
+        landed.select("day").head().getString(0) == "2025-06-09")
+      // watermark advanced: a second run plans (and requests) nothing
+      val before = srv.requests.size
+      assert(ExtractClient.extractToRaw(spark, specs, f, root,
+        day("2025-06-10"), historicalDays = 5).isEmpty)
+      assert(srv.requests.size == before)
+    } finally srv.stop()
+  }
 }
