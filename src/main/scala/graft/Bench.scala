@@ -97,15 +97,29 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // A failed query must be visibly -1, not its time-to-crash — a
       // "faster" bench that is actually a crashing query is worse than
       // a slow one.
-      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
-      name -> t
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+    }
+    val firstPass = selected.map { case (name, fn) => name -> time(name, fn) }
+    // Repeat-min for the slow head (round-13 verdict item 8): a single
+    // cold run after a cache drop can bill one arbitrary query 4x its
+    // steady-state cost (q_bm25: 9.6 s in the round-13 driver artifact
+    // vs 1.7-2.5 s across four builder runs) and read as a phantom
+    // regression. Queries whose first run crossed the threshold run
+    // once more and report the MIN — the regression signal lives in
+    // the slow head, so only it pays the re-run (bounded extra wall
+    // clock), and a genuinely slow plan stays slow on both runs.
+    val RerunThresholdSec = 2.5
+    val results = firstPass.map { case (name, t1) =>
+      if (t1 >= RerunThresholdSec)
+        name -> math.min(t1, time(name, selected(name)))
+      else name -> t1
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // A subset run must be self-identifying: if the env var ever leaks

@@ -15,9 +15,30 @@ import org.apache.spark.sql.types._
   */
 object TextFunctions {
 
+  /** THE null-text posture, structurally (round-13 verdict item 6): a
+    * NULL document tokenizes as the EMPTY document — zero tokens, zero
+    * counts, no boundaries — never as NULL arrays that turn into
+    * size() = -1 (legacy conf) / NULL (ANSI) denominators downstream,
+    * and never as a row silently dropped by explode(NULL). Every
+    * tokenizer in this object routes through here, so operators built
+    * on them inherit the guard instead of re-remembering it (the
+    * ttrGate/textTiling/ngramF1 bug class, commit ad608df). DuckDB
+    * twin for oracles: coalesce(text, ''). */
+  def nullToEmpty(c: Column): Column = coalesce(c, lit(""))
+
+  /** Whitespace word tokens of the lowercased, NULL-guarded text —
+    * the split-on-\s+ tokenizer family's single implementation (the
+    * filter drops the '' artifact an empty/all-space doc leaves).
+    * DuckDB twin: list_filter(string_split_regex(lower(coalesce(text,
+    * '')), '\s+'), x -> x <> ''). */
+  def wsTokens(c: Column): Column =
+    filter(split(lower(nullToEmpty(c)), "\\s+"), w => w =!= "")
+
   /** Word tokens: maximal [A-Za-z0-9]+ runs (group 0 explicitly, to
-    * match engines whose default group differs). */
-  def tokens(c: Column): Column = regexp_extract_all(c, lit("[A-Za-z0-9]+"), lit(0))
+    * match engines whose default group differs). NULL-guarded: a NULL
+    * doc has [] tokens, not NULL. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(nullToEmpty(c), lit("[A-Za-z0-9]+"), lit(0))
 
   /** §2.3#44 — token count (word-level). */
   def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
@@ -25,9 +46,10 @@ object TextFunctions {
   /** §2.3#44 — BPE-ish subword estimate: ~4 chars per subword token. */
   def bpeEstimate(c: Column): Column = ceil(length(c) / 4.0).cast(LongType)
 
-  /** Whitespace-normalized, casefolded form (dedup normalization). */
+  /** Whitespace-normalized, casefolded form (dedup normalization).
+    * NULL-guarded: NULL normalizes to '' (groups with empty docs). */
   def normalize(c: Column): Column =
-    lower(regexp_replace(trim(c), "\\s+", " "))
+    lower(regexp_replace(trim(nullToEmpty(c)), "\\s+", " "))
 
   /** Words of the normalized text. */
   def words(c: Column): Column = split(normalize(c), " ")
@@ -64,10 +86,13 @@ object TextFunctions {
 
   /** Character-class ratio helpers (quality scoring building blocks).
     * greatest(len, 1): an empty document must yield ratio 0, not a
-    * divide-by-zero (ANSI) — the oracles guard identically. */
-  def charClassRatio(c: Column, keepClass: String): Column =
-    length(regexp_replace(c, keepClass, "")).cast(DoubleType) /
-      greatest(length(c), lit(1))
+    * divide-by-zero (ANSI) — the oracles guard identically. NULL text
+    * takes the empty-document reading (ratio 0, not NULL). */
+  def charClassRatio(c: Column, keepClass: String): Column = {
+    val t = nullToEmpty(c)
+    length(regexp_replace(t, keepClass, "")).cast(DoubleType) /
+      greatest(length(t), lit(1))
+  }
 
   def alphaRatio(c: Column): Column = charClassRatio(c, "[^A-Za-z]")
   def digitRatio(c: Column): Column = charClassRatio(c, "[^0-9]")

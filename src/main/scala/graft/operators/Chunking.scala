@@ -61,10 +61,9 @@ object Chunking {
   def textTiling(df: DataFrame, idCol: String, textCol: String,
                  w: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1, got $w")
-    // coalesce: a NULL doc has no boundaries (empty token array), not
-    // a legacy size(NULL) = -1 window count
-    val ws = filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
-      x => x =!= "")
+    // a NULL doc has no boundaries: the shared null-guarded tokenizer
+    // (TextFunctions.wsTokens) folds NULL to the empty token array
+    val ws = graft.functions.TextFunctions.wsTokens(col(textCol))
     val nb = greatest((size(ws) / w).cast(IntegerType) - 1, lit(0))
     val cohs = when(nb >= 1,
       transform(sequence(lit(1), nb), i =>

@@ -491,6 +491,87 @@ object GraphOps {
     kCorePeel(purchaseEdges(s, d), "ca", "sb", k = 48, rounds = 6)
       .orderBy(col("node"))
 
+  /** §2 row 302 — HyperBall (Boldi–Vigna 2013, the HyperANF line): the
+    * NEIGHBOURHOOD FUNCTION |B(v, r)| for every node at once — the
+    * primitive behind harmonic centrality, effective-diameter and
+    * spid on web graphs, where per-source BFS is n× too expensive and
+    * exact multi-source state is O(n²). Each node carries an HLL
+    * register vector of its ball; one radius step is
+    * regs_r(v) = elementwise-max(regs_{r−1}(v), regs_{r−1}(w)) over
+    * edges v→w — max-merge is idempotent/commutative/associative, so
+    * the whole algorithm is |E|-bounded joins over O(n·m) integer
+    * state, never pairs.
+    *
+    * Exactness posture (the [[graft.plans.HllRegistersAgg]] rule): the
+    * oracle surface is the REGISTERS, not the float estimate — per
+    * (node, radius) the register SUM and filled-count, both integers a
+    * SQL replay reproduces bit-exactly (the registers are a pure
+    * function of PolyHash64("hll|" + node) and the edge set). The
+    * float cardinality estimate stays out of the gate by design.
+    *
+    * Scale shape: state rows are (node, bucket, reg) — SPARSE, ≤ n·m,
+    * partitioned by (node, bucket); each radius is one edge equi-join
+    * + one map-side-combinable max aggregation, localCheckpoint-pinned
+    * (monotone state, re-read by the next round and the summary).
+    * maxRadius bounds rounds; m = 2^p bounds per-node state at any
+    * graph size. */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+                p: Int = 4, maxRadius: Int = 3): DataFrame = {
+    require(p >= 2 && p <= 12, s"p must be in [2,12], got $p")
+    require(maxRadius >= 0 && maxRadius <= 16,
+      s"maxRadius must be in [0,16], got $maxRadius")
+    val m = 1 << p
+    val rhoCap = (64 - p + 1).toLong
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    // own-ball init: every node's registers hold exactly {node} — one
+    // sparse row. bucket = low p bits (pmod = the oracle's
+    // ((h % m) + m) % m), rho = trailing-zero rank of the unsigned
+    // high bits (bit_count((w & -w) - 1) + 1, capped when w = 0)
+    val h = graft.plans.PolyHash64.poly_hash64(
+      concat(lit("hll|"), col("node").cast(StringType)))
+    val w = shiftrightunsigned(h, p)
+    val rho = when(w === 0L, lit(rhoCap))
+      .otherwise((bit_count(w.bitwiseAND(-w) - 1) + 1).cast(LongType))
+    var state = nodes
+      .select(col("node"), pmod(h, lit(m.toLong)).as("bucket"), rho.as("reg"))
+      .localCheckpoint()
+    def summary(st: DataFrame, r: Int): DataFrame =
+      st.groupBy(col("node"))
+        .agg(sum(col("reg")).as("reg_sum"), count(lit(1)).as("n_filled"))
+        .withColumn("radius", lit(r.toLong))
+    var out = summary(state, 0)
+    for (t <- 1 to maxRadius) {
+      val pulled = e.join(state, e("dst") === state("node"))
+        .select(e("src").as("node"), col("bucket"), col("reg"))
+      state = state.unionAll(pulled)
+        .groupBy(col("node"), col("bucket"))
+        .agg(max(col("reg")).as("reg"))
+        .localCheckpoint()
+      out = out.unionAll(summary(state, t))
+    }
+    out.select(col("node"), col("radius"), col("reg_sum"), col("n_filled"))
+  }
+
+  /** §2 row 302 registered query — balls over the halving DAG
+    * (doc → ⌊doc/2⌋ and ⌊doc/2⌋+1, the q_bib_coupling SF-stable seed:
+    * out-degree ≤ 2 and in-degree ~4 at ANY corpus size, with real
+    * multi-hop depth since every path funnels toward low ids). p = 4
+    * (16 registers), radius ≤ 3. */
+  def hyperBallQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = docs.select(col("doc_id").as("src"),
+        (col("doc_id") / 2).cast(LongType).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") / 2).cast(LongType) + 1).as("dst")))
+    hyperBall(edges, "src", "dst", p = 4, maxRadius = 3)
+      .orderBy(col("node"), col("radius"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"      -> (pageRankQ _),
     "q_ppr"           -> (pprQ _),
@@ -498,6 +579,7 @@ object GraphOps {
     "q_label_prop"    -> (labelPropQ _),
     "q_seed_distance" -> (seedDistanceQ _),
     "q_kcore"         -> (kCoreQ _),
+    "q_hyperball"     -> (hyperBallQ _),
   )
 
   /** One unrolled PPR iteration — the iterSql twin with teleport and
@@ -717,6 +799,56 @@ object GraphOps {
          |SELECT CAST(sp.node AS BIGINT) AS node, CAST(b.dist AS BIGINT) AS dist
          |FROM spine sp LEFT JOIN best b ON sp.node = b.node
          |ORDER BY sp.node""".stripMargin
+    },
+
+    // HyperBall replay: own-ball registers from the shared PolyHash64
+    // fragment (the q_hll_registers bucket/rho derivation verbatim),
+    // then each radius unrolled as one max-merge CTE pulling successor
+    // registers along the edges — sparse rows throughout, so COUNT(*)
+    // is the filled-register count on both sides. p = 4, radius <= 3.
+    "q_hyperball" -> {
+      val m = 1 << 4
+      val rhoCap = 64 - 4 + 1
+      def step(i: Int): String =
+        s"""r$i AS (
+           |  SELECT node, bucket, MAX(reg) AS reg FROM (
+           |    SELECT * FROM r${i - 1}
+           |    UNION ALL
+           |    SELECT e.src AS node, r.bucket, r.reg
+           |    FROM ed e JOIN r${i - 1} r ON r.node = e.dst) u$i
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |ed AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src, doc_id // 2 AS dst FROM docs
+         |    UNION ALL
+         |    SELECT doc_id, doc_id // 2 + 1 FROM docs) e0
+         |  WHERE src <> dst),
+         |nv AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) n0),
+         |hs AS (${TrainingOps.polyHashOverSql("node",
+                "SELECT node, 'hll|' || CAST(node AS VARCHAR) AS t FROM nv")}),
+         |r0 AS (
+         |  SELECT node, CAST(((h % $m) + $m) % $m AS BIGINT) AS bucket,
+         |    CAST(CASE WHEN w = 0 THEN $rhoCap
+         |         ELSE bit_count((w & (-w)) - 1) + 1 END AS BIGINT) AS reg
+         |  FROM (
+         |    SELECT node, h, CAST(
+         |      (CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + 18446744073709551616
+         |            ELSE CAST(h AS HUGEINT) END) // $m AS BIGINT) AS w
+         |    FROM hs) w0),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT node, radius, CAST(SUM(reg) AS BIGINT) AS reg_sum,
+         |  COUNT(*) AS n_filled
+         |FROM (
+         |  SELECT node, CAST(0 AS BIGINT) AS radius, reg FROM r0
+         |  UNION ALL SELECT node, 1, reg FROM r1
+         |  UNION ALL SELECT node, 2, reg FROM r2
+         |  UNION ALL SELECT node, 3, reg FROM r3) allr
+         |GROUP BY 1, 2
+         |ORDER BY node, radius""".stripMargin
     },
   )
 }

@@ -31,7 +31,7 @@ object OverlapEval {
   // NULL text counts as an empty side (0 grams -> NULL precision/
   // recall), not legacy size(NULL) = -1 denominators.
   private def words(c: Column): Column =
-    filter(split(lower(coalesce(c, lit(""))), "\\s+"), w => w =!= "")
+    graft.functions.TextFunctions.wsTokens(c)
 
   /** The token n-gram array (space-joined); [] when the text is
     * shorter than n. The sequence guard matters: Spark's

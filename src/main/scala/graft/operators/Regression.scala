@@ -300,14 +300,138 @@ object Regression {
     mannWhitneyU(Tables.events(s, d), col("value"), col("event_type"),
       "click", "error")
 
+  /** Quantized Poisson(1) inverse CDF in ppm — the pinned resampling
+    * weight function of [[poissonBootstrapCi]]. Exact ppm floors of
+    * the true CDF (computed from the alternating e⁻¹ series at 50
+    * digits); a uniform draw u ∈ [0, 1e6) maps to the first k with
+    * u < cdf(k), else 9. The ≤ 1e-6 truncation/quantization bias is
+    * immaterial statistically and IRRELEVANT for parity — the weight
+    * function is a pinned integer contract both engines replay
+    * bit-identically. */
+  private[graft] val BootCdfPpm: Seq[Long] = Seq(
+    367879L, 735758L, 919698L, 981011L, 996340L,
+    999405L, 999916L, 999989L, 999998L)
+
+  /** §2 row 303 — Poisson bootstrap confidence intervals (Chamandy et
+    * al. 2012, the one-pass bootstrap web-scale systems actually run):
+    * classic resampling needs B full passes with coordinated
+    * multinomial counts; the Poisson approximation gives each row an
+    * INDEPENDENT Poisson(1) weight per replicate, so all B replicates
+    * ride ONE scan — here a deterministic weight from
+    * PolyHash64("boot|" + replicate + "|" + row key), making the whole
+    * estimator a pure function of the data (replayable, and identical
+    * under any partitioning; no RNG state to coordinate across 1000
+    * executors).
+    *
+    * Exact image: values in exact cents, replicate sums/counts BIGINT;
+    * doubles appear exactly twice — each replicate's mean and the
+    * point mean — with one fixed op order (the §5 rule). The CI is an
+    * ORDER STATISTIC of the B replicate means (pinned 1-based ranks),
+    * not a normal approximation: correct for skewed metrics, and
+    * integer-deterministic to sort.
+    *
+    * Scale shape: the ×B fan-out is a map-side explode (no shuffle
+    * until the (group, replicate) aggregate, which partial-aggregates);
+    * per-group state downstream is B doubles. B and the ranks are the
+    * caller's coverage/cost dial. */
+  def poissonBootstrapCi(df: DataFrame, groupCol: Column, keyCol: Column,
+                         valueCol: Column, b: Int = 40,
+                         loRank: Int = 2, hiRank: Int = 39): DataFrame = {
+    require(b >= 2 && b <= 1000, s"replicates must be in [2,1000], got $b")
+    require(loRank >= 1 && hiRank <= b && loRank <= hiRank,
+      s"ranks must satisfy 1 <= lo <= hi <= $b, got ($loRank, $hiRank)")
+    val rows = df.filter(valueCol.isNotNull)
+      .select(groupCol.as("g"), keyCol.as("k"),
+        floor(valueCol * 100.0 + 0.5).cast(LongType).as("cents"))
+    val u = pmod(graft.plans.PolyHash64.poly_hash64(
+      concat(lit("boot|"), col("b").cast(StringType),
+        lit("|"), col("k").cast(StringType))), lit(1000000L))
+    val weight = BootCdfPpm.zipWithIndex.foldRight(
+      lit(BootCdfPpm.size.toLong): Column) { case ((t, k), acc) =>
+      when(u < t, lit(k.toLong)).otherwise(acc)
+    }
+    val rep = rows
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", weight)
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("w") * col("cents")).as("rs"), sum(col("w")).as("rn"))
+      .filter(col("rn") > 0L) // P(empty replicate) = e^-n: guarded anyway
+      .withColumn("mean_c", col("rs").cast(DoubleType) / col("rn").cast(DoubleType))
+    val ci = rep.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("mean_c"))).as("__ms"),
+        count(lit(1)).as("n_replicates"))
+      .select(col("g"),
+        when(col("n_replicates") >= loRank,
+          element_at(col("__ms"), loRank)).as("ci_lo_cents"),
+        when(col("n_replicates") >= hiRank,
+          element_at(col("__ms"), hiRank)).as("ci_hi_cents"),
+        col("n_replicates"))
+    rows.groupBy(col("g"))
+      .agg((sum(col("cents")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("point_mean_cents"))
+      .join(ci, Seq("g"))
+      .select(col("g"), col("point_mean_cents"), col("ci_lo_cents"),
+        col("ci_hi_cents"), col("n_replicates"))
+  }
+
+  /** §2 row 303 registered query — per-event-type mean value CIs at
+    * B = 40 with the (2, 39) rank pair (~95% coverage). */
+  def bootstrapQ(s: SparkSession, d: String): DataFrame =
+    poissonBootstrapCi(Tables.events(s, d), col("event_type"),
+        col("event_id"), col("value"))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_normal_eq" -> (normalEqQ _),
     "q_spearman"  -> (spearmanQ _),
     "q_ks_test"   -> (ksTestQ _),
     "q_mwu"       -> (mwuQ _),
+    "q_bootstrap" -> (bootstrapQ _),
   )
 
   val oracles: Map[String, String] = Map(
+    // Poisson bootstrap replay: the same pinned ppm ladder over the
+    // shared PolyHash64 fragment, BIGINT replicate sums, the two
+    // doubles in the same op order, list order statistics at the
+    // pinned ranks
+    "q_bootstrap" -> {
+      val ladder = BootCdfPpm.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString(" ")
+      s"""WITH f AS (
+         |  SELECT event_type AS g, event_id AS k,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |reps AS (
+         |  SELECT g, k, cents, CAST(b AS BIGINT) AS b
+         |  FROM f CROSS JOIN (SELECT unnest(range(0, 40)) AS b) bb),
+         |hs AS (${TrainingOps.polyHashOverSql("g, cents, b",
+              "SELECT g, cents, b, 'boot|' || CAST(b AS VARCHAR) || '|' || CAST(k AS VARCHAR) AS t FROM reps")}),
+         |wts AS (
+         |  SELECT g, b, cents,
+         |    CAST(CASE $ladder ELSE ${BootCdfPpm.size} END AS BIGINT) AS w
+         |  FROM (SELECT g, b, cents,
+         |          ((h % 1000000) + 1000000) % 1000000 AS u FROM hs) uu),
+         |rep AS (
+         |  SELECT g, b, SUM(w * cents) AS rs, SUM(w) AS rn
+         |  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
+         |ms AS (
+         |  SELECT g,
+         |    list_sort(list(CAST(rs AS DOUBLE) / CAST(rn AS DOUBLE))) AS l,
+         |    COUNT(*) AS n_replicates
+         |  FROM rep GROUP BY 1),
+         |pt AS (
+         |  SELECT g, CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS point_mean_cents
+         |  FROM f GROUP BY 1)
+         |SELECT pt.g AS event_type, point_mean_cents,
+         |  CASE WHEN n_replicates >= 2 THEN l[2] END AS ci_lo_cents,
+         |  CASE WHEN n_replicates >= 39 THEN l[39] END AS ci_hi_cents,
+         |  n_replicates
+         |FROM pt JOIN ms ON ms.g = pt.g
+         |ORDER BY event_type""".stripMargin
+    },
+
     // the oracle's single global cumulative window equals the engine's
     // bucketed decomposition exactly (integer sums reassociate); the
     // argmax ties break to MIN(s) on both sides

@@ -336,11 +336,10 @@ object TextOps2 {
     * kappa empty-denominator posture). */
   def ttrGate(docs: DataFrame, idCol: Column, textCol: Column,
               minPpm: Long): DataFrame = {
-    // NULL text folds into the empty-doc posture (coalesce before
-    // split): otherwise legacy size(NULL) = -1 turns n_tokens/-1 into
-    // a 1000000-ppm phantom instead of the documented NULL ratio.
-    val toks = filter(split(lower(coalesce(textCol, lit(""))), "\\s+"),
-      x => x =!= "")
+    // NULL text folds into the empty-doc posture via the shared
+    // null-guarded tokenizer: otherwise legacy size(NULL) = -1 turns
+    // n_tokens/-1 into a 1000000-ppm phantom instead of the NULL ratio.
+    val toks = graft.functions.TextFunctions.wsTokens(textCol)
     docs.select(idCol.as("doc_id"),
         size(toks).cast(LongType).as("n_tokens"),
         size(array_distinct(toks)).cast(LongType).as("n_types"))

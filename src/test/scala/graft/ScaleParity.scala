@@ -24,10 +24,9 @@ import graft.sources.Tables
 object ScaleParity {
 
   /** The families whose parity previously existed only at sf0.01.
-    * Round-9 continuation adds the new document/embedding families
-    * (q_hll_registers stays out: the replica keeps `events` verbatim,
-    * so it would re-test sf0.1 volume — its scale posture is the
-    * constant-buffer probe instead). */
+    * Round-9 continuation added the document/embedding families;
+    * round-14 replicates `events` too, so the events-keyed families
+    * (q_mwu, q_ewma, sessions, RFM, ...) replay at k=10 as well. */
   val Families: Set[String] = Set(
     "q_kmeans", "q_pagerank",
     "q_bpe_pairs", "q_bpe_merges", "q_bpe_encode",
@@ -39,8 +38,7 @@ object ScaleParity {
     // round-10 families
     "q_seed_distance", "q_apportion", "q_span_corrupt",
     "q_normal_eq", "q_embed_moments", "q_retrieval_eval",
-    // round-12 continuation families (events-keyed ones stay out —
-    // the replica keeps `events` verbatim, the q_hll_registers rule)
+    // round-12 continuation families
     "q_hits", "q_ppr", "q_anchor_text", "q_cocitation", "q_cdx_diff",
     "q_ttr", "q_ngram_f1", "q_text_tiling", "q_domain_report",
     // round-13: the WARC family — seed archives are assembled FROM
@@ -49,8 +47,7 @@ object ScaleParity {
     // file/connector paths all re-verify at sf1-equivalent volume)
     "q_warc_extract", "q_wet_text", "q_cdx_index", "q_warc_source",
     "q_cdx_source",
-    // round-13 second wave: every doc-keyed new family (q_mwu/q_ewma
-    // stay out — events-keyed, the q_hll_registers rule) plus the
+    // round-13 second wave: every doc-keyed new family plus the
     // lineitem/orders-keyed TPC-H completions (dims copy verbatim;
     // both engines read the same replica files, so parity holds)
     "q_md_linearize", "q_hilbert", "q_gini", "q_pass_at_k", "q_revalidate",
@@ -58,7 +55,17 @@ object ScaleParity {
     "q_band_join", "q7_nation_volume", "q8_market_share", "q10_returned",
     "q13_cust_dist", "q15_top_supplier", "q17_small_qty",
     "q21_late_suppliers", "q22_global_sales",
-    "q_wordpiece")
+    "q_wordpiece",
+    // round-14: the events-keyed families, unlocked by the events
+    // replica (user/event ids shifted per copy, timestamps and values
+    // verbatim — every copy is a cloned user population, so per-user
+    // densities, session shapes and windows are exactly preserved
+    // while user-keyed shuffles and windows process 10x the rows)
+    "q_mwu", "q_ewma", "q_funnel", "q_retention", "q_rfm", "q_diurnal",
+    "q_ohlc", "q_lateness", "q_ks_test", "q_event_paths", "q_transitions",
+    "q_attribution", "q_interval_cover", "q_sessionize", "q_hll_registers",
+    // round-14 new operators (doc-keyed halving DAG; events-keyed CIs)
+    "q_hyperball", "q_bootstrap")
 
   /** Write `df` as a SINGLE parquet file `<dir>/<table>.parquet` —
     * the driver-testdata shape both engines read. */
@@ -116,14 +123,32 @@ object ScaleParity {
       }: _*)
     }.reduce(_ unionByName _)
 
+  /** Events ×k: user_id and event_id shifted per copy (disjoint key
+    * spaces), ts/event_type/value/props VERBATIM — each copy is a
+    * cloned user population, so per-user event densities, session
+    * gaps, and window extents are preserved exactly while every
+    * user-keyed shuffle and window processes k× the rows. `ts` is
+    * normalized through Tables.events (both engines read the replica
+    * with the same truncation), written back as µs timestamps. */
+  private def replicateEvents(e: DataFrame, k: Int): DataFrame = {
+    val se = e.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val su = e.agg(max(col("user_id"))).head().getLong(0) + 1L
+    (0 until k).map { c =>
+      e.select((col("event_id") + lit(c * se)).as("event_id"), col("ts"),
+        (col("user_id") + lit(c * su)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
   def buildReplica(spark: SparkSession, sfDir: String, dir: String, k: Int): Unit = {
     new java.io.File(dir).mkdirs()
     // untouched tables: copied verbatim so the compare tool's view
     // creation (and any cross-table oracle) sees a complete dataset
-    Seq("region", "nation", "part", "events").foreach { t =>
+    Seq("region", "nation", "part").foreach { t =>
       Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
+    writeSingle(replicateEvents(Tables.events(spark, sfDir), k), dir, "events")
     writeSingle(replicateDocs(
       Tables.documents(spark, sfDir), k), dir, "documents")
     writeSingle(replicateEmb(

@@ -168,6 +168,78 @@ class SchedulerSpec extends AnyFunSuite {
     assert(hr.getBoolean(2))
   }
 
+  test("long-lived daemon: multi-day clock, process deaths mid-run, catch-up and dedupe across restarts") {
+    // The Composer daemon's contract (oura_dag.py:26 — daily schedule
+    // with catchup) as a harness: six "process lifetimes" invoke the
+    // SAME runDueStages over a simulated week, two of them dying
+    // mid-run with a non-Exception Throwable (a real kill: no ledger
+    // row, no cleanup — runDueStages only absorbs Exception). Across
+    // restarts every (window, stage) effect must land EXACTLY once,
+    // except the stage actually torn by a crash, which may run twice
+    // (at-least-once is the contract for torn work; succeeded stages
+    // are never re-run).
+    class ProcessDeath extends Error("simulated kill -9")
+    val root = java.nio.file.Files.createTempDirectory("graft_daemon").toString
+    val effects = scala.collection.mutable.Map[(String, String), Int]()
+    var crashAt: Option[(String, String, Boolean)] = None // (window, stage, afterEffect)
+    def stage(name: String)(w: String): Unit = {
+      val beforeHit = crashAt.contains((w, name, false))
+      if (beforeHit) { crashAt = None; throw new ProcessDeath }
+      effects((w, name)) = effects.getOrElse((w, name), 0) + 1
+      if (crashAt.contains((w, name, true))) { crashAt = None; throw new ProcessDeath }
+    }
+    val stages = Seq("extract" -> stage("extract") _,
+      "transform" -> stage("transform") _, "load" -> stage("load") _)
+    val since = t("2026-08-01T00:00")
+    def invoke(now: String) = Runner.runDueStages(spark, root, "0 4 * * *",
+      since, t(now), maxRetries = 1)(stages)
+    def win(d: Int) = f"2026-08-$d%02dT04:00:00"
+
+    // lifetime 1 (day 1): clean run
+    assert(invoke("2026-08-01T12:00").map(_.status).forall(_ == "success"))
+    // lifetime 2 (day 2): dies mid-DAG, AFTER transform's effect ran
+    crashAt = Some((win(2), "transform", true))
+    intercept[ProcessDeath] { invoke("2026-08-02T12:00") }
+    // lifetime 3 (day 3): resumes day 2 at transform (extract deduped), runs day 3
+    val r3 = invoke("2026-08-03T12:00")
+    assert(r3.map(s => (s.window, s.stage)) == Seq(
+      (win(2), "transform"), (win(2), "load"),
+      (win(3), "extract"), (win(3), "transform"), (win(3), "load")))
+    // lifetime 4 (day 5): the daemon slept through day 4 — catch-up runs BOTH
+    val r4 = invoke("2026-08-05T12:00")
+    assert(r4.map(_.window).distinct == Seq(win(4), win(5)))
+    // lifetime 5 (day 6): dies BETWEEN stages (before transform's effect)
+    crashAt = Some((win(6), "transform", false))
+    intercept[ProcessDeath] { invoke("2026-08-06T12:00") }
+    // lifetime 6 (day 8): resumes day 6, catches up days 7 and 8
+    val r6 = invoke("2026-08-08T12:00")
+    assert(r6.map(s => (s.window, s.stage)) == Seq(
+      (win(6), "transform"), (win(6), "load"),
+      (win(7), "extract"), (win(7), "transform"), (win(7), "load"),
+      (win(8), "extract"), (win(8), "transform"), (win(8), "load")))
+
+    // nothing due any more; the staged health report is green
+    assert(Runner.dueWindows(spark, root, "0 4 * * *", since,
+      t("2026-08-08T12:00"), finalStage = "load").isEmpty)
+    val h = Runner.healthReport(spark, root, "0 4 * * *", since,
+      t("2026-08-08T12:00"), finalStage = "load").collect().head
+    assert(h.getBoolean(2) && h.getLong(3) == 0L)
+
+    // exactly-once everywhere except the one torn stage (at-most-twice)
+    val expected = (1 to 8).flatMap(d =>
+      Seq("extract", "transform", "load").map(s => (win(d), s))).toSet
+    assert(effects.keySet == expected)
+    assert(effects((win(2), "transform")) == 2) // torn by the mid-run kill
+    assert((effects - ((win(2), "transform"))).values.forall(_ == 1))
+
+    // and the staged ledger REFUSES a defaulted finalStage (round-13
+    // advice: keying success off the solo stage would re-run everything)
+    val e = intercept[IllegalArgumentException] {
+      Runner.healthReport(spark, root, "0 4 * * *", since, t("2026-08-08T12:00"))
+    }
+    assert(e.getMessage.contains("finalStage"))
+  }
+
   test("health report: healthy when the last expected window succeeded") {
     val root = java.nio.file.Files.createTempDirectory("graft_sched2").toString
     Runner.runDue(spark, root, "0 4 * * *",
