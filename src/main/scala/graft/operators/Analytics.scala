@@ -107,6 +107,68 @@ object Analytics {
     frequentPaths(Tables.events(s, d), col("user_id"), col("ts"),
       col("event_id"), col("event_type"), n = 3, k = 10)
 
+  /** §2 row 304 — GAPPED sequential-pattern support (the PrefixSpan
+    * family): how many users contain X … Y (… Z) as a SUBSEQUENCE,
+    * arbitrary gaps allowed — the pattern view rows 184/209 cannot
+    * express: frequentPaths counts CONTIGUOUS n-grams (a single
+    * intervening event breaks the path) and the transition matrix is
+    * memory-1. "Browsed, eventually purchased, later errored" is a
+    * gapped pattern.
+    *
+    * Exactness by greedy matching, made RELATIONAL: a subsequence
+    * X→Y exists iff first_pos(X) < last_pos(Y); X→Y→Z exists iff
+    * some Z follows the EARLIEST Y after the EARLIEST X (greedy
+    * earliest-match is exact for subsequence containment — standard,
+    * and spec-pinned against brute force). Positions are the per-user
+    * (ts, event_id) ranks, a pure function of the data.
+    *
+    * Scale shape: one per-user rank window (user-bounded), one
+    * per-(user, type) min/max aggregate — O(users × |types|) rows,
+    * |types| is a small value domain — then joins KEYED ON USER with
+    * per-user fan-out bounded by |types|² for the greedy step frame.
+    * Pattern support is a map-side-combined count over a
+    * |types|³-bounded domain. Nothing is per-event quadratic. */
+  def gappedSeqSupport(events: DataFrame, userCol: Column, tsCol: Column,
+                       idCol: Column, typeCol: Column,
+                       minSupport: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val tp = events.select(userCol.as("u"), typeCol.as("t"),
+      row_number().over(w).cast(LongType).as("pos"))
+    val firstLast = tp.groupBy(col("u"), col("t"))
+      .agg(min(col("pos")).as("fp"), max(col("pos")).as("lp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pairs: exists X at i < Y at j  <=>  first(X) < last(Y)
+    val p2 = firstLast.select(col("u"), col("t").as("x"), col("fp"))
+      .join(firstLast.select(col("u"), col("t").as("y"), col("lp")), Seq("u"))
+      .filter(col("fp") < col("lp"))
+      .groupBy(col("x"), col("y"))
+      .agg(countDistinct(col("u")).as("support"))
+      .select(concat_ws(" > ", col("x"), col("y")).as("pattern"),
+        lit(2L).as("len"), col("support"))
+    // greedy middle step: earliest Y strictly after earliest X
+    val b = tp.select(col("u"), col("t").as("y"), col("pos"))
+      .join(firstLast.select(col("u"), col("t").as("x"), col("fp")), Seq("u"))
+      .filter(col("pos") > col("fp"))
+      .groupBy(col("u"), col("x"), col("y"))
+      .agg(min(col("pos")).as("bp"))
+    val p3 = b
+      .join(firstLast.select(col("u"), col("t").as("z"), col("lp")), Seq("u"))
+      .filter(col("lp") > col("bp"))
+      .groupBy(col("x"), col("y"), col("z"))
+      .agg(countDistinct(col("u")).as("support"))
+      .select(concat_ws(" > ", col("x"), col("y"), col("z")).as("pattern"),
+        lit(3L).as("len"), col("support"))
+    p2.unionByName(p3).filter(col("support") >= minSupport)
+  }
+
+  /** §2 row 304 registered query — all 2- and 3-step gapped patterns
+    * over the event stream with their exact user support. */
+  def seqPatternsQ(s: SparkSession, d: String): DataFrame =
+    gappedSeqSupport(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), minSupport = 1L)
+      .orderBy(col("len"), col("pattern"))
+
   /** First-order Markov transition audit (SURVEY.md §2 row 209) —
     * the GENERATIVE view row 184's path mining is not: frequent-path
     * counts answer "which 3-step sequences happen?"; the transition
@@ -572,6 +634,7 @@ object Analytics {
     "q_ohlc" -> (ohlcQ _),
     "q_lateness" -> (latenessQ _),
     "q_ewma" -> (ewmaQ _),
+    "q_seq_patterns" -> (seqPatternsQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -642,6 +705,35 @@ object Analytics {
         |  p.p50_s, p.p95_s, p.p99_s
         |FROM st JOIN p ON st.event_type = p.event_type
         |ORDER BY st.event_type""".stripMargin,
+
+    // gapped-subsequence replay: per-user (ts, event_id) ranks, the
+    // first/last frame, the greedy earliest-Y-after-first-X step --
+    // the same relational decomposition, user-keyed
+    "q_seq_patterns" ->
+      """WITH tp AS (
+        |  SELECT user_id AS u, event_type AS t,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS pos
+        |  FROM events),
+        |fl AS (SELECT u, t, MIN(pos) AS fp, MAX(pos) AS lp FROM tp GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT a.t AS x, bb.t AS y, COUNT(DISTINCT a.u) AS support
+        |  FROM fl a JOIN fl bb ON a.u = bb.u AND a.fp < bb.lp
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT tp.u, fx.t AS x, tp.t AS y, MIN(tp.pos) AS bp
+        |  FROM tp JOIN fl fx ON fx.u = tp.u AND tp.pos > fx.fp
+        |  GROUP BY 1, 2, 3),
+        |p3 AS (
+        |  SELECT b.x, b.y, fz.t AS z, COUNT(DISTINCT b.u) AS support
+        |  FROM b JOIN fl fz ON fz.u = b.u AND fz.lp > b.bp
+        |  GROUP BY 1, 2, 3)
+        |SELECT pattern, len, support FROM (
+        |  SELECT x || ' > ' || y AS pattern, CAST(2 AS BIGINT) AS len, support FROM p2
+        |  UNION ALL
+        |  SELECT x || ' > ' || y || ' > ' || z, 3, support FROM p3) u
+        |WHERE support >= 1
+        |ORDER BY len, pattern""".stripMargin,
 
     // exact cents, (ts_us, event_id) struct argmin/argmax replayed as
     // ROW_NUMBER picks, ISO day strings (the repo day convention)

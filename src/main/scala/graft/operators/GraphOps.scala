@@ -572,6 +572,73 @@ object GraphOps {
       .orderBy(col("node"), col("radius"))
   }
 
+  /** §2 row 305 — DETERMINISTIC random walks (the DeepWalk/node2vec
+    * corpus generator): `walksPerNode` walks of up to `length` steps
+    * from every node, the training sentences graph-embedding pipelines
+    * feed to a skip-gram model. The "random" next-hop is the out-edge
+    * minimizing PolyHash64("walk|" + start + "|" + walk + "|" + step +
+    * "|" + dst) — uniform-ish over out-neighbours, but a pure function
+    * of (graph, ids): replayable, partition-invariant, and no RNG
+    * state to seed/coordinate across 1000 executors (the bootstrap
+    * rule applied to graphs). Hash ties (p ≈ 2⁻⁶⁴) break to min dst —
+    * the argmin is a lexicographic struct min, total either way. A
+    * dead end (no out-edges) just ends the walk.
+    *
+    * Scale shape: frontier rows = nodes × walksPerNode, constant
+    * across steps (each walk has ≤ 1 position); each step is ONE
+    * edge equi-join keyed on the current node + a per-(start, walk)
+    * min aggregate — per-step fan-out is the out-degree, the classic
+    * frontier envelope, localCheckpoint-pinned like seedDistance.
+    * Nothing is per-pair. */
+  def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                         walksPerNode: Int = 2, length: Int = 4): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode must be in [1,64], got $walksPerNode")
+    require(length >= 1 && length <= 32, s"length must be in [1,32], got $length")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    var frontier = nodes
+      .withColumn("walk", explode(array((0 until walksPerNode)
+        .map(i => lit(i.toLong)): _*)))
+      .select(col("node").as("start"), col("walk"),
+        lit(0L).as("step"), col("node").as("cur"))
+      .localCheckpoint()
+    var out = frontier
+    for (t <- 1 to length) {
+      val h = graft.plans.PolyHash64.poly_hash64(concat(
+        lit("walk|"), col("start").cast(StringType),
+        lit("|"), col("walk").cast(StringType),
+        lit("|"), lit(t.toLong).cast(StringType),
+        lit("|"), col("dst").cast(StringType)))
+      frontier = frontier
+        .join(e, frontier("cur") === e("src"))
+        .groupBy(col("start"), col("walk"))
+        .agg(min(struct(h.as("h"), col("dst").as("d"))).as("__pick"))
+        .select(col("start"), col("walk"), lit(t.toLong).as("step"),
+          col("__pick").getField("d").as("cur"))
+        .localCheckpoint()
+      out = out.unionAll(frontier)
+    }
+    out.select(col("start"), col("walk"), col("step"), col("cur").as("node"))
+  }
+
+  /** §2 row 305 registered query — 2 walks × 4 steps per node over
+    * the halving DAG (the q_hyperball graph: out-degree ≤ 2, so every
+    * step is a genuine hash-driven binary choice). */
+  def walksQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = docs.select(col("doc_id").as("src"),
+        (col("doc_id") / 2).cast(LongType).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") / 2).cast(LongType) + 1).as("dst")))
+    deterministicWalks(edges, "src", "dst", walksPerNode = 2, length = 4)
+      .orderBy(col("start"), col("walk"), col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"      -> (pageRankQ _),
     "q_ppr"           -> (pprQ _),
@@ -580,6 +647,7 @@ object GraphOps {
     "q_seed_distance" -> (seedDistanceQ _),
     "q_kcore"         -> (kCoreQ _),
     "q_hyperball"     -> (hyperBallQ _),
+    "q_walks"         -> (walksQ _),
   )
 
   /** One unrolled PPR iteration — the iterSql twin with teleport and
@@ -849,6 +917,44 @@ object GraphOps {
          |  UNION ALL SELECT node, 3, reg FROM r3) allr
          |GROUP BY 1, 2
          |ORDER BY node, radius""".stripMargin
+    },
+
+    // walk replay: per step, hash every out-edge of the walk's current
+    // node and take the two-phase argmin (min h, then min dst at that
+    // h — equals the engine's lexicographic struct min)
+    "q_walks" -> {
+      def step(i: Int): String =
+        s"""h$i AS (${TrainingOps.polyHashOverSql("start, walk, dst",
+             s"SELECT f.start, f.walk, e.dst, 'walk|' || CAST(f.start AS VARCHAR) || '|' || CAST(f.walk AS VARCHAR) || '|$i|' || CAST(e.dst AS VARCHAR) AS t FROM f${i - 1} f JOIN ed e ON e.src = f.cur")}),
+           |m$i AS (SELECT start, walk, MIN(h) AS mh FROM h$i GROUP BY 1, 2),
+           |f$i AS (
+           |  SELECT h.start, h.walk, CAST($i AS BIGINT) AS step,
+           |    MIN(h.dst) AS cur
+           |  FROM h$i h JOIN m$i m
+           |    ON m.start = h.start AND m.walk = h.walk AND h.h = m.mh
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |ed AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src, doc_id // 2 AS dst FROM docs
+         |    UNION ALL
+         |    SELECT doc_id, doc_id // 2 + 1 FROM docs) e0
+         |  WHERE src <> dst),
+         |nv AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) n0),
+         |f0 AS (
+         |  SELECT node AS start, CAST(w AS BIGINT) AS walk,
+         |    CAST(0 AS BIGINT) AS step, node AS cur
+         |  FROM nv CROSS JOIN (SELECT unnest(range(0, 2)) AS w) ws),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT start, walk, step, cur AS node FROM (
+         |  SELECT * FROM f0 UNION ALL SELECT * FROM f1
+         |  UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+         |  UNION ALL SELECT * FROM f4) allf
+         |ORDER BY start, walk, step""".stripMargin
     },
   )
 }
