@@ -604,4 +604,24 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("round-14 operators: user-bounded windows, equi joins only, partial aggregation") {
+    import graft.operators.{Analytics, GraphOps, Regression}
+    import org.apache.spark.sql.functions.col
+    // gapped patterns: the only window partitions by user, never global
+    val sp = plan(Analytics.seqPatternsQ(spark, TestSpark.sf))
+    assert(sp.contains("windowspecdefinition(u") ||
+      sp.contains("windowspecdefinition(user_id"), sp)
+    assert(!sp.contains("CartesianProduct") && !sp.contains("NestedLoop"), sp)
+    // bootstrap: the xB fan-out is map-side (explode under the agg),
+    // replicate sums partial-aggregate before the shuffle
+    val bs = plan(Regression.bootstrapQ(spark, TestSpark.sf))
+    assert(bs.contains("partial_sum") || bs.contains("partial"), bs)
+    assert(!bs.contains("CartesianProduct") && !bs.contains("NestedLoop"), bs)
+    // hyperball / walks: frontier equi-joins only
+    val hb = plan(GraphOps.hyperBallQ(spark, TestSpark.sf))
+    assert(!hb.contains("CartesianProduct") && !hb.contains("NestedLoop"), hb)
+    val wk = plan(GraphOps.walksQ(spark, TestSpark.sf))
+    assert(!wk.contains("CartesianProduct") && !wk.contains("NestedLoop"), wk)
+  }
 }
