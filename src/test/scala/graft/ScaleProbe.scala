@@ -574,6 +574,43 @@ object ScaleProbe {
             when(col("doc_id") % 2 === 0, "a").otherwise("b").as("g")),
           col("v"), col("g"), "a", "b").count()
       }
+      // round-14 additions: the halving DAG over the replicated id
+      // space (edges ~ 2 per node, so |E| grows with k; balls/walks
+      // are bounded-depth frontier algorithms — time should track |E|)
+      time("hyperball", k) {
+        val ids = docs.select(col("doc_id"))
+        val e = ids.select(col("doc_id").as("src"),
+            (col("doc_id") / 2).cast("long").as("dst"))
+          .unionAll(ids.select(col("doc_id").as("src"),
+            ((col("doc_id") / 2).cast("long") + 1).as("dst")))
+        graft.operators.GraphOps.hyperBall(e, "src", "dst", p = 4, maxRadius = 3)
+          .count()
+      }
+      time("walks", k) {
+        val ids = docs.select(col("doc_id"))
+        val e = ids.select(col("doc_id").as("src"),
+            (col("doc_id") / 2).cast("long").as("dst"))
+          .unionAll(ids.select(col("doc_id").as("src"),
+            ((col("doc_id") / 2).cast("long") + 1).as("dst")))
+        graft.operators.GraphOps.deterministicWalks(e, "src", "dst", 2, 4).count()
+      }
+      // replicate-stable groups (lang-like mod), doc-count-scaled rows
+      time("bootstrap", k) {
+        graft.operators.Regression.poissonBootstrapCi(
+          docs.select(col("doc_id"),
+            pmod(col("doc_id"), lit(5L)).cast("string").as("g"),
+            (pmod(xxhash64(col("text")), lit(100000L)).cast("double") / 100.0)
+              .as("v")),
+          col("g"), col("doc_id"), col("v"), b = 40, loRank = 2, hiRank = 39)
+          .count()
+      }
+      time("seq_patterns", k) {
+        graft.operators.Analytics.gappedSeqSupport(
+          docs.select(pmod(col("doc_id"), lit(k * 2500L)).as("u"),
+            col("doc_id").as("ts"), col("doc_id").as("id"),
+            pmod(xxhash64(col("doc_id")), lit(5L)).cast("string").as("t")),
+          col("u"), col("ts"), col("id"), col("t")).count()
+      }
     }
     spark.stop()
   }
