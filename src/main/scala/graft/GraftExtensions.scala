@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.bpeMergePairDescriptor)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.NanosFilterPushdown)
+    e.injectOptimizerRule(_ => graft.plans.BroadcastHintGuard)
   }
 }
 
