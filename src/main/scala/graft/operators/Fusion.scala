@@ -118,6 +118,72 @@ object Fusion {
     rankAgreement(sparse, dense).orderBy(col("qid"))
   }
 
+  /** Integer weight table for depth-truncated, renormalized RBO at
+    * persistence p = 9/10: per depth d, w_d = 9^(d-1)·(lcm(1..D)/d)·
+    * 10^(D-d) — the exact numerators of (1-p)p^(d-1)/d over the common
+    * denominator — exposed as (suffixWeights S(m) = Σ_{d≥m} w_d,
+    * den = Σ_d w_d·d, so two identical depth-D lists score exactly 1).
+    * Computed ONCE here and injected as literals into BOTH engines'
+    * plans (the retrievalEval discount-table pattern). */
+  private[graft] def rboWeights(depth: Int): (Seq[Long], Long) = {
+    require(depth >= 1 && depth <= 12, s"depth must be in [1,12], got $depth")
+    val lcm = (1 to depth).map(BigInt(_)).reduce((a, b) => a * b / a.gcd(b))
+    val w = (1 to depth).map(d =>
+      BigInt(9).pow(d - 1) * (lcm / d) * BigInt(10).pow(depth - d))
+    val suffix = (1 to depth).map(m => w.drop(m - 1).sum)
+    val den = w.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    require(den.isValidLong && suffix.head.isValidLong,
+      s"RBO weights overflow a long at depth $depth")
+    (suffix.map(_.toLong), den.toLong)
+  }
+
+  /** §2 row 308 — rank-biased overlap (Webber, Moffat & Zobel 2010):
+    * the TOP-WEIGHTED ranking similarity the Kendall diagnostic (row
+    * 148) is not — Kendall weighs a swap at ranks 1↔2 like one at
+    * 9↔10 and only sees the docs BOTH rankers returned, while RBO@D =
+    * Σ_d (1-p)p^(d-1)·|A_d ∩ B_d|/d rewards agreement at the TOP and
+    * handles non-conjoint lists natively (the search-eval contract:
+    * two rankers disagreeing about rank 47 don't matter; rank 1 does).
+    * Truncated at D and renormalized so identical lists score 1.
+    *
+    * Exact integer image via the suffix-weight collapse: a common doc
+    * at ranks (ra, rb) is inside both prefixes for every d ≥
+    * max(ra, rb), so its total contribution is S(max(ra, rb)) =
+    * Σ_{d≥max} w_d — per-doc ONE literal-array lookup, the whole
+    * per-query score ONE integer sum (no per-depth loop, no pair
+    * join). rbo = num/den in a single pinned division.
+    *
+    * Scale shape: one equi-join of the two rank frames on
+    * (qid, doc_id), one map-side-combinable aggregate; the weight
+    * table is a D-element literal. Queries either ranker saw report a
+    * row (zero overlap = 0/den — the rankAgreement posture). */
+  def rboOverlap(ra: DataFrame, rb: DataFrame, depth: Int = 8): DataFrame = {
+    val (suffix, den) = rboWeights(depth)
+    val sArr = array(suffix.map(lit): _*)
+    val common = ra.filter(col("rn") <= depth)
+      .select(col("qid"), col("doc_id"), col("rn").as("__ra"))
+      .join(rb.filter(col("rn") <= depth)
+        .select(col("qid"), col("doc_id"), col("rn").as("__rb")),
+        Seq("qid", "doc_id"))
+      .select(col("qid"), element_at(sArr,
+        greatest(col("__ra"), col("__rb")).cast(IntegerType)).as("__w"))
+    val qs = ra.select(col("qid")).unionByName(rb.select(col("qid"))).distinct()
+    qs.join(common.groupBy(col("qid")).agg(sum(col("__w")).as("__n")),
+        Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("__n"), lit(0L)).as("rbo_num"),
+        lit(den).as("rbo_den"),
+        (coalesce(col("__n"), lit(0L)).cast(DoubleType) /
+          lit(den).cast(DoubleType)).as("rbo"))
+  }
+
+  /** §2 row 308 registered query — RBO@8 between the BM25 and dense
+    * rankers (the pair rows 147/148 fuse and diagnose). */
+  def rboQ(s: SparkSession, d: String): DataFrame = {
+    val (sparse, dense) = rankerPair(s, d)
+    rboOverlap(sparse, dense, depth = 8).orderBy(col("qid"))
+  }
+
   // ---- Retrieval-quality evaluation (SURVEY.md §2 row 163) -------------
 
   /** Integer DCG discount image: w(i) = floor(Scale / log2(i+1)) for
@@ -204,6 +270,7 @@ object Fusion {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rank"    -> (hybridRankQ _),
     "q_rank_agreement" -> (rankAgreementQ _),
+    "q_rbo" -> (rboQ _),
     "q_retrieval_eval" -> (retrievalEvalQ _),
   )
 
@@ -237,6 +304,45 @@ object Fusion {
          |  FROM fused) t
          |WHERE rn <= 10
          |ORDER BY qid, rn""".stripMargin,
+
+    // both rankers' CTEs shared verbatim with q_hybrid_rank; the
+    // suffix-weight table is injected from the SAME Scala computation
+    // as the engine's literals (the retrievalEval discount pattern)
+    "q_rbo" -> {
+      val (suffix, den) = rboWeights(8)
+      val wvals = suffix.zipWithIndex
+        .map { case (sw, i) => s"(${i + 1}, CAST($sw AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH ${TextOps2.bm25RankCtes},
+         |v AS (SELECT vec_id, embedding, ${VectorQueries.dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |qv AS (SELECT vec_id AS qid, embedding AS qe, nsq AS q_nsq FROM v WHERE vec_id IN (1, 2, 3)),
+         |s2 AS (SELECT qid, c.vec_id AS cid,
+         |         ${VectorQueries.dotSql("qe", "c.embedding")} / greatest(sqrt(q_nsq) * sqrt(c.nsq), 1e-9) AS cos
+         |       FROM qv, v c),
+         |densernk AS (
+         |  SELECT qid, cid, rn FROM (
+         |    SELECT qid, cid,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |    FROM s2) t
+         |  WHERE rn <= 10),
+         |sw(m, s) AS (VALUES $wvals),
+         |common AS (
+         |  SELECT a.qid, GREATEST(a.rn, b.rn) AS mx
+         |  FROM bm25rank a JOIN densernk b
+         |    ON a.qid = b.qid AND a.doc_id = b.cid
+         |  WHERE a.rn <= 8 AND b.rn <= 8),
+         |per AS (
+         |  SELECT c.qid, CAST(SUM(sw.s) AS BIGINT) AS n
+         |  FROM common c JOIN sw ON sw.m = c.mx
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT qid FROM (
+         |  SELECT qid FROM bm25rank UNION ALL SELECT qid FROM densernk) u)
+         |SELECT qs.qid, COALESCE(per.n, 0) AS rbo_num,
+         |  CAST($den AS BIGINT) AS rbo_den,
+         |  CAST(COALESCE(per.n, 0) AS DOUBLE) / CAST($den AS DOUBLE) AS rbo
+         |FROM qs LEFT JOIN per ON per.qid = qs.qid
+         |ORDER BY qs.qid""".stripMargin
+    },
 
     // both rankers' CTEs shared verbatim with q_hybrid_rank, then the
     // integer pair-sign counts over the common docs

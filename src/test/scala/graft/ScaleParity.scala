@@ -65,7 +65,7 @@ object ScaleParity {
     "q_ohlc", "q_lateness", "q_ks_test", "q_event_paths", "q_transitions",
     "q_attribution", "q_interval_cover", "q_sessionize", "q_hll_registers",
     // round-14 new operators (doc-keyed halving DAG; events-keyed CIs)
-    "q_hyperball", "q_bootstrap", "q_seq_patterns", "q_walks")
+    "q_hyperball", "q_bootstrap", "q_seq_patterns", "q_walks", "q_rbo")
 
   /** Write `df` as a SINGLE parquet file `<dir>/<table>.parquet` —
     * the driver-testdata shape both engines read. */
