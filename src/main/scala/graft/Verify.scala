@@ -36,6 +36,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Many operators persist call-lifetime shared subplans (persist
+      // audit, SURVEY §21); over a 301-query dump those entries
+      // accumulate into real memory pressure. Each query's write is
+      // done here, so its caches are dead weight — drop them.
+      finally spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

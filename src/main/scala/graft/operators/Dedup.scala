@@ -160,8 +160,11 @@ object Dedup {
     // shingle+min-agg pipeline running 3x. persist() pins it to exactly
     // one computation while keeping lineage (so a lost block recomputes
     // instead of failing the job — the right trade on preemptible
-    // executors); the ContextCleaner reclaims the blocks once the
-    // returned frame is unreferenced.
+    // executors). The entry is CALL-LIFETIME: the CacheManager holds it
+    // until the caller unpersists or clears the cache (Verify/Bench
+    // clear between queries); a localCheckpoint would free with GC but
+    // hide the shingle pipeline behind Scan ExistingRDD, blowing the
+    // plan visibility PlanSpec pins and the columnar cache format.
     val sh = minhashState(df, idCol, textCol, numPerm, verifyK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashNearDupsFromState(sh, numPerm, bands, threshold, salt, verifyK)

@@ -306,8 +306,11 @@ object GraphOps {
     // rounds are lazy checkpoints), so no action runs before return — an
     // eager unpersist would drop the cache before the caller's first
     // job and every round would replay the caller's pair derivation
-    // (the expensive part). The ContextCleaner reclaims the blocks once
-    // the returned frame is unreferenced — the minhashNearDups pattern.
+    // (the expensive part). This is a CALL-LIFETIME cache entry by
+    // design (the minhashNearDups pattern): the CacheManager holds it
+    // until the caller unpersists or clears the cache — Verify/Bench
+    // clear between queries; a long-lived session that calls this
+    // repeatedly should do the same after consuming the result.
     val edges = p0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -369,27 +372,36 @@ object GraphOps {
     val edges = p0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val s0 = seeds.select(col(seedCol).cast(LongType).as("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
-    var dist = s0
-    var frontier = s0
-    var h = 1L
-    while (h <= maxHops && !frontier.isEmpty) {
-      val nxt = frontier
-        .join(edges, frontier("node") === edges("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .withColumn("dist", lit(h))
-        .localCheckpoint() // materialized: probed, unioned, re-expanded
-      dist = dist.unionAll(nxt)
-      frontier = nxt
-      h += 1
-    }
-    // spine: every graph node + every seed; unreached stay NULL
-    edges.select(col("dst").as("node")).distinct()
-      .unionAll(s0.select(col("node"))).distinct()
-      .join(dist, Seq("node"), "left")
-      .select(col("node"), col("dist"))
+    try {
+      val s0 = seeds.select(col(seedCol).cast(LongType).as("node")).distinct()
+        .withColumn("dist", lit(0L)).localCheckpoint()
+      var dist = s0
+      var frontier = s0
+      var h = 1L
+      while (h <= maxHops && !frontier.isEmpty) {
+        val nxt = frontier
+          .join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("dist", lit(h))
+          .localCheckpoint() // materialized: probed, unioned, re-expanded
+        dist = dist.unionAll(nxt)
+        frontier = nxt
+        h += 1
+      }
+      // spine: every graph node + every seed; unreached stay NULL.
+      // Checkpointed EAGERLY (O(nodes), and the edge cache is still hot
+      // from the loop) so the finally-unpersist below cannot force the
+      // caller's action to replay the whole pair derivation for the
+      // spine scan — the operator is eager throughout, so unlike the
+      // lazy labelPropagation there is no reason to leave a cache
+      // entry behind.
+      val spine = edges.select(col("dst").as("node")).distinct()
+        .unionAll(s0.select(col("node"))).distinct()
+        .localCheckpoint()
+      spine.join(dist, Seq("node"), "left")
+        .select(col("node"), col("dist"))
+    } finally { edges.unpersist(); () }
   }
 
   /** §2 row 164 — hop distance from one exemplar (min vec_id) per
@@ -537,24 +549,30 @@ object GraphOps {
     val w = shiftrightunsigned(h, p)
     val rho = when(w === 0L, lit(rhoCap))
       .otherwise((bit_count(w.bitwiseAND(-w) - 1) + 1).cast(LongType))
-    var state = nodes
-      .select(col("node"), pmod(h, lit(m.toLong)).as("bucket"), rho.as("reg"))
-      .localCheckpoint()
-    def summary(st: DataFrame, r: Int): DataFrame =
-      st.groupBy(col("node"))
-        .agg(sum(col("reg")).as("reg_sum"), count(lit(1)).as("n_filled"))
-        .withColumn("radius", lit(r.toLong))
-    var out = summary(state, 0)
-    for (t <- 1 to maxRadius) {
-      val pulled = e.join(state, e("dst") === state("node"))
-        .select(e("src").as("node"), col("bucket"), col("reg"))
-      state = state.unionAll(pulled)
-        .groupBy(col("node"), col("bucket"))
-        .agg(max(col("reg")).as("reg"))
+    try {
+      var state = nodes
+        .select(col("node"), pmod(h, lit(m.toLong)).as("bucket"), rho.as("reg"))
         .localCheckpoint()
-      out = out.unionAll(summary(state, t))
-    }
-    out.select(col("node"), col("radius"), col("reg_sum"), col("n_filled"))
+      def summary(st: DataFrame, r: Int): DataFrame =
+        st.groupBy(col("node"))
+          .agg(sum(col("reg")).as("reg_sum"), count(lit(1)).as("n_filled"))
+          .withColumn("radius", lit(r.toLong))
+      var out = summary(state, 0)
+      for (t <- 1 to maxRadius) {
+        val pulled = e.join(state, e("dst") === state("node"))
+          .select(e("src").as("node"), col("bucket"), col("reg"))
+        state = state.unionAll(pulled)
+          .groupBy(col("node"), col("bucket"))
+          .agg(max(col("reg")).as("reg"))
+          .localCheckpoint()
+        out = out.unionAll(summary(state, t))
+      }
+      out.select(col("node"), col("radius"), col("reg_sum"), col("n_filled"))
+    // safe to drop here: every radius state is EAGERLY localCheckpoint-
+    // pinned inside the loop, so the returned frame never re-reads `e`
+    // (the kCorePeel/hits discipline — a session-lifetime cache entry
+    // per call is the semanticGroups leak all over again)
+    } finally { e.unpersist(); () }
   }
 
   /** §2 row 302 registered query — balls over the halving DAG
@@ -601,29 +619,33 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
-    var frontier = nodes
-      .withColumn("walk", explode(array((0 until walksPerNode)
-        .map(i => lit(i.toLong)): _*)))
-      .select(col("node").as("start"), col("walk"),
-        lit(0L).as("step"), col("node").as("cur"))
-      .localCheckpoint()
-    var out = frontier
-    for (t <- 1 to length) {
-      val h = graft.plans.PolyHash64.poly_hash64(concat(
-        lit("walk|"), col("start").cast(StringType),
-        lit("|"), col("walk").cast(StringType),
-        lit("|"), lit(t.toLong).cast(StringType),
-        lit("|"), col("dst").cast(StringType)))
-      frontier = frontier
-        .join(e, frontier("cur") === e("src"))
-        .groupBy(col("start"), col("walk"))
-        .agg(min(struct(h.as("h"), col("dst").as("d"))).as("__pick"))
-        .select(col("start"), col("walk"), lit(t.toLong).as("step"),
-          col("__pick").getField("d").as("cur"))
+    try {
+      var frontier = nodes
+        .withColumn("walk", explode(array((0 until walksPerNode)
+          .map(i => lit(i.toLong)): _*)))
+        .select(col("node").as("start"), col("walk"),
+          lit(0L).as("step"), col("node").as("cur"))
         .localCheckpoint()
-      out = out.unionAll(frontier)
-    }
-    out.select(col("start"), col("walk"), col("step"), col("cur").as("node"))
+      var out = frontier
+      for (t <- 1 to length) {
+        val h = graft.plans.PolyHash64.poly_hash64(concat(
+          lit("walk|"), col("start").cast(StringType),
+          lit("|"), col("walk").cast(StringType),
+          lit("|"), lit(t.toLong).cast(StringType),
+          lit("|"), col("dst").cast(StringType)))
+        frontier = frontier
+          .join(e, frontier("cur") === e("src"))
+          .groupBy(col("start"), col("walk"))
+          .agg(min(struct(h.as("h"), col("dst").as("d"))).as("__pick"))
+          .select(col("start"), col("walk"), lit(t.toLong).as("step"),
+            col("__pick").getField("d").as("cur"))
+          .localCheckpoint()
+        out = out.unionAll(frontier)
+      }
+      out.select(col("start"), col("walk"), col("step"), col("cur").as("node"))
+    // every step's frontier is eagerly checkpointed, so the returned
+    // union never re-reads `e` — same unpersist discipline as hyperBall
+    } finally { e.unpersist(); () }
   }
 
   /** §2 row 305 registered query — 2 walks × 4 steps per node over

@@ -114,10 +114,16 @@ object HttpPageFetcher {
   /** Hard cap on cursor follow-ups per window (loop/poison guard). */
   val MaxPages = 10000
 
-  /** The contents of the top-level `"data"` array (without its
-    * brackets), found by quote-aware bracket matching — record bodies
-    * may contain `[`/`]`/escapes inside strings, so a regex won't do. */
-  private[sources] def dataArrayBody(json: String): String = {
+  /** The [start, end) CONTENT span of the top-level `"data"` array
+    * (exclusive of its brackets), found by quote-aware bracket
+    * matching — record bodies may contain `[`/`]`/escapes inside
+    * strings, so a regex won't do. Returned as a span (not the
+    * substring) so [[nextToken]] can reason about POSITIONS: a
+    * substring-removal approach (`json.replace(body, "")`) deletes
+    * every occurrence of the body text, which for short scalar bodies
+    * like `1` mangles unrelated characters — including the token
+    * value itself. */
+  private[sources] def dataArraySpan(json: String): (Int, Int) = {
     val key = "\"data\""
     var i = json.indexOf(key)
     require(i >= 0, s"page has no top-level data array: ${json.take(120)}")
@@ -143,16 +149,51 @@ object HttpPageFetcher {
       j += 1
     }
     require(depth == 0, "unterminated data array")
-    json.substring(start, j - 1).trim
+    (start, j - 1)
+  }
+
+  private[sources] def dataArrayBody(json: String): String = {
+    val (s, e) = dataArraySpan(json)
+    json.substring(s, e).trim
   }
 
   /** Top-level `"next_token": "<tok>"`, if present and non-null. Only
-    * searched OUTSIDE the data array so a record field named
-    * next_token cannot hijack the cursor. */
+    * key occurrences whose POSITION lies outside the data array's span
+    * count, so a record field named next_token cannot hijack the
+    * cursor. The value is parsed as a real JSON string (escape-aware)
+    * rather than regexed — a cursor containing `\"` must round-trip
+    * intact or the follow-up URL asks for a truncated token. */
   private[sources] def nextToken(json: String): Option[String] = {
-    val body = dataArrayBody(json)
-    val outside = json.replace(body, "")
-    val m = """"next_token"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(outside)
-    m.map(_.group(1))
+    val (s, e) = dataArraySpan(json)
+    val key = "\"next_token\""
+    var i = json.indexOf(key)
+    while (i >= 0) {
+      if (i < s || i >= e) {
+        var j = i + key.length
+        while (j < json.length && (json(j) == ':' || json(j).isWhitespace)) j += 1
+        if (j < json.length && json(j) == '"') {
+          val sb = new StringBuilder
+          j += 1
+          while (j < json.length && json(j) != '"') {
+            if (json(j) == '\\' && j + 1 < json.length) {
+              json(j + 1) match {
+                case 'n' => sb.append('\n'); j += 2
+                case 't' => sb.append('\t'); j += 2
+                case 'r' => sb.append('\r'); j += 2
+                case 'b' => sb.append('\b'); j += 2
+                case 'f' => sb.append('\f'); j += 2
+                case 'u' if j + 5 < json.length =>
+                  sb.append(Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar)
+                  j += 6
+                case c => sb.append(c); j += 2 // \" \\ \/ and friends
+              }
+            } else { sb.append(json(j)); j += 1 }
+          }
+          if (sb.nonEmpty) return Some(sb.toString)
+        }
+      }
+      i = json.indexOf(key, i + 1)
+    }
+    None
   }
 }

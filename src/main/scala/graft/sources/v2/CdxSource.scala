@@ -94,6 +94,24 @@ object CdxSource {
     case FileName(idx, qid) => Some((qid, idx.toLong))
     case _ => None
   }
+
+  /** Listing-order file names of a manifest-less dir — the exact order
+    * the fallback scan would read them in: connector-written files by
+    * (queryId, NUMERIC partition index), foreign names after,
+    * lexicographically. Shared by the scan fallback and by the legacy
+    * append seed so "what a listing read showed" and "what the seeded
+    * manifest pins" can never disagree. */
+  private[v2] def listingOrder(fs: org.apache.hadoop.fs.FileSystem,
+                               root: Path): Seq[String] =
+    fs.listStatus(root).filter(_.isFile)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .sortBy { n =>
+        fileKey(n) match {
+          case Some((qid, idx)) => (0, qid, idx, n)
+          case None             => (1, "", 0L, n)
+        }
+      }.toSeq
 }
 
 /** The commit LOG that makes the table transition atomic on object
@@ -138,6 +156,14 @@ private[v2] object CdxManifest {
       versionOf(s.getPath.getName).map(_ -> s.getPath)).sortBy(_._1)
   }
 
+  /** True when the table already carries a manifest log. A dir without
+    * one is either empty/new or a LEGACY table (hand-assembled cdx
+    * files, or written before the log existed) whose reads go through
+    * the listing fallback — the first manifested commit against such a
+    * dir must seed the pre-existing listing or those files silently
+    * vanish from reads. */
+  def hasLog(fs: FileSystem, root: Path): Boolean = listManifests(fs, root).nonEmpty
+
   /** Visible part-file names in commit order, or None when the table
     * has no manifest log (foreign/legacy dir → caller falls back to
     * directory listing). */
@@ -157,16 +183,38 @@ private[v2] object CdxManifest {
   }
 
   /** Land `files` as one atomic commit; returns the claimed version.
-    * The create(overwrite = false) is the linearization point. */
+    * The create(overwrite = false) is the linearization point.
+    *
+    * Failure discipline: a create refusal counts as a version RACE
+    * only when the path verifiably exists afterwards (the explicit
+    * `FileAlreadyExistsException`, or a generic IOException with
+    * `fs.exists` confirming a winner landed — some stores surface the
+    * conditional-PUT conflict as a bare IOException). Anything else —
+    * endpoint down, auth revoked, persistent 500s — is rethrown so the
+    * job FAILS instead of spinning through version numbers forever.
+    * The attempt cap bounds even a pathological store that keeps
+    * materializing every probed version under a live writer storm. */
+  private val MaxCommitAttempts = 1000
   def commit(fs: FileSystem, root: Path, queryId: String,
              files: Seq[String], truncate: Boolean): Long = {
     fs.mkdirs(dir(root))
     var v = listManifests(fs, root).lastOption.map(_._1 + 1).getOrElse(1L)
+    var attempts = 0
     var out: org.apache.hadoop.fs.FSDataOutputStream = null
     while (out == null) {
       val p = new Path(dir(root), f"m$v%08d-$queryId.list")
+      attempts += 1
       try out = fs.create(p, false)
-      catch { case _: java.io.IOException => v += 1 } // version raced: next
+      catch {
+        case e: java.io.IOException =>
+          val raced = e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+            e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+            (try fs.exists(p) catch { case _: java.io.IOException => false })
+          if (!raced || attempts >= MaxCommitAttempts)
+            throw new java.io.IOException(
+              s"CDX manifest commit failed after $attempts attempt(s) at $p", e)
+          v += 1 // version raced: a winner holds this slot, try the next
+      }
     }
     try {
       val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
@@ -260,8 +308,20 @@ class CdxBatchWrite(path: String, queryId: String, truncate: Boolean,
       if (f.exists(dst)) f.delete(dst, false) // idempotent re-commit
       require(f.rename(new Path(staged), dst), s"could not commit $staged -> $dst")
     }
+    // Legacy-append seed: the FIRST manifested commit against a dir
+    // that already holds visible cdx files (hand-assembled, or written
+    // before the log existed) must name those files too — otherwise
+    // the new manifest becomes the whole visible set and every
+    // pre-existing row silently vanishes from reads. Truncate mode
+    // needs no seed (it replaces the visible set by definition). The
+    // seed lists the dir in the exact fallback-scan order, so the read
+    // order before and after the commit agrees on the legacy prefix.
+    val legacy =
+      if (truncate || CdxManifest.hasLog(f, root)) Seq.empty[String]
+      else CdxSource.listingOrder(f, root)
+        .filterNot(ordered.map(_.finalName).toSet)
     val names = ordered.map(_.finalName).toSeq
-    val v = CdxManifest.commit(f, root, queryId, names, truncate)
+    val v = CdxManifest.commit(f, root, queryId, legacy ++ names, truncate)
     if (truncate) CdxManifest.pruneBelow(f, root, v, names.toSet)
     f.delete(new Path(stagingDir), true)
   }
@@ -367,15 +427,7 @@ class CdxScan(path: String) extends Scan with Batch {
     val files: Seq[Path] = CdxManifest.visibleFiles(fs, p) match {
       case Some(names) => names.map(new Path(p, _))
       case None =>
-        fs.listStatus(p).filter(_.isFile)
-          .map(_.getPath)
-          .filterNot(q => q.getName.startsWith(".") || q.getName.startsWith("_"))
-          .sortBy { q =>
-            CdxSource.fileKey(q.getName) match {
-              case Some((qid, idx)) => (0, qid, idx, q.toString)
-              case None             => (1, "", 0L, q.toString)
-            }
-          }.toSeq
+        CdxSource.listingOrder(fs, p).map(new Path(p, _))
     }
     files.map(q => CdxFilePartition(q.toString): InputPartition).toArray
   }

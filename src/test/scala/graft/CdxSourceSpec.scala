@@ -190,4 +190,35 @@ class CdxSourceSpec extends AnyFunSuite {
     val back = readBack(dir).orderBy($"surt").collect()
     assert(back.length == 2 && back(0).getString(0) == "com,hand)/a")
   }
+
+  test("append to a legacy manifest-less dir seeds pre-existing files into the first manifest") {
+    val dir = newDir()
+    // a legacy table: two hand-assembled cdx files, no manifest log
+    for ((name, surt) <- Seq("hand1.cdx" -> "com,legacy)/a",
+                             "hand2.cdx" -> "com,legacy)/b")) {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      w.println(CdxSource.formatLine(surt, "2024-01-01T00:00:00Z",
+        "h.warc", 10L, 20L, 30L, s"https://legacy/${name.head}"))
+      w.close()
+    }
+    assert(readBack(dir).count() == 2) // listing fallback sees both
+    // the FIRST manifested commit is an APPEND: without the legacy
+    // seed the manifest would name only the new job's files and the
+    // hand-written rows would silently vanish from reads
+    sample(5).write.format("graft.sources.v2.CdxSource")
+      .option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 7)
+    assert(readBack(dir).filter($"surt".startsWith("com,legacy")).count() == 2)
+    // the manifest log now governs: a second append must NOT re-seed
+    // (the legacy files would double), and the legacy rows persist
+    sample(3).write.format("graft.sources.v2.CdxSource")
+      .option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 10)
+    assert(readBack(dir).filter($"surt".startsWith("com,legacy")).count() == 2)
+    // overwrite still truncates everything, legacy files included
+    sample(4).write.format("graft.sources.v2.CdxSource")
+      .option("path", dir).mode("overwrite").save()
+    assert(readBack(dir).count() == 4)
+    assert(readBack(dir).filter($"surt".startsWith("com,legacy")).count() == 0)
+  }
 }

@@ -212,6 +212,58 @@ class ExtractClientSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("http fetcher: a scalar data body sharing characters with the token cannot mangle the cursor") {
+    // regression: the cursor used to be found via json.replace(body, ""),
+    // which removes EVERY occurrence of the data-array text — for a
+    // short scalar body like "1", the token "a1b" became "ab" and the
+    // follow-up asked the server for a cursor that does not exist
+    val srv = new FlakyServer
+    try {
+      srv.handle("/scalar")(Map(
+        "" -> """{"data":[1],"next_token":"a1b"}""",
+        "a1b" -> """{"data":[2]}"""))
+      val f = new graft.sources.HttpPageFetcher(srv.base, "tok-123",
+        maxRetries = 0, backoffMs = 1, sleeper = _ => ())
+      val body = f.fetch(req("/scalar", "2025-01-01", "2025-01-02"))
+      assert(body == """{"data":[1,2]}""")
+      assert(srv.requests.size == 2)
+      assert(srv.requests.get(1).contains("next_token=a1b"))
+    } finally srv.stop()
+  }
+
+  test("http fetcher: a cursor containing escaped quotes round-trips intact") {
+    val srv = new FlakyServer
+    try {
+      // token value is x"y — serialized with a JSON escape; the old
+      // regex stopped at the escaped quote and sent a truncated token
+      // the fixture reads HttpExchange.getRequestURI.getQuery, which
+      // URL-decodes — so the lookup key is the decoded token x"y (the
+      // fetcher must still SEND it percent-encoded to survive the URI)
+      srv.handle("/esc")(Map(
+        "" -> "{\"data\":[{\"v\":1}],\"next_token\":\"x\\\"y\"}",
+        "x\"y" -> """{"data":[{"v":2}]}"""))
+      val f = new graft.sources.HttpPageFetcher(srv.base, "tok-123",
+        maxRetries = 0, backoffMs = 1, sleeper = _ => ())
+      val body = f.fetch(req("/esc", "2025-01-01", "2025-01-02"))
+      assert(body == """{"data":[{"v":1},{"v":2}]}""")
+    } finally srv.stop()
+  }
+
+  test("http fetcher: a record field named next_token does not hijack the cursor") {
+    val srv = new FlakyServer
+    try {
+      // the only next_token lives INSIDE the data array — positionally
+      // excluded, so pagination must stop after one page
+      srv.handle("/inner")(Map(
+        "" -> """{"data":[{"next_token":"trap","v":1}]}"""))
+      val f = new graft.sources.HttpPageFetcher(srv.base, "tok-123",
+        maxRetries = 0, backoffMs = 1, sleeper = _ => ())
+      val body = f.fetch(req("/inner", "2025-01-01", "2025-01-02"))
+      assert(body == """{"data":[{"next_token":"trap","v":1}]}""")
+      assert(srv.requests.size == 1)
+    } finally srv.stop()
+  }
+
   test("http fetcher: datetime requests send RFC-3339 start_datetime/end_datetime") {
     val srv = new FlakyServer
     try {
