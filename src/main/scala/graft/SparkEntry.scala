@@ -268,7 +268,7 @@ object SparkEntry {
         |  SELECT event_id, value, 'event' FROM events) u
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
-  ) ++ Relational2.oracles ++ Relational3.oracles ++ Etl.oracles ++ TextOps.oracles ++
+  ) ++ Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Etl.oracles ++ TextOps.oracles ++
     VectorQueries.oracles ++ CustomOps.oracles ++ Curation.oracles ++
     Chunking.oracles ++ AsOfJoinOp.oracles ++
     Cdc.oracles ++ Analytics.oracles ++ Sampling.oracles ++ TextOps2.oracles ++

@@ -28,7 +28,10 @@ import graft.sources.Tables
   * making the score a pure function of the document and vocabulary —
   * reproducible across runs and partitionings (the labelCentroids
   * pattern; spec-pinned). ln itself is NOT cross-engine replayable, so
-  * the registered query is rows-only by design (SURVEY §5 note).
+  * since round 15 the REGISTERED queries gate the integer COUNT IMAGE
+  * of the score inputs ([[unigramCountImageQ]]/[[bigramCountImageQ]] —
+  * oracle-exact) and only the final ln stays spec-pinned
+  * (LmScoreSpec), per SURVEY §5.
   */
 object LmScore {
 
@@ -65,14 +68,43 @@ object LmScore {
         .withColumnRenamed("__id", idCol)
   }
 
-  /** §2.5 — rows-only (ln is not oracle-replayable): deterministic via
-    * the exact fold, emitted at 9 decimals so the value is stable to
-    * read yet insensitive to last-ulp platform drift. */
+  /** The float score emission (ln at 9 decimals, exact fold) — kept as
+    * the library surface and for LmScoreSpec; the REGISTERED
+    * q_unigram_logprob is [[unigramCountImageQ]] since round 15. */
   def unigramLogProbQ(s: SparkSession, d: String): DataFrame =
     unigramLogProb(Tables.documents(s, d), "doc_id", "text", exact = true)
       .select(col("doc_id"), col("n_tokens"),
         round(col("avg_logprob"), 9).as("avg_logprob"))
       .orderBy(col("doc_id"))
+
+  /** §2.5 registered query — ORACLE-BACKED since round 15 (round-14
+    * verdict item 1): the INTEGER COUNT IMAGE of the unigram score's
+    * inputs, leaving only the transcendental ln outside the gate
+    * (LmScoreSpec pins that). Per doc: n_tokens, n_terms (distinct
+    * tokens), kc_sum = Σ k·C(w) (the score's exact count inputs), and
+    * whash_sum = Σ k·bucket31(poly_hash64("lm|" + w)) — the
+    * token-identity fingerprint that catches a count-permutation
+    * kc_sum alone could cancel. All int64-safe: Σ k·hb ≤ n_tokens·2³¹.
+    * Same two hash aggregations + one vocab join as the score path —
+    * the plan shape is identical at any corpus size. */
+  def unigramCountImageQ(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id").as("__id"),
+      explode(TextFunctions.words(col("text"))).as("__w"))
+    val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val hb = pmod(graft.plans.PolyHash64.poly_hash64(
+      concat(lit("lm|"), col("__w"))), lit(2147483648L))
+    toks.groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__k"))
+      .join(vocab, Seq("__w"))
+      .select(col("__id"), col("__k"), col("__c"), hb.as("__hb"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__k")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("__k") * col("__c")).as("kc_sum"),
+        sum(col("__k") * col("__hb")).as("whash_sum"))
+      .select(col("__id").as("doc_id"), col("n_tokens"), col("n_terms"),
+        col("kc_sum"), col("whash_sum"))
+      .orderBy(col("doc_id"))
+  }
 
   // ---- Bigram LM (SURVEY.md §2 row 115) -----------------------------------
 
@@ -148,14 +180,57 @@ object LmScore {
           col("n_tokens").cast(DoubleType)).as("avg_logprob"))
   }
 
-  /** §2 row 115 — rows-only (ln): 9-decimal deterministic emission,
-    * the [[unigramLogProbQ]] posture. Its input statistics are
-    * oracle-verified through q_top_bigrams. */
+  /** §2 row 115 — the float score emission (LmScoreSpec + PlanSpec
+    * surface); the REGISTERED q_bigram_logprob is
+    * [[bigramCountImageQ]] since round 15. */
   def bigramLogProbQ(s: SparkSession, d: String): DataFrame =
     bigramLogProb(Tables.documents(s, d), "doc_id", "text")
       .select(col("doc_id"), col("n_tokens"),
         round(col("avg_logprob"), 9).as("avg_logprob"))
       .orderBy(col("doc_id"))
+
+  /** §2 row 115 registered query — ORACLE-BACKED since round 15: the
+    * integer count image of the interpolated bigram score's inputs —
+    * per doc n_tokens, n_terms (distinct transitions), the three
+    * count-weighted sums Σ k·C(a,b) / Σ k·C(a) / Σ k·C(b) feeding the
+    * λ-interpolation, and C(first token) feeding the unigram fallback
+    * term. Only ln stays outside the gate (LmScoreSpec). Int64-safe to
+    * ~10¹⁴ at sf1-scale corpora (k ≤ doc length, counts ≤ corpus
+    * tokens). Same plan shape as [[bigramLogProb]]: one lead() window
+    * bounded per doc, vocab-keyed equi-joins, map-side combinable. */
+  def bigramCountImageQ(s: SparkSession, d: String): DataFrame = {
+    val seq2 = Tables.documents(s, d).select(col("doc_id").as("__id"),
+        posexplode(TextFunctions.words(col("text"))).as(Seq("__pos", "__a")))
+      .withColumn("__b",
+        lead(col("__a"), 1).over(Window.partitionBy(col("__id")).orderBy(col("__pos"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = seq2.groupBy(col("__a")).agg(count(lit(1)).as("__ca"))
+    val docTerms = seq2.filter(col("__b").isNotNull)
+      .groupBy(col("__id"), col("__a"), col("__b")).agg(count(lit(1)).as("__k"))
+    val big = docTerms.groupBy(col("__a"), col("__b")).agg(sum(col("__k")).as("__cab"))
+    val folded = docTerms
+      .join(big, Seq("__a", "__b"))
+      .join(uni, Seq("__a"))
+      .join(uni.select(col("__a").as("__b"), col("__ca").as("__cb")), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__k") * col("__cab")).as("kcab_sum"),
+        sum(col("__k") * col("__ca")).as("kca_sum"),
+        sum(col("__k") * col("__cb")).as("kcb_sum"))
+    val firstTok = seq2.filter(col("__pos") === 0)
+      .join(uni, Seq("__a"))
+      .select(col("__id"), col("__ca").as("c_first"))
+    val nTok = seq2.groupBy(col("__id")).agg(count(lit(1)).as("n_tokens"))
+    nTok.join(firstTok, Seq("__id"))
+      .join(folded, Seq("__id"), "left") // one-word docs have no bigrams
+      .select(col("__id").as("doc_id"), col("n_tokens"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("kcab_sum"), lit(0L)).as("kcab_sum"),
+        coalesce(col("kca_sum"), lit(0L)).as("kca_sum"),
+        coalesce(col("kcb_sum"), lit(0L)).as("kcb_sum"),
+        col("c_first"))
+      .orderBy(col("doc_id"))
+  }
 
   /** §2 row 115 oracle anchor: top-10 word bigrams per language —
     * pins the tokenization + transition-count derivation the rows-only
@@ -217,13 +292,71 @@ object LmScore {
     collocations(Tables.documents(s, d), col("doc_id"), col("text"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_unigram_logprob" -> (unigramLogProbQ _),
-    "q_bigram_logprob"  -> (bigramLogProbQ _),
+    "q_unigram_logprob" -> (unigramCountImageQ _),
+    "q_bigram_logprob"  -> (bigramCountImageQ _),
     "q_top_bigrams"     -> (topBigramsQ _),
     "q_collocations"    -> (collocationsQ _),
   )
 
+  /** The shared normalized-words SQL twin of TextFunctions.words. */
+  private val WordsSql =
+    """regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')"""
+
   val oracles: Map[String, String] = Map(
+    // the unigram count image: per-doc term counts × vocab counts ×
+    // the poly-hash token fingerprint — only ln stays outside
+    "q_unigram_logprob" ->
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |tk AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+         |vocab AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY wd),
+         |terms AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS k
+         |          FROM tk GROUP BY 1, 2),
+         |vd AS (SELECT DISTINCT wd FROM vocab),
+         |hs AS (${TrainingOps.polyHashSql("lm|", "vd", "wd")}),
+         |hb AS (SELECT wd, ((h % 2147483648) + 2147483648) % 2147483648 AS hb FROM hs)
+         |SELECT t.doc_id,
+         |  CAST(SUM(t.k) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(t.k * v.c) AS BIGINT) AS kc_sum,
+         |  CAST(SUM(t.k * hb.hb) AS BIGINT) AS whash_sum
+         |FROM terms t JOIN vocab v USING (wd) JOIN hb USING (wd)
+         |GROUP BY t.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // the bigram count image: doc transition counts × corpus bigram /
+    // unigram counts + the first-token unigram count
+    "q_bigram_logprob" ->
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |s2 AS (
+         |  SELECT doc_id, i.i AS pos, ws[CAST(i.i AS INTEGER)] AS a,
+         |    CASE WHEN i.i < len(ws) THEN ws[CAST(i.i AS INTEGER) + 1] END AS b
+         |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i),
+         |uni AS (SELECT a AS wd, CAST(count(*) AS BIGINT) AS ca FROM s2 GROUP BY 1),
+         |dt AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS k
+         |       FROM s2 WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+         |big AS (SELECT a, b, CAST(SUM(k) AS BIGINT) AS cab FROM dt GROUP BY 1, 2),
+         |f AS (
+         |  SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(dt.k * big.cab) AS BIGINT) AS kcab_sum,
+         |    CAST(SUM(dt.k * ua.ca) AS BIGINT) AS kca_sum,
+         |    CAST(SUM(dt.k * ub.ca) AS BIGINT) AS kcb_sum
+         |  FROM dt JOIN big USING (a, b)
+         |  JOIN uni ua ON ua.wd = dt.a
+         |  JOIN uni ub ON ub.wd = dt.b
+         |  GROUP BY dt.doc_id),
+         |ft AS (SELECT s2.doc_id, uni.ca AS c_first
+         |       FROM s2 JOIN uni ON uni.wd = s2.a WHERE s2.pos = 1),
+         |nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |       FROM s2 GROUP BY 1)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  COALESCE(f.n_terms, 0) AS n_terms,
+         |  COALESCE(f.kcab_sum, 0) AS kcab_sum,
+         |  COALESCE(f.kca_sum, 0) AS kca_sum,
+         |  COALESCE(f.kcb_sum, 0) AS kcb_sum,
+         |  ft.c_first
+         |FROM nt JOIN ft USING (doc_id) LEFT JOIN f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // same normalized-words derivation as the decontamination shingle
     // oracle (TrainingOps.shingle8Sql), at n=2 with a per-lang rank
     "q_top_bigrams" ->

@@ -181,13 +181,28 @@ object Relational {
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_orderkey")).as("n_orders"))
 
-  /** §2.2#28 — approximate distinct (HLL sketch); rows-only oracle
-    * (approximation is engine-specific by design). */
+  /** §2.2#28 — approximate distinct via the deterministic HLL register
+    * aggregate. ORACLE-BACKED since round 15 (round-14 verdict item
+    * 1): the gate surface is the REGISTER image per group — reg_sum
+    * (sum of the m=64 registers) and n_filled (non-zero registers),
+    * both exact integers a SQL replay reproduces bit-for-bit from the
+    * PolyHash64 stream — next to the exact count. The float harmonic-
+    * mean estimate (and Spark's own approx_count_distinct) stays
+    * spec-pinned in ChunkSketchSpec: estimates are engine-specific,
+    * registers are not. Scale shape unchanged: constant 64-byte state
+    * per map task, elementwise-max merge. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_partkey").cast(StringType).as("__item"))
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-           countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(graft.plans.HllRegistersAgg.hll_registers(col("__item"), 6).as("__regs"),
+           countDistinct(col("__item")).as("exact_parts"))
+      .select(col("l_returnflag"),
+        aggregate(col("__regs"), lit(0L), (acc, r) => acc + r).as("reg_sum"),
+        aggregate(col("__regs"), lit(0L),
+          (acc, r) => acc + when(r > 0, 1L).otherwise(0L)).as("n_filled"),
+        col("exact_parts"))
       .orderBy(col("l_returnflag"))
 
   val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
@@ -335,4 +350,39 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(dec2(col("amount"))).cast(DoubleType).as("total"))
       .orderBy(col("kind"))
   }
+
+  /** Module oracles (most §2.2 oracles live inline in SparkEntry; this
+    * map exists for the ones needing the shared SQL hash fragments). */
+  val oracles: Map[String, String] = Map(
+    // register-level HLL replay per group: the q_hll_registers
+    // bucket/rho fragment over the distinct (flag, partkey) pairs,
+    // collapsed to the (reg_sum, n_filled) integer image; p = 6 →
+    // m = 64 buckets, rhoCap = 59
+    "q_approx_distinct" ->
+      s"""WITH iv AS (
+         |  SELECT DISTINCT l_returnflag AS grp, CAST(l_partkey AS VARCHAR) AS item
+         |  FROM lineitem),
+         |ivd AS (SELECT DISTINCT item FROM iv),
+         |hs AS (${TrainingOps.polyHashSql("hll|", "ivd", "item")}),
+         |hr AS (
+         |  SELECT item, CAST(((h % 64) + 64) % 64 AS BIGINT) AS bucket,
+         |    CAST(CASE WHEN w = 0 THEN 59
+         |         ELSE bit_count((w & (-w)) - 1) + 1 END AS BIGINT) AS rho
+         |  FROM (
+         |    SELECT item, h, CAST(
+         |      (CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + 18446744073709551616
+         |            ELSE CAST(h AS HUGEINT) END) // 64 AS BIGINT) AS w
+         |    FROM hs) _w),
+         |g AS (
+         |  SELECT iv.grp, r.bucket, MAX(r.rho) AS reg
+         |  FROM iv JOIN hr r USING (item) GROUP BY 1, 2),
+         |gs AS (
+         |  SELECT grp, CAST(SUM(reg) AS BIGINT) AS reg_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS n_filled
+         |  FROM g GROUP BY grp),
+         |x AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_parts FROM iv GROUP BY grp)
+         |SELECT gs.grp AS l_returnflag, gs.reg_sum, gs.n_filled, x.exact_parts
+         |FROM gs JOIN x USING (grp)
+         |ORDER BY l_returnflag""".stripMargin,
+  )
 }

@@ -149,18 +149,44 @@ object Relational2 {
     * engine-specific by design, rows-only. Quartiles are emitted as
     * scalar columns (not one array column) so the driver's row-hash
     * check can sort/hash the result. */
-  def approxQuantiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(percentile_approx(col("l_extendedprice"),
-             array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("__q"),
-           count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
-              col("__q").getItem(0).as("p25"),
-              col("__q").getItem(1).as("p50"),
-              col("__q").getItem(2).as("p75"),
-              col("n"))
+  /** Bucket width of the quantile-ladder sketch: $100 in exact cents. */
+  private val QuantileBucketCents = 10000L
+
+  /** ORACLE-BACKED since round 15 (round-14 verdict item 1):
+    * approximate quantiles via a deterministic integer HISTOGRAM
+    * LADDER instead of percentile_approx — price in exact cents,
+    * bucketed at $100; the p-quantile estimate is the upper cent
+    * bound of the first bucket whose cumulative count reaches rank
+    * ceil(p·n/100). One pass, bounded per-group state (price-range /
+    * width short rows, map-side combinable), merge = count addition —
+    * the same sketch contract as percentile_approx but with an
+    * integer image a SQL replay reproduces bit-for-bit; by
+    * construction est ∈ [exact_quantile, exact_quantile + width)
+    * (spec-pinned in QuantileLadderSpec, which also keeps Spark's
+    * percentile_approx builtin covered). */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val W = QuantileBucketCents
+    val cents = (dec2(col("l_extendedprice")) * 100).cast(LongType)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), cents.as("__cents"))
+    val counts = li
+      .groupBy(col("l_returnflag"), GraphOps.fdiv(col("__cents"), lit(W)).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    def rank(p: Int) = GraphOps.fdiv(col("n") * p + 99L, lit(100L))
+    def pick(p: Int) = min(when(col("__cum") >= rank(p), col("__b")))
+    cum.join(broadcast(tot), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(((pick(25) + 1L) * W - 1L).as("p25_cents"),
+           ((pick(50) + 1L) * W - 1L).as("p50_cents"),
+           ((pick(75) + 1L) * W - 1L).as("p75_cents"))
+      .select(col("l_returnflag"), col("p25_cents"), col("p50_cents"),
+        col("p75_cents"), col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** ABC (Pareto revenue) classification (SURVEY.md §2 row 227) — the
     * inventory-management standard applied to customers: class A =
@@ -218,6 +244,35 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the histogram-ladder replay: exact cents, $100 integer buckets,
+    // per-group cumulative, first-bucket-at-rank ceil(p·n/100), upper
+    // cent bound — every step integer floor arithmetic
+    "q_approx_quantiles" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM lineitem),
+         |c AS (
+         |  SELECT l_returnflag, cents // $QuantileBucketCents AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM li GROUP BY 1, 2),
+         |cc AS (
+         |  SELECT l_returnflag, b,
+         |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum
+         |  FROM c),
+         |t AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY 1)
+         |SELECT cc.l_returnflag,
+         |  CAST((MIN(CASE WHEN cum >= (t.n * 25 + 99) // 100 THEN b END) + 1)
+         |       * $QuantileBucketCents - 1 AS BIGINT) AS p25_cents,
+         |  CAST((MIN(CASE WHEN cum >= (t.n * 50 + 99) // 100 THEN b END) + 1)
+         |       * $QuantileBucketCents - 1 AS BIGINT) AS p50_cents,
+         |  CAST((MIN(CASE WHEN cum >= (t.n * 75 + 99) // 100 THEN b END) + 1)
+         |       * $QuantileBucketCents - 1 AS BIGINT) AS p75_cents,
+         |  t.n
+         |FROM cc JOIN t USING (l_returnflag)
+         |GROUP BY cc.l_returnflag, t.n
+         |ORDER BY l_returnflag""".stripMargin,
+
     // exact cents, the (cents DESC, custkey) cumulative over the
     // customer frame, cross-multiplied 80/95 thresholds, 3-row rollup
     "q_abc_classes" ->

@@ -20,15 +20,52 @@ object SketchOps {
       .agg(hll_sketch_agg(col("user_id")).as("user_sketch"),
            count(lit(1)).as("n_events"))
 
-  /** Union the daily sketches → overall distinct estimate (the
-    * incremental path), next to the exact answer for reference. */
-  def hllUsersQ(s: SparkSession, d: String): DataFrame = {
+  /** The Datasketches estimate path (daily sketches → union → overall
+    * estimate, next to the exact answer): spec-pinned in
+    * ChunkSketchSpec — the binary sketch image and its estimate are
+    * engine-specific, so they stay OUT of the oracle gate. */
+  def hllUsersEstimate(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val merged = dailyUserSketches(ev)
       .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch"))).as("approx_users"),
            count(lit(1)).as("n_days"))
     val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
     merged.crossJoin(exact)
+  }
+
+  /** §2.11 registered query — ORACLE-BACKED since round 15 (round-14
+    * verdict item 1): the same per-day-sketch → merge architecture,
+    * but surfaced through the deterministic register aggregate
+    * ([[graft.plans.HllRegistersAgg]]) whose (reg_sum, n_filled)
+    * integer image a SQL replay reproduces bit-for-bit — per day plus
+    * the merged 'ALL' row (register max-merge, the stored-delta-state
+    * posture), each next to the exact distinct count. The Datasketches
+    * estimate stays on [[hllUsersEstimate]]/ChunkSketchSpec. */
+  def hllUsersQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.plans.HllRegistersAgg
+    val ev = Tables.events(s, d).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      col("user_id").cast(StringType).as("item"))
+    val daily = ev.groupBy(col("day"))
+      .agg(HllRegistersAgg.hll_registers(col("item"), HllP).as("regs"),
+           countDistinct(col("item")).as("exact_users"))
+    val exploded = daily
+      .select(col("day"), posexplode(col("regs")).as(Seq("bucket", "reg")))
+      .select(col("day"), col("bucket").cast(LongType).as("bucket"),
+        col("reg").cast(LongType).as("reg"))
+    def summarize(df: DataFrame) = df.groupBy(col("day"))
+      .agg(sum(col("reg")).as("reg_sum"),
+           sum(when(col("reg") > 0, 1L).otherwise(0L)).as("n_filled"))
+    val dailyRows = summarize(exploded)
+      .join(daily.select(col("day"), col("exact_users")), Seq("day"))
+    val mergedRows = summarize(
+        exploded.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+          .withColumn("day", lit("ALL")))
+      .crossJoin(ev.agg(countDistinct(col("item")).as("exact_users")))
+    dailyRows.unionByName(mergedRows)
+      .select(col("day"), col("reg_sum"), col("n_filled"), col("exact_users"))
+      .orderBy(col("day"))
   }
 
   /** §2.11 — count-min estimates vs exact counts for the top-20 tokens.
@@ -79,7 +116,7 @@ object SketchOps {
   private val HllP = 6 // m = 64 registers
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_hll_users"     -> (hllUsersQ _), // rows-only: estimate is engine-specific
+    "q_hll_users"     -> (hllUsersQ _),
     "q_cms_tokens"    -> (cmsTokensQ _),
     "q_hll_registers" -> (hllRegistersQ _),
   )
@@ -117,6 +154,48 @@ object SketchOps {
     // bit_count((w & -w) - 1) + 1, then GROUP BY bucket MAX(rho).
     // The 'ALL' row replays the merge as max over the daily rows —
     // the same relational form the Spark side uses.
+    // the register-image summary gate (round 15): the q_hll_registers
+    // bucket/rho fragment collapsed to per-day (reg_sum, n_filled)
+    // plus the max-merged 'ALL' row, each with the exact count
+    "q_hll_users" -> {
+      val m = 1 << HllP
+      val rhoCap = 64 - HllP + 1
+      s"""WITH items AS (
+         |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         |    CAST(user_id AS VARCHAR) AS item FROM events),
+         |iv AS (SELECT DISTINCT item FROM items),
+         |hs AS (${TrainingOps.polyHashSql("hll|", "iv", "item")}),
+         |hr AS (
+         |  SELECT item, CAST(((h % $m) + $m) % $m AS BIGINT) AS bucket,
+         |    CAST(CASE WHEN w = 0 THEN $rhoCap
+         |         ELSE bit_count((w & (-w)) - 1) + 1 END AS BIGINT) AS rho
+         |  FROM (
+         |    SELECT item, h, CAST(
+         |      (CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + 18446744073709551616
+         |            ELSE CAST(h AS HUGEINT) END) // $m AS BIGINT) AS w
+         |    FROM hs) _w),
+         |dreg AS (
+         |  SELECT i.day, r.bucket, MAX(r.rho) AS reg
+         |  FROM items i JOIN hr r USING (item) GROUP BY 1, 2),
+         |dsum AS (
+         |  SELECT day, CAST(SUM(reg) AS BIGINT) AS reg_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS n_filled
+         |  FROM dreg GROUP BY day),
+         |dx AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS exact_users
+         |       FROM items GROUP BY day),
+         |areg AS (SELECT bucket, MAX(reg) AS reg FROM dreg GROUP BY bucket),
+         |arow AS (
+         |  SELECT 'ALL' AS day, CAST(SUM(reg) AS BIGINT) AS reg_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS n_filled,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM iv) AS exact_users
+         |  FROM areg)
+         |SELECT day, reg_sum, n_filled, exact_users FROM (
+         |  SELECT d.day, d.reg_sum, d.n_filled, x.exact_users
+         |  FROM dsum d JOIN dx x USING (day)
+         |  UNION ALL SELECT * FROM arow) u
+         |ORDER BY day""".stripMargin
+    },
+
     "q_hll_registers" -> {
       // derived from HllP, not re-typed: engine and oracle must move
       // together if the register count ever changes

@@ -315,42 +315,53 @@ object VectorOps {
 
   // ---- LSH (random hyperplanes) ----------------------------------------
 
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4ecda9226d4e9L
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic pseudo-random hyperplanes (splitmix64-derived,
     * reproducible across runs — required for resumable pipelines). */
-  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    def mix(x: Long): Long = {
-      var z = x + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d4ecda9226d4e9L
-      z ^ (z >>> 31)
-    }
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
     (0 until numPlanes).map(p => (0 until dim).map { i =>
-      val h = mix(seed + p.toLong * 131071L + i)
+      val h = mix64(seed + p.toLong * 131071L + i)
       (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
     })
-  }
 
-  /** Sign-bit bucket id of a vector under the hyperplanes (per-row
-    * expression, no shuffle). Plane dots run through the codegen'd
-    * ArrayDotDouble kernel — one cast of the vector to array<double>
-    * shared across all planes. */
-  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
-    val v = vecCol.cast(ArrayType(DoubleType))
+  /** INTEGER LSH planes: the same splitmix stream as [[hyperplanes]],
+    * collapsed to 21-bit signed components (`h >> 43`, in
+    * [-2^20, 2^20)). Integer planes dotted with the QUANTIZED vector
+    * keep the bucket's sign decision in exact long arithmetic — a SQL
+    * oracle replays every bucket bit-for-bit from a literal VALUES
+    * table (the jlMatrix discipline applied to bucketing), where the
+    * former double-plane dot could flip a sign in the last ulp across
+    * engines' summation orders. No overflow at any accepted scale:
+    * |qv_i| ≤ 1e6-scale, |plane_i| < 2^20, 64 terms ≈ 7e13 ≪ 2^63. */
+  def lshPlanesInt(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Long]] =
+    (0 until numPlanes).map(p => (0 until dim).map { i =>
+      mix64(seed + p.toLong * 131071L + i) >> 43
+    })
+
+  /** Sign-bit bucket id of a QUANTIZED vector under integer planes
+    * (per-row expression, no shuffle). Plane dots run through the
+    * codegen'd ArrayDotLong kernel — exact integer sign bits. */
+  def lshBucket(qvCol: Column, planes: Seq[Seq[Long]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val dot = graft.plans.VectorKernels.dot_double(v, array(p.map(lit): _*))
+      val dot = graft.plans.VectorKernels.dot_long(qvCol, array(p.map(lit): _*))
       when(dot >= 0, lit(1L << j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
-  }
 
-  /** Multi-table LSH buckets: `tables` independent hash tables of
-    * `planesPerTable` hyperplanes each. One row per (vector, table) —
-    * union-by-explode keeps the join equi-shaped. Multi-table is the
-    * standard recall lever: a true neighbor only needs to collide in
-    * ONE table. */
-  def lshBuckets(vecCol: Column, tables: Int, planesPerTable: Int, dim: Int): Column =
+  /** Multi-table LSH buckets over a QUANTIZED vector: `tables`
+    * independent hash tables of `planesPerTable` integer hyperplanes
+    * each. One row per (vector, table) — union-by-explode keeps the
+    * join equi-shaped. Multi-table is the standard recall lever: a
+    * true neighbor only needs to collide in ONE table. */
+  def lshBuckets(qvCol: Column, tables: Int, planesPerTable: Int, dim: Int): Column =
     array((0 until tables).map { t =>
-      val planes = hyperplanes(planesPerTable, dim, seed = 42L + t * 7919L)
-      struct(lit(t).as("tbl"), lshBucket(vecCol, planes).as("h"))
+      val planes = lshPlanesInt(planesPerTable, dim, seed = 42L + t * 7919L)
+      struct(lit(t).as("tbl"), lshBucket(qvCol, planes).as("h"))
     }: _*)
 
   /** §2.3#41 — approximate top-k: candidates colliding with the query in

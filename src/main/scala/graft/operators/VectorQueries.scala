@@ -33,8 +33,13 @@ object VectorQueries {
         "vec_id", "embedding", "label", threshold = 0.3)
       .orderBy(col("block"), col("id_a"), col("id_b"))
 
-  /** §2.3#41 — LSH-bucketed approximate top-5 (rows-only; recall vs the
-    * brute-force baseline is spec-checked). */
+  /** §2.3#41 — LSH-bucketed approximate top-5. ORACLE-BACKED since
+    * round 15: the integer-plane buckets (VectorOps.lshPlanesInt) make
+    * the candidate set a pure function of exact long arithmetic, so
+    * the oracle replays the WHOLE approximate result — bucket bits
+    * from a literal VALUES plane table, collision pairs, quantized-dot
+    * cosine, top-5 — not just a recall summary. Recall vs brute force
+    * additionally stays spec-measured (VectorSpec). */
   def knnLshQ(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     VectorOps.lshTopK(
@@ -253,6 +258,49 @@ object VectorQueries {
          |WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
     "q_knn_bruteforce" -> knnExactSql,
+
+    // the full LSH replay: integer plane components as literal VALUES
+    // (the jlMatrix discipline), per-(vector, table) bucket bits from
+    // exact integer dot signs, DISTINCT collision pairs, then the
+    // shared quantized-dot cosine top-5 — every stage integer-exact
+    // until the single bit-deterministic division
+    "q_knn_lsh" -> {
+      val rows = (0 until 8).flatMap { t =>
+        VectorOps.lshPlanesInt(4, 64, seed = 42L + t * 7919L).zipWithIndex.flatMap {
+          case (plane, j) => plane.zipWithIndex.map {
+            case (v, i) => s"($t, $j, $i, $v)" }
+        }
+      }.mkString(", ")
+      s"""WITH pl(tbl, p, i, v) AS (VALUES $rows),
+         |vv AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r),
+         |pd AS (
+         |  SELECT qv.vec_id, pl.tbl, pl.p, CAST(SUM(CAST(pl.v AS BIGINT) * qv.q) AS BIGINT) AS dot
+         |  FROM qv JOIN pl ON qv.i = pl.i GROUP BY 1, 2, 3),
+         |bk AS (
+         |  SELECT vec_id, tbl,
+         |    CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS h
+         |  FROM pd GROUP BY vec_id, tbl),
+         |cp AS (
+         |  SELECT DISTINCT bq.vec_id AS qid, bc.vec_id AS cid
+         |  FROM bk bq JOIN bk bc ON bq.tbl = bc.tbl AND bq.h = bc.h
+         |  WHERE bq.vec_id < 10 AND bc.vec_id >= 10),
+         |s AS (
+         |  SELECT cp.qid, cp.cid,
+         |    ${dotSql("a.embedding", "b.embedding")}
+         |      / greatest(sqrt(a.nsq) * sqrt(b.nsq), 1e-9) AS cos
+         |  FROM cp JOIN vv a ON a.vec_id = cp.qid JOIN vv b ON b.vec_id = cp.cid)
+         |SELECT qid, cid, cos, rn FROM (
+         |  SELECT qid, cid, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |  FROM s) t
+         |WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin
+    },
 
     "q_embed_neardup" ->
       s"""WITH v AS (SELECT label, vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings)

@@ -30,10 +30,35 @@ class ChunkSketchSpec extends AnyFunSuite {
   }
 
   test("HLL union estimate lands within 5% of exact") {
-    val r = SketchOps.hllUsersQ(spark, TestSpark.sf)
+    val r = SketchOps.hllUsersEstimate(spark, TestSpark.sf)
       .select($"approx_users", $"exact_users").as[(Long, Long)].head()
     val (approx, exact) = r
     assert(math.abs(approx - exact).toDouble / exact <= 0.05, r)
+  }
+
+  test("register-image q_hll_users: ALL row dominates every day, estimates stay sane") {
+    val rows = SketchOps.hllUsersQ(spark, TestSpark.sf)
+      .select($"day", $"reg_sum", $"n_filled", $"exact_users")
+      .as[(String, Long, Long, Long)].collect()
+    val all = rows.find(_._1 == "ALL").get
+    val days = rows.filterNot(_._1 == "ALL")
+    assert(days.nonEmpty)
+    // max-merge monotonicity: the merged registers dominate each day's
+    assert(days.forall { case (_, rs, nf, ex) =>
+      rs <= all._2 && nf <= all._3 && ex <= all._4 })
+    // the ALL summary can never exceed the union bound of the days
+    assert(all._2 <= days.map(_._2).sum && all._4 <= days.map(_._4).sum)
+  }
+
+  test("spark builtin approx_count_distinct stays within 10% of exact per flag") {
+    val rows = Tables.lineitem(spark, TestSpark.sf)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("a"),
+        countDistinct($"l_partkey").as("e"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, a, e) => math.abs(a - e).toDouble / e <= 0.10 },
+      rows.mkString(", "))
   }
 
   test("streaming dedup drops re-delivered event ids across batches") {
