@@ -139,6 +139,25 @@ object Bench {
       name -> t
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Stage-keyed diagnostic for the heaviest capstone (round-14
+    // verdict item 5): one extra instrumented replay whose per-stage
+    // seconds land in the JSON — an environment outlier then points at
+    // a stage, not the whole pipeline. Untimed (runs after the
+    // official measurements) and best-effort.
+    val stages: String =
+      if (selected.contains("q_incremental_pipeline")) {
+        try {
+          val ts = graft.operators.TrainingPipeline
+            .stagedTimings(spark, sfDir, incremental = true)
+          spark.sharedState.cacheManager.clearCache()
+          val m = ts.map { case (k, v) => "\"" + k + "\":" +
+            String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+            .mkString("{", ",", "}")
+          s""","stages":{"q_incremental_pipeline":$m}"""
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] staged timings failed: ${e.getMessage}"); ""
+        }
+      } else ""
     // A subset run must be self-identifying: if the env var ever leaks
     // into the driver environment, the output says so instead of
     // silently posing as a full bench.
@@ -151,7 +170,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" +
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m,"sf":"$sfDir"$filtered$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m,"sf":"$sfDir"$filtered$stages$extra}"""
     }
     // The harness retains only the TAIL of stdout (~2000 chars), and
     // sbt appends its own success line after ours — a full 230-query

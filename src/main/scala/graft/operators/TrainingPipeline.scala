@@ -114,7 +114,8 @@ object TrainingPipeline {
     (leads.select(col("doc_id").as("__id"), col("__w"), col("__l1")), tri, dec)
   }
 
-  private[operators] def runStages(docs: DataFrame, cfg: Config): Stages = {
+  private[operators] def runStages(docs: DataFrame, cfg: Config,
+                                   probe: (String, DataFrame) => Unit = (_, _) => ()): Stages = {
     val (repToks, tri, dec) = tokenPass(docs, cfg)
 
     // 1. quality gate
@@ -125,10 +126,12 @@ object TrainingPipeline {
     val gated = scored.join(rep, Seq("doc_id"))
       .withColumn("__h", md5(TextFunctions.normalize(col("text"))))
       .persist(Lvl)
+    probe("gate", gated)
 
     // 2. exact dedup
     val exactDeduped = Curation.dedupKeepFirst(gated, col("text"), col("doc_id"))
       .persist(Lvl)
+    probe("exact_dedup", exactDeduped)
 
     // 3. near-dup groups -> canonical doc per group (signature state is
     // computed once, persisted, and handed back for incremental reuse)
@@ -140,6 +143,7 @@ object TrainingPipeline {
     val pairs = Dedup.minhashNearDupsFromState(sigs, numPerm = 32,
       bands = cfg.lshBands, threshold = cfg.nearDupThreshold, verifyK = cfg.verifyK)
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    probe("lsh_cc", labels)
     val canonical0 = exactDeduped
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .filter(col("comp").isNull || col("comp") === col("doc_id"))
@@ -167,6 +171,7 @@ object TrainingPipeline {
     // 4. split
     val split = TrainingOps.assignSplit(canonical, col("doc_id"),
       cfg.trainPct, cfg.valPct).persist(Lvl)
+    probe("split", split)
 
     // 5. decontamination: drop leaking train docs (train×test on shared
     // decon-gram hashes — same join [[TrainingOps.decontaminate]] runs,
@@ -177,6 +182,7 @@ object TrainingPipeline {
       .join(sh.filter(col("split") === "test").select(col("h")).distinct(), Seq("h"))
       .select(col("doc_id")).distinct()
     val clean = split.join(leaks, Seq("doc_id"), "left_anti").persist(Lvl)
+    probe("decon", clean)
 
     // 6. pack per (split, lang)
     val toks = clean.select(col("split"), col("lang"), col("doc_id"),
@@ -224,6 +230,7 @@ object TrainingPipeline {
           .select(col("split"), col("lang"), col("bin"), col("doc_id"),
             col("n_tokens"), col("ids"), col("n_oov"))
       }
+    probe("pack", manifest)
     Stages(gated, sigs, labels,
       sh.join(clean.select(col("doc_id")), Seq("doc_id")), manifest)
   }
@@ -231,8 +238,9 @@ object TrainingPipeline {
   /** Returns the shard manifest: one row per surviving document —
     * (split, lang, bin, doc_id, n_tokens), where `bin` is the
     * token-budget pack within (split, lang). */
-  def run(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    runStages(docs, cfg).manifest
+  def run(docs: DataFrame, cfg: Config = Config(),
+          probe: (String, DataFrame) => Unit = (_, _) => ()): DataFrame =
+    runStages(docs, cfg, probe).manifest
 
   /** Land the shards: one parquet table partitioned by (split, lang) —
     * the read patterns that matter prune at directory level ("the
@@ -396,7 +404,8 @@ object TrainingPipeline {
     * (from the PRE-tombstone manifest, so a tombstoned doc's bin is
     * never reused while shard files may still contain it). */
   def runIncremental(inputState: CorpusState, batch: DataFrame,
-                     cfg: Config = Config()): IngestDelta = {
+                     cfg: Config = Config(),
+                     probe: (String, DataFrame) => Unit = (_, _) => ()): IngestDelta = {
     val state = truncated(inputState)
     val (repToks, tri, dec) = tokenPass(batch, cfg)
 
@@ -408,6 +417,7 @@ object TrainingPipeline {
     val gated = scored.join(rep, Seq("doc_id"))
       .withColumn("__h", md5(TextFunctions.normalize(col("text"))))
       .persist(Lvl)
+    probe("gate", gated)
 
     // 2. exact dedup: within batch, then against every hash ever seen.
     // The state table is the corpus-sized side — semi-reduce it with a
@@ -426,6 +436,7 @@ object TrainingPipeline {
     val entrants = batchDeduped
       .join(broadcast(seenHashes), col("__h") === col("h"), "left_anti").drop("__h")
       .persist(Lvl)
+    probe("exact_dedup", entrants)
 
     // 3. near-dup: batch×batch pairs + batch×corpus pairs + the prior
     // components replayed as star edges (id -> comp). CC over the union
@@ -489,6 +500,7 @@ object TrainingPipeline {
       .select(col("id"), col("comp"))
       .unionByName(ccLabels)
       .localCheckpoint(false) // same planning-cost cut as newEdges
+    probe("lsh_cc", labels)
     val canonical = entrants
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .filter(col("comp").isNull || col("comp") === col("doc_id"))
@@ -501,6 +513,7 @@ object TrainingPipeline {
     // 4. split (a pure function of the id — re-runs agree by construction)
     val split = TrainingOps.assignSplit(canonical, col("doc_id"),
       cfg.trainPct, cfg.valPct).persist(Lvl)
+    probe("split", split)
 
     // 5. decontamination, both directions. Shingles of docs tombstoned
     // in step 3 are dead and must not witness leaks.
@@ -530,6 +543,7 @@ object TrainingPipeline {
     val decontaminated = liveOld.filter(col("split") === "train")
       .join(broadcast(newTestH), Seq("h"))
       .select(col("doc_id")).distinct()
+    probe("decon", newTrainLeaks.unionByName(decontaminated))
 
     // 6. pack accepted docs into bins opening after each group's max
     val accepted = split.join(newTrainLeaks, Seq("doc_id"), "left_anti")
@@ -544,6 +558,7 @@ object TrainingPipeline {
       .select(col("split"), col("lang"), col("bin"), col("doc_id"), col("n_tokens"))
 
     val pinnedRows = newRows.persist(Lvl)
+    probe("pack", pinnedRows)
     val pinnedTombs = superseded.withColumn("reason", lit("superseded"))
       .unionByName(decontaminated.withColumn("reason", lit("decontaminated")))
       .persist(Lvl)
@@ -626,6 +641,40 @@ object TrainingPipeline {
     "q_training_pipeline"    -> (trainingPipelineQ _),
     "q_incremental_pipeline" -> (incrementalPipelineQ _),
   )
+
+  /** Bench diagnostic (round-14 verdict item 5): replay the capstone
+    * with every stage boundary FORCED (count per probe) and timed, so
+    * a driver-environment outlier on the heaviest query localizes to a
+    * STAGE (gate / exact_dedup / lsh_cc / split / decon / pack)
+    * instead of re-litigating the whole pipeline. Forcing changes plan
+    * reuse, so these timings are diagnostic — the official per-query
+    * number stays the un-probed run; the sum here is an upper bound.
+    * `incremental = true` replays q_incremental_pipeline (bootstrap
+    * measured as one block, then the per-stage probes);
+    * false replays q_training_pipeline. */
+  def stagedTimings(s: SparkSession, d: String,
+                    incremental: Boolean): Seq[(String, Double)] = {
+    val cfg = Config(lshBands = 16)
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var last = System.nanoTime()
+    def mark(name: String): Unit = {
+      val now = System.nanoTime(); buf += name -> (now - last) / 1e9; last = now
+    }
+    val probe: (String, DataFrame) => Unit = (name, df) => { df.count(); mark(name) }
+    if (incremental) {
+      val (corpus, batch) = CorpusOps.corpusBatchSplit(s, d)
+      val st = bootstrapState(corpus, cfg)
+      Seq(st.hashes, st.sigs, st.labels, st.shingles, st.manifest).foreach(_.count())
+      mark("bootstrap")
+      val delta = runIncremental(st, batch, cfg, probe)
+      delta.accepted.count(); delta.tombstones.count()
+      mark("finalize")
+    } else {
+      run(Tables.documents(s, d), cfg, probe).count()
+      mark("finalize")
+    }
+    buf.toSeq
+  }
 
   /** The whole corpus→shards flow replayed in DuckDB, stage by stage —
     * each CTE is the already-proven oracle fragment of its standalone
