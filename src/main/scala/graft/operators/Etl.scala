@@ -68,13 +68,16 @@ object Etl {
       .orderBy(col("day"))
 
   /** §2.1#6+#8 — align to a warehouse schema: `quality_flag` is in the
-    * schema but not the frame → NULL column (load.py:104-181). */
+    * schema but not the frame → NULL column (load.py:104-181). Since
+    * round 15 the target schema is a FILE CONTRACT
+    * (schemas/events_daily.json, the reference's own extension
+    * mechanism — load.py:65-88 reads schemas/oura/<table>.json):
+    * onboarding a table means dropping a JSON file, not editing Scala.
+    * The contract resolves relative to the working directory like the
+    * reference's bundle-relative path; a missing or malformed file
+    * fails the query loudly. */
   def schemaAlign(s: SparkSession, d: String): DataFrame = {
-    val target = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("day", StringType),
-      StructField("value", DoubleType),
-      StructField("quality_flag", StringType)))
+    val target = SchemaAlign.fromJsonFile("schemas/events_daily.json")
     SchemaAlign.align(
         Tables.events(s, d).select(col("event_id"), day, col("value")),
         target)

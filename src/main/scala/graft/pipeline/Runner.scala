@@ -240,4 +240,53 @@ object Runner {
         expected.count(w => Option(lastSuccess).forall(_ < w)).toLong))
       .toDF("last_success", "last_expected", "healthy", "missed_windows")
   }
+
+  // ---- alert channel (round-14 "what's missing" 2) --------------------------
+
+  private val alertSchema = StructType(Seq(
+    StructField("evaluated_at", StringType),
+    StructField("last_success", StringType),
+    StructField("last_expected", StringType),
+    StructField("missed_windows", LongType)))
+
+  private def alertsDir(root: String) = s"$root/alerts"
+
+  /** The landed alert log — append-only parquet next to the ledger,
+    * queryable with the rest of the warehouse. */
+  def readAlerts(spark: SparkSession, root: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(alertsDir(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(alertSchema).parquet(alertsDir(root))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], alertSchema)
+  }
+
+  /** The `email_on_failure`/`email_on_retry` analog (the reference's
+    * DAG default_args, oura_dag.py:16-18): evaluate [[healthReport]]
+    * and, when the pipeline is NOT healthy, land exactly ONE alert row
+    * for this evaluation instant in the `root/alerts` table (plus a
+    * log-channel emission — the sandbox's "email"). Re-evaluating the
+    * same `now` is a no-op (the ledger's idempotence posture: a
+    * monitoring loop that fires twice must not double-page), a later
+    * `now` that is still unhealthy alerts again (pages keep coming
+    * until someone fixes the DAG), and a healthy evaluation emits
+    * nothing. Returns whether an alert was emitted THIS call. */
+  def alertIfUnhealthy(spark: SparkSession, root: String, cron: String,
+                       since: LocalDateTime, now: LocalDateTime,
+                       finalStage: String = null): Boolean = {
+    import spark.implicits._
+    val r = healthReport(spark, root, cron, since, now, finalStage).head()
+    val (lastSuccess, lastExpected, healthy, missed) =
+      (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3))
+    if (healthy) return false
+    val evalAt = Fmt.format(now)
+    val already = readAlerts(spark, root)
+      .filter(col("evaluated_at") === evalAt).limit(1).count() > 0
+    if (already) return false
+    Seq((evalAt, lastSuccess, lastExpected, missed))
+      .toDF("evaluated_at", "last_success", "last_expected", "missed_windows")
+      .write.mode("append").parquet(alertsDir(root))
+    System.err.println(s"[graft.health] ALERT at $evalAt: last_success=" +
+      s"'$lastSuccess' last_expected='$lastExpected' missed=$missed root=$root")
+    true
+  }
 }

@@ -116,4 +116,56 @@ class HttpObjectStoreSpec extends AnyFunSuite {
       assert(!fs.rename(a, b))
     }
   }
+
+  test("interleaved-writer race over the wire: loser recomputes, 500-killed commit retries clean") {
+    // round-14 verdict item 8: StateRaceSpec's lost-update interleaving
+    // replayed over real HTTP sockets — then a commit killed mid-flight
+    // by injected 500s must leave the store readable at the prior
+    // version and a clean retry must land.
+    withStore { (srv, root) =>
+      import graft.operators.TrainingPipeline
+      import graft.sources.StateStore
+      def filler(tag: String) = (1 to 45).map(i => s"$tag$i").mkString(" ")
+      def batchOf(base: Long, tag: String) =
+        (1 to 3).map(i => (base + i, "en", filler(s"$tag${i}w")))
+          .toDF("doc_id", "lang", "text")
+      val corpus = (1 to 3).map(i => (i.toLong, "en", filler(s"c${i}w")))
+        .toDF("doc_id", "lang", "text")
+      val store = s"$root/state"
+      StateStore.commitBootstrap(spark,
+        TrainingPipeline.bootstrapState(corpus), store)
+
+      // the classic lost-update interleaving, every byte over a socket
+      var aCalls = 0
+      val vA = StateStore.commitDeltaOptimistic(spark, store) { st =>
+        aCalls += 1
+        if (aCalls == 1)
+          StateStore.commitDeltaOptimistic(spark, store) { stB =>
+            TrainingPipeline.runIncremental(stB.get, batchOf(3000L, "bb"))
+          }
+        TrainingPipeline.runIncremental(st.get, batchOf(2000L, "aa"))
+      }
+      assert(vA == 2L && aCalls == 2)
+      def ids() = StateStore.load(spark, store).get.manifest
+        .select($"doc_id").as[Long].collect().toSet
+      assert(Set(2001L, 3001L).subsetOf(ids()))
+
+      // a commit dying to real 500s mid-write must not corrupt the
+      // store: prior state stays fully readable, the retry lands once
+      srv.armPutFailures(1000)
+      try intercept[Exception] {
+        StateStore.commitDeltaOptimistic(spark, store) { st =>
+          TrainingPipeline.runIncremental(st.get, batchOf(4000L, "cc"))
+        }
+      } finally srv.disarm()
+      assert(StateStore.latestVersion(spark, store).contains(2L))
+      val before = ids()
+      assert(!before.exists(_ >= 4000L), s"partial commit visible: $before")
+      StateStore.commitDeltaOptimistic(spark, store) { st =>
+        TrainingPipeline.runIncremental(st.get, batchOf(4000L, "cc"))
+      }
+      assert(Set(4001L, 4002L, 4003L).subsetOf(ids()))
+      assert(StateStore.latestVersion(spark, store).contains(3L))
+    }
+  }
 }

@@ -254,4 +254,41 @@ class SchedulerSpec extends AnyFunSuite {
       .collect().head
     assert(!late.getBoolean(2) && late.getLong(3) == 1L)
   }
+
+  test("alert sink: unhealthy evaluations land exactly one alert row each; healthy none") {
+    val root = java.nio.file.Files.createTempDirectory("graft_alerts").toString
+    Runner.runDue(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-02T12:00"))(_ => ())
+    def alerts() = Runner.readAlerts(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+
+    // healthy: no alert, no row (the email_on_failure analog is quiet)
+    assert(!Runner.alertIfUnhealthy(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-02T12:00")))
+    assert(alerts().isEmpty)
+
+    // a day passes without a run: ONE alert row with the report fields
+    assert(Runner.alertIfUnhealthy(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-03T12:00")))
+    assert(alerts().toSeq == Seq(("2026-08-03T12:00:00",
+      "2026-08-02T04:00:00", "2026-08-03T04:00:00", 1L)))
+
+    // the monitoring loop double-fires at the same instant: no re-page
+    assert(!Runner.alertIfUnhealthy(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-03T12:00")))
+    assert(alerts().length == 1)
+
+    // still broken a day later: pages keep coming (a second row)
+    assert(Runner.alertIfUnhealthy(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-04T12:00")))
+    assert(alerts().length == 2 && alerts()(1)._4 == 2L)
+
+    // the DAG heals: healthy evaluations go quiet again
+    Runner.runDue(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-04T12:00"))(_ => ())
+    assert(!Runner.alertIfUnhealthy(spark, root, "0 4 * * *",
+      t("2026-07-31T12:00"), t("2026-08-04T12:00")))
+    assert(alerts().length == 2)
+  }
 }
