@@ -55,6 +55,7 @@ object SparkEntry {
     UnigramTok.queries ++ TokEval.queries ++ Robots.queries ++
     WarcOps.queries ++ CorpusOverlap.queries ++ SuffixOps.queries ++ CrawlState.queries ++ CrawlCycle.queries ++ WebIr.queries ++ OverlapEval.queries ++ WebIndex.queries ++
     HttpCache.queries ++ ZOrder.queries ++ Markdown.queries ++ BandJoin.queries ++
+    ScanOps.queries ++
     graft.sources.ExtractClient.queries
 
   /** DuckDB oracles. Decimal-exact aggregation (SURVEY §5) keeps doubles
@@ -286,5 +287,6 @@ object SparkEntry {
     UnigramTok.oracles ++ TokEval.oracles ++ Robots.oracles ++
     WarcOps.oracles ++ CorpusOverlap.oracles ++ SuffixOps.oracles ++ CrawlState.oracles ++ CrawlCycle.oracles ++ WebIr.oracles ++ OverlapEval.oracles ++ WebIndex.oracles ++
     HttpCache.oracles ++ ZOrder.oracles ++ Markdown.oracles ++ BandJoin.oracles ++
+    ScanOps.oracles ++
     graft.sources.ExtractClient.oracles
 }

@@ -65,7 +65,14 @@ object ScaleParity {
     "q_ohlc", "q_lateness", "q_ks_test", "q_event_paths", "q_transitions",
     "q_attribution", "q_interval_cover", "q_sessionize", "q_hll_registers",
     // round-14 new operators (doc-keyed halving DAG; events-keyed CIs)
-    "q_hyperball", "q_bootstrap", "q_seq_patterns", "q_walks", "q_rbo")
+    "q_hyperball", "q_bootstrap", "q_seq_patterns", "q_walks", "q_rbo",
+    // round-15: the newly oracle-gated ex-rows-only queries — register
+    // images (events/lineitem-keyed), the histogram quantile ladder,
+    // the integer-plane LSH replay (embeddings-keyed; the 10 query
+    // vectors stay original, candidates grow 10x), and the LM count
+    // images (doc-keyed)
+    "q_hll_users", "q_approx_distinct", "q_approx_quantiles",
+    "q_knn_lsh", "q_unigram_logprob", "q_bigram_logprob")
 
   /** Write `df` as a SINGLE parquet file `<dir>/<table>.parquet` —
     * the driver-testdata shape both engines read. */
