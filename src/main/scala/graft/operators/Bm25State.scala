@@ -44,6 +44,37 @@ object Bm25State {
     stats.write.mode("overwrite").parquet(s"$root/stats/ingest=$batchId")
   }
 
+  /** Land EVERY batch of a partitioned corpus in one pass: one
+    * tokenize + two partitionBy("ingest") writes instead of 2·|batches|
+    * jobs each re-scanning the corpus (guide §1.2: the per-batch loop
+    * was |batches| full scans for work that is per-doc). Disk layout
+    * and row content are identical to per-batch [[commitDocBatch]]
+    * calls — postings/stats are per-doc/per-batch-additive, so the
+    * single-pass build commutes with the batch split ([[readIndex]] /
+    * [[readIndexAsOf]] read both forms indistinguishably). `batchCol`
+    * must be a pure function of the doc row. */
+  def commitDocBatches(spark: SparkSession, root: String, docs: DataFrame,
+                       idCol: Column, textCol: Column, batchCol: Column): Unit = {
+    val (postings, stats) =
+      TextOps2.buildBm25PostingsBatched(docs, idCol, textCol, batchCol)
+    // Output file sizing (guide §6): un-clustered, every write task holds
+    // rows of every batch and partitionBy explodes that into
+    // tasks × batches tiny files (measured 96 ~30 KB files at sf0.1 —
+    // the read side then pays per-file open cost and listing). The
+    // (ingest, doc_id) repartition clusters rows by their target
+    // partition dir while keeping a batch spread over multiple tasks
+    // (hashing ingest alone would funnel a whole batch through one
+    // task at scale); AQE's partition coalescing sizes the shuffle to
+    // the advisory bytes, so file count tracks data volume instead of
+    // the session's task count.
+    postings.repartition(col("ingest"), col("doc_id"))
+      .write.partitionBy("ingest").mode("overwrite")
+      .parquet(s"$root/postings")
+    stats.repartition(col("ingest"))
+      .write.partitionBy("ingest").mode("overwrite")
+      .parquet(s"$root/stats")
+  }
+
   /** The accumulated index: postings = union of every batch partition
     * (read as one partitioned table), stats = the additive re-sum of
     * the per-batch counter rows. */
@@ -64,11 +95,8 @@ object Bm25State {
   def bm25IncrQ(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_bm25_state").toString
     val docs = Tables.documents(s, d)
-    (0 to 2).foreach { b =>
-      commitDocBatch(s, root, s"b$b",
-        docs.filter(pmod(col("doc_id"), lit(3)) === b),
-        col("doc_id"), col("text"))
-    }
+    commitDocBatches(s, root, docs, col("doc_id"), col("text"),
+      concat(lit("b"), pmod(col("doc_id"), lit(3)).cast("string")))
     val (postings, stats) = readIndex(s, root)
     TextOps2.bm25FromPostings(s, postings, stats, TextOps2.Bm25Queries, k = 10)
   }
@@ -104,11 +132,8 @@ object Bm25State {
   def bm25AsOfQ(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_bm25_asof").toString
     val docs = Tables.documents(s, d)
-    (0 to 2).foreach { b =>
-      commitDocBatch(s, root, s"b$b",
-        docs.filter(pmod(col("doc_id"), lit(3)) === b),
-        col("doc_id"), col("text"))
-    }
+    commitDocBatches(s, root, docs, col("doc_id"), col("text"),
+      concat(lit("b"), pmod(col("doc_id"), lit(3)).cast("string")))
     val (postings, stats) = readIndexAsOf(s, root, Seq("b0", "b1"))
     TextOps2.bm25FromPostings(s, postings, stats, TextOps2.Bm25Queries, k = 10)
   }

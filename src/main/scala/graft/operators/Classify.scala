@@ -51,6 +51,27 @@ object Classify {
       cnt(textCol, "[ ]"))
   }
 
+  /** The four registered queries share one expensive input shape: the
+    * regex character counts over `text`. Un-materialized, EVERY
+    * training iteration (plus the scoring pass, plus rocAuc/gains'
+    * quantile probe) re-runs 3 regexp_replace passes over the full
+    * corpus text — 5+ full regex scans per query for a frame that is
+    * just 5 longs + a label per doc. Materialize it ONCE (guide §1.2
+    * step 1: don't recompute what you throw away): training, scoring
+    * and eval then ride the narrow integer frame, and the text column
+    * is scanned exactly once per query. Values are identical —
+    * features are deterministic integers either way. Persist, not
+    * checkpoint: lineage survives lost blocks; the bench/verify
+    * harnesses clear the cache per query (the labelPropagation
+    * call-lifetime-cache posture). */
+  private def featureFrame(docs: DataFrame): DataFrame =
+    docs.select(charFeatures(col("text")).zipWithIndex
+        .map { case (f, i) => f.as(s"x$i") } :+
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private val featCols: Seq[Column] = (0 until 5).map(i => col(s"x$i"))
+
   /** `iters` batch-perceptron rounds from zero weights; returns the
     * weight vector (same order as `feats`). `labelCol` must be ±1. */
   def trainPerceptron(df: DataFrame, feats: Seq[Column], labelCol: Column,
@@ -78,12 +99,10 @@ object Classify {
     * as (name, value) rows. */
   def perceptronQ(s: SparkSession, d: String): DataFrame = {
     val s2 = s; import s2.implicits._
-    val docs = Tables.documents(s, d)
-    val feats = charFeatures(col("text"))
-    val label = when(col("lang") === "en", 1L).otherwise(-1L)
-    val w = trainPerceptron(docs, feats, label, iters = 3)
-    val mis = docs.agg(coalesce(sum(
-        when(label =!= predict(feats, w), 1L)), lit(0L)).as("value"))
+    val ff = featureFrame(Tables.documents(s, d))
+    val w = trainPerceptron(ff, featCols, col("y"), iters = 3)
+    val mis = ff.agg(coalesce(sum(
+        when(col("y") =!= predict(featCols, w), 1L)), lit(0L)).as("value"))
       .select(lit("misclassified").as("name"), col("value"))
     w.zipWithIndex.map { case (wi, j) => (s"w$j", wi) }
       .toDF("name", "value")
@@ -215,12 +234,10 @@ object Classify {
   /** §2 row 194 — exact AUC of the row-118 perceptron margin against
     * the lang == 'en' label it was trained on. */
   def aucQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val feats = charFeatures(col("text"))
-    val label = when(col("lang") === "en", 1L).otherwise(-1L)
-    val w = trainPerceptron(docs, feats, label, iters = 3)
-    val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
-    rocAuc(docs.select(margin.as("score"), label.as("y")), "score", "y")
+    val ff = featureFrame(Tables.documents(s, d))
+    val w = trainPerceptron(ff, featCols, col("y"), iters = 3)
+    val margin = featCols.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    rocAuc(ff.select(margin.as("score"), col("y")), "score", "y")
   }
 
   /** Gains / lift table (SURVEY.md §2 row 206) — the third eval view
@@ -287,25 +304,21 @@ object Classify {
 
   /** §2 row 206 — decile gains of the row-118 perceptron margin. */
   def gainsQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val feats = charFeatures(col("text"))
-    val label = when(col("lang") === "en", 1L).otherwise(-1L)
-    val w = trainPerceptron(docs, feats, label, iters = 3)
-    val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
-    gainsTable(docs.select(margin.as("score"), label.as("y")), "score", "y")
+    val ff = featureFrame(Tables.documents(s, d))
+    val w = trainPerceptron(ff, featCols, col("y"), iters = 3)
+    val margin = featCols.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    gainsTable(ff.select(margin.as("score"), col("y")), "score", "y")
       .orderBy(col("decile"))
   }
 
   /** §2 row 181 — 10-bin calibration of the row-118 perceptron's raw
     * margin against the lang == 'en' label it was trained on. */
   def calibrationQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val feats = charFeatures(col("text"))
-    val label = when(col("lang") === "en", 1L).otherwise(-1L)
-    val w = trainPerceptron(docs, feats, label, iters = 3)
-    val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    val ff = featureFrame(Tables.documents(s, d))
+    val w = trainPerceptron(ff, featCols, col("y"), iters = 3)
+    val margin = featCols.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
     calibrationTable(
-        docs.select(margin.as("score"), label.as("y")), "score", "y", bins = 10)
+        ff.select(margin.as("score"), col("y")), "score", "y", bins = 10)
       .orderBy(col("bin"))
   }
 

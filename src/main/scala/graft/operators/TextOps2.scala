@@ -186,11 +186,43 @@ object TextOps2 {
     val tf = docs.select(idCol.as("doc_id"),
         explode(regexp_extract_all(lower(textCol), lit(TokenPattern), lit(0))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val postings = tf.join(dlen, "doc_id")
+    // dl rides a doc_id-partitioned window over tf instead of the old
+    // groupBy-then-join-back: one exchange of the tf frame instead of
+    // two (guide §2.4 — two operations keyed the same way share one
+    // exchange). Identical values (the same long sum per doc).
+    val postings = tf.withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("token"), col("tf"), col("dl"))
+    // tot_dl = Σ_docs dl = Σ tf — same long, one less pass over dlen
     val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dlen.agg(sum(col("dl")).as("tot_dl")))
+      .crossJoin(tf.agg(sum(col("tf")).as("tot_dl")))
+    (postings, stats)
+  }
+
+  /** Every batch's postings + stats in ONE pass, tagged by the batch
+    * key: postings rows are per-doc (tf and dl never look outside the
+    * document), and the stats counters are per-batch additive — so
+    * building all batches from one tokenize is row-identical to
+    * building each batch separately ([[graft.operators.Bm25State]]'s
+    * disjointness argument, applied at build time). `batchCol` must be
+    * a pure function of the doc row (a doc lives in exactly one
+    * batch). Returns (postings (ingest, doc_id, token, tf, dl),
+    * stats (ingest, n_docs, tot_dl)). */
+  def buildBm25PostingsBatched(docs: DataFrame, idCol: Column, textCol: Column,
+                               batchCol: Column): (DataFrame, DataFrame) = {
+    val base = docs.select(batchCol.as("ingest"), idCol.as("doc_id"),
+      textCol.as("__text"))
+    val tf = base.select(col("ingest"), col("doc_id"),
+        explode(regexp_extract_all(lower(col("__text")), lit(TokenPattern), lit(0))).as("token"))
+      .groupBy(col("ingest"), col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val postings = tf.withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("ingest"), col("doc_id"))))
+      .select(col("ingest"), col("doc_id"), col("token"), col("tf"), col("dl"))
+    val stats = base.groupBy(col("ingest")).agg(count(lit(1)).as("n_docs"))
+      .join(tf.groupBy(col("ingest")).agg(sum(col("tf")).as("tot_dl")),
+        Seq("ingest"), "left")
+      .select(col("ingest"), col("n_docs"),
+        coalesce(col("tot_dl"), lit(0L)).as("tot_dl"))
     (postings, stats)
   }
 
@@ -210,8 +242,19 @@ object TextOps2 {
     // (qid, token) would double-count a doc once per query sharing
     // the token
     val qtok = qt.select(col("token")).distinct()
-    val pq = postings.join(broadcast(qt), "token")
-    val dfq = postings.join(broadcast(qtok), "token")
+    // ONE scan of the postings for both consumers: the query-term
+    // restriction is shared by the score join (pq) and the df
+    // aggregate (dfq) — un-pinned, the df BROADCAST subtree re-ran the
+    // whole postings derivation (for the in-memory q_bm25 path that is
+    // a second full corpus tokenize; for the parquet-backed state
+    // path a second full postings scan). The restricted frame is
+    // |query-term postings|-sized — tiny — and the bench/verify
+    // harnesses clear the cache per query (call-lifetime entry, the
+    // labelPropagation posture).
+    val restricted = postings.join(broadcast(qtok), "token")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pq = restricted.join(broadcast(qt), "token")
+    val dfq = restricted
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast(DoubleType)
     val dfd = col("df").cast(DoubleType)
@@ -279,8 +322,14 @@ object TextOps2 {
   /** §2 row 190 — top-5 expansion terms from 10 feedback docs for the
     * standard query workload. */
   def prfQ(s: SparkSession, d: String): DataFrame = {
-    val (postings, stats) =
+    val (postings0, stats) =
       buildBm25Postings(Tables.documents(s, d), col("doc_id"), col("text"))
+    // postings feed TWO consumers (the BM25 feedback ranking and the
+    // expansion-term scoring join); pinned, the corpus tokenizes once
+    // — the deployment form reads a parquet postings table here, so
+    // this only mirrors that shape for the in-memory query
+    val postings = postings0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     prfExpansion(s, postings, stats, Bm25Queries, k = 10, m = 5)
       .orderBy(col("qid"), col("rn"))
   }
