@@ -329,19 +329,27 @@ object Analytics {
         (sum(valCol.cast(DecimalType(12, 2))) * 100).cast(LongType)
           .as("monetary_cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def scoreOf(metric: String, out: String)(df: DataFrame): DataFrame = {
-      val counts = df.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("__c"))
+    // Each value→score map is built from the PERSISTED user frame, not
+    // from the progressively-joined result: the map depends only on its
+    // own metric column, and folding scoreOf over the joined frame made
+    // pass k's groupBy re-plan AND re-execute passes 1..k-1's join
+    // trees (the counts aggregation scanned the join output — an 11k-
+    // line formatted plan and two redundant score-join executions).
+    // Building all three maps off `users` and then chaining the three
+    // value-keyed joins is row-identical (each user matches exactly one
+    // map row per metric) with a linear plan.
+    def mapOf(metric: String, out: String): DataFrame = {
+      val counts = users.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("__c"))
       val cum = Prefix.cumSumBucketed(counts, "__v", descending = false,
         tieCols = Nil, valueCol = "__c", out = "__cum")
       val tot = counts.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
-      val m = cum.crossJoin(broadcast(tot))
+      cum.crossJoin(broadcast(tot))
         .select(col("__v").as(metric),
           (GraphOps.fdiv((col("__cum") - 1L) * buckets, col("__n")) + 1L).as(out))
-      df.join(m, Seq(metric))
     }
     val scored = Seq(("last_us", "r_score"), ("freq", "f_score"),
       ("monetary_cents", "m_score"))
-      .foldLeft(users) { case (df, (m, o)) => scoreOf(m, o)(df) }
+      .foldLeft(users) { case (df, (m, o)) => df.join(mapOf(m, o), Seq(m)) }
     scored.select(col("user_id"), col("last_us"), col("freq"),
       col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
   }

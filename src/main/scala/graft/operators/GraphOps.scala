@@ -61,10 +61,16 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
     val w = col(wCol).cast(LongType)
+    // The canonical edge frame is itself persisted: nodes reads it
+    // TWICE (src ∪ dst) and outw/ew once each, so unpersisted the
+    // caller's whole edge-derivation lineage (for the registered
+    // queries, a lineitem⋈orders join) executes 4x before the first
+    // iteration even starts — O(|E|) cache, one derivation pass.
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst"),
       when(w > 0, w).otherwise(raise_error(
         lit("pageRank: edge weights must be positive"))).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -109,7 +115,7 @@ object GraphOps {
         next
       }
       last
-    } finally { ew.unpersist(); outw.unpersist(); nodes.unpersist(); () }
+    } finally { ew.unpersist(); outw.unpersist(); nodes.unpersist(); e.unpersist(); () }
   }
 
   /** The registered query's edge graph: nation-to-nation trade flows —
@@ -165,10 +171,13 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
     val w = col(wCol).cast(LongType)
+    // persisted for the same reason as pageRank's e: nodes/outw/ew
+    // otherwise replay the caller's edge derivation 4x up front
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst"),
       when(w > 0, w).otherwise(raise_error(
         lit("personalizedPageRank: edge weights must be positive"))).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -208,7 +217,8 @@ object GraphOps {
       last.select(col("node"), col("rank"))
     } finally {
       if (flagged != null) { flagged.unpersist(); () }
-      sd.unpersist(); ew.unpersist(); outw.unpersist(); nodes.unpersist(); ()
+      sd.unpersist(); ew.unpersist(); outw.unpersist(); nodes.unpersist()
+      e.unpersist(); ()
     }
   }
 

@@ -157,20 +157,26 @@ object WebIr {
         .withColumn("s", lit(scale))
       var a: DataFrame = null
       for (_ <- 1 to iters) {
+        // EAGER checkpoint on the half-step AGGREGATE (pre-normalize),
+        // not just the normalized frame: the L1 total is a broadcast
+        // whose subtree executes as its OWN job at plan time, so an
+        // un-checkpointed ar/hr pays the edge⋈score join + aggregation
+        // TWICE per half-step (once under the total's broadcast job,
+        // once under the normalize checkpoint); un-checkpointed
+        // entirely, hsum(i)/asum(i)
+        // would recompute the whole chain up to round i per total
+        // (measured 5x worse). The checkpoints also make the
+        // finally-block unpersist of e safe.
         val ar = e.join(h, e("src") === h("node"))
           .groupBy(col("dst")).agg(sum(col("s")).as("ar"))
+          .localCheckpoint()
         val asum = ar.agg(sum(col("ar")).as("t"))
-        // EAGER checkpoints on both half-steps, the pageRank posture:
-        // each L1 total is a broadcast whose subtree executes as its
-        // OWN job at plan time — un-checkpointed, hsum(i)/asum(i)
-        // would recompute the whole chain up to round i per total
-        // (measured 5x worse without). The last round's checkpoints
-        // also make the finally-block unpersist of e safe.
-        a = ar.crossJoin(broadcast(asum)) // 1-row total
+        a = ar.crossJoin(broadcast(asum)) // 1-row total over checkpointed ar
           .select(col("dst").as("node"), fdiv(col("ar") * scale, col("t")).as("s"))
           .localCheckpoint()
         val hr = e.join(a, e("dst") === a("node"))
           .groupBy(col("src")).agg(sum(col("s")).as("hr"))
+          .localCheckpoint()
         val hsum = hr.agg(sum(col("hr")).as("t"))
         h = hr.crossJoin(broadcast(hsum))
           .select(col("src").as("node"), fdiv(col("hr") * scale, col("t")).as("s"))
