@@ -80,8 +80,11 @@ object CrawlCycle {
           x => x.getField("entry")), ""),
         lit("</urlset>")).as("xml"))
 
-    // 1. DISCOVERY: the robots artifact names the sitemaps to fetch
+    // 1. DISCOVERY: the robots artifact names the sitemaps to fetch.
+    // Persisted: consumed by the sitemap-declaration join, the rule
+    // parse behind the verdicts, and the crawl-delay map — host-bounded.
     val robots = Robots.seededRobots(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val declared = Robots.sitemapsDeclared(robots, "host", "txt")
     val fetchedMaps = declared
       .join(bodies, declared("sitemap_url") === bodies("sm_url") &&
@@ -89,7 +92,12 @@ object CrawlCycle {
       .select(concat(declared("host"), lit("|"), col("sm_url")).as("ck"),
         col("xml"))
 
-    // 2. PARSE each discovered sitemap (composite host|sm key)
+    // 2. PARSE each discovered sitemap (composite host|sm key).
+    // PERSISTED (call-lifetime, the SURVEY §21 posture): sm feeds four
+    // consumers across THREE actions (the permit verdicts, the two
+    // ledger commits' url slices, and the frontier input) — unpinned,
+    // the whole urlset-assembly + XML-regex parse chain re-executes
+    // once per consumer. One row per sitemap entry, corpus-bounded.
     val sm = Robots.parseSitemap(fetchedMaps, "ck", "xml",
         recrawlAfter = "2025-01-15")
       .select(split(col("host"), "\\|").getItem(0).as("host"),
@@ -97,6 +105,7 @@ object CrawlCycle {
         col("pos"), col("loc_canon"), col("lastmod"), col("priority_ppm"))
       .withColumn("path",
         regexp_extract(col("loc_canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. PERMIT: wildcard-aware verdicts for graftbot
     val verdicts = Robots.decide(sm.select(col("host"), col("path")).distinct(),
