@@ -54,24 +54,47 @@ object TextFunctions {
   /** Words of the normalized text. */
   def words(c: Column): Column = split(normalize(c), " ")
 
+  /** Exploded word tokens with the i-ahead words as __l1..__l{n-1} —
+    * the shared machinery behind exploded shingles, gram hashes and
+    * repetition stats. The lead value IS the (__pos+i)-th element of
+    * the words array the explode already holds, so it is read by
+    * codegen'd array indexing (GetArrayItem) at explode time instead
+    * of a `lead()` window: the token stream never pays the window's
+    * exchange + sort (guide §2.4 — remove shuffles outright), and the
+    * first shuffle any consumer pays is its own (usually map-side
+    * pre-aggregated, far smaller than the raw token stream). Unlike a
+    * higher-order `transform` lambda (measured ~10x slower over a
+    * 5k-doc corpus — HOF lambdas evaluate interpreted), indexing stays
+    * inside whole-stage codegen. Rows and values are identical to the
+    * lead-window form: positions are consecutive 0..size-1 within a
+    * doc, so lead(i) == __ws[__pos+i], NULL past the doc end (the
+    * `when` bound keeps ANSI mode from throwing on out-of-range).
+    * Returns carry ++ (__pos, __w, __l1..__l{n-1}). */
+  def tokenLeadRows(df: DataFrame, carry: Seq[Column], textCol: Column,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = df.select(carry :+ words(textCol).as("__ws"): _*)
+    // carry expressions may be aliased — address them by their OUTPUT
+    // names from here on (the aliasing projection has already run)
+    val carried = base.columns.dropRight(1).map(col).toSeq
+    base
+      .select((carried :+ col("__ws")) :+
+        posexplode(col("__ws")).as(Seq("__pos", "__w")): _*)
+      .select((carried ++ Seq(col("__pos"), col("__w"))) ++
+        (1 until n).map(i =>
+          when(col("__pos") + i < size(col("__ws")),
+            col("__ws").getItem(col("__pos") + i)).as(s"__l$i")): _*)
+  }
+
   /** Exploded word n-gram shingles: one output row per (carry columns,
-    * shingle). posexplode + window `lead` instead of a higher-order
-    * `transform` lambda — HOF lambdas evaluate interpreted (measured
-    * ~10x slower over a 5k-doc corpus), while posexplode/lead/concat_ws
-    * are whole-stage-codegen'd. Cost: one sort-shuffle on the carry
-    * key, linear in total words. */
+    * shingle) — [[tokenLeadRows]] + concat_ws, zero shuffles. */
   def shingleRows(df: DataFrame, carry: Seq[Column], textCol: Column,
                   n: Int = 3, out: String = "sh"): DataFrame = {
-    val exploded = df.select(carry :+ posexplode(words(textCol)).as(Seq("__pos", "__w")): _*)
-    val w = Window.partitionBy(carry: _*).orderBy(col("__pos"))
-    val withLeads = exploded.select(
-      (carry :+ col("__w")) ++
-        (1 until n).map(i => lead(col("__w"), i).over(w).as(s"__l$i")): _*)
-    withLeads
-      .filter(col(s"__l${n - 1}").isNotNull)
+    val withLeads = tokenLeadRows(df, carry, textCol, n)
+    (if (n == 1) withLeads else withLeads.filter(col(s"__l${n - 1}").isNotNull))
       .withColumn(out,
         concat_ws(" ", (col("__w") +: (1 until n).map(i => col(s"__l$i"))): _*))
-      .drop(("__w" +: (1 until n).map(i => s"__l$i")): _*)
+      .drop(("__pos" +: "__w" +: (1 until n).map(i => s"__l$i")): _*)
   }
 
   /** Word n-gram shingles of the normalized text; empty if fewer than n

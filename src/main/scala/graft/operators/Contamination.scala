@@ -167,22 +167,16 @@ object Contamination {
 
   /** Positional word `n`-gram shingles: one row per (id, pos, hash),
     * pos 1-based over the normalized words, REPEATS KEPT — position
-    * coverage, not set membership, is the point here. Same
-    * posexplode/lead shape as [[TextFunctions.shingleRows]] (HOF
-    * lambdas evaluate interpreted; this stays codegen'd). */
+    * coverage, not set membership, is the point here. Same zero-shuffle
+    * explode shape as [[TextFunctions.tokenLeadRows]] (codegen array
+    * indexing; no token-stream window sort, no HOF lambda). */
   private def positionalShingles(df: DataFrame, idCol: Column, textCol: Column,
-                                 n: Int): DataFrame = {
-    val exploded = df.select(idCol.as("__id"),
-      posexplode(TextFunctions.words(textCol)).as(Seq("__pos", "__w")))
-    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
-    exploded.select(
-        (col("__id") +: col("__pos") +: col("__w") +:
-          (1 until n).map(i => lead(col("__w"), i).over(w).as(s"__l$i"))): _*)
+                                 n: Int): DataFrame =
+    TextFunctions.tokenLeadRows(df, Seq(idCol.as("__id")), textCol, n)
       .filter(col(s"__l${n - 1}").isNotNull)
       .select(col("__id"), (col("__pos") + 1).as("pos"),
         xxhash64(concat_ws(" ",
           (col("__w") +: (1 until n).map(i => col(s"__l$i"))): _*)).as("h"))
-  }
 
   /** Graded contamination (the PaLM/GPT-4-report posture: overlap
     * FRACTION thresholds, not binary hits): for every test doc, the

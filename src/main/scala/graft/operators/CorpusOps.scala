@@ -33,14 +33,11 @@ object CorpusOps {
     * Shape: two grouped aggregations keyed by (doc, token) — map-side
     * partials do most of the work because repeated tokens collapse
     * early; nothing is ever wider than a (doc_id, token, count) row. */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
-      posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
-    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     repetitionStatsFromTokens(
-      toks.select(col("__id"), col("__w"), lead(col("__w"), 1).over(w).as("__l1")),
+      TextFunctions.tokenLeadRows(docs, Seq(col(idCol).as("__id")),
+        col(textCol), n = 2),
       idCol)
-  }
 
   /** The aggregation half of [[repetitionStats]], over a pre-computed
     * token frame (__id, __w, __l1 = next word or NULL) — for callers

@@ -119,8 +119,8 @@ object LmScore {
     * positive without discounting bookkeeping.
     *
     * Shape: tokens explode once and feed BOTH count tables (unigram =
-    * one hash agg; bigram = lead() over the per-DOC window — bounded
-    * by doc length, never a corpus-wide sort); per-doc terms join the
+    * one hash agg; the bigram's next-word read by array indexing at
+    * explode time — no token-stream sort at all); per-doc terms join the
     * two vocab tables on their keys (linear equi-joins, map-side
     * combinable aggs). The per-doc fold is the same sorted exact
     * reduction as the unigram path, so the score is a pure function
@@ -128,16 +128,16 @@ object LmScore {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.7): DataFrame = {
     require(lambda > 0d && lambda < 1d, s"lambda must be in (0,1), got $lambda")
-    // ONE corpus tokenization + ONE per-doc lead() window feed every
-    // consumer below (unigram counts, per-doc terms, first token,
-    // token count): persisted, because Spark does not dedupe common
-    // subplans — the ngramJaccard/tokenPass discipline. The corpus
-    // bigram table derives from the PER-DOC term counts by one more
-    // re-aggregation instead of a second pass over seq2.
-    val seq2 = docs.select(col(idCol).as("__id"),
-        posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__a")))
-      .withColumn("__b",
-        lead(col("__a"), 1).over(Window.partitionBy(col("__id")).orderBy(col("__pos"))))
+    // ONE corpus tokenization feeds every consumer below (unigram
+    // counts, per-doc terms, first token, token count): persisted,
+    // because Spark does not dedupe common subplans — the
+    // ngramJaccard/tokenPass discipline. __b is read by array indexing
+    // at explode time (tokenLeadRows — no per-doc window sort). The
+    // corpus bigram table derives from the PER-DOC term counts by one
+    // more re-aggregation instead of a second pass over seq2.
+    val seq2 = TextFunctions.tokenLeadRows(docs,
+        Seq(col(idCol).as("__id")), col(textCol), n = 2)
+      .withColumnRenamed("__w", "__a").withColumnRenamed("__l1", "__b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = seq2
 
@@ -196,13 +196,12 @@ object LmScore {
     * λ-interpolation, and C(first token) feeding the unigram fallback
     * term. Only ln stays outside the gate (LmScoreSpec). Int64-safe to
     * ~10¹⁴ at sf1-scale corpora (k ≤ doc length, counts ≤ corpus
-    * tokens). Same plan shape as [[bigramLogProb]]: one lead() window
-    * bounded per doc, vocab-keyed equi-joins, map-side combinable. */
+    * tokens). Same plan shape as [[bigramLogProb]]: zero-shuffle
+    * explode, vocab-keyed equi-joins, map-side combinable. */
   def bigramCountImageQ(s: SparkSession, d: String): DataFrame = {
-    val seq2 = Tables.documents(s, d).select(col("doc_id").as("__id"),
-        posexplode(TextFunctions.words(col("text"))).as(Seq("__pos", "__a")))
-      .withColumn("__b",
-        lead(col("__a"), 1).over(Window.partitionBy(col("__id")).orderBy(col("__pos"))))
+    val seq2 = TextFunctions.tokenLeadRows(Tables.documents(s, d),
+        Seq(col("doc_id").as("__id")), col("text"), n = 2)
+      .withColumnRenamed("__w", "__a").withColumnRenamed("__l1", "__b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = seq2.groupBy(col("__a")).agg(count(lit(1)).as("__ca"))
     val docTerms = seq2.filter(col("__b").isNotNull)

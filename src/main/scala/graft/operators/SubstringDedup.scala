@@ -35,17 +35,14 @@ import graft.sources.Tables
 object SubstringDedup {
 
   /** Position-annotated word n-gram hashes: (doc_id, pos, h), pos
-    * 0-based over the normalized word stream. posexplode + lead (the
-    * codegen'd shingle shape, see [[TextFunctions.shingleRows]]) — one
-    * window sort per doc. */
+    * 0-based over the normalized word stream. Array indexing at
+    * explode time ([[TextFunctions.tokenLeadRows]]) — zero shuffles;
+    * the gram stream's first exchange is its consumer's. */
   private def gramRows(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame = {
     require(n >= 2, s"span gram length must be >= 2, got $n")
-    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
-    docs.select(col(idCol).as("__id"),
-        posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
-      .select(Seq(col("__id"), col("__pos"), col("__w")) ++
-        (1 until n).map(i => lead(col("__w"), i).over(w).as(s"__l$i")): _*)
+    TextFunctions.tokenLeadRows(docs, Seq(col(idCol).as("__id")),
+        col(textCol), n)
       .filter(col(s"__l${n - 1}").isNotNull)
       .select(col("__id"), col("__pos").cast(LongType).as("__pos"),
         xxhash64(concat_ws(" ",
@@ -104,9 +101,10 @@ object SubstringDedup {
     * the smallest-n span set (any long dup contains short dups); the
     * cascade's value is the attribution.
     *
-    * Scale shape: ONE lead-window pass per doc builds every length
-    * (leads to max(ns)−1 computed once, per-length hashes projected
-    * from the same row — NOT one sorted pass per length); per-length
+    * Scale shape: ONE zero-shuffle explode pass builds every length
+    * (leads to max(ns)−1 read by array indexing once, per-length
+    * hashes projected from the same row — NOT one pass per length,
+    * and no token-stream sort at all); per-length
     * counts collapse map-side keyed (n, hash); the dup-key join back
     * is AQE-broadcast-shaped; the merge windows only over dup
     * occurrences. Same ids+hash row-width discipline as dupSpans. */
@@ -116,11 +114,9 @@ object SubstringDedup {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"gram lengths must be >= 2: $ns")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val nMax = ns.max
-    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
-    val base = docs.select(col(idCol).as("__id"),
-        posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
-      .select(Seq(col("__id"), col("__pos").cast(LongType).as("__pos"), col("__w")) ++
-        (1 until nMax).map(i => lead(col("__w"), i).over(w).as(s"__l$i")): _*)
+    val base = TextFunctions.tokenLeadRows(docs, Seq(col(idCol).as("__id")),
+        col(textCol), nMax)
+      .withColumn("__pos", col("__pos").cast(LongType))
     val perLen = array(ns.sorted.map { n =>
       struct(lit(n.toLong).as("n"),
         when(col(s"__l${n - 1}").isNotNull,

@@ -85,24 +85,34 @@ object TrainingPipeline {
     * lost blocks recompute — and the ContextCleaner reclaims them. */
   private val Lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-  /** The shared token pass: ONE explode + ONE window sort yields every
-    * text-derived view the stages need — Catalyst folds all the `lead`
-    * frames into a single Window node, so word stats and bigrams (the
-    * repetition gate), 3-gram shingle hashes (MinHash) and
-    * `decontShingle`-gram hashes (decon) all ride one sort-shuffle of
-    * the token stream instead of one full text re-parse per stage.
-    * Returns (repetition tokens, 3-gram hashes (doc_id, h),
-    * decon-gram hashes (doc_id, h)); each view is byte-identical to
-    * what its standalone operator computes, so results cannot drift. */
+  /** The shared token pass: ONE explode yields every text-derived view
+    * the stages need — the lead words are read by codegen array
+    * indexing at explode time ([[TextFunctions.tokenLeadRows]]), so
+    * word stats and bigrams (the repetition gate), 3-gram shingle
+    * hashes (MinHash) and `decontShingle`-gram hashes (decon) all ride
+    * one ZERO-SHUFFLE scan of the text instead of a token-stream
+    * sort-shuffle (the previous lead-window form) or one full text
+    * re-parse per stage. Returns (repetition tokens, 3-gram hashes
+    * (doc_id, h), decon-gram hashes (doc_id, h)); each view is
+    * byte-identical to what its standalone operator computes, so
+    * results cannot drift. */
   private def tokenPass(docs: DataFrame, cfg: Config): (DataFrame, DataFrame, DataFrame) = {
     require(cfg.decontShingle >= 3,
       s"decontShingle must be >= 3, got ${cfg.decontShingle}")
     val L = cfg.decontShingle - 1
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
-    val leads = docs.select(col("doc_id"),
-        posexplode(TextFunctions.words(col("text"))).as(Seq("__pos", "__w")))
-      .select((col("doc_id") +: col("__w") +:
-        (1 to L).map(i => lead(col("__w"), i).over(w).as(s"__l$i"))): _*)
+    // Spread the TEXT rows before the explode: the token pass is the
+    // pipeline's CPU-heaviest map work (every token hashed three ways
+    // into the persisted lead frame), so it must not be serialized by
+    // a narrow input layout (a single-row-group parquet scan is ONE
+    // task). Shuffling the un-exploded text is strictly cheaper than
+    // the lead-window form this replaced (which shuffled AND sorted
+    // the exploded token stream — ~3x the bytes); the lead words
+    // themselves are read by codegen array indexing at explode time,
+    // zero further shuffles.
+    val leads = TextFunctions.tokenLeadRows(
+        docs.repartition(col("doc_id")), Seq(col("doc_id")),
+        col("text"), L + 1)
+      .drop("__pos")
       .persist(Lvl)
     val tri = leads.filter(col("__l2").isNotNull)
       .select(col("doc_id"),
