@@ -133,7 +133,12 @@ object PhraseSearch {
     // persisted index deployment prunes the same way via partition
     // keys on tri)
     val tris = patterns.flatMap(trigramsOf).distinct
+    // text rows spread before the per-character explode — the trigram
+    // projection + prune is the map-heavy half and must not serialize
+    // on a narrow (single-row-group) scan layout; the text shuffle is
+    // tiny next to the character-position frame it parallelizes
     val post = docs.filter(length(col(textCol)) >= 3)
+      .repartition(col(idCol))
       .select(col(idCol).as("__id"),
         explode(expr(s"sequence(1, length($textCol) - 2)")).as("__i"),
         col(textCol).as("__t"))

@@ -151,21 +151,28 @@ object Relational3 {
     * suppliers who were the SOLE late shipper on a multi-supplier
     * order — their line shipped > 90 days after the order date while
     * every other supplier's lines were on time. The exists/not-exists
-    * pair becomes two aggregates over one order-keyed frame. */
+    * pair is two unordered window aggregates over the ONE order-keyed
+    * exchange: repartition by l_orderkey up front (HashPartitioning on
+    * a subset key satisfies both the (orderkey, suppkey) aggregation
+    * and the orderkey window), so the old three exchanges of the
+    * per-supplier frame (groupBy pair + per-order re-agg + join-back)
+    * collapse to one — same aggregates, same rows (guide §2.4: two
+    * operations keyed the same way share one exchange). */
   def q21LateSuppliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
           .as("__late"))
+      .repartition(col("l_orderkey"))
     val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("__late"), 1L).otherwise(0L)).as("__supp_late"))
-    val perOrder = perSupp.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("__n_supp"),
-        sum(col("__supp_late")).as("__n_late"))
+    val w = Window.partitionBy(col("l_orderkey"))
     perSupp
-      .join(perOrder, Seq("l_orderkey"))
+      .withColumn("__n_supp", count(lit(1)).over(w))
+      .withColumn("__n_late", sum(col("__supp_late")).over(w))
       .filter(col("__n_supp") >= 2 && col("__n_late") === 1L &&
         col("__supp_late") === 1L)
       .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))

@@ -48,9 +48,16 @@ object SuffixOps {
     require(maxLen > BucketChars, s"maxLen must exceed $BucketChars, got $maxLen")
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
+    // Spread the TEXT rows before the per-character explode: the
+    // position frame is corpus-CHAR-sized and its substring/bucket
+    // projection is the operator's map-heavy half — a narrow input
+    // layout (single-row-group parquet = one scan task) would run it
+    // serially. Shuffling the un-exploded text is ~maxLen times
+    // cheaper than the suffix frame the window exchange moves anyway.
     val keyed = docs
       .select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("__t"))
       .filter(length(col("__t")) > 0)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("__t")))).as("p0"), col("__t"))
       .select(col("doc_id"), col("p0").cast(LongType).as("pos"),

@@ -183,9 +183,14 @@ object TextOps2 {
     * row), which is why stats ride along instead of being re-derived
     * from postings at read time. */
   def buildBm25Postings(docs: DataFrame, idCol: Column, textCol: Column): (DataFrame, DataFrame) = {
+    // persisted: tf feeds BOTH the postings window and the stats
+    // tot_dl aggregate — unpinned, the corpus text is tokenized twice
+    // per index build (call-lifetime entry, the labelPropagation
+    // posture; the harnesses clear caches per query)
     val tf = docs.select(idCol.as("doc_id"),
         explode(regexp_extract_all(lower(textCol), lit(TokenPattern), lit(0))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dl rides a doc_id-partitioned window over tf instead of the old
     // groupBy-then-join-back: one exchange of the tf frame instead of
     // two (guide §2.4 — two operations keyed the same way share one
@@ -212,9 +217,13 @@ object TextOps2 {
                                batchCol: Column): (DataFrame, DataFrame) = {
     val base = docs.select(batchCol.as("ingest"), idCol.as("doc_id"),
       textCol.as("__text"))
+    // persisted for the same two-consumer reason as buildBm25Postings
+    // (postings window + per-batch stats agg), and because the postings
+    // and stats WRITES are separate actions in the state-commit path
     val tf = base.select(col("ingest"), col("doc_id"),
         explode(regexp_extract_all(lower(col("__text")), lit(TokenPattern), lit(0))).as("token"))
       .groupBy(col("ingest"), col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = tf.withColumn("dl",
         sum(col("tf")).over(Window.partitionBy(col("ingest"), col("doc_id"))))
       .select(col("ingest"), col("doc_id"), col("token"), col("tf"), col("dl"))
@@ -242,20 +251,20 @@ object TextOps2 {
     // (qid, token) would double-count a doc once per query sharing
     // the token
     val qtok = qt.select(col("token")).distinct()
-    // ONE scan of the postings for both consumers: the query-term
-    // restriction is shared by the score join (pq) and the df
-    // aggregate (dfq) — un-pinned, the df BROADCAST subtree re-ran the
-    // whole postings derivation (for the in-memory q_bm25 path that is
-    // a second full corpus tokenize; for the parquet-backed state
-    // path a second full postings scan). The restricted frame is
-    // |query-term postings|-sized — tiny — and the bench/verify
-    // harnesses clear the cache per query (call-lifetime entry, the
-    // labelPropagation posture).
+    // ONE structural scan of the postings: restrict to query terms
+    // first, then df-per-token rides a token-partitioned window over
+    // the restricted frame (count of (doc, token) rows = docs carrying
+    // the token — identical to the old separate aggregate + join-back,
+    // which re-ran the whole postings derivation under the df
+    // broadcast). NOT a persist of the restricted frame: a plan-keyed
+    // cache of a STATE-DIR read returns STALE rows when a later batch
+    // lands under the same path and a fresh read's plan cache-matches
+    // (Bm25StateSpec pins the regression); the window form needs no
+    // cache, no second join, and keeps the scan (and its partition
+    // pruning) visible in the plan.
     val restricted = postings.join(broadcast(qtok), "token")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
     val pq = restricted.join(broadcast(qt), "token")
-    val dfq = restricted
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast(DoubleType)
     val dfd = col("df").cast(DoubleType)
     val tfd = col("tf").cast(DoubleType)
@@ -263,7 +272,6 @@ object TextOps2 {
     val idfN = (lit(1.0d) + (nd - dfd + lit(0.5d)) / (dfd + lit(0.5d))) / (nd + lit(1.0d))
     val sat = (tfd * lit(2.2d)) / (tfd + lit(1.2d) * (lit(0.25d) + lit(0.75d) * r))
     val summed = pq
-      .join(broadcast(dfq), "token")
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
         floor((idfN * sat) * lit(1.0e15d)).as("s_i"))

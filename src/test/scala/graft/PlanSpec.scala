@@ -232,8 +232,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.TextOps2.bm25Q(spark, TestSpark.sf))
     assert(p.contains("BroadcastExchange"), p)
     assert(p.toLowerCase.contains("minkbylong"), p)
-    // no window at all: ranking is fully aggregator-side
-    assert(!p.contains("windowspecdefinition"), p)
+    // ranking stays fully aggregator-side — no rank window anywhere;
+    // the only windows are the KEYED single-exchange replacements of
+    // groupBy+join-back pairs (dl per doc_id over tf, df per token
+    // over the query-restricted postings) — never an unkeyed window
+    assert(!p.contains("row_number"), p)
+    assert("windowspecdefinition\\((?!doc_id#|token#)".r.findFirstIn(p).isEmpty, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -248,19 +252,22 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("Limit"), p)
   }
 
-  test("top bigrams: the shingle window partitions by (lang, doc_id), never the lang alone") {
+  test("top bigrams: leads by array indexing — the only window is the lang-keyed rank, group-limit bounded") {
     val p = plan(graft.operators.LmScore.topBigramsQ(spark, TestSpark.sf))
-    // the lead() window is bounded per doc — a lang-only partition
-    // would funnel each language through one task
-    assert("windowspecdefinition\\(lang#\\d+[^,]*, doc_id#".r.findFirstIn(p).nonEmpty, p)
+    // the old per-doc lead() window (and its token-stream exchange +
+    // sort) is gone — the next word is read by array indexing at
+    // explode time; the only window left is the per-lang top-10 rank,
+    // bounded by WindowGroupLimit before its exchange
+    assert("windowspecdefinition\\((?!lang#)".r.findFirstIn(p).isEmpty, p)
+    assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("bigram logprob: doc-bounded lead window, 1-row stats broadcast") {
+  test("bigram logprob: leads by array indexing — no window at all, 1-row stats broadcast") {
     val p = plan(graft.operators.LmScore.bigramLogProbQ(spark, TestSpark.sf))
-    // the transition window is keyed on the doc id — never corpus-wide
-    assert("windowspecdefinition\\(__id#".r.findFirstIn(p).nonEmpty, p)
-    assert("windowspecdefinition\\((?!__id)".r.findFirstIn(p).isEmpty, p)
+    // the old doc-keyed transition window is gone (array indexing at
+    // explode time); nothing else windows either
+    assert(!p.contains("windowspecdefinition"), p)
     // the corpus-total join is a broadcast of a 1-row aggregate
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
