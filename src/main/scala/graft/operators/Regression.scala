@@ -340,9 +340,16 @@ object Regression {
     require(b >= 2 && b <= 1000, s"replicates must be in [2,1000], got $b")
     require(loRank >= 1 && hiRank <= b && loRank <= hiRank,
       s"ranks must satisfy 1 <= lo <= hi <= $b, got ($loRank, $hiRank)")
+    // spread by key before the B-way replicate explode: the per-(row,
+    // replicate) PolyHash64 weight draw is B× the input volume and is
+    // the operator's map-heavy half — it must not serialize on a
+    // narrow scan layout (a single-row-group parquet file is ONE
+    // task); the pre-explode row shuffle is 1/B of the frame it
+    // parallelizes
     val rows = df.filter(valueCol.isNotNull)
       .select(groupCol.as("g"), keyCol.as("k"),
         floor(valueCol * 100.0 + 0.5).cast(LongType).as("cents"))
+      .repartition(col("k"))
     val u = pmod(graft.plans.PolyHash64.poly_hash64(
       concat(lit("boot|"), col("b").cast(StringType),
         lit("|"), col("k").cast(StringType))), lit(1000000L))

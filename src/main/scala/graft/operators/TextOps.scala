@@ -517,11 +517,17 @@ object TextOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  /** §2 row 211 — density of the minhash duplicate clusters. */
+  /** §2 row 211 — density of the minhash duplicate clusters. `pairs`
+    * is persisted: it feeds BOTH the component labeling and the
+    * density pair-count — unpinned, the band join + Jaccard verify
+    * executes once per consumer (the signature state below it is
+    * already cached by minhashNearDups, but the candidate join is the
+    * expensive half). */
   def clusterDensityQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-      numPerm = 32, bands = 16)
+        numPerm = 32, bands = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
     clusterDensity(pairs, "id_a", "id_b", cc).orderBy(col("comp"))
   }

@@ -91,10 +91,14 @@ object WarcOps {
         array_join(transform(sort_array(collect_list(
             struct(col("doc_id"), col("rec")))),
           x => x.getField("rec")), "")).as("warc"))
+    // persisted: the record carve feeds TWO consumers (the markup gate
+    // and the final join's left side) — unpinned, the whole archive
+    // parse runs twice (the webIndexQ posture, same comment there)
     val recs = Warc.records(files, "file", "warc")
       .withColumn("doc_id",
         when(col("rec_type") === "response",
           regexp_extract(col("uri"), "/d/([0-9]+)", 1).cast(LongType)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gate = Markup.htmlToText(
       recs.filter(col("rec_type") === "response")
         .select(col("doc_id"), Warc.httpBody(col("body")).as("body")),
