@@ -142,11 +142,30 @@ object Boilerplate {
   private val W = 2     // token-segment width on the newline-free tables
   private val TOP = 100 // scrub set = the 100 most document-frequent segments
 
-  /** §2.11 — the Zipf head: top-100 segments by document frequency. */
+  /** §2.11 — the Zipf head: top-100 segments by document frequency.
+    *
+    * Segments come from the row-exploded codegen path, not the
+    * [[fixedTokenSegments]] Column: `transform`+`slice` HOF lambdas
+    * evaluate INTERPRETED per segment, and the whole build ran inside
+    * the one scan task of a single-row-group input. tokenLeadRows
+    * (array indexing at explode time, whole-stage codegen) over
+    * doc_id-spread text rows builds the identical segment multiset —
+    * stride-w positions, concat_ws skipping the NULL tail leads
+    * reproduces the short remainder, and an empty doc's [''] word
+    * array still yields its one '' segment. The within-doc dedup that
+    * array_distinct did pre-explode becomes a (doc, segment) distinct
+    * — two map-side-combined exchanges instead of one exchange + an
+    * interpreted per-doc lambda chain. */
   def frequentLinesQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    val segRows = TextFunctions.tokenLeadRows(
+        docs.repartition(col("doc_id")), Seq(col("doc_id")), col("text"), W)
+      .filter(pmod(col("__pos"), lit(W)) === 0)
+      .select(col("doc_id"),
+        concat_ws(" ", (col("__w") +: (1 until W).map(i => col(s"__l$i"))): _*)
+          .as("segment"))
     topSegments(
-      segmentFrequencies(docs, col("doc_id"), fixedTokenSegments(col("text"), W)),
+      segRows.distinct().groupBy(col("segment")).agg(count(lit(1)).as("n_docs")),
       TOP)
       .orderBy(col("n_docs").desc, col("segment"))
   }

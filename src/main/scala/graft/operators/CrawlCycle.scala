@@ -81,10 +81,9 @@ object CrawlCycle {
         lit("</urlset>")).as("xml"))
 
     // 1. DISCOVERY: the robots artifact names the sitemaps to fetch.
-    // Persisted: consumed by the sitemap-declaration join, the rule
-    // parse behind the verdicts, and the crawl-delay map — host-bounded.
+    // (seededRobots persists internally — consumed by the sitemap-
+    // declaration join, the rule parse, and the crawl-delay map.)
     val robots = Robots.seededRobots(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val declared = Robots.sitemapsDeclared(robots, "host", "txt")
     val fetchedMaps = declared
       .join(bodies, declared("sitemap_url") === bodies("sm_url") &&

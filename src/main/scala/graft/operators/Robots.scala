@@ -60,7 +60,13 @@ object Robots {
     val uas = g.filter(col("field") === "user-agent")
       .groupBy(col("host"), col("grp"))
       .agg(collect_set(lower(col("value"))).as("ua_set"))
-    (g, uas)
+    // both persisted (host-bounded, KB-scale): parseRules and
+    // crawlDelays each call grouped() and each consumes g AND uas —
+    // unpinned, a schedule-class query replays the line-explode +
+    // group-window chain four times (identical plans cache-match
+    // across the separate calls, the seededRobots posture)
+    (g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      uas.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Parse robots bodies into (host, grp, ua_set, allow, path) rules. */
@@ -213,9 +219,15 @@ object Robots {
         "User-agent: *\nCrawl-delay: 10\nDisallow: /\nUser-agent: graftbot\nUser-agent: otherbot\nCrawl-delay: 1\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /*.tmp$\nSitemap: https://"),
         host, lit("/a.xml\nSitemap: https://"), host, lit("/b.xml")))
       .otherwise(lit("# no rules here\n# just comments"))
+    // persisted at the source: most robots consumers derive 2-3 views
+    // of this frame in one query (rule parse, crawl delays, sitemap
+    // declarations), often through separate seededRobots calls whose
+    // identical plans cache-match — host-bounded, and safe to key on
+    // the plan because the docs input is immutable within a query
     docs.select(host.as("host"), col("doc_id"), robotsTxt.as("txt"))
       .groupBy(col("host")).agg(min(struct(col("doc_id"), col("txt"))).as("m"))
       .select(col("host"), col("m.txt").as("txt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** §2 row 241 — per-host robots bodies with agent groups seeded
@@ -396,7 +408,7 @@ object Robots {
     * loc, its robots verdict for `graftbot`, the recrawl flag, and
     * fetch = allowed ∧ due. The frontier a polite incremental fetcher
     * executes. */
-  def crawlPlanQ(s: SparkSession, d: String): DataFrame = {
+  private def crawlPlanFrame(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val host = concat(lit("www."), lower(col("source")), lit(".com"))
     // sitemap whose paths exercise the robots rule set
@@ -427,9 +439,13 @@ object Robots {
             struct(col("doc_id"), col("entry")))),
           x => x.getField("entry")), ""),
         lit("</urlset>")).as("xml"))
+    // persisted: sm feeds the permit verdicts AND the final join — the
+    // urlset-assembly + XML-regex parse chain must run once per call,
+    // not once per consumer (the CrawlCycle posture; corpus-bounded)
     val sm = parseSitemap(maps, "host", "xml", recrawlAfter = "2025-01-15")
       .withColumn("path",
         regexp_extract(col("loc_canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // robots: the same three seeded shapes as robotsQ
     val robots = seededRobots(docs)
     val verdicts = decide(sm.select(col("host"), col("path")).distinct(),
@@ -439,8 +455,16 @@ object Robots {
       .select(col("host"), col("pos"), col("path"), col("loc_canon"),
         col("priority_ppm"), col("recrawl"), col("allowed"),
         (col("allowed") && col("recrawl")).as("fetch"))
-      .orderBy(col("host"), col("pos"))
   }
+
+  /** §2 row 249 registered query — the plan frame in (host, pos)
+    * order. Internal consumers ([[scheduleQ]]) take [[crawlPlanFrame]]
+    * instead: the terminal sort is presentation-only, and feeding it
+    * into schedulePlan's host-keyed window would pay a range exchange
+    * + sort that the very next hash exchange throws away (guide §2.4
+    * — an orderBy used only to make output deterministic). */
+  def crawlPlanQ(s: SparkSession, d: String): DataFrame =
+    crawlPlanFrame(s, d).orderBy(col("host"), col("pos"))
 
   /** Per-host politeness scheduling (SURVEY.md §2 row 252) — the
     * third crawl stage after discovery (247) and permission (241):
@@ -478,7 +502,7 @@ object Robots {
     * 250 ms slot interval. */
   def scheduleQ(s: SparkSession, d: String): DataFrame = {
     val robots = seededRobots(Tables.documents(s, d))
-    schedulePlan(crawlPlanQ(s, d), qps = 4,
+    schedulePlan(crawlPlanFrame(s, d), qps = 4,
         crawlDelays(robots, "host", "txt", "GraftBot"))
       .orderBy(col("host"), col("slot"))
   }
