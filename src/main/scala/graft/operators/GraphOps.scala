@@ -281,7 +281,7 @@ object GraphOps {
     * in mutually-similar triads (the cluster-density diagnostic over
     * the same pair relation q_embed_neardup registers). */
   def trianglesQ(s: SparkSession, d: String): DataFrame =
-    triangleCounts(VectorQueries.embedNearDupQ(s, d), "id_a", "id_b")
+    triangleCounts(VectorQueries.embedNearDupFrame(s, d), "id_a", "id_b")
       .orderBy(col("n_tri").desc, col("node"))
 
   /** Synchronous label propagation (SURVEY.md §2 row 141) — community
@@ -344,7 +344,7 @@ object GraphOps {
   /** §2.12 — 4 synchronous rounds over the embedding near-dup graph
     * (the q_dedup_groups / q_triangles pair relation). */
   def labelPropQ(s: SparkSession, d: String): DataFrame =
-    labelPropagation(VectorQueries.embedNearDupQ(s, d), "id_a", "id_b", iters = 4)
+    labelPropagation(VectorQueries.embedNearDupFrame(s, d), "id_a", "id_b", iters = 4)
       .orderBy(col("node"))
 
   /** Multi-source BFS hop distance (SURVEY.md §2 row 164) — exact
@@ -420,7 +420,7 @@ object GraphOps {
     val seeds = Tables.embeddings(s, d)
       .groupBy(col("label")).agg(min(col("vec_id")).as("node"))
       .select(col("node"))
-    seedDistance(VectorQueries.embedNearDupQ(s, d), "id_a", "id_b",
+    seedDistance(VectorQueries.embedNearDupFrame(s, d), "id_a", "id_b",
         seeds, "node", maxHops = 8)
       .orderBy(col("node"))
   }

@@ -27,10 +27,20 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** The near-dup pair frame WITHOUT the registered query's
+    * presentation sort — for the graph consumers (triangles, label
+    * propagation, seed distance, component grouping), which symmetrize
+    * / aggregate the pairs immediately: feeding them the sorted form
+    * pays a range exchange + sort that their first hash exchange
+    * throws away (guide §2.4 — an orderBy used only to make output
+    * deterministic). */
+  private[operators] def embedNearDupFrame(s: SparkSession, d: String): DataFrame =
+    VectorOps.nearDupPairs(Tables.embeddings(s, d),
+      "vec_id", "embedding", "label", threshold = 0.3)
+
   /** §2.3#39 — near-dup pairs by cosine >= 0.3, blocked on label. */
   def embedNearDupQ(s: SparkSession, d: String): DataFrame =
-    VectorOps.nearDupPairs(Tables.embeddings(s, d),
-        "vec_id", "embedding", "label", threshold = 0.3)
+    embedNearDupFrame(s, d)
       .orderBy(col("block"), col("id_a"), col("id_b"))
 
   /** §2.3#41 — LSH-bucketed approximate top-5. ORACLE-BACKED since
@@ -69,7 +79,7 @@ object VectorQueries {
   /** §2.4 — near-dup pairs resolved into canonical dedup groups
     * (connected components, group id = min reachable vec_id). */
   def dedupGroupsQ(s: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(embedNearDupQ(s, d), "id_a", "id_b")
+    Dedup.connectedComponents(embedNearDupFrame(s, d), "id_a", "id_b")
       .orderBy(col("id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
