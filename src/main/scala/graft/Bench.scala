@@ -132,6 +132,15 @@ object Bench {
         // environment flake (OOM-kill race, port clash) — keep the
         // successful first time rather than reporting a query that
         // demonstrably ran as failed.
+        // Round 16: the cache is cleared BETWEEN t1 and t2 so the
+        // re-run is as cold as the first (round-15 verdict item 1:
+        // operators that leave call-lifetime persisted subplans live
+        // at return let the inline re-run partially cache-hit run 1's
+        // work, trending min(t1,t2) toward a warm number the round-14
+        // deferred-rerun methodology never produced). Both runs now
+        // measure the same cold cost; min() only shaves environment
+        // noise.
+        spark.sharedState.cacheManager.clearCache()
         val t2 = time(name, fn)
         if (t2 < 0) t1 else math.min(t1, t2)
       } else t1
