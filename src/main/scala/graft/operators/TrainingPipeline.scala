@@ -109,18 +109,32 @@ object TrainingPipeline {
     // the exploded token stream — ~3x the bytes); the lead words
     // themselves are read by codegen array indexing at explode time,
     // zero further shuffles.
+    // The persisted frame carries the two gram HASHES instead of the
+    // L+1 lead words: downstream only ever reads (__w, __l1) as strings
+    // (repetition stats) and the 3-/L+1-gram hashes (MinHash, decon),
+    // so hashing at explode time shrinks the cached bytes from 8 string
+    // columns to 2 strings + 2 longs per token (guide §2.3 — narrower
+    // types through the pinned boundary) and hashes each gram ONCE at
+    // fill instead of once per consumer. The `when` guards reproduce
+    // the old post-filter exactly: h is NULL iff the gram would have
+    // been filtered (lead NULL past the doc end) — concat_ws SKIPS
+    // nulls, so an unguarded hash would alias short grams.
     val leads = TextFunctions.tokenLeadRows(
         docs.repartition(col("doc_id")), Seq(col("doc_id")),
         col("text"), L + 1)
-      .drop("__pos")
+      .select(col("doc_id"), col("__w"), col("__l1"),
+        when(col("__l2").isNotNull,
+          xxhash64(concat_ws(" ", col("__w"), col("__l1"), col("__l2"))))
+          .as("__h3"),
+        when(col(s"__l$L").isNotNull,
+          xxhash64(concat_ws(" ",
+            (col("__w") +: (1 to L).map(i => col(s"__l$i"))): _*)))
+          .as("__hd"))
       .persist(Lvl)
-    val tri = leads.filter(col("__l2").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("__w"), col("__l1"), col("__l2"))).as("h"))
-    val dec = leads.filter(col(s"__l$L").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ",
-          (col("__w") +: (1 to L).map(i => col(s"__l$i"))): _*)).as("h"))
+    val tri = leads.filter(col("__h3").isNotNull)
+      .select(col("doc_id"), col("__h3").as("h"))
+    val dec = leads.filter(col("__hd").isNotNull)
+      .select(col("doc_id"), col("__hd").as("h"))
     (leads.select(col("doc_id").as("__id"), col("__w"), col("__l1")), tri, dec)
   }
 

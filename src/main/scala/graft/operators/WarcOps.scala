@@ -190,7 +190,11 @@ object WarcOps {
           x => x.getField("rec")), "")).as("warc"))
   }
 
-  def cdxIndexQ(s: SparkSession, d: String): DataFrame = {
+  /** The row-265 index UNsorted — factored out so q_cdx_source can
+    * persist and range-sort it exactly once for the write (the
+    * crawlPlanFrame pattern: the registered query's presentation sort
+    * belongs to the query, not to every consumer). */
+  private def cdxIndexFrame(s: SparkSession, d: String): DataFrame = {
     val files = cdxSeedFiles(s, d)
     val canon = Urls.canonicalUrl(col("uri"))
     Warc.records(files, "file", "warc")
@@ -200,8 +204,10 @@ object WarcOps {
         col("warc_date"), canon.as("url_canon"),
         col("rec_offset"), col("content_length"),
         graft.plans.PolyHash64.poly_hash64(col("body")).as("digest"))
-      .orderBy(col("surt"), col("warc_date"))
   }
+
+  def cdxIndexQ(s: SparkSession, d: String): DataFrame =
+    cdxIndexFrame(s, d).orderBy(col("surt"), col("warc_date"))
 
   /** CDX snapshot diff (SURVEY.md §2 row 275) — the crawl-archive
     * delta two row-265 indexes answer without touching either archive
@@ -294,12 +300,23 @@ object WarcOps {
     val dir = scratchDir(s, "graft_cdxsrc")
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(dir, true) // session-unique scratch, cleared at start
-    cdxIndexQ(s, d)
+    // The global orderBy range-partitions, and the RangePartitioner's
+    // SAMPLING pass executes the whole upstream once before the real
+    // pass runs it again — unpinned, the seed-assembly + record-carve +
+    // digest subtree (the expensive half of this query) runs twice per
+    // write (guide §5 — cache what two passes read). Persisted for the
+    // write only and dropped before the read-back, which depends on
+    // the landed files, not this frame.
+    val idx = cdxIndexFrame(s, d)
       .select(col("surt"), col("warc_date"), col("file"), col("rec_offset"),
         col("content_length"), col("digest"), col("url_canon"))
-      .orderBy(col("surt"), col("warc_date")) // range-partitioned: files stay sorted
-      .write.format("graft.sources.v2.CdxSource")
-      .option("path", dir.toString).mode("overwrite").save()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      idx
+        .orderBy(col("surt"), col("warc_date")) // range-partitioned: files stay sorted
+        .write.format("graft.sources.v2.CdxSource")
+        .option("path", dir.toString).mode("overwrite").save()
+    } finally { idx.unpersist(); () }
     s.read.format("graft.sources.v2.CdxSource")
       .option("path", dir.toString).load()
       .select(col("file"), col("surt"), col("warc_date"), col("url_canon"),

@@ -2,15 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only probe: per-stage wall times of the two pipeline capstones
-  * (the Bench stage probe decomposes only the incremental run;
-  * this also splits the full/bootstrap run) — optimization-round
-  * instrumentation, not part of the driver surface.
+/** Dev-only stage profiler: replay the batch or incremental pipeline
+  * with every stage boundary forced and timed
+  * ([[graft.operators.TrainingPipeline.stagedTimings]]), N reps, so an
+  * optimization A/B localizes to a stage. Not part of the driver
+  * surface.
   *
-  * Usage: Test/runMain graft.StageProbe [sfDir] */
+  * Usage: Test/runMain graft.StageProbe <sfDir> <reps> <batch|incr> */
 object StageProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val Array(sfDir, repsS, mode) = args
+    val reps = repsS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,14 +23,13 @@ object StageProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm the JVM/codegen once so stage numbers measure execution
-    graft.operators.TrainingPipeline.stagedTimings(spark, sfDir, incremental = true)
-    spark.sharedState.cacheManager.clearCache()
-    for (incr <- Seq(true, false)) {
-      val ts = graft.operators.TrainingPipeline.stagedTimings(spark, sfDir, incr)
-      println(s"STAGEPROBE incremental=$incr " + ts.map {
-        case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    (1 to reps).foreach { r =>
+      val ts = graft.operators.TrainingPipeline.stagedTimings(
+        spark, sfDir, incremental = mode == "incr")
       spark.sharedState.cacheManager.clearCache()
+      println(f"STAGE rep=$r total=${ts.map(_._2).sum}%.2f " +
+        ts.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     }
     spark.stop()
   }

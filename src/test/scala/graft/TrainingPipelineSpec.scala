@@ -183,4 +183,43 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .filter($"t" >= lit(cfg.packCapacity) + $"m").count()
     assert(overflow == 0, "a bin exceeds capacity by more than its largest doc")
   }
+
+  test("decon gram hashes respect the doc-end boundary (no short-gram aliasing)") {
+    // The token pass hashes the decon 8-gram at explode time behind a
+    // NULL guard on the last lead word. concat_ws SKIPS nulls, so an
+    // UNGUARDED hash would alias every doc-end tail shorter than 8
+    // words to a "gram" — two docs sharing only a 7-word tail would
+    // then spuriously match and decontaminate the train-side doc. Pin
+    // both directions: a 7-word shared tail must NOT leak-drop, a
+    // genuine shared 8-gram MUST.
+    val idProbe = TrainingOps.assignSplit(
+        spark.range(9200000L, 9200100L).select($"id".as("doc_id")),
+        $"doc_id", cfg.trainPct, cfg.valPct)
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    val trainIds = idProbe.filter(_._2 == "train").map(_._1)
+    val testIds = idProbe.filter(_._2 == "test").map(_._1)
+    // 20 distinct 4-letter prefix words keep the docs through the
+    // quality gate (>= 20 tokens, all-alpha) and far below the 0.5
+    // near-dup cut (shared trigrams only inside the tail: J <= 0.13)
+    def prefixWords(tag: String) = (0 until 20)
+      .map(i => s"$tag${('a' + i % 26).toChar}${('a' + i / 26).toChar}")
+    val tail7 = "ka kb kc kd ke kf kg"
+    val tail8 = "la lb lc ld le lf lg lh"
+    def doc(id: Long, tag: String, tail: String) = {
+      val txt = (prefixWords(tag) :+ tail).mkString(" ")
+      (id, txt, "en", "src99", txt.length.toLong)
+    }
+    val planted = Seq(
+      doc(trainIds(0), "pa", tail7), doc(testIds(0), "pb", tail7),
+      doc(trainIds(1), "pc", tail8), doc(testIds(1), "pd", tail8))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shipped = TrainingPipeline.run(docs.unionByName(planted), cfg)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(shipped.contains(trainIds(0)),
+      "7-word shared tail spuriously decontaminated the train doc (doc-end aliasing)")
+    assert(shipped.contains(testIds(0)), "tail-7 test doc fell out of the manifest")
+    assert(!shipped.contains(trainIds(1)),
+      "a genuinely shared 8-gram must leak-drop the train doc")
+    assert(shipped.contains(testIds(1)), "tail-8 test doc fell out of the manifest")
+  }
 }
