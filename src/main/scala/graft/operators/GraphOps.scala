@@ -57,7 +57,8 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
                iters: Int, scale: Long = 1000000000000L,
                dampNum: Long = 85L, dampDen: Long = 100L,
-               init: Option[DataFrame] = None): DataFrame = {
+               init: Option[DataFrame] = None,
+               smallGraphMax: Long = PeelSmallGraphMax): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
     val w = col(wCol).cast(LongType)
@@ -71,6 +72,61 @@ object GraphOps {
       when(w > 0, w).otherwise(raise_error(
         lit("pageRank: edge weights must be positive"))).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Small-graph fast path (the connectedComponents discipline, bound
+    // CHECKED on the materialized count): the registered queries run
+    // this kernel over AGGREGATED graphs (nation→nation: ≤ 625 edges)
+    // whose derivation is the real distributed work — iterating over
+    // them then costs ~5 driver-scheduled jobs per round (contribution
+    // shuffle + dangling broadcast + checkpoint; measured 49 jobs at
+    // sf0.1). Under the bound, collect the validated edge frame once
+    // (the raise_error weight guard fires on collect exactly as it
+    // would distributed) and replay the SAME floor-div integer
+    // iteration in the driver — Math.floorDiv(a, b) == fdiv(a, b) for
+    // b > 0 by construction — so ranks are bit-identical; above the
+    // bound the distributed loop below is unchanged. `init` is
+    // O(prior nodes) — bounded whenever the graph is.
+    if (e.count() <= smallGraphMax) {
+      try {
+        val rows = e.collect()
+        val ow = new scala.collection.mutable.HashMap[Long, Long]()
+        rows.foreach(r => ow(r.getLong(0)) = ow.getOrElse(r.getLong(0), 0L) + r.getLong(2))
+        val nodeIds = (rows.map(_.getLong(0)) ++ rows.map(_.getLong(1))).distinct
+        val n = nodeIds.length.toLong
+        require(n > 0, "pageRank: empty edge set")
+        val teleport = Math.floorDiv((dampDen - dampNum) * scale, dampDen * n)
+        val uniform = Math.floorDiv(scale, n)
+        var rank = new scala.collection.mutable.HashMap[Long, Long]()
+        init match {
+          case None => nodeIds.foreach(rank(_) = uniform)
+          case Some(prev) =>
+            val pr = prev.select(col("node").cast(LongType), col("rank").cast(LongType))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            nodeIds.foreach(nd => rank(nd) = pr.getOrElse(nd, uniform))
+        }
+        (1 to iters).foreach { _ =>
+          val inc = new scala.collection.mutable.HashMap[Long, Long]()
+          rows.foreach { r =>
+            val (s, d, wv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+            inc(d) = inc.getOrElse(d, 0L) + Math.floorDiv(rank(s) * wv, ow(s))
+          }
+          val dm = nodeIds.iterator.filterNot(ow.contains).map(rank).sum
+          val dmn = Math.floorDiv(dm, n)
+          val next = new scala.collection.mutable.HashMap[Long, Long]()
+          nodeIds.foreach { nd =>
+            next(nd) = teleport + Math.floorDiv(
+              dampNum * (inc.getOrElse(nd, 0L) + dmn), dampDen)
+          }
+          rank = next
+        }
+        val spark = edges.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            nodeIds.toSeq.map(nd => org.apache.spark.sql.Row(nd, rank(nd))), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("rank", LongType, nullable = false))))
+      } finally { e.unpersist(); () }
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -167,7 +223,8 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            wCol: String, seeds: DataFrame, seedCol: String,
                            iters: Int, scale: Long = 1000000000000L,
-                           dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+                           dampNum: Long = 85L, dampDen: Long = 100L,
+                           smallGraphMax: Long = PeelSmallGraphMax): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
     val w = col(wCol).cast(LongType)
@@ -178,6 +235,49 @@ object GraphOps {
       when(w > 0, w).otherwise(raise_error(
         lit("personalizedPageRank: edge weights must be positive"))).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Small-graph fast path — the pageRank replay with seed-directed
+    // teleport/dangling return; see pageRank for the bound and
+    // exactness argument. Seeds are node-bounded by the same check.
+    if (e.count() <= smallGraphMax) {
+      try {
+        val rows = e.collect()
+        val ow = new scala.collection.mutable.HashMap[Long, Long]()
+        rows.foreach(r => ow(r.getLong(0)) = ow.getOrElse(r.getLong(0), 0L) + r.getLong(2))
+        val nodeIds = (rows.map(_.getLong(0)) ++ rows.map(_.getLong(1))).distinct
+        val nodeSet = nodeIds.toSet
+        val seedSet = seeds.select(col(seedCol).cast(LongType).as("node")).distinct()
+          .collect().map(_.getLong(0)).filter(nodeSet.contains).toSet
+        val ns = seedSet.size.toLong
+        require(ns > 0, "personalizedPageRank: no seed is a graph node")
+        val teleport = Math.floorDiv((dampDen - dampNum) * scale, dampDen * ns)
+        var rank = new scala.collection.mutable.HashMap[Long, Long]()
+        nodeIds.foreach(nd =>
+          rank(nd) = if (seedSet.contains(nd)) Math.floorDiv(scale, ns) else 0L)
+        (1 to iters).foreach { _ =>
+          val inc = new scala.collection.mutable.HashMap[Long, Long]()
+          rows.foreach { r =>
+            val (s, d, wv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+            inc(d) = inc.getOrElse(d, 0L) + Math.floorDiv(rank(s) * wv, ow(s))
+          }
+          val dm = nodeIds.iterator.filterNot(ow.contains).map(rank).sum
+          val dmn = Math.floorDiv(dm, ns)
+          val next = new scala.collection.mutable.HashMap[Long, Long]()
+          nodeIds.foreach { nd =>
+            val seeded = seedSet.contains(nd)
+            next(nd) = (if (seeded) teleport else 0L) + Math.floorDiv(
+              dampNum * (inc.getOrElse(nd, 0L) + (if (seeded) dmn else 0L)), dampDen)
+          }
+          rank = next
+        }
+        val spark = edges.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            nodeIds.toSeq.map(nd => org.apache.spark.sql.Row(nd, rank(nd))), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("rank", LongType, nullable = false))))
+      } finally { e.unpersist(); () }
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -307,7 +407,8 @@ object GraphOps {
     * posture. Edge symmetrization doubles the edge frame once,
     * up front, persisted across rounds. */
   def labelPropagation(pairs: DataFrame, idACol: String, idBCol: String,
-                       iters: Int = 4): DataFrame = {
+                       iters: Int = 4,
+                       smallGraphMax: Long = PeelSmallGraphMax): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val p0 = pairs.select(col(idACol).cast(LongType).as("a"),
         col(idBCol).cast(LongType).as("b"))
@@ -324,6 +425,52 @@ object GraphOps {
     val edges = p0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Small-graph fast path (the seedDistance/kCorePeel discipline,
+    // bound CHECKED on the materialized count; this makes the operator
+    // eager under the bound — the count doubles as the persist fill).
+    // The driver replay runs the SAME synchronous rounds with the same
+    // total tie order (count DESC, label ASC), so communities are
+    // row-identical; above the bound the lazy distributed loop below
+    // is unchanged.
+    if (edges.count() <= smallGraphMax) {
+      try {
+        val rows = edges.collect()
+        val nE = rows.length
+        val srcA = new Array[Long](nE); val dstA = new Array[Long](nE)
+        var i = 0
+        while (i < nE) { srcA(i) = rows(i).getLong(0); dstA(i) = rows(i).getLong(1); i += 1 }
+        val nodeIds = dstA.distinct
+        var comm = new scala.collection.mutable.HashMap[Long, Long]()
+        nodeIds.foreach(nd => comm(nd) = nd)
+        (1 to iters).foreach { _ =>
+          // (dst, neighbour community) -> count over the PREVIOUS round
+          val cnt = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+          i = 0
+          while (i < nE) {
+            val key = (dstA(i), comm(srcA(i)))
+            cnt(key) = cnt.getOrElse(key, 0L) + 1L
+            i += 1
+          }
+          val next = new scala.collection.mutable.HashMap[Long, (Long, Long)]() // dst -> (c, label)
+          cnt.foreach { case ((d, l), c) =>
+            next.get(d) match {
+              case Some((bc, bl)) if bc > c || (bc == c && bl <= l) => ()
+              case _ => next(d) = (c, l)
+            }
+          }
+          val nc = new scala.collection.mutable.HashMap[Long, Long]()
+          next.foreach { case (d, (_, l)) => nc(d) = l }
+          comm = nc
+        }
+        val spark = pairs.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            nodeIds.toSeq.map(nd => org.apache.spark.sql.Row(nd, comm(nd))), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("community", LongType, nullable = false))))
+      } finally { edges.unpersist(); () }
+    }
     // every node of the pair graph appears as a dst after
     // symmetrization, so dst-keyed rounds cover all nodes
     val start = edges.select(col("dst").as("node")).distinct()
@@ -374,7 +521,8 @@ object GraphOps {
     * candidates carry the same dist), so `min(dist)` over DuckDB's
     * capped recursive walk replays it verbatim — pure integers. */
   def seedDistance(pairs: DataFrame, idACol: String, idBCol: String,
-                   seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+                   seeds: DataFrame, seedCol: String, maxHops: Int,
+                   smallGraphMax: Long = PeelSmallGraphMax): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val p0 = pairs.select(col(idACol).cast(LongType).as("a"),
         col(idBCol).cast(LongType).as("b"))
@@ -383,6 +531,50 @@ object GraphOps {
       .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Small-graph fast path (the connectedComponents discipline —
+      // bound CHECKED on the materialized count, never assumed): the
+      // distributed loop costs ~5 driver-scheduled jobs per hop
+      // (broadcast builds + AQE shuffle stages + checkpoint + probe;
+      // measured 62 jobs / ~4.5 s at sf0.1 on a graph a driver BFS
+      // walks in microseconds). Under the bound, collect the edge list
+      // and seed set once and replay the SAME layered BFS in the
+      // driver — first discovery wins at its true hop, capped at
+      // maxHops — so the output is row-identical; above the bound the
+      // distributed frontier loop below is unchanged.
+      val edgeCount = edges.count() // materializes the persist the loop needs anyway
+      if (edgeCount <= smallGraphMax) {
+        val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        edges.collect().foreach { r =>
+          adj.getOrElseUpdate(r.getLong(0), scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
+        }
+        val seedIds = seeds.select(col(seedCol).cast(LongType).as("node"))
+          .distinct().collect().map(_.getLong(0))
+        val dist = new scala.collection.mutable.HashMap[Long, Long]()
+        seedIds.foreach(dist(_) = 0L)
+        var frontier: Seq[Long] = seedIds.toSeq
+        var h = 1L
+        while (h <= maxHops && frontier.nonEmpty) {
+          val nxt = scala.collection.mutable.ArrayBuffer[Long]()
+          frontier.foreach { n =>
+            adj.getOrElse(n, Nil).foreach { m =>
+              if (!dist.contains(m)) { dist(m) = h; nxt += m }
+            }
+          }
+          frontier = nxt.toSeq
+          h += 1
+        }
+        // spine: every graph node (all appear as dst after
+        // symmetrization) plus every seed; unreached stay NULL
+        val spine = (adj.keysIterator ++ seedIds.iterator).toArray.distinct
+        val spark = pairs.sparkSession
+        val rows = spine.toSeq.map(n =>
+          org.apache.spark.sql.Row(n, dist.get(n).map(Long.box).orNull))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("dist", LongType, nullable = true))))
+      }
       val s0 = seeds.select(col(seedCol).cast(LongType).as("node")).distinct()
         .withColumn("dist", lit(0L)).localCheckpoint()
       var dist = s0
@@ -452,8 +644,16 @@ object GraphOps {
     * truncated per round and stays distributed; the driver holds only
     * the round counter and the per-round emptiness probe. Edges are
     * symmetrized + distinct'd ONCE, persisted across rounds. */
+  // Fast-path bound: 2M symmetrized edges = 32 MB of primitive longs
+  // collected (plus transient Row overhead) — comfortably inside the
+  // driver budget, and the driver replay is O(rounds·|E|) integer ops
+  // (milliseconds). CC's tighter 100k bound predates the byte math;
+  // the peel/BFS replays hold only two long arrays and node-sized maps.
+  private val PeelSmallGraphMax = 2000000L
+
   def kCorePeel(pairs: DataFrame, idACol: String, idBCol: String,
-                k: Int, rounds: Int): DataFrame = {
+                k: Int, rounds: Int,
+                smallGraphMax: Long = PeelSmallGraphMax): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val p0 = pairs.select(col(idACol).cast(LongType).as("a"),
@@ -463,6 +663,54 @@ object GraphOps {
       .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Small-graph fast path (the connectedComponents discipline —
+      // bound CHECKED on the materialized count): the distributed peel
+      // costs ~5 driver-scheduled jobs per round (degree shuffle +
+      // broadcast + two checkpoints + probe; measured 33 jobs / ~4 s
+      // at sf0.1). Under the bound, collect the symmetrized edge list
+      // once and replay the SAME capped peel in the driver — degree
+      // among survivors, remove < k, 1-based round labels, early exit
+      // on an empty round — row-identical output; above the bound the
+      // distributed loop below is unchanged.
+      val edgeCount = edges.count() // materializes the persist the loop needs anyway
+      if (edgeCount <= smallGraphMax) {
+        val rowsA = edges.collect()
+        val nE = rowsA.length
+        val srcA = new Array[Long](nE)
+        val dstA = new Array[Long](nE)
+        var i = 0
+        while (i < nE) { srcA(i) = rowsA(i).getLong(0); dstA(i) = rowsA(i).getLong(1); i += 1 }
+        val spine = dstA.distinct
+        val peeled = new scala.collection.mutable.HashMap[Long, Long]() // node -> round
+        var surv = spine.toSet
+        var liveIdx = Array.range(0, nE)
+        var r = 1
+        var fixed = false
+        while (r <= rounds && !fixed) {
+          val deg = new scala.collection.mutable.HashMap[Long, Long]()
+          liveIdx.foreach { j => val s = srcA(j); deg(s) = deg.getOrElse(s, 0L) + 1L }
+          // iterate SURVIVORS, not degree keys: a survivor whose last
+          // neighbours were peeled in an earlier round has no live
+          // edge at all (degree 0 < k) and must still be labelled —
+          // exactly the distributed form's coalesce(dg, 0) < k
+          val rem = surv.filter(n => deg.getOrElse(n, 0L) < k)
+          if (rem.isEmpty) fixed = true
+          else {
+            rem.foreach(peeled(_) = r.toLong)
+            surv --= rem
+            liveIdx = liveIdx.filter(j => !rem.contains(srcA(j)) && !rem.contains(dstA(j)))
+          }
+          r += 1
+        }
+        val spark = pairs.sparkSession
+        val rows = spine.toSeq.map(n =>
+          org.apache.spark.sql.Row(n, peeled.get(n).map(Long.box).orNull))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("peel_round", LongType, nullable = true))))
+      }
       // every node appears as dst after symmetrization
       val spine = edges.select(col("dst").as("node")).distinct()
         .localCheckpoint()

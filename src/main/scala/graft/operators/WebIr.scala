@@ -147,12 +147,54 @@ object WebIr {
     * scale=1e6 that admits degrees to ~9.2e6; a hotter authority
     * needs the PageRank weight-compression trick upstream. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-           scale: Long = 1000000L): DataFrame = {
+           scale: Long = 1000000L,
+           smallGraphMax: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Small-graph fast path (the GraphOps.pageRank discipline, bound
+      // CHECKED on the materialized distinct-edge count): the
+      // distributed loop pays ~6 driver-scheduled jobs per iteration
+      // (two aggregate checkpoints + two total broadcasts + two
+      // normalize checkpoints; measured 35 jobs at sf0.1). Under the
+      // bound, collect the edge list once and replay the SAME integer
+      // half-steps in the driver (Math.floorDiv == fdiv for positive
+      // divisors) — hub/auth values bit-identical; above the bound the
+      // distributed loop below is unchanged.
+      if (e.count() <= smallGraphMax) {
+        val rows = e.collect()
+        val nE = rows.length
+        val srcA = new Array[Long](nE); val dstA = new Array[Long](nE)
+        var i = 0
+        while (i < nE) { srcA(i) = rows(i).getLong(0); dstA(i) = rows(i).getLong(1); i += 1 }
+        var h = new scala.collection.mutable.HashMap[Long, Long]()
+        srcA.distinct.foreach(h(_) = scale)
+        var a = new scala.collection.mutable.HashMap[Long, Long]()
+        (1 to iters).foreach { _ =>
+          val ar = new scala.collection.mutable.HashMap[Long, Long]()
+          i = 0
+          while (i < nE) { ar(dstA(i)) = ar.getOrElse(dstA(i), 0L) + h(srcA(i)); i += 1 }
+          val asum = ar.valuesIterator.sum
+          a = ar.map { case (k, v) => k -> Math.floorDiv(v * scale, asum) }
+          val hr = new scala.collection.mutable.HashMap[Long, Long]()
+          i = 0
+          while (i < nE) { hr(srcA(i)) = hr.getOrElse(srcA(i), 0L) + a(dstA(i)); i += 1 }
+          val hsum = hr.valuesIterator.sum
+          h = hr.map { case (k, v) => k -> Math.floorDiv(v * scale, hsum) }
+        }
+        val nodeIds = (srcA ++ dstA).distinct
+        val spark = edges.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            nodeIds.toSeq.map(nd => org.apache.spark.sql.Row(
+              nd, h.getOrElse(nd, 0L), a.getOrElse(nd, 0L))), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("hub", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("auth", LongType, nullable = false))))
+      }
       var h = e.select(col("src").as("node")).distinct()
         .withColumn("s", lit(scale))
       var a: DataFrame = null
