@@ -138,11 +138,17 @@ object TrainingPipeline {
     (leads.select(col("doc_id").as("__id"), col("__w"), col("__l1")), tri, dec)
   }
 
-  private[operators] def runStages(docs: DataFrame, cfg: Config,
-                                   probe: (String, DataFrame) => Unit = (_, _) => ()): Stages = {
+  /** tokenPass + quality/repetition gate — the stage-1 block shared
+    * verbatim by the batch run and the ingest. Exposed
+    * private[operators] (as a reusable triple (gated, tri, dec)) so
+    * the registered incremental query can FILL the batch's gate cache
+    * concurrently with the corpus bootstrap (guide §2.6): the batch
+    * side is a pure function of the batch up to the exact-dedup
+    * anti-join, so nothing about its values can depend on when the
+    * fill runs. */
+  private[operators] def gateStage(docs: DataFrame, cfg: Config)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (repToks, tri, dec) = tokenPass(docs, cfg)
-
-    // 1. quality gate
     val scored = Curation.filterQuality(Curation.score(docs, col("text")), cfg.minQuality)
     val rep = CorpusOps.repetitionStatsFromTokens(repToks, "doc_id")
       .filter(col("top_frac") <= cfg.maxTopFrac && col("dup2_frac") <= cfg.maxDup2Frac)
@@ -150,6 +156,13 @@ object TrainingPipeline {
     val gated = scored.join(rep, Seq("doc_id"))
       .withColumn("__h", md5(TextFunctions.normalize(col("text"))))
       .persist(Lvl)
+    (gated, tri, dec)
+  }
+
+  private[operators] def runStages(docs: DataFrame, cfg: Config,
+                                   probe: (String, DataFrame) => Unit = (_, _) => ()): Stages = {
+    // 1. quality gate (shared stage-1 block)
+    val (gated, tri, dec) = gateStage(docs, cfg)
     probe("gate", gated)
 
     // 2. exact dedup
@@ -455,18 +468,15 @@ object TrainingPipeline {
     * never reused while shard files may still contain it). */
   def runIncremental(inputState: CorpusState, batch: DataFrame,
                      cfg: Config = Config(),
-                     probe: (String, DataFrame) => Unit = (_, _) => ()): IngestDelta = {
+                     probe: (String, DataFrame) => Unit = (_, _) => (),
+                     preGated: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : IngestDelta = {
     val state = truncated(inputState)
-    val (repToks, tri, dec) = tokenPass(batch, cfg)
-
-    // 1. quality gate (per-doc, identical to the full run)
-    val scored = Curation.filterQuality(Curation.score(batch, col("text")), cfg.minQuality)
-    val rep = CorpusOps.repetitionStatsFromTokens(repToks, "doc_id")
-      .filter(col("top_frac") <= cfg.maxTopFrac && col("dup2_frac") <= cfg.maxDup2Frac)
-      .select(col("doc_id"))
-    val gated = scored.join(rep, Seq("doc_id"))
-      .withColumn("__h", md5(TextFunctions.normalize(col("text"))))
-      .persist(Lvl)
+    // 1. quality gate (per-doc, identical to the full run; `preGated`
+    // hands in the SAME gateStage frames when the caller pre-filled
+    // them concurrently with other work — values identical by
+    // construction, only the fill time moves)
+    val (gated, tri, dec) = preGated.getOrElse(gateStage(batch, cfg))
     probe("gate", gated)
 
     // 2. exact dedup: within batch, then against every hash ever seen.
@@ -676,7 +686,18 @@ object TrainingPipeline {
   def incrementalPipelineQ(s: SparkSession, d: String): DataFrame = {
     val (corpus, batch) = CorpusOps.corpusBatchSplit(s, d)
     val cfg = Config(lshBands = 16)
-    val delta = runIncremental(bootstrapState(corpus, cfg), batch, cfg)
+    // The batch's gate is a pure function of the batch, so its cache
+    // fill overlaps the corpus bootstrap from one pool thread (guide
+    // §2.6 — the bootstrapState wave pattern, one level up): the
+    // ingest then consumes the already-warm frames via preGated.
+    val pre = gateStage(batch, cfg)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val warm = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = pre._1.count()
+    })
+    val st = try bootstrapState(corpus, cfg)
+    finally { warm.get(); pool.shutdown(); () }
+    val delta = runIncremental(st, batch, cfg, preGated = Some(pre))
     delta.accepted
       .select(lit("add").as("action"), col("doc_id"), col("split"),
         col("lang"), col("bin"), col("n_tokens"))

@@ -265,12 +265,17 @@ object ScaleProbe {
           replicateEmb(spark, sfDir, k), "vec_id", "embedding",
           k = 8, iters = 2).size.toLong
       }
+      // smallGraphMax = 0 forces the DISTRIBUTED loop: the probe's
+      // purpose is the scaling curve of the distributed plan — the
+      // replicated graphs here sit under the driver fast-path bound,
+      // which would otherwise measure the (trivially linear) replay
       time("pagerank", k) {
         val n = stride(docs)
         val e = docs.select(col("doc_id").as("src"),
           pmod(col("doc_id") * 2617L + 13L, lit(n)).as("dst"),
           (pmod(col("doc_id"), lit(50)) + 1).as("w"))
-        graft.operators.GraphOps.pageRank(e, "src", "dst", "w", iters = 3).count()
+        graft.operators.GraphOps.pageRank(e, "src", "dst", "w", iters = 3,
+          smallGraphMax = 0L).count()
       }
       time("bpe_learn", k) {
         graft.operators.BpeOps.learnMerges(docs, "text", 6).size.toLong
@@ -385,7 +390,8 @@ object ScaleProbe {
         val edges = (0 until k).map { c =>
           e0.select((col("id_a") + c * es).as("id_a"), (col("id_b") + c * es).as("id_b"))
         }.reduce(_ union _)
-        graft.operators.GraphOps.labelPropagation(edges, "id_a", "id_b", iters = 4).count()
+        graft.operators.GraphOps.labelPropagation(edges, "id_a", "id_b", iters = 4,
+          smallGraphMax = 0L).count() // distributed loop, as for pagerank
       }
       // per-copy word suffixes keep cross-copy shingles disjoint, so
       // novelty structure per copy is identical to the base — rows and
@@ -538,7 +544,8 @@ object ScaleProbe {
       time("hits", k) {
         val e = docs.select(col("doc_id").as("s"),
           pmod(xxhash64(col("doc_id")), lit(1000L)).as("d"))
-        graft.operators.WebIr.hits(e, "s", "d", iters = 2).count()
+        graft.operators.WebIr.hits(e, "s", "d", iters = 2,
+          smallGraphMax = 0L).count() // distributed loop, as for pagerank
       }
       time("ks_test", k) {
         val vals = docs.select(
