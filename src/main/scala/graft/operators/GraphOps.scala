@@ -786,7 +786,8 @@ object GraphOps {
     * maxRadius bounds rounds; m = 2^p bounds per-node state at any
     * graph size. */
   def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
-                p: Int = 4, maxRadius: Int = 3): DataFrame = {
+                p: Int = 4, maxRadius: Int = 3,
+                smallGraphMax: Long = 2000000L): DataFrame = {
     require(p >= 2 && p <= 12, s"p must be in [2,12], got $p")
     require(maxRadius >= 0 && maxRadius <= 16,
       s"maxRadius must be in [0,16], got $maxRadius")
@@ -808,6 +809,65 @@ object GraphOps {
     val rho = when(w === 0L, lit(rhoCap))
       .otherwise((bit_count(w.bitwiseAND(-w) - 1) + 1).cast(LongType))
     try {
+      // Small-graph fast path (the seedDistance discipline): the
+      // distributed loop pays ~4 driver-scheduled jobs per radius over
+      // register frames the driver replays in milliseconds. Bound is
+      // register-aware (nodes·m dense longs ≤ ~2·edges·m): 4M/m edges
+      // keeps the replay under ~100 MB. PolyHash64.compute is the SAME
+      // static kernel codegen calls, pmod == ((h % m) + m) % m, and
+      // bit_count((w & -w) - 1) + 1 == numberOfTrailingZeros(w) + 1 —
+      // registers bit-identical; above the bound the loop below is
+      // unchanged.
+      if (e.count() <= math.min(smallGraphMax, 4000000L / m)) {
+        val rows = e.collect()
+        val nE = rows.length
+        val srcA = new Array[Long](nE); val dstA = new Array[Long](nE)
+        var i = 0
+        while (i < nE) { srcA(i) = rows(i).getLong(0); dstA(i) = rows(i).getLong(1); i += 1 }
+        val nodeIds = (srcA ++ dstA).distinct
+        val idx = nodeIds.zipWithIndex.toMap
+        var regs = Array.ofDim[Long](nodeIds.length, m) // 0 = absent (rho >= 1)
+        nodeIds.foreach { nd =>
+          val hv = graft.plans.PolyHash64.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"hll|$nd"))
+          val bucket = (((hv % m) + m) % m).toInt
+          val wv = hv >>> p
+          val rhoV = if (wv == 0L) rhoCap
+            else java.lang.Long.numberOfTrailingZeros(wv) + 1L
+          regs(idx(nd))(bucket) = rhoV
+        }
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        def emit(r: Int): Unit = nodeIds.foreach { nd =>
+          val a = regs(idx(nd))
+          var s = 0L; var nf = 0L; var j = 0
+          while (j < m) { if (a(j) > 0L) { s += a(j); nf += 1L }; j += 1 }
+          out += org.apache.spark.sql.Row(nd, r.toLong, s, nf)
+        }
+        emit(0)
+        (1 to maxRadius).foreach { t =>
+          val next = regs.map(_.clone())
+          i = 0
+          while (i < nE) {
+            val si = idx(srcA(i)); val di = idx(dstA(i))
+            var j = 0
+            while (j < m) {
+              if (regs(di)(j) > next(si)(j)) next(si)(j) = regs(di)(j)
+              j += 1
+            }
+            i += 1
+          }
+          regs = next
+          emit(t)
+        }
+        val spark = edges.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("radius", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("reg_sum", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_filled", LongType, nullable = false))))
+      }
       var state = nodes
         .select(col("node"), pmod(h, lit(m.toLong)).as("bucket"), rho.as("reg"))
         .localCheckpoint()
@@ -867,7 +927,8 @@ object GraphOps {
     * frontier envelope, localCheckpoint-pinned like seedDistance.
     * Nothing is per-pair. */
   def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
-                         walksPerNode: Int = 2, length: Int = 4): DataFrame = {
+                         walksPerNode: Int = 2, length: Int = 4,
+                         smallGraphMax: Long = 2000000L): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 64,
       s"walksPerNode must be in [1,64], got $walksPerNode")
     require(length >= 1 && length <= 32, s"length must be in [1,32], got $length")
@@ -878,6 +939,53 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
     try {
+      // Small-graph fast path (the seedDistance discipline): ~3 jobs
+      // per step for frontiers the driver replays exactly —
+      // PolyHash64.compute is the same static kernel, the argmin tie
+      // order (h, dst) is the signed-long struct min, Long.toString
+      // matches the long→string cast. Bound is output-aware: the
+      // replay materializes nodes × walksPerNode × (length+1) rows.
+      if (e.count() <= math.min(smallGraphMax, 2000000L / (walksPerNode.toLong * (length + 1)))) {
+        val rowsA = e.collect()
+        val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        rowsA.foreach { r =>
+          adj.getOrElseUpdate(r.getLong(0), scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
+        }
+        val nodeIds = (rowsA.map(_.getLong(0)) ++ rowsA.map(_.getLong(1))).distinct
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        nodeIds.foreach { nd =>
+          (0 until walksPerNode).foreach { wk =>
+            out += org.apache.spark.sql.Row(nd, wk.toLong, 0L, nd)
+          }
+        }
+        var alive = nodeIds.flatMap(nd =>
+          (0 until walksPerNode).map(wk => (nd, wk.toLong, nd))).toSeq
+        (1 to length).foreach { t =>
+          alive = alive.flatMap { case (start, wk, cur) =>
+            adj.get(cur) match {
+              case None => None // dead end: the walk just stops
+              case Some(ds) =>
+                var bestH = Long.MaxValue; var bestD = Long.MaxValue
+                ds.foreach { d =>
+                  val hv = graft.plans.PolyHash64.compute(
+                    org.apache.spark.unsafe.types.UTF8String.fromString(
+                      s"walk|$start|$wk|$t|$d"))
+                  if (hv < bestH || (hv == bestH && d < bestD)) { bestH = hv; bestD = d }
+                }
+                out += org.apache.spark.sql.Row(start, wk, t.toLong, bestD)
+                Some((start, wk, bestD))
+            }
+          }
+        }
+        val spark = edges.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("start", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("walk", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("step", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("node", LongType, nullable = false))))
+      }
       var frontier = nodes
         .withColumn("walk", explode(array((0 until walksPerNode)
           .map(i => lit(i.toLong)): _*)))

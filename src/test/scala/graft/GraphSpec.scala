@@ -324,6 +324,25 @@ class GraphSpec extends AnyFunSuite {
     assert(fastL == distL && fastL.nonEmpty)
   }
 
+  test("hyperball/walks: driver fast path equals the distributed iteration") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf).select($"doc_id")
+    val e = docs.select($"doc_id".as("src"), ($"doc_id" / 2).cast("long").as("dst"))
+      .unionAll(docs.select($"doc_id".as("src"),
+        (($"doc_id" / 2).cast("long") + 1).as("dst")))
+    val fastB = GraphOps.hyperBall(e, "src", "dst", p = 4, maxRadius = 3)
+      .orderBy($"node", $"radius").collect().toSeq
+    val distB = GraphOps.hyperBall(e, "src", "dst", p = 4, maxRadius = 3,
+        smallGraphMax = 0L)
+      .orderBy($"node", $"radius").collect().toSeq
+    assert(fastB == distB && fastB.nonEmpty)
+    val fastW = GraphOps.deterministicWalks(e, "src", "dst", 2, 4)
+      .orderBy($"start", $"walk", $"step").collect().toSeq
+    val distW = GraphOps.deterministicWalks(e, "src", "dst", 2, 4,
+        smallGraphMax = 0L)
+      .orderBy($"start", $"walk", $"step").collect().toSeq
+    assert(fastW == distW && fastW.nonEmpty)
+  }
+
   test("k-core peel: driver fast path equals the distributed peel loop") {
     // ids disjoint by parity (the purchaseEdges shape); k=2 over a
     // clique + pendant so the cascade spans several rounds

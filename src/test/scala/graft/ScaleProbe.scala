@@ -590,7 +590,8 @@ object ScaleProbe {
             (col("doc_id") / 2).cast("long").as("dst"))
           .unionAll(ids.select(col("doc_id").as("src"),
             ((col("doc_id") / 2).cast("long") + 1).as("dst")))
-        graft.operators.GraphOps.hyperBall(e, "src", "dst", p = 4, maxRadius = 3)
+        graft.operators.GraphOps.hyperBall(e, "src", "dst", p = 4, maxRadius = 3,
+            smallGraphMax = 0L) // distributed loop, as for pagerank
           .count()
       }
       time("walks", k) {
@@ -599,7 +600,8 @@ object ScaleProbe {
             (col("doc_id") / 2).cast("long").as("dst"))
           .unionAll(ids.select(col("doc_id").as("src"),
             ((col("doc_id") / 2).cast("long") + 1).as("dst")))
-        graft.operators.GraphOps.deterministicWalks(e, "src", "dst", 2, 4).count()
+        graft.operators.GraphOps.deterministicWalks(e, "src", "dst", 2, 4,
+          smallGraphMax = 0L).count() // distributed loop, as for pagerank
       }
       // replicate-stable groups (lang-like mod), doc-count-scaled rows
       time("bootstrap", k) {
